@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+import graft.functions.TextFns
+import graft.operators.Consolidate
+
+/** Reference-parity query set (SURVEY.md §2.1-2.7, §7 step 4).
+  *
+  * Each query maps a reference dataflow onto the driver's TPC-H-ish test
+  * tables and is paired with ANSI SQL for the DuckDB oracle. Numeric
+  * outputs that involve re-ordered floating-point reductions are either
+  * summed as DECIMAL (exact, order-independent) or rounded, so the
+  * oracle hash-compare is stable across engines and partition orders.
+  *
+  * Scale notes are attached per query: every plan here is a
+  * scan→filter→shuffle-agg/broadcast-join shape that survives a 1000×
+  * scale-up — no driver-side collects, no whole-table single-partition
+  * windows, dims broadcast, predicates pushed to parquet.
+  */
+object ReferenceQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S-scan + F5 partition-style pruning: date-range filter and narrow
+    // projection both reach the parquet scan (PushedFilters/ReadSchema).
+    "q01_pruned_scan" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_quantity"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // F1+P1 — the reference's central operator: keyword containment over
+    // the NFKD-normalized text column (royalty predicate re-targeted at
+    // p_type). Codegen'd NormalizeTextExpr inside the scan's filter stage.
+    "q02_keyword_filter" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .filter(TextFns.keywordAny(
+          TextFns.normalizeText(col("p_type")), Seq("brass", "copper")))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // P3 — BRL currency round-trip: format o_totalprice as `R$ 1.234,56`
+    // then parse back; oracle asserts the identity against a plain decimal
+    // cast, proving parse(format(x)) == x including thousands separators.
+    "q03_brl_roundtrip" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          TextFns.parseBRL(TextFns.formatBRL(col("o_totalprice")))
+            .as("totalprice_brl"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // U1 — schema-drift-tolerant consolidation: two projections with
+    // different column sets union'd BY NAME with missing columns → NULL
+    // (pandas concat semantics, file_utils.py:31-51).
+    "q04_drift_union" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = o.filter(year(col("o_orderdate")) === 1998)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      Consolidate(Seq(a, b))
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F4 — dropna on a required column (data_science.ipynb cell 2);
+    // NULLs synthesized via nullif since testdata has none.
+    "q05_dropna" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .withColumn("status_nn", expr("nullif(o_orderstatus, 'O')"))
+        .na.drop(Seq("status_nn"))
+        .groupBy(col("status_nn")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status_nn"))
+    }),
+
+    // A1/A-agg — TPC-H Q1-shaped pricing summary. DECIMAL sums are
+    // order-independent (exact), so no float drift vs the oracle; the one
+    // double avg is rounded. Partial aggregation (map-side combine) makes
+    // this a single shuffle of |groups| rows regardless of input size.
+    "q06_pricing_summary" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2002-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) -
+            dec(col("l_discount")))).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // U3-superset joins — revenue per region: orders⋈customer⋈nation⋈region.
+    // nation/region are broadcast (tiny dims); orders⋈customer is the only
+    // shuffle. At 100 TB: customer also bucket-able; AQE handles skew.
+    "q07_region_revenue" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))
+    }),
+
+    // O3 top-k — largest creditors (flagship shape): exact decimal sums
+    // make the DESC order deterministic; custkey tie-break pins ties.
+    "q08_topk_customers" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("total_paid"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("total_paid").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    // A2 — z-score standardization per nation. Implemented as groupBy
+    // stats + broadcast join back (NOT a whole-table window): at 100 TB a
+    // window partitioned by 25 nations would bottleneck on 25 tasks,
+    // while this shape is a map-side join after a tiny aggregate.
+    "q09_zscore" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val stats = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(avg(col("c_acctbal")).as("mu"),
+             stddev_samp(col("c_acctbal")).as("sigma"))
+      c.join(broadcast(stats), c("c_nationkey") === stats("nk"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round((col("c_acctbal") - col("mu")) / col("sigma"), 4).as("z"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // A4 — Pearson correlation pairs (data_science.ipynb cell 6) as SQL
+    // `corr` aggregates; rounded to absorb accumulation-order drift.
+    "q10_corr" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+          round(corr(col("l_extendedprice"), col("l_tax")), 6).as("corr_price_tax"))
+    }),
+
+    // A5 replacement — anomaly detection via global z-score > 2 (the
+    // reference imports IsolationForest but never runs it; SQL z-score is
+    // the engine's oracle-checkable anomaly operator). Global stats are a
+    // 1-row aggregate broadcast back — no window, no collect.
+    "q11_anomaly" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val stats = o.agg(avg(col("o_totalprice")).as("mu"),
+                        stddev_samp(col("o_totalprice")).as("sigma"))
+      o.crossJoin(broadcast(stats))
+        .withColumn("z", (col("o_totalprice") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 2)
+        .select(col("o_orderkey"), round(col("z"), 4).as("z"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A1/F5/K1 — per-(year, month) partition counts: the consolidation
+    // accounting the reference logs per monthly CSV.
+    "q12_month_counts" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+                 month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("o_totalprice"))).as("total"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+  )
+
+  /** DuckDB-runnable oracle SQL, column-name-aligned with the Spark side. */
+  val oracleSql: Map[String, String] = Map(
+    "q01_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_keyword_filter" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE regexp_matches(
+        |  lower(regexp_replace(strip_accents(p_type), '[^a-zA-Z0-9 ]', '', 'g')),
+        |  'brass|copper')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q03_brl_roundtrip" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice_brl
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q04_drift_union" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE), o_orderpriority
+        |FROM orders WHERE year(o_orderdate) = 1998
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q05_dropna" ->
+      """SELECT nullif(o_orderstatus, 'O') AS status_nn, count(*) AS n
+        |FROM orders
+        |WHERE nullif(o_orderstatus, 'O') IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q07_region_revenue" ->
+      """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q08_topk_customers" ->
+      """SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_paid,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_paid DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q09_zscore" ->
+      """SELECT c_custkey, c_nationkey,
+        |  round((c_acctbal - mu) / sigma, 4) AS z
+        |FROM customer
+        |JOIN (SELECT c_nationkey AS nk, avg(c_acctbal) AS mu,
+        |             stddev_samp(c_acctbal) AS sigma
+        |      FROM customer GROUP BY 1) stats ON c_nationkey = nk
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+        |       round(corr(l_extendedprice, l_tax), 6) AS corr_price_tax
+        |FROM lineitem""".stripMargin,
+
+    "q11_anomaly" ->
+      """SELECT o_orderkey, round(z, 4) AS z FROM (
+        |  SELECT o_orderkey,
+        |    (o_totalprice - avg(o_totalprice) OVER ()) /
+        |      stddev_samp(o_totalprice) OVER () AS z
+        |  FROM orders)
+        |WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
+
+    "q12_month_counts" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |       count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
