@@ -25,7 +25,10 @@ object SparkEntry {
       .filter(TextFns.keywordAny(
         TextFns.normalizeText(col("c_mktsegment")),
         Seq("building", "machinery", "automobile")))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // No broadcast hint: customer is fact-scale at 100×, so AQE picks the
+    // join strategy; explicit broadcast is reserved for genuinely tiny
+    // dims (nation/region — see q07).
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_name"), year(col("o_orderdate")).as("yr"),
                month(col("o_orderdate")).as("mo"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total_paid"))

@@ -19,6 +19,19 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+    // (PARQUET_TYPE_ILLEGAL) unless read as a raw long via
+    // spark.sql.legacy.parquet.nanosAsLong. Convert nanos → microsecond
+    // timestamp here so callers see a TimestampType column; DuckDB
+    // (µs-precision timestamps) truncates identically, so oracle
+    // comparisons stay exact.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
   }
 }

@@ -63,6 +63,9 @@ object TextFns {
     * `pd.to_numeric(errors='coerce')`
     * (`/root/reference/docs/notebooks/data_science.ipynb` cell 2).
     * No locale-dependent `to_number`: explicit regex chain only.
+    * `try_cast`, not `cast`: under Spark 4's default ANSI mode a plain
+    * cast on a malformed string throws CAST_INVALID_INPUT at runtime —
+    * try_cast gives the coerce-to-NULL contract regardless of ANSI mode.
     */
   def parseBRL(c: Column): Column =
     regexp_replace(
@@ -70,7 +73,7 @@ object TextFns {
         regexp_replace(trim(c), "R\\$\\s*", ""),
         "\\.", ""),
       ",", ".")
-      .cast(DecimalType(18, 2))
+      .try_cast(DecimalType(18, 2))
 
   /** Inverse of [[parseBRL]] for fixtures/round-trip tests: decimal →
     * `R$ 1.234,56`-style string (no thousands grouping beyond what

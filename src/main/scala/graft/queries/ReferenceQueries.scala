@@ -38,24 +38,32 @@ object ReferenceQueries {
     }),
 
     // F1+P1 — the reference's central operator: keyword containment over
-    // the NFKD-normalized text column (royalty predicate re-targeted at
-    // p_type). Codegen'd NormalizeTextExpr inside the scan's filter stage.
+    // the NFKD-normalized text column (royalty predicate,
+    // `aracaju_barra_pirambu_scraper.py:193-194`). The test data is pure
+    // ASCII, so accents are injected (a→á etc.) before normalization —
+    // the filter only matches "widget"/"gizmo" if NormalizeTextExpr
+    // actually folds the diacritics, which the DuckDB oracle adjudicates
+    // via strip_accents. Codegen'd expression inside the scan's filter.
     "q02_keyword_filter" -> ((s, dir) => {
       Tables(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .withColumn("p_name_acc", translate(col("p_name"), "aeiou", "áéíóú"))
         .filter(TextFns.keywordAny(
-          TextFns.normalizeText(col("p_type")), Seq("brass", "copper")))
+          TextFns.normalizeText(col("p_name_acc")), Seq("widget", "gizmo")))
+        .select(col("p_partkey"), col("p_name_acc"), col("p_type"))
         .orderBy(col("p_partkey"))
     }),
 
     // P3 — BRL currency round-trip: format o_totalprice as `R$ 1.234,56`
     // then parse back; oracle asserts the identity against a plain decimal
     // cast, proving parse(format(x)) == x including thousands separators.
+    // Final cast to DOUBLE: the parse stays exact DECIMAL internally, but
+    // the output surface is double so both engines canonicalize the same
+    // way (Decimal('252685.00') vs 252685.0 hash-mismatched in round 1).
     "q03_brl_roundtrip" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .select(col("o_orderkey"),
           TextFns.parseBRL(TextFns.formatBRL(col("o_totalprice")))
-            .as("totalprice_brl"))
+            .cast("double").as("totalprice_brl"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -93,10 +101,10 @@ object ReferenceQueries {
         .filter(col("l_shipdate") <= lit("2002-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) -
-            dec(col("l_discount")))).as("sum_disc_price"),
+            dec(col("l_discount")))).cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -114,7 +122,7 @@ object ReferenceQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(dec(col("o_totalprice"))).as("revenue"),
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
              count(lit(1)).as("n_orders"))
         .orderBy(col("r_name"))
     }),
@@ -124,7 +132,7 @@ object ReferenceQueries {
     "q08_topk_customers" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sum(dec(col("o_totalprice"))).as("total_paid"),
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_paid"),
              count(lit(1)).as("n_orders"))
         .orderBy(col("total_paid").desc, col("o_custkey"))
         .limit(10)
@@ -155,19 +163,22 @@ object ReferenceQueries {
           round(corr(col("l_extendedprice"), col("l_tax")), 6).as("corr_price_tax"))
     }),
 
-    // A5 replacement — anomaly detection via global z-score > 2 (the
+    // A5 replacement — anomaly detection via global z-score > 3 (the
     // reference imports IsolationForest but never runs it; SQL z-score is
-    // the engine's oracle-checkable anomaly operator). Global stats are a
-    // 1-row aggregate broadcast back — no window, no collect.
+    // the engine's oracle-checkable anomaly operator). Scored over
+    // events.value — genuinely skewed (max |z| ≈ 9 on this data), so the
+    // result is non-empty and the arithmetic is actually adjudicated.
+    // Global stats are a 1-row aggregate broadcast back — no window, no
+    // collect.
     "q11_anomaly" -> ((s, dir) => {
-      val o = Tables(s, dir, "orders")
-      val stats = o.agg(avg(col("o_totalprice")).as("mu"),
-                        stddev_samp(col("o_totalprice")).as("sigma"))
-      o.crossJoin(broadcast(stats))
-        .withColumn("z", (col("o_totalprice") - col("mu")) / col("sigma"))
-        .filter(abs(col("z")) > 2)
-        .select(col("o_orderkey"), round(col("z"), 4).as("z"))
-        .orderBy(col("o_orderkey"))
+      val e = Tables(s, dir, "events")
+      val stats = e.agg(avg(col("value")).as("mu"),
+                        stddev_samp(col("value")).as("sigma"))
+      e.crossJoin(broadcast(stats))
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), round(col("z"), 4).as("z"))
+        .orderBy(col("event_id"))
     }),
 
     // A1/F5/K1 — per-(year, month) partition counts: the consolidation
@@ -177,7 +188,7 @@ object ReferenceQueries {
         .groupBy(year(col("o_orderdate")).as("yr"),
                  month(col("o_orderdate")).as("mo"))
         .agg(count(lit(1)).as("n"),
-             sum(dec(col("o_totalprice"))).as("total"))
+             sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("yr"), col("mo"))
     }),
   )
@@ -191,15 +202,24 @@ object ReferenceQueries {
         |  AND l_shipdate <  TIMESTAMP '1999-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // strip_accents (NFD-based) and NormalizeText (NFKD + drop non-ASCII)
+    // agree on plain pt-BR diacritics — the injected translate() chars are
+    // restricted to áéíóú where both folds coincide. Char class includes
+    // whitespace to match Spark's \s (the data has no tabs, but keep the
+    // classes aligned).
     "q02_keyword_filter" ->
-      """SELECT p_partkey, p_name, p_type FROM part
+      """SELECT p_partkey, translate(p_name, 'aeiou', 'áéíóú') AS p_name_acc,
+        |       p_type
+        |FROM part
         |WHERE regexp_matches(
-        |  lower(regexp_replace(strip_accents(p_type), '[^a-zA-Z0-9 ]', '', 'g')),
-        |  'brass|copper')
+        |  lower(regexp_replace(strip_accents(translate(p_name, 'aeiou', 'áéíóú')),
+        |                       '[^a-zA-Z0-9 \t\n\r]', '', 'g')),
+        |  'widget|gizmo')
         |ORDER BY p_partkey""".stripMargin,
 
     "q03_brl_roundtrip" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice_brl
+      """SELECT o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice_brl
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q04_drift_union" ->
@@ -219,10 +239,10 @@ object ReferenceQueries {
 
     "q06_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS n
         |FROM lineitem
@@ -231,7 +251,8 @@ object ReferenceQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q07_region_revenue" ->
-      """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT r_name,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -240,7 +261,8 @@ object ReferenceQueries {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q08_topk_customers" ->
-      """SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_paid,
+      """SELECT o_custkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_paid,
         |       count(*) AS n_orders
         |FROM orders GROUP BY o_custkey
         |ORDER BY total_paid DESC, o_custkey LIMIT 10""".stripMargin,
@@ -261,16 +283,17 @@ object ReferenceQueries {
         |FROM lineitem""".stripMargin,
 
     "q11_anomaly" ->
-      """SELECT o_orderkey, round(z, 4) AS z FROM (
-        |  SELECT o_orderkey,
-        |    (o_totalprice - avg(o_totalprice) OVER ()) /
-        |      stddev_samp(o_totalprice) OVER () AS z
-        |  FROM orders)
-        |WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
+      """SELECT event_id, round(z, 4) AS z FROM (
+        |  SELECT event_id,
+        |    (value - avg(value) OVER ()) /
+        |      stddev_samp(value) OVER () AS z
+        |  FROM events)
+        |WHERE abs(z) > 3 ORDER BY event_id""".stripMargin,
 
     "q12_month_counts" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        |       count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
