@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import graft.sources.CsvIngest
+
+/** U1/O1/S5 golden fixture (SURVEY.md §5): monthly CSVs exactly as the
+  * reference writes them — `;`-separated, utf-8-sig (BOM), with DRIFTING
+  * column sets across months (dynamic detail columns,
+  * `aracaju_barra_pirambu_scraper.py:181-205`) — consolidated with
+  * pandas-concat semantics (`file_utils.py:31-51`): align by name,
+  * missing → NULL, first-seen column order, month-sorted.
+  */
+class ConsolidateSpec extends SparkSpec {
+
+  /** utf-8-sig: BOM then UTF-8 bytes, as pandas `encoding='utf-8-sig'`
+    * writes (`aracaju_barra_pirambu_scraper.py:294`). */
+  private def writeSig(p: Path, lines: Seq[String]): Unit =
+    Files.write(p, ("﻿" + lines.mkString("\n")).getBytes(StandardCharsets.UTF_8))
+
+  test("drift-tolerant consolidation matches pandas concat semantics") {
+    val dir = scratch("consolidate")
+    Files.createDirectories(dir)
+    // month 01: core columns only
+    val m01 = dir.resolve("aracaju_royalties_2024_01.csv")
+    writeSig(m01, Seq(
+      "orgao;credor;pago",
+      "SEMED;Fornecedor Á;R$ 1.000,50",
+      "SEMED;Fornecedor B;R$ 2,00"))
+    // month 02: drifted — extra dynamic detail column, different order
+    val m02 = dir.resolve("aracaju_royalties_2024_02.csv")
+    writeSig(m02, Seq(
+      "orgao;credor;fonte_de_recurso;pago",
+      "SAUDE;Fornecedor C;ROYALTIES Petróleo;R$ 3,33"))
+
+    val df = CsvIngest.consolidate(spark, Seq(m01.toString, m02.toString))
+
+    // first-seen column order: m01's columns, then m02's new one
+    assert(df.columns.toSeq == Seq("orgao", "credor", "pago", "fonte_de_recurso"))
+    // binary string sort: 'Fornecedor Á' (U+00C1) sorts after B and C
+    val rows = df.orderBy("credor").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("Fornecedor B", "Fornecedor C", "Fornecedor Á"))
+    // missing column filled with NULL for month-01 rows (pandas NaN)
+    assert(rows(0).getString(0) == "SEMED" && rows(0).isNullAt(3))
+    assert(rows(1).getString(3) == "ROYALTIES Petróleo")
+    assert(rows(2).isNullAt(3))
+    // BOM stripped: first header name is clean
+    assert(df.columns.head == "orgao")
+  }
+
+  test("permissive read keeps bad lines in the corrupt column instead of failing") {
+    val dir = scratch("permissive")
+    Files.createDirectories(dir)
+    val f = dir.resolve("bad.csv")
+    // second data line has an unclosed quote — pandas would warn+skip;
+    // PERMISSIVE keeps the parsed prefix and the raw text in _corrupt.
+    writeSig(f, Seq(
+      "a;b",
+      "1;x",
+      "2;\"unclosed",
+      "3;y"))
+    val df = graft.sources.CsvIngest.read(spark, f.toString)
+    assert(df.columns.contains(CsvIngest.CorruptCol))
+    val n = df.count()
+    assert(n >= 3, s"rows should survive a bad line, got $n")
+  }
+
+  test("positional union would mis-align drifted schemas (why unionByName)") {
+    import spark.implicits._
+    val a = Seq(("x", 1)).toDF("name", "value")
+    val b = Seq((2, "y")).toDF("value", "name")
+    val good = Consolidate(Seq(a, b)).orderBy("value").collect()
+    assert(good.map(_.getAs[String]("name")).toSeq == Seq("x", "y"))
+  }
+}
