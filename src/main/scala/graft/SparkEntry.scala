@@ -36,12 +36,14 @@ object SparkEntry {
       .limit(100)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §2.9
+    * north-star pipeline operators in PipelineQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries
+    ReferenceQueries.queries ++ graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (those
+    * get the driver's weaker rows-only check + invariant specs). */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql
+    ReferenceQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
 }

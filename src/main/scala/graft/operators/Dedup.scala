@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X1 — deduplication family for a training-data pipeline.
+  *
+  * Three tiers, in increasing fuzziness:
+  *   1. exact — group by a content signature (sorted distinct tokens),
+  *      keep the lowest id. Oracle-checkable.
+  *   2. MinHash + LSH — banded signature join: candidates are pairs that
+  *      collide in ≥1 band; verified with exact Jaccard. NEVER all-pairs:
+  *      the only join key is (band index, band hash), so cost scales with
+  *      bucket occupancy, not n². Engine-specific hashes (xxhash64) →
+  *      no DuckDB oracle; invariant-tested against planted near-dups.
+  *   3. SimHash — 64-bit weighted bit-vote fingerprint; near-dup iff
+  *      Hamming distance ≤ k. Candidates via 16-bit band pigeonhole
+  *      (d ≤ 3 ⇒ at least one of 4 bands identical).
+  *
+  * All signature math is higher-order-function expressions (codegen'd,
+  * no UDF); the shuffles are groupBy/join on banded keys — the shapes
+  * that survive 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup signature: order/multiplicity-insensitive token set. */
+  def tokenSetSignature(text: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(split(text, " "))))
+
+  /** Exact dedup: one representative (min id) + duplicate count per
+    * signature. A single hash-aggregate — map-side partial combine makes
+    * the shuffle |groups|-sized. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("sig", tokenSetSignature(col(textCol)))
+      .groupBy("sig")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: k hash functions h_i(s) = xxhash64(i, s); the
+    * signature component i is min over shingles. One expression per
+    * component — no shuffle at all until the band join. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
+
+  /** LSH bands: split the k-component signature into b bands of r = k/b
+    * and hash each slice; a pair of docs is a candidate iff some band
+    * hash collides. P(candidate) = 1 − (1 − j^r)^b for Jaccard j. */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(i =>
+      struct(lit(i).as("band"),
+        hash(slice(sig, i * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)
+
+  /** Candidate pairs from banded MinHash LSH. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 24,
+                        bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sigs = docs.select(col(idCol),
+      minhashSignature(TextAnalysis.shingles(toks, shingleN), k).as("sig"))
+    val banded = sigs.select(col(idCol),
+      explode(lshBandHashes(col("sig"), bands, k / bands)).as("bandh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bandh") === col("b.bandh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Full fuzzy dedup: LSH candidates verified with exact n-gram Jaccard
+    * (recomputed only for candidate pairs — the expensive exact measure
+    * runs on |candidates|, not n²). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double, shingleN: Int = 3,
+                      k: Int = 24, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN, k, bands)
+    val sh = docs.select(col(idCol).as("did"),
+      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("shs"))
+    cands
+      .join(sh.as("s1"), col("id1") === col("s1.did"))
+      .join(sh.as("s2"), col("id2") === col("s2.did"))
+      .select(col("id1"), col("id2"),
+        round(size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("double") /
+          size(array_union(col("s1.shs"), col("s2.shs"))).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash: per bit, tokens vote +1 (bit set in their hash) or
+    * −1; the fingerprint bit is the majority. Distinct tokens, weight 1.
+    * 64 unrolled codegen'd expressions (i is a Scala literal, so
+    * shiftright gets a constant). */
+  def simhash(toks: Column): Column = {
+    val hs = transform(array_distinct(toks), t => xxhash64(t))
+    val n = size(hs)
+    (0 until 64).map { i =>
+      when(size(filter(hs, h =>
+        shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L))) * 2 > n,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 with 4
+    * bands): candidates share at least one identical 16-bit quarter
+    * (pigeonhole), then verified with bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val withSig = docs.select(col(idCol),
+      simhash(TextAnalysis.tokens(col(textCol))).as("sh64"))
+    val banded = withSig.select(col(idCol), col("sh64"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+      ): _*)).as("bandh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bandh") === col("b.bandh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

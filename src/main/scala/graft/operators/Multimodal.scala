@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns — image/audio/video as opaque `binary` payloads
+  * with typed metadata, per the north-star contract.
+  *
+  * The Spark-side plumbing is real: binary schema, per-partition batch
+  * iteration, deterministic output schema, partition-count preservation.
+  * The actual codecs are NOT in this container, so the decode kernel is
+  * a clearly-marked deterministic fake ([[fakeDecode]]) — swap it for a
+  * JNI/FFI codec call without touching the surrounding plan.
+  *
+  * Why mapPartitions and not an expression: a real decoder amortizes
+  * per-batch setup (codec contexts, pinned buffers) across a partition —
+  * exactly the shape `mapPartitions` exposes. Metadata-only operations
+  * (byte length, content hash, head slice) stay in codegen'd built-ins —
+  * see PipelineQueries q27.
+  */
+object Multimodal {
+
+  /** Asset view over any table with an id + a payload-able column:
+    * opaque bytes + typed metadata struct. */
+  def assets(df: DataFrame, idCol: String, payloadCol: String,
+             kind: String): DataFrame =
+    df.select(
+      col(idCol).as("asset_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit(kind).as("kind"),
+        length(col(payloadCol).cast("binary")).as("n_bytes")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("byte_mean", DoubleType, nullable = false),
+    StructField("frames", ArrayType(BinaryType), nullable = false)))
+
+  /** STUB decode kernel — deterministic fake standing in for an image/
+    * audio decoder (none available in this container). Computes a byte
+    * mean as the stand-in "feature" and cuts fixed-stride "frames"
+    * (byte slices) as the stand-in frame-sample. Real decode would
+    * replace ONLY the body of this function. */
+  def fakeDecode(payload: Array[Byte], frameSize: Int): (Double, Array[Array[Byte]]) = {
+    var s = 0L
+    var i = 0
+    while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+    val mean = if (payload.length == 0) 0.0 else s.toDouble / payload.length
+    val frames = payload.grouped(frameSize).take(4).toArray
+    (mean, frames)
+  }
+
+  /** Per-partition feature extraction over asset rows. Output partition
+    * count equals input partition count — no shuffle; the decode cost is
+    * the dominant term and parallelizes per-partition. */
+  def decodeFeatures(spark: SparkSession, assetsDf: DataFrame,
+                     frameSize: Int = 16): DataFrame = {
+    val rdd = assetsDf
+      .select(col("asset_id").cast("long"), col("meta.kind"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          val (mean, frames) = fakeDecode(payload, frameSize)
+          Row(r.getLong(0), r.getString(1), payload.length, mean,
+            frames.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

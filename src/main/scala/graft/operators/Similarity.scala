@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** X2 — similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[topK]] brute force: one linear scan computing cosine against a
+  *     broadcast query vector, then `orderBy(desc).limit(k)` which Spark
+  *     plans as TakeOrderedAndProject (per-partition top-k + driver
+  *     merge of k·partitions rows — no global sort). This is the
+  *     baseline AND the honest default: linear, embarrassingly
+  *     parallel, no recall loss.
+  *   - [[ivfTopK]] IVF-style ANN: vectors are pre-assigned to their
+  *     nearest of C centroids (the "inverted file"); a query probes only
+  *     the nProbe nearest centroid lists, cutting the scanned fraction
+  *     to ~nProbe/C at the cost of recall. At 100 TB the assignment is a
+  *     one-off batch job and the probe is a partition-pruned read when
+  *     the table is written partitioned by centroid id.
+  */
+object Similarity {
+
+  /** Cosine of every row against a single query vector (1-row DataFrame
+    * with column `qvec`, broadcast — the scalar-broadcast idiom, not a
+    * driver collect). */
+  def scoreAgainst(vectors: DataFrame, queryVec: DataFrame,
+                   vecCol: String): DataFrame =
+    vectors.crossJoin(broadcast(queryVec))
+      .withColumn("sim",
+        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
+          col("qvec")), 4))
+
+  def topK(vectors: DataFrame, queryVec: DataFrame, idCol: String,
+           vecCol: String, k: Int): DataFrame =
+    scoreAgainst(vectors, queryVec, vecCol)
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic centroid set: every `step`-th vector by id. A real
+    * system would k-means these; a fixed subset keeps the operator
+    * deterministic and dependency-free. */
+  def centroids(vectors: DataFrame, idCol: String, vecCol: String,
+                step: Int): DataFrame =
+    vectors.filter(col(idCol) % step === 0)
+      .select(col(idCol).as("centroid_id"),
+        VectorFns.toDouble(col(vecCol)).as("cvec"))
+
+  /** Inverted-file assignment: each vector → nearest centroid by L2.
+    * Broadcast the (small) centroid table; `min_by` picks the argmin
+    * without a window. */
+  def ivfAssign(vectors: DataFrame, cents: DataFrame, idCol: String,
+                vecCol: String): DataFrame =
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        VectorFns.sqDist(VectorFns.toDouble(col(vecCol)), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(min_by(col("centroid_id"), col("d2")).as("centroid_id"))
+
+  /** IVF probe: query's nProbe nearest centroids → candidate vectors
+    * from those lists only → exact cosine top-k on the candidates. */
+  def ivfTopK(vectors: DataFrame, cents: DataFrame, queryVec: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nProbe: Int): DataFrame = {
+    val probed = cents.crossJoin(broadcast(queryVec))
+      .withColumn("d2", VectorFns.sqDist(col("cvec"), col("qvec")))
+      .orderBy(col("d2"), col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id"))
+    val assignment = ivfAssign(vectors, cents, idCol, vecCol)
+    val candidates = vectors
+      .join(assignment, Seq(idCol))
+      .join(broadcast(probed), Seq("centroid_id"))
+    topK(candidates, queryVec, idCol, vecCol, k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X3 — text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition
+  * (codegen'd, Catalyst-visible) and deliberately oracle-expressible:
+  * each operator has an exact DuckDB SQL equivalent registered in
+  * `PipelineQueries.oracleSql`.
+  *
+  * The reference's own text processing is the normalize/keyword layer
+  * (`aracaju_barra_pirambu_scraper.py:37-43,193-194`); these operators are
+  * the north-star extension (BASELINE.json) scaled-up versions: language
+  * scoring, quality gates, token accounting, fingerprinting, shingling.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The corpus is single-space separated; split on
+    * the literal space keeps Spark and DuckDB `string_split` identical. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** "BPE-ish" tokenizer: letter runs, digit runs, single punctuation —
+    * the standard pre-tokenization regex shape. */
+  val bpeTokenRegex = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenRegex), lit(0)))
+
+  /** Stopword-ratio language scoring (n-gram-heuristic family): the
+    * fraction of tokens drawn from a known word set. Deterministic and
+    * cheap — an `array_contains`-style membership over a broadcast-able
+    * literal array, no UDF. */
+  def wordSetRatio(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_position(set, t) > 0)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Type-token ratio — lexical-diversity quality signal. */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  /** Content fingerprint: md5 over the sorted distinct token stream.
+    * Identical token *sets* collide — the exact-dedup signature — and
+    * md5 is bit-identical across engines (oracle-checkable), unlike
+    * engine-specific hash functions. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Token n-gram shingles (distinct), the unit of Jaccard/MinHash
+    * similarity. `sequence`+`slice` keeps it a single codegen'd
+    * expression; explode downstream where a row-per-shingle is needed. */
+  def shingles(toks: Column, n: Int): Column =
+    // guard: spark sequence(1, 0) is DESCENDING [1,0] (not empty like
+    // DuckDB generate_series) — short docs must yield an empty array.
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /** Candidate near-duplicate pairs by exact n-gram Jaccard, computed
+    * scalably: explode distinct shingles → self-join on shingle (only
+    * docs sharing ≥1 shingle ever meet — never an all-pairs cartesian)
+    * → count intersections → Jaccard via |A|+|B|−|A∩B|.
+    *
+    * `maxShingleFreq` drops ultra-common shingles before the join
+    * (prefix-filtering style): a shingle occurring in f docs contributes
+    * f² join rows, so stop-shingles are the skew hazard at 100 TB. At
+    * small SF the cap is a no-op; at scale it bounds the join fan-out.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJaccard: Double,
+                   maxShingleFreq: Int = 100): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq && col("df") >= 2)
+    val shRare = sh.join(rare, "sh").select(col(idCol), col("sh"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inter = shRare.as("a")
+      .join(shRare.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col(s"s1.$idCol"))
+      .join(sizes.as("s2"), col("id2") === col(s"s2.$idCol"))
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") /
+          (col("s1.sz") + col("s2.sz") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

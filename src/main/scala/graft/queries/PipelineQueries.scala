@@ -1,0 +1,437 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.CsvIngest
+
+/** North-star LLM-data-pipeline + streaming-dataflow query set
+  * (SURVEY.md §2.8/§2.9, BASELINE.json): dedup, similarity search, text
+  * analysis, event windowing, CSV parity, extension aggregates — over
+  * the driver's `documents` / `embeddings` / `events` tables.
+  *
+  * Queries q13–q27, q30 are DuckDB-oracle-checked; q28/q29/q31/q32 use
+  * engine-specific hashing or ML and are registered without oracle
+  * (rows-only check) + invariant-tested in src/test.
+  */
+object PipelineQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Marker vocabulary for the language-ID heuristic (stopword-ratio
+    * family): words actually present in the synthetic corpus so the
+    * ratio varies per document. */
+  val langMarkers = Seq("scan", "table", "row", "data", "query", "filter")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X2 — brute-force cosine top-k: one linear scan against a broadcast
+    // query vector; TakeOrderedAndProject, no global sort, no cartesian.
+    "q13_cosine_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      Similarity.topK(e.filter(col("vec_id") =!= 0), qv, "vec_id",
+        "embedding", 10)
+    }),
+
+    // X1 exact dedup — token-set signature, min-id representative. The
+    // synthetic corpus has real token-set duplicates (446 distinct sets
+    // over 500 docs at sf0.01), so n_dups > 1 rows exist.
+    "q14_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // X3 — corpus statistics per language: count/avg-length/token/
+    // distinct-source accounting. Single hash-aggregate, map-side
+    // partial, |langs| output rows.
+    "q15_text_stats" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(size(TextAnalysis.tokens(col("text")))), 4).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // X4/W — tumbling 1-hour event windows (the reference's progress
+    // counters, `interface.py:150-181`, as proper event-time windows).
+    // Decimal sum → double output for cross-engine canonicalization.
+    "q16_event_windows" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // X4 — session windows (5-minute gap) per user. Spark's native
+    // session_window; the oracle replicates with gaps-and-islands SQL.
+    "q17_sessionization" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // S5/K1/K2/P3 — full CSV parity loop: format money as `R$ 1.234,56`,
+    // write `;`-separated CSV partitioned by year (the reference's
+    // monthly-file layout), read back through the permissive reader with
+    // partition pruning (yr = 1997 prunes directories at plan time),
+    // parse the currency strings, and aggregate. The oracle computes the
+    // same from the original parquet — green iff the whole
+    // format→write→read→parse loop is lossless.
+    "q18_csv_roundtrip" -> ((s, dir) => {
+      val base = s"/root/repo/target/scratch/csv_rt_${Integer.toHexString(dir.hashCode)}"
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          TextFns.formatBRL(col("o_totalprice")).as("pago"))
+      CsvIngest.write(o, base, Seq("yr"))
+      CsvIngest.readPartitioned(s, base)
+        .filter(col("yr") === 1997)
+        .groupBy(col("mo").cast("int").as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum(TextFns.parseBRL(col("pago"))).cast("double").as("total"))
+        .orderBy(col("mo"))
+    }),
+
+    // A6 — running average per user (the reference's incremental
+    // rate/ETA, `interface.py:185-194`). Window partitioned by user_id:
+    // thousands of independent partitions, no whole-table window.
+    "q19_running_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Exact integer-cent arithmetic end-to-end: double rounding of the
+      // running average lands exactly on .00005 boundaries (cents / small
+      // count) where Spark's BigDecimal.valueOf rounding and DuckDB's
+      // binary-double rounding disagree. Cents sum + floor-div average
+      // have zero float ops, so the hash is stable across engines.
+      Tables(s, dir, "events")
+        .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("cents")).over(w).as("run_total_cents"),
+          count(lit(1)).over(w).as("n"))
+        .withColumn("run_avg_cents", expr("run_total_cents div n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // A7 — rollup totals (year → grand total). Spark plans rollup as a
+    // single Expand+aggregate: one shuffle regardless of grouping sets.
+    "q20_rollup" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("yr").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // A7 — exact distinct aggregate (approx_count_distinct is the scale
+    // path; its HLL estimate is engine-specific, so the oracle-checked
+    // query uses the exact form — the approx variant is invariant-tested
+    // in AggregatesSpec).
+    "q21_distinct_parts" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // X3 — language-ID heuristic: marker-word ratio + threshold.
+    "q22_langid" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.wordSetRatio(
+            TextAnalysis.tokens(col("text")), langMarkers), 4)
+            .as("marker_ratio"))
+        .withColumn("pred",
+          when(col("marker_ratio") >= 0.15, lit("en")).otherwise(lit("other")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X3 — quality scoring: token count, type-token ratio (lexical
+    // diversity), and an integer-arithmetic quality gate.
+    "q23_quality" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(TextAnalysis.typeTokenRatio(toks), 4).as("ttr"),
+          (col("n_chars") >= 150 && col("n_chars") <= 400 &&
+            size(toks) >= 30).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X3 — token counting: whitespace tokens vs BPE-ish regex tokens
+    // over events.props (JSON text: real punctuation to tokenize).
+    "q24_token_counts" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          size(split(col("props"), "\\s+")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("props")).as("bpe_tokens"))
+        .orderBy(col("event_id"))
+    }),
+
+    // X3 — content fingerprint: md5 over the sorted distinct token
+    // stream (bit-identical across engines, unlike murmur/xxhash).
+    "q25_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X1 — n-gram Jaccard near-dup pairs via shared-shingle join (never
+    // all-pairs; stop-shingle cap bounds skew). 25 planted pairs ≥ 0.5
+    // at sf0.01.
+    "q26_jaccard_neardup" -> ((s, dir) => {
+      TextAnalysis.jaccardPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3, minJaccard = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Multimodal — opaque binary payload + metadata ops that stay in
+    // codegen'd built-ins: byte length, content hash, head-slice. The
+    // mapPartitions decode path is MultimodalSpec territory (stub codec).
+    "q27_multimodal_bytes" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("sha"),
+          lower(hex(substring(col("text").cast("binary"), 1, 16))).as("head16"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X1 — MinHash LSH near-dup (banded, verified). xxhash64 signatures
+    // are engine-specific → no oracle; recall invariants in DedupSpec.
+    "q28_minhash_neardup" -> ((s, dir) => {
+      Dedup.minhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // X1 — SimHash near-dup (hamming ≤ 3 via 16-bit band pigeonhole).
+    "q29_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+          maxDist = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // X1 — embedding-cosine near-dup, blocked by label (block-join, not
+    // cartesian): the single most-similar pair per label block.
+    "q30_embed_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("id1"),
+        VectorFns.toDouble(col("embedding")).as("v1"))
+      val b = e.select(col("label"), col("vec_id").as("id2"),
+        VectorFns.toDouble(col("embedding")).as("v2"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("id1") < col("id2"))
+        .select(col("label"), col("id1"), col("id2"),
+          round(VectorFns.cosine(col("v1"), col("v2")), 4).as("sim"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("sim").desc, col("id1"), col("id2"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("id1"), col("id2"), col("sim"))
+        .orderBy(col("label"))
+    }),
+
+    // X2 — IVF ANN: probe 3 of ~10 deterministic centroid lists, exact
+    // top-k on candidates. Engine-agnostic math but recall < 1 by
+    // design → no oracle; recall invariant in SimilaritySpec.
+    "q31_ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val cents = Similarity.centroids(e, "vec_id", "embedding", step = 50)
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), cents, qv,
+        "vec_id", "embedding", k = 10, nProbe = 3)
+    }),
+
+    // A3 — K-Means (k=3, seed=42), the reference's clustering step
+    // (`data_science.ipynb` cell 4) on z-scored account balances.
+    // ML fit → no oracle; determinism invariants in KMeansSpec.
+    "q32_kmeans" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val stats = c.agg(avg(col("c_acctbal")).as("mu"),
+        stddev_samp(col("c_acctbal")).as("sigma"))
+      val feat = c.crossJoin(broadcast(stats))
+        .withColumn("z", (col("c_acctbal") - col("mu")) / col("sigma"))
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("z")).setOutputCol("features")
+        .transform(feat)
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(3).setSeed(42).setFeaturesCol("features")
+        .fit(assembled)
+      model.transform(assembled)
+        .groupBy(col("prediction"))
+        .agg(count(lit(1)).as("n"), round(avg(col("z")), 4).as("mean_z"))
+        .orderBy(col("mean_z"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_cosine_topk" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q14_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (SELECT doc_id,
+        |        array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
+        |      FROM documents)
+        |GROUP BY sig ORDER BY keep_id""".stripMargin,
+
+    "q15_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  sum(n_chars) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q16_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q17_sessionization" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q18_csv_roundtrip" ->
+      """SELECT month(o_orderdate) AS mo, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_running_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+        |       AS BIGINT) AS run_total_cents,
+        |  count(*) OVER w AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+        |       AS BIGINT) // count(*) OVER w AS run_avg_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q20_rollup" ->
+      """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+        |ORDER BY yr ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q21_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_langid" ->
+      """SELECT doc_id, marker_ratio,
+        |  CASE WHEN marker_ratio >= 0.15 THEN 'en' ELSE 'other' END AS pred
+        |FROM (
+        |  SELECT doc_id,
+        |    round(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['scan','table','row','data','query','filter'], t)))
+        |      * 1.0 / len(string_split(text, ' ')), 4) AS marker_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q23_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(len(list_distinct(string_split(text, ' ')))
+        |    * 1.0 / len(string_split(text, ' ')), 4) AS ttr,
+        |  (n_chars >= 150 AND n_chars <= 400
+        |    AND len(string_split(text, ' ')) >= 30) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_token_counts" ->
+      """SELECT event_id,
+        |  len(string_split_regex(props, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(props, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_jaccard_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks)),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+        |         WHERE c BETWEEN 2 AND 100),
+        |shr AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN szs s1 ON id1 = s1.doc_id
+        |JOIN szs s2 ON id2 = s2.doc_id
+        |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q27_multimodal_bytes" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  lower(hex(substr(text, 1, 16)::BLOB)) AS head16
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_embed_neardup" ->
+      """SELECT label, id1, id2, sim FROM (
+        |  SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                 b.embedding::DOUBLE[]), 4) AS sim,
+        |    row_number() OVER (PARTITION BY a.label
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                            b.embedding::DOUBLE[]), 4) DESC,
+        |               a.vec_id, b.vec_id) AS rn
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE rn = 1 ORDER BY label""".stripMargin,
+  )
+}

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Consolidate
+
+/** S5/S6/K1–K3 — CSV ingest/sink parity with the reference's storage
+  * layer.
+  *
+  * The reference lands per-month CSVs as `;`-separated, `utf-8-sig`
+  * (BOM-prefixed) files (`aracaju_barra_pirambu_scraper.py:288-295`,
+  * `pacatuba_scraper.py:236-243`) and re-reads them tolerantly —
+  * `pd.read_csv(sep=None, engine='python', encoding='utf-8-sig',
+  * on_bad_lines='warn')` (`file_utils.py:36-42`). Spark mapping:
+  *
+  *  - `;` separator, `header=true` (the consolidator standardizes on `;`,
+  *    so no sniffer is needed — `file_utils.py:56-57`);
+  *  - PERMISSIVE mode + a corrupt-record column reproduces
+  *    warn-and-continue (`on_bad_lines='warn'`): bad lines survive as a
+  *    row with the raw text in `_corrupt` instead of failing the read;
+  *  - utf-8-sig: Spark reads UTF-8 but keeps a leading BOM in the first
+  *    header name; [[stripBom]] removes it so BOM'd and plain files get
+  *    identical schemas (pandas' utf-8-sig does the same).
+  *
+  * Scale note: a multi-file CSV read is one partitioned scan (splittable
+  * per-file); the drift-tolerant consolidation is a no-shuffle union.
+  */
+object CsvIngest {
+  val CorruptCol = "_corrupt"
+
+  def read(spark: SparkSession, path: String, sep: String = ";"): DataFrame = {
+    def reader = spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+    // The corrupt-record column only materializes when present in the
+    // schema; first pass reads just the header (no inferSchema → all
+    // strings), second pass appends the corrupt field.
+    val headerSchema = reader.csv(path).schema
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      headerSchema.fields :+ org.apache.spark.sql.types.StructField(
+        CorruptCol, org.apache.spark.sql.types.StringType, nullable = true))
+    stripBom(reader.schema(withCorrupt).csv(path))
+  }
+
+  /** Read a Hive-partitioned CSV layout (`yr=1997/...csv`). No corrupt
+    * column: an explicit schema containing partition columns confuses
+    * partition discovery, so this path keeps inference (all-string data
+    * columns + typed partition columns) and PERMISSIVE null-fill.
+    * Partition-pruning: filters on the partition columns prune whole
+    * directories at plan time (PartitionFilters in explain). */
+  def readPartitioned(spark: SparkSession, path: String,
+                      sep: String = ";"): DataFrame =
+    stripBom(spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .option("mode", "PERMISSIVE")
+      .csv(path))
+
+  /** BOM survives Spark's CSV header parse as a `﻿` prefix on the
+    * first column name; rename it away (pandas utf-8-sig parity). */
+  private def stripBom(df: DataFrame): DataFrame = {
+    val bom = "﻿"
+    df.columns.find(_.startsWith(bom)) match {
+      case Some(c) => df.withColumnRenamed(c, c.stripPrefix(bom))
+      case None => df
+    }
+  }
+
+  /** K1 — partitioned CSV write. `partitionBy(cidade, ano, mes)` is the
+    * engine-side equivalent of the reference's
+    * `{cidade}/{cidade}_royalties_{ano}_{mes}.csv` layout, and makes the
+    * read side Hive-partitioned so `PruneFileSourcePartitions` can prune
+    * whole directories at plan time (F5/F6). */
+  def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+            sep: String = ";"): Unit = {
+    val w = df.write
+      .option("sep", sep)
+      .option("header", "true")
+      .mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .csv(path)
+  }
+
+  /** K2/U1/O1 — per-year consolidation (`file_utils.py:9-59`): read each
+    * monthly file, align schemas BY NAME (missing → NULL), keep
+    * first-seen column order, order by the month key. */
+  def consolidate(spark: SparkSession, paths: Seq[String],
+                  orderCol: Option[String] = None): DataFrame = {
+    // pandas on_bad_lines='warn' drops bad lines from the consolidated
+    // output; the corrupt column is a read-side diagnostic only.
+    val dfs = paths.map(read(spark, _).drop(CorruptCol))
+    val unioned = Consolidate(dfs)
+    val cols = Consolidate.orderedColumns(dfs)
+    val selected = unioned.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    orderCol.fold(selected)(c => selected.orderBy(c))
+  }
+}
