@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** X1 invariants for the hash-based dedup operators (no DuckDB oracle —
+  * xxhash64 is engine-specific, so these pin behavior instead). */
+class DedupSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recall: every high-Jaccard pair is a candidate") {
+    val docs = Tables(spark, sf, "documents")
+    // ground truth: exact Jaccard ≥ 0.9 via the shared-shingle join
+    val truth = TextAnalysis.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // j=0.9, r=3, b=8 ⇒ P(candidate) = 1−(1−0.729)^8 ≈ 0.99997; on a
+    // fixed dataset+seed this is deterministic — assert full recall.
+    val missed = truth -- cands
+    assert(missed.isEmpty, s"LSH missed high-sim pairs: $missed")
+  }
+
+  test("minhash verified near-dups carry exact Jaccard values") {
+    val docs = Tables(spark, sf, "documents")
+    val exact = TextAnalysis.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val fuzzy = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(fuzzy.nonEmpty)
+    fuzzy.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j),
+        s"pair $pair: LSH-verified jaccard $j != exact ${exact.get(pair)}")
+    }
+  }
+
+  test("simhash: identical token sets collide at distance 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // identical
+      (3L, "delta gamma beta alpha"),   // same token SET (order-free)
+      (4L, "zeta eta theta iota kappa lambda mu nu")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxDist = 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got $pairs — simhash over distinct tokens must be order-insensitive")
+  }
+
+  test("exact dedup keeps one representative per token set") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "b a"), (20L, "a b"), (30L, "a b b a"), (40L, "c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).toMap
+    assert(out == Map(10L -> 3L, 40L -> 1L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+import graft.functions.VectorFns
+
+/** X2 invariants: IVF ANN vs brute force. */
+class SimilaritySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def setup() = {
+    val e = Tables(spark, sf, "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+    val base = e.filter(col("vec_id") =!= 0)
+    (e, qv, base)
+  }
+
+  test("full-probe IVF is exactly brute force") {
+    val (e, qv, base) = setup()
+    val cents = Similarity.centroids(e, "vec_id", "embedding", step = 10)
+    val nCents = cents.count().toInt
+    val exact = Similarity.topK(base, qv, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.ivfTopK(base, cents, qv, "vec_id", "embedding",
+        k = 10, nProbe = nCents)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact,
+      "probing every centroid list must degrade to exact brute force")
+  }
+
+  test("partial-probe IVF: k results, sims bounded by exact top-k") {
+    val (e, qv, base) = setup()
+    val cents = Similarity.centroids(e, "vec_id", "embedding", step = 10)
+    val exact = Similarity.topK(base, qv, "vec_id", "embedding", 10)
+      .collect().map(_.getDouble(1))
+    val approx = Similarity.ivfTopK(base, cents, qv, "vec_id", "embedding",
+        k = 10, nProbe = 2)
+      .collect().map(_.getDouble(1))
+    assert(approx.length == 10)
+    // each approx sim ≤ the best exact sim; top-1 of a probed list can
+    // still be the global best, but never better than it
+    assert(approx.max <= exact.max + 1e-9)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val (e, _, _) = setup()
+    val self = e.limit(5)
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .select(round(VectorFns.cosine(col("v"), col("v")), 6).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(_ == 1.0))
+  }
+}

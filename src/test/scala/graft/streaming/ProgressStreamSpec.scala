@@ -1,0 +1,74 @@
+package graft.streaming
+
+// Spark 4 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** W1–W3 driven end-to-end through a real streaming query: unbounded
+  * source (MemoryStream) → classify → stateful counters → memory sink,
+  * with incremental batches proving update semantics. */
+class ProgressStreamSpec extends SparkSpec {
+
+  test("stdout-style stream classifies and counts incrementally") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+
+    val source = MemoryStream[String]
+    val counted = ProgressStream.counters(
+      ProgressStream.classify(source.toDF()))
+
+    val q = counted.writeStream
+      .format("memory").queryName("progress_counts")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      source.addData(
+        "Extraindo dados da página 1",
+        "Extraindo dados da página 2",
+        "Dados salvos para aracaju 2024-01",
+        "log noise")
+      q.processAllAvailable()
+      val t1 = spark.table("progress_counts")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(t1("page_done") == 2 && t1("task_done") == 1 && t1("other") == 1)
+
+      // second micro-batch updates the running state, not a fresh count
+      source.addData("Extraindo dados da página 3", "[PROGRESSO] 10%")
+      q.processAllAvailable()
+      val t2 = spark.table("progress_counts")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(t2("page_done") == 3 && t2("progress") == 1)
+    } finally q.stop()
+  }
+
+  test("windowed rate groups by event-time minute with watermark") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+
+    val source = MemoryStream[(java.sql.Timestamp, String)]
+    val rated = ProgressStream.windowedRate(
+      ProgressStream.classify(
+        source.toDF().toDF("ts", "value")), "ts")
+
+    val q = rated.writeStream
+      .format("memory").queryName("progress_rate")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      source.addData(
+        (ts("2024-01-01 10:00:05"), "Extraindo dados da página 1"),
+        (ts("2024-01-01 10:00:40"), "Extraindo dados da página 2"),
+        (ts("2024-01-01 10:01:10"), "Extraindo dados da página 3"))
+      q.processAllAvailable()
+      val rows = spark.table("progress_rate")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "page_done", 2L)))
+      assert(rows.contains(("2024-01-01 10:01:00.0", "page_done", 1L)))
+    } finally q.stop()
+  }
+}
