@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine optimizer rule active during the gate: if the fusion ever
+    // breaks semantics, q02 goes red here rather than only in prod
+    graft.plans.KeywordFilterFusion.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -50,23 +50,52 @@ object Dedup {
       struct(lit(i).as("band"),
         hash(slice(sig, i * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)
 
-  /** Candidate pairs from banded MinHash LSH. */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, k: Int = 24,
-                        bands: Int = 8): DataFrame = {
+  /** Per-doc shingle sets, CACHED: every consumer below references this
+    * frame multiple times (signature hashing, both sides of the band
+    * self-join, both sides of the verification join). Left lazy, Spark
+    * re-evaluates the shingle-construction HOF once per reference —
+    * measured 24× per row inside the 24-component signature and 2× more
+    * in verification, turning a 3 s computation into 60+ s at sf0.1.
+    * At 100 TB the same principle holds at a different tier: the
+    * shingle/signature frame is materialized once (table or shuffle
+    * reuse), never recomputed per consumer. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame =
+    docs.select(col(idCol),
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN)
+          .as("shs"))
+      .cache()
+
+  /** Candidate pairs from banded MinHash LSH.
+    *
+    * `minBands`: require collision in at least this many bands. With
+    * b=8/r=3, a j=0.9 pair collides per band with p=0.73, so P(≥2
+    * bands) ≈ 1 — recall for true near-dups is unchanged — while a
+    * j=0.3 pair drops from P 0.20 to 0.02: on low-entropy corpora
+    * (shared vocabulary) this keeps |candidates| proportional to real
+    * near-dups instead of n². */
+  def minhashCandidatesFrom(sh: DataFrame, idCol: String,
+                            k: Int = 24, bands: Int = 8,
+                            minBands: Int = 2): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val sigs = docs.select(col(idCol),
-      minhashSignature(TextAnalysis.shingles(toks, shingleN), k).as("sig"))
+    val sigs = sh.select(col(idCol), minhashSignature(col("shs"), k).as("sig"))
     val banded = sigs.select(col(idCol),
       explode(lshBandHashes(col("sig"), bands, k / bands)).as("bandh"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bandh") === col("b.bandh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .distinct()
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+      .select(col("id1"), col("id2"))
   }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 24,
+                        bands: Int = 8, minBands: Int = 2): DataFrame =
+    minhashCandidatesFrom(shingleSets(docs, idCol, textCol, shingleN),
+      idCol, k, bands, minBands)
 
   /** Full fuzzy dedup: LSH candidates verified with exact n-gram Jaccard
     * (recomputed only for candidate pairs — the expensive exact measure
@@ -74,15 +103,16 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       minJaccard: Double, shingleN: Int = 3,
                       k: Int = 24, bands: Int = 8): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleN, k, bands)
-    val sh = docs.select(col(idCol).as("did"),
-      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("shs"))
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val cands = minhashCandidatesFrom(sh, idCol, k, bands)
+    val s1 = sh.select(col(idCol).as("did1"), col("shs").as("shs1"))
+    val s2 = sh.select(col(idCol).as("did2"), col("shs").as("shs2"))
     cands
-      .join(sh.as("s1"), col("id1") === col("s1.did"))
-      .join(sh.as("s2"), col("id2") === col("s2.did"))
+      .join(s1, col("id1") === col("did1"))
+      .join(s2, col("id2") === col("did2"))
       .select(col("id1"), col("id2"),
-        round(size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("double") /
-          size(array_union(col("s1.shs"), col("s2.shs"))).cast("double"), 4)
+        round(size(array_intersect(col("shs1"), col("shs2"))).cast("double") /
+          size(array_union(col("shs1"), col("shs2"))).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
@@ -91,8 +121,15 @@ object Dedup {
     * −1; the fingerprint bit is the majority. Distinct tokens, weight 1.
     * 64 unrolled codegen'd expressions (i is a Scala literal, so
     * shiftright gets a constant). */
-  def simhash(toks: Column): Column = {
-    val hs = transform(array_distinct(toks), t => xxhash64(t))
+  def simhash(toks: Column): Column =
+    simhashFromHashes(transform(array_distinct(toks), t => xxhash64(t)))
+
+  /** Bit votes over an ALREADY-MATERIALIZED hash array column: the 64
+    * per-bit expressions each reference `hs`, so callers must alias the
+    * token-hash transform into its own projection first (otherwise the
+    * transform is inlined and re-evaluated 64× per row — same pathology
+    * as the MinHash signature, see [[shingleSets]]). */
+  def simhashFromHashes(hs: Column): Column = {
     val n = size(hs)
     (0 until 64).map { i =>
       when(size(filter(hs, h =>
@@ -106,8 +143,11 @@ object Dedup {
     * (pigeonhole), then verified with bit_count(xor). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val withSig = docs.select(col(idCol),
-      simhash(TextAnalysis.tokens(col(textCol))).as("sh64"))
+    val withHs = docs.select(col(idCol),
+      transform(array_distinct(TextAnalysis.tokens(col(textCol))),
+        t => xxhash64(t)).as("hs"))
+    val withSig = withHs.select(col(idCol),
+      simhashFromHashes(col("hs")).as("sh64"))
     val banded = withSig.select(col(idCol), col("sh64"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),

@@ -74,8 +74,12 @@ object TextAnalysis {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double,
                    maxShingleFreq: Int = 100): DataFrame = {
+    // cached: this exploded frame feeds the frequency filter, the size
+    // aggregate, and both sides of the pair join — left lazy, the
+    // shingle construction re-runs once per consumer
     val sh = docs
       .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("sh"))
+      .cache()
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq && col("df") >= 2)
     val shRare = sh.join(rare, "sh").select(col(idCol), col("sh"))

@@ -265,6 +265,40 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10, nProbe = 3)
     }),
 
+    // S8 + S1-flatten — semi-structured JSON read: parse events.props
+    // into a map (the reference's dynamic detail dict,
+    // `aracaju_barra_pirambu_scraper.py:181-189`), promote the 'k'
+    // detail key to a typed column, aggregate by decoded bucket. Exact
+    // integer-cent sums — no float drift.
+    "q33_json_props" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("details", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .withColumn("k", element_at(col("details"), "k").cast("int"))
+        .groupBy(expr("k div 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum((dec(col("value")) * 100).cast("long")).as("total_cents"))
+        .orderBy(col("k_bucket"))
+    }),
+
+    // P9 + F5 — date-range bounds constructed from a year literal (the
+    // reference's f"0101{ano}"/f"3112{ano}" pattern,
+    // `teste_selenium.ipynb` cell 7) pushed down to the scan.
+    "q34_date_range" -> ((s, dir) => {
+      val y = 1996
+      Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            make_date(lit(y), lit(1), lit(1)).cast("timestamp") &&
+          col("o_orderdate") <=
+            make_date(lit(y), lit(12), lit(31)).cast("timestamp"))
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("mo"))
+    }),
+
     // A3 — K-Means (k=3, seed=42), the reference's clustering step
     // (`data_science.ipynb` cell 4) on z-scored account balances.
     // ML fit → no oracle; determinism invariants in KMeansSpec.
@@ -420,6 +454,19 @@ object PipelineQueries {
         |  sha256(text) AS sha,
         |  lower(hex(substr(text, 1, 16)::BLOB)) AS head16
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_json_props" ->
+      """SELECT CAST(props->>'k' AS INT) // 10 AS k_bucket, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q34_date_range" ->
+      """SELECT month(o_orderdate) AS mo, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= CAST(make_date(1996, 1, 1) AS TIMESTAMP)
+        |  AND o_orderdate <= CAST(make_date(1996, 12, 31) AS TIMESTAMP)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q30_embed_neardup" ->
       """SELECT label, id1, id2, sim FROM (

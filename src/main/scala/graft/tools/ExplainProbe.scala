@@ -16,6 +16,8 @@ object ExplainProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same optimizer setup as Verify/Bench so plans match the gate
+    graft.plans.KeywordFilterFusion.install(spark)
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     spark.stop()

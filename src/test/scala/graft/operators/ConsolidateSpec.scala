@@ -69,6 +69,18 @@ class ConsolidateSpec extends SparkSpec {
     assert(n >= 3, s"rows should survive a bad line, got $n")
   }
 
+  test("glob read selects a year's months by filename wildcard (F6)") {
+    val dir = scratch("glob")
+    Files.createDirectories(dir)
+    writeSig(dir.resolve("city_royalties_2024_01.csv"), Seq("a;b", "1;x"))
+    writeSig(dir.resolve("city_royalties_2024_02.csv"), Seq("a;b", "2;y"))
+    writeSig(dir.resolve("city_royalties_2023_12.csv"), Seq("a;b", "9;z"))
+    // the reference's month-wildcard year pin (file_utils.py:22-23)
+    val df = CsvIngest.read(spark, s"$dir/city_royalties_2024_??.csv")
+    assert(df.count() == 2)
+    assert(df.select("a").collect().map(_.getString(0)).toSet == Set("1", "2"))
+  }
+
   test("positional union would mis-align drifted schemas (why unionByName)") {
     import spark.implicits._
     val a = Seq(("x", 1)).toDF("name", "value")
