@@ -23,6 +23,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any output from a previous run: a stale dir would make
+        // the compare silently diagnose the OLD result for this query
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
