@@ -23,6 +23,11 @@ object PipelineQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Stable singleton for the q35 aggregator (serializable object). */
+  private[queries] object Dedup0 {
+    val topK3 = graft.operators.TopK.topK(3)
+  }
+
   /** Marker vocabulary for the language-ID heuristic (stopword-ratio
     * family): words actually present in the synthetic corpus so the
     * ratio varies per document. */
@@ -299,6 +304,45 @@ object PipelineQueries {
         .orderBy(col("mo"))
     }),
 
+    // §2.10 — custom typed Aggregator: exact top-3 customers per nation
+    // via a bounded k-buffer (no per-group sort; partial agg ships ≤k
+    // rows per group per map task). Oracle: row_number window.
+    "q35_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val totals = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .select(col("c_nationkey").cast("long"), col("o_custkey").cast("long"),
+          col("total"))
+        .as[(Long, Long, Double)]
+      totals.groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(Dedup0.topK3.toColumn)
+        .flatMap { case (nk, tops) =>
+          tops.zipWithIndex.map { case ((ck, total), i) =>
+            (nk, (i + 1).toLong, ck, total) }
+        }
+        .toDF("c_nationkey", "rank", "o_custkey", "total")
+        .orderBy(col("c_nationkey"), col("rank"))
+    }),
+
+    // As-of join (backward): each purchase event picks up the most
+    // recent prior 'view' by the same user — composed via union +
+    // ignore-nulls window (no range-join explosion). Oracle: DuckDB's
+    // native ASOF LEFT JOIN.
+    "q36_asof_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.backward(purchases, views, "user_id",
+          "ts", "ts", Map("value" -> "view_value", "ts" -> "view_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // A3 — K-Means (k=3, seed=42), the reference's clustering step
     // (`data_science.ipynb` cell 4) on z-scored account balances.
     // ML fit → no oracle; determinism invariants in KMeansSpec.
@@ -454,6 +498,27 @@ object PipelineQueries {
         |  sha256(text) AS sha,
         |  lower(hex(substr(text, 1, 16)::BLOB)) AS head16
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_topk_per_group" ->
+      """SELECT c_nationkey, rn AS rank, o_custkey, total FROM (
+        |  SELECT c_nationkey, o_custkey, total,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY total DESC, o_custkey) AS rn
+        |  FROM (SELECT c_nationkey, o_custkey,
+        |          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |        FROM orders JOIN customer ON o_custkey = c_custkey
+        |        GROUP BY 1, 2))
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q36_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |       v.value AS view_value, v.ts AS view_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q33_json_props" ->
       """SELECT CAST(props->>'k' AS INT) // 10 AS k_bucket, count(*) AS n,

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** As-of join edge semantics: inclusive equality, carry-forward across
+  * multiple left rows, NULL when no prior right row. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("backward as-of: inclusive match, carry-forward, left-join nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")),  // before any right → NULL
+      (2L, 100L, ts("2024-01-01 10:00:10")),  // == right ts → inclusive match
+      (3L, 100L, ts("2024-01-01 10:00:30")),  // after both → latest (10:00:20)
+      (4L, 200L, ts("2024-01-01 10:00:30"))   // other key, no right rows → NULL
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 10:00:10"), 1.0),
+      (100L, ts("2024-01-01 10:00:20"), 2.0)
+    ).toDF("user_id", "ts", "value")
+
+    val out = AsOfJoin.backward(left, right, "user_id", "ts", "ts",
+        Map("value" -> "v"))
+      .orderBy("event_id").collect()
+
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(0).isNullAt(3), "no prior right row → NULL")
+    assert(out(1).getDouble(3) == 1.0, "equal ts matches (inclusive)")
+    assert(out(2).getDouble(3) == 2.0, "latest prior row wins")
+    assert(out(3).isNullAt(3), "key with no right rows → NULL")
+  }
+}
