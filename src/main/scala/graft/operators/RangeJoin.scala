@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (band) join — `fact.value ∈ [range.lo, range.hi)` — made
+  * shuffle-joinable.
+  *
+  * Spark plans a bare range predicate as BroadcastNestedLoopJoin
+  * (fine for a handful of bands, quadratic death for many). The
+  * scalable form buckets both sides by a fixed width: the fact row's
+  * value falls in exactly one bucket; each range explodes into the
+  * buckets it overlaps; the join becomes an equi-join on bucket id
+  * with the exact range predicate as a residual filter. Cost:
+  * |fact| + Σ(range spans) join input — linear, shuffle-partitioned,
+  * skew governed by bucket width.
+  */
+object RangeJoin {
+
+  /** Inner join on `lo <= fact(valueCol) < hi`. `width` should be on
+    * the order of typical range spans (each range explodes into
+    * span/width bucket rows). */
+  def bucketedRangeJoin(fact: DataFrame, ranges: DataFrame,
+                        valueCol: String, loCol: String, hiCol: String,
+                        width: Double): DataFrame = {
+    require(width > 0)
+    val fb = fact.withColumn("_bucket",
+      floor(col(valueCol) / width).cast("long"))
+    // hi is exclusive: a range ending exactly on a bucket boundary must
+    // not claim the next bucket — nudge below the boundary
+    val rb = ranges.withColumn("_bucket",
+      explode(sequence(
+        floor(col(loCol) / width).cast("long"),
+        floor((col(hiCol) - lit(width * 1e-9)) / width).cast("long"))))
+    fb.join(rb,
+        fb("_bucket") === rb("_bucket") &&
+          fb(valueCol) >= rb(loCol) && fb(valueCol) < rb(hiCol))
+      .drop("_bucket")
+  }
+}

@@ -343,6 +343,35 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Range join: events bucketed into fixed value bands via the
+    // bucketed equi-join form (never BroadcastNestedLoop at scale).
+    // Exact integer-cent sums; oracle is the plain theta-join.
+    "q37_range_join" -> ((s, dir) => {
+      val bands = s.range(0, 10).select(
+        (col("id") * 50).cast("double").as("lo"),
+        ((col("id") + 1) * 50).cast("double").as("hi"),
+        concat(lit("band"), col("id")).as("band"))
+      graft.operators.RangeJoin.bucketedRangeJoin(
+          Tables(s, dir, "events"), bands, "value", "lo", "hi", width = 50.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum((dec(col("value")) * 100).cast("long")).as("total_cents"))
+        .orderBy(col("band"))
+    }),
+
+    // A7 — exact percentiles (linear interpolation): Spark `percentile`
+    // and DuckDB `quantile_cont` share the a+(b−a)·f formula, so the
+    // doubles agree bit-for-bit before the guard rounding.
+    "q38_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
     // A3 — K-Means (k=3, seed=42), the reference's clustering step
     // (`data_science.ipynb` cell 4) on z-scored account balances.
     // ML fit → no oracle; determinism invariants in KMeansSpec.
@@ -519,6 +548,22 @@ object PipelineQueries {
         |                WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q37_range_join" ->
+      """WITH bands AS (SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi,
+        |                      'band' || i AS band
+        |               FROM range(0, 10) t(i))
+        |SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q38_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q33_json_props" ->
       """SELECT CAST(props->>'k' AS INT) // 10 AS k_bucket, count(*) AS n,
