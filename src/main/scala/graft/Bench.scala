@@ -20,6 +20,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.KeywordFilterFusion.install(spark)
+    // warm-up: JVM/codegen/noop-datasource initialization otherwise
+    // lands entirely on whichever query runs first
+    spark.range(1000000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =

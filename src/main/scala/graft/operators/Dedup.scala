@@ -117,6 +117,56 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (id1, id2) — the step that turns pairwise similarity into a dedup
+    * DECISION: every doc gets the minimum doc-id of its component;
+    * keep one representative per component, drop the rest.
+    *
+    * Iterative min-label propagation: each round, every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow — a
+    * handful of rounds in practice, `maxIter` bounds pathology). Each
+    * round is one distributed join+aggregate — the standard
+    * Pregel-style shape; the driver only checks a one-row convergence
+    * count per round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Drop-list from verified near-dup pairs: every doc that is NOT the
+    * minimum id of its component. `docs.join(dropList, …, "left_anti")`
+    * is the final dedup. */
+  def nearDupDropList(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("drop_id"), col("label").as("kept_id"))
+
   /** 64-bit SimHash: per bit, tokens vote +1 (bit set in their hash) or
     * −1; the fingerprint bit is the majority. Distinct tokens, weight 1.
     * 64 unrolled codegen'd expressions (i is a Scala literal, so

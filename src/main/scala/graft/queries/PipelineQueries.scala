@@ -372,6 +372,16 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // X1 — the dedup DECISION: connected components over the verified
+    // Jaccard near-dup pair graph (iterative min-label propagation);
+    // each doc maps to its component representative. Oracle: recursive
+    // CTE transitive closure in DuckDB.
+    "q39_dedup_components" -> ((s, dir) => {
+      val pairs = TextAnalysis.jaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+      Dedup.connectedComponents(pairs).orderBy(col("node"))
+    }),
+
     // A3 — K-Means (k=3, seed=42), the reference's clustering step
     // (`data_science.ipynb` cell 4) on z-scored account balances.
     // ML fit → no oracle; determinism invariants in KMeansSpec.
@@ -548,6 +558,34 @@ object PipelineQueries {
         |                WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q39_dedup_components" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks)),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+        |         WHERE c BETWEEN 2 AND 100),
+        |shr AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN szs s1 ON id1 = s1.doc_id
+        |          JOIN szs s2 ON id2 = s2.doc_id
+        |          WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+        |SELECT node, min(root) AS label FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "q37_range_join" ->
       """WITH bands AS (SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi,

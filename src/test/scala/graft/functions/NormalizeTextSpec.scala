@@ -71,6 +71,14 @@ class NormalizeTextSpec extends SparkSpec {
     assert(got.toSeq == Seq(false, true))
   }
 
+  test("P2 detail-key canonicalization builds reference-style column names") {
+    // scraped <th> labels → column names (aracaju…scraper.py:183-187):
+    // strip, drop ':', collapse NBSP, normalize, spaces → '_'
+    assert(TextFns.canonKey("Fonte de Recurso:") == "fonte_de_recurso")
+    assert(TextFns.canonKey("  Histórico do Empenho ") == "historico_do_empenho")
+    assert(TextFns.canonKey("Nº Processo") == "no_processo")
+  }
+
   test("keyword predicate matches the reference royalty semantics") {
     import spark.implicits._
     val df = Seq(

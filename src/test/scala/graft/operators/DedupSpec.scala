@@ -51,6 +51,19 @@ class DedupSpec extends SparkSpec {
       s"got $pairs — simhash over distinct tokens must be order-insensitive")
   }
 
+  test("connected components collapse chained near-dup pairs") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 7-9: labels must propagate
+    // transitively (1,2,3 → 1) even though (1,3) is not an edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val drops = Dedup.nearDupDropList(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drops == Map(2L -> 1L, 3L -> 1L, 9L -> 7L))
+  }
+
   test("exact dedup keeps one representative per token set") {
     import spark.implicits._
     val df = Seq(
