@@ -134,9 +134,14 @@ object Dedup {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .cache()
-    var labels = edges.select(col("a").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
+    // materialize the (possibly expensive) pair lineage ONCE before the
+    // loop: every iteration and the convergence check re-read this
+    edges.count()
+    // fold round 1 into initialization: each node starts at
+    // min(self, neighbors) instead of self — one fewer join round
+    var labels = edges.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("label"))
+      .withColumnRenamed("a", "node")
       .cache()
     var converged = false
     var i = 0
@@ -144,15 +149,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      // carry the previous label through the propagation join so the
+      // convergence check needs no extra join — one filter on the
+      // already-cached frame instead of a second shuffle per round
       val next = labels
         .join(neighborMin, labels("node") === neighborMin("a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
-      val changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       i += 1
     }

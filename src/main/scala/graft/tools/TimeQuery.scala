@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time one registered query (noop materialization, after
+  * a warm-up) — the single-query feedback loop for perf work.
+  * Usage: runMain graft.tools.TimeQuery <queryName> [sfDir] [reps]
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.KeywordFilterFusion.install(spark)
+    spark.range(1000000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"$name rep $r: ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
