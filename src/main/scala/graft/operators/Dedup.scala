@@ -62,7 +62,13 @@ object Dedup {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int): DataFrame =
     docs.select(col(idCol),
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN)
+        // pre-hash shingles to longs: the 24 signature hash functions
+        // and the intersect/union verification then work on 8-byte
+        // keys instead of strings (identical results modulo ~2⁻⁶⁴
+        // collisions)
+        transform(
+          TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN),
+          s => xxhash64(s))
           .as("shs"))
       .cache()
 

@@ -76,9 +76,14 @@ object TextAnalysis {
                    maxShingleFreq: Int = 100): DataFrame = {
     // cached: this exploded frame feeds the frequency filter, the size
     // aggregate, and both sides of the pair join — left lazy, the
-    // shingle construction re-runs once per consumer
+    // shingle construction re-runs once per consumer.
+    // Shingles are xxhash64'd to 8-byte keys before the join: the
+    // self-join and pair aggregation shuffle longs instead of ~20-byte
+    // strings (same output modulo a ~2⁻⁶⁴ collision — the standard
+    // dedup-system trade).
     val sh = docs
-      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("sh"))
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("sh_str"))
+      .select(col(idCol), xxhash64(col("sh_str")).as("sh"))
       .cache()
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq && col("df") >= 2)
