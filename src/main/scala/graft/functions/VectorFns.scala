@@ -31,4 +31,10 @@ object VectorFns {
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Unit-normalize given an ALREADY-MATERIALIZED norm column (alias
+    * `norm(v)` into its own projection first — embedding it here would
+    * re-evaluate the fold once per element, the HOF-duplication trap). */
+  def unitNormalizeWith(a: Column, normCol: Column): Column =
+    transform(a, x => x / normCol)
 }

@@ -242,14 +242,23 @@ object PipelineQueries {
     // cartesian): the single most-similar pair per label block.
     "q30_embed_neardup" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("id1"),
-        VectorFns.toDouble(col("embedding")).as("v1"))
-      val b = e.select(col("label"), col("vec_id").as("id2"),
-        VectorFns.toDouble(col("embedding")).as("v2"))
+      // unit-normalize per vector BEFORE the pair join: cosine over n²
+      // pairs then costs one dot each instead of dot + two norms. Norm
+      // materialized into its own projection (HOF-duplication trap).
+      val unit = e.select(col("label"), col("vec_id"),
+          VectorFns.toDouble(col("embedding")).as("vd"))
+        .withColumn("_n", VectorFns.norm(col("vd")))
+        .select(col("label"), col("vec_id"),
+          VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v"))
+        .cache()
+      val a = unit.select(col("label"), col("vec_id").as("id1"),
+        col("v").as("v1"))
+      val b = unit.select(col("label"), col("vec_id").as("id2"),
+        col("v").as("v2"))
       val pairs = a.join(b, Seq("label"))
         .filter(col("id1") < col("id2"))
         .select(col("label"), col("id1"), col("id2"),
-          round(VectorFns.cosine(col("v1"), col("v2")), 4).as("sim"))
+          round(VectorFns.dot(col("v1"), col("v2")), 4).as("sim"))
       val w = Window.partitionBy("label")
         .orderBy(col("sim").desc, col("id1"), col("id2"))
       pairs.withColumn("rn", row_number().over(w))
