@@ -44,6 +44,42 @@ class ProgressStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-sink query resumes from checkpoint exactly once") {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get("target", "test-scratch", "stream_ckpt")
+    if (Files.exists(base))
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    val (in, out, ckpt) = (base.resolve("in"), base.resolve("out"),
+      base.resolve("ckpt"))
+    Files.createDirectories(in)
+
+    def startQuery() =
+      ProgressStream.classify(spark.readStream.text(in.toString))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+
+    Files.write(in.resolve("b1.txt"),
+      "Extraindo dados da página 1\nDados salvos para x\n".getBytes("UTF-8"))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // restart from the SAME checkpoint with one new file: the old file
+    // must not be reprocessed (exactly-once), the new one must land
+    Files.write(in.resolve("b2.txt"),
+      "Extraindo dados da página 2\n".getBytes("UTF-8"))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 3, s"exactly-once violated: ${rows.toSeq}")
+    assert(rows.count(_._2 == "page_done") == 2)
+    assert(rows.count(_._2 == "task_done") == 1)
+  }
+
   test("windowed rate groups by event-time minute with watermark") {
     val sql = spark.sqlContext
     import spark.implicits._
