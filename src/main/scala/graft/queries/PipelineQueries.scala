@@ -391,6 +391,18 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs).orderBy(col("node"))
     }),
 
+    // A5 — the reference's latent RandomForestClassifier, executed:
+    // quality-gate confusion matrix of the seeded forest (deterministic
+    // → stable rows-only check; invariants in QualityModelSpec).
+    "q40_quality_model" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val data = graft.operators.QualityModel.featurize(docs)
+      graft.operators.QualityModel.train(docs).transform(data)
+        .groupBy(col("label"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("prediction"))
+    }),
+
     // A3 — K-Means (k=3, seed=42), the reference's clustering step
     // (`data_science.ipynb` cell 4) on z-scored account balances.
     // ML fit → no oracle; determinism invariants in KMeansSpec.

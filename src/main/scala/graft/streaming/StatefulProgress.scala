@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** A6/W3/W4 as true custom streaming state: the reference recomputes
   * `avg_time_per_task` and an ETA from mutable counters on every stdout
@@ -20,6 +20,57 @@ object StatefulProgress {
   case class TaskState(done: Long, firstTs: Long, lastTs: Long)
   case class TaskProgress(task: String, done: Long, elapsedSec: Double,
                           avgSecPerItem: Double, etaSec: Double)
+
+  case class SessionEvent(user: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class CompletedSession(user: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long)
+
+  /** True streaming sessionization with `flatMapGroupsWithState` +
+    * event-time timeout: a session CLOSES (and is emitted, Append mode)
+    * when the watermark passes `last event + gap` — the stateful
+    * custom-state form of q17's batch `session_window`. State per key is
+    * one open session; eviction is watermark-driven, so state is
+    * bounded even over an unbounded key domain. */
+  def streamingSessions(events: Dataset[SessionEvent],
+                        gapMinutes: Int): Dataset[CompletedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, CompletedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CompletedSession(user,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[CompletedSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last >= gapMs =>
+                  closed ::= CompletedSession(user,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Running per-task progress with ETA against a known `totalItems`
     * (the reference's `total_tarefas` from its config). */

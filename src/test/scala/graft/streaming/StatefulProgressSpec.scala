@@ -12,6 +12,44 @@ class StatefulProgressSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("streaming sessions close via event-time timeout as watermark advances") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    import StatefulProgress.SessionEvent
+
+    val source = MemoryStream[SessionEvent]
+    val sessions = StatefulProgress.streamingSessions(source.toDS(), gapMinutes = 5)
+    val q = sessions.writeStream
+      .format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 7: two events 30s apart → one open session
+      source.addData(
+        SessionEvent(7L, ts("2024-01-01 10:00:00")),
+        SessionEvent(7L, ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions").count() == 0,
+        "session still open, nothing emitted")
+
+      // another user's much later event advances the watermark past
+      // 10:00:30 + 5min → user 7's session times out and is emitted
+      source.addData(SessionEvent(8L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // timeout fires on the batch AFTER the watermark advances
+      source.addData(SessionEvent(8L, ts("2024-01-01 10:31:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("stream_sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (7L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:30.0", 2L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("per-task state accumulates across micro-batches and updates ETA") {
     val sql = spark.sqlContext
     import spark.implicits._
