@@ -60,6 +60,27 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(min_by(col("centroid_id"), col("d2")).as("centroid_id"))
 
+  /** LSH-bucketed ANN — the ml-native alternative to [[ivfTopK]]:
+    * random-hyperplane bucketing via `BucketedRandomProjectionLSH`
+    * (seeded → deterministic), probe = `approxNearestNeighbors` which
+    * scans only colliding buckets. Distance is Euclidean (the ml LSH
+    * family's metric); for cosine semantics feed unit-normalized
+    * vectors (L2 rank order == cosine rank order on the unit sphere). */
+  def brpLshTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                 query: org.apache.spark.ml.linalg.Vector, k: Int,
+                 numHashTables: Int = 4,
+                 bucketLength: Double = 2.0): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val df = vectors.withColumn("fv",
+      array_to_vector(graft.functions.VectorFns.toDouble(col(vecCol))))
+    val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L).setInputCol("fv").setOutputCol("hashes")
+      .fit(df)
+    model.approxNearestNeighbors(df, query, k)
+      .select(col(idCol), round(col("distCol"), 4).as("dist"))
+  }
+
   /** IVF probe: query's nProbe nearest centroids → candidate vectors
     * from those lists only → exact cosine top-k on the candidates. */
   def ivfTopK(vectors: DataFrame, cents: DataFrame, queryVec: DataFrame,

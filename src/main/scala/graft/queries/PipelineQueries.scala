@@ -391,6 +391,20 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs).orderBy(col("node"))
     }),
 
+    // X2 — LSH-bucketed ANN (the ml-native scale path next to q31's
+    // IVF): seeded random-projection buckets, approxNearestNeighbors
+    // probe. Engine-specific hashing → rows-only check; recall
+    // invariants in SimilaritySpec.
+    "q41_ann_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("q"))
+        .collect()(0).getSeq[Double](0).toArray
+      Similarity.brpLshTopK(e.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding",
+        org.apache.spark.ml.linalg.Vectors.dense(q), k = 10)
+    }),
+
     // A5 — the reference's latent RandomForestClassifier, executed:
     // quality-gate confusion matrix of the seeded forest (deterministic
     // → stable rows-only check; invariants in QualityModelSpec).

@@ -69,6 +69,19 @@ class ConsolidateSpec extends SparkSpec {
     assert(n >= 3, s"rows should survive a bad line, got $n")
   }
 
+  test("plain comma CSV reads through the same tolerant reader (S6)") {
+    val dir = scratch("comma")
+    Files.createDirectories(dir)
+    val f = dir.resolve("analysis_input.csv")
+    // the analysis notebook's default-separator read (data_science.ipynb
+    // cell 2): comma, no BOM
+    Files.write(f, "descricao,valor\nroyalty x,\"1,5\"\n".getBytes("UTF-8"))
+    val df = CsvIngest.read(spark, f.toString, sep = ",")
+    assert(df.columns.take(2).toSeq == Seq("descricao", "valor"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "royalty x" && r.getString(1) == "1,5")
+  }
+
   test("glob read selects a year's months by filename wildcard (F6)") {
     val dir = scratch("glob")
     Files.createDirectories(dir)

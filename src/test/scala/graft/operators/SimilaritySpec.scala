@@ -45,6 +45,36 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.max <= exact.max + 1e-9)
   }
 
+  test("LSH-bucketed ANN returns k verified-distance neighbors overlapping exact") {
+    val (e, _, base) = setup()
+    val qArr = e.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(VectorFns.toDouble(col("embedding")).as("q"))
+      .collect()(0).getSeq[Double](0).toArray
+    val ann = Similarity.brpLshTopK(base, "vec_id", "embedding",
+        org.apache.spark.ml.linalg.Vectors.dense(qArr), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.size == 10)
+    // exact L2 top-10 via the engine's own vector fns
+    val qLit = org.apache.spark.sql.functions.array(qArr.map(lit): _*)
+    val exact = base
+      .select(col("vec_id"),
+        round(sqrt(VectorFns.sqDist(VectorFns.toDouble(col("embedding")), qLit)), 4)
+          .as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every ANN distance must be a TRUE distance (verify against exact
+    // recomputation) and the sets should overlap substantially
+    ann.foreach { case (id, d) =>
+      val truth = base.filter(col("vec_id") === id)
+        .select(round(sqrt(VectorFns.sqDist(
+          VectorFns.toDouble(col("embedding")), qLit)), 4))
+        .collect()(0).getDouble(0)
+      assert(math.abs(truth - d) < 1e-3, s"ANN lied about distance for $id")
+    }
+    val overlap = ann.keySet.intersect(exact.keySet).size
+    assert(overlap >= 5, s"ANN recall too low: $overlap/10 vs exact")
+  }
+
   test("cosine of a vector with itself is 1") {
     val (e, _, _) = setup()
     val self = e.limit(5)
