@@ -37,20 +37,27 @@ object Multimodal {
     StructField("kind", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("byte_mean", DoubleType, nullable = false),
-    StructField("frames", ArrayType(BinaryType), nullable = false)))
+    StructField("frames", ArrayType(BinaryType), nullable = false),
+    StructField("resized", BinaryType, nullable = false)))
 
   /** STUB decode kernel — deterministic fake standing in for an image/
     * audio decoder (none available in this container). Computes a byte
     * mean as the stand-in "feature" and cuts fixed-stride "frames"
     * (byte slices) as the stand-in frame-sample. Real decode would
     * replace ONLY the body of this function. */
-  def fakeDecode(payload: Array[Byte], frameSize: Int): (Double, Array[Array[Byte]]) = {
+  def fakeDecode(payload: Array[Byte], frameSize: Int,
+                 resizeStride: Int = 4): (Double, Array[Array[Byte]], Array[Byte]) = {
     var s = 0L
     var i = 0
     while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
     val mean = if (payload.length == 0) 0.0 else s.toDouble / payload.length
     val frames = payload.grouped(frameSize).take(4).toArray
-    (mean, frames)
+    // "resize": stride subsample — the byte-level stand-in for an image
+    // downscale (a real codec's resize replaces this line only)
+    val resized = payload.indices.collect {
+      case j if j % resizeStride == 0 => payload(j)
+    }.toArray
+    (mean, frames, resized)
   }
 
   /** Per-partition feature extraction over asset rows. Output partition
@@ -63,9 +70,9 @@ object Multimodal {
       .rdd.mapPartitions { it =>
         it.map { r =>
           val payload = r.getAs[Array[Byte]](2)
-          val (mean, frames) = fakeDecode(payload, frameSize)
+          val (mean, frames, resized) = fakeDecode(payload, frameSize)
           Row(r.getLong(0), r.getString(1), payload.length, mean,
-            frames.toSeq)
+            frames.toSeq, resized)
         }
       }
     spark.createDataFrame(rdd, featureSchema)

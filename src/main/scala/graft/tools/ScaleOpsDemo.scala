@@ -36,6 +36,15 @@ object ScaleOpsDemo {
     println(s"bucketed plan has Exchange: ${plan.contains("Exchange")}")
     spark.sql("DROP TABLE IF EXISTS demo_orders_b")
     spark.sql("DROP TABLE IF EXISTS demo_customer_b")
+
+    // multimodal: binary assets → stub decode (mean / frames / resize)
+    val docs = Tables(spark, sfDir, "documents")
+    val feats = graft.operators.Multimodal.decodeFeatures(spark,
+      graft.operators.Multimodal.assets(docs, "doc_id", "text", "text/plain"))
+    val sample = feats.orderBy("asset_id").limit(1).collect()(0)
+    println(s"decode: asset=${sample.getLong(0)} n_bytes=${sample.getInt(2)} " +
+      f"byte_mean=${sample.getDouble(3)}%.2f frames=${sample.getSeq[Array[Byte]](4).length} " +
+      s"resized_len=${sample.getAs[Array[Byte]]("resized").length}")
     spark.stop()
   }
 }

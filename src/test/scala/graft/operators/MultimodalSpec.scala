@@ -31,6 +31,10 @@ class MultimodalSpec extends SparkSpec {
         "first frame must be the first 16 payload bytes")
       val mean = r.getAs[Double]("byte_mean")
       assert(mean > 0 && mean < 256)
+      // "resize" stub: stride-4 subsample — quarter length, first byte kept
+      val resized = r.getAs[Array[Byte]]("resized")
+      assert(resized.length == (nBytes + 3) / 4)
+      assert(resized.head == text.head.toByte)
     }
   }
 
