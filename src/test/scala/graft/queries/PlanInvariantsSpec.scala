@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Structural plan guarantees across the ENTIRE registered query set —
+  * the automated form of PLANS.md's audit. Catches scale regressions
+  * (an accidental cartesian, a lost pushdown, a globally-sorted top-k)
+  * the correctness gate can't see. */
+class PlanInvariantsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("no registered query plans a CartesianProduct") {
+    // scalar 1-row broadcasts legitimately plan BroadcastNestedLoop;
+    // an unconstrained CartesianProduct is never acceptable
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${plan.take(2000)}")
+    }
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    Seq("q08_topk_customers", "q13_cosine_topk").foreach { name =>
+      assert(planOf(name).contains("TakeOrderedAndProject"),
+        s"$name should plan per-partition top-k")
+    }
+  }
+
+  test("date filters reach the parquet scan") {
+    Seq("q01_pruned_scan", "q34_date_range").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("PushedFilters: [IsNotNull") &&
+        (plan.contains("GreaterThanOrEqual(") || plan.contains("GreaterThan(")),
+        s"$name lost its scan pushdown")
+    }
+  }
+
+  test("dimension joins broadcast in the region-revenue query") {
+    assert(planOf("q07_region_revenue").contains("BroadcastHashJoin"))
+  }
+}
