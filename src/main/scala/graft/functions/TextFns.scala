@@ -62,12 +62,17 @@ object TextFns {
     * `,` → `.`, then cast — a failed parse yields NULL, matching
     * `pd.to_numeric(errors='coerce')`
     * (`/root/reference/docs/notebooks/data_science.ipynb` cell 2).
-    * No locale-dependent `to_number`: explicit regex chain only.
-    * `try_cast`, not `cast`: under Spark 4's default ANSI mode a plain
-    * cast on a malformed string throws CAST_INVALID_INPUT at runtime —
-    * try_cast gives the coerce-to-NULL contract regardless of ANSI mode.
+    * Default impl is the single-pass codegen'd [[ParseBRLExpr]]; the
+    * regexp chain is kept as [[parseBRLBuiltin]] for cross-validation
+    * (ParseBRLSpec asserts they agree on money and garbage alike).
     */
-  def parseBRL(c: Column): Column =
+  def parseBRL(c: Column): Column = ParseBRL(c)
+
+  /** The built-in-only formulation: three regexp passes + `try_cast`
+    * (not `cast`: under Spark 4's default ANSI mode a plain cast on a
+    * malformed string throws CAST_INVALID_INPUT — try_cast gives the
+    * coerce-to-NULL contract regardless of ANSI mode). */
+  def parseBRLBuiltin(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(trim(c), "R\\$\\s*", ""),

@@ -56,6 +56,26 @@ class ParseBRLSpec extends SparkSpec {
       s"expected all NULL, got: ${out.mkString(", ")}")
   }
 
+  test("codegen'd expression agrees with the regexp chain on money and garbage") {
+    import spark.implicits._
+    val gen = org.scalacheck.Gen.oneOf(
+      org.scalacheck.Gen.chooseNum(-99999999L, 99999999L)
+        .map(c => f"R$$ ${c / 100.0}%,.2f".replace(',', '_')
+          .replace('.', ',').replace('_', '.')),
+      org.scalacheck.Gen.alphaNumStr.map(_.take(12)),
+      org.scalacheck.Gen.oneOf("", " ", "R$", "1.2.3", "1,2,3", "R$ -",
+        "  R$ 12,34  ", "1e3", "+5,5", "12R$34", "R"))
+    val samples = (0 until 400).flatMap(i =>
+      gen(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(9L + i)))
+    val df = samples.toDF("raw").select(col("raw"),
+      TextFns.parseBRL(col("raw")).as("expr_path"),
+      TextFns.parseBRLBuiltin(col("raw")).as("chain_path"))
+    val diff = df.filter(
+      !(col("expr_path") <=> col("chain_path"))).collect()
+    assert(diff.isEmpty,
+      s"paths diverged on: ${diff.take(5).mkString(", ")}")
+  }
+
   test("empty string is NULL, not zero (pandas coerce parity)") {
     import spark.implicits._
     val out = Seq("").toDF("raw").select(TextFns.parseBRL(col("raw"))).collect()
