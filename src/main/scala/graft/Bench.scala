@@ -31,7 +31,13 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches a query's operators may have pinned (simhash sigs,
+      // shingle sets, …): without this, by mid-alphabet the BlockManager
+      // carries every prior query's blocks and timings measure cache
+      // pressure, not the plan under test
+      spark.catalog.clearCache()
+      (name, dt, err)
     }
     def jstr(s: String) =
       "\"" + s.flatMap {

@@ -30,6 +30,8 @@ object Verify {
           dir.listFiles().foreach(_.delete()); dir.delete()
         }
       }
+      // release caches pinned by this query's operators before the next
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -209,8 +209,12 @@ object Dedup {
     val withHs = docs.select(col(idCol),
       transform(array_distinct(TextAnalysis.tokens(col(textCol))),
         t => xxhash64(t)).as("hs"))
+    // cached: `banded` is self-joined as a/b, so without materialization
+    // the 64-expression fingerprint pipeline runs TWICE (once per join
+    // side) — the same HOF-duplication trap shingleSets documents
     val withSig = withHs.select(col(idCol),
       simhashFromHashes(col("hs")).as("sh64"))
+      .cache()
     val banded = withSig.select(col(idCol), col("sh64"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),

@@ -459,7 +459,7 @@ object PipelineQueries {
         |  round(avg(n_chars), 4) AS avg_chars,
         |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
         |  count(DISTINCT source) AS n_sources,
-        |  sum(n_chars) AS total_chars
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q16_event_windows" ->
