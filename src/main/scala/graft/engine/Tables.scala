@@ -21,17 +21,26 @@ object Tables {
     require(all.contains(name), s"unknown table: $name")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
     // (PARQUET_TYPE_ILLEGAL) unless read as a raw long via
-    // spark.sql.legacy.parquet.nanosAsLong. Convert nanos → microsecond
-    // timestamp here so callers see a TimestampType column; DuckDB
-    // (µs-precision timestamps) truncates identically, so oracle
-    // comparisons stay exact.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // spark.sql.legacy.parquet.nanosAsLong. The conf is session-wide,
+    // so mutate it only for the one table that needs it, and only when
+    // not already true (getOption returns the registered default
+    // "false" when unset, so an .isEmpty guard would never fire) —
+    // every other read leaves session state alone.
+    if (name == "events" &&
+        !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType)
+      // nanos → micros must FLOOR, not truncate toward zero: for
+      // pre-1970 timestamps (negative nanos) `ts div 1000` would round
+      // up. (ts - pmod(ts, 1000)) is exactly divisible, so the div is a
+      // true floor for either sign.
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr(
+            "(ts - pmod(ts, 1000)) div 1000")))
     else df
   }
 }

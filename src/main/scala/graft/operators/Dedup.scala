@@ -128,15 +128,19 @@ object Dedup {
     * DECISION: every doc gets the minimum doc-id of its component;
     * keep one representative per component, drop the rest.
     *
-    * Iterative min-label propagation: each round, every node adopts the
-    * smallest label among itself and its neighbors; converges in
-    * O(component diameter) rounds (near-dup clusters are shallow — a
-    * handful of rounds in practice, `maxIter` bounds pathology). Each
-    * round is one distributed join+aggregate — the standard
-    * Pregel-style shape; the driver only checks a one-row convergence
-    * count per round.
+    * Min-label propagation WITH pointer jumping: each round every node
+    * adopts the smallest label among {itself, its neighbors' labels,
+    * its label's label}. The shortcut step compresses label chains
+    * (node→label→label's label) so convergence is O(log diameter)
+    * rounds instead of O(diameter) — a 10⁶-long path needs ~20 rounds,
+    * not 10⁶. Each round is two distributed joins + an aggregate — the
+    * standard Pregel shape; the driver only checks a one-row
+    * convergence count per round.
+    *
+    * Throws on non-convergence instead of silently returning partial
+    * labels (a silently-wrong dedup decision poisons the corpus).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .cache()
@@ -158,17 +162,37 @@ object Dedup {
       // carry the previous label through the propagation join so the
       // convergence check needs no extra join — one filter on the
       // already-cached frame instead of a second shuffle per round
-      val next = labels
+      val prop = labels
         .join(neighborMin, labels("node") === neighborMin("a"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
+      // pointer jumping: adopt the label of one's label. Every label IS
+      // a node id present in `prop` (labels only ever take values from
+      // the node domain), so the lookup side is prop itself.
+      val lab2 = prop.select(col("node").as("_ln"), col("label").as("_ll"))
+      // localCheckpoint (eager), NOT cache: each round's plan embeds the
+      // previous round's TWICE (prop + lab2 sides of the jump join), so
+      // lineage doubles per round — by round ~6 the logical plan itself
+      // OOMs the driver. Checkpointing truncates lineage to the
+      // materialized blocks; on a real cluster with unreliable executors
+      // swap for checkpoint() on a reliable FS.
+      val next = prop
+        .join(lab2, prop("label") === lab2("_ln"), "left")
+        .select(col("node"), col("prev"),
+          least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
+      prop.unpersist()
       labels.unpersist()
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds 2^rounds; raise maxIter")
     labels
   }
 
@@ -226,6 +250,56 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
         bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** SimHash near-dup, 128-bit scale path. The 64-bit/4×16-bit-band
+    * scheme above saturates at corpus scale: 16-bit bands give only
+    * 65,536 buckets, so expected candidate pairs grow ~n²/2¹⁶ per band
+    * — at 10⁹ docs that is ~10¹³ pairs, a scale-killer. Here the
+    * fingerprint is 128 bits (two independent 64-bit SimHashes from
+    * seeded hash families) split into 4 bands of 32 bits: 2³² buckets
+    * per band pushes the same birthday term down to ~n²/2³² — a 65,536×
+    * reduction in accidental collisions for the same band count.
+    *
+    * Pigeonhole recall guarantee: hamming ≤ 3 over the 128-bit
+    * fingerprint ⇒ at least one of the 4 bands is untouched ⇒ the pair
+    * collides in some band. (maxDist ≤ bands − 1 for the guarantee to
+    * hold, checked.) Note a 128-bit fingerprint roughly doubles the
+    * hamming distance of a given near-dup pair vs the 64-bit scheme, so
+    * thresholds do not transfer 1:1 between the two.
+    */
+  def simhashNearDupsWide(docs: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3): DataFrame = {
+    val bands = 4
+    require(maxDist <= bands - 1,
+      s"hamming ≤ $maxDist cannot be guaranteed by $bands bands (need ≥ ${maxDist + 1})")
+    // token hashes aliased into their own projection (HOF-duplication
+    // trap): two independent families via a seed literal in the hash
+    val withTok = docs.select(col(idCol),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("_tk"))
+    val withHs = withTok.select(col(idCol),
+      transform(col("_tk"), t => xxhash64(t)).as("hs0"),
+      transform(col("_tk"), t => xxhash64(lit(1), t)).as("hs1"))
+    // cached for the same reason as simhashNearDups: the banded frame
+    // is self-joined, and this is 128 per-bit expressions per row
+    val withSig = withHs.select(col(idCol),
+      simhashFromHashes(col("hs0")).as("w0"),
+      simhashFromHashes(col("hs1")).as("w1"))
+      .cache()
+    val bandExprs = for (w <- 0 until 2; h <- 0 until 2) yield
+      struct(lit(w * 2 + h).as("band"),
+        shiftright(col(s"w$w"), h * 32).bitwiseAND(lit(0xFFFFFFFFL)).as("bh"))
+    val banded = withSig.select(col(idCol), col("w0"), col("w1"),
+      explode(array(bandExprs: _*)).as("bandh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bandh") === col("b.bandh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        (bit_count(col("a.w0").bitwiseXOR(col("b.w0"))) +
+          bit_count(col("a.w1").bitwiseXOR(col("b.w1")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -27,11 +27,16 @@ object RangeJoin {
     val fb = fact.withColumn("_bucket",
       floor(col(valueCol) / width).cast("long"))
     // hi is exclusive: a range ending exactly on a bucket boundary must
-    // not claim the next bucket — nudge below the boundary
+    // not claim the next bucket — nudge below the boundary. Inverted or
+    // empty ranges (hi <= lo) must yield ZERO bucket rows: a bare
+    // sequence(start, stop) with stop < start DESCENDS and would
+    // explode spurious buckets for garbage input.
     val rb = ranges.withColumn("_bucket",
-      explode(sequence(
-        floor(col(loCol) / width).cast("long"),
-        floor((col(hiCol) - lit(width * 1e-9)) / width).cast("long"))))
+      explode(when(col(hiCol) > col(loCol),
+        sequence(
+          floor(col(loCol) / width).cast("long"),
+          floor((col(hiCol) - lit(width * 1e-9)) / width).cast("long")))
+        .otherwise(array().cast("array<long>"))))
     fb.join(rb,
         fb("_bucket") === rb("_bucket") &&
           fb(valueCol) >= rb(loCol) && fb(valueCol) < rb(hiCol))

@@ -101,7 +101,11 @@ object PipelineQueries {
     // same from the original parquet — green iff the whole
     // format→write→read→parse loop is lossless.
     "q18_csv_roundtrip" -> ((s, dir) => {
-      val base = s"/root/repo/target/scratch/csv_rt_${Integer.toHexString(dir.hashCode)}"
+      // scratch root overridable for non-dev environments (cluster runs
+      // would point this at a job-scoped distributed-FS path)
+      val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+        "/root/repo/target/scratch")
+      val base = s"$scratchRoot/csv_rt_${Integer.toHexString(dir.hashCode)}"
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
@@ -437,7 +441,120 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("z")), 4).as("mean_z"))
         .orderBy(col("mean_z"))
     }),
+
+    // X3 — TF-IDF over document tokens (SURVEY.md:175), pure SQL form so
+    // the oracle can replicate exactly: tf = term count / doc length,
+    // df via a |terms|-sized aggregate of the per-doc term counts, idf =
+    // ln(N/df). Two shuffles total (doc-term aggregate, term df join) —
+    // both key-partitioned, map-side combined; no all-pairs anything.
+    "q42_tfidf" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      // alias tokens into their own projection first: size() + explode()
+      // referencing the raw split would evaluate it twice per row
+      val toks = d.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      val tc = toks.select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(col("toks")).as("term"))
+      val tf = tc.groupBy(col("doc_id"), col("n_toks"), col("term"))
+        .agg(count(lit(1)).as("tf_count"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = d.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("term"), col("tf_count"), col("df"),
+          round(col("tf_count") / col("n_toks") *
+            log(col("n_docs") / col("df")), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // X4 — sliding event-time windows (10-minute window, 5-minute slide):
+    // each event lands in exactly 2 overlapping windows. Spark plans
+    // window() as a 2-row expand + one hash-aggregate — linear, no join.
+    // Exact integer-cent sums (no float drift).
+    "q43_sliding_windows" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((dec(col("value")) * 100).cast("long")).as("total_cents"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("total_cents"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // A4 complete — the full pairwise Pearson matrix (+ its transpose,
+    // covered by emitting every ORDERED pair) of `data_science.ipynb`
+    // cells 6-7. NOT unpivot-join-regroup: all 16 corr aggregates run in
+    // ONE pass over the scan (single hash-aggregate, no extra shuffle);
+    // the long-form reshape is a stack() over the 1-row result — free.
+    "q44_corr_matrix" -> ((s, dir) => {
+      val cols44 = corrMatrixCols
+      val pairs = for (a <- cols44; b <- cols44) yield (a, b)
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}__${b}") }
+      val stackArgs = pairs
+        .map { case (a, b) => s"'$a', '$b', ${a}__${b}" }.mkString(", ")
+      Tables(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${pairs.size}, $stackArgs) AS (var1, var2, r)")
+        .orderBy(col("var1"), col("var2"))
+    }),
+
+    // X3 — sentiment-lexicon score (the PAPERS.md lexicon approach,
+    // SURVEY.md:175): positive/negative word counts with multiplicity,
+    // normalized by document length, thresholded to a label. Stateless
+    // codegen'd HOF maps — no shuffle beyond the output sort. Lexicons
+    // drawn from words actually present in the corpus (fast/big vs
+    // slow/small) so the score genuinely varies.
+    "q46_sentiment" -> ((s, dir) => {
+      val posSet = array(sentimentPos.map(lit): _*)
+      val negSet = array(sentimentNeg.map(lit): _*)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          size(filter(col("toks"), t => array_position(posSet, t) > 0))
+            .as("n_pos"),
+          size(filter(col("toks"), t => array_position(negSet, t) > 0))
+            .as("n_neg"))
+        .select(col("doc_id"), col("n_pos"), col("n_neg"),
+          round((col("n_pos") - col("n_neg")).cast("double") / col("n_toks"),
+            4).as("score"))
+        .withColumn("sentiment",
+          when(col("score") > 0, lit("pos"))
+            .when(col("score") < 0, lit("neg"))
+            .otherwise(lit("neutral")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P8 + P7 — dict decode (the reference's year-code map,
+    // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
+    // through trimAll on deliberately padded input so the whitespace
+    // strip is non-vacuous: if trim failed, the map lookup would return
+    // NULL and the oracle would catch it.
+    "q45_dict_decode" -> ((s, dir) => {
+      val padded = Tables(s, dir, "orders")
+        .withColumn("o_orderstatus",
+          concat(lit("  "), col("o_orderstatus"), lit(" ")))
+      padded
+        .select(TextFns.trimAll(Seq("o_orderstatus")): _*)
+        .withColumn("status_name", element_at(
+          map(lit("O"), lit("open"), lit("F"), lit("finished"),
+            lit("P"), lit("pending")),
+          col("o_orderstatus")))
+        .groupBy(col("status_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status_name"))
+    }),
   )
+
+  /** q44's matrix columns — shared between the Spark plan and the
+    * generated oracle SQL so the two can never drift. */
+  private val corrMatrixCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q46's sentiment lexicons (chosen from the synthetic corpus
+    * vocabulary so scores are non-vacuous). */
+  private val sentimentPos = Seq("fast", "big")
+  private val sentimentNeg = Seq("slow", "small")
 
   val oracleSql: Map[String, String] = Map(
     "q13_cosine_topk" ->
@@ -663,5 +780,70 @@ object PipelineQueries {
         |  FROM embeddings a
         |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE rn = 1 ORDER BY label""".stripMargin,
+
+    "q42_tfidf" ->
+      """WITH tc AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, n_toks, term, count(*) AS tf_count
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, CAST(tf_count AS BIGINT) AS tf_count,
+        |  CAST(df AS BIGINT) AS df,
+        |  round(tf_count * 1.0 / n_toks * ln(n_docs * 1.0 / df), 4) AS tfidf
+        |FROM tf JOIN dfreq USING (term), tot
+        |ORDER BY doc_id, term""".stripMargin,
+
+    // Spark's sliding window(ts, 10m, 5m) is epoch-aligned; DuckDB's
+    // time_bucket origin (2000-01-03) is itself 5-minute epoch-aligned,
+    // so the two bucketings coincide. Each event expands to exactly its
+    // two covering window starts.
+    "q43_sliding_windows" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS w1, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |x AS (SELECT unnest([w1, w1 - INTERVAL '5 minutes']) AS ws,
+        |             event_type, cents
+        |      FROM e)
+        |SELECT ws, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q44_corr_matrix" -> {
+      val pairs = for (a <- corrMatrixCols; b <- corrMatrixCols) yield (a, b)
+      val aggs = pairs.map { case (a, b) =>
+        s"round(corr($a, $b), 6) AS ${a}__${b}" }.mkString(",\n  ")
+      val arms = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS var1, '$b' AS var2, ${a}__${b} AS r FROM c" }
+      s"WITH c AS (SELECT\n  $aggs\nFROM lineitem)\n" +
+        arms.mkString("", "\nUNION ALL\n", "\nORDER BY var1, var2")
+    },
+
+    "q46_sentiment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n_toks,
+        |  len(list_filter(toks, x -> list_contains(['fast','big'], x)))
+        |    AS n_pos,
+        |  len(list_filter(toks, x -> list_contains(['slow','small'], x)))
+        |    AS n_neg
+        |  FROM t)
+        |SELECT doc_id, n_pos, n_neg,
+        |  round((n_pos - n_neg) * 1.0 / n_toks, 4) AS score,
+        |  CASE WHEN round((n_pos - n_neg) * 1.0 / n_toks, 4) > 0 THEN 'pos'
+        |       WHEN round((n_pos - n_neg) * 1.0 / n_toks, 4) < 0 THEN 'neg'
+        |       ELSE 'neutral' END AS sentiment
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q45_dict_decode" ->
+      """SELECT CASE trim('  ' || o_orderstatus || ' ')
+        |         WHEN 'O' THEN 'open'
+        |         WHEN 'F' THEN 'finished'
+        |         WHEN 'P' THEN 'pending' END AS status_name,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

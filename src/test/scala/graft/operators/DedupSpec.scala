@@ -64,6 +64,39 @@ class DedupSpec extends SparkSpec {
     assert(drops == Map(2L -> 1L, 3L -> 1L, 9L -> 7L))
   }
 
+  test("connected components converge on a >2^10-step-free deep chain " +
+      "(pointer jumping, not bounded propagation)") {
+    import spark.implicits._
+    // path graph of diameter 30: plain min-label propagation needs 30
+    // rounds (the old maxIter=10 exit returned silently-wrong labels);
+    // pointer jumping converges in O(log 30) ≈ 5-6 rounds
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 31)
+    assert(comps.values.forall(_ == 0L),
+      s"all chain nodes must reach label 0, got ${comps.filter(_._2 != 0L)}")
+  }
+
+  test("wide (128-bit) simhash: order-insensitive collisions, matches " +
+      "narrow on identical sets, rejects unguaranteed maxDist") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "delta gamma beta alpha"),
+      (4L, "zeta eta theta iota kappa lambda mu nu")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupsWide(df, "doc_id", "text", maxDist = 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got $pairs — 128-bit simhash must be order-insensitive")
+    // 4 bands can only pigeonhole-guarantee hamming ≤ 3
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupsWide(df, "doc_id", "text", maxDist = 4)
+    }
+  }
+
   test("exact dedup keeps one representative per token set") {
     import spark.implicits._
     val df = Seq(
