@@ -455,8 +455,15 @@ object PipelineQueries {
         TextAnalysis.tokens(col("text")).as("toks"))
       val tc = toks.select(col("doc_id"), size(col("toks")).as("n_toks"),
         explode(col("toks")).as("term"))
+      // cache tf: BOTH the join left side and dfreq consume it, and
+      // without materialization Catalyst's column pruning makes the two
+      // subtrees differ → no ReuseExchange → the corpus-sized
+      // explode+aggregate+shuffle runs TWICE (verified in the physical
+      // plan). At 100 TB the analog is a materialized intermediate
+      // doc-term table (write once, aggregate df from it).
       val tf = tc.groupBy(col("doc_id"), col("n_toks"), col("term"))
         .agg(count(lit(1)).as("tf_count"))
+        .cache()
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val total = d.agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "term")
