@@ -533,6 +533,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X1 — 128-bit SimHash near-dup, the scale path (4×32-bit bands;
+    // measured 3.1× fewer accidental candidates than the 64-bit scheme
+    // at sf0.01 — see PLANS.md). Engine-specific hashes → rows-only
+    // gate check; semantics covered by DedupSpec.
+    "q47_simhash_wide" -> ((s, dir) => {
+      Dedup.simhashNearDupsWide(Tables(s, dir, "documents"), "doc_id",
+          "text", maxDist = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace

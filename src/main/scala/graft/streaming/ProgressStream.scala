@@ -44,4 +44,18 @@ object ProgressStream {
       .groupBy(window(col(tsCol), "1 minute"), col("event"))
       .count()
       .select(col("window.start").as("minute"), col("event"), col("count"))
+
+  /** X4 — SLIDING event-time rate (2-minute window every 1 minute):
+    * each event feeds 2 overlapping windows, a smoothed rate with no
+    * second pass (Spark plans the overlap as a streaming Expand, not a
+    * join). State = |open windows| × |event types| rows, bounded
+    * because the watermark evicts windows older than the threshold —
+    * same unbounded-source safety contract as the tumbling variant.
+    * Batch analog: q43. */
+  def slidingRate(classified: DataFrame, tsCol: String): DataFrame =
+    classified
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(window(col(tsCol), "2 minutes", "1 minute"), col("event"))
+      .count()
+      .select(col("window.start").as("start"), col("event"), col("count"))
 }

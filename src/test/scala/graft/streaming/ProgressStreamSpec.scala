@@ -107,4 +107,37 @@ class ProgressStreamSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 10:01:00.0", "page_done", 1L)))
     } finally q.stop()
   }
+
+  test("sliding rate: each event lands in both overlapping windows") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+
+    val source = MemoryStream[(java.sql.Timestamp, String)]
+    val rated = ProgressStream.slidingRate(
+      ProgressStream.classify(
+        source.toDF().toDF("ts", "value")), "ts")
+
+    val q = rated.writeStream
+      .format("memory").queryName("progress_sliding")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      source.addData(
+        (ts("2024-01-01 10:00:05"), "Extraindo dados da página 1"),
+        (ts("2024-01-01 10:00:40"), "Extraindo dados da página 2"),
+        (ts("2024-01-01 10:01:10"), "Extraindo dados da página 3"))
+      q.processAllAvailable()
+      val rows = spark.table("progress_sliding")
+        .filter($"event" === "page_done")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      // 2-min windows sliding 1 min: 10:00:05 & 10:00:40 hit windows
+      // starting 09:59 and 10:00; 10:01:10 hits 10:00 and 10:01
+      assert(rows == Set(
+        ("2024-01-01 09:59:00.0", 2L),
+        ("2024-01-01 10:00:00.0", 3L),
+        ("2024-01-01 10:01:00.0", 1L)), s"got $rows")
+    } finally q.stop()
+  }
 }
