@@ -104,4 +104,35 @@ object TextAnalysis {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** TF-IDF over whitespace tokens, pure-SQL form (oracle-exact):
+    * tf = term count / doc length, df over the doc-term relation,
+    * idf = ln(N/df). One (doc, term) hash-aggregate + one vocab-sized
+    * df aggregate joined back (AQE broadcasts it) + a broadcast 1-row
+    * doc count — two key-partitioned shuffles total, both map-side
+    * combined.
+    *
+    * The doc-term frame is cached because BOTH the output join and the
+    * df aggregate consume it; without materialization Catalyst's column
+    * pruning differentiates the two subtrees, ReuseExchange never fires,
+    * and the corpus-sized explode+aggregate+shuffle runs twice (verified
+    * in the physical plan). At 100 TB the analog is a materialized
+    * intermediate doc-term table (write once, aggregate df from it). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // alias tokens into their own projection first: size() + explode()
+    // referencing the raw split would evaluate it twice per row
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val tc = toks.select(col(idCol), size(col("toks")).as("n_toks"),
+      explode(col("toks")).as("term"))
+    val tf = tc.groupBy(col(idCol), col("n_toks"), col("term"))
+      .agg(count(lit(1)).as("tf_count"))
+      .cache()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("term"), col("tf_count"), col("df"),
+        round(col("tf_count") / col("n_toks") *
+          log(col("n_docs") / col("df")), 4).as("tfidf"))
+  }
 }

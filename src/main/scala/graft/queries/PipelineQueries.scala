@@ -448,29 +448,7 @@ object PipelineQueries {
     // ln(N/df). Two shuffles total (doc-term aggregate, term df join) —
     // both key-partitioned, map-side combined; no all-pairs anything.
     "q42_tfidf" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-      // alias tokens into their own projection first: size() + explode()
-      // referencing the raw split would evaluate it twice per row
-      val toks = d.select(col("doc_id"),
-        TextAnalysis.tokens(col("text")).as("toks"))
-      val tc = toks.select(col("doc_id"), size(col("toks")).as("n_toks"),
-        explode(col("toks")).as("term"))
-      // cache tf: BOTH the join left side and dfreq consume it, and
-      // without materialization Catalyst's column pruning makes the two
-      // subtrees differ → no ReuseExchange → the corpus-sized
-      // explode+aggregate+shuffle runs TWICE (verified in the physical
-      // plan). At 100 TB the analog is a materialized intermediate
-      // doc-term table (write once, aggregate df from it).
-      val tf = tc.groupBy(col("doc_id"), col("n_toks"), col("term"))
-        .agg(count(lit(1)).as("tf_count"))
-        .cache()
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val total = d.agg(count(lit(1)).as("n_docs"))
-      tf.join(dfreq, "term")
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"), col("term"), col("tf_count"), col("df"),
-          round(col("tf_count") / col("n_toks") *
-            log(col("n_docs") / col("df")), 4).as("tfidf"))
+      TextAnalysis.tfidf(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"), col("term"))
     }),
 
