@@ -303,4 +303,64 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Embedding near-dup with random-hyperplane LSH blocking — the scale
+    * path when no natural blocking key (label, shard) exists or a block
+    * bloats. q30's label-blocked join is O(block²) per label; here the
+    * block is an LSH bucket whose occupancy is tunable via `nPlanes`
+    * (bucket count = 2^nPlanes per table), so pair volume stays bounded
+    * regardless of how the corpus is labeled.
+    *
+    * Sign-random-projection (SimHash for vectors): bucket = the
+    * nPlanes sign bits of v·r_i packed into a long, per table.
+    * P[bit agrees] = 1 − θ/π, so near-parallel vectors collide in some
+    * table with high probability; `nTables` trades recall for cost.
+    * Probabilistic recall (unlike the pigeonhole guarantee of the text
+    * SimHash bands) — planted-pair recall is spec-tested, and the seed
+    * makes results reproducible run-to-run.
+    *
+    * Shuffle discipline: the candidate join carries ONLY (id, table,
+    * bucket) longs; vectors are joined back for verification on the
+    * (distinct) candidate pairs — array bytes never ride the n²-risk
+    * join (the array-traffic cost PLANS.md measured on q30).
+    */
+  def embedNearDupsLSH(embs: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, minSim: Double,
+                       nPlanes: Int = 8, nTables: Int = 4,
+                       seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFns
+    require(nPlanes <= 62, "bucket bits must fit a long")
+    val rng = new scala.util.Random(seed)
+    def plane(): Column =
+      array((0 until dim).map(_ => lit(rng.nextGaussian())): _*)
+    // unit-normalize once; cached — consumed by bucketing AND the two
+    // verification join-backs
+    val unit = embs
+      .select(col(idCol), VectorFns.toDouble(col(vecCol)).as("vd"))
+      .withColumn("_n", VectorFns.norm(col("vd")))
+      .select(col(idCol),
+        VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v"))
+      .cache()
+    val bucketCols = (0 until nTables).map { t =>
+      (0 until nPlanes).map { i =>
+        when(VectorFns.dot(col("v"), plane()) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"_b$t")
+    }
+    val bucketed = unit.select((col(idCol) +: bucketCols): _*)
+      .select(col(idCol),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("table"), col(s"_b$t").as("bucket"))): _*)).as("tb"))
+    val cands = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tb") === col("b.tb") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    cands
+      .join(unit.select(col(idCol).as("id1"), col("v").as("v1")), "id1")
+      .join(unit.select(col(idCol).as("id2"), col("v").as("v2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(VectorFns.dot(col("v1"), col("v2")), 4).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

@@ -521,6 +521,18 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X1 — embedding near-dup with LSH-bucket blocking (no label
+    // dependence — the q30 scale path when a block bloats). The corpus
+    // embeddings are near-random (max pairwise cosine ≈ 0.51), so the
+    // threshold is low to keep the check non-vacuous; candidates are
+    // exact-verified, so every emitted pair genuinely clears minSim.
+    // Seeded planes → rows-only but reproducible.
+    "q48_embed_lsh_neardup" -> ((s, dir) => {
+      Dedup.embedNearDupsLSH(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, minSim = 0.3, nPlanes = 6, nTables = 8)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace

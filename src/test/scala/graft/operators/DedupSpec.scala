@@ -97,6 +97,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH blocking finds planted near-parallel vectors " +
+      "and rejects dissimilar ones") {
+    import spark.implicits._
+    // 1 and 2 identical (collide in EVERY table — deterministic hit);
+    // 3 near-parallel to them; 4/5 pointing elsewhere
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (3L, Array(0.98f, 0.22f, 0.12f, 0.01f)),
+      (4L, Array(-1.0f, 0.5f, -0.3f, 0.8f)),
+      (5L, Array(0.0f, -1.0f, 0.9f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embedNearDupsLSH(vecs, "vec_id", "embedding",
+        dim = 4, minSim = 0.99, nPlanes = 4, nTables = 6)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
   test("exact dedup keeps one representative per token set") {
     import spark.implicits._
     val df = Seq(
