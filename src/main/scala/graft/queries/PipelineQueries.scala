@@ -529,7 +529,7 @@ object PipelineQueries {
     // Seeded planes → rows-only but reproducible.
     "q48_embed_lsh_neardup" -> ((s, dir) => {
       Dedup.embedNearDupsLSH(Tables(s, dir, "embeddings"), "vec_id",
-          "embedding", dim = 64, minSim = 0.3, nPlanes = 6, nTables = 8)
+          "embedding", dim = 64, minSim = 0.3, nPlanes = 8, nTables = 8)
         .orderBy(col("id1"), col("id2"))
     }),
 
