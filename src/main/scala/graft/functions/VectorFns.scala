@@ -2,12 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
-/** X2 — vector math over `array<float>` embedding columns, built entirely
-  * from codegen'd higher-order functions (`transform`/`zip_with`/
-  * `aggregate`) — no UDFs, so the expressions stay inside whole-stage
-  * codegen and the scan's column pruning still sees exactly one array
-  * column read.
+/** X2 — vector math over `array<float>` embedding columns. The fold
+  * kernels (dot, squared distance) are native codegen'd expressions
+  * ([[VectorExprs]]) — a tight primitive loop inside the fused stage,
+  * not Catalyst's interpreted HOF machinery; `transform` HOFs remain
+  * only where the OUTPUT is an array (`toDouble`, unit-normalize).
+  * No UDFs anywhere, so the scan's column pruning still sees exactly
+  * one array column read.
   *
   * All math is done in double with a sequential left-to-right fold —
   * the same accumulation order DuckDB's list functions use, so oracle
@@ -20,7 +23,7 @@ object VectorFns {
   def toDouble(c: Column): Column = transform(c, _.cast("double"))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,8 +32,7 @@ object VectorFns {
 
   /** Squared L2 distance (IVF assignment metric). */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    Bridge.column(SqDistExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** Unit-normalize given an ALREADY-MATERIALIZED norm column (alias
     * `norm(v)` into its own projection first — embedding it here would

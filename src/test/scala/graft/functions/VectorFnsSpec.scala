@@ -35,6 +35,32 @@ class VectorFnsSpec extends SparkSpec {
     }
   }
 
+  test("native fold kernels match the HOF fold bit-for-bit, and " +
+      "propagate NULL on null elements / length mismatch") {
+    import spark.implicits._
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val rows = vecs(200, 32).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      // bit-for-bit: same left-to-right double accumulation order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val edge = Seq(
+      (Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0))), // null element
+      (Seq(Some(1.0)), Seq(Some(2.0), Some(3.0)))        // length mismatch
+    ).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")).as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)),
+      "null element and length mismatch must both yield NULL (HOF parity)")
+    val empty = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")).as("d")).collect()
+    assert(empty(0).getDouble(0) == 0.0, "empty vectors dot to 0.0")
+  }
+
   test("dot distributes over addition; sqDist of identical vectors is 0") {
     import spark.implicits._
     val df = vecs(100, 16).toDF("a", "b")
