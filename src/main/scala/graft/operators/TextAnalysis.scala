@@ -135,4 +135,23 @@ object TextAnalysis {
         round(col("tf_count") / col("n_toks") *
           log(col("n_docs") / col("df")), 4).as("tfidf"))
   }
+
+  /** TF-IDF as per-doc SPARSE VECTORS (`HashingTF` → `IDF`) — the
+    * ml-native companion to the long-form [[tfidf]] relation, for
+    * feeding clustering/classification pipelines directly. Hashing is
+    * seeded murmur3 (deterministic across runs); the IDF fit is one
+    * treeAggregate pass over the corpus. `numFeatures` bounds vector
+    * width (and hash-collision rate) independent of vocabulary size —
+    * the property that makes this the 100 TB-safe featurization (no
+    * vocab dictionary to build, broadcast, or skew). */
+  def tfidfVectors(docs: DataFrame, idCol: String, textCol: String,
+                   numFeatures: Int = 1024): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF}
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(numFeatures).transform(toks)
+    new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
+      .transform(tf)
+      .select(col(idCol), col("tfidf"))
+  }
 }

@@ -533,6 +533,23 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X3 — ml-native TF-IDF vectors (HashingTF → IDF). Hash buckets are
+    // engine-specific → rows-only; output projected to scalar summaries
+    // (nnz, l2 norm) so the gate parquet stays plain-typed. Vector
+    // semantics are spec-tested (ubiquitous-term idf = 0, planted
+    // tf ordering).
+    "q49_tfidf_vectors" -> ((s, dir) => {
+      import org.apache.spark.ml.functions.vector_to_array
+      TextAnalysis.tfidfVectors(Tables(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), vector_to_array(col("tfidf")).as("va"))
+        .select(col("doc_id"),
+          size(filter(col("va"), x => x =!= 0.0)).as("nnz"),
+          round(sqrt(aggregate(col("va"), lit(0.0),
+            (acc, x) => acc + x * x)), 4).as("l2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
