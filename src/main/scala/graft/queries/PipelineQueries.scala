@@ -550,6 +550,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline — sequence packing: bin documents into fixed
+    // token-budget training sequences (4096 tokens) via a cumulative
+    // sum PER SOURCE SHARD, not a global window (a global ORDER BY
+    // window is a single-partition scale-killer; per-shard windows
+    // parallelize across the natural write layout). bin = tokens
+    // accumulated BEFORE the doc, div budget — the standard greedy
+    // chunking, deterministic on (source, doc_id) order.
+    "q50_sequence_packing" -> ((s, dir) => {
+      val budget = 4096
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .withColumn("bin", ((col("cum") - col("n_toks")) / budget)
+          .cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // LLM-pipeline — deterministic train/val/test split: assignment is
+    // a pure function of the doc id (mod buckets), so it is stable
+    // across runs, engines, and re-partitionings — the property an
+    // eval carve-out must have. Stateless map + one |splits|-row
+    // aggregate.
+    "q51_split_assign" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("split",
+          when(col("doc_id") % 100 < 80, lit("train"))
+            .when(col("doc_id") % 100 < 90, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text")))).as("tokens"))
+        .orderBy(col("split"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
@@ -869,5 +908,25 @@ object PipelineQueries {
         |         WHEN 'P' THEN 'pending' END AS status_name,
         |       count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_toks,
+        |        sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT source, CAST(floor((cum - n_toks) / 4096) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q51_split_assign" ->
+      """SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |            WHEN doc_id % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
