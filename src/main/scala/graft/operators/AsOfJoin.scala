@@ -39,7 +39,24 @@ object AsOfJoin {
     *         right row exists — left-join semantics) */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String,
-               payloadCols: Map[String, String]): DataFrame = {
+               payloadCols: Map[String, String]): DataFrame =
+    asof(left, right, keyCol, leftTs, rightTs, payloadCols,
+      forward = false)
+
+  /** Forward as-of: the EARLIEST right row at-or-after each left row's
+    * timestamp (DuckDB `ASOF JOIN ... ON l.ts <= r.ts`). Same plan as
+    * [[backward]] on a reversed time axis — the window sorts `_ts`
+    * descending, so "last right row seen" is the nearest future one. */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+              leftTs: String, rightTs: String,
+              payloadCols: Map[String, String]): DataFrame =
+    asof(left, right, keyCol, leftTs, rightTs, payloadCols,
+      forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   payloadCols: Map[String, String],
+                   forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadType = StructType(payloadCols.toSeq.map { case (src, dst) =>
       StructField(dst, right.schema(src).dataType, nullable = true) })
@@ -57,9 +74,13 @@ object AsOfJoin {
         leftCols.filterNot(_ == keyCol).map(col)): _*)
 
     // _payload in the sort order only disambiguates equal-(ts, tag)
-    // right rows; left rows all have a NULL payload there.
+    // right rows; left rows all have a NULL payload there. Forward
+    // direction = the same carry on a reversed time axis (_ts desc);
+    // _tag stays ascending so rights still sort before lefts at equal
+    // ts, keeping the match inclusive in both directions.
+    val tsOrder = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(keyCol)
-      .orderBy(col("_ts"), col("_tag"), col("_payload"))
+      .orderBy(tsOrder, col("_tag"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightNorm.unionByName(leftNorm)
       .withColumn("_carry", last(col("_payload"), ignoreNulls = true).over(w))

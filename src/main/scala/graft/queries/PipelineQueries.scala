@@ -356,6 +356,20 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: each purchase matched to the EARLIEST view
+    // at-or-after it — same single-window plan as q36 on a reversed
+    // time axis. Oracle: DuckDB ASOF with <=.
+    "q52_asof_forward" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.forward(purchases, views, "user_id",
+          "ts", "ts", Map("value" -> "view_value", "ts" -> "view_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: events bucketed into fixed value bands via the
     // bucketed equi-join form (never BroadcastNestedLoop at scale).
     // Exact integer-cent sums; oracle is the plain theta-join.
@@ -772,6 +786,16 @@ object PipelineQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
         |                WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q52_asof_forward" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |       v.value AS view_value, v.ts AS view_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "q39_dedup_components" ->

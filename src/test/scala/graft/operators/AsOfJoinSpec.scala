@@ -52,6 +52,28 @@ class AsOfJoinSpec extends SparkSpec {
       "value must be the latest row's NULL, not an older row's 1.0")
   }
 
+  test("forward as-of matches the earliest right row at-or-after, " +
+      "inclusive, NULL when none follows") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:15")), // between rights → 10:00:20
+      (2L, 100L, ts("2024-01-01 10:00:20")), // equal ts → inclusive match
+      (3L, 100L, ts("2024-01-01 10:00:30")), // after all rights → NULL
+      (4L, 200L, ts("2024-01-01 10:00:00"))  // key with no rights → NULL
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 10:00:10"), 1.0),
+      (100L, ts("2024-01-01 10:00:20"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = AsOfJoin.forward(left, right, "user_id", "ts", "ts",
+        Map("value" -> "v"))
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(3) == 2.0, "earliest following row wins")
+    assert(out(1).getDouble(3) == 2.0, "equal ts matches (inclusive)")
+    assert(out(2).isNullAt(3), "no following right row → NULL")
+    assert(out(3).isNullAt(3), "key with no right rows → NULL")
+  }
+
   test("equal-ts right duplicates resolve deterministically " +
       "(greatest payload tuple)") {
     import spark.implicits._
