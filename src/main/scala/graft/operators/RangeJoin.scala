@@ -42,4 +42,45 @@ object RangeJoin {
           fb(valueCol) >= rb(loCol) && fb(valueCol) < rb(hiCol))
       .drop("_bucket")
   }
+
+  /** Buckets covered by the half-open interval [lo, hi); empty for
+    * degenerate intervals (see the descent note above). */
+  private def bucketSeq(lo: org.apache.spark.sql.Column,
+                        hi: org.apache.spark.sql.Column,
+                        width: Double): org.apache.spark.sql.Column =
+    when(hi > lo,
+      sequence(
+        floor(lo / width).cast("long"),
+        floor((hi - lit(width * 1e-9)) / width).cast("long")))
+      .otherwise(array().cast("array<long>"))
+
+  /** Interval OVERLAP join — `[aLo, aHi) ∩ [bLo, bHi) ≠ ∅`, the
+    * temporal/genomic workhorse. Same bucketing idea as above with both
+    * sides exploded, plus a dedup-FREE pair emission: a pair whose
+    * intervals share several buckets would match once per shared
+    * bucket, so the join keeps only the bucket containing
+    * `max(aLo, bLo)` — the first bucket where both intervals are
+    * present. That residual predicate replaces a corpus-sized
+    * `distinct` shuffle with a per-row comparison.
+    *
+    * Caller supplies frames with disjoint column names; output is all
+    * columns of `a` then `b`. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aLo: String, aHi: String,
+                          bLo: String, bHi: String,
+                          width: Double): DataFrame = {
+    require(width > 0)
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "interval frames must have disjoint column names")
+    val ab = a.withColumn("_bucket_a",
+      explode(bucketSeq(col(aLo), col(aHi), width)))
+    val bb = b.withColumn("_bucket_b",
+      explode(bucketSeq(col(bLo), col(bHi), width)))
+    ab.join(bb,
+        ab("_bucket_a") === bb("_bucket_b") &&
+          ab(aLo) < bb(bHi) && bb(bLo) < ab(aHi) &&
+          ab("_bucket_a") ===
+            floor(greatest(ab(aLo), bb(bLo)) / width).cast("long"))
+      .drop("_bucket_a", "_bucket_b")
+  }
 }

@@ -370,6 +370,35 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Interval-overlap join (temporal workhorse): lineitem
+    // ship→receipt intervals × 1997 month windows, via the bucketed
+    // equi-join with dedup-free pair emission (never BNLJ, no distinct
+    // shuffle). Dates as epoch-day doubles; exact integer-cent sums.
+    "q53_interval_overlap" -> ((s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      // no receipt date in the synthetic schema — derive a
+      // deterministic one (ship + 1..30 days keyed on line number),
+      // mirrored exactly in the oracle
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate"), epoch).cast("double").as("ship_d"),
+          (datediff(col("l_shipdate"), epoch) +
+            lit(1) + col("l_linenumber") % 30).cast("double").as("rcpt_d"))
+      val months = s.range(12).select(
+        (col("id") + 1).cast("int").as("mo"),
+        datediff(make_date(lit(1997), (col("id") + 1).cast("int"), lit(1)),
+          epoch).cast("double").as("mo_lo"),
+        datediff(add_months(
+            make_date(lit(1997), (col("id") + 1).cast("int"), lit(1)), 1),
+          epoch).cast("double").as("mo_hi"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          li, months, "ship_d", "rcpt_d", "mo_lo", "mo_hi", width = 32.0)
+        .groupBy(col("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum((dec(col("l_quantity")) * 100).cast("long")).as("qty_cents"))
+        .orderBy(col("mo"))
+    }),
+
     // Range join: events bucketed into fixed value bands via the
     // bucketed equi-join form (never BroadcastNestedLoop at scale).
     // Exact integer-cent sums; oracle is the plain theta-join.
@@ -797,6 +826,30 @@ object PipelineQueries {
         |                WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q53_interval_overlap" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         date_diff('day', DATE '1970-01-01',
+        |           CAST(l_shipdate AS DATE)) AS ship_d,
+        |         date_diff('day', DATE '1970-01-01',
+        |           CAST(l_shipdate AS DATE)) + 1 + l_linenumber % 30
+        |           AS rcpt_d
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(i + 1 AS INT) AS mo,
+        |         date_diff('day', DATE '1970-01-01',
+        |           make_date(1997, CAST(i + 1 AS INT), 1)) AS mo_lo,
+        |         date_diff('day', DATE '1970-01-01',
+        |           CAST(make_date(1997, CAST(i + 1 AS INT), 1)
+        |                + INTERVAL 1 MONTH AS DATE)) AS mo_hi
+        |  FROM range(12) t(i))
+        |SELECT mo, count(*) AS n, CAST(sum(cents) AS BIGINT) AS qty_cents
+        |FROM li JOIN m
+        |  ON ship_d < mo_hi AND mo_lo < rcpt_d
+        |     AND rcpt_d > ship_d AND mo_hi > mo_lo
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_dedup_components" ->
       """WITH RECURSIVE
