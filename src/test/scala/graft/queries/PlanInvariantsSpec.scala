@@ -42,4 +42,15 @@ class PlanInvariantsSpec extends SparkSpec {
   test("dimension joins broadcast in the region-revenue query") {
     assert(planOf("q07_region_revenue").contains("BroadcastHashJoin"))
   }
+
+  test("range and interval joins plan bucket equi-joins, never " +
+      "nested-loop") {
+    // the whole point of the bucketed forms: a bare range/overlap
+    // predicate would fall back to BroadcastNestedLoopJoin
+    Seq("q37_range_join", "q53_interval_overlap").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to nested-loop join:\n${plan.take(2000)}")
+    }
+  }
 }
