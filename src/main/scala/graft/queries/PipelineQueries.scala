@@ -632,6 +632,54 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // A7 — CUBE over (year, status): all four grouping sets in one
+    // pass (Spark plans cube as a 4-way Expand + single hash-aggregate,
+    // not four scans). Exact integer-cent sums.
+    "q54_cube" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"),
+          col("o_orderstatus").as("st"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .cube(col("yr"), col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy(col("yr"), col("st"))
+    }),
+
+    // X1 — edit-distance near-dup with first-token blocking: pairs are
+    // generated only within a block (docs sharing their first token —
+    // never all-pairs), then scored with levenshtein over the 40-char
+    // head. The block key is the cheapest member of the
+    // prefix-blocking family; swap for a fingerprint prefix on a real
+    // corpus. Fully oracle-checkable (levenshtein is engine-portable,
+    // unlike hash-based signatures).
+    "q55_edit_neardup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 40).as("head"),
+        split(col("text"), " ").getItem(0).as("blk"))
+      d.as("a")
+        .join(d.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          levenshtein(col("a.head"), col("b.head")).cast("long").as("lev"))
+        .filter(col("lev") <= 5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // X1 end-to-end — APPLY the dedup decision: near-dup pairs →
+    // connected components → drop-list → anti-join, yielding the clean
+    // corpus summary. The full pipeline a training-data run executes,
+    // exercised as one query (components via the same pointer-jumping
+    // operator as q39).
+    "q56_dedup_apply" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = TextAnalysis.jaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      val drops = Dedup.nearDupDropList(pairs)
+      docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text")))).as("tokens"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
@@ -826,6 +874,56 @@ object PipelineQueries {
         |                WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q54_cube" ->
+      """SELECT year(o_orderdate) AS yr, o_orderstatus AS st,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY CUBE (yr, st) ORDER BY yr, st""".stripMargin,
+
+    "q55_edit_neardup" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS head,
+        |                  string_split(text, ' ')[1] AS blk
+        |           FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q56_dedup_apply" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks)),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+        |         WHERE c BETWEEN 2 AND 100),
+        |shr AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN szs s1 ON id1 = s1.doc_id
+        |          JOIN szs s2 ON id2 = s2.doc_id
+        |          WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+        |drops AS (SELECT node FROM (
+        |  SELECT node, min(root) AS label FROM reach GROUP BY node)
+        |  WHERE node != label)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)"""
+        .stripMargin,
 
     "q53_interval_overlap" ->
       """WITH li AS (
