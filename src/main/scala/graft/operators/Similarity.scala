@@ -81,6 +81,36 @@ object Similarity {
       .select(col(idCol), round(col("distCol"), 4).as("dist"))
   }
 
+  /** Materialize the inverted file: vectors written PARTITIONED BY
+    * centroid list. This is the 100 TB layout the ivfTopK Scaladoc
+    * promises: once the index is on disk, a probe opens only the
+    * nProbe/C partition directories — IO scales with the probe
+    * fraction, not the corpus. */
+  def ivfWriteIndex(vectors: DataFrame, cents: DataFrame, idCol: String,
+                    vecCol: String, path: String): Unit =
+    vectors.join(ivfAssign(vectors, cents, idCol, vecCol), Seq(idCol))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Probe a materialized index. The probe list is nProbe centroid ids
+    * — a driver-side scalar fetch of the (tiny, broadcast-sized)
+    * centroid ranking, NOT a data-path collect — turned into a literal
+    * `isin` so the scan prunes PARTITION DIRECTORIES (shows as
+    * `PartitionFilters` in the plan), never reading the other lists'
+    * files. Exact top-k on the surviving candidates. */
+  def ivfProbePruned(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, cents: DataFrame,
+                     queryVec: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nProbe: Int): DataFrame = {
+    val probed = cents.crossJoin(broadcast(queryVec))
+      .withColumn("d2", VectorFns.sqDist(col("cvec"), col("qvec")))
+      .orderBy(col("d2"), col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id")).collect().map(_.getLong(0))
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(probed: _*))
+    topK(idx, queryVec, idCol, vecCol, k)
+  }
+
   /** IVF probe: query's nProbe nearest centroids → candidate vectors
     * from those lists only → exact cosine top-k on the candidates. */
   def ivfTopK(vectors: DataFrame, cents: DataFrame, queryVec: DataFrame,

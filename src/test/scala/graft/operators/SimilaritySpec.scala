@@ -18,6 +18,27 @@ class SimilaritySpec extends SparkSpec {
     (e, qv, base)
   }
 
+  test("materialized IVF index probe prunes partitions and matches " +
+      "the in-memory probe") {
+    val (e, qv, base) = setup()
+    val cents = Similarity.centroids(e, "vec_id", "embedding", step = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.ivfWriteIndex(base, cents, "vec_id", "embedding", dir)
+
+    val pruned = Similarity.ivfProbePruned(spark, dir, cents, qv,
+      "vec_id", "embedding", k = 10, nProbe = 3)
+    // the probe literal must reach the scan as a PARTITION filter
+    // (directory pruning), not a row filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"probe did not prune partitions:\n${plan.take(1500)}")
+    val inMem = Similarity.ivfTopK(base, cents, qv, "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val out = pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == inMem, s"pruned probe diverged: $out vs $inMem")
+  }
+
   test("full-probe IVF is exactly brute force") {
     val (e, qv, base) = setup()
     val cents = Similarity.centroids(e, "vec_id", "embedding", step = 10)
