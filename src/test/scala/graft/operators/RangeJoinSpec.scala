@@ -43,6 +43,20 @@ class RangeJoinSpec extends SparkSpec {
       s"got ${out.toSet}")
   }
 
+  test("negative values and ranges bucket correctly (floor, not " +
+      "truncate-toward-zero)") {
+    import spark.implicits._
+    // floor(-25/50) = -1, trunc would give 0 and miss the bucket match
+    val fact = Seq((1L, -25.0), (2L, -75.0), (3L, 25.0)).toDF("id", "value")
+    val ranges = Seq((-50.0, 0.0, "neg"), (0.0, 50.0, "pos"))
+      .toDF("lo", "hi", "band")
+    val out = RangeJoin.bucketedRangeJoin(fact, ranges, "value", "lo", "hi",
+        width = 50.0)
+      .select("id", "band").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "neg"), (3L, "pos")), s"got $out")
+  }
+
   test("inverted and empty ranges (hi <= lo) produce zero rows") {
     import spark.implicits._
     val fact = Seq((1L, 10.0), (2L, 75.0)).toDF("id", "value")
