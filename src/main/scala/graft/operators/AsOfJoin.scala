@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
-/** As-of (backward) join — an operator Spark lacks natively, composed
-  * from existing operators per the custom-operator preference order
+/** As-of join (backward and forward) — an operator Spark lacks
+  * natively, composed from existing operators per the preference order
   * (compose > custom expression > custom SparkPlan): for each left row,
   * attach the LATEST right row with `right.ts <= left.ts` on the same
   * key.

@@ -193,6 +193,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds 2^rounds; raise maxIter")
+    // labels is localCheckpoint-materialized (lineage-free), so the
+    // edge cache can be released before returning
+    edges.unpersist()
     labels
   }
 
