@@ -29,9 +29,13 @@ object Dedup {
 
   /** Exact dedup: one representative (min id) + duplicate count per
     * signature. A single hash-aggregate — map-side partial combine makes
-    * the shuffle |groups|-sized. */
+    * the shuffle |groups|-sized. The group key is md5(signature), NOT
+    * the signature itself: the raw signature is document-sized, so
+    * grouping on it shuffles the whole corpus as keys; the digest is a
+    * fixed 32 bytes (collision odds ~2⁻⁶⁴ — the standard dedup-system
+    * trade, same as the hashed shingles below). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.withColumn("sig", tokenSetSignature(col(textCol)))
+    docs.withColumn("sig", md5(tokenSetSignature(col(textCol))))
       .groupBy("sig")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 

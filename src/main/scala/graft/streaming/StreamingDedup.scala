@@ -32,7 +32,10 @@ object StreamingDedup {
   def exactWithinWatermark(docs: DataFrame, textCol: String,
                            tsCol: String, delay: String): DataFrame =
     docs
-      .withColumn("_sig", Dedup.tokenSetSignature(col(textCol)))
+      // digest, not raw signature: the dedup state store keeps one row
+      // per signature for the whole watermark window — 32 bytes per doc
+      // instead of the document itself
+      .withColumn("_sig", md5(Dedup.tokenSetSignature(col(textCol))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_sig")
       .drop("_sig")
