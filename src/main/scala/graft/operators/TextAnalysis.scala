@@ -105,6 +105,79 @@ object TextAnalysis {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Repetition statistics (the Gopher-style "repetition" quality
+    * signals): the fraction of n-gram OCCURRENCES that are repeats of an
+    * earlier n-gram in the same document, plus the frequency share of the
+    * single most common token. High values flag boilerplate/looping text.
+    *
+    * Two shapes on purpose: the 2-gram duplicate fraction is a pure
+    * per-row expression (distinct-shingle count vs positional count — no
+    * shuffle at all), while the top-token share goes through an
+    * explode → (doc, term) count → per-doc max aggregate — the shape that
+    * stays bounded when documents are millions of tokens (a per-row HOF
+    * scanning the token array per distinct token would be O(n·distinct)
+    * per document). */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val gramStats = toks.select(col(idCol),
+      size(col("toks")).as("n_toks"),
+      greatest(size(col("toks")) - 1, lit(0)).as("n_2grams"),
+      size(shingles(col("toks"), 2)).as("nd_2grams"))
+    val topTok = toks
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_c"))
+    gramStats.join(topTok, idCol)
+      .select(col(idCol), col("n_toks"),
+        when(col("n_2grams") > 0,
+          round(lit(1.0) - col("nd_2grams").cast("double") /
+            col("n_2grams").cast("double"), 4)).otherwise(lit(0.0))
+          .as("dup_2gram_frac"),
+        round(col("top_c").cast("double") / col("n_toks").cast("double"), 4)
+          .as("top_tok_frac"))
+  }
+
+  /** Fixed-size overlapping token chunking — the step that turns
+    * variable-length documents into training-window-sized pieces
+    * (`chunkSize` tokens, advancing by `stride`, so consecutive chunks
+    * overlap by chunkSize − stride). Pure per-row expression: the chunk
+    * index list is a guarded `sequence` (Spark's sequence DESCENDS when
+    * stop < start, so the short-doc case pins n_chunks to 1), exploded
+    * to a row per chunk. No shuffle; a 100 TB corpus chunks at scan
+    * speed and the output stays partitioned like the input. */
+  def chunkSpans(docs: DataFrame, idCol: String, textCol: String,
+                 chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= chunkSize, "need 0 < stride <= chunkSize")
+    val n = size(tokens(col(textCol)))
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(ceil((n - chunkSize).cast("double") / stride) + 1)
+    docs.select(col(idCol), n.as("n_toks"), nChunks.as("n_chunks"))
+      .select(col(idCol), col("n_toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(chunkSize).cast("long"),
+          col("n_toks") - col("chunk_id") * stride).as("chunk_len"))
+  }
+
+  /** PII redaction patterns — shared between the Spark plan and the
+    * DuckDB oracle (both RE2/Java-compatible, no lookaround). */
+  val emailRegex = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+  val numberRegex = "[0-9]+"
+
+  /** PII scrub: replace email addresses then digit runs with typed
+    * placeholder tokens. Stateless codegen'd regex maps over the scan —
+    * the shape a 100 TB privacy pass needs (no shuffle, no UDF). Real
+    * deployments extend the pattern list (phone formats, id numbers);
+    * the operator is the composition, patterns are config. */
+  def redactPII(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRegex, "<EMAIL>"),
+      numberRegex, "<NUM>")
+
   /** TF-IDF over whitespace tokens, pure-SQL form (oracle-exact):
     * tf = term count / doc length, df over the doc-term relation,
     * idf = ln(N/df). One (doc, term) hash-aggregate + one vocab-sized

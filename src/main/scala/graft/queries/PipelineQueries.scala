@@ -684,6 +684,106 @@ object PipelineQueries {
           sum(size(TextAnalysis.tokens(col("text")))).as("tokens"))
     }),
 
+    // LLM-pipeline — test-set decontamination: flag corpus docs sharing
+    // any 8-token span with the held-out benchmark slice (doc_id % 23).
+    // Corpus-shingle explode → equi-join against the broadcast-able
+    // distinct benchmark shingle set → per-doc hit count; never
+    // all-pairs. 8-grams on purpose: decontamination wants exact long
+    // spans, not topical similarity.
+    "q57_decontaminate" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.overlapHits(
+          d.filter(col("doc_id") % 23 =!= 0),
+          d.filter(col("doc_id") % 23 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X3 — Gopher-style repetition signals: duplicate-2-gram fraction
+    // (per-row expression, zero shuffle) + top-token frequency share
+    // (explode → (doc,term) count → per-doc max — the shape that stays
+    // bounded on million-token documents).
+    "q58_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // X3 — Gopher-style quality gate: token count, mean token length
+    // (chars-minus-separators over tokens — exact for the single-space
+    // corpus), stopword fraction, composed into a keep decision. All
+    // stateless codegen'd maps over the scan.
+    "q59_quality_gate" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"), length(col("text")).as("nc"))
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          round((col("nc") - (size(col("toks")) - 1)).cast("double") /
+            size(col("toks")).cast("double"), 4).as("mean_tok_len"),
+          round(TextAnalysis.wordSetRatio(col("toks"), Seq("a", "the")), 4)
+            .as("stop_frac"))
+        .withColumn("keep",
+          col("n_toks").between(30, 80) &&
+            col("mean_tok_len").between(3.0, 10.0) &&
+            col("stop_frac") <= 0.08)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline — deterministic md5-hash sampling, stratified by
+    // source: the keep decision is a pure function of the doc id (md5
+    // hex < "1a" ≈ 10.16%), so the sample is stable across runs,
+    // engines, and partitionings — and md5 makes it oracle-exact,
+    // unlike murmur/xxhash. One map-side-combined aggregate.
+    "q60_hash_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedCounts(
+          Tables(s, dir, "documents"), "doc_id", "source", "1a")
+        .orderBy(col("source"))
+    }),
+
+    // LLM-pipeline — domain-mixing weights: per-source token mass ×
+    // sampling weight, normalized to each domain's fraction of the
+    // training mixture. Corpus aggregates to |domains| rows first; the
+    // grand total joins back via a broadcast 1-row frame (no global
+    // window over unaggregated data).
+    "q61_domain_mix" -> ((s, dir) => {
+      graft.operators.Sampling.domainMix(
+          Tables(s, dir, "documents"), "source",
+          size(TextAnalysis.tokens(col("text"))).cast("long"),
+          when(col("source").isin("src0", "src1", "src2"), lit(3.0))
+            .otherwise(lit(1.0)))
+        .orderBy(col("source"))
+    }),
+
+    // LLM-pipeline — PII redaction: email then digit-run scrub with
+    // typed placeholders, plus match accounting. The corpus is synthetic
+    // (no real PII), so the PII-bearing column is derived
+    // deterministically from doc_id — the redaction pipeline itself is
+    // the operator under test. Stateless codegen'd regex maps.
+    "q62_pii_redact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("contact",
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@mail.com call 555-"), col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          TextAnalysis.redactPII(col("contact")).as("redacted"),
+          regexp_count(col("contact"), lit(TextAnalysis.emailRegex))
+            .cast("long").as("n_emails"),
+          regexp_count(
+            regexp_replace(col("contact"), TextAnalysis.emailRegex,
+              "<EMAIL>"),
+            lit(TextAnalysis.numberRegex)).cast("long").as("n_nums"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline — overlapping token chunking (50-token windows,
+    // stride 40): guarded-sequence explode, a pure per-row expression —
+    // no shuffle, output stays partitioned like the input.
+    "q63_chunking" -> ((s, dir) => {
+      TextAnalysis.chunkSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 50, stride = 40)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
@@ -1107,5 +1207,107 @@ object PipelineQueries {
         |       count(*) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q57_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 7, 0) + 1),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS sh
+        |  FROM toks)),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh
+        |WHERE doc_id % 23 != 0 AND sh IN (SELECT sh FROM bench)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q58_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_toks,
+        |        greatest(len(toks) - 1, 0) AS n2,
+        |        len(list_distinct(list_transform(
+        |          range(1, greatest(len(toks) - 1, 0) + 1),
+        |          i -> array_to_string(toks[i:i+1], ' ')))) AS nd2
+        |      FROM t),
+        |tt AS (SELECT doc_id, max(c) AS top_c FROM (
+        |         SELECT doc_id, term, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |         GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT g.doc_id, n_toks,
+        |  CASE WHEN n2 > 0 THEN round(1.0 - nd2 * 1.0 / n2, 4)
+        |       ELSE 0.0 END AS dup_2gram_frac,
+        |  round(top_c * 1.0 / n_toks, 4) AS top_tok_frac
+        |FROM g JOIN tt ON g.doc_id = tt.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q59_quality_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  length(text) AS nc
+        |           FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_toks,
+        |        round((nc - (len(toks) - 1)) * 1.0 / len(toks), 4)
+        |          AS mean_tok_len,
+        |        round(len(list_filter(toks,
+        |            x -> list_contains(['a', 'the'], x)))
+        |          * 1.0 / len(toks), 4) AS stop_frac
+        |      FROM t)
+        |SELECT doc_id, n_toks, mean_tok_len, stop_frac,
+        |  (n_toks BETWEEN 30 AND 80
+        |    AND mean_tok_len BETWEEN 3.0 AND 10.0
+        |    AND stop_frac <= 0.08) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q60_hash_sample" ->
+      """SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_domain_mix" ->
+      """WITH d AS (SELECT source,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |               AS tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, tokens,
+        |        CASE WHEN source IN ('src0', 'src1', 'src2')
+        |             THEN 3.0 ELSE 1.0 END AS weight
+        |      FROM d),
+        |t AS (SELECT sum(tokens * weight) AS total_eff FROM w)
+        |SELECT source, tokens, weight,
+        |  round(tokens * weight / total_eff, 6) AS mix_frac
+        |FROM w, t ORDER BY source""".stripMargin,
+
+    "q62_pii_redact" ->
+      """WITH c AS (SELECT doc_id,
+        |             'user' || doc_id || '@mail.com call 555-' || doc_id
+        |               AS contact
+        |           FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(contact,
+        |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(contact,
+        |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]+')) AS BIGINT) AS n_nums
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q63_chunking" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST(CASE WHEN n <= 50 THEN 1
+        |          ELSE ceil((n - 50) / 40.0) + 1 END AS BIGINT)))
+        |          AS chunk_id
+        |      FROM t)
+        |SELECT doc_id, chunk_id, chunk_id * 40 AS start_tok,
+        |  least(50, n - chunk_id * 40) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }
