@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-5 pipeline operators: decontamination, deterministic sampling,
+  * domain mixing, repetition stats, chunking, PII redaction. The gate
+  * oracle-checks each against DuckDB on the synthetic corpus (q57–q63);
+  * these specs pin the SEMANTIC edge cases small SF data can't reach. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("decontaminate: flags exactly the docs sharing an n-gram span " +
+      "with the benchmark, and clean() drops them") {
+    val bench = docs(100L -> "a b c d e f g h unique bench tail")
+    val corpus = docs(
+      1L -> "x a b c d e f g h y",       // shares the 8-gram a..h
+      2L -> "completely different words here no overlap at all",
+      3L -> "a b c d e f g QQ h")        // breaks the run: no shared 8-gram
+    val hits = Decontaminate.overlapHits(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L))
+    val kept = Decontaminate.clean(corpus, bench, "doc_id", "text", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("decontaminate: short documents (< n tokens) never match") {
+    val bench = docs(100L -> "a b c")
+    val corpus = docs(1L -> "a b c")
+    assert(Decontaminate.overlapHits(corpus, bench, "doc_id", "text", 8)
+      .count() == 0)
+  }
+
+  test("md5 sampling is a pure function of the id: stable across " +
+      "repartitionings and row order") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val a = Sampling.stratifiedCounts(
+      ids.withColumn("s", lit("x")), "id", "s", "1a")
+      .collect()(0)
+    val b = Sampling.stratifiedCounts(
+      ids.repartition(13).orderBy(col("id").desc).withColumn("s", lit("x")),
+      "id", "s", "1a")
+      .collect()(0)
+    assert(a.getLong(1) == 2000 && a.getLong(2) == b.getLong(2))
+    // 26/256 of the hash space ≈ 10.16%; 2000 draws concentrate hard
+    assert(a.getLong(2) > 120 && a.getLong(2) < 290,
+      s"sample rate wildly off: ${a.getLong(2)}/2000")
+  }
+
+  test("domainMix: weighted fractions sum to 1 and scale with weight") {
+    import spark.implicits._
+    val d = Seq(("d1", 100L), ("d2", 100L), ("d3", 200L))
+      .toDF("domain", "n_toks")
+    val mix = Sampling.domainMix(d, "domain", col("n_toks"),
+        when(col("domain") === "d1", lit(3.0)).otherwise(lit(1.0)))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // effective: d1=300, d2=100, d3=200 → total 600
+    assert(mix("d1") == 0.5 && mix("d2") == math.rint(1e6 / 6) / 1e6 &&
+      mix("d3") == math.rint(2e6 / 6) / 1e6)
+    assert(math.abs(mix.values.sum - 1.0) < 1e-4)
+  }
+
+  test("repetitionStats: looping text scores high, diverse text zero; " +
+      "single-token doc has no 2-grams") {
+    val out = TextAnalysis.repetitionStats(docs(
+        1L -> "spam spam spam spam",   // 3 identical 2-grams, top tok 4/4
+        2L -> "all words differ here", // no repeats
+        3L -> "one"),                  // 0 2-grams → dup frac 0.0
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4, math.rint((1.0 - 1.0 / 3) * 1e4) / 1e4, 1.0)))
+    assert(out(2L) == ((4, 0.0, 0.25)))
+    assert(out(3L) == ((1, 0.0, 1.0)))
+  }
+
+  test("chunkSpans: exact boundary, one-over, and short-doc cases") {
+    def spans(nTokens: Int) = {
+      val text = (1 to nTokens).map(i => s"t$i").mkString(" ")
+      TextAnalysis.chunkSpans(docs(1L -> text), "doc_id", "text",
+          chunkSize = 50, stride = 40)
+        .orderBy("chunk_id")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    assert(spans(10).toSeq == Seq((0L, 0L, 10L)))
+    assert(spans(50).toSeq == Seq((0L, 0L, 50L)))
+    assert(spans(51).toSeq == Seq((0L, 0L, 50L), (1L, 40L, 11L)))
+    assert(spans(130).toSeq ==
+      Seq((0L, 0L, 50L), (1L, 40L, 50L), (2L, 80L, 50L)))
+    // every token index < n is covered by some chunk
+    val cover = spans(97).flatMap { case (_, s, l) => s until (s + l) }.toSet
+    assert(cover == (0L until 97L).toSet)
+  }
+
+  test("redactPII scrubs emails before digit runs (email digits never " +
+      "leak as <NUM>) and leaves clean text untouched") {
+    import spark.implicits._
+    val out = Seq(
+        "reach me9@host99.com or 555-0100 x42",
+        "no pii here at all")
+      .toDF("t")
+      .select(TextAnalysis.redactPII(col("t")))
+      .collect().map(_.getString(0))
+    assert(out(0) == "reach <EMAIL> or <NUM>-<NUM> x<NUM>")
+    assert(out(1) == "no pii here at all")
+  }
+}
