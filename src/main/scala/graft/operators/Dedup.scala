@@ -89,8 +89,13 @@ object Dedup {
                             minBands: Int = 2): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val sigs = sh.select(col(idCol), minhashSignature(col("shs"), k).as("sig"))
+    // cached: `banded` is self-joined as a/b below, so without
+    // materialization the k-hash-function signature pipeline is computed
+    // TWICE (once per join side) — the same HOF-duplication trap
+    // simhashNearDups documents for its 64-expression fingerprint
     val banded = sigs.select(col(idCol),
       explode(lshBandHashes(col("sig"), bands, k / bands)).as("bandh"))
+      .cache()
     banded.as("a")
       .join(banded.as("b"),
         col("a.bandh") === col("b.bandh") &&
@@ -354,10 +359,13 @@ object Dedup {
           .otherwise(lit(0L))
       }.reduce(_ + _).as(s"_b$t")
     }
+    // cached: self-joined as a/b below — without materialization the
+    // nPlanes × nTables projection dot products run twice (per join side)
     val bucketed = unit.select((col(idCol) +: bucketCols): _*)
       .select(col(idCol),
         explode(array((0 until nTables).map(t =>
           struct(lit(t).as("table"), col(s"_b$t").as("bucket"))): _*)).as("tb"))
+      .cache()
     val cands = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tb") === col("b.tb") && col(s"a.$idCol") < col(s"b.$idCol"))

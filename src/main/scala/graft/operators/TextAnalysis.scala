@@ -89,11 +89,22 @@ object TextAnalysis {
       .filter(col("df") <= maxShingleFreq && col("df") >= 2)
     val shRare = sh.join(rare, "sh").select(col(idCol), col("sh"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val inter = shRare.as("a")
-      .join(shRare.as("b"),
-        col("a.sh") === col("b.sh") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    // pair generation: ONE shuffle of the capped frame into per-shingle
+    // sorted id-lists (bounded ≤ maxShingleFreq by the df filter above,
+    // which runs as a count aggregate BEFORE any list materializes — the
+    // ordering that keeps stop-shingles from building unbounded lists),
+    // then an in-task ordered-pair explode. Replaces the a/b self-join:
+    // one exchange instead of two plus a join, same output.
+    val inter = shRare
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ids")) - 1),
+        i => transform(
+          slice(col("ids"), i + 1, size(col("ids")) - i),
+          y => struct(element_at(col("ids"), i).as("id1"),
+            y.as("id2")))))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("s1"), col("id1") === col(s"s1.$idCol"))

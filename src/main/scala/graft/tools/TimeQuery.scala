@@ -21,6 +21,9 @@ object TimeQuery {
     spark.range(1000000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
     (1 to reps).foreach { r =>
+      // mimic the bench loop: caches from a prior rep must not flatter
+      // later reps (JIT/codegen warm-up is the only cross-rep carryover)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
