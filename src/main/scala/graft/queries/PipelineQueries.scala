@@ -152,8 +152,8 @@ object PipelineQueries {
 
     // A7 — exact distinct aggregate (approx_count_distinct is the scale
     // path; its HLL estimate is engine-specific, so the oracle-checked
-    // query uses the exact form — the approx variant is invariant-tested
-    // in AggregatesSpec).
+    // query uses the exact form — the approx variant runs in q64 and is
+    // invariant-tested in KMeansSpec/ApproxAggSpec).
     "q21_distinct_parts" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -784,6 +784,69 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // A7 scale path — sketch aggregates: HyperLogLog++ distinct counts
+    // and KLL-style approximate percentiles. THE 100 TB form of q21/q38:
+    // fixed-size mergeable state, one map-side-combined pass, no exact
+    // distinct shuffle. Sketch internals are engine-specific → rows-only
+    // gate check; accuracy-vs-exact invariants in ApproxAggSpec.
+    "q64_approx_stats" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("ap50"),
+          round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("ap99"))
+        .orderBy(col("event_type"))
+    }),
+
+    // X1 — INCREMENTAL exact dedup: dedup a new ingest batch (sources
+    // src10+) against an already-ingested corpus (src0–src9) without
+    // re-grouping the corpus — the steady-state shape of a production
+    // ingest: signatures of the batch only, anti-joined against the
+    // corpus signature store (at scale: a bucketed signature table, so
+    // the anti-join is co-located and the corpus is never re-read in
+    // full). In-batch duplicates collapse to min-id, then survivors
+    // must be absent from the corpus.
+    "q65_incremental_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("srcn",
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("int"))
+      val corpusSigs = d.filter(col("srcn") < 10)
+        .select(md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
+        .distinct()
+      d.filter(col("srcn") >= 10)
+        .withColumn("sig", md5(Dedup.tokenSetSignature(col("text"))))
+        .groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_batch_dups"))
+        .join(corpusSigs, Seq("sig"), "left_anti")
+        .select(col("keep_id"), col("n_batch_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // A-family — percentile winsorization (outlier clipping before
+    // training-statistics): per-type p01/p99 bounds from one aggregate,
+    // broadcast back, values clipped in cents (exact integer sums — no
+    // float-order drift). Two passes over events, zero windows.
+    "q66_winsorize" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+      val bounds = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.01)") * 100).cast("long")
+            .as("lo_c"),
+          round(expr("percentile(value, 0.99)") * 100).cast("long")
+            .as("hi_c"))
+      e.join(broadcast(bounds), "event_type")
+        .withColumn("clipped",
+          least(greatest(col("cents"), col("lo_c")), col("hi_c")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
+          sum(col("clipped")).as("sum_clipped_cents"),
+          sum(when(col("cents") =!= col("clipped"), 1L).otherwise(0L))
+            .as("n_clipped"))
+        .orderBy(col("event_type"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
@@ -1297,6 +1360,38 @@ object PipelineQueries {
         |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]+')) AS BIGINT) AS n_nums
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // grouped on the raw signature (Spark groups on its md5 — identical
+    // partitions; the digest never reaches the output)
+    "q65_incremental_dedup" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ') AS sig,
+        |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS srcn
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT sig FROM s WHERE srcn < 10)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_batch_dups
+        |FROM s
+        |WHERE srcn >= 10 AND sig NOT IN (SELECT sig FROM corpus)
+        |GROUP BY sig ORDER BY keep_id""".stripMargin,
+
+    "q66_winsorize" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    value
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    CAST(round(quantile_cont(value, 0.01) * 100) AS BIGINT) AS lo_c,
+        |    CAST(round(quantile_cont(value, 0.99) * 100) AS BIGINT) AS hi_c
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  min(lo_c) AS lo_c, min(hi_c) AS hi_c,
+        |  CAST(sum(least(greatest(cents, lo_c), hi_c)) AS BIGINT)
+        |    AS sum_clipped_cents,
+        |  CAST(sum(CASE WHEN cents != least(greatest(cents, lo_c), hi_c)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM e JOIN b ON e.event_type = b.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q63_chunking" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
