@@ -43,6 +43,34 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(planOf("q07_region_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("pure map-shaped pipeline queries shuffle only for their output " +
+      "sort (chunking, redaction, quality gate)") {
+    // these must stay scan-speed at 100 TB: one Exchange (the orderBy
+    // the gate needs for stable output), nothing else
+    Seq("q59_quality_gate", "q62_pii_redact", "q63_chunking").foreach {
+      name =>
+        val plan = planOf(name)
+        val exchanges = "Exchange".r.findAllIn(plan).length -
+          "ReusedExchange".r.findAllIn(plan).length
+        assert(exchanges <= 1,
+          s"$name should be map-only plus its output sort, " +
+            s"found $exchanges exchanges:\n${plan.take(2000)}")
+    }
+  }
+
+  test("deterministic sampling and sketch aggregates are single " +
+      "hash-aggregates (map-side combined)") {
+    Seq("q60_hash_sample", "q64_approx_stats").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("HashAggregate") ||
+        plan.contains("ObjectHashAggregate"),
+        s"$name lost its aggregate form")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("SortMergeJoin"),
+        s"$name should not join at all:\n${plan.take(2000)}")
+    }
+  }
+
   test("range and interval joins plan bucket equi-joins, never " +
       "nested-loop") {
     // the whole point of the bucketed forms: a bare range/overlap
