@@ -174,6 +174,47 @@ object TextAnalysis {
           col("n_toks") - col("chunk_id") * stride).as("chunk_len"))
   }
 
+  /** Bigram language-model scoring — the perplexity-filtering family
+    * (CCNet-style): train add-1-smoothed bigram statistics ON the corpus
+    * itself, then score each document by its mean log-probability under
+    * that model. Low scores flag text unlike the corpus (noise, wrong
+    * language, boilerplate).
+    *
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), score = mean ln P over
+    * the document's bigram positions (multiplicity kept — this is a
+    * probability model, not a set measure).
+    *
+    * Shape: one corpus-sized bigram explode (cached — it feeds the two
+    * model aggregates AND the scoring join), two key-partitioned
+    * map-side-combined count aggregates (the model — vocabulary²-bounded,
+    * tiny next to the corpus), a 1-row broadcast vocabulary size, and a
+    * key-partitioned join back for scoring. At 100 TB the model frames
+    * are materialized tables and the scoring join broadcasts them
+    * (vocab² of real text ≪ corpus). Documents with < 2 tokens have no
+    * bigrams and drop out (score undefined). */
+  def bigramLmScores(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // guard: sequence(1, 0) DESCENDS for a 1-token doc — emit no bigrams
+    val bg = toks.select(col(idCol),
+        explode(when(size(col("toks")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache()
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(round(avg(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))), 4)
+        .as("lm_score"))
+  }
+
   /** PII redaction patterns — shared between the Spark plan and the
     * DuckDB oracle (both RE2/Java-compatible, no lookaround). */
   val emailRegex = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"

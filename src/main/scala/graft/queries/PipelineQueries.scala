@@ -847,6 +847,15 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // X3 — bigram LM scoring (perplexity-filtering family): mean
+    // add-1-smoothed log-probability of each doc under corpus bigram
+    // statistics. Low scores = text unlike the corpus.
+    "q67_lm_score" -> ((s, dir) => {
+      TextAnalysis.bigramLmScores(Tables(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
@@ -1360,6 +1369,22 @@ object PipelineQueries {
         |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]+')) AS BIGINT) AS n_nums
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q67_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+        |  FROM t)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(toks) AS tok FROM t))
+        |SELECT doc_id, round(avg(ln((c2 + 1.0) / (c1 + v))), 4)
+        |  AS lm_score
+        |FROM bgf JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // grouped on the raw signature (Spark groups on its md5 — identical
     // partitions; the digest never reaches the output)

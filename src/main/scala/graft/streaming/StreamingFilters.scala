@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Streaming forms of the corpus-hygiene filters: a continuously-ingesting
+  * training-data pipeline applies these AT INGEST so contaminated or
+  * low-quality documents never land in the corpus at all.
+  *
+  * Two execution shapes, chosen per filter:
+  *   - Stateless predicates (quality gate) are plain streaming filters —
+  *     codegen'd maps over each micro-batch, no state, no watermark.
+  *   - Decontamination is a STREAM-STATIC LEFT-ANTI JOIN: the benchmark
+  *     signature set is a static (periodically refreshed) frame; Spark
+  *     re-plans the static side each micro-batch, broadcasts it when
+  *     small, and the stream side carries only a 32-byte digest per doc.
+  *     No streaming state at all — the static side IS the state.
+  */
+object StreamingFilters {
+
+  /** Gopher-style quality gate as a streaming filter (the q59 batch
+    * predicate verbatim — stream/batch parity by construction). */
+  def qualityGate(docs: DataFrame, textCol: String,
+                  minToks: Int = 30, maxToks: Int = 80,
+                  maxStopFrac: Double = 0.08,
+                  stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.filter(
+      size(toks).between(minToks, maxToks) &&
+        TextAnalysis.wordSetRatio(toks, stopwords) <= maxStopFrac)
+  }
+
+  /** Doc-level exact decontamination: drop any streamed document whose
+    * token-set signature appears in the benchmark. `benchSigs` must be
+    * a static 1-column ("sig") frame of md5 signatures (build it with
+    * [[benchmarkSignatures]]); left_anti stream-static joins are
+    * stateless on the stream side. */
+  def decontaminate(docs: DataFrame, benchSigs: DataFrame,
+                    textCol: String): DataFrame =
+    docs
+      .withColumn("_sig", md5(Dedup.tokenSetSignature(col(textCol))))
+      .join(benchSigs, col("_sig") === benchSigs("sig"), "left_anti")
+      .drop("_sig")
+
+  /** Benchmark signature set for [[decontaminate]] — computed once from
+    * the (batch) benchmark table; at scale this is a small materialized
+    * table refreshed when the benchmark suite changes. */
+  def benchmarkSignatures(bench: DataFrame, textCol: String): DataFrame =
+    bench.select(md5(Dedup.tokenSetSignature(col(textCol))).as("sig"))
+      .distinct()
+}
