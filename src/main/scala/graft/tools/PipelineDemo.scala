@@ -5,16 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, TextAnalysis}
 
 /** End-to-end training-data pipeline composed from the library the way
-  * a user would: quality gate → exact dedup → near-dup drop (jaccard
-  * pairs → connected components → anti-join) → deterministic split →
-  * sequence packing. Prints one JSON summary line per stage.
+  * a user would: benchmark decontamination → quality gate (incl.
+  * repetition) → exact dedup → near-dup drop (jaccard pairs →
+  * connected components → anti-join) → PII redaction → deterministic
+  * split → sequence packing. Prints one JSON summary line per stage.
   *
   * Every stage is a lazy DataFrame transform — the whole pipeline is
   * ONE Catalyst plan per action, and each stage's operator is the same
-  * one the gate queries verify (q23/q14/q26+q39/q51/q50 semantics).
+  * one the gate queries verify (q57/q23+q58/q14/q26+q39/q62/q51/q50
+  * semantics).
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
@@ -25,13 +27,24 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = Tables(spark, sfDir, "documents")
-    val total = docs.count()
+    val allDocs = Tables(spark, sfDir, "documents")
+    val total = allDocs.count()
 
-    // 1. quality gate (q23 semantics)
+    // 0. test-set decontamination (q57 semantics): the held-out
+    // benchmark slice must never reach the training corpus
+    val docs = Decontaminate.clean(
+      allDocs.filter(col("doc_id") % 23 =!= 0),
+      allDocs.filter(col("doc_id") % 23 === 0),
+      "doc_id", "text", n = 8).cache()
+    val nDecontaminated = docs.count()
+
+    // 1. quality gate (q23 semantics) + repetition cap (q58 semantics)
     val toks = TextAnalysis.tokens(col("text"))
+    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .filter(col("top_tok_frac") <= 0.5).select("doc_id")
     val quality = docs.filter(
       col("n_chars") >= 150 && col("n_chars") <= 400 && size(toks) >= 30)
+      .join(rep, Seq("doc_id"))
       .cache()
     val nQuality = quality.count()
 
@@ -49,8 +62,10 @@ object PipelineDemo {
       .cache()
     val nClean = clean.count()
 
-    // 4. deterministic split (q51 semantics)
-    val split = clean.withColumn("split",
+    // 4. PII redaction (q62 semantics) then deterministic split (q51)
+    val redacted = clean.withColumn("text",
+      TextAnalysis.redactPII(col("text")))
+    val split = redacted.withColumn("split",
       when(col("doc_id") % 100 < 80, lit("train"))
         .when(col("doc_id") % 100 < 90, lit("val"))
         .otherwise(lit("test")))
@@ -72,7 +87,7 @@ object PipelineDemo {
       .map(r => s""""${r.getString(0)}":{"bins":${r.getLong(1)},"tokens":${r.getLong(2)}}""")
       .mkString("{", ",", "}")
 
-    println(s"""{"total":$total,"quality":$nQuality,"exact_deduped":$nExact,"near_deduped":$nClean,"splits":$packed}""")
+    println(s"""{"total":$total,"decontaminated":$nDecontaminated,"quality":$nQuality,"exact_deduped":$nExact,"near_deduped":$nClean,"splits":$packed}""")
     spark.stop()
   }
 }

@@ -39,6 +39,33 @@ class JoinStrategiesSpec extends SparkSpec {
     assert(saltCounts.max < 1000, "hot key no longer lands in one bucket")
   }
 
+  test("bucketed signature store makes the incremental-dedup anti-join " +
+      "exchange-free (q65's 100 TB shape)") {
+    val docs = Tables(spark, sf, "documents")
+    val srcn = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val sig = md5(Dedup.tokenSetSignature(col("text"))).as("sig")
+    val corpusSigs = docs.filter(srcn < 10).select(sig).distinct()
+    val batchSigs = docs.filter(srcn >= 10)
+      .select(col("doc_id"), sig)
+    Bucketing.writeBucketed(corpusSigs, "corpus_sigs_b", "sig", 4)
+    Bucketing.writeBucketed(batchSigs, "batch_sigs_b", "sig", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val survivors = spark.table("batch_sigs_b")
+        .join(spark.table("corpus_sigs_b"), Seq("sig"), "left_anti")
+      val expected = batchSigs
+        .join(corpusSigs, Seq("sig"), "left_anti").count()
+      assert(survivors.count() == expected && expected > 0)
+      val plan = survivors.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed anti-join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS corpus_sigs_b")
+      spark.sql("DROP TABLE IF EXISTS batch_sigs_b")
+    }
+  }
+
   test("bucketed join plans without an exchange on either side") {
     val o = Tables(spark, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
