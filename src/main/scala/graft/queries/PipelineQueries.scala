@@ -856,6 +856,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // K-family — engine-native parquet sink with layout control:
+    // write partitioned by year (sorted by month inside each file,
+    // file sizes capped), read back through directory pruning, and
+    // aggregate. Green iff the layout loop is lossless; the pruning
+    // itself is asserted in ParquetSinkSpec.
+    "q68_parquet_roundtrip" -> ((s, dir) => {
+      val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+        "/root/repo/target/scratch")
+      val base = s"$scratchRoot/pq_rt_${Integer.toHexString(dir.hashCode)}"
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      graft.sources.ParquetSink.write(o, base, partitionBy = Seq("yr"),
+        sortCols = Seq("mo"), maxRecordsPerFile = 100000)
+      graft.sources.ParquetSink.read(s, base)
+        .filter(col("yr") === 1997)
+        .groupBy(col("mo"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy(col("mo"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
@@ -1369,6 +1391,13 @@ object PipelineQueries {
         |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]+')) AS BIGINT) AS n_nums
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q68_parquet_roundtrip" ->
+      """SELECT month(o_orderdate) AS mo, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q67_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
