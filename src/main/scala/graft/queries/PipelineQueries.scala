@@ -227,8 +227,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // X1 — MinHash LSH near-dup (banded, verified). xxhash64 signatures
-    // are engine-specific → no oracle; recall invariants in DedupSpec.
+    // X1 — MinHash LSH near-dup (banded, verified). Oracle = the EXACT
+    // jaccard pair set (q26's SQL): every emitted pair is exact-verified
+    // (precision 1 by construction), and banded-LSH recall on this
+    // corpus is exactly 1 — measured pair-for-pair at sf0.01 AND sf0.1,
+    // deterministic because xxhash64 seeds are fixed. On a corpus with
+    // borderline pairs recall dips below 1 by design (the probabilistic
+    // trade DedupSpec's invariants cover); the oracle equality here
+    // additionally certifies the candidate generation loses nothing at
+    // gate scale.
     "q28_minhash_neardup" -> ((s, dir) => {
       Dedup.minhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
           minJaccard = 0.5)
@@ -908,6 +915,30 @@ object PipelineQueries {
   private val sentimentPos = Seq("fast", "big")
   private val sentimentNeg = Seq("slow", "small")
 
+  /** Exact n-gram Jaccard near-dup pairs (DuckDB) — the oracle for q26
+    * and, recall being measured-exact on this corpus, for q28. */
+  private val exactJaccardPairsSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+      |  FROM toks)),
+      |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+      |         WHERE c BETWEEN 2 AND 100),
+      |shr AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN szs s1 ON id1 = s1.doc_id
+      |JOIN szs s2 ON id2 = s2.doc_id
+      |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q13_cosine_topk" ->
       """SELECT vec_id,
@@ -1014,27 +1045,13 @@ object PipelineQueries {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q26_jaccard_neardup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(t) - 2, 0) + 1),
-        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
-        |  FROM toks)),
-        |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
-        |         WHERE c BETWEEN 2 AND 100),
-        |shr AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)),
-        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-        |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT id1, id2,
-        |  round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
-        |FROM inter
-        |JOIN szs s1 ON id1 = s1.doc_id
-        |JOIN szs s2 ON id2 = s2.doc_id
-        |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.5
-        |ORDER BY id1, id2""".stripMargin,
+    "q26_jaccard_neardup" -> exactJaccardPairsSql,
+
+    // q28 emits exact-verified pairs and its banded candidate recall is
+    // exactly 1 on this corpus (measured pair-for-pair at sf0.01 and
+    // sf0.1, deterministic fixed-seed hashing) — so the exact pair set
+    // IS its oracle. See the query's comment.
+    "q28_minhash_neardup" -> exactJaccardPairsSql,
 
     "q27_multimodal_bytes" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
