@@ -31,6 +31,24 @@ object Sampling {
         sum(when(md5Keep(col(idCol), hexThreshold), 1L).otherwise(0L))
           .as("n_sampled"))
 
+  /** Exact-k deterministic "reservoir" per stratum: rank rows inside
+    * each stratum by the md5 of their id (a pseudorandom but pure and
+    * engine-portable order) and keep the first k. Unlike a true
+    * streaming reservoir the result is independent of encounter order —
+    * rerunning over re-partitioned, re-sorted, or incrementally-grown
+    * data keeps the SAME sample for the ids already present (rows only
+    * enter/leave when ids do). Window partitioned by the stratum key —
+    * thousands of independent partitions, never a whole-table sort. */
+  def reservoirPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                          k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Domain-mixing weights: per-domain token mass scaled by a sampling
     * weight, normalized to the final mixture fraction each domain
     * contributes to the training stream.

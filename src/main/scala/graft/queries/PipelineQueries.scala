@@ -885,6 +885,17 @@ object PipelineQueries {
         .orderBy(col("mo"))
     }),
 
+    // LLM-pipeline — exact-k deterministic reservoir per source (eval
+    // carve-outs want exactly k per stratum, not a rate): md5-ranked
+    // window inside each stratum, engine-portable and stable under
+    // repartitioning and incremental growth.
+    "q69_reservoir" -> ((s, dir) => {
+      graft.operators.Sampling.reservoirPerStratum(
+          Tables(s, dir, "documents"), "doc_id", "source", k = 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
@@ -1408,6 +1419,14 @@ object PipelineQueries {
         |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]+')) AS BIGINT) AS n_nums
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q69_reservoir" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
 
     "q68_parquet_roundtrip" ->
       """SELECT month(o_orderdate) AS mo, count(*) AS n,

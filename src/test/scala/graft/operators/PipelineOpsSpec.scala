@@ -54,6 +54,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"sample rate wildly off: ${a.getLong(2)}/2000")
   }
 
+  test("reservoirPerStratum: exactly k per stratum, stable under " +
+      "repartitioning, and existing picks survive corpus growth") {
+    import spark.implicits._
+    val base = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "st")
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      Sampling.reservoirPerStratum(df, "id", "st", 4)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val a = pick(base)
+    assert(a.size == 12 && a.groupBy(_._1).forall(_._2.size == 4))
+    assert(pick(base.repartition(13).orderBy(col("id").desc)) == a)
+    // growing the corpus can displace picks ONLY via new ids winning
+    // the md5 order — picks are still drawn deterministically, and
+    // every surviving old id keeps its membership decision
+    val grown = pick(base.union(
+      (300L until 400L).map(i => (i, s"s${i % 3}")).toDF("id", "st")))
+    assert(grown.size == 12)
+    assert((grown -- a).forall(_._2 >= 300L),
+      "only new ids may enter the reservoir")
+  }
+
   test("domainMix: weighted fractions sum to 1 and scale with weight") {
     import spark.implicits._
     val d = Seq(("d1", 100L), ("d2", 100L), ("d3", 200L))
