@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** THE digest both sampling operators rank/threshold on — one
+    * definition so the sample predicate and the reservoir order can
+    * never diverge. Matches DuckDB's `md5(CAST(id AS VARCHAR))`
+    * (lowercase hex of the decimal string) for oracle parity. */
+  private def md5Hex(id: Column): Column =
+    md5(id.cast("string").cast("binary"))
+
   /** Keep-predicate for an ~`pct`% deterministic sample: compare the
     * md5 hex digest of the id against a hex threshold. Each leading hex
     * digit step is 1/16 of the space, so thresholds compose to within
     * 2⁻¹²⁸ of the target rate: "1a" keeps 26/256 ≈ 10.16%. Stateless,
     * codegen'd, no shuffle — a 100 TB scan samples at wire speed. */
   def md5Keep(id: Column, hexThreshold: String): Column =
-    md5(id.cast("string").cast("binary")) < lit(hexThreshold)
+    md5Hex(id) < lit(hexThreshold)
 
   /** Stratified sample accounting: per-stratum total vs sampled counts
     * (one hash-aggregate; map-side combined). */
@@ -43,7 +50,7 @@ object Sampling {
                           k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .orderBy(md5Hex(col(idCol)), col(idCol))
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")

@@ -230,12 +230,16 @@ object PipelineQueries {
     // X1 — MinHash LSH near-dup (banded, verified). Oracle = the EXACT
     // jaccard pair set (q26's SQL): every emitted pair is exact-verified
     // (precision 1 by construction), and banded-LSH recall on this
-    // corpus is exactly 1 — measured pair-for-pair at sf0.01 AND sf0.1,
-    // deterministic because xxhash64 seeds are fixed. On a corpus with
-    // borderline pairs recall dips below 1 by design (the probabilistic
-    // trade DedupSpec's invariants cover); the oracle equality here
-    // additionally certifies the candidate generation loses nothing at
-    // gate scale.
+    // corpus is exactly 1 — measured pair-for-pair (membership AND
+    // values) at sf0.01 AND sf0.1, deterministic because xxhash64 seeds
+    // are fixed. Two data-dependent divergence channels exist on OTHER
+    // corpora, both covered by the measured equality here: (a) banded
+    // recall < 1 for borderline j≈0.5 pairs (the probabilistic trade
+    // DedupSpec's invariants cover), and (b) this query's verification
+    // jaccard uses FULL shingle sets while the q26 oracle df-caps
+    // shared shingles at 100 — values differ once a shared shingle's
+    // doc-frequency exceeds the cap. If the corpus generator changes,
+    // revert q28 to rows-only rather than touching the operator.
     "q28_minhash_neardup" -> ((s, dir) => {
       Dedup.minhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
           minJaccard = 0.5)

@@ -30,12 +30,16 @@ object ParquetSink {
             coalesceTo: Int = 0): Unit = {
     // order matters: coalesce FIRST, then sort — the reverse would
     // concatenate independently-sorted runs and destroy the clustering
-    // the row-group statistics depend on
+    // the row-group statistics depend on. The sort key is PREFIXED with
+    // the partition columns: FileFormatWriter requires ordering on them
+    // and would otherwise insert its own sort on top, paying the
+    // clustering sort twice and (under spill-merge) voiding it.
     val sized =
       if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    val sortKeys = (partitionBy ++ sortCols).distinct
     val clustered =
       if (sortCols.nonEmpty)
-        sized.sortWithinPartitions(sortCols.map(col): _*)
+        sized.sortWithinPartitions(sortKeys.map(col): _*)
       else sized
     val w0 = clustered.write.mode("overwrite").format("parquet")
     val w1 =

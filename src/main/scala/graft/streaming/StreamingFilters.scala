@@ -20,16 +20,26 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object StreamingFilters {
 
-  /** Gopher-style quality gate as a streaming filter (the q59 batch
-    * predicate verbatim — stream/batch parity by construction). */
+  /** Gopher-style quality gate as a streaming filter — the FULL q59
+    * batch predicate (token count, mean token length, stopword
+    * fraction, with q59's round-to-4 on the ratios) so a doc passes the
+    * stream gate iff it passes the batch gate: stream/batch parity is a
+    * contract here, not a resemblance. */
   def qualityGate(docs: DataFrame, textCol: String,
                   minToks: Int = 30, maxToks: Int = 80,
+                  minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
                   maxStopFrac: Double = 0.08,
                   stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
+    val nToks = size(toks)
+    val meanTokLen = round(
+      (length(col(textCol)) - (nToks - 1)).cast("double") /
+        nToks.cast("double"), 4)
+    val stopFrac = round(TextAnalysis.wordSetRatio(toks, stopwords), 4)
     docs.filter(
-      size(toks).between(minToks, maxToks) &&
-        TextAnalysis.wordSetRatio(toks, stopwords) <= maxStopFrac)
+      nToks.between(minToks, maxToks) &&
+        meanTokLen.between(minMeanTokLen, maxMeanTokLen) &&
+        stopFrac <= maxStopFrac)
   }
 
   /** Doc-level exact decontamination: drop any streamed document whose

@@ -39,13 +39,15 @@ object PipelineDemo {
     val nDecontaminated = docs.count()
 
     // 1. quality gate (q23 semantics) + repetition cap (q58 semantics)
+    // — the cheap stateless filter runs FIRST so the repetition
+    // explode+aggregates only process surviving docs (Catalyst can't
+    // push a filter through repetitionStats' aggregations itself)
     val toks = TextAnalysis.tokens(col("text"))
-    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
-      .filter(col("top_tok_frac") <= 0.5).select("doc_id")
-    val quality = docs.filter(
+    val gated = docs.filter(
       col("n_chars") >= 150 && col("n_chars") <= 400 && size(toks) >= 30)
-      .join(rep, Seq("doc_id"))
-      .cache()
+    val rep = TextAnalysis.repetitionStats(gated, "doc_id", "text")
+      .filter(col("top_tok_frac") <= 0.5).select("doc_id")
+    val quality = gated.join(rep, Seq("doc_id")).cache()
     val nQuality = quality.count()
 
     // 2. exact dedup: keep the min-id representative per token set
