@@ -900,6 +900,26 @@ object PipelineQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // S8/K — JSONL roundtrip: write the corpus as partitioned
+    // JSON-Lines, read back through an EXPLICIT schema (no inference
+    // pass), and aggregate with a text-sensitive digest — green iff
+    // JSON string escaping transports every document byte-exactly.
+    "q70_jsonl_roundtrip" -> ((s, dir) => {
+      val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+        "/root/repo/target/scratch")
+      val base = s"$scratchRoot/jl_rt_${Integer.toHexString(dir.hashCode)}"
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      graft.sources.JsonLines.write(d, base, partitionBy = Seq("lang"))
+      graft.sources.JsonLines.read(s, base,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, n_chars BIGINT, text STRING"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          min(md5(col("text"))).as("min_md5"))
+        .orderBy(col("lang"))
+    }),
+
     // P8 + P7 — dict decode (the reference's year-code map,
     // `teste_selenium.ipynb` cell 7) as a literal-map element_at, fed
     // through trimAll on deliberately padded input so the whitespace
@@ -1423,6 +1443,12 @@ object PipelineQueries {
         |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]+')) AS BIGINT) AS n_nums
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q70_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(md5(text)) AS min_md5
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q69_reservoir" ->
       """SELECT source, doc_id FROM (
