@@ -11,13 +11,20 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.CsvIngest
 
 /** North-star LLM-data-pipeline + streaming-dataflow query set
-  * (SURVEY.md §2.8/§2.9, BASELINE.json): dedup, similarity search, text
-  * analysis, event windowing, CSV parity, extension aggregates — over
-  * the driver's `documents` / `embeddings` / `events` tables.
+  * (SURVEY.md §2.8/§2.9, BASELINE.json): dedup (exact / LSH / SimHash /
+  * embedding / edit-distance / incremental / decision+apply),
+  * similarity search, text analysis (stats, TF-IDF, LM scoring,
+  * repetition, quality gates), decontamination, sampling and mixing,
+  * redaction, chunking and packing, event windowing, format roundtrips,
+  * extension aggregates — over the driver's `documents` / `embeddings`
+  * / `events` tables.
   *
-  * Queries q13–q27, q30 are DuckDB-oracle-checked; q28/q29/q31/q32 use
-  * engine-specific hashing or ML and are registered without oracle
-  * (rows-only check) + invariant-tested in src/test.
+  * Every query has a DuckDB oracle in [[oracleSql]] except those whose
+  * outputs are inherently engine-specific (q29/q47 SimHash hamming,
+  * q31/q41/q48 ANN recall-by-design, q32/q40 ML fits, q49 hashed
+  * vectors, q64 sketch internals) — those get the driver's rows-only
+  * check plus invariant specs in src/test. COVERAGE.md is the
+  * operator→query ledger; PLANS.md the physical-plan audit.
   */
 object PipelineQueries {
 
