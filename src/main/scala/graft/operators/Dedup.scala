@@ -216,6 +216,42 @@ object Dedup {
       .filter(col("node") =!= col("label"))
       .select(col("node").as("drop_id"), col("label").as("kept_id"))
 
+  /** Incremental exact dedup with a BLOOM PRE-FILTER — the q65 shape
+    * plus the probe that makes it cheap at 100 TB: the corpus signature
+    * set compresses to a fixed-size bloom shipped to every task, so the
+    * typical batch row (new content) never reaches the anti-join at
+    * all. Split by the probe:
+    *   - might_contain = false → DEFINITELY new (bloom guarantees no
+    *     false negatives) → kept with zero join work;
+    *   - might_contain = true → maybe seen → exact anti-join against
+    *     the corpus signatures resolves the false positives.
+    * The result is therefore EXACTLY the plain anti-join's, by
+    * construction, for any fpp — fpp only tunes how much traffic the
+    * join sees. At corpus sizes where one bloom exceeds task memory,
+    * shard it by signature prefix and probe the matching shard.
+    *
+    * `corpusSigCount` is the expected-items hint for sizing (callers
+    * know their corpus size; recount if unknown). */
+  def incrementalExactBloom(batch: DataFrame, corpusSigs: DataFrame,
+                            idCol: String, textCol: String,
+                            corpusSigCount: Long,
+                            fpp: Double = 0.03): DataFrame = {
+    import graft.functions.BloomFns
+    val bloomBytes = BloomFns.serialize(
+      BloomFns.buildOverHashes(corpusSigs, col("sig"),
+        math.max(corpusSigCount, 1L), fpp))
+    val grouped = batch
+      .withColumn("sig", md5(tokenSetSignature(col(textCol))))
+      .groupBy(col("sig"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch_dups"))
+      .withColumn("_maybe", BloomFns.mightContainHash(bloomBytes, col("sig")))
+    val definitelyNew = grouped.filter(!col("_maybe"))
+    val resolved = grouped.filter(col("_maybe"))
+      .join(corpusSigs, Seq("sig"), "left_anti")
+    definitelyNew.unionByName(resolved)
+      .select(col("keep_id"), col("n_batch_dups"))
+  }
+
   /** 64-bit SimHash: per bit, tokens vote +1 (bit set in their hash) or
     * −1; the fingerprint bit is the majority. Distinct tokens, weight 1.
     * 64 unrolled codegen'd expressions (i is a Scala literal, so

@@ -907,6 +907,25 @@ object PipelineQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // X1 — q65's incremental dedup with the bloom PRE-FILTER: corpus
+    // signatures compress to a fixed-size bloom probed per batch row
+    // (codegen'd BloomFilterMightContain, no UDF); only probable-dups
+    // reach the exact anti-join. Result is identical to q65 BY
+    // CONSTRUCTION (blooms have no false negatives; false positives
+    // are resolved exactly) — so it shares q65's oracle. The count()
+    // is a 1-row sizing scalar, not a data-path collect.
+    "q71_incremental_bloom" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("srcn",
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("int"))
+      val corpusSigs = d.filter(col("srcn") < 10)
+        .select(md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
+        .distinct()
+      Dedup.incrementalExactBloom(d.filter(col("srcn") >= 10), corpusSigs,
+          "doc_id", "text", corpusSigCount = corpusSigs.count())
+        .orderBy(col("keep_id"))
+    }),
+
     // S8/K — JSONL roundtrip: write the corpus as partitioned
     // JSON-Lines, read back through an EXPLICIT schema (no inference
     // pass), and aggregate with a text-sensitive digest — green iff
@@ -956,6 +975,21 @@ object PipelineQueries {
     * vocabulary so scores are non-vacuous). */
   private val sentimentPos = Seq("fast", "big")
   private val sentimentNeg = Seq("slow", "small")
+
+  /** Incremental exact dedup of the src10+ batch against the src0–9
+    * corpus (DuckDB) — the oracle for q65 and its bloom-pre-filtered
+    * form q71 (identical output by construction). */
+  private val incrementalDedupSql =
+    """WITH s AS (SELECT doc_id, source,
+      |    array_to_string(list_sort(list_distinct(
+      |      string_split(text, ' '))), ' ') AS sig,
+      |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS srcn
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT sig FROM s WHERE srcn < 10)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_batch_dups
+      |FROM s
+      |WHERE srcn >= 10 AND sig NOT IN (SELECT sig FROM corpus)
+      |GROUP BY sig ORDER BY keep_id""".stripMargin
 
   /** Exact n-gram Jaccard near-dup pairs (DuckDB) — the oracle for q26
     * and, recall being measured-exact on this corpus, for q28. */
@@ -1490,17 +1524,12 @@ object PipelineQueries {
 
     // grouped on the raw signature (Spark groups on its md5 — identical
     // partitions; the digest never reaches the output)
-    "q65_incremental_dedup" ->
-      """WITH s AS (SELECT doc_id, source,
-        |    array_to_string(list_sort(list_distinct(
-        |      string_split(text, ' '))), ' ') AS sig,
-        |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS srcn
-        |  FROM documents),
-        |corpus AS (SELECT DISTINCT sig FROM s WHERE srcn < 10)
-        |SELECT min(doc_id) AS keep_id, count(*) AS n_batch_dups
-        |FROM s
-        |WHERE srcn >= 10 AND sig NOT IN (SELECT sig FROM corpus)
-        |GROUP BY sig ORDER BY keep_id""".stripMargin,
+    "q65_incremental_dedup" -> incrementalDedupSql,
+
+    // the bloom pre-filtered form returns the identical rows BY
+    // CONSTRUCTION (no false negatives; false positives resolved by
+    // the exact anti-join) — shared oracle
+    "q71_incremental_bloom" -> incrementalDedupSql,
 
     "q66_winsorize" ->
       """WITH e AS (SELECT event_type,
