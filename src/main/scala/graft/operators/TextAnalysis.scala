@@ -215,6 +215,30 @@ object TextAnalysis {
         .as("lm_score"))
   }
 
+  /** Standalone bigram model from a reference corpus — the offline
+    * companion to [[bigramLmScores]] (which self-trains and scores in
+    * one plan): returns the (w1, w2) → count and w1 → count frames plus
+    * the vocabulary size, for scoring OTHER data (e.g. the streaming
+    * gate) under a fixed model. At scale these are materialized tables
+    * refreshed on a model cadence, not per query. */
+  def bigramModel(docs: DataFrame,
+                  textCol: String): (DataFrame, DataFrame, Long) = {
+    val toks = docs.select(tokens(col(textCol)).as("toks"))
+    val bg = toks.select(
+        explode(when(size(col("toks")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache()
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).collect()(0).getLong(0)
+    (c2, c1, v)
+  }
+
   /** PII redaction patterns — shared between the Spark plan and the
     * DuckDB oracle (both RE2/Java-compatible, no lookaround). */
   val emailRegex = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"

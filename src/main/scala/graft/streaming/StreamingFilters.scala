@@ -60,4 +60,43 @@ object StreamingFilters {
   def benchmarkSignatures(bench: DataFrame, textCol: String): DataFrame =
     bench.select(md5(Dedup.tokenSetSignature(col(textCol))).as("sig"))
       .distinct()
+
+  /** Perplexity-style gate at ingest: score each streamed document
+    * under a STATIC bigram model ([[TextAnalysis.bigramModel]], built
+    * offline from a reference corpus) and emit only docs whose mean
+    * add-1-smoothed log-probability clears `minScore`.
+    *
+    * Shape: per-doc bigram explode → stream-static LEFT joins against
+    * the model counts (unseen bigrams/contexts smooth to (0+1)/(0+V))
+    * → watermark-bounded event-time aggregate folds the rows back to
+    * one per (doc, window). The aggregation is why this is not a plain
+    * filter: a doc's row emits in Append mode once the watermark
+    * closes its window — the structural price of a score that needs
+    * the whole document. `vocabSize` is a model constant (driver
+    * scalar), not a third stream-static join. */
+  def lmScoreGate(docs: DataFrame, idCol: String, textCol: String,
+                  tsCol: String, c2: DataFrame, c1: DataFrame,
+                  vocabSize: Long, minScore: Double,
+                  delay: String, windowLen: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bg = docs.withWatermark(tsCol, delay)
+      .select(col(idCol), col(tsCol), col(textCol),
+        explode(when(size(toks) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))).as("b"))
+      .select(col(idCol), col(tsCol), col(textCol),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    bg.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("_lnp",
+        log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + lit(vocabSize.toDouble))))
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(first(col(textCol)).as(textCol),
+        round(avg(col("_lnp")), 4).as("lm_score"))
+      .filter(col("lm_score") >= minScore)
+      .select(col(idCol), col(textCol), col("lm_score"))
+  }
 }
