@@ -290,8 +290,11 @@ object PipelineQueries {
     }),
 
     // X2 — IVF ANN: probe 3 of ~10 deterministic centroid lists, exact
-    // top-k on candidates. Engine-agnostic math but recall < 1 by
-    // design → no oracle; recall invariant in SimilaritySpec.
+    // top-k on candidates. Recall < 1 vs brute force BY DESIGN, but the
+    // math is fully deterministic and engine-agnostic (fixed every-50th
+    // centroids, L2 argmin assignment, round-4 cosine with id
+    // tiebreaks), so DuckDB replicates the probe pipeline exactly —
+    // oracle-checked, with the recall invariant in SimilaritySpec.
     "q31_ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
@@ -1296,6 +1299,29 @@ object PipelineQueries {
         |WHERE o_orderdate >= CAST(make_date(1996, 1, 1) AS TIMESTAMP)
         |  AND o_orderdate <= CAST(make_date(1996, 12, 31) AS TIMESTAMP)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replicates the IVF probe pipeline: same centroid rule, same L2
+    // argmin assignment, same probe set, same round-4 cosine top-k
+    "q31_ann_ivf" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |          FROM embeddings WHERE vec_id % 50 = 0),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY list_distance(cv, qv), cid LIMIT 3),
+        |assign AS (
+        |  SELECT e.vec_id AS vid,
+        |    arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.cv))
+        |      AS cid
+        |  FROM embeddings e, cents c WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id),
+        |cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+        |         JOIN assign a ON e.vec_id = a.vid
+        |         WHERE a.cid IN (SELECT cid FROM probed))
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT qv FROM q)), 4) AS sim
+        |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q30_embed_neardup" ->
       """SELECT label, id1, id2, sim FROM (
