@@ -929,6 +929,31 @@ object PipelineQueries {
         .orderBy(col("keep_id"))
     }),
 
+    // K — Z-order layout roundtrip: orders written clustered on the
+    // Morton code of (month, price-bucket), read back and range-filtered
+    // on BOTH keys — the layout ZOrderSpec proves skips files for
+    // either predicate; this query gates that the clustered write loses
+    // nothing. Exact integer-cent sums.
+    "q72_zorder_roundtrip" -> ((s, dir) => {
+      val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+        "/root/repo/target/scratch")
+      val base = s"$scratchRoot/zo_rt_${Integer.toHexString(dir.hashCode)}"
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), month(col("o_orderdate")).as("mo"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      graft.operators.ZOrder.writeZOrdered(o, base,
+        xBucket = col("mo"),
+        yBucket = graft.operators.ZOrder.bucketize(
+          col("cents").cast("double"), 0, 60000000.0, 8),
+        bits = 8, nFiles = 16)
+      s.read.parquet(base)
+        .filter(col("mo").between(3, 5) &&
+          col("cents").between(10000000L, 30000000L))
+        .groupBy(col("mo"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy(col("mo"))
+    }),
+
     // S8/K — JSONL roundtrip: write the corpus as partitioned
     // JSON-Lines, read back through an EXPLICIT schema (no inference
     // pass), and aggregate with a text-sensitive digest — green iff
@@ -1510,6 +1535,16 @@ object PipelineQueries {
         |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]+')) AS BIGINT) AS n_nums
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q72_zorder_roundtrip" ->
+      """SELECT month(o_orderdate) AS mo, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE month(o_orderdate) BETWEEN 3 AND 5
+        |  AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      BETWEEN 10000000 AND 30000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q70_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n,
