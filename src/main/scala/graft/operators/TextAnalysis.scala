@@ -195,13 +195,8 @@ object TextAnalysis {
   def bigramLmScores(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-    // guard: sequence(1, 0) DESCENDS for a 1-token doc — emit no bigrams
     val bg = toks.select(col(idCol),
-        explode(when(size(col("toks")) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2"))))).as("b"))
+        explode(bigramPairs(col("toks"))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .cache()
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -215,21 +210,33 @@ object TextAnalysis {
         .as("lm_score"))
   }
 
+  /** Ordered bigram pairs of a token-array column as an array of
+    * (w1, w2) structs — THE shared expression under every LM-scoring
+    * surface ([[bigramLmScores]], [[bigramModel]], the streaming gate):
+    * one definition so the descending-`sequence` guard and the struct
+    * shape can never drift between them. Docs with < 2 tokens yield an
+    * empty array (and vanish under `explode` — LM scores are undefined
+    * for them; callers that must keep such rows use explode_outer and
+    * handle the null). */
+  def bigramPairs(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+
   /** Standalone bigram model from a reference corpus — the offline
     * companion to [[bigramLmScores]] (which self-trains and scores in
     * one plan): returns the (w1, w2) → count and w1 → count frames plus
     * the vocabulary size, for scoring OTHER data (e.g. the streaming
     * gate) under a fixed model. At scale these are materialized tables
-    * refreshed on a model cadence, not per query. */
+    * refreshed on a model cadence, not per query — and that is also the
+    * cache contract: the returned frames keep a `.cache()`d bigram
+    * relation alive (same caller-must-clear contract as shingleSets);
+    * materialize them to tables in a long-lived app. */
   def bigramModel(docs: DataFrame,
                   textCol: String): (DataFrame, DataFrame, Long) = {
     val toks = docs.select(tokens(col(textCol)).as("toks"))
-    val bg = toks.select(
-        explode(when(size(col("toks")) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2"))))).as("b"))
+    val bg = toks.select(explode(bigramPairs(col("toks"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .cache()
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))

@@ -21,14 +21,24 @@ import graft.sources.CsvIngest
   *
   * Every query has a DuckDB oracle in [[oracleSql]] except those whose
   * outputs are inherently engine-specific (q29/q47 SimHash hamming,
-  * q31/q41/q48 ANN recall-by-design, q32/q40 ML fits, q49 hashed
-  * vectors, q64 sketch internals) — those get the driver's rows-only
-  * check plus invariant specs in src/test. COVERAGE.md is the
-  * operator→query ledger; PLANS.md the physical-plan audit.
+  * q41/q48 seeded-LSH, q32/q40 ML fits, q49 hashed vectors, q64
+  * sketch internals) — those get the driver's rows-only check plus
+  * invariant specs in src/test. COVERAGE.md is the operator→query
+  * ledger; PLANS.md the physical-plan audit.
   */
 object PipelineQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Scratch directory for the roundtrip queries (q18/q68/q70/q72) —
+    * keyed by the sf dir so different SFs never collide. Assumes one
+    * gate/bench process at a time (the driver's contract); concurrent
+    * runs over the SAME sfDir would race on the overwrite. */
+  private def scratchPath(prefix: String, dir: String): String = {
+    val root = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+      "/root/repo/target/scratch")
+    s"$root/${prefix}_${Integer.toHexString(dir.hashCode)}"
+  }
 
   /** Stable singleton for the q35 aggregator (serializable object). */
   private[queries] object Dedup0 {
@@ -110,9 +120,7 @@ object PipelineQueries {
     "q18_csv_roundtrip" -> ((s, dir) => {
       // scratch root overridable for non-dev environments (cluster runs
       // would point this at a job-scoped distributed-FS path)
-      val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-        "/root/repo/target/scratch")
-      val base = s"$scratchRoot/csv_rt_${Integer.toHexString(dir.hashCode)}"
+      val base = scratchPath("csv_rt", dir)
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
@@ -883,9 +891,7 @@ object PipelineQueries {
     // aggregate. Green iff the layout loop is lossless; the pruning
     // itself is asserted in ParquetSinkSpec.
     "q68_parquet_roundtrip" -> ((s, dir) => {
-      val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-        "/root/repo/target/scratch")
-      val base = s"$scratchRoot/pq_rt_${Integer.toHexString(dir.hashCode)}"
+      val base = scratchPath("pq_rt", dir)
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
@@ -921,9 +927,13 @@ object PipelineQueries {
       val d = Tables(s, dir, "documents")
         .withColumn("srcn",
           regexp_extract(col("source"), "([0-9]+)", 1).cast("int"))
+      // cached: consumed three times (sizing count, bloom treeAggregate
+      // build, exact anti-join) — uncached, the corpus-half signature
+      // scan + distinct would run three times
       val corpusSigs = d.filter(col("srcn") < 10)
         .select(md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
         .distinct()
+        .cache()
       Dedup.incrementalExactBloom(d.filter(col("srcn") >= 10), corpusSigs,
           "doc_id", "text", corpusSigCount = corpusSigs.count())
         .orderBy(col("keep_id"))
@@ -935,9 +945,7 @@ object PipelineQueries {
     // either predicate; this query gates that the clustered write loses
     // nothing. Exact integer-cent sums.
     "q72_zorder_roundtrip" -> ((s, dir) => {
-      val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-        "/root/repo/target/scratch")
-      val base = s"$scratchRoot/zo_rt_${Integer.toHexString(dir.hashCode)}"
+      val base = scratchPath("zo_rt", dir)
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey"), month(col("o_orderdate")).as("mo"),
           (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
@@ -959,9 +967,7 @@ object PipelineQueries {
     // pass), and aggregate with a text-sensitive digest — green iff
     // JSON string escaping transports every document byte-exactly.
     "q70_jsonl_roundtrip" -> ((s, dir) => {
-      val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-        "/root/repo/target/scratch")
-      val base = s"$scratchRoot/jl_rt_${Integer.toHexString(dir.hashCode)}"
+      val base = scratchPath("jl_rt", dir)
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       graft.sources.JsonLines.write(d, base, partitionBy = Seq("lang"))

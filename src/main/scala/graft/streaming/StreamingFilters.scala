@@ -73,7 +73,12 @@ object StreamingFilters {
     * filter: a doc's row emits in Append mode once the watermark
     * closes its window — the structural price of a score that needs
     * the whole document. `vocabSize` is a model constant (driver
-    * scalar), not a third stream-static join. */
+    * scalar), not a third stream-static join.
+    *
+    * Docs with < 2 tokens have no bigrams, hence no defined LM score —
+    * they are DROPPED (same contract as the batch
+    * [[TextAnalysis.bigramLmScores]]); run them through a length gate
+    * first if they must be dispositioned explicitly. */
   def lmScoreGate(docs: DataFrame, idCol: String, textCol: String,
                   tsCol: String, c2: DataFrame, c1: DataFrame,
                   vocabSize: Long, minScore: Double,
@@ -81,11 +86,7 @@ object StreamingFilters {
     val toks = TextAnalysis.tokens(col(textCol))
     val bg = docs.withWatermark(tsCol, delay)
       .select(col(idCol), col(tsCol), col(textCol),
-        explode(when(size(toks) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2"))))).as("b"))
+        explode(TextAnalysis.bigramPairs(toks)).as("b"))
       .select(col(idCol), col(tsCol), col(textCol),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
     bg.join(c2, Seq("w1", "w2"), "left")
