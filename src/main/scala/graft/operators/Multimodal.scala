@@ -21,6 +21,25 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Ingest a directory of binary media files via Spark's native
+    * `binaryFile` source — the on-disk ingestion path for image/audio
+    * corpora (one file per asset): each row carries (path,
+    * modificationTime, length, content) with the payload as a real
+    * `binary` column. The glob filters AT THE SOURCE (pathGlobFilter —
+    * non-matching files are never opened), and
+    * `spark.sql.files.maxPartitionBytes` governs how many files pack
+    * into a task — the small-files story for millions of images. The
+    * result feeds [[assets]]/[[decodeFeatures]] unchanged. */
+  def readBinaryDir(spark: SparkSession, dir: String,
+                    glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").as("n_bytes"),
+        col("content").as("payload"))
+
   /** Asset view over any table with an id + a payload-able column:
     * opaque bytes + typed metadata struct. */
   def assets(df: DataFrame, idCol: String, payloadCol: String,

@@ -38,6 +38,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile ingest reads real files as binary payloads, glob " +
+      "filters at the source, and feeds the decode path") {
+    import org.apache.spark.sql.functions._
+    val dir = scratch("binassets").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val payloads = Map(
+      "a.img" -> Array[Byte](1, 2, 3, 4, 5),
+      "b.img" -> Array.tabulate[Byte](64)(i => (i * 3).toByte),
+      "skip.txt" -> "not media".getBytes("UTF-8"))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val read = Multimodal.readBinaryDir(spark, dir, glob = "*.img")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Array[Byte]](2)))).toMap
+    assert(read.keySet == Set("a.img", "b.img"), "glob must drop skip.txt")
+    payloads.filter(_._1.endsWith(".img")).foreach { case (name, bytes) =>
+      assert(read(name)._1 == bytes.length)
+      assert(read(name)._2.toSeq == bytes.toSeq, s"$name bytes differ")
+    }
+    // the ingest feeds the standard decode path unchanged
+    val assets = Multimodal.readBinaryDir(spark, dir, glob = "*.img")
+      .withColumn("asset_id",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy("file_name")).cast("long"))
+      .select(col("asset_id"), col("payload"),
+        struct(lit("image").as("kind"), col("n_bytes")).as("meta"))
+    val feats = Multimodal.decodeFeatures(spark, assets)
+    assert(feats.count() == 2 && feats.schema == Multimodal.featureSchema)
+  }
+
   test("decode preserves partitioning (no shuffle)") {
     val docs = Tables(spark, sf, "documents").repartition(3)
     val feats = Multimodal.decodeFeatures(spark,

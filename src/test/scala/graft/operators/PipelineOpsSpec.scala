@@ -119,6 +119,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cover == (0L until 97L).toSet)
   }
 
+  test("chunkSpans covers every token exactly once per non-overlap " +
+      "region for ALL doc lengths 1..300 (property sweep)") {
+    import spark.implicits._
+    val (size, stride) = (50, 40)
+    val corpus = (1 to 300).map(n =>
+      (n.toLong, (1 to n).map(i => "t").mkString(" "))).toDF("doc_id", "text")
+    val spans = TextAnalysis.chunkSpans(corpus, "doc_id", "text",
+        size, stride)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (n, rows) =>
+        n -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1) }
+    (1 to 300).foreach { n =>
+      val s = spans(n.toLong)
+      // full coverage, no gaps, no out-of-range, stride respected
+      assert(s.head._1 == 0L)
+      assert(s.flatMap { case (st, len) => st until (st + len) }.toSet ==
+        (0L until n.toLong).toSet, s"coverage hole at n=$n")
+      s.foreach { case (st, len) =>
+        assert(len >= 1 && len <= size && st % stride == 0,
+          s"bad span ($st,$len) at n=$n") }
+      assert(s.map(_._1).distinct.length == s.length)
+    }
+  }
+
   test("redactPII scrubs emails before digit runs (email digits never " +
       "leak as <NUM>) and leaves clean text untouched") {
     import spark.implicits._
