@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object ProgressStream {
 
-  /** W2 — substring-trigger event extraction (`interface.py:171-178`). */
+  /** W2 — substring-trigger event extraction (`interface.py:171-178`).
+    * The task-done trigger is an OR of two substrings per
+    * `interface.py:174`: a month completes either by saving data OR by
+    * finding no royalty records at all. */
   def classify(lines: DataFrame): DataFrame =
     lines.withColumn("event",
       when(col("value").contains("Extraindo dados da página"), lit("page_done"))
-        .when(col("value").contains("Dados salvos para"), lit("task_done"))
+        .when(col("value").contains("Dados salvos para") ||
+          col("value").contains("Nenhum registro de royalties foi extraído"),
+          lit("task_done"))
         .when(col("value").contains("[PROGRESSO]"), lit("progress"))
         .otherwise(lit("other")))
 

@@ -29,11 +29,13 @@ class ProgressStreamSpec extends SparkSpec {
         "Extraindo dados da página 1",
         "Extraindo dados da página 2",
         "Dados salvos para aracaju 2024-01",
+        // a no-records month also completes a task (interface.py:174)
+        "Nenhum registro de royalties foi extraído para barra 2024-02",
         "log noise")
       q.processAllAvailable()
       val t1 = spark.table("progress_counts")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(t1("page_done") == 2 && t1("task_done") == 1 && t1("other") == 1)
+      assert(t1("page_done") == 2 && t1("task_done") == 2 && t1("other") == 1)
 
       // second micro-batch updates the running state, not a fresh count
       source.addData("Extraindo dados da página 3", "[PROGRESSO] 10%")
