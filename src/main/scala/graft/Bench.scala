@@ -27,15 +27,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        // scoped: operator-internal caches (simhash sigs, shingle sets,
+        // …) are unpersisted at scope exit — without release, by
+        // mid-alphabet the BlockManager carries every prior query's
+        // blocks and timings measure cache pressure, not the plan
+        try { graft.engine.Caching.scoped {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save() }; None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches a query's operators may have pinned (simhash sigs,
-      // shingle sets, …): without this, by mid-alphabet the BlockManager
-      // carries every prior query's blocks and timings measure cache
-      // pressure, not the plan under test
+      // final sweep for caches the scope does not own (Spark-ML-internal)
       spark.catalog.clearCache()
       (name, dt, err)
     }

@@ -19,8 +19,12 @@ object Verify {
     graft.plans.KeywordFilterFusion.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scoped: operator-internal caches built by this query are
+      // unpersisted at scope exit (graft.engine.Caching)
+      try graft.engine.Caching.scoped {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any output from a previous run: a stale dir would make
@@ -30,7 +34,7 @@ object Verify {
           dir.listFiles().foreach(_.delete()); dir.delete()
         }
       }
-      // release caches pinned by this query's operators before the next
+      // final sweep for caches the scope does not own (Spark-ML-internal)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

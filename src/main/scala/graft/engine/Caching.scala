@@ -1,0 +1,76 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+
+/** Cache lifecycle for operator-internal multi-consumer frames.
+  *
+  * Several operators materialize an intermediate frame that feeds two or
+  * more downstream consumers (the jaccard shingle relation, LSH band
+  * signatures, the bigram relation, the TF doc-term relation, …). Those
+  * frames must be cached — without materialization Catalyst differentiates
+  * the consumer subtrees and the corpus-sized build runs once per consumer
+  * — but a plain `.cache()` has no owner: in a long-lived library session
+  * every operator invocation pins blocks until someone calls
+  * `spark.catalog.clearCache()`, which also nukes caches the APPLICATION
+  * created on purpose.
+  *
+  * [[cached]] + [[scoped]] give those frames an owner without changing the
+  * operator API:
+  *
+  *   - Operators call `Caching.cached(df)` wherever they would have called
+  *     `df.cache()`. Outside any scope the behavior is IDENTICAL to
+  *     `.cache()` (the historical caller-must-clear contract).
+  *   - A caller that wants bounded cache lifetime wraps build+action in
+  *     `Caching.scoped { ... }`: every frame `cached` during the block is
+  *     unpersisted (non-blocking) on exit — and ONLY those frames, so
+  *     application-owned caches are untouched. Actions must run inside the
+  *     scope: a plan executed after scope exit stays correct (Spark just
+  *     recomputes the uncached subtree) but loses the reuse.
+  *
+  * Scopes nest: an inner scope releases only its own frames. The scope
+  * stack is thread-local — plan construction is driver-side and
+  * single-threaded per query in this engine (Verify/Bench/gate), and two
+  * threads building plans concurrently get independent stacks rather than
+  * racing on one.
+  *
+  * Not covered (by design): `localCheckpoint` blocks (freed by the
+  * ContextCleaner when the RDD is collected) and Spark-ML-internal caches
+  * (owned by the ML algorithms; `clearCache` in Bench/Verify remains the
+  * final sweep for those).
+  */
+object Caching {
+
+  private final class Scope {
+    val tracked = mutable.ArrayBuffer.empty[Dataset[_]]
+  }
+
+  private val stack = new ThreadLocal[List[Scope]] {
+    override def initialValue(): List[Scope] = Nil
+  }
+
+  /** `.cache()` with scope registration. Semantics outside a scope are
+    * exactly `Dataset.cache()`. */
+  def cached[T](ds: Dataset[T]): Dataset[T] = {
+    ds.cache()
+    stack.get() match {
+      case scope :: _ => scope.tracked += ds
+      case Nil        => ()
+    }
+    ds
+  }
+
+  /** Run `body`; on exit unpersist every frame [[cached]] during it
+    * (non-blocking — block eviction proceeds asynchronously while the
+    * caller moves on). Exceptions propagate after release. */
+  def scoped[T](body: => T): T = {
+    val scope = new Scope
+    stack.set(scope :: stack.get())
+    try body
+    finally {
+      stack.set(stack.get().tail)
+      scope.tracked.foreach(_.unpersist(blocking = false))
+    }
+  }
+}

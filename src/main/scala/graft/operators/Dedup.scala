@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Caching.cached
+
 /** X1 — deduplication family for a training-data pipeline.
   *
   * Three tiers, in increasing fuzziness:
@@ -65,16 +67,15 @@ object Dedup {
     * reuse), never recomputed per consumer. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int): DataFrame =
-    docs.select(col(idCol),
-        // pre-hash shingles to longs: the 24 signature hash functions
-        // and the intersect/union verification then work on 8-byte
-        // keys instead of strings (identical results modulo ~2⁻⁶⁴
-        // collisions)
-        transform(
-          TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN),
-          s => xxhash64(s))
-          .as("shs"))
-      .cache()
+    cached(docs.select(col(idCol),
+      // pre-hash shingles to longs: the 24 signature hash functions
+      // and the intersect/union verification then work on 8-byte
+      // keys instead of strings (identical results modulo ~2⁻⁶⁴
+      // collisions)
+      transform(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN),
+        s => xxhash64(s))
+        .as("shs")))
 
   /** Candidate pairs from banded MinHash LSH.
     *
@@ -93,9 +94,8 @@ object Dedup {
     // materialization the k-hash-function signature pipeline is computed
     // TWICE (once per join side) — the same HOF-duplication trap
     // simhashNearDups documents for its 64-expression fingerprint
-    val banded = sigs.select(col(idCol),
-      explode(lshBandHashes(col("sig"), bands, k / bands)).as("bandh"))
-      .cache()
+    val banded = cached(sigs.select(col(idCol),
+      explode(lshBandHashes(col("sig"), bands, k / bands)).as("bandh")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bandh") === col("b.bandh") &&
@@ -150,18 +150,16 @@ object Dedup {
     * labels (a silently-wrong dedup decision poisons the corpus).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .cache()
+    val edges = cached(pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b"))))
     // materialize the (possibly expensive) pair lineage ONCE before the
     // loop: every iteration and the convergence check re-read this
     edges.count()
     // fold round 1 into initialization: each node starts at
     // min(self, neighbors) instead of self — one fewer join round
-    var labels = edges.groupBy(col("a"))
+    var labels = cached(edges.groupBy(col("a"))
       .agg(least(min(col("b")), col("a")).as("label"))
-      .withColumnRenamed("a", "node")
-      .cache()
+      .withColumnRenamed("a", "node"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -171,11 +169,10 @@ object Dedup {
       // carry the previous label through the propagation join so the
       // convergence check needs no extra join — one filter on the
       // already-cached frame instead of a second shuffle per round
-      val prop = labels
+      val prop = cached(labels
         .join(neighborMin, labels("node") === neighborMin("a"), "left")
         .select(col("node"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
       // pointer jumping: adopt the label of one's label. Every label IS
       // a node id present in `prop` (labels only ever take values from
       // the node domain), so the lookup side is prop itself.
@@ -284,9 +281,8 @@ object Dedup {
     // cached: `banded` is self-joined as a/b, so without materialization
     // the 64-expression fingerprint pipeline runs TWICE (once per join
     // side) — the same HOF-duplication trap shingleSets documents
-    val withSig = withHs.select(col(idCol),
-      simhashFromHashes(col("hs")).as("sh64"))
-      .cache()
+    val withSig = cached(withHs.select(col(idCol),
+      simhashFromHashes(col("hs")).as("sh64")))
     val banded = withSig.select(col(idCol), col("sh64"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
@@ -332,10 +328,9 @@ object Dedup {
       transform(col("_tk"), t => xxhash64(lit(1), t)).as("hs1"))
     // cached for the same reason as simhashNearDups: the banded frame
     // is self-joined, and this is 128 per-bit expressions per row
-    val withSig = withHs.select(col(idCol),
+    val withSig = cached(withHs.select(col(idCol),
       simhashFromHashes(col("hs0")).as("w0"),
-      simhashFromHashes(col("hs1")).as("w1"))
-      .cache()
+      simhashFromHashes(col("hs1")).as("w1")))
     val bandExprs = for (w <- 0 until 2; h <- 0 until 2) yield
       struct(lit(w * 2 + h).as("band"),
         shiftright(col(s"w$w"), h * 32).bitwiseAND(lit(0xFFFFFFFFL)).as("bh"))
@@ -383,12 +378,11 @@ object Dedup {
       array((0 until dim).map(_ => lit(rng.nextGaussian())): _*)
     // unit-normalize once; cached — consumed by bucketing AND the two
     // verification join-backs
-    val unit = embs
+    val unit = cached(embs
       .select(col(idCol), VectorFns.toDouble(col(vecCol)).as("vd"))
       .withColumn("_n", VectorFns.norm(col("vd")))
       .select(col(idCol),
-        VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v"))
-      .cache()
+        VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v")))
     val bucketCols = (0 until nTables).map { t =>
       (0 until nPlanes).map { i =>
         when(VectorFns.dot(col("v"), plane()) >= 0, lit(1L << i))
@@ -397,11 +391,10 @@ object Dedup {
     }
     // cached: self-joined as a/b below — without materialization the
     // nPlanes × nTables projection dot products run twice (per join side)
-    val bucketed = unit.select((col(idCol) +: bucketCols): _*)
+    val bucketed = cached(unit.select((col(idCol) +: bucketCols): _*)
       .select(col(idCol),
         explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("table"), col(s"_b$t").as("bucket"))): _*)).as("tb"))
-      .cache()
+          struct(lit(t).as("table"), col(s"_b$t").as("bucket"))): _*)).as("tb")))
     val cands = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tb") === col("b.tb") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Caching.cached
+
 /** X3 — text-analysis operators for a training-data pipeline, over the
   * `documents` table (doc_id, text, lang, source, n_chars).
   *
@@ -81,10 +83,9 @@ object TextAnalysis {
     // self-join and pair aggregation shuffle longs instead of ~20-byte
     // strings (same output modulo a ~2⁻⁶⁴ collision — the standard
     // dedup-system trade).
-    val sh = docs
+    val sh = cached(docs
       .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("sh_str"))
-      .select(col(idCol), xxhash64(col("sh_str")).as("sh"))
-      .cache()
+      .select(col(idCol), xxhash64(col("sh_str")).as("sh")))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq && col("df") >= 2)
     val shRare = sh.join(rare, "sh").select(col(idCol), col("sh"))
@@ -195,10 +196,9 @@ object TextAnalysis {
   def bigramLmScores(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-    val bg = toks.select(col(idCol),
+    val bg = cached(toks.select(col(idCol),
         explode(bigramPairs(col("toks"))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .cache()
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = toks.select(explode(col("toks")).as("tok"))
@@ -236,9 +236,8 @@ object TextAnalysis {
   def bigramModel(docs: DataFrame,
                   textCol: String): (DataFrame, DataFrame, Long) = {
     val toks = docs.select(tokens(col(textCol)).as("toks"))
-    val bg = toks.select(explode(bigramPairs(col("toks"))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .cache()
+    val bg = cached(toks.select(explode(bigramPairs(col("toks"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2")))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = toks.select(explode(col("toks")).as("tok"))
@@ -280,9 +279,8 @@ object TextAnalysis {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
     val tc = toks.select(col(idCol), size(col("toks")).as("n_toks"),
       explode(col("toks")).as("term"))
-    val tf = tc.groupBy(col(idCol), col("n_toks"), col("term"))
-      .agg(count(lit(1)).as("tf_count"))
-      .cache()
+    val tf = cached(tc.groupBy(col(idCol), col("n_toks"), col("term"))
+      .agg(count(lit(1)).as("tf_count")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "term")

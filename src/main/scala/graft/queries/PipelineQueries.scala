@@ -275,12 +275,12 @@ object PipelineQueries {
       // unit-normalize per vector BEFORE the pair join: cosine over n²
       // pairs then costs one dot each instead of dot + two norms. Norm
       // materialized into its own projection (HOF-duplication trap).
-      val unit = e.select(col("label"), col("vec_id"),
+      val unit = graft.engine.Caching.cached(
+        e.select(col("label"), col("vec_id"),
           VectorFns.toDouble(col("embedding")).as("vd"))
         .withColumn("_n", VectorFns.norm(col("vd")))
         .select(col("label"), col("vec_id"),
-          VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v"))
-        .cache()
+          VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v")))
       val a = unit.select(col("label"), col("vec_id").as("id1"),
         col("v").as("v1"))
       val b = unit.select(col("label"), col("vec_id").as("id2"),
@@ -930,10 +930,10 @@ object PipelineQueries {
       // cached: consumed three times (sizing count, bloom treeAggregate
       // build, exact anti-join) — uncached, the corpus-half signature
       // scan + distinct would run three times
-      val corpusSigs = d.filter(col("srcn") < 10)
-        .select(md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
-        .distinct()
-        .cache()
+      val corpusSigs = graft.engine.Caching.cached(
+        d.filter(col("srcn") < 10)
+          .select(md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
+          .distinct())
       Dedup.incrementalExactBloom(d.filter(col("srcn") >= 10), corpusSigs,
           "doc_id", "text", corpusSigCount = corpusSigs.count())
         .orderBy(col("keep_id"))

@@ -25,8 +25,10 @@ object TimeQuery {
       // later reps (JIT/codegen warm-up is the only cross-rep carryover)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      graft.engine.Caching.scoped {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       println(f"$name rep $r: ${(System.nanoTime - t0) / 1e9}%.2f s")
     }
     spark.stop()
