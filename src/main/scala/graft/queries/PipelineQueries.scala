@@ -20,10 +20,10 @@ import graft.sources.CsvIngest
   * / `events` tables.
   *
   * Every query has a DuckDB oracle in [[oracleSql]] except those whose
-  * outputs are inherently engine-specific (q29/q47 SimHash hamming,
+  * outputs are inherently engine-specific (q47 SimHash hamming,
   * q41/q48 seeded-LSH, q32/q40 ML fits, q49 hashed vectors, q64
-  * sketch internals) — those get the driver's rows-only check plus
-  * invariant specs in src/test. COVERAGE.md is the operator→query
+  * sketch internals, q75 seeded-ANN recall) — those get the driver's
+  * rows-only check plus invariant specs in src/test. COVERAGE.md is the operator→query
   * ledger; PLANS.md the physical-plan audit.
   */
 object PipelineQueries {
@@ -261,12 +261,11 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
-    // X1 — SimHash near-dup (hamming ≤ 3 via 16-bit band pigeonhole).
-    "q29_simhash_neardup" -> ((s, dir) => {
-      Dedup.simhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
-          maxDist = 3)
-        .orderBy(col("id1"), col("id2"))
-    }),
+    // (the 64-bit SimHash q29 was demoted to a SimhashProbe-only
+    // narrow-baseline in round 7: its 16-bit bands admit ~n²/2¹⁶
+    // accidental candidates — measured 3.1× the wide path's at n=500 —
+    // so the registered SimHash operator of record is q47's 128-bit
+    // scheme. Dedup.simhashNearDups stays for the probe + specs.)
 
     // X1 — embedding-cosine near-dup, blocked by label (block-join, not
     // cartesian): the single most-similar pair per label block.
@@ -494,24 +493,26 @@ object PipelineQueries {
     }),
 
     // A3 — K-Means (k=3, seed=42), the reference's clustering step
-    // (`data_science.ipynb` cell 4) on z-scored account balances.
-    // ML fit → no oracle; determinism invariants in KMeansSpec.
+    // (`data_science.ipynb` cell 4: StandardScaler over THREE financial
+    // features, then KMeans(3, random_state=42)). Feature parity: three
+    // z-scored per-customer financial columns (balance, total spend,
+    // order count — the star schema's financial triple). ML fit → no
+    // oracle; determinism/inertia invariants in KMeansSpec.
     "q32_kmeans" -> ((s, dir) => {
-      val c = Tables(s, dir, "customer")
-      val stats = c.agg(avg(col("c_acctbal")).as("mu"),
-        stddev_samp(col("c_acctbal")).as("sigma"))
-      val feat = c.crossJoin(broadcast(stats))
-        .withColumn("z", (col("c_acctbal") - col("mu")) / col("sigma"))
       val assembled = new org.apache.spark.ml.feature.VectorAssembler()
-        .setInputCols(Array("z")).setOutputCol("features")
-        .transform(feat)
+        .setInputCols(Array("z_bal", "z_spend", "z_orders"))
+        .setOutputCol("features")
+        .transform(kmeansFeatures(s, dir))
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(3).setSeed(42).setFeaturesCol("features")
         .fit(assembled)
       model.transform(assembled)
         .groupBy(col("prediction"))
-        .agg(count(lit(1)).as("n"), round(avg(col("z")), 4).as("mean_z"))
-        .orderBy(col("mean_z"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("z_bal")), 4).as("mean_z_bal"),
+          round(avg(col("z_spend")), 4).as("mean_z_spend"),
+          round(avg(col("z_orders")), 4).as("mean_z_orders"))
+        .orderBy(col("mean_z_spend"), col("mean_z_bal"))
     }),
 
     // X3 — TF-IDF over document tokens (SURVEY.md:175), pure SQL form so
@@ -674,27 +675,16 @@ object PipelineQueries {
         .orderBy(col("yr"), col("st"))
     }),
 
-    // X1 — edit-distance near-dup with first-token blocking: pairs are
-    // generated only within a block (docs sharing their first token —
-    // never all-pairs), then scored with levenshtein over the 40-char
-    // head. The block key is the cheapest member of the
-    // prefix-blocking family; swap for a fingerprint prefix on a real
-    // corpus. Fully oracle-checkable (levenshtein is engine-portable,
-    // unlike hash-based signatures).
+    // X1 — edit-distance near-dup via the df-capped fingerprint-prefix
+    // block (Dedup.editNearDups): pairs form only inside size-capped
+    // blocks — never all-pairs, and no unbounded skew key (raw
+    // first-token blocking goes quadratic on the "the …" block of any
+    // real corpus; the cap bounds per-block work at maxBlock²/2). Fully
+    // oracle-checkable: md5 + levenshtein are engine-portable, and the
+    // oracle replicates block key and cap exactly.
     "q55_edit_neardup" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").select(col("doc_id"),
-        substring(col("text"), 1, 40).as("head"),
-        split(col("text"), " ").getItem(0).as("blk"))
-      d.as("a")
-        .join(d.as("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          // thresholded variant: banded DP, O(threshold·len) not
-          // O(len²), returns -1 above the bound — 4× faster here and
-          // result-identical after the filter
-          levenshtein(col("a.head"), col("b.head"), 5).cast("long")
-            .as("lev"))
-        .filter(col("lev") >= 0 && col("lev") <= 5)
+      Dedup.editNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+          headLen = 40, maxDist = 5)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -998,7 +988,119 @@ object PipelineQueries {
         .groupBy(col("status_name")).agg(count(lit(1)).as("n"))
         .orderBy(col("status_name"))
     }),
+
+    // A4 completion — TRANSPOSED correlation (`data_science.ipynb` cell
+    // 7: `df.T.corr()`, where the original ROWS become the correlation
+    // axes — NOT the column-pair matrix of q44). Entities = return
+    // flags, observations = their monthly quantity series: corr between
+    // every ordered flag pair across the 12 months. Aggregate FIRST
+    // (one shuffle down to |flags|×|months| rows); the entity×entity
+    // quadratic runs on the tiny aggregated frame, never on base data.
+    "q73_transposed_corr" -> ((s, dir) => {
+      // cents → double: sums are exact integers (< 2⁵³), so both
+      // engines feed corr identical inputs
+      val m = graft.engine.Caching.cached(
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"),
+            month(col("l_shipdate")).as("mo"))
+          .agg(sum((dec(col("l_quantity")) * 100).cast("long"))
+            .cast("double").as("v")))
+      val a = m.select(col("flag").as("flag1"), col("mo"), col("v").as("v1"))
+      val b = m.select(col("flag").as("flag2"), col("mo"), col("v").as("v2"))
+      a.join(b, "mo")
+        .groupBy(col("flag1"), col("flag2"))
+        .agg(round(corr(col("v1"), col("v2")), 6).as("r"))
+        .orderBy(col("flag1"), col("flag2"))
+    }),
+
+    // S5 parity — PERMISSIVE corrupt-record accounting under the gate
+    // (the reference's warn-and-continue tolerant read,
+    // `file_utils.py:36-42`): plant a `;`-CSV where every 5th row is
+    // malformed (an extra field), read it through the permissive
+    // reader, and account clean vs corrupt rows plus a clean-only sum.
+    // The oracle recomputes the expected accounting from the same
+    // deterministic generator — range() math, not a pasted answer.
+    "q74_corrupt_csv" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratchPath("bad_csv", dir)
+      val n = 200
+      val lines = "a;b;c" +: (0 until n).map { i =>
+        if (i % 5 == 0) s"r$i;$i;x$i;EXTRA" else s"r$i;$i;x$i"
+      }
+      // one part file so the header line stays first
+      s.createDataset(lines.toSeq).coalesce(1)
+        .write.mode("overwrite").text(base)
+      // cached: Spark only flags field-count mismatches when the FULL
+      // row is parsed — under an aggregate, column pruning reaches the
+      // univocity parser (selected indexes only) and malformed rows
+      // pass silently. Materializing the un-pruned frame first is the
+      // documented corrupt-record contract (verified empirically: the
+      // uncached form reported 0 corrupt rows on this very fixture).
+      graft.engine.Caching.cached(CsvIngest.read(s, base))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col(CsvIngest.CorruptCol)).as("n_corrupt"),
+          sum(when(col(CsvIngest.CorruptCol).isNull, col("b").cast("long")))
+            .as("clean_b_sum"))
+    }),
+
+    // X2 monitoring — ANN recall@10 as a gate row: the ids each
+    // approximate path (q31's IVF probe, q41's seeded LSH) shares with
+    // the exact brute-force top-10. One row per hit, so the recall
+    // number IS the row count the driver records every round (rows-only
+    // check: the LSH ids are seeded-engine-specific; SimilaritySpec
+    // keeps the ≥-floor assertions).
+    "q75_ann_recall" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val base = e.filter(col("vec_id") =!= 0)
+      val exact = Similarity.topK(base, qv, "vec_id", "embedding", 10)
+        .select(col("vec_id"))
+      val cents = Similarity.centroids(e, "vec_id", "embedding", step = 50)
+      val ivf = Similarity.ivfTopK(base, cents, qv, "vec_id", "embedding",
+          k = 10, nProbe = 3)
+        .select(col("vec_id"))
+      // 1-row scalar fetch for the ml-native API (same as q41)
+      val qarr = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("q"))
+        .collect()(0).getSeq[Double](0).toArray
+      val lsh = Similarity.brpLshTopK(base, "vec_id", "embedding",
+          org.apache.spark.ml.linalg.Vectors.dense(qarr), k = 10)
+        .select(col("vec_id"))
+      ivf.withColumn("method", lit("ivf"))
+        .unionByName(lsh.withColumn("method", lit("lsh")))
+        .join(exact, "vec_id")
+        .select(col("method"), col("vec_id"))
+        .orderBy(col("method"), col("vec_id"))
+    }),
   )
+
+  /** q32's featurization, exposed so KMeansSpec can fit alternative k
+    * on the IDENTICAL features (inertia invariant): three per-customer
+    * financial features (account balance, total order spend, order
+    * count — orders LEFT-joined so order-less customers keep 0),
+    * z-scored StandardScaler-style via ONE stats aggregate broadcast
+    * back (no global window — the q09/A2 shape). */
+  private[queries] def kmeansFeatures(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val spend = o.groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("spend"),
+        count(lit(1)).cast("double").as("n_orders"))
+    val feat = c.join(spend, c("c_custkey") === spend("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("n_orders"), lit(0.0)).as("n_orders"))
+    val stats = feat.agg(
+      avg(col("bal")).as("mu_b"), stddev_samp(col("bal")).as("sd_b"),
+      avg(col("spend")).as("mu_s"), stddev_samp(col("spend")).as("sd_s"),
+      avg(col("n_orders")).as("mu_n"), stddev_samp(col("n_orders")).as("sd_n"))
+    feat.crossJoin(broadcast(stats))
+      .select(col("c_custkey"),
+        ((col("bal") - col("mu_b")) / col("sd_b")).as("z_bal"),
+        ((col("spend") - col("mu_s")) / col("sd_s")).as("z_spend"),
+        ((col("n_orders") - col("mu_n")) / col("sd_n")).as("z_orders"))
+  }
 
   /** q44's matrix columns — shared between the Spark plan and the
     * generated oracle SQL so the two can never drift. */
@@ -1209,11 +1311,14 @@ object PipelineQueries {
 
     "q55_edit_neardup" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS head,
-        |                  string_split(text, ' ')[1] AS blk
-        |           FROM documents)
+        |                  substr(md5(string_split(text, ' ')[1]), 1, 8) AS blk
+        |           FROM documents),
+        |ok AS (SELECT blk FROM (SELECT blk, count(*) AS c FROM d GROUP BY blk)
+        |       WHERE c BETWEEN 2 AND 1000),
+        |db AS (SELECT * FROM d WHERE blk IN (SELECT blk FROM ok))
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
-        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |FROM db a JOIN db b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 5
         |ORDER BY id1, id2""".stripMargin,
 
@@ -1615,6 +1720,28 @@ object PipelineQueries {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
         |FROM e JOIN b ON e.event_type = b.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q73_transposed_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag, month(l_shipdate) AS mo,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS DOUBLE) AS v
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT a.flag AS flag1, b.flag AS flag2,
+        |  round(corr(a.v, b.v), 6) AS r
+        |FROM m a JOIN m b ON a.mo = b.mo
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // recomputes the planted-fixture accounting from the same generator
+    // rule (every 5th of 200 rows malformed, clean b = i) — engine math,
+    // not a pasted answer table
+    "q74_corrupt_csv" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(sum(CASE WHEN i % 5 <> 0 THEN i ELSE 0 END) AS BIGINT)
+        |    AS clean_b_sum
+        |FROM (SELECT unnest(range(0, 200)) AS i)""".stripMargin,
 
     "q63_chunking" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n

@@ -74,15 +74,52 @@ object CsvIngest {
     * engine-side equivalent of the reference's
     * `{cidade}/{cidade}_royalties_{ano}_{mes}.csv` layout, and makes the
     * read side Hive-partitioned so `PruneFileSourcePartitions` can prune
-    * whole directories at plan time (F5/F6). */
+    * whole directories at plan time (F5/F6).
+    *
+    * `bom = true` gives utf-8-sig parity on the WRITE side too: the
+    * reference emits BOM-prefixed files so Excel auto-detects the
+    * encoding (`aracaju_barra_pirambu_scraper.py:294`). Spark's CSV sink
+    * has no BOM option, so the BOM is prepended to each part file in a
+    * driver-side post-pass — a stream-copy per part file, bounded by the
+    * write's task count, not a data-plane job (same cost class as the
+    * sink's own _SUCCESS/commit bookkeeping). [[read]]/[[readPartitioned]]
+    * strip the BOM, so the roundtrip is lossless either way. */
   def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
-            sep: String = ";"): Unit = {
+            sep: String = ";", bom: Boolean = false): Unit = {
     val w = df.write
       .option("sep", sep)
       .option("header", "true")
       .mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .csv(path)
+    if (bom) prependBom(df.sparkSession, path)
+  }
+
+  private val Utf8Bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+
+  /** Prepend the UTF-8 BOM to every part file under `path` (recursive —
+    * covers Hive-partitioned layouts). Hadoop FS API, so the pass works
+    * on any FS the write itself reached. */
+  private def prependBom(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.startsWith("part-")) {
+        val p = f.getPath
+        val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".bom")
+        val out = fs.create(tmp, true)
+        val in = fs.open(p)
+        try {
+          out.write(Utf8Bom)
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+        } finally { in.close(); out.close() }
+        fs.delete(p, false)
+        fs.rename(tmp, p)
+      }
+    }
   }
 
   /** K2/U1/O1 — per-year consolidation (`file_utils.py:9-59`): read each

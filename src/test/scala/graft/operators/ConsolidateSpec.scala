@@ -69,6 +69,31 @@ class ConsolidateSpec extends SparkSpec {
     assert(n >= 3, s"rows should survive a bad line, got $n")
   }
 
+  test("BOM-emitting write roundtrips losslessly (utf-8-sig write parity)") {
+    import spark.implicits._
+    val dir = scratch("bomwrite").resolve("out").toString
+    val df = Seq(("SEMED", "R$ 1,00"), ("SAUDE", "R$ 2,50"))
+      .toDF("orgao", "pago")
+    CsvIngest.write(df.coalesce(1), dir, bom = true)
+    // byte-level: every part file starts with EF BB BF (what pandas'
+    // encoding='utf-8-sig' writes — scraper parity)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val head = Files.readAllBytes(f.toPath).take(3)
+      assert(head.sameElements(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)),
+        s"${f.getName} must start with the UTF-8 BOM")
+    }
+    // roundtrip: the tolerant reader strips the BOM → identical schema
+    // and rows
+    val back = CsvIngest.read(spark, dir).drop(CsvIngest.CorruptCol)
+    assert(back.columns.toSeq == Seq("orgao", "pago"))
+    assert(back.orderBy("orgao").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("SAUDE", "R$ 2,50"), ("SEMED", "R$ 1,00")))
+  }
+
   test("plain comma CSV reads through the same tolerant reader (S6)") {
     val dir = scratch("comma")
     Files.createDirectories(dir)

@@ -116,6 +116,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
   }
 
+  test("edit-distance blocking drops oversized stop-token blocks (df cap)") {
+    import spark.implicits._
+    // a "stop block": 30 docs sharing first token "the" — over the cap
+    // of 20, so the block must be DROPPED before the pair join (the
+    // skew-bomb defense: on real text this block is the corpus). A
+    // 3-doc near-identical block stays under the cap and must survive.
+    val stop = (0 until 30).map(i => (100L + i, s"the quick doc number $i pad"))
+    val near = Seq(
+      (1L, "alpha beta gamma delta one"),
+      (2L, "alpha beta gamma delta two"),
+      (3L, "alpha beta gamma delta onne"))
+    val pairs = Dedup.editNearDups((stop ++ near).toDF("doc_id", "text"),
+        "doc_id", "text", headLen = 30, maxDist = 5,
+        minBlock = 2, maxBlock = 20)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a < 100L && b < 100L },
+      s"oversized stop-token block must be dropped, not joined — got $pairs")
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
   test("exact dedup keeps one representative per token set") {
     import spark.implicits._
     val df = Seq(
