@@ -71,6 +71,24 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance near-dup pairs only inside capped blocks: hash " +
+      "equi-join plus the block-sizing aggregate, never nested-loop") {
+    val plan = planOf("q55_edit_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q55 fell back to nested-loop join:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"),
+      "q55 lost its block-sizing aggregate (the df cap would be gone)")
+  }
+
+  test("transposed correlation self-joins the cached aggregate, not " +
+      "the fact scan") {
+    // aggregate-first is the scale contract: the entity×entity join
+    // must read the materialized |flags|×|months| frame
+    val plan = planOf("q73_transposed_corr")
+    assert(plan.contains("InMemoryTableScan"),
+      s"q73 should join two reads of the cached aggregate:\n${plan.take(2000)}")
+  }
+
   test("range and interval joins plan bucket equi-joins, never " +
       "nested-loop") {
     // the whole point of the bucketed forms: a bare range/overlap
