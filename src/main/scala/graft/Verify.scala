@@ -18,15 +18,21 @@ object Verify {
     // breaks semantics, q02 goes red here rather than only in prod
     graft.plans.KeywordFilterFusion.install(spark)
     new java.io.File(outDir).mkdirs()
+    // recursive, loud delete: a half-deleted result dir is worse than a
+    // failed run — check.py would either crash on the gutted parquet or
+    // resurrect a deregistered query from the leftovers
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+      if (f.exists() && !f.delete())
+        throw new java.io.IOException(s"could not delete $f")
+    }
     // prune result dirs of queries no longer registered: on a reused
     // outDir a stale dir would resurrect a DEREGISTERED query in the
     // compare (bit round 7: the demoted q29 kept appearing in the gate)
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && !SparkEntry.queries.contains(d.getName))
-      .foreach { d =>
-        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        d.delete()
-      }
+      .foreach(deleteTree)
     SparkEntry.queries.foreach { case (name, fn) =>
       // scoped: operator-internal caches built by this query are
       // unpersisted at scope exit (graft.engine.Caching)
@@ -38,10 +44,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any output from a previous run: a stale dir would make
         // the compare silently diagnose the OLD result for this query
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete()); dir.delete()
-        }
+        deleteTree(new java.io.File(s"$outDir/$name"))
       }
       // final sweep for caches the scope does not own (Spark-ML-internal)
       spark.catalog.clearCache()

@@ -1050,9 +1050,15 @@ object PipelineQueries {
     // check: the LSH ids are seeded-engine-specific; SimilaritySpec
     // keeps the ≥-floor assertions).
     "q75_ann_recall" -> ((s, dir) => {
+      import s.implicits._
       val e = Tables(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0)
+      // ONE 1-row scalar fetch serves both the frame-shaped consumers
+      // (as a local relation — no re-scan per consumer) and the
+      // ml-native LSH API
+      val qarr = e.filter(col("vec_id") === 0)
         .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+        .collect()(0).getSeq[Double](0).toArray
+      val qv = Seq(qarr.toSeq).toDF("qvec")
       val base = e.filter(col("vec_id") =!= 0)
       val exact = Similarity.topK(base, qv, "vec_id", "embedding", 10)
         .select(col("vec_id"))
@@ -1060,10 +1066,6 @@ object PipelineQueries {
       val ivf = Similarity.ivfTopK(base, cents, qv, "vec_id", "embedding",
           k = 10, nProbe = 3)
         .select(col("vec_id"))
-      // 1-row scalar fetch for the ml-native API (same as q41)
-      val qarr = e.filter(col("vec_id") === 0)
-        .select(VectorFns.toDouble(col("embedding")).as("q"))
-        .collect()(0).getSeq[Double](0).toArray
       val lsh = Similarity.brpLshTopK(base, "vec_id", "embedding",
           org.apache.spark.ml.linalg.Vectors.dense(qarr), k = 10)
         .select(col("vec_id"))

@@ -99,26 +99,45 @@ object CsvIngest {
 
   /** Prepend the UTF-8 BOM to every part file under `path` (recursive —
     * covers Hive-partitioned layouts). Hadoop FS API, so the pass works
-    * on any FS the write itself reached. */
+    * on any FS the write itself reached.
+    *
+    * Robustness contract: the listing is SNAPSHOTTED before any
+    * mutation (paged RemoteIterators on HDFS/S3A may otherwise surface
+    * files created mid-iteration — including our own temps); the temp
+    * copy is dot-prefixed so Spark/Hadoop readers treat it as hidden if
+    * a crash strands it; delete/rename results are checked so a failed
+    * commit throws instead of silently leaving a partition duplicated
+    * or missing. */
   private def prependBom(spark: SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.startsWith("part-")) {
-        val p = f.getPath
-        val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".bom")
-        val out = fs.create(tmp, true)
+    val parts = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.startsWith("part-"))
+          buf += f.getPath
+      }
+      buf.toSeq
+    }
+    parts.foreach { p =>
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        "." + p.getName + ".bom")
+      val out = fs.create(tmp, true)
+      try {
         val in = fs.open(p)
         try {
           out.write(Utf8Bom)
           org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
-        } finally { in.close(); out.close() }
-        fs.delete(p, false)
-        fs.rename(tmp, p)
-      }
+        } finally in.close()
+      } finally out.close()
+      if (!fs.delete(p, false))
+        throw new java.io.IOException(s"BOM pass: could not delete $p")
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"BOM pass: could not rename $tmp to $p")
     }
   }
 

@@ -17,9 +17,14 @@ object ShowQuery {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.KeywordFilterFusion.install(spark)
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.show(maxRows, truncate = false)
-    println(s"rows=${df.count()}")
+    // scoped like every other runner; cached so show + count execute
+    // the plan once
+    graft.engine.Caching.scoped {
+      val df = graft.engine.Caching.cached(
+        graft.SparkEntry.queries(name)(spark, sfDir))
+      df.show(maxRows, truncate = false)
+      println(s"rows=${df.count()}")
+    }
     spark.stop()
   }
 }
