@@ -14,13 +14,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a managed-table DIRECTORY can outlive the catalog entry (each new
+    // session starts a fresh in-memory catalog, but spark-warehouse
+    // persists on disk) — saveAsTable then refuses with
+    // LOCATION_ALREADY_EXISTS; remove the orphan location explicitly
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed catalog tables on their shared bucket key. With
     * equal bucket counts both Exchanges are elided; with sorted buckets

@@ -230,9 +230,9 @@ object TextAnalysis {
     * the vocabulary size, for scoring OTHER data (e.g. the streaming
     * gate) under a fixed model. At scale these are materialized tables
     * refreshed on a model cadence, not per query — and that is also the
-    * cache contract: the returned frames keep a `.cache()`d bigram
-    * relation alive (same caller-must-clear contract as shingleSets);
-    * materialize them to tables in a long-lived app. */
+    * cache contract: the returned frames keep a [[graft.engine.Caching.cached]]
+    * bigram relation alive, so wrap build+use in `Caching.scoped` for a
+    * bounded lifetime (or materialize to tables in a long-lived app). */
   def bigramModel(docs: DataFrame,
                   textCol: String): (DataFrame, DataFrame, Long) = {
     val toks = docs.select(tokens(col(textCol)).as("toks"))

@@ -1075,6 +1075,48 @@ object PipelineQueries {
         .select(col("method"), col("vec_id"))
         .orderBy(col("method"), col("vec_id"))
     }),
+
+    // Skew-salted join UNDER THE HASH GATE: event_type is the maximally
+    // skewed key (5 values over the whole fact table — the one-hot-
+    // reducer failure mode at 100 TB); the salted form splits each hot
+    // key into 8 sub-keys and must be RESULT-IDENTICAL to the plain
+    // join, which is exactly what the oracle checks. The dim side is
+    // derived (per-type totals), carried through the join, and re-
+    // aggregated so a mis-salted row would shift two columns at once.
+    "q76_salted_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val dim = e.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("et_total"))
+      graft.operators.SkewJoin.saltedEquiJoin(
+          e, dim, "event_type", "et", saltBy = "event_id", buckets = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("et_total")).as("et_total"),
+          sum((dec(col("value")) * 100).cast("long")).as("cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Bucketed co-located join UNDER THE HASH GATE: both sides written
+    // bucketed+sorted by the join key via the catalog (the write-once
+    // shuffle), joined exchange-free (JoinStrategiesSpec asserts the
+    // plan), aggregated to revenue per nation. Green iff the bucketed
+    // store loop loses nothing vs the oracle's plain parquet join.
+    "q77_bucketed_join" -> ((s, dir) => {
+      val tag = Integer.toHexString(dir.hashCode)
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.operators.Bucketing.writeBucketed(o,
+        s"graft_bkt_orders_$tag", "o_custkey", 8)
+      graft.operators.Bucketing.writeBucketed(c,
+        s"graft_bkt_cust_$tag", "o_custkey", 8)
+      graft.operators.Bucketing.bucketedJoin(s,
+          s"graft_bkt_orders_$tag", s"graft_bkt_cust_$tag", "o_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("c_nationkey"))
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -1721,6 +1763,27 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN cents != least(greatest(cents, lo_c), hi_c)
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
         |FROM e JOIN b ON e.event_type = b.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the salted join must be result-identical to the plain join — the
+    // oracle IS the plain join
+    "q76_salted_join" ->
+      """WITH dim AS (SELECT event_type AS et, count(*) AS et_total
+        |             FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(min(et_total) AS BIGINT) AS et_total,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM events JOIN dim ON event_type = et
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bucketed-store loop must lose nothing vs a plain join on the
+    // original parquet
+    "q77_bucketed_join" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_transposed_corr" ->
