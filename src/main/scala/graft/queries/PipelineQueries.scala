@@ -1117,6 +1117,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy(col("c_nationkey"))
     }),
+
+    // X3 — vocabulary heavy hitters (the tokenizer/vocab-construction
+    // pass of a training pipeline): corpus-wide token frequencies,
+    // top-20 with deterministic tiebreak. explode → map-side-combined
+    // count → TakeOrderedAndProject over the |vocab|-sized aggregate —
+    // never a global sort, never driver-side counting.
+    "q78_vocab_topk" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -1785,6 +1798,12 @@ object PipelineQueries {
         |    AS BIGINT)) AS BIGINT) AS cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q78_vocab_topk" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "q73_transposed_corr" ->
       """WITH m AS (
