@@ -60,6 +60,30 @@ object CsvIngest {
       .option("mode", "PERMISSIVE")
       .csv(path))
 
+  /** S5 × W — the tolerant read at INGEST TIME: a streaming file source
+    * with the same PERMISSIVE + corrupt-column contract as [[read]], for
+    * pipelines that land monthly files continuously instead of in
+    * batches. Streaming sources cannot infer schemas, so the DATA
+    * schema is a parameter; the corrupt column is appended here. The
+    * batch reader's column-pruning caveat applies doubly: downstream
+    * corrupt accounting must consume full rows (a pruned aggregate
+    * un-flags malformed rows — see q74's comment). */
+  def readStream(spark: SparkSession, path: String,
+                 dataSchema: org.apache.spark.sql.types.StructType,
+                 sep: String = ";"): DataFrame = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      dataSchema.fields :+ org.apache.spark.sql.types.StructField(
+        CorruptCol, org.apache.spark.sql.types.StringType, nullable = true))
+    spark.readStream
+      .option("sep", sep)
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** BOM survives Spark's CSV header parse as a `﻿` prefix on the
     * first column name; rename it away (pandas utf-8-sig parity). */
   private def stripBom(df: DataFrame): DataFrame = {

@@ -30,6 +30,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("decontaminate degrades broadcast → shuffled join with identical " +
+      "results (the giant-benchmark regime)") {
+    // the operator's scale claim: when the benchmark shingle set exceeds
+    // the broadcast threshold, the SAME plan falls back to a shuffled
+    // join on the shingle key — prove result identity, not just hope
+    val bench = docs(100L -> "a b c d e f g h unique bench tail")
+    val corpus = docs(
+      1L -> "x a b c d e f g h y",
+      2L -> "completely different words here no overlap at all")
+    def run() = Decontaminate.overlapHits(corpus, bench, "doc_id", "text", 8)
+    val broadcastHits = run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val df = run()
+      val shuffled = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(shuffled == broadcastHits,
+        "shuffled-join fallback must be result-identical to broadcast")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast disabled but plan still broadcasts:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("decontaminate: short documents (< n tokens) never match") {
     val bench = docs(100L -> "a b c")
     val corpus = docs(1L -> "a b c")
