@@ -17,6 +17,13 @@ class StreamingCsvSpec extends SparkSpec {
   test("streaming tolerant CSV ingest accounts corrupt rows across " +
       "micro-batches") {
     val dir = scratch("streamcsv_in")
+    // the scratch tree persists across sbt runs — start from an empty
+    // source dir or batch 1 would see the previous run's second file
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
     Files.createDirectories(dir)
     val schema = StructType.fromDDL("a STRING, b STRING, c STRING")
     // batch 1: one clean row, one extra-field row
