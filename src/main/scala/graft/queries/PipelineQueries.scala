@@ -499,10 +499,13 @@ object PipelineQueries {
     // order count — the star schema's financial triple). ML fit → no
     // oracle; determinism/inertia invariants in KMeansSpec.
     "q32_kmeans" -> ((s, dir) => {
-      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
-        .setInputCols(Array("z_bal", "z_spend", "z_orders"))
-        .setOutputCol("features")
-        .transform(kmeansFeatures(s, dir))
+      // cached: the join+stats featurization otherwise re-runs for the
+      // iterative fit AND the transform/aggregate pass
+      val assembled = graft.engine.Caching.cached(
+        new org.apache.spark.ml.feature.VectorAssembler()
+          .setInputCols(Array("z_bal", "z_spend", "z_orders"))
+          .setOutputCol("features")
+          .transform(kmeansFeatures(s, dir)))
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(3).setSeed(42).setFeaturesCol("features")
         .fit(assembled)
