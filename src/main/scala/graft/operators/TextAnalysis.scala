@@ -302,8 +302,10 @@ object TextAnalysis {
                    numFeatures: Int = 1024): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, IDF}
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
-      .setNumFeatures(numFeatures).transform(toks)
+    // cached: the hashed-TF frame feeds the IDF fit (treeAggregate
+    // pass) AND the transform — uncached, tokenize+hash runs twice
+    val tf = cached(new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(numFeatures).transform(toks))
     new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
       .transform(tf)
       .select(col(idCol), col("tfidf"))
