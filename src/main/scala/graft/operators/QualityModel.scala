@@ -32,10 +32,16 @@ object QualityModel {
   }
 
   def train(docs: DataFrame, seed: Long = 42L): RandomForestClassificationModel =
+    trainOn(featurize(docs), seed)
+
+  /** Fit on an ALREADY-FEATURIZED frame — callers that also score the
+    * same frame should featurize once (and cache) rather than let
+    * [[train]] re-derive it. */
+  def trainOn(data: DataFrame, seed: Long = 42L): RandomForestClassificationModel =
     new RandomForestClassifier()
       .setNumTrees(20).setSeed(seed)
       .setLabelCol("label").setFeaturesCol("features")
-      .fit(featurize(docs))
+      .fit(data)
 
   /** Training-set accuracy — the label is a deterministic function of
     * the features, so a sane forest should recover it almost exactly. */

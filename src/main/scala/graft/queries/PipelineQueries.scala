@@ -485,8 +485,10 @@ object PipelineQueries {
     // → stable rows-only check; invariants in QualityModelSpec).
     "q40_quality_model" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val data = graft.operators.QualityModel.featurize(docs)
-      graft.operators.QualityModel.train(docs).transform(data)
+      // cached: the featurized frame feeds the forest fit AND scoring
+      val data = graft.engine.Caching.cached(
+        graft.operators.QualityModel.featurize(docs))
+      graft.operators.QualityModel.trainOn(data).transform(data)
         .groupBy(col("label"), col("prediction"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("label"), col("prediction"))
