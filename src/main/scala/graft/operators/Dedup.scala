@@ -449,4 +449,89 @@ object Dedup {
         round(VectorFns.dot(col("v1"), col("v2")), 4).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Quality-aware canonical selection — the dedup DECISION policy most
+    * production corpora actually want: within each near-dup component
+    * keep the member with the HIGHEST quality score (ties → lowest id),
+    * not blindly the lowest id. `nearDupDropList` is the min-id policy;
+    * this is the keep-best one (keep-longest when the score is a length,
+    * keep-highest-LM-score when it is q67's, …).
+    *
+    * `scored` maps `idCol` → `scoreCol` for at least every id appearing
+    * in `pairs` (an inner join drops unscored members — score coverage
+    * is the caller's contract). Shape: components via the same
+    * pointer-jumping CC, then two |members|-sized aggregates — a max
+    * per label and a min-id among the max-scored — joined on `label`.
+    * Member frames are component-sized (≪ corpus), so every step after
+    * CC is small; the argmax is NOT `max_by` (non-deterministic on
+    * ties) but the portable max → filter → min-id composition, so an
+    * oracle can replicate the tiebreak exactly.
+    *
+    * Returns one row per component: label, kept_id, n_members,
+    * best_score. */
+  def keepBest(pairs: DataFrame, scored: DataFrame, idCol: String,
+               scoreCol: String): DataFrame = {
+    val members = cached(connectedComponents(pairs)
+      .join(scored, col("node") === col(idCol))
+      .select(col("label"), col("node"), col(scoreCol).as("_score")))
+    val best = members.groupBy(col("label"))
+      .agg(max(col("_score")).as("best_score"),
+        count(lit(1)).as("n_members"))
+    members
+      .join(best, "label")
+      .filter(col("_score") === col("best_score"))
+      .groupBy(col("label"), col("best_score"), col("n_members"))
+      .agg(min(col("node")).as("kept_id"))
+      .select(col("label"), col("kept_id"), col("n_members"),
+        col("best_score"))
+  }
+
+  /** Chunk-level exact dedup with per-document accounting — the
+    * "line dedup" of CCNet/RefinedWeb generalized to fixed-size token
+    * chunks: split every document into non-overlapping `chunkSize`-token
+    * chunks, keep only the FIRST occurrence of each distinct chunk
+    * corpus-wide (first = lowest (doc, position)), and report per
+    * document how much survives. Catches boilerplate (headers, nav
+    * bars, license blocks) that document-level near-dup misses because
+    * the surrounding text differs.
+    *
+    * Shape at 100 TB: chunking is a per-row generator (no shuffle, no
+    * array duplication — the chunk strings are built inside one
+    * `transform` whose total size is the document itself); the keep
+    * rule is ONE map-side-combined aggregate on md5(chunk) — 32-byte
+    * keys, never chunk text — and one equi-join back on the same
+    * digest. The worst skew key is the most-repeated chunk (exactly
+    * the boilerplate being removed), bounded by corpus size, and the
+    * join payload per row is three longs.
+    *
+    * The keeper key packs (doc, chunk index) into one long
+    * (`id * 2^20 + cid`) so "first occurrence" is a single portable
+    * `min` an oracle replicates verbatim; a document would need more
+    * than 2^20 chunks (~21 M tokens at chunkSize 20 — far beyond any
+    * training document) before packed keys could collide.
+    *
+    * Returns one row per document: id, n_chunks, n_kept, toks_kept. */
+  def chunkDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                      chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val cs = chunkSize.toLong
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkSize).cast("long")
+    val chunkArr = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(toks, (i * cs + 1).cast("int"), lit(chunkSize))))
+    val packed = col(idCol) * lit(1L << 20) + col("cid")
+    val ch = cached(docs
+      .select(col(idCol), size(toks).cast("long").as("_n"),
+        posexplode(chunkArr).as(Seq("cid", "chunk")))
+      .select(col(idCol), col("cid").cast("long").as("cid"),
+        least(lit(cs), col("_n") - col("cid") * cs).as("clen"),
+        md5(col("chunk")).as("sig")))
+    val firstSeen = ch.groupBy(col("sig")).agg(min(packed).as("_kkey"))
+    ch.join(firstSeen, "sig")
+      .withColumn("_kept", packed === col("_kkey"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_kept"), col("clen")).otherwise(0L)).as("toks_kept"))
+  }
 }

@@ -1135,6 +1135,60 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("tok"))
         .limit(20)
     }),
+
+    // X1 — quality-aware canonical selection: the dedup DECISION with a
+    // keep-BEST policy (here keep-longest via n_chars — the standard
+    // production choice) instead of q39/q56's keep-min-id. Pairs come
+    // from the cheap df-capped edit-distance blocker (q55's pair
+    // source), components from the same pointer-jumping CC, then two
+    // component-sized aggregates pick argmax-score/min-id per cluster.
+    // Fully oracle-checkable: the integer score makes the max + tiebreak
+    // exactly portable.
+    "q79_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.editNearDups(docs, "doc_id", "text",
+        headLen = 40, maxDist = 5)
+      Dedup.keepBest(pairs,
+          docs.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars")
+        .orderBy(col("label"))
+    }),
+
+    // X1 — chunk-level exact dedup (line-dedup generalized): split every
+    // doc into non-overlapping 20-token chunks, keep each distinct
+    // chunk's first (doc, position) occurrence corpus-wide, report per-
+    // doc survival. The boilerplate-removal pass document-level dedup
+    // misses; naturally non-vacuous here (the corpus contains hundreds
+    // of cross-doc duplicate chunks). One md5-keyed aggregate + one
+    // digest equi-join — no chunk text ever rides a shuffle.
+    "q80_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDedupStats(Tables(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline — train/val/test leakage audit: count content
+    // signatures (q14's order-insensitive token-set md5) that appear in
+    // MORE than one of q51's splits — the cross-split contamination a
+    // pipeline must drive to zero before training. Distinct (sig, split)
+    // pairs first (map-side-combined, ≤ 3 rows per sig), then a
+    // self-join on the 32-byte digest whose per-key fan-out is bounded
+    // by the split count — never corpus×corpus.
+    "q81_split_leakage" -> ((s, dir) => {
+      val sp = when(col("doc_id") % 100 < 80, lit("train"))
+        .when(col("doc_id") % 100 < 90, lit("val"))
+        .otherwise(lit("test"))
+      val sigs = Tables(s, dir, "documents")
+        .select(sp.as("sp"),
+          md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
+        .distinct()
+      sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.sig") === col("b.sig") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("split_a"), col("b.sp").as("split_b"))
+        .agg(count(lit(1)).as("n_sigs"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -1843,5 +1897,68 @@ object PipelineQueries {
         |SELECT doc_id, chunk_id, chunk_id * 40 AS start_tok,
         |  least(50, n - chunk_id * 40) AS chunk_len
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q55's pair pipeline + q39's recursive closure, then the keep-best
+    // policy: argmax n_chars per component, min-id tiebreak — replicated
+    // with the same portable max → filter → min composition the engine
+    // uses (no arg_max: its tiebreak is unspecified)
+    "q79_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, substr(text, 1, 40) AS head,
+        |             substr(md5(string_split(text, ' ')[1]), 1, 8) AS blk
+        |      FROM documents),
+        |ok AS (SELECT blk FROM (SELECT blk, count(*) AS c FROM d GROUP BY blk)
+        |       WHERE c BETWEEN 2 AND 1000),
+        |db AS (SELECT * FROM d WHERE blk IN (SELECT blk FROM ok)),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |          FROM db a JOIN db b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |          WHERE levenshtein(a.head, b.head) <= 5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(root) AS label FROM reach GROUP BY node),
+        |m AS (SELECT c.label, c.node, doc.n_chars AS score
+        |      FROM comp c JOIN documents doc ON c.node = doc.doc_id),
+        |best AS (SELECT label, max(score) AS best_score,
+        |                count(*) AS n_members
+        |         FROM m GROUP BY label)
+        |SELECT m.label, min(m.node) AS kept_id, best.n_members,
+        |  best.best_score
+        |FROM m JOIN best ON m.label = best.label AND m.score = best.best_score
+        |GROUP BY 1, 3, 4 ORDER BY m.label""".stripMargin,
+
+    // same packed-key first-occurrence rule as the engine (doc·2^20+cid)
+    "q80_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n, toks,
+        |        unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)))
+        |          AS cid
+        |      FROM t),
+        |ch AS (SELECT doc_id, cid, least(20, n - cid * 20) AS clen,
+        |         md5(array_to_string(toks[cid*20+1:cid*20+20], ' ')) AS sig
+        |       FROM c),
+        |keep AS (SELECT sig, min(doc_id * 1048576 + cid) AS kkey
+        |         FROM ch GROUP BY sig)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN doc_id * 1048576 + cid = kkey
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id * 1048576 + cid = kkey
+        |    THEN clen ELSE 0 END) AS BIGINT) AS toks_kept
+        |FROM ch JOIN keep USING (sig) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q81_split_leakage" ->
+      """WITH s AS (SELECT DISTINCT
+        |    CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |         WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS sp,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents)
+        |SELECT a.sp AS split_a, b.sp AS split_b, count(*) AS n_sigs
+        |FROM s a JOIN s b ON a.sig = b.sig AND a.sp < b.sp
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

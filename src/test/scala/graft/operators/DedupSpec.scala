@@ -146,4 +146,44 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).toMap
     assert(out == Map(10L -> 3L, 40L -> 1L))
   }
+
+  test("keepBest keeps the argmax-score member, min-id on ties") {
+    import spark.implicits._
+    // component {1,2,3} via the chain 1-2, 2-3: doc 2 has the top score
+    // (NOT the min id — the policy must beat keep-min-id here);
+    // component {7,9}: equal scores, so the tiebreak keeps 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val scored = Seq((1L, 10L), (2L, 50L), (3L, 20L), (7L, 30L), (9L, 30L))
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBest(pairs, scored, "doc_id", "score")
+      .collect().map(r => (r.getAs[Long]("label"),
+        (r.getAs[Long]("kept_id"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("best_score")))).toMap
+    assert(out == Map(1L -> ((2L, 3L, 50L)), 7L -> ((7L, 2L, 30L))),
+      s"got $out")
+  }
+
+  test("chunk dedup keeps first (doc, position) occurrence corpus-wide") {
+    import spark.implicits._
+    // chunkSize=3: doc1 = [a b c][d e f]; doc2 = [a b c][x y z];
+    // doc3 = [x y z]; doc4 = [p q r][s] (partial tail chunk).
+    // "a b c" first occurs at (1,0) → doc2's copy drops;
+    // "x y z" first occurs at (2,1) → doc3's copy drops.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "x y z"),
+      (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupStats(df, "doc_id", "text", chunkSize = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("toks_kept")))).toMap
+    assert(out == Map(
+      1L -> ((2L, 2L, 6L)),   // both chunks first occurrences
+      2L -> ((2L, 1L, 3L)),   // "a b c" dropped, "x y z" kept
+      3L -> ((1L, 0L, 0L)),   // its only chunk seen earlier at (2,1)
+      4L -> ((2L, 2L, 4L))),  // partial tail: clen 3 + 1
+      s"got $out")
+  }
 }
