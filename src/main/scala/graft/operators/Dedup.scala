@@ -504,34 +504,70 @@ object Dedup {
     * the boilerplate being removed), bounded by corpus size, and the
     * join payload per row is three longs.
     *
-    * The keeper key packs (doc, chunk index) into one long
-    * (`id * 2^20 + cid`) so "first occurrence" is a single portable
-    * `min` an oracle replicates verbatim; a document would need more
-    * than 2^20 chunks (~21 M tokens at chunkSize 20 — far beyond any
-    * training document) before packed keys could collide.
+    * "First occurrence" is `min` over a (doc, chunk index) struct —
+    * lexicographic in both this engine and DuckDB, so an oracle
+    * replicates the rule verbatim and no packed-integer arithmetic
+    * (with its silent-overflow hazard on large ids) is involved.
+    * Null text is treated as empty: the engine-wide tokenizer
+    * (`split(text, " ")`) yields a single empty token for "", so every
+    * null/empty document carries one empty chunk and they all dedup
+    * together — one row per input document, always.
     *
     * Returns one row per document: id, n_chunks, n_kept, toks_kept. */
   def chunkDedupStats(docs: DataFrame, idCol: String, textCol: String,
                       chunkSize: Int): DataFrame = {
-    require(chunkSize > 0, "chunkSize must be positive")
     val cs = chunkSize.toLong
-    val toks = split(col(textCol), " ")
-    val nChunks = ceil(size(toks).cast("double") / chunkSize).cast("long")
-    val chunkArr = transform(sequence(lit(0L), nChunks - 1),
-      i => concat_ws(" ", slice(toks, (i * cs + 1).cast("int"), lit(chunkSize))))
-    val packed = col(idCol) * lit(1L << 20) + col("cid")
-    val ch = cached(docs
-      .select(col(idCol), size(toks).cast("long").as("_n"),
-        posexplode(chunkArr).as(Seq("cid", "chunk")))
-      .select(col(idCol), col("cid").cast("long").as("cid"),
-        least(lit(cs), col("_n") - col("cid") * cs).as("clen"),
-        md5(col("chunk")).as("sig")))
-    val firstSeen = ch.groupBy(col("sig")).agg(min(packed).as("_kkey"))
+    val firstKey = struct(col(idCol).as("d"), col("cid").as("c"))
+    val ch = cached(
+      chunkRows(docs, idCol, textCol, chunkSize)
+        .select(col(idCol), col("cid"), col("clen"), col("sig")))
+    val firstSeen = ch.groupBy(col("sig")).agg(min(firstKey).as("_kkey"))
     ch.join(firstSeen, "sig")
-      .withColumn("_kept", packed === col("_kkey"))
+      .withColumn("_kept", firstKey === col("_kkey"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("_kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("_kept"), col("clen")).otherwise(0L)).as("toks_kept"))
+  }
+
+  /** One row per `chunkSize`-token chunk: (id, carry…, cid, clen,
+    * chunk, sig) — the shared chunker behind [[chunkDedupStats]] and
+    * the streaming suppressor
+    * ([[graft.streaming.StreamingDedup.chunksWithinWatermark]]; the
+    * `carry` columns exist so a streaming caller can thread its
+    * event-time column through the generator and keep the watermark).
+    * Pure per-row generator: no shuffle, and the chunk strings are
+    * built inside one `transform` whose total output is the document
+    * itself. */
+  private[graft] def chunkRows(docs: DataFrame, idCol: String,
+                               textCol: String, chunkSize: Int,
+                               carry: Seq[String] = Nil): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val cs = chunkSize.toLong
+    val carryCols = carry.map(col)
+    // materialize the token array in its own projection FIRST:
+    // referencing the raw split(...) from inside the transform lambda
+    // re-tokenizes the document once per chunk (Spark does no
+    // subexpression elimination inside HOF lambdas — the shingleSets
+    // pre-hash trap), turning chunking O(len × n_chunks). As a
+    // multiply-referenced non-cheap alias, `_toks` survives
+    // CollapseProject un-inlined.
+    val tokenized = docs.select(
+      (col(idCol) +: carryCols) :+
+        split(coalesce(col(textCol), lit("")), " ").as("_toks"): _*)
+    val nChunks =
+      ceil(size(col("_toks")).cast("double") / chunkSize).cast("long")
+    val chunkArr = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ",
+        slice(col("_toks"), (i * cs + 1).cast("int"), lit(chunkSize))))
+    tokenized
+      .select((col(idCol) +: carryCols) ++ Seq(
+        size(col("_toks")).cast("long").as("_n"),
+        posexplode(chunkArr).as(Seq("cid", "chunk"))): _*)
+      .select((col(idCol) +: carryCols) ++ Seq(
+        col("cid").cast("long").as("cid"),
+        least(lit(cs), col("_n") - col("cid") * cs).as("clen"),
+        col("chunk"),
+        md5(col("chunk")).as("sig")): _*)
   }
 }

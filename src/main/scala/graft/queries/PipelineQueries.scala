@@ -1178,10 +1178,13 @@ object PipelineQueries {
       val sp = when(col("doc_id") % 100 < 80, lit("train"))
         .when(col("doc_id") % 100 < 90, lit("val"))
         .otherwise(lit("test"))
-      val sigs = Tables(s, dir, "documents")
-        .select(sp.as("sp"),
-          md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
-        .distinct()
+      // cached: self-joined as a/b below — without materialization the
+      // corpus-sized signature scan + distinct runs once per join side
+      val sigs = graft.engine.Caching.cached(
+        Tables(s, dir, "documents")
+          .select(sp.as("sp"),
+            md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
+          .distinct())
       sigs.as("a")
         .join(sigs.as("b"),
           col("a.sig") === col("b.sig") && col("a.sp") < col("b.sp"))
@@ -1930,9 +1933,11 @@ object PipelineQueries {
         |FROM m JOIN best ON m.label = best.label AND m.score = best.best_score
         |GROUP BY 1, 3, 4 ORDER BY m.label""".stripMargin,
 
-    // same packed-key first-occurrence rule as the engine (doc·2^20+cid)
+    // same lexicographic (doc, chunk)-struct first-occurrence rule as
+    // the engine (ROW min is lexicographic in DuckDB too)
     "q80_chunk_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      """WITH t AS (SELECT doc_id,
+        |             string_split(coalesce(text, ''), ' ') AS toks
         |           FROM documents),
         |c AS (SELECT doc_id, len(toks) AS n, toks,
         |        unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)))
@@ -1941,12 +1946,12 @@ object PipelineQueries {
         |ch AS (SELECT doc_id, cid, least(20, n - cid * 20) AS clen,
         |         md5(array_to_string(toks[cid*20+1:cid*20+20], ' ')) AS sig
         |       FROM c),
-        |keep AS (SELECT sig, min(doc_id * 1048576 + cid) AS kkey
+        |keep AS (SELECT sig, min(ROW(doc_id, cid)) AS kkey
         |         FROM ch GROUP BY sig)
         |SELECT ch.doc_id, count(*) AS n_chunks,
-        |  CAST(sum(CASE WHEN doc_id * 1048576 + cid = kkey
+        |  CAST(sum(CASE WHEN ROW(doc_id, cid) = kkey
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(CASE WHEN doc_id * 1048576 + cid = kkey
+        |  CAST(sum(CASE WHEN ROW(doc_id, cid) = kkey
         |    THEN clen ELSE 0 END) AS BIGINT) AS toks_kept
         |FROM ch JOIN keep USING (sig) GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -39,4 +39,27 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_sig")
       .drop("_sig")
+
+  /** Chunk-level dedup on the streaming path — the continuous form of
+    * [[graft.operators.Dedup.chunkDedupStats]]: explode each incoming
+    * document into non-overlapping `chunkSize`-token chunks (the same
+    * shared chunker as batch, so stream and batch agree on chunk
+    * boundaries and signatures) and suppress any chunk whose digest
+    * was already seen within the watermark window. The surviving rows
+    * (id, ts, cid, chunk) are the "clean lines" stream a downstream
+    * assembler or trainer consumes — boilerplate repeated across
+    * documents is dropped at ingest time, first occurrence wins by
+    * arrival order.
+    *
+    * State = one 32-byte digest row per distinct chunk in the window
+    * (never chunk text), evicted by the watermark — the only
+    * state-bounded semantics; the batch operator remains the global
+    * sweep, same composition contract as [[exactWithinWatermark]]. */
+  def chunksWithinWatermark(docs: DataFrame, idCol: String,
+                            textCol: String, tsCol: String,
+                            chunkSize: Int, delay: String): DataFrame =
+    Dedup.chunkRows(docs.withWatermark(tsCol, delay),
+        idCol, textCol, chunkSize, carry = Seq(tsCol))
+      .dropDuplicatesWithinWatermark("sig")
+      .select(col(idCol), col(tsCol), col("cid"), col("chunk"))
 }

@@ -166,14 +166,19 @@ class DedupSpec extends SparkSpec {
   test("chunk dedup keeps first (doc, position) occurrence corpus-wide") {
     import spark.implicits._
     // chunkSize=3: doc1 = [a b c][d e f]; doc2 = [a b c][x y z];
-    // doc3 = [x y z]; doc4 = [p q r][s] (partial tail chunk).
+    // doc3 = [x y z]; doc4 = [p q r][s] (partial tail chunk);
+    // doc5 = null text, doc6 = "" — both tokenize to [''] (the
+    // engine-wide split convention), so they dedup TOGETHER and both
+    // still get their per-doc row ("one row per document, always").
     // "a b c" first occurs at (1,0) → doc2's copy drops;
     // "x y z" first occurs at (2,1) → doc3's copy drops.
     val df = Seq(
       (1L, "a b c d e f"),
       (2L, "a b c x y z"),
       (3L, "x y z"),
-      (4L, "p q r s")
+      (4L, "p q r s"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "")
     ).toDF("doc_id", "text")
     val out = Dedup.chunkDedupStats(df, "doc_id", "text", chunkSize = 3)
       .collect().map(r => (r.getAs[Long]("doc_id"),
@@ -183,7 +188,9 @@ class DedupSpec extends SparkSpec {
       1L -> ((2L, 2L, 6L)),   // both chunks first occurrences
       2L -> ((2L, 1L, 3L)),   // "a b c" dropped, "x y z" kept
       3L -> ((1L, 0L, 0L)),   // its only chunk seen earlier at (2,1)
-      4L -> ((2L, 2L, 4L))),  // partial tail: clen 3 + 1
+      4L -> ((2L, 2L, 4L)),   // partial tail: clen 3 + 1
+      5L -> ((1L, 1L, 1L)),   // null → [''] chunk, first occurrence
+      6L -> ((1L, 0L, 0L))),  // "" → same [''] chunk, deduped vs doc5
       s"got $out")
   }
 }

@@ -46,4 +46,45 @@ class StreamingDedupSpec extends SparkSpec {
         s"got $ids — docs 2 and 4 are token-set dups of doc 1")
     } finally q.stop()
   }
+
+  test("chunk-level dedup suppresses repeated chunks across batches, " +
+      "first arrival wins") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+
+    val source = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val clean = StreamingDedup.chunksWithinWatermark(
+      source.toDF().toDF("ts", "doc_id", "text"),
+      idCol = "doc_id", textCol = "text", tsCol = "ts",
+      chunkSize = 3, delay = "10 minutes")
+
+    val q = clean.writeStream
+      .format("memory").queryName("stream_chunk_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // doc1 → [a b c][d e f]; doc2 shares its first chunk ("a b c"
+      // boilerplate) but contributes [x y z]
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a b c d e f"),
+        (ts("2024-01-01 10:00:30"), 2L, "a b c x y z"))
+      q.processAllAvailable()
+      // next batch: doc3 is pure already-seen boilerplate (fully
+      // suppressed, STATE carried across batches); doc4 is new
+      source.addData(
+        (ts("2024-01-01 10:01:00"), 3L, "x y z"),
+        (ts("2024-01-01 10:01:30"), 4L, "p q r"))
+      q.processAllAvailable()
+
+      val kept = spark.table("stream_chunk_dedup")
+        .select("doc_id", "cid", "chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(kept == Set(
+        (1L, 0L, "a b c"), (1L, 1L, "d e f"),
+        (2L, 1L, "x y z"), (4L, 0L, "p q r")),
+        s"got $kept — doc2's boilerplate chunk and all of doc3 must drop")
+    } finally q.stop()
+  }
 }
