@@ -450,6 +450,57 @@ object Dedup {
       .filter(col("sim") >= minSim)
   }
 
+  /** SemDeDup-style semantic dedup — embedding near-dup with LEARNED
+    * cluster blocking (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): k-means
+    * the unit-normalized embeddings, then search pairs only WITHIN a
+    * cluster. The third blocking strategy next to the label blocks of
+    * the q30 shape (needs a natural key) and the random-hyperplane
+    * buckets of [[embedNearDupsLSH]] (needs no training): learned
+    * blocks follow the data's own density, so per-block pair volume is
+    * ~n²/k without assuming a key or a hash family.
+    *
+    * Trade: pairs straddling a cluster boundary are missed (same
+    * recall trade as the paper; raise k for cheaper blocks, lower it
+    * for recall). Identical vectors always co-cluster (same point →
+    * same nearest centroid), so exact duplicates are never lost.
+    *
+    * Shape at 100 TB: the fit iterates over the cached unit-vector
+    * frame (ml-native treeAggregate rounds); assignment is one map;
+    * the pair join carries (cluster, id, vector) and explodes nothing.
+    * Seeded and deterministic for reproducible dedup decisions. */
+  def embedNearDupsClustered(embs: DataFrame, idCol: String,
+                             vecCol: String, k: Int, minSim: Double,
+                             seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFns
+    // unit-normalize BEFORE clustering and pairing: k-means on the unit
+    // sphere approximates cosine blocking, and the verification dot is
+    // then the cosine. Norm pinned in its own projection (the HOF
+    // re-evaluation trap).
+    val feat = cached(embs
+      .select(col(idCol), VectorFns.toDouble(col(vecCol)).as("vd"))
+      .withColumn("_n", VectorFns.norm(col("vd")))
+      .select(col(idCol),
+        VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v"))
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("v"))))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(feat)
+    // cached: self-joined as a/b below
+    val assigned = cached(model.transform(feat)
+      .select(col(idCol), col("prediction").as("cluster"), col("v")))
+    val a = assigned.select(col("cluster"), col(idCol).as("id1"),
+      col("v").as("v1"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id2"),
+      col("v").as("v2"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .select(col("cluster"), col("id1"), col("id2"),
+        round(VectorFns.dot(col("v1"), col("v2")), 4).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Quality-aware canonical selection — the dedup DECISION policy most
     * production corpora actually want: within each near-dup component
     * keep the member with the HIGHEST quality score (ties → lowest id),

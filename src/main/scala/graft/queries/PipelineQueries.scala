@@ -1174,6 +1174,18 @@ object PipelineQueries {
     // pairs first (map-side-combined, ≤ 3 rows per sig), then a
     // self-join on the 32-byte digest whose per-key fan-out is bounded
     // by the split count — never corpus×corpus.
+    // X1 — SemDeDup-style semantic dedup: embedding near-dup with
+    // LEARNED k-means cluster blocking (the third blocking strategy
+    // next to q30's label blocks and q48's LSH buckets — follows data
+    // density, no key or hash family assumed). Seeded ML fit → no
+    // oracle path (rows-only); co-clustering/recall invariants in
+    // DedupSpec.
+    "q82_semantic_dedup" -> ((s, dir) => {
+      Dedup.embedNearDupsClustered(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, minSim = 0.4)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     "q81_split_leakage" -> ((s, dir) => {
       val sp = when(col("doc_id") % 100 < 80, lit("train"))
         .when(col("doc_id") % 100 < 90, lit("val"))

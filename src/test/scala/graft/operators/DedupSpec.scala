@@ -147,6 +147,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(10L -> 3L, 40L -> 1L))
   }
 
+  test("clustered (SemDeDup-style) embedding dedup finds planted " +
+      "near-parallel vectors and is deterministic across runs") {
+    import spark.implicits._
+    // two planted near-dup groups on opposite sides of the sphere:
+    // 1/2 identical + 3 near-parallel (identical vectors MUST
+    // co-cluster: same point → same nearest centroid), and 4/6
+    // near-parallel (cos ≈ 0.998) — found even though they live in
+    // the OTHER cluster; 5/7 at cos ≈ 0.982 sit under the threshold
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (3L, Array(0.98f, 0.22f, 0.12f, 0.01f)),
+      (4L, Array(-1.0f, 0.5f, -0.3f, 0.8f)),
+      (5L, Array(0.0f, -1.0f, 0.9f, -0.2f)),
+      (6L, Array(-0.9f, 0.4f, -0.2f, 0.7f)),
+      (7L, Array(0.1f, -0.8f, 1.0f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    def run() = Dedup.embedNearDupsClustered(vecs, "vec_id", "embedding",
+        k = 2, minSim = 0.99)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = run()
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 6L)),
+      s"got $pairs")
+    assert(run() == pairs, "seeded fit must be deterministic")
+  }
+
   test("keepBest keeps the argmax-score member, min-id on ties") {
     import spark.implicits._
     // component {1,2,3} via the chain 1-2, 2-3: doc 2 has the top score

@@ -100,4 +100,26 @@ class PlanInvariantsSpec extends SparkSpec {
         s"$name fell back to nested-loop join:\n${plan.take(2000)}")
     }
   }
+
+  test("chunk dedup joins the cached chunk relation on its digest — " +
+      "hash join over InMemoryTableScan, never nested-loop") {
+    // the scale contract: chunk text never rides a shuffle; the only
+    // join key is the 32-byte md5 digest of the chunk
+    val plan = planOf("q80_chunk_dedup")
+    assert(plan.contains("InMemoryTableScan"),
+      s"q80 lost the shared chunk-relation cache:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q80 must equi-join on the digest:\n${plan.take(2000)}")
+  }
+
+  test("split-leakage audit self-joins the cached distinct signature " +
+      "frame, not two corpus scans") {
+    val plan = planOf("q81_split_leakage")
+    assert(plan.contains("InMemoryTableScan"),
+      s"q81 should join two reads of the cached distinct:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q81 must equi-join on the digest:\n${plan.take(2000)}")
+  }
 }
