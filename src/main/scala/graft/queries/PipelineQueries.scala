@@ -1174,6 +1174,26 @@ object PipelineQueries {
     // pairs first (map-side-combined, ≤ 3 rows per sig), then a
     // self-join on the 32-byte digest whose per-key fan-out is bounded
     // by the split count — never corpus×corpus.
+    // K-family — ORC roundtrip: Spark's second native columnar format
+    // through the SAME layout-controlled sink as q68's parquet loop
+    // (directory partitions, in-file sort, file-size cap — every lever
+    // maps 1:1 onto ORC stripes). Green iff the ORC write→read loop is
+    // lossless vs the oracle's aggregate over the original parquet.
+    "q83_orc_roundtrip" -> ((s, dir) => {
+      val base = scratchPath("orc_rt", dir)
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), year(col("l_shipdate")).as("yr"),
+          col("l_returnflag").as("rf"),
+          (dec(col("l_quantity")) * 100).cast("long").as("qty_cents"))
+      graft.sources.ParquetSink.write(l, base, partitionBy = Seq("yr"),
+        sortCols = Seq("rf"), maxRecordsPerFile = 100000, format = "orc")
+      graft.sources.ParquetSink.read(s, base, format = "orc")
+        .filter(col("yr") === 1996)
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty_cents"))
+        .orderBy(col("rf"))
+    }),
+
     // X1 — SemDeDup-style semantic dedup: embedding near-dup with
     // LEARNED k-means cluster blocking (the third blocking strategy
     // next to q30's label blocks and q48's LSH buckets — follows data
@@ -1977,5 +1997,13 @@ object PipelineQueries {
         |SELECT a.sp AS split_a, b.sp AS split_b, count(*) AS n_sigs
         |FROM s a JOIN s b ON a.sig = b.sig AND a.sp < b.sp
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // lossless ORC loop ⇒ equals the plain-parquet aggregate
+    "q83_orc_roundtrip" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_qty_cents
+        |FROM lineitem WHERE year(l_shipdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

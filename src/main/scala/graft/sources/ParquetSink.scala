@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions.col
   *
   * Deliberately a thin composition of public writer options — the value
   * is the enforced pairing of layout choices, same stance as CsvIngest.
+  *
+  * The layout logic is format-agnostic: every lever above means the
+  * same thing for ORC (directory partitions, file-size caps, in-file
+  * clustering for stripe-level min/max skipping), so `format` accepts
+  * Spark's other native columnar store too — q83 runs the identical
+  * loop over ORC.
   */
 object ParquetSink {
 
@@ -27,7 +33,8 @@ object ParquetSink {
             partitionBy: Seq[String] = Nil,
             sortCols: Seq[String] = Nil,
             maxRecordsPerFile: Long = 0L,
-            coalesceTo: Int = 0): Unit = {
+            coalesceTo: Int = 0,
+            format: String = "parquet"): Unit = {
     // order matters: coalesce FIRST, then sort — the reverse would
     // concatenate independently-sorted runs and destroy the clustering
     // the row-group statistics depend on. The sort key is PREFIXED with
@@ -41,7 +48,7 @@ object ParquetSink {
       if (sortCols.nonEmpty)
         sized.sortWithinPartitions(sortKeys.map(col): _*)
       else sized
-    val w0 = clustered.write.mode("overwrite").format("parquet")
+    val w0 = clustered.write.mode("overwrite").format(format)
     val w1 =
       if (maxRecordsPerFile > 0)
         w0.option("maxRecordsPerFile", maxRecordsPerFile)
@@ -52,6 +59,7 @@ object ParquetSink {
 
   /** Read a [[write]]-produced layout back (partition columns restored
     * from the directory structure; filters on them prune at plan time). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("parquet").load(path)
+  def read(spark: SparkSession, path: String,
+           format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
 }

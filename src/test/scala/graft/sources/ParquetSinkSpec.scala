@@ -54,4 +54,25 @@ class ParquetSinkSpec extends SparkSpec {
     assert(vals.zip(vals.tail).forall { case (a, b) => a <= b },
       "rows must be clustered by k inside the file")
   }
+
+  test("the same layout loop over ORC: partition pruning, lossless " +
+      "roundtrip, .orc files on disk") {
+    val out = scratch("osink_part").toString
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("yr"))
+    ParquetSink.write(o, out, partitionBy = Seq("yr"), format = "orc")
+    val back = ParquetSink.read(spark, out, format = "orc")
+      .filter(col("yr") === 1997)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("yr"),
+      s"ORC partition filter did not prune:\n${plan.take(1500)}")
+    val expected = o.filter(col("yr") === 1997).count()
+    assert(back.count() == expected && expected > 0)
+    val partDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("yr="))
+    assert(partDirs.nonEmpty &&
+      partDirs.head.listFiles().exists(_.getName.endsWith(".orc")),
+      "partition dirs must contain .orc data files")
+  }
 }
