@@ -420,11 +420,7 @@ object Dedup {
       array((0 until dim).map(_ => lit(rng.nextGaussian())): _*)
     // unit-normalize once; cached — consumed by bucketing AND the two
     // verification join-backs
-    val unit = cached(embs
-      .select(col(idCol), VectorFns.toDouble(col(vecCol)).as("vd"))
-      .withColumn("_n", VectorFns.norm(col("vd")))
-      .select(col(idCol),
-        VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v")))
+    val unit = cached(unitVectors(embs, idCol, vecCol))
     val bucketCols = (0 until nTables).map { t =>
       (0 until nPlanes).map { i =>
         when(VectorFns.dot(col("v"), plane()) >= 0, lit(1L << i))
@@ -448,6 +444,27 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(VectorFns.dot(col("v1"), col("v2")), 4).as("sim"))
       .filter(col("sim") >= minSim)
+  }
+
+  /** Unit-normalized (id, v) frame shared by every embedding blocker.
+    * Zero-norm vectors (padding artifacts, empty docs) are DROPPED:
+    * they have no direction, so cosine against them is undefined —
+    * previously they produced per-row NaN sims the final
+    * `sim >= minSim` filter discarded anyway (NaN compares false),
+    * but a NaN row reaching a k-means fit would poison a centroid
+    * globally, so the exclusion happens once, here, for all callers.
+    * Uncached on purpose — each blocker owns its own cache boundary
+    * (the LSH path caches this frame directly; the clustered path
+    * caches the ml-vector featurization built from it instead). */
+  private def unitVectors(embs: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
+    import graft.functions.VectorFns
+    embs
+      .select(col(idCol), VectorFns.toDouble(col(vecCol)).as("vd"))
+      .withColumn("_n", VectorFns.norm(col("vd")))
+      .filter(col("_n") > 0)
+      .select(col(idCol),
+        VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v"))
   }
 
   /** SemDeDup-style semantic dedup — embedding near-dup with LEARNED
@@ -475,21 +492,21 @@ object Dedup {
     import graft.functions.VectorFns
     // unit-normalize BEFORE clustering and pairing: k-means on the unit
     // sphere approximates cosine blocking, and the verification dot is
-    // then the cosine. Norm pinned in its own projection (the HOF
-    // re-evaluation trap).
-    val feat = cached(embs
-      .select(col(idCol), VectorFns.toDouble(col(vecCol)).as("vd"))
-      .withColumn("_n", VectorFns.norm(col("vd")))
+    // then the cosine. Only the ml-vector featurization is cached for
+    // the fit (one vector copy, not array + vector); `assigned` derives
+    // the array form back from it, so total cache = 2 copies, not 3.
+    val feat = cached(unitVectors(embs, idCol, vecCol)
       .select(col(idCol),
-        VectorFns.unitNormalizeWith(col("vd"), col("_n")).as("v"))
-      .withColumn("features",
-        org.apache.spark.ml.functions.array_to_vector(col("v"))))
+        org.apache.spark.ml.functions.array_to_vector(col("v"))
+          .as("features")))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setFeaturesCol("features")
       .fit(feat)
     // cached: self-joined as a/b below
     val assigned = cached(model.transform(feat)
-      .select(col(idCol), col("prediction").as("cluster"), col("v")))
+      .select(col(idCol), col("prediction").as("cluster"),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .as("v")))
     val a = assigned.select(col("cluster"), col(idCol).as("id1"),
       col("v").as("v1"))
     val b = assigned.select(col("cluster"), col(idCol).as("id2"),

@@ -1174,6 +1174,37 @@ object PipelineQueries {
     // pairs first (map-side-combined, ≤ 3 rows per sig), then a
     // self-join on the 32-byte digest whose per-key fan-out is bounded
     // by the split count — never corpus×corpus.
+    "q81_split_leakage" -> ((s, dir) => {
+      val sp = when(col("doc_id") % 100 < 80, lit("train"))
+        .when(col("doc_id") % 100 < 90, lit("val"))
+        .otherwise(lit("test"))
+      // cached: self-joined as a/b below — without materialization the
+      // corpus-sized signature scan + distinct runs once per join side
+      val sigs = graft.engine.Caching.cached(
+        Tables(s, dir, "documents")
+          .select(sp.as("sp"),
+            md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
+          .distinct())
+      sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.sig") === col("b.sig") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("split_a"), col("b.sp").as("split_b"))
+        .agg(count(lit(1)).as("n_sigs"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // X1 — SemDeDup-style semantic dedup: embedding near-dup with
+    // LEARNED k-means cluster blocking (the third blocking strategy
+    // next to q30's label blocks and q48's LSH buckets — follows data
+    // density, no key or hash family assumed). Seeded ML fit → no
+    // oracle path (rows-only); co-clustering/recall invariants in
+    // DedupSpec.
+    "q82_semantic_dedup" -> ((s, dir) => {
+      Dedup.embedNearDupsClustered(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, minSim = 0.4)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // K-family — ORC roundtrip: Spark's second native columnar format
     // through the SAME layout-controlled sink as q68's parquet loop
     // (directory partitions, in-file sort, file-size cap — every lever
@@ -1192,37 +1223,6 @@ object PipelineQueries {
         .groupBy(col("rf"))
         .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty_cents"))
         .orderBy(col("rf"))
-    }),
-
-    // X1 — SemDeDup-style semantic dedup: embedding near-dup with
-    // LEARNED k-means cluster blocking (the third blocking strategy
-    // next to q30's label blocks and q48's LSH buckets — follows data
-    // density, no key or hash family assumed). Seeded ML fit → no
-    // oracle path (rows-only); co-clustering/recall invariants in
-    // DedupSpec.
-    "q82_semantic_dedup" -> ((s, dir) => {
-      Dedup.embedNearDupsClustered(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 8, minSim = 0.4)
-        .orderBy(col("id1"), col("id2"))
-    }),
-
-    "q81_split_leakage" -> ((s, dir) => {
-      val sp = when(col("doc_id") % 100 < 80, lit("train"))
-        .when(col("doc_id") % 100 < 90, lit("val"))
-        .otherwise(lit("test"))
-      // cached: self-joined as a/b below — without materialization the
-      // corpus-sized signature scan + distinct runs once per join side
-      val sigs = graft.engine.Caching.cached(
-        Tables(s, dir, "documents")
-          .select(sp.as("sp"),
-            md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
-          .distinct())
-      sigs.as("a")
-        .join(sigs.as("b"),
-          col("a.sig") === col("b.sig") && col("a.sp") < col("b.sp"))
-        .groupBy(col("a.sp").as("split_a"), col("b.sp").as("split_b"))
-        .agg(count(lit(1)).as("n_sigs"))
-        .orderBy(col("split_a"), col("split_b"))
     }),
   )
 

@@ -48,8 +48,12 @@ object StreamingDedup {
     * was already seen within the watermark window. The surviving rows
     * (id, ts, cid, chunk) are the "clean lines" stream a downstream
     * assembler or trainer consumes — boilerplate repeated across
-    * documents is dropped at ingest time, first occurrence wins by
-    * arrival order.
+    * documents is dropped at ingest time. ONE survivor per digest per
+    * window, with earlier micro-batches always beating later ones;
+    * WITHIN a micro-batch the survivor is whichever row reaches the
+    * state store first (partition-order-dependent), not a
+    * deterministic minimum — the batch operator's min-(doc, position)
+    * rule is the deterministic form.
     *
     * State = one 32-byte digest row per distinct chunk in the window
     * (never chunk text), evicted by the watermark — the only

@@ -38,11 +38,17 @@ class CachingSpec extends SparkSpec {
         n = 3, minJaccard = 0.5).count()
     }
     assert(result == 1, "planted near-dup pair (1,2) expected")
-    // non-blocking unpersist: poll briefly for the async eviction
+    // non-blocking unpersist: poll briefly for the async eviction.
+    // <= not ==: getPersistentRDDs spans the shared session, and the
+    // ContextCleaner may concurrently collect STALE RDDs from earlier
+    // suites (localCheckpoint blocks are cleaner-owned, not
+    // clearCache-owned), so the count can legitimately drift BELOW
+    // `before` while we wait — what must hold is that nothing NEW
+    // is left behind
     val deadline = System.nanoTime() + 10e9.toLong
     while (cachedPlanCount > before && System.nanoTime() < deadline)
       Thread.sleep(50)
-    assert(cachedPlanCount == before,
+    assert(cachedPlanCount <= before,
       "operator-internal caches must be gone after the scope")
     assert(mine.storageLevel.useMemory,
       "application-owned cache must survive the scope")

@@ -66,7 +66,11 @@ class StreamingDedupSpec extends SparkSpec {
     try {
       def ts(s: String) = java.sql.Timestamp.valueOf(s)
       // doc1 → [a b c][d e f]; doc2 shares its first chunk ("a b c"
-      // boilerplate) but contributes [x y z]
+      // boilerplate) but contributes [x y z]. MemoryStream delivers one
+      // ordered partition, so the within-batch survivor is deterministic
+      // HERE; the operator's cross-batch guarantee is what the second
+      // batch below asserts (see the within-batch caveat in the
+      // operator's Scaladoc).
       source.addData(
         (ts("2024-01-01 10:00:00"), 1L, "a b c d e f"),
         (ts("2024-01-01 10:00:30"), 2L, "a b c x y z"))
