@@ -1205,6 +1205,36 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // LLM-pipeline — corpus refresh (upsert): two recrawl waves + an
+    // insert batch, collapsed last-wins per key (Upsert.latestByKey),
+    // merged into the corpus (anti-join + unionByName — the q65 join
+    // shape: batch ≪ corpus ⇒ broadcast anti-join, corpus scanned
+    // once). Per-source accounting proves replace + append semantics.
+    "q84_corpus_upsert" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def rev(mod: Int, tag: String, v: Long) =
+        docs.filter(col("doc_id") % mod === 0)
+          .select(col("doc_id"), concat(col("text"), lit(tag)).as("text"),
+            col("lang"), col("source"),
+            (col("n_chars") + 5).as("n_chars"), lit(v).as("v"))
+      val inserts = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"), lit(1L).as("v"))
+      val updates = graft.operators.Upsert.latestByKey(
+          rev(10, " rev1", 1L).unionByName(rev(20, " rev2", 2L))
+            .unionByName(inserts),
+          "doc_id", "v", rowTieBreak = "text")
+        .drop("v")
+      graft.operators.Upsert.byKey(docs, updates, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").endsWith(" rev1") ||
+              col("text").endsWith(" rev2"), 1L).otherwise(0L))
+            .as("n_revised"),
+          sum(size(split(col("text"), " "))).as("tokens"))
+        .orderBy(col("source"))
+    }),
+
     // K-family — ORC roundtrip: Spark's second native columnar format
     // through the SAME layout-controlled sink as q68's parquet loop
     // (directory partitions, in-file sort, file-size cap — every lever
@@ -2005,5 +2035,36 @@ object PipelineQueries {
         |    AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem WHERE year(l_shipdate) = 1996
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replicates waves → last-wins (max v, min-text tiebreak) → anti-
+    // join + union — the same portable composition as the engine
+    "q84_corpus_upsert" ->
+      """WITH w1 AS (SELECT doc_id, text || ' rev1' AS text, lang,
+        |              source, n_chars + 5 AS n_chars, 1 AS v
+        |            FROM documents WHERE doc_id % 10 = 0),
+        |w2 AS (SELECT doc_id, text || ' rev2' AS text, lang, source,
+        |         n_chars + 5 AS n_chars, 2 AS v
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+        |          n_chars, 1 AS v
+        |        FROM documents WHERE doc_id % 40 = 0),
+        |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |      UNION ALL SELECT * FROM ins),
+        |best AS (SELECT doc_id, max(v) AS bv FROM u GROUP BY 1),
+        |win0 AS (SELECT u.* FROM u
+        |         JOIN best ON u.doc_id = best.doc_id AND u.v = best.bv),
+        |tb AS (SELECT doc_id, min(text) AS mt FROM win0 GROUP BY 1),
+        |win AS (SELECT win0.* FROM win0
+        |        JOIN tb ON win0.doc_id = tb.doc_id AND win0.text = tb.mt),
+        |merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM win)
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM win)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN text LIKE '% rev1' OR text LIKE '% rev2'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_revised,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

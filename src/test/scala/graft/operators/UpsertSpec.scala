@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Corpus-refresh semantics: replace same-key, append new-key,
+  * last-wins version collapse with a deterministic tiebreak. */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("byKey replaces same-key rows and appends new keys") {
+    val corpus = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("id", "text")
+    val updates = Seq((2L, "TWO"), (9L, "nine")).toDF("id", "text")
+    val out = Upsert.byKey(corpus, updates, "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text"))
+      .toMap
+    assert(out == Map(1L -> "one", 2L -> "TWO", 3L -> "three",
+      9L -> "nine"), s"got $out")
+  }
+
+  test("latestByKey keeps the highest version per key, ties broken by " +
+      "the min tiebreak column") {
+    val updates = Seq(
+      (1L, "v1", 1L), (1L, "v2", 2L),            // clean last-wins
+      (2L, "b", 5L), (2L, "a", 5L),              // equal ord → min text
+      (3L, "only", 1L)
+    ).toDF("id", "text", "v")
+    val out = Upsert.latestByKey(updates, "id", "v", rowTieBreak = "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("v"))))
+      .toMap
+    assert(out == Map(1L -> (("v2", 2L)), 2L -> (("a", 5L)),
+      3L -> (("only", 1L))), s"got $out")
+  }
+
+  test("composed refresh: multi-wave batch collapses before merging, " +
+      "so the corpus sees exactly one row per key") {
+    val corpus = Seq((1L, "old", 0L), (2L, "keep", 0L))
+      .toDF("id", "text", "v")
+    val waves = Seq((1L, "mid", 1L), (1L, "new", 2L), (5L, "ins", 1L))
+      .toDF("id", "text", "v")
+    val merged = Upsert.byKey(corpus,
+      Upsert.latestByKey(waves, "id", "v", rowTieBreak = "text"), "id")
+    assert(merged.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() == 0,
+      "merge must never produce duplicate keys")
+    val out = merged.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(1L -> "new", 2L -> "keep", 5L -> "ins"),
+      s"got $out")
+  }
+}
