@@ -23,6 +23,16 @@ abstract class VectorFoldExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  // ALWAYS nullable: the fold returns NULL on length mismatch or a
+  // NULL element even when both input columns are non-nullable. The
+  // inherited child-OR nullability lied in that case, and the lie was
+  // load-bearing: for non-nullable inputs Spark allocates no isNull
+  // variable (FalseLiteral), so the generated `ev.isNull = true`
+  // assigned to a non-variable, janino failed, and the whole fused
+  // stage silently fell back to interpreted eval — on exactly the
+  // similarity hot paths this kernel exists to keep in codegen.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>

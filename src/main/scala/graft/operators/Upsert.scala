@@ -21,41 +21,50 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the anti-join is the q65 incremental-dedup join — at
   * steady state the batch is ≪ the corpus, so AQE broadcasts the
-  * distinct update-key set and the corpus is one scan, shuffle-free;
-  * against a bucketed corpus store the join is exchange-free (the
-  * JoinStrategiesSpec shape). `latestByKey` is two |batch|-sized
-  * map-side-combined aggregates. Nothing in either path touches
-  * corpus×corpus.
+  * update-key projection and the corpus is one scan; against a
+  * bucketed corpus store the join is exchange-free (the
+  * JoinStrategiesSpec shape). Everything in `latestByKey` (a dedup
+  * distinct, two map-side-combined aggregates, two key joins) is
+  * |batch|-sized, with the multi-consumer frames cached per the
+  * engine's cache-ownership convention. Nothing in either path
+  * touches corpus×corpus.
   */
 object Upsert {
 
-  /** One row per key: the highest-`ordCol` version, ties to the row
-    * with... keys are unique per (key, ord) in a sane ingest; if a
-    * batch violates that, the surviving row among equal (key, ord) is
-    * the one `rowTieBreak` picks (a column whose min is unique, e.g.
-    * an ingest offset). */
+  /** One row per key: the highest-`ordCol` version wins; among equal
+    * (key, ord) rows the deterministic MIN of `rowTieBreak` wins (pick
+    * a column that uniquely ranks rows within (key, ord) — an ingest
+    * offset, a content digest). Full-row duplicates (the retry /
+    * double-delivery case) are collapsed up front, so re-delivered
+    * rows can never fan the output out. NULL-safe throughout: a key
+    * whose versions are all NULL (a new doc with a missing version
+    * field) still survives — `max`/`min` skip NULLs, so the winner
+    * matches are null-safe (`<=>`) rather than dropping the key. */
   def latestByKey(updates: DataFrame, key: String, ordCol: String,
                   rowTieBreak: String): DataFrame = {
-    val best = updates.groupBy(col(key))
-      .agg(max(col(ordCol)).as("_best_ord"))
-    val winners = updates
-      .join(best, updates(key) === best(key) &&
-        col(ordCol) === col("_best_ord"))
-      .drop(best(key)).drop("_best_ord")
-    // among equal (key, ord): deterministic min on the tiebreak column
+    import graft.engine.Caching.cached
+    // cached: feeds the ranking aggregate AND the winner join (and its
+    // own lineage may be an expensive multi-wave union)
+    val u = cached(updates.distinct())
+    val best = u.groupBy(col(key)).agg(max(col(ordCol)).as("_best_ord"))
+    // cached: feeds the tiebreak aggregate AND the final join
+    val winners = cached(u.join(best, Seq(key))
+      .filter(col(ordCol) <=> col("_best_ord"))
+      .drop("_best_ord"))
     val tb = winners.groupBy(col(key))
       .agg(min(col(rowTieBreak)).as("_tb"))
-    winners
-      .join(tb, winners(key) === tb(key) &&
-        col(rowTieBreak) === col("_tb"))
-      .drop(tb(key)).drop("_tb")
+    winners.join(tb, Seq(key))
+      .filter(col(rowTieBreak) <=> col("_tb"))
+      .drop("_tb")
   }
 
   /** Updates replace same-key corpus rows; new keys append. `updates`
     * must be one row per key ([[latestByKey]] if it is not) and
-    * schema-compatible by name. */
+    * schema-compatible by name. No distinct on the anti-join side:
+    * left-anti is an existence check, and under the one-row-per-key
+    * contract the key projection is already duplicate-free. */
   def byKey(corpus: DataFrame, updates: DataFrame, key: String): DataFrame =
     corpus
-      .join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
+      .join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
 }

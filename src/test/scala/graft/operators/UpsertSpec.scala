@@ -35,6 +35,24 @@ class UpsertSpec extends SparkSpec {
       3L -> (("only", 1L))), s"got $out")
   }
 
+  test("re-delivered (fully duplicate) rows collapse to one winner, " +
+      "and all-NULL-version keys survive instead of vanishing") {
+    // retry case: (1, "x", 1) delivered twice — must NOT fan out;
+    // missing-version case: key 2 only has NULL versions — must NOT
+    // be dropped (max skips NULLs; the winner match is null-safe)
+    val updates = Seq(
+      (1L, "x", Some(1L)), (1L, "x", Some(1L)),
+      (2L, "novers", None), (2L, "novers2", None)
+    ).toDF("id", "text", "v")
+    val out = Upsert.latestByKey(updates, "id", "v", rowTieBreak = "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text"))
+      .toMap
+    assert(out == Map(1L -> "x", 2L -> "novers"), s"got $out")
+    assert(Upsert.latestByKey(updates, "id", "v", rowTieBreak = "text")
+      .groupBy(col("id")).count().filter(col("count") > 1).count() == 0,
+      "one row per key, always")
+  }
+
   test("composed refresh: multi-wave batch collapses before merging, " +
       "so the corpus sees exactly one row per key") {
     val corpus = Seq((1L, "old", 0L), (2L, "keep", 0L))

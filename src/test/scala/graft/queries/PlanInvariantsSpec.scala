@@ -122,4 +122,16 @@ class PlanInvariantsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"q81 must equi-join on the digest:\n${plan.take(2000)}")
   }
+
+  test("corpus upsert merges via an anti-join on the update-key set, " +
+      "never nested-loop") {
+    // the q65 steady-state shape: batch ≪ corpus ⇒ the distinct key
+    // set broadcasts and the corpus is one scan
+    val plan = planOf("q84_corpus_upsert")
+    assert(plan.contains("LeftAnti"),
+      s"q84 lost its anti-join merge:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q84 must hash-join on the key:\n${plan.take(2000)}")
+  }
 }
