@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** Randomized invariants for the chunker and the upsert collapse —
+  * the planted-fixture specs pin exact expected outputs; these sweep
+  * the input space for the structural guarantees the operators
+  * promise for ANY corpus. Raw ScalaCheck Gen sampling (the
+  * scalatest-scalacheck bridge artifact isn't in the offline cache),
+  * fixed seeds so failures reproduce.
+  */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default.withSize(30),
+      org.scalacheck.rng.Seed(seed)).get
+
+  private val tinyVocab = Gen.nonEmptyListOf(
+    Gen.oneOf("a", "b", "c", "dd", "eee")).map(_.mkString(" "))
+
+  test("chunk accounting conserves every token exactly once " +
+      "(random corpora × chunk sizes)") {
+    (0 until 8).foreach { rep =>
+      val texts = (0 until 20).map(i =>
+        sample(tinyVocab, seed = 1000L * rep + i))
+      val cs = 1 + rep % 5
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.chunkDedupStats(docs, "doc_id", "text", cs)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("toks_kept")))).toMap
+      // one output row per input doc, n_chunks = ceil(tokens/cs),
+      // kept never exceeds total, token accounting bounded by doc size
+      assert(out.size == texts.size, s"rep $rep: lost documents")
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val n = t.split(" ").length.toLong
+        val (nc, nk, tk) = out(i.toLong)
+        assert(nc == (n + cs - 1) / cs, s"rep $rep doc $i: chunks")
+        assert(nk >= 0 && nk <= nc, s"rep $rep doc $i: kept range")
+        assert(tk >= 0 && tk <= n, s"rep $rep doc $i: token range")
+      }
+      // conservation: every distinct chunk is kept exactly once
+      // corpus-wide, so Σ toks_kept = tokens of the distinct chunk set
+      val distinctChunkTokens = texts.zipWithIndex
+        .flatMap { case (t, _) => t.split(" ").grouped(cs).map(_.mkString(" ")) }
+        .distinct.map(_.split(" ").length.toLong).sum
+      val keptTotal = out.values.map(_._3).sum
+      assert(keptTotal == distinctChunkTokens,
+        s"rep $rep: kept $keptTotal tokens, distinct chunks hold " +
+          s"$distinctChunkTokens")
+    }
+  }
+
+  test("latestByKey yields exactly one row per key for arbitrary " +
+      "batches (duplicates, null versions, ties)") {
+    val row = for {
+      k <- Gen.choose(0L, 6L)
+      t <- Gen.oneOf("p", "q", "r", "s")
+      v <- Gen.option(Gen.choose(0L, 3L))
+    } yield (k, t, v)
+    (0 until 8).foreach { rep =>
+      val rows = (0 until 40).map(i =>
+        sample(row, seed = 7000L * rep + i))
+      val df = rows.toDF("id", "text", "v")
+      val out = Upsert.latestByKey(df, "id", "v", rowTieBreak = "text")
+        .collect().map(r => (r.getAs[Long]("id"),
+          r.getAs[String]("text"), Option(r.get(2)).map(_.toString)))
+      val keys = rows.map(_._1).distinct.sorted
+      assert(out.map(_._1).sorted.toSeq == keys,
+        s"rep $rep: every input key exactly once — got " +
+          s"${out.map(_._1).sorted.toSeq} vs $keys")
+      // the winner per key carries the maximal non-null version (or
+      // null when the key has only null versions)
+      val byKey = rows.groupBy(_._1)
+      out.foreach { case (k, _, v) =>
+        val best = byKey(k).flatMap(_._3).sorted.lastOption
+        assert(v.map(_.toLong) == best,
+          s"rep $rep key $k: version $v != max $best")
+      }
+    }
+  }
+}
