@@ -107,7 +107,8 @@ object Similarity {
       .limit(nProbe)
       .select(col("centroid_id")).collect().map(_.getLong(0))
     val idx = spark.read.parquet(indexPath)
-      .filter(col("centroid_id").isin(probed: _*))
+      .filter(col("centroid_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
     topK(idx, queryVec, idCol, vecCol, k)
   }
 
