@@ -57,19 +57,31 @@ object Bench {
     // longer than it needs to be, and the driver's bounded stdout-tail
     // capture truncated BENCH_r06's head (q01–q10 lost, parse failed)
     def num(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    def qmap(key: String => String) =
+      results.map { case (k, v, _) => s"${jstr(key(k))}:${num(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // belt-and-suspenders artifact: if the stdout capture still clips the
-    // line, the full record survives on disk for the next reader
-    try {
-      val p = java.nio.file.Paths.get("target", "bench_last.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    def line(key: String => String) =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(key)},"errors":$errs,"sf":"$sfDir","names":"BENCH_LOCAL.json"}"""
+    // STDOUT gets the qNN-keyed line: the driver's tail capture is 2000
+    // chars and the full-name line outgrew it at ~84 queries (BENCH_r07
+    // lost q01–q09 and failed to parse). qNN prefixes are unique by
+    // construction and join 1:1 to CORRECTNESS keys; the full-name map
+    // is written to the committed BENCH_LOCAL.json for readers who want
+    // it. At 13 bytes/query the short line holds ~140 queries of headroom.
+    println(line(_.takeWhile(_ != '_')))
+    // belt-and-suspenders artifacts: the full-name record survives on
+    // disk even if the stdout capture clips, and BENCH_LOCAL.json is
+    // committed per-round as the durable full-fidelity copy
+    val full = line(identity)
+    for (p <- Seq(java.nio.file.Paths.get("target", "bench_last.json"),
+                  java.nio.file.Paths.get("BENCH_LOCAL.json"))) {
+      try {
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.stop()
   }
 }

@@ -499,8 +499,16 @@ object Dedup {
       .select(col(idCol),
         org.apache.spark.ml.functions.array_to_vector(col("v"))
           .as("features")))
+    // loud contract + k-clamp: an all-zero-norm input would hand the
+    // fit an empty frame (opaque ml failure), and fewer vectors than k
+    // degrades across Spark versions. The count materializes the
+    // cached fit input the k-means was about to scan anyway.
+    val n = feat.count()
+    require(n > 0,
+      "embedNearDupsClustered: no non-zero-norm vectors to cluster")
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setFeaturesCol("features")
+      .setK(math.min(k.toLong, n).toInt).setSeed(seed)
+      .setFeaturesCol("features")
       .fit(feat)
     // cached: self-joined as a/b below
     val assigned = cached(model.transform(feat)
@@ -525,9 +533,14 @@ object Dedup {
     * this is the keep-best one (keep-longest when the score is a length,
     * keep-highest-LM-score when it is q67's, …).
     *
-    * `scored` maps `idCol` → `scoreCol` for at least every id appearing
-    * in `pairs` (an inner join drops unscored members — score coverage
-    * is the caller's contract). Shape: components via the same
+    * `scored` maps `idCol` → `scoreCol` for every id appearing in
+    * `pairs`. Coverage violations are OBSERVABLE, not silent: members
+    * the score frame misses still count toward `n_members` (left join,
+    * never inner), `max` skips their NULL scores, and a component with
+    * no scored member at all survives with a NULL `best_score` and the
+    * min-id member kept — so a caller auditing output can see exactly
+    * where its score coverage fell short instead of getting silently
+    * shrunken components. Shape: components via the same
     * pointer-jumping CC, then two |members|-sized aggregates — a max
     * per label and a min-id among the max-scored — joined on `label`.
     * Member frames are component-sized (≪ corpus), so every step after
@@ -540,14 +553,16 @@ object Dedup {
   def keepBest(pairs: DataFrame, scored: DataFrame, idCol: String,
                scoreCol: String): DataFrame = {
     val members = cached(connectedComponents(pairs)
-      .join(scored, col("node") === col(idCol))
+      .join(scored, col("node") === col(idCol), "left")
       .select(col("label"), col("node"), col(scoreCol).as("_score")))
     val best = members.groupBy(col("label"))
       .agg(max(col("_score")).as("best_score"),
         count(lit(1)).as("n_members"))
     members
       .join(best, "label")
-      .filter(col("_score") === col("best_score"))
+      // null-safe: an all-unscored component (best_score NULL) keeps
+      // its min-id member rather than vanishing
+      .filter(col("_score") <=> col("best_score"))
       .groupBy(col("label"), col("best_score"), col("n_members"))
       .agg(min(col("node")).as("kept_id"))
       .select(col("label"), col("kept_id"), col("n_members"),
@@ -584,7 +599,6 @@ object Dedup {
     * Returns one row per document: id, n_chunks, n_kept, toks_kept. */
   def chunkDedupStats(docs: DataFrame, idCol: String, textCol: String,
                       chunkSize: Int): DataFrame = {
-    val cs = chunkSize.toLong
     val firstKey = struct(col(idCol).as("d"), col("cid").as("c"))
     val ch = cached(
       chunkRows(docs, idCol, textCol, chunkSize)

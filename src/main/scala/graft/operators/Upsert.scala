@@ -36,35 +36,46 @@ object Upsert {
     * a column that uniquely ranks rows within (key, ord) — an ingest
     * offset, a content digest). Full-row duplicates (the retry /
     * double-delivery case) are collapsed up front, so re-delivered
-    * rows can never fan the output out. NULL-safe throughout: a key
-    * whose versions are all NULL (a new doc with a missing version
-    * field) still survives — `max`/`min` skip NULLs, so the winner
-    * matches are null-safe (`<=>`) rather than dropping the key. */
+    * rows can never fan the output out. NULL-safe throughout — for the
+    * version column (a key whose versions are all NULL still survives:
+    * `max`/`min` skip NULLs, so the winner matches use `<=>` rather
+    * than dropping the key) AND for the key itself (every key join is
+    * `<=>`, so NULL-key rows — one group, as in GROUP BY — rank and
+    * collapse like any other key instead of silently vanishing at the
+    * first null-unsafe join). */
   def latestByKey(updates: DataFrame, key: String, ordCol: String,
                   rowTieBreak: String): DataFrame = {
     import graft.engine.Caching.cached
     // cached: feeds the ranking aggregate AND the winner join (and its
     // own lineage may be an expensive multi-wave union)
     val u = cached(updates.distinct())
+    // groupBy already treats NULL keys as one group; the joins back
+    // must match them null-safely or NULL-key rows drop here
     val best = u.groupBy(col(key)).agg(max(col(ordCol)).as("_best_ord"))
+      .withColumnRenamed(key, "_bk")
     // cached: feeds the tiebreak aggregate AND the final join
-    val winners = cached(u.join(best, Seq(key))
+    val winners = cached(u.join(best, col(key) <=> col("_bk"))
       .filter(col(ordCol) <=> col("_best_ord"))
-      .drop("_best_ord"))
+      .drop("_bk", "_best_ord"))
     val tb = winners.groupBy(col(key))
       .agg(min(col(rowTieBreak)).as("_tb"))
-    winners.join(tb, Seq(key))
+      .withColumnRenamed(key, "_tk")
+    winners.join(tb, col(key) <=> col("_tk"))
       .filter(col(rowTieBreak) <=> col("_tb"))
-      .drop("_tb")
+      .drop("_tk", "_tb")
   }
 
   /** Updates replace same-key corpus rows; new keys append. `updates`
     * must be one row per key ([[latestByKey]] if it is not) and
     * schema-compatible by name. No distinct on the anti-join side:
     * left-anti is an existence check, and under the one-row-per-key
-    * contract the key projection is already duplicate-free. */
+    * contract the key projection is already duplicate-free. The
+    * anti-join is null-safe: a NULL-key update REPLACES a NULL-key
+    * corpus row (one logical key, same as `latestByKey`'s grouping)
+    * instead of duplicating it. */
   def byKey(corpus: DataFrame, updates: DataFrame, key: String): DataFrame =
     corpus
-      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .join(updates.select(col(key).as("_uk")),
+        col(key) <=> col("_uk"), "left_anti")
       .unionByName(updates)
 }

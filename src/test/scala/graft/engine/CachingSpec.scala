@@ -11,6 +11,9 @@ class CachingSpec extends SparkSpec {
   private def cachedPlanCount: Int =
     spark.sparkContext.getPersistentRDDs.size
 
+  private def cachedRddIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
   private def docs = Seq(
     (1L, "a b c a b c a b c"),
     (2L, "a b c a b c a b d"),
@@ -31,7 +34,7 @@ class CachingSpec extends SparkSpec {
     // an application-owned cache that must SURVIVE the scope
     val mine = docs.select(col("doc_id")).cache()
     mine.count()
-    val before = cachedPlanCount
+    val before = cachedRddIds
     val result = Caching.scoped {
       // jaccardPairs caches its shingle relation internally
       TextAnalysis.jaccardPairs(docs, "doc_id", "text",
@@ -39,16 +42,17 @@ class CachingSpec extends SparkSpec {
     }
     assert(result == 1, "planted near-dup pair (1,2) expected")
     // non-blocking unpersist: poll briefly for the async eviction.
-    // <= not ==: getPersistentRDDs spans the shared session, and the
-    // ContextCleaner may concurrently collect STALE RDDs from earlier
-    // suites (localCheckpoint blocks are cleaner-owned, not
-    // clearCache-owned), so the count can legitimately drift BELOW
-    // `before` while we wait — what must hold is that nothing NEW
-    // is left behind
+    // Compare ID SETS, not counts: getPersistentRDDs spans the shared
+    // session, and the ContextCleaner may concurrently collect STALE
+    // RDDs from earlier suites (localCheckpoint blocks are
+    // cleaner-owned, not clearCache-owned) during the poll window — a
+    // count comparison would let such an eviction mask a genuine
+    // one-entry leak. What must hold is that no NEW id survives.
+    def leaked = cachedRddIds -- before
     val deadline = System.nanoTime() + 10e9.toLong
-    while (cachedPlanCount > before && System.nanoTime() < deadline)
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
       Thread.sleep(50)
-    assert(cachedPlanCount <= before,
+    assert(leaked.isEmpty,
       "operator-internal caches must be gone after the scope")
     assert(mine.storageLevel.useMemory,
       "application-owned cache must survive the scope")

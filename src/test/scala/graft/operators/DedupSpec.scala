@@ -190,6 +190,25 @@ class DedupSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("keepBest makes score-coverage gaps observable instead of " +
+      "silently shrinking components") {
+    import spark.implicits._
+    // component {1,2,3}: doc 3 is UNSCORED — it must still count in
+    // n_members (left join) while max skips its NULL score;
+    // component {7,9}: NO member scored — the component survives with
+    // best_score NULL and the min-id member kept, not vanishing
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val scored = Seq((1L, 10L), (2L, 50L)).toDF("doc_id", "score")
+    val out = Dedup.keepBest(pairs, scored, "doc_id", "score")
+      .collect().map(r => (r.getAs[Long]("label"),
+        (r.getAs[Long]("kept_id"), r.getAs[Long]("n_members"),
+          Option(r.getAs[java.lang.Long]("best_score")).map(_.toLong))))
+      .toMap
+    assert(out == Map(
+      1L -> ((2L, 3L, Some(50L))),
+      7L -> ((7L, 2L, None))), s"got $out")
+  }
+
   test("chunk dedup keeps first (doc, position) occurrence corpus-wide") {
     import spark.implicits._
     // chunkSize=3: doc1 = [a b c][d e f]; doc2 = [a b c][x y z];

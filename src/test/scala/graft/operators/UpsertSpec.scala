@@ -53,6 +53,33 @@ class UpsertSpec extends SparkSpec {
       "one row per key, always")
   }
 
+  test("NULL keys are one logical key: they collapse in latestByKey " +
+      "and replace (not duplicate) a NULL-key corpus row in byKey") {
+    // the round-7 advice case: with null-unsafe key joins the NULL-key
+    // update rows vanished in latestByKey, and in byKey the NULL-key
+    // corpus row never matched the anti-join while the NULL-key update
+    // still appended — duplicating the logical key
+    val updates = Seq(
+      (Some(1L), "one", 1L),
+      (None, "nk-v1", 1L), (None, "nk-v2", 2L)
+    ).toDF("id", "text", "v")
+    val latest = Upsert.latestByKey(updates, "id", "v", rowTieBreak = "text")
+      .collect().map(r => Option(r.getAs[java.lang.Long]("id")).map(_.toLong) ->
+        r.getAs[String]("text")).toMap
+    assert(latest == Map(Some(1L) -> "one", None -> "nk-v2"),
+      s"NULL key must rank like any other key; got $latest")
+
+    val corpus = Seq((Some(2L), "two", 0L), (None, "nk-old", 0L))
+      .toDF("id", "text", "v")
+    val merged = Upsert.byKey(corpus,
+      Upsert.latestByKey(updates, "id", "v", rowTieBreak = "text"), "id")
+      .collect().map(r => Option(r.getAs[java.lang.Long]("id")).map(_.toLong) ->
+        r.getAs[String]("text")).toMap
+    assert(merged == Map(Some(1L) -> "one", Some(2L) -> "two",
+      None -> "nk-v2"),
+      s"NULL-key update must replace the NULL-key corpus row; got $merged")
+  }
+
   test("composed refresh: multi-wave batch collapses before merging, " +
       "so the corpus sees exactly one row per key") {
     val corpus = Seq((1L, "old", 0L), (2L, "keep", 0L))
