@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal columns — image/audio/video as opaque `binary` payloads
   * with typed metadata, per the north-star contract.
   *
-  * The Spark-side plumbing is real: binary schema, per-partition batch
-  * iteration, deterministic output schema, partition-count preservation.
-  * The actual codecs are NOT in this container, so the decode kernel is
-  * a clearly-marked deterministic fake ([[fakeDecode]]) — swap it for a
-  * JNI/FFI codec call without touching the surrounding plan.
+  * The decode kernel is REAL for the uncompressed image formats a
+  * pure JVM can parse ([[ImageCodec]]: PPM P6 + 24-bit BMP — header
+  * parse, pixel decode, channel stats, nearest-neighbor thumbnail, row
+  * sampling). Payloads whose magic the sniffer does not recognize
+  * (text, compressed media needing an external codec library) get
+  * deterministic BYTE-level features instead, loudly typed as such:
+  * their `format`/`width`/`height`/`mean_r|g|b` are NULL, never faked.
   *
   * Why mapPartitions and not an expression: a real decoder amortizes
   * per-batch setup (codec contexts, pinned buffers) across a partition —
@@ -57,31 +59,50 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("byte_mean", DoubleType, nullable = false),
     StructField("frames", ArrayType(BinaryType), nullable = false),
-    StructField("resized", BinaryType, nullable = false)))
+    StructField("resized", BinaryType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true)))
 
-  /** STUB decode kernel — deterministic fake standing in for an image/
-    * audio decoder (none available in this container). Computes a byte
-    * mean as the stand-in "feature" and cuts fixed-stride "frames"
-    * (byte slices) as the stand-in frame-sample. Real decode would
-    * replace ONLY the body of this function. */
-  def fakeDecode(payload: Array[Byte], frameSize: Int,
-                 resizeStride: Int = 4): (Double, Array[Array[Byte]], Array[Byte]) = {
-    var s = 0L
-    var i = 0
-    while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
-    val mean = if (payload.length == 0) 0.0 else s.toDouble / payload.length
+  /** Thumbnail edge for the decoded-image `resized` column. */
+  val thumbEdge = 8
+
+  /** Byte-level fallback features for payloads the image sniffer does
+    * not recognize: payload byte mean, fixed-size head slices as
+    * "frames", stride subsample as "resize". Deterministic and honestly
+    * byte-typed — the row's `format` stays NULL so a consumer can never
+    * mistake these for decoded pixel statistics. */
+  def byteFeatures(payload: Array[Byte], frameSize: Int,
+                   resizeStride: Int = 4): (Double, Array[Array[Byte]], Array[Byte]) = {
+    val mean = byteMean(payload)
     val frames = payload.grouped(frameSize).take(4).toArray
-    // "resize": stride subsample — the byte-level stand-in for an image
-    // downscale (a real codec's resize replaces this line only)
     val resized = payload.indices.collect {
       case j if j % resizeStride == 0 => payload(j)
     }.toArray
     (mean, frames, resized)
   }
 
+  private def byteMean(payload: Array[Byte]): Double = {
+    var s = 0L
+    var i = 0
+    while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+    if (payload.length == 0) 0.0 else s.toDouble / payload.length
+  }
+
   /** Per-partition feature extraction over asset rows. Output partition
     * count equals input partition count — no shuffle; the decode cost is
-    * the dominant term and parallelizes per-partition. */
+    * the dominant term and parallelizes per-partition.
+    *
+    * Recognized image payloads (PPM/BMP magic) are REALLY decoded:
+    * `width`/`height`/`mean_r|g|b` are pixel statistics, `frames` holds
+    * up to 4 evenly-sampled raster rows (raw RGB), and `resized` is a
+    * PPM-encoded ≤[[thumbEdge]]² nearest-neighbor thumbnail. Other
+    * payloads get [[byteFeatures]] with NULL image columns. `byte_mean`
+    * is the PAYLOAD byte mean for every row — one definition across
+    * both paths. */
   def decodeFeatures(spark: SparkSession, assetsDf: DataFrame,
                      frameSize: Int = 16): DataFrame = {
     val rdd = assetsDf
@@ -89,9 +110,21 @@ object Multimodal {
       .rdd.mapPartitions { it =>
         it.map { r =>
           val payload = r.getAs[Array[Byte]](2)
-          val (mean, frames, resized) = fakeDecode(payload, frameSize)
-          Row(r.getLong(0), r.getString(1), payload.length, mean,
-            frames.toSeq, resized)
+          ImageCodec.decode(payload) match {
+            case Some(img) =>
+              val (mr, mg, mb) = ImageCodec.meanChannels(img)
+              val thumb = ImageCodec.encodePpm(ImageCodec.resizeNearest(
+                img, math.min(thumbEdge, img.width),
+                math.min(thumbEdge, img.height)))
+              Row(r.getLong(0), r.getString(1), payload.length,
+                byteMean(payload), ImageCodec.sampleRows(img, 4).toSeq,
+                thumb, ImageCodec.sniff(payload).get, img.width,
+                img.height, mr, mg, mb)
+            case None =>
+              val (mean, frames, resized) = byteFeatures(payload, frameSize)
+              Row(r.getLong(0), r.getString(1), payload.length, mean,
+                frames.toSeq, resized, null, null, null, null, null, null)
+          }
         }
       }
     spark.createDataFrame(rdd, featureSchema)

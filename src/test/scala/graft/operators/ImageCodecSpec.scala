@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import ImageCodec.Image
+
+/** Pure codec math — no Spark. Fixtures are hand-built byte arrays so
+  * the decoders are checked against the FORMAT SPEC, not against the
+  * sibling encoder alone. */
+class ImageCodecSpec extends AnyFunSuite {
+
+  // 2x2 test raster, distinct channel values per pixel:
+  // (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+  private val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+  private val img2 = Image(2, 2, px)
+
+  test("PPM P6 decode: hand-built header with comments and CRLF noise") {
+    val header = "P6\n# a comment\n2 2\n# another\n255\n".getBytes("US-ASCII")
+    val bytes = header ++ px
+    val img = ImageCodec.decodePpm(bytes)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == px.toSeq)
+    assert(ImageCodec.sniff(bytes).contains("ppm"))
+  }
+
+  test("PPM encode/decode round-trips byte-exactly") {
+    val rt = ImageCodec.decodePpm(ImageCodec.encodePpm(img2))
+    assert(rt == Image(2, 2, px) || rt.rgb.toSeq == px.toSeq)
+    assert(rt.width == 2 && rt.height == 2 && rt.rgb.toSeq == px.toSeq)
+  }
+
+  test("PPM corrupt inputs are loud: truncation, 16-bit maxval") {
+    val good = ImageCodec.encodePpm(img2)
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodePpm(good.dropRight(1))
+    }
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodePpm("P6\n2 2\n65535\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](24)(0))
+    }
+  }
+
+  test("BMP decode: hand-built bottom-up rows with 4-byte padding, BGR") {
+    // 2x2, 24bpp: rowSize = ((2*3+3)/4)*4 = 8 → 2 pad bytes per row.
+    // Bottom-up: file row 0 is IMAGE row 1. Stored BGR.
+    val header = new Array[Byte](54)
+    header(0) = 'B'; header(1) = 'M'
+    def w32(off: Int, v: Int): Unit = {
+      header(off) = v.toByte; header(off + 1) = (v >> 8).toByte
+      header(off + 2) = (v >> 16).toByte; header(off + 3) = (v >> 24).toByte
+    }
+    w32(2, 54 + 16); w32(10, 54); w32(14, 40); w32(18, 2); w32(22, 2)
+    header(26) = 1; header(28) = 24
+    val rows = Array[Byte](
+      90, 80, 70, 120, 110, 100, 0, 0, // image row 1 in BGR + pad
+      30, 20, 10, 60, 50, 40, 0, 0) // image row 0 in BGR + pad
+    val img = ImageCodec.decodeBmp(header ++ rows)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == px.toSeq, "BGR swap + bottom-up flip expected")
+    assert(ImageCodec.sniff(header).contains("bmp"))
+  }
+
+  test("BMP encode/decode round-trips byte-exactly (odd width → padding)") {
+    val odd = Image(3, 2, Array.tabulate[Byte](18)(i => (i * 7).toByte))
+    val rt = ImageCodec.decodeBmp(ImageCodec.encodeBmp(odd))
+    assert(rt.width == 3 && rt.height == 2)
+    assert(rt.rgb.toSeq == odd.rgb.toSeq)
+  }
+
+  test("BMP corrupt inputs are loud: truncation, 32bpp, compressed") {
+    val good = ImageCodec.encodeBmp(img2)
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeBmp(good.dropRight(1))
+    }
+    val bpp32 = good.clone(); bpp32(28) = 32
+    intercept[IllegalArgumentException] { ImageCodec.decodeBmp(bpp32) }
+    val rle = good.clone(); rle(30) = 1
+    intercept[IllegalArgumentException] { ImageCodec.decodeBmp(rle) }
+  }
+
+  test("sniff: unknown magic is None, not an error") {
+    assert(ImageCodec.sniff("plain text".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.sniff(Array.emptyByteArray).isEmpty)
+    assert(ImageCodec.decode("hello world".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("nearest-neighbor resize: floor sampling, deterministic") {
+    // 4x1 → 2x1 picks source columns 0 and 2
+    val row = Image(4, 1, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    val down = ImageCodec.resizeNearest(row, 2, 1)
+    assert(down.rgb.toSeq == Seq[Byte](1, 2, 3, 7, 8, 9))
+    // upscale replicates pixels
+    val up = ImageCodec.resizeNearest(Image(1, 1, Array[Byte](9, 8, 7)), 2, 2)
+    assert(up.rgb.toSeq == Seq[Byte](9, 8, 7, 9, 8, 7, 9, 8, 7, 9, 8, 7))
+  }
+
+  test("channel means and row sampling") {
+    val (r, g, b) = ImageCodec.meanChannels(img2)
+    assert(r == (10 + 40 + 70 + 100) / 4.0)
+    assert(g == (20 + 50 + 80 + 110) / 4.0)
+    assert(b == (30 + 60 + 90 + 120) / 4.0)
+    val rows = ImageCodec.sampleRows(img2, 4) // clamped to height=2
+    assert(rows.length == 2)
+    assert(rows(0).toSeq == px.slice(0, 6).toSeq)
+    assert(rows(1).toSeq == px.slice(6, 12).toSeq)
+  }
+}

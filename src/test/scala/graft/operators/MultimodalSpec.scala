@@ -3,13 +3,14 @@ package graft.operators
 import graft.SparkSpec
 import graft.engine.Tables
 
-/** Multimodal plumbing: binary payloads + stub decode through
-  * mapPartitions — schema, batching, and partition preservation are the
-  * real things under test; the codec is the documented fake. */
+/** Multimodal plumbing: binary payloads through the mapPartitions
+  * decode path — schema, batching, partition preservation, and REAL
+  * image decode (ImageCodec PPM/BMP) for recognized payloads with the
+  * byte-level fallback for everything else. */
 class MultimodalSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  test("asset view + stub decode round-trips bytes with metadata intact") {
+  test("asset view + byte-fallback decode round-trips bytes with metadata intact") {
     val docs = Tables(spark, sf, "documents")
     val assets = Multimodal.assets(docs, "doc_id", "text", "text/plain")
     assert(assets.columns.toSeq == Seq("asset_id", "payload", "meta"))
@@ -31,11 +32,79 @@ class MultimodalSpec extends SparkSpec {
         "first frame must be the first 16 payload bytes")
       val mean = r.getAs[Double]("byte_mean")
       assert(mean > 0 && mean < 256)
-      // "resize" stub: stride-4 subsample — quarter length, first byte kept
+      // byte fallback "resize": stride-4 subsample — quarter length,
+      // first byte kept
       val resized = r.getAs[Array[Byte]]("resized")
       assert(resized.length == (nBytes + 3) / 4)
       assert(resized.head == text.head.toByte)
+      // text payloads are NOT images: the image columns must be NULL,
+      // never faked
+      assert(r.getAs[String]("format") == null)
+      assert(r.isNullAt(r.fieldIndex("width")) &&
+        r.isNullAt(r.fieldIndex("mean_r")))
     }
+  }
+
+  test("real image payloads decode for real: planted PPM and BMP files " +
+      "through binaryFile ingest, pixel statistics byte-exact") {
+    import org.apache.spark.sql.functions._
+    import ImageCodec.Image
+    val dir = scratch("imgassets").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // 4x2 gradient: pixel (x,y) = (10x, 10y, 100+x+y) — means are exact
+    val img = Image(4, 2, Array.tabulate[Byte](24) { i =>
+      val p = i / 3; val x = p % 4; val y = p / 4
+      (i % 3 match {
+        case 0 => 10 * x; case 1 => 10 * y; case 2 => 100 + x + y
+      }).toByte
+    })
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.ppm"),
+      ImageCodec.encodePpm(img))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bmp"),
+      ImageCodec.encodeBmp(img))
+    val assets = Multimodal.readBinaryDir(spark, dir, glob = "*.{ppm,bmp}")
+      .withColumn("asset_id",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy("file_name")).cast("long"))
+      .select(col("asset_id"), col("payload"),
+        struct(lit("image").as("kind"), col("n_bytes")).as("meta"))
+    val feats = Multimodal.decodeFeatures(spark, assets)
+      .collect().map(r => r.getAs[String]("format") -> r).toMap
+    assert(feats.keySet == Set("ppm", "bmp"))
+    feats.values.foreach { r =>
+      assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 2)
+      // channel means: R over x∈0..3 twice → (0+10+20+30)*2/8 = 15;
+      // G over y∈{0,1} ×4 → 5; B = 100 + mean(x+y) = 102
+      assert(r.getAs[Double]("mean_r") == 15.0)
+      assert(r.getAs[Double]("mean_g") == 5.0)
+      assert(r.getAs[Double]("mean_b") == 102.0)
+      // frames = the 2 raster rows, raw RGB, byte-exact — identical
+      // pixels from BOTH formats (the BMP path undoes BGR + bottom-up)
+      val frames = r.getAs[scala.collection.Seq[Array[Byte]]]("frames")
+      assert(frames.length == 2)
+      assert(frames(0).toSeq == img.rgb.slice(0, 12).toSeq)
+      assert(frames(1).toSeq == img.rgb.slice(12, 24).toSeq)
+      // thumbnail: image is already ≤ 8px per edge → identity resize,
+      // PPM-encoded
+      val thumb = ImageCodec.decodePpm(r.getAs[Array[Byte]]("resized"))
+      assert(thumb.width == 4 && thumb.height == 2)
+      assert(thumb.rgb.toSeq == img.rgb.toSeq)
+    }
+  }
+
+  test("recognized-but-corrupt media is loud, not silently fallback") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val truncated = ImageCodec.encodePpm(ImageCodec.Image(2, 2,
+      Array.fill[Byte](12)(1))).dropRight(3)
+    val assets = Seq((1L, truncated)).toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(lit("image").as("kind"),
+          length(col("payload")).as("n_bytes")).as("meta"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(spark, assets).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("binaryFile ingest reads real files as binary payloads, glob " +
