@@ -61,8 +61,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // placeholder substitution for oracles that read query-materialized
+    // artifacts (q31's learned centroids): {SCRATCH} → the scratch root,
+    // {SFHASH} → the sf-dir key PipelineQueries.scratchPath uses — so
+    // the oracle reads exactly the parquet the query wrote this run
+    val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+      "/root/repo/target/scratch")
+    val sfHash = Integer.toHexString(sfDir.hashCode)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sub = v.replace("{SCRATCH}", scratchRoot)
+          .replace("{SFHASH}", sfHash)
+        s"${q(k)}: ${q(sub)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -40,14 +40,116 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
-  /** Deterministic centroid set: every `step`-th vector by id. A real
-    * system would k-means these; a fixed subset keeps the operator
-    * deterministic and dependency-free. */
+  /** Brute-force cosine top-k for a PANEL of queries (`queries` =
+    * broadcast-sized (qid, qvec) frame): one corpus scan scores every
+    * (row, query) pair, then a per-qid window keeps k. The multi-query
+    * analog of [[topK]] — the scan cost is paid once for the whole
+    * panel instead of once per query. */
+  def topKMulti(vectors: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol))
+    vectors.crossJoin(broadcast(queries))
+      .withColumn("sim",
+        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
+          col("qvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
+  }
+
+  /** Trivial centroid set: every `step`-th vector by id — the
+    * dependency-free fallback (deterministic without any fit), kept for
+    * comparison probes; the operator of record is [[learnedCentroids]],
+    * whose data-following cells give uniformly better list balance and
+    * probe recall. */
   def centroids(vectors: DataFrame, idCol: String, vecCol: String,
                 step: Int): DataFrame =
     vectors.filter(col(idCol) % step === 0)
       .select(col(idCol).as("centroid_id"),
         VectorFns.toDouble(col(vecCol)).as("cvec"))
+
+  /** LEARNED centroid set — seeded SPHERICAL k-means over the corpus
+    * vectors (the real IVF training step for a COSINE index: fit on
+    * unit-normalized vectors, then unit-normalize the cluster centers,
+    * so Voronoi cells live on the unit sphere where the search metric
+    * does). Cells follow the data's density, so inverted lists balance
+    * and a fixed nProbe captures more of the query's true cosine
+    * neighborhood than arbitrary-subset centroids — pair with the
+    * cosine assign/probe ([[ivfAssignCosine]]/[[ivfTopKCosine]]);
+    * L2-on-raw assignment against these centers would recreate the
+    * metric mismatch this fit exists to avoid. Deterministic given
+    * (data, seed); k is clamped to the corpus size and an empty input
+    * is loud. Returns (centroid_id: 0..k-1, cvec: array<double>) —
+    * broadcast-sized (k × dim), same contract as [[centroids]].
+    *
+    * Scale shape: the fit is ml-native treeAggregate rounds over a
+    * cached one-column vector frame; the result is k rows materialized
+    * driver-side (tiny by construction — this is the one frame that is
+    * SUPPOSED to be driver-sized). */
+  def learnedCentroids(vectors: DataFrame, vecCol: String, k: Int,
+                       seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vd = VectorFns.toDouble(col(vecCol))
+    val feat = graft.engine.Caching.cached(
+      vectors
+        .withColumn("_n", VectorFns.norm(vd))
+        .filter(col("_n") > 0)
+        .select(array_to_vector(
+          VectorFns.unitNormalizeWith(vd, col("_n"))).as("features")))
+    val n = feat.count()
+    require(n > 0, "learnedCentroids: no non-zero-norm vectors to cluster")
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(math.min(k.toLong, n).toInt).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(feat)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) =>
+        val arr = v.toArray
+        val norm = math.sqrt(arr.map(x => x * x).sum)
+        // a degenerate all-zero center (empty cell) stays zero rather
+        // than dividing by zero; no vector ever assigns to it by cosine
+        (i.toLong, (if (norm > 0) arr.map(_ / norm) else arr).toSeq)
+      }
+      .toDF("centroid_id", "cvec")
+  }
+
+  /** Cosine inverted-file assignment: each vector → the centroid with
+    * the LOWEST cosine distance (1 − cosine similarity) — the metric
+    * match for [[learnedCentroids]]' spherical cells. Scale-invariant
+    * in both arguments, so raw vectors assign correctly without a
+    * normalization pass. */
+  def ivfAssignCosine(vectors: DataFrame, cents: DataFrame, idCol: String,
+                      vecCol: String): DataFrame =
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("cd",
+        lit(1.0) - VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
+          col("cvec")))
+      .groupBy(col(idCol))
+      .agg(min_by(col("centroid_id"), col("cd")).as("centroid_id"))
+
+  /** IVF probe under COSINE: query's nProbe nearest centroids by cosine
+    * distance → candidates from those lists only → exact cosine top-k.
+    * The approximate index and the final ranking share one metric, so
+    * recall degrades gracefully with nProbe instead of leaking through
+    * a metric mismatch. */
+  def ivfTopKCosine(vectors: DataFrame, cents: DataFrame,
+                    queryVec: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int): DataFrame = {
+    val probed = cents.crossJoin(broadcast(queryVec))
+      .withColumn("cd", lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .orderBy(col("cd"), col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id"))
+    val assignment = ivfAssignCosine(vectors, cents, idCol, vecCol)
+    val candidates = vectors
+      .join(assignment, Seq(idCol))
+      .join(broadcast(probed), Seq("centroid_id"))
+    topK(candidates, queryVec, idCol, vecCol, k)
+  }
 
   /** Inverted-file assignment: each vector → nearest centroid by L2.
     * Broadcast the (small) centroid table; `min_by` picks the argmin
@@ -59,6 +161,39 @@ object Similarity {
         VectorFns.sqDist(VectorFns.toDouble(col(vecCol)), col("cvec")))
       .groupBy(col(idCol))
       .agg(min_by(col("centroid_id"), col("d2")).as("centroid_id"))
+
+  /** IVF probe under COSINE for a PANEL of queries: the corpus is
+    * assigned ONCE; each query ranks centroids and scans only its
+    * nProbe lists; a per-qid window keeps k. This is the batch-ANN
+    * shape a recrawl pipeline runs nightly — assignment amortized
+    * across the whole query batch, per-query IO still bounded by the
+    * probe fraction. `queries` is a broadcast-sized (qid, qvec)
+    * frame. */
+  def ivfTopKCosineMulti(vectors: DataFrame, cents: DataFrame,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cd"), col("centroid_id"))
+    val probed = cents.crossJoin(broadcast(queries))
+      .withColumn("cd",
+        lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("centroid_id"))
+    val assignment = ivfAssignCosine(vectors, cents, idCol, vecCol)
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol))
+    vectors
+      .join(assignment, Seq(idCol))
+      .join(broadcast(probed), Seq("centroid_id"))
+      .withColumn("sim",
+        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
+          col("qvec")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
+  }
 
   /** LSH-bucketed ANN — the ml-native alternative to [[ivfTopK]]:
     * random-hyperplane bucketing via `BucketedRandomProjectionLSH`
@@ -79,6 +214,29 @@ object Similarity {
       .fit(df)
     model.approxNearestNeighbors(df, query, k)
       .select(col(idCol), round(col("distCol"), 4).as("dist"))
+  }
+
+  /** Panel variant of [[brpLshTopK]]: ONE fit (the expensive part —
+    * hash-table planning over the corpus), then one bucket-pruned probe
+    * per query, unioned with the query id carried through. */
+  def brpLshTopKMulti(vectors: DataFrame, idCol: String, vecCol: String,
+                      queries: Seq[(Long, org.apache.spark.ml.linalg.Vector)],
+                      k: Int, numHashTables: Int = 4,
+                      bucketLength: Double = 2.0): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    require(queries.nonEmpty, "brpLshTopKMulti: empty query panel")
+    val df = graft.engine.Caching.cached(
+      vectors.withColumn("fv",
+        array_to_vector(graft.functions.VectorFns.toDouble(col(vecCol)))))
+    val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L).setInputCol("fv").setOutputCol("hashes")
+      .fit(df)
+    queries.map { case (qid, qv) =>
+      model.approxNearestNeighbors(df, qv, k)
+        .select(lit(qid).as("qid"), col(idCol),
+          round(col("distCol"), 4).as("dist"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Materialize the inverted file: vectors written PARTITIONED BY

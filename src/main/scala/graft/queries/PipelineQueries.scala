@@ -296,18 +296,29 @@ object PipelineQueries {
         .orderBy(col("label"))
     }),
 
-    // X2 — IVF ANN: probe 3 of ~10 deterministic centroid lists, exact
-    // top-k on candidates. Recall < 1 vs brute force BY DESIGN, but the
-    // math is fully deterministic and engine-agnostic (fixed every-50th
-    // centroids, L2 argmin assignment, round-4 cosine with id
-    // tiebreaks), so DuckDB replicates the probe pipeline exactly —
-    // oracle-checked, with the recall invariant in SimilaritySpec.
+    // X2 — IVF ANN with LEARNED centroids: seeded k-means trains the
+    // inverted-file cells, the trained centroid table is MATERIALIZED
+    // to scratch parquet, and the probe runs from the materialized
+    // copy. Recall < 1 vs brute force BY DESIGN; the fit itself is not
+    // SQL-expressible, but the probe GIVEN the materialized centroids
+    // is fully deterministic (L2 argmin assignment, nProbe ranking
+    // with id tiebreaks, round-4 cosine top-k) — so the oracle reads
+    // the same centroid parquet (Verify substitutes {SCRATCH}/{SFHASH})
+    // and replicates the probe pipeline bit-for-bit. Recall invariants
+    // in SimilaritySpec; the recall ledger row is q75.
     "q31_ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
         .select(VectorFns.toDouble(col("embedding")).as("qvec"))
-      val cents = Similarity.centroids(e, "vec_id", "embedding", step = 50)
-      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), cents, qv,
+      val base = e.filter(col("vec_id") =!= 0)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("ivf_cents", dir))
+      // probe from the MATERIALIZED copy: Spark and the DuckDB oracle
+      // read the identical parquet doubles. Cosine assign/probe — the
+      // metric match for the spherical fit (see learnedCentroids).
+      val cents = s.read.parquet(scratchPath("ivf_cents", dir))
+      Similarity.ivfTopKCosine(base, cents, qv,
         "vec_id", "embedding", k = 10, nProbe = 3)
     }),
 
@@ -1048,37 +1059,45 @@ object PipelineQueries {
             .as("clean_b_sum"))
     }),
 
-    // X2 monitoring — ANN recall@10 as a gate row: the ids each
-    // approximate path (q31's IVF probe, q41's seeded LSH) shares with
-    // the exact brute-force top-10. One row per hit, so the recall
-    // number IS the row count the driver records every round (rows-only
-    // check: the LSH ids are seeded-engine-specific; SimilaritySpec
-    // keeps the ≥-floor assertions).
+    // X2 monitoring — ANN recall@10 as a gate row, measured over a
+    // 5-QUERY PANEL (vec_id 0–4; single-query recall on this isotropic
+    // corpus is a coin flip — measured ±5 hits across query choices, so
+    // r7's one-query row tracked luck, not the index): one row per
+    // (method, query, hit) where hit = an id the approximate path
+    // (q31's learned-centroid cosine IVF, q41's seeded LSH) shares with
+    // that query's exact brute-force top-10. The row count IS the
+    // panel-total recall out of 100 the driver records every round
+    // (rows-only: seeded fits are engine-specific; SimilaritySpec holds
+    // the mechanism invariants on planted-cluster data).
     "q75_ann_recall" -> ((s, dir) => {
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
-      // ONE 1-row scalar fetch serves both the frame-shaped consumers
-      // (as a local relation — no re-scan per consumer) and the
-      // ml-native LSH API
-      val qarr = e.filter(col("vec_id") === 0)
-        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
-        .collect()(0).getSeq[Double](0).toArray
-      val qv = Seq(qarr.toSeq).toDF("qvec")
-      val base = e.filter(col("vec_id") =!= 0)
-      val exact = Similarity.topK(base, qv, "vec_id", "embedding", 10)
-        .select(col("vec_id"))
-      val cents = Similarity.centroids(e, "vec_id", "embedding", step = 50)
-      val ivf = Similarity.ivfTopK(base, cents, qv, "vec_id", "embedding",
-          k = 10, nProbe = 3)
-        .select(col("vec_id"))
-      val lsh = Similarity.brpLshTopK(base, "vec_id", "embedding",
-          org.apache.spark.ml.linalg.Vectors.dense(qarr), k = 10)
-        .select(col("vec_id"))
+      val queries = graft.engine.Caching.cached(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            VectorFns.toDouble(col("embedding")).as("qvec")))
+      val base = e.filter(col("vec_id") >= 5)
+      val exact = Similarity.topKMulti(base, queries, "vec_id",
+          "embedding", 10)
+        .select(col("qid"), col("vec_id"))
+      val cents = Similarity.learnedCentroids(base, "embedding", k = 16)
+      val ivf = Similarity.ivfTopKCosineMulti(base, cents, queries,
+          "vec_id", "embedding", k = 10, nProbe = 5)
+        .select(col("qid"), col("vec_id"))
+      // ONE panel fetch feeds the ml-native LSH API (broadcast-sized)
+      val qlocal = queries.collect()
+        .map(r => r.getLong(0) ->
+          org.apache.spark.ml.linalg.Vectors.dense(
+            r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      val lsh = Similarity.brpLshTopKMulti(base, "vec_id", "embedding",
+          qlocal, k = 10)
+        .select(col("qid"), col("vec_id"))
       ivf.withColumn("method", lit("ivf"))
         .unionByName(lsh.withColumn("method", lit("lsh")))
-        .join(exact, "vec_id")
-        .select(col("method"), col("vec_id"))
-        .orderBy(col("method"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"))
+        .select(col("method"), col("qid"), col("vec_id"))
+        .orderBy(col("method"), col("qid"), col("vec_id"))
     }),
 
     // Skew-salted join UNDER THE HASH GATE: event_type is the maximally
@@ -1617,18 +1636,23 @@ object PipelineQueries {
         |  AND o_orderdate <= CAST(make_date(1996, 12, 31) AS TIMESTAMP)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // replicates the IVF probe pipeline: same centroid rule, same L2
-    // argmin assignment, same probe set, same round-4 cosine top-k
+    // replicates the IVF probe pipeline GIVEN the materialized learned
+    // centroids (the fit is Spark's; the probe math is engine-agnostic):
+    // same COSINE argmin assignment, same probe set, same round-4
+    // cosine top-k. {SCRATCH}/{SFHASH} are substituted by Verify at
+    // dump time to the same scratch path the query wrote.
     "q31_ann_ivf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |           WHERE vec_id = 0),
-        |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        |          FROM embeddings WHERE vec_id % 50 = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/ivf_cents_{SFHASH}/*.parquet')),
         |probed AS (SELECT cid FROM cents, q
-        |           ORDER BY list_distance(cv, qv), cid LIMIT 3),
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
         |assign AS (
         |  SELECT e.vec_id AS vid,
-        |    arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.cv))
+        |    arg_min(c.cid,
+        |      1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv))
         |      AS cid
         |  FROM embeddings e, cents c WHERE e.vec_id <> 0
         |  GROUP BY e.vec_id),

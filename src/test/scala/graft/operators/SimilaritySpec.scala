@@ -39,17 +39,85 @@ class SimilaritySpec extends SparkSpec {
     assert(out == inMem, s"pruned probe diverged: $out vs $inMem")
   }
 
-  test("full-probe IVF is exactly brute force") {
-    val (e, qv, base) = setup()
-    val cents = Similarity.centroids(e, "vec_id", "embedding", step = 10)
+  test("full-probe IVF is exactly brute force (learned centroids, " +
+      "cosine probe)") {
+    val (_, qv, base) = setup()
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
     val nCents = cents.count().toInt
     val exact = Similarity.topK(base, qv, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val full = Similarity.ivfTopK(base, cents, qv, "vec_id", "embedding",
-        k = 10, nProbe = nCents)
+    val full = Similarity.ivfTopKCosine(base, cents, qv, "vec_id",
+        "embedding", k = 10, nProbe = nCents)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full == exact,
       "probing every centroid list must degrade to exact brute force")
+  }
+
+  test("learned centroids: seeded fit is deterministic, k-clamped, " +
+      "broadcast-sized, and empty input is loud") {
+    val (_, _, base) = setup()
+    def fit() = Similarity.learnedCentroids(base, "embedding", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val a = fit()
+    assert(a.size == 8, s"expected 8 centroids, got ${a.size}")
+    assert(fit() == a, "same seed + same data must give the same centroids")
+    // k larger than the corpus clamps instead of failing
+    val clamped = Similarity.learnedCentroids(base.limit(3), "embedding",
+      k = 8)
+    assert(clamped.count() <= 3)
+    intercept[IllegalArgumentException] {
+      Similarity.learnedCentroids(base.limit(0), "embedding", k = 4)
+    }
+  }
+
+  test("learned centroids capture planted cluster structure: cells == " +
+      "clusters, and nProbe=1 recovers the exact top-10") {
+    import spark.implicits._
+    // 3 well-separated direction clusters with UNEQUAL sizes and
+    // INTERLEAVED ids (gid = i*3 + cluster — id arithmetic carries no
+    // cluster signal, unlike the every-Nth-id stub's assumption), tight
+    // deterministic noise. The mechanism under test: a learned cell
+    // follows the data's density, so one probed list holds the whole
+    // cosine neighborhood. Deterministic — no statistical luck (the
+    // r7-era single-query recall assertion on the isotropic sf corpus
+    // tracked exactly that luck).
+    val dirs = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 0, 0))
+    val sizes = Seq(30, 15, 12)
+    val rows = for {
+      (sz, ci) <- sizes.zipWithIndex
+      i <- 0 until sz
+    } yield {
+      val v = dirs(ci).indices.map(j =>
+        dirs(ci)(j) + 0.02 * (((i * 31 + j * 7 + ci * 13) % 11) - 5))
+      ((i * 3 + ci).toLong, ci, v)
+    }
+    val df = rows.toDF("vec_id", "cluster", "embedding")
+    val cents = Similarity.learnedCentroids(df, "embedding", k = 3)
+    val assign = Similarity.ivfAssignCosine(df, cents, "vec_id",
+      "embedding")
+    val cells = assign.join(df, "vec_id").groupBy(col("centroid_id"))
+      .agg(countDistinct(col("cluster")).as("nc"),
+        count(lit(1)).as("n")).collect()
+    assert(cells.forall(_.getAs[Long]("nc") == 1L),
+      "each learned cell must hold exactly one planted cluster")
+    assert(cells.map(_.getAs[Long]("n")).sorted.toSeq == Seq(12L, 15L, 30L),
+      "inverted-list sizes must match the planted cluster sizes")
+    // one query per cluster (ids 0,1,2 = member 0 of each cluster):
+    // probing a SINGLE list must already recover the exact top-10
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        VectorFns.toDouble(col("embedding")).as("qvec"))
+    def keyed(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = keyed(Similarity.topKMulti(df, queries, "vec_id",
+      "embedding", 10))
+    val ivf = keyed(Similarity.ivfTopKCosineMulti(df, cents, queries,
+      "vec_id", "embedding", k = 10, nProbe = 1))
+    assert(ivf == exact,
+      s"nProbe=1 on structured data must be exact; diff=${ivf.diff(exact)}")
   }
 
   test("partial-probe IVF: k results, sims bounded by exact top-k") {
