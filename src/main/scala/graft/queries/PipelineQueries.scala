@@ -1224,6 +1224,24 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X1 — the PRODUCTION SemDeDup decision: q82's semantic near-dup
+    // pairs composed through Dedup.keepBest with a quality score
+    // (n_chars of the id-aligned document — keep-longest), so each
+    // semantic cluster keeps its best member, not blindly its min id.
+    // Seeded ML fit upstream → rows-only; the argmax composition has a
+    // planted-cluster spec in DedupSpec, and keepBest's own tiebreak is
+    // oracle-gated via q79.
+    "q85_semantic_keep_best" -> ((s, dir) => {
+      val pairs = Dedup.embedNearDupsClustered(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, minSim = 0.4)
+        .select(col("id1"), col("id2"))
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      Dedup.keepBest(pairs, scored, "doc_id", "n_chars")
+        .orderBy(col("label"))
+    }),
+
     // LLM-pipeline — corpus refresh (upsert): two recrawl waves + an
     // insert batch, collapsed last-wins per key (Upsert.latestByKey),
     // merged into the corpus (anti-join + unionByName — the q65 join

@@ -174,6 +174,34 @@ class DedupSpec extends SparkSpec {
     assert(run() == pairs, "seeded fit must be deterministic")
   }
 
+  test("SemDeDup keep-best composition: clustered near-dup pairs + " +
+      "quality scores keep the argmax member per semantic cluster") {
+    import spark.implicits._
+    // same planted sphere as the clustered-dedup spec: semantic
+    // components {1,2,3} and {4,6}. Scores rank 3 > 2 > 1 and 4 > 6 —
+    // the production decision must keep 3 (NOT min-id 1) and 4.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (3L, Array(0.98f, 0.22f, 0.12f, 0.01f)),
+      (4L, Array(-1.0f, 0.5f, -0.3f, 0.8f)),
+      (5L, Array(0.0f, -1.0f, 0.9f, -0.2f)),
+      (6L, Array(-0.9f, 0.4f, -0.2f, 0.7f)),
+      (7L, Array(0.1f, -0.8f, 1.0f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    val scored = Seq((1L, 100L), (2L, 200L), (3L, 300L), (4L, 90L),
+      (5L, 10L), (6L, 50L), (7L, 20L)).toDF("doc_id", "n_chars")
+    val pairs = Dedup.embedNearDupsClustered(vecs, "vec_id", "embedding",
+        k = 2, minSim = 0.99)
+      .select(col("id1"), col("id2"))
+    val out = Dedup.keepBest(pairs, scored, "doc_id", "n_chars")
+      .collect().map(r => (r.getAs[Long]("label"),
+        (r.getAs[Long]("kept_id"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("best_score")))).toMap
+    assert(out == Map(1L -> ((3L, 3L, 300L)), 4L -> ((4L, 2L, 90L))),
+      s"got $out")
+  }
+
   test("keepBest keeps the argmax-score member, min-id on ties") {
     import spark.implicits._
     // component {1,2,3} via the chain 1-2, 2-3: doc 2 has the top score
