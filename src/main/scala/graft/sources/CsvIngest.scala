@@ -13,8 +13,10 @@ import graft.operators.Consolidate
   * `pd.read_csv(sep=None, engine='python', encoding='utf-8-sig',
   * on_bad_lines='warn')` (`file_utils.py:36-42`). Spark mapping:
   *
-  *  - `;` separator, `header=true` (the consolidator standardizes on `;`,
-  *    so no sniffer is needed — `file_utils.py:56-57`);
+  *  - `;` separator, `header=true` as the default (the consolidator
+  *    standardizes on `;` — `file_utils.py:56-57`); [[readSniffed]]
+  *    adds the `sep=None` per-file dialect detection for mixed-dialect
+  *    directories (`file_utils.py:36-42`);
   *  - PERMISSIVE mode + a corrupt-record column reproduces
   *    warn-and-continue (`on_bad_lines='warn'`): bad lines survive as a
   *    row with the raw text in `_corrupt` instead of failing the read;
@@ -28,7 +30,13 @@ import graft.operators.Consolidate
 object CsvIngest {
   val CorruptCol = "_corrupt"
 
-  def read(spark: SparkSession, path: String, sep: String = ";"): DataFrame = {
+  def read(spark: SparkSession, path: String, sep: String = ";"): DataFrame =
+    read(spark, Seq(path), sep)
+
+  /** Multi-path variant of [[read]] — one partitioned scan over an
+    * explicit file list (the shape [[readSniffed]] needs to read each
+    * detected-dialect group in a single pass). */
+  def read(spark: SparkSession, paths: Seq[String], sep: String): DataFrame = {
     def reader = spark.read
       .option("sep", sep)
       .option("header", "true")
@@ -38,11 +46,89 @@ object CsvIngest {
     // The corrupt-record column only materializes when present in the
     // schema; first pass reads just the header (no inferSchema → all
     // strings), second pass appends the corrupt field.
-    val headerSchema = reader.csv(path).schema
+    val headerSchema = reader.csv(paths: _*).schema
     val withCorrupt = org.apache.spark.sql.types.StructType(
       headerSchema.fields :+ org.apache.spark.sql.types.StructField(
         CorruptCol, org.apache.spark.sql.types.StringType, nullable = true))
-    stripBom(reader.schema(withCorrupt).csv(path))
+    stripBom(reader.schema(withCorrupt).csv(paths: _*))
+  }
+
+  /** Separator candidates the sniffer considers — the dialects the
+    * reference's `pd.read_csv(sep=None, engine='python')` detector
+    * covers in practice (`file_utils.py:36-42`). Order is the
+    * preference on ties. */
+  private val SepCandidates = Seq(';', ',', '\t', '|')
+
+  /** Driver-side dialect sniff on a decoded head sample: the winning
+    * separator appears a CONSISTENT non-zero number of times on every
+    * sampled line (csv.Sniffer's core consistency heuristic) — among
+    * consistent candidates the highest per-line count wins, then
+    * [[SepCandidates]] order. Falls back to `;` (the reference's
+    * standardized dialect) when nothing is consistent, e.g. a
+    * single-column file. */
+  private[graft] def sniffSep(sample: String,
+                              truncated: Boolean = false): String = {
+    val all = sample.stripPrefix("﻿").split("\r?\n", -1)
+    // a TRUNCATED head sample ends mid-line: never score the final
+    // fragment (a cut quote/field would skew its counts). A fully-read
+    // file's last line is complete and counts.
+    val lines = (if (truncated) all.dropRight(1) else all).iterator
+      .filter(_.nonEmpty).take(10).toSeq
+    // quoted fields are opaque to the dialect (a comma-CSV quoting
+    // "R$ 3,00" must not count those commas — csv.Sniffer does the
+    // same): strip "..." spans before counting
+    val unquoted = lines.map(_.replaceAll("\"[^\"]*\"", ""))
+    val consistent = SepCandidates.flatMap { c =>
+      val counts = unquoted.map(l => l.count(_ == c))
+      if (counts.nonEmpty && counts.head > 0 && counts.distinct.size == 1)
+        Some(c -> counts.head)
+      else None
+    }
+    if (consistent.isEmpty) ";" else consistent.maxBy(_._2)._1.toString
+  }
+
+  /** S5 `sep=None` parity — PER-FILE separator detection: sniff each
+    * file's head sample driver-side (metadata-scale IO, same cost class
+    * as the file listing itself), then read each detected-dialect group
+    * in ONE partitioned scan and drift-union the groups (U1's
+    * `Consolidate`, so a dialect group with extra/missing columns still
+    * lands by name). Pandas sniffs per file because it reads one file
+    * at a time; this is the same semantics at Spark shape — a directory
+    * of mixed `,`/`;` monthly files reads correctly instead of
+    * collapsing the minority dialect into one-column rows.
+    *
+    * `path` may be a file, a directory, or a glob. Hidden/metadata
+    * entries (`_SUCCESS`, dotfiles) are skipped like Spark's own
+    * listing does. */
+  def readSniffed(spark: SparkSession, path: String,
+                  sampleBytes: Int = 8192): DataFrame = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hadoopPath))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    require(files.nonEmpty, s"readSniffed: no files match $path")
+    val bySep = files.groupBy { f =>
+      val in = fs.open(f)
+      try {
+        val buf = new Array[Byte](sampleBytes)
+        var off = 0
+        var n = 0
+        while (off < buf.length && n >= 0) {
+          n = in.read(buf, off, buf.length - off)
+          if (n > 0) off += n
+        }
+        sniffSep(new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8),
+          truncated = off == buf.length)
+      } finally in.close()
+    }
+    Consolidate(bySep.toSeq.sortBy(_._1).map { case (sep, fsGroup) =>
+      read(spark, fsGroup.map(_.toString).toSeq, sep)
+    })
   }
 
   /** Read a Hive-partitioned CSV layout (`yr=1997/...csv`). No corrupt

@@ -52,6 +52,53 @@ class ConsolidateSpec extends SparkSpec {
     assert(df.columns.head == "orgao")
   }
 
+  test("sniffed read detects each file's separator: a mixed ,/; " +
+      "directory parses correctly instead of one-column rows (S5 " +
+      "sep=None parity)") {
+    val dir = scratch("sniffmix")
+    Files.createDirectories(dir)
+    // the reference's standardized dialect, BOM'd
+    writeSig(dir.resolve("a_2024_01.csv"), Seq(
+      "orgao;credor;pago",
+      "SEMED;Forn A;R$ 1,00",
+      "SEMED;Forn B;R$ 2,00"))
+    // a stray comma-dialect month (the pandas sep=None case); quoted
+    // values contain BOTH candidates — the sniffer must ignore quoted
+    // spans (decimal commas, a ';' in a company name) when counting
+    Files.write(dir.resolve("b_2024_02.csv"), Seq(
+      "orgao,credor,pago",
+      "SAUDE,\"Forn C;Ltd\",\"R$ 3,00\"").mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    // Spark-style metadata noise must be skipped like Spark's listing
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+
+    val df = CsvIngest.readSniffed(spark, dir.toString)
+    assert(df.columns.take(3).toSeq == Seq("orgao", "credor", "pago"))
+    val rows = df.orderBy("credor").collect()
+    assert(rows.length == 3, s"got ${rows.length} rows")
+    // every row fully parsed — the comma file did NOT collapse into
+    // one-column rows under the ';' default
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("SEMED", "Forn A"), ("SEMED", "Forn B"), ("SAUDE", "Forn C;Ltd")),
+      s"got ${rows.map(r => (r.getString(0), r.getString(1))).toSeq}")
+    assert(rows.forall(!_.isNullAt(2)), "pago parsed for every dialect")
+  }
+
+  test("sniffer consistency heuristic: per-line-consistent candidate " +
+      "wins over a more frequent but inconsistent one; fallback is ';'") {
+    // ',' appears 3×/2× (inconsistent), ';' exactly once per line
+    assert(CsvIngest.sniffSep(
+      "h1;h2,x,y,z\na;b,c\n", truncated = false) == ";")
+    // tie on count → candidate preference order (';' first)
+    assert(CsvIngest.sniffSep("a;b\nc;d\n") == ";")
+    assert(CsvIngest.sniffSep("a,b\nc,d\n") == ",")
+    assert(CsvIngest.sniffSep("a\tb\nc\td\n") == "\t")
+    // single-column file: nothing consistent → the standardized ';'
+    assert(CsvIngest.sniffSep("header\nv1\nv2\n") == ";")
+    // truncated sample: the cut final fragment must not be scored
+    assert(CsvIngest.sniffSep("a,b\nc,d\ne,f,g,h,i", truncated = true) == ",")
+  }
+
   test("permissive read keeps bad lines in the corrupt column instead of failing") {
     val dir = scratch("permissive")
     Files.createDirectories(dir)
