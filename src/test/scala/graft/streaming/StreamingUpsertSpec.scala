@@ -1,0 +1,108 @@
+package graft.streaming
+
+// Spark 4 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming corpus upsert: one winning row per key, decided by the
+  * batch latestByKey rule (highest version, NULL versions lose, equal
+  * ties → min tiebreak, re-deliveries never fan out), emitted when the
+  * watermark closes the key and state evicted with it. */
+class StreamingUpsertSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("cross-batch re-delivery, late higher version, and all-NULL-" +
+      "version keys collapse to exactly the batch winner per key") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+
+    val source = MemoryStream[(java.sql.Timestamp, Long, String, Option[Long])]
+    val latest = StreamingUpsert.latestByKeyWithinWatermark(
+      source.toDF().toDF("ts", "id", "text", "v"),
+      key = "id", ordCol = "v", rowTieBreak = "text",
+      tsCol = "ts", delay = "10 minutes")
+
+    val q = latest.writeStream
+      .format("memory").queryName("stream_upsert")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: key 1 v1; key 2 with only-NULL versions (the q84 bug
+      // case: must survive, min-text tiebreak); key 3 tie on v=5
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "one-v1", Some(1L)),
+        (ts("2024-01-01 10:00:10"), 2L, "nv-b", None),
+        (ts("2024-01-01 10:00:20"), 2L, "nv-a", None),
+        (ts("2024-01-01 10:00:30"), 3L, "tie-b", Some(5L)),
+        (ts("2024-01-01 10:00:40"), 3L, "tie-a", Some(5L)))
+      q.processAllAvailable()
+      // batch 2: EXACT re-delivery of key 1's row (the retry case —
+      // must not fan out), plus a LATE-but-admissible higher version
+      // for key 1 with an EARLIER event time than the re-delivery
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "one-v1", Some(1L)),
+        (ts("2024-01-01 09:59:00"), 1L, "one-v2-late", Some(2L)))
+      q.processAllAvailable()
+      assert(spark.table("stream_upsert").count() == 0,
+        "nothing may emit before the watermark closes the keys")
+      // push the watermark far past every key's (latest ts + delay)
+      source.addData(
+        (ts("2024-01-01 11:00:00"), 99L, "wm-pusher", Some(1L)))
+      q.processAllAvailable()
+
+      val out = spark.table("stream_upsert")
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("text"),
+            Option(r.getAs[java.lang.Long]("v")).map(_.toLong))))
+        .toMap
+      assert(out == Map(
+        1L -> (("one-v2-late", Some(2L))), // late v2 beats re-delivered v1
+        2L -> (("nv-a", None)), // all-NULL-version key survives, min text
+        3L -> (("tie-a", Some(5L)))), // equal v → min tiebreak
+        s"got $out")
+      assert(spark.table("stream_upsert").count() == 3,
+        "exactly one row per closed key")
+    } finally q.stop()
+  }
+
+  test("state is evicted on emit: a key re-appearing after its window " +
+      "closed starts a fresh upsert window") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+
+    val source = MemoryStream[(java.sql.Timestamp, Long, String, Option[Long])]
+    val latest = StreamingUpsert.latestByKeyWithinWatermark(
+      source.toDF().toDF("ts", "id", "text", "v"),
+      key = "id", ordCol = "v", rowTieBreak = "text",
+      tsCol = "ts", delay = "5 minutes")
+    val q = latest.writeStream
+      .format("memory").queryName("stream_upsert_evict")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      source.addData((ts("2024-01-01 10:00:00"), 1L, "w1-v9", Some(9L)))
+      q.processAllAvailable()
+      // watermark pusher closes key 1's first window
+      source.addData((ts("2024-01-01 10:30:00"), 50L, "wm", Some(1L)))
+      q.processAllAvailable()
+      // key 1 re-appears LATER with a LOWER version: the old v9 state
+      // must be gone — the new window's winner is v3
+      source.addData((ts("2024-01-01 10:31:00"), 1L, "w2-v3", Some(3L)))
+      q.processAllAvailable()
+      source.addData((ts("2024-01-01 11:30:00"), 60L, "wm2", Some(1L)))
+      q.processAllAvailable()
+
+      val key1 = spark.table("stream_upsert_evict")
+        .filter(org.apache.spark.sql.functions.col("id") === 1L)
+        .collect().map(r => (r.getAs[String]("text"), r.getAs[Long]("v")))
+      assert(key1.toSet == Set(("w1-v9", 9L), ("w2-v3", 3L)),
+        s"two independent windows expected; got ${key1.toSeq}")
+    } finally q.stop()
+  }
+}
