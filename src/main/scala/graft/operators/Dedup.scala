@@ -150,8 +150,16 @@ object Dedup {
     * labels (a silently-wrong dedup decision poisons the corpus).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = cached(pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b"))))
+    // both edge directions in ONE pass over the pair lineage (explode,
+    // not self-union): the union form's two branches each embed the
+    // full upstream pair-generation plan, and when the upstream's
+    // internal caches sit under memory pressure the branches recompute
+    // it — measured 85 s vs 13 s on the same 10×-inflated corpus
+    // (CCScaleProbe, round-8). Per-row output is identical.
+    val edges = cached(pairs.select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b")))
     // materialize the (possibly expensive) pair lineage ONCE before the
     // loop: every iteration and the convergence check re-read this
     edges.count()

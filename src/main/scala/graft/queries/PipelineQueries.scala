@@ -45,6 +45,25 @@ object PipelineQueries {
     val topK3 = graft.operators.TopK.topK(3)
   }
 
+  /** Deterministic 4×2 gradient raster behind q87's decode gate row:
+    * pixel (x,y) = (R=10x, G=10y, B=100+x+y) → exact channel means
+    * (15, 5, 102). Encoded once per JVM; the oracle interpolates the
+    * SAME byte lengths and means, so the gate pins the decoder to the
+    * format spec, not to itself. */
+  private[queries] object ImageFixture {
+    import graft.operators.ImageCodec
+    val img: ImageCodec.Image = ImageCodec.Image(4, 2,
+      Array.tabulate[Byte](24) { i =>
+        val p = i / 3; val x = p % 4; val y = p / 4
+        (i % 3 match {
+          case 0 => 10 * x; case 1 => 10 * y; case 2 => 100 + x + y
+        }).toByte
+      })
+    val ppm: Array[Byte] = ImageCodec.encodePpm(img)
+    val bmp: Array[Byte] = ImageCodec.encodeBmp(img)
+    val means: (Double, Double, Double) = ImageCodec.meanChannels(img)
+  }
+
   /** Marker vocabulary for the language-ID heuristic (stopword-ratio
     * family): words actually present in the synthetic corpus so the
     * ratio varies per document. */
@@ -131,6 +150,31 @@ object PipelineQueries {
         .groupBy(col("mo").cast("int").as("mo"))
         .agg(count(lit(1)).as("n"),
           sum(TextFns.parseBRL(col("pago"))).cast("double").as("total"))
+        .orderBy(col("mo"))
+    }),
+
+    // S5 — the sep=None SNIFFER under the hash gate: one year of orders
+    // written as a MIXED-dialect directory — months 1–6 ';'-separated,
+    // months 7–12 ','-separated (the writer quotes BRL money in the
+    // comma group, and the sniffer must ignore those quoted spans while
+    // the UNQUOTED decimal commas in the ';' group must not fool it
+    // either — both traps live in the fixture by construction) — then
+    // readSniffed over the whole directory, parse the money back, and
+    // aggregate. Green iff per-file dialect detection + group reads +
+    // drift union reproduce the original parquet numbers exactly.
+    "q86_sniffed_csv" -> ((s, dir) => {
+      val base = scratchPath("sniff_rt", dir)
+      val o = Tables(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey"), month(col("o_orderdate")).as("mo"),
+          TextFns.formatBRL(col("o_totalprice")).as("pago"))
+      CsvIngest.write(o.filter(col("mo") <= 6), s"$base/h1", sep = ";")
+      CsvIngest.write(o.filter(col("mo") >= 7), s"$base/h2", sep = ",")
+      CsvIngest.readSniffed(s, s"$base/*")
+        .groupBy(col("mo").cast("int").as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum((dec(TextFns.parseBRL(col("pago"))) * 100).cast("long"))
+            .as("total_cents"))
         .orderBy(col("mo"))
     }),
 
@@ -231,8 +275,36 @@ object PipelineQueries {
     }),
 
     // Multimodal — opaque binary payload + metadata ops that stay in
+    // Multimodal — REAL image decode under the hash gate: plant the
+    // deterministic ImageFixture raster as an actual PPM file and an
+    // actual BMP file, ingest through binaryFile, decode through the
+    // mapPartitions codec path, and emit the pixel statistics. The
+    // oracle is a LITERAL table interpolated from the same fixture
+    // (dimensions, channel means, encoded byte lengths) — green iff
+    // both container formats decode to the identical raster (the BMP
+    // path must undo BGR order, bottom-up rows, and 4-byte padding to
+    // agree with the PPM path).
+    "q87_image_decode" -> ((s, dir) => {
+      val base = scratchPath("img_fix", dir)
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("a.ppm"), ImageFixture.ppm)
+      java.nio.file.Files.write(p.resolve("b.bmp"), ImageFixture.bmp)
+      val assets = Multimodal.readBinaryDir(s, base, glob = "*.{ppm,bmp}")
+        .select(
+          when(col("file_name") === "a.ppm", 1L).otherwise(2L)
+            .as("asset_id"),
+          col("payload"),
+          struct(lit("image").as("kind"), col("n_bytes")).as("meta"))
+      Multimodal.decodeFeatures(s, assets)
+        .select(col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("n_bytes"))
+        .orderBy(col("format"))
+    }),
+
     // codegen'd built-ins: byte length, content hash, head-slice. The
-    // mapPartitions decode path is MultimodalSpec territory (stub codec).
+    // mapPartitions decode path is MultimodalSpec territory (real codec
+    // for PPM/BMP, byte-level fallback otherwise).
     "q27_multimodal_bytes" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"),
@@ -1420,6 +1492,15 @@ object PipelineQueries {
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the sniffed mixed-dialect roundtrip must land on the same
+    // numbers as the source parquet (exact integer cents)
+    "q86_sniffed_csv" ->
+      """SELECT month(o_orderdate) AS mo, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q19_running_avg" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
@@ -1488,6 +1569,20 @@ object PipelineQueries {
         |  sha256(text) AS sha,
         |  lower(hex(substr(text, 1, 16)::BLOB)) AS head16
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // literal oracle interpolated from the shared fixture: the gate
+    // pins the decoder to the format spec, not to itself
+    "q87_image_decode" -> {
+      val (mr, mg, mb) = ImageFixture.means
+      val w = ImageFixture.img.width
+      val h = ImageFixture.img.height
+      s"""SELECT 'bmp' AS format, $w AS width, $h AS height,
+         |  $mr AS mean_r, $mg AS mean_g, $mb AS mean_b,
+         |  ${ImageFixture.bmp.length} AS n_bytes
+         |UNION ALL
+         |SELECT 'ppm', $w, $h, $mr, $mg, $mb, ${ImageFixture.ppm.length}
+         |ORDER BY format""".stripMargin
+    },
 
     "q35_topk_per_group" ->
       """SELECT c_nationkey, rn AS rank, o_custkey, total FROM (
