@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IsolationForest, Multimodal, Similarity, TextAnalysis}
 import graft.sources.CsvIngest
 
 /** North-star LLM-data-pipeline + streaming-dataflow query set
@@ -601,6 +601,27 @@ object PipelineQueries {
           round(avg(col("z_spend")), 4).as("mean_z_spend"),
           round(avg(col("z_orders")), 4).as("mean_z_orders"))
         .orderBy(col("mean_z_spend"), col("mean_z_bal"))
+    }),
+
+    // A5 completion — the reference's LAST latent ML import
+    // (IsolationForest, data_science.ipynb cell 2), executed for real:
+    // seeded driver-side fit on a hash-ordered subsample (the paper's
+    // own tiny-model design), scoring as a pure codegen'd when-tree
+    // expression over the q32 customer features — top-25 most
+    // anomalous customers. Seeded randomized fit → rows-only; planted-
+    // outlier/determinism/score-range invariants in
+    // IsolationForestSpec.
+    "q88_isolation_forest" -> ((s, dir) => {
+      // cached: consumed by the fit's subsample collect AND scoring
+      val feat = graft.engine.Caching.cached(kmeansFeatures(s, dir))
+      val cols = Seq("z_bal", "z_spend", "z_orders")
+      val forest = IsolationForest.fit(feat, "c_custkey", cols)
+      feat
+        .withColumn("iso_score",
+          round(IsolationForest.scoreColumn(forest, cols.map(col)), 4))
+        .orderBy(col("iso_score").desc, col("c_custkey"))
+        .select(col("c_custkey"), col("iso_score"))
+        .limit(25)
     }),
 
     // X3 — TF-IDF over document tokens (SURVEY.md:175), pure SQL form so
