@@ -24,7 +24,8 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("top-k queries use TakeOrderedAndProject, not a global sort") {
-    Seq("q08_topk_customers", "q13_cosine_topk", "q78_vocab_topk")
+    Seq("q08_topk_customers", "q13_cosine_topk", "q78_vocab_topk",
+        "q88_isolation_forest")
       .foreach { name =>
       assert(planOf(name).contains("TakeOrderedAndProject"),
         s"$name should plan per-partition top-k")
