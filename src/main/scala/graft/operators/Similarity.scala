@@ -249,8 +249,39 @@ object Similarity {
     vectors.join(ivfAssign(vectors, cents, idCol, vecCol), Seq(idCol))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
-  /** Probe a materialized index. The probe list is nProbe centroid ids
-    * — a driver-side scalar fetch of the (tiny, broadcast-sized)
+  /** Materialize the COSINE inverted file (the learned-centroid
+    * production layout): vectors written partitioned by their
+    * cosine-assigned cell. Pair with [[learnedCentroids]] +
+    * [[ivfProbePrunedCosine]] — one metric from fit to probe. */
+  def ivfWriteIndexCosine(vectors: DataFrame, cents: DataFrame,
+                          idCol: String, vecCol: String,
+                          path: String): Unit =
+    vectors.join(ivfAssignCosine(vectors, cents, idCol, vecCol), Seq(idCol))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Probe a cosine-materialized index: rank centroids by cosine
+    * distance to the query (driver-side scalar fetch of the
+    * broadcast-sized centroid table), prune to the nProbe cell
+    * DIRECTORIES via a literal `isin` (PartitionFilters — IO scales
+    * with the probe fraction, not the corpus), exact cosine top-k on
+    * the survivors. */
+  def ivfProbePrunedCosine(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, cents: DataFrame,
+                           queryVec: DataFrame, idCol: String,
+                           vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val probed = cents.crossJoin(broadcast(queryVec))
+      .withColumn("cd", lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .orderBy(col("cd"), col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id")).collect().map(_.getLong(0))
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("centroid_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+    topK(idx, queryVec, idCol, vecCol, k)
+  }
+
+  /** Probe a materialized L2 index. The probe list is nProbe centroid
+    * ids — a driver-side scalar fetch of the (tiny, broadcast-sized)
     * centroid ranking, NOT a data-path collect — turned into a literal
     * `isin` so the scan prunes PARTITION DIRECTORIES (shows as
     * `PartitionFilters` in the plan), never reading the other lists'

@@ -19,7 +19,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("materialized IVF index probe prunes partitions and matches " +
-      "the in-memory probe") {
+      "the in-memory probe (L2 + stub centroids)") {
     val (e, qv, base) = setup()
     val cents = Similarity.centroids(e, "vec_id", "embedding", step = 10)
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
@@ -37,6 +37,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val out = pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(out == inMem, s"pruned probe diverged: $out vs $inMem")
+  }
+
+  test("cosine-materialized index (learned centroids) prunes partitions " +
+      "and matches the in-memory cosine probe") {
+    val (_, qv, base) = setup()
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cos_idx").toString
+    Similarity.ivfWriteIndexCosine(base, cents, "vec_id", "embedding", dir)
+
+    val pruned = Similarity.ivfProbePrunedCosine(spark, dir, cents, qv,
+      "vec_id", "embedding", k = 10, nProbe = 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"cosine probe did not prune partitions:\n${plan.take(1500)}")
+    val inMem = Similarity.ivfTopKCosine(base, cents, qv, "vec_id",
+        "embedding", k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val out = pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == inMem,
+      s"cosine pruned probe diverged: $out vs $inMem")
   }
 
   test("full-probe IVF is exactly brute force (learned centroids, " +

@@ -70,6 +70,50 @@ class StreamingUpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous corpus refresh: finalized winners merge into a " +
+      "corpus store via foreachBatch + the batch byKey merge") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+
+    // the production composition: the watermark-finalized winner
+    // stream (one row per closed key, already deduplicated) drives the
+    // SAME batch merge the nightly job uses — replace same-key rows,
+    // append new keys — one micro-batch at a time. foreachBatch is the
+    // standard streaming→table-merge bridge; localCheckpoint keeps the
+    // evolving corpus lineage flat across batches.
+    var corpus = Seq((1L, "old", 0L), (2L, "keep", 0L))
+      .toDF("id", "text", "v").localCheckpoint(true)
+    val source = MemoryStream[(java.sql.Timestamp, Long, String, Option[Long])]
+    val winners = StreamingUpsert.latestByKeyWithinWatermark(
+      source.toDF().toDF("ts", "id", "text", "v"),
+      key = "id", ordCol = "v", rowTieBreak = "text",
+      tsCol = "ts", delay = "5 minutes")
+    val q = winners.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          corpus = graft.operators.Upsert.byKey(
+            corpus, batch.drop("ts"), "id").localCheckpoint(true)
+      }
+      .start()
+    try {
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "new-v1", Some(1L)),
+        (ts("2024-01-01 10:00:10"), 1L, "new-v2", Some(2L)),
+        (ts("2024-01-01 10:00:20"), 5L, "ins", Some(1L)))
+      q.processAllAvailable()
+      source.addData((ts("2024-01-01 11:00:00"), 60L, "wm", Some(1L)))
+      q.processAllAvailable()
+
+      val out = corpus.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+      assert(out == Map(1L -> "new-v2", 2L -> "keep", 5L -> "ins"),
+        s"got $out — replace same-key, append new-key, keep untouched")
+    } finally q.stop()
+  }
+
   test("state is evicted on emit: a key re-appearing after its window " +
       "closed starts a fresh upsert window") {
     val sql = spark.sqlContext
