@@ -23,6 +23,33 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("no registered query evaluates a UDF outside the Spark-ML " +
+      "model transforms — every engine expression is a built-in or a " +
+      "native codegen'd Expression") {
+    // the engine-wide codegen contract: custom semantics ship as
+    // Catalyst expressions (NormalizeText, ParseBRL, VectorFold,
+    // IsolationForest when-trees), never as closures the optimizer
+    // can't see through. Spark ML's OWN transforms (KMeans/forest
+    // prediction, LSH hashing, vector conversion) are scala-UDF-based
+    // inside the ml library — those queries are allowlisted here and
+    // asserted EXACTLY, so a UDF creeping into any other plan (or an
+    // allowlisted query going clean) is loud either way.
+    // (q85 composes q82's ml pairs but returns a CC-derived plan whose
+    // lineage is localCheckpoint-truncated — no UDF in the final plan)
+    val mlUdfQueries = Set("q32_kmeans", "q40_quality_model",
+      "q41_ann_lsh", "q49_tfidf_vectors", "q75_ann_recall",
+      "q82_semantic_dedup")
+    val withUdf = graft.SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("BatchEvalPython"),
+        s"$n evaluates a Python UDF:\n${plan.take(2000)}")
+      plan.contains("UDF(")
+    }.toSet
+    assert(withUdf == mlUdfQueries,
+      s"UDF surface drifted: unexpected=${withUdf -- mlUdfQueries} " +
+        s"newly-clean=${mlUdfQueries -- withUdf}")
+  }
+
   test("top-k queries use TakeOrderedAndProject, not a global sort") {
     Seq("q08_topk_customers", "q13_cosine_topk", "q78_vocab_topk",
         "q88_isolation_forest")
