@@ -178,6 +178,28 @@ object PipelineQueries {
         .orderBy(col("mo"))
     }),
 
+    // X2 — int8-QUANTIZED similarity search under the hash gate: the
+    // 100 TB embedding store runs ANN over quantized codes (4× less
+    // scan IO; cosine is scale-invariant so no dequantize pass). The
+    // whole quantize → cosine → top-k pipeline is exact integer-and-
+    // floor arithmetic, so DuckDB replicates it bit-for-bit. Rounding
+    // is spelled out as floor(x/s + 0.5) in BOTH engines (their
+    // built-in round() conventions differ).
+    "q89_quantized_ann" -> ((s, dir) => {
+      import graft.operators.Quantize
+      val e = Tables(s, dir, "embeddings")
+      val q = Quantize.quantized(e, "embedding", "qcodes")
+      val qv = q.filter(col("vec_id") === 0)
+        .select(col("qcodes").as("query_codes"))
+      q.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(Quantize.cosineCodes(col("qcodes"), col("query_codes")), 4)
+            .as("qsim"))
+        .orderBy(col("qsim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // A6 — running average per user (the reference's incremental
     // rate/ETA, `interface.py:185-194`). Window partitioned by user_id:
     // thousands of independent partitions, no whole-table window.
@@ -1512,6 +1534,25 @@ object PipelineQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replicates the full quantize → cosine → top-k pipeline: same
+    // per-vector scale, same spelled-out floor rounding, same cosine
+    "q89_quantized_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |      / 127.0 AS s
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS c
+        |  FROM q)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(c,
+        |    (SELECT c FROM qz WHERE vec_id = 0)), 4) AS qsim
+        |FROM qz WHERE vec_id <> 0
+        |ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
 
     // the sniffed mixed-dialect roundtrip must land on the same
     // numbers as the source parquet (exact integer cents)
