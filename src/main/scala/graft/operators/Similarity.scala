@@ -280,6 +280,50 @@ object Similarity {
     topK(idx, queryVec, idCol, vecCol, k)
   }
 
+  /** Materialize the QUANTIZED cosine inverted file — the composed
+    * 100 TB layout: cells from [[learnedCentroids]], rows partitioned
+    * by their cosine-assigned cell, and the vector column stored as
+    * int8 codes + per-vector scale ([[Quantize]]) INSTEAD of raw
+    * floats — the scan a probe pays is ~4× smaller on top of the
+    * partition pruning. Cosine is scale-invariant, so ranking runs
+    * directly on the codes; the scale column rides along only for
+    * consumers that need magnitudes back. */
+  def ivfWriteIndexQuantized(vectors: DataFrame, cents: DataFrame,
+                             idCol: String, vecCol: String,
+                             path: String): Unit =
+    Quantize.quantized(vectors, vecCol, "codes")
+      .join(ivfAssignCosine(vectors, cents, idCol, vecCol), Seq(idCol))
+      .select(col(idCol), col("codes"), col("codes_scale"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Probe a quantized index: centroid ranking and partition pruning
+    * as in [[ivfProbePrunedCosine]], then top-k by cosine DIRECTLY on
+    * the int8 codes (the query is quantized with the same rule, so
+    * both sides of the dot are small exact integers). */
+  def ivfProbePrunedQuantized(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, cents: DataFrame,
+                              queryVec: DataFrame, idCol: String,
+                              k: Int, nProbe: Int): DataFrame = {
+    val probed = cents.crossJoin(broadcast(queryVec))
+      .withColumn("cd", lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .orderBy(col("cd"), col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id")).collect().map(_.getLong(0))
+    val qCodes = queryVec.select(
+      Quantize.int8(col("qvec"), Quantize.scaleOf(col("qvec")))
+        .as("query_codes"))
+    spark.read.parquet(indexPath)
+      .filter(col("centroid_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+      .crossJoin(broadcast(qCodes))
+      .select(col(idCol),
+        round(Quantize.cosineCodes(col("codes"), col("query_codes")), 4)
+          .as("qsim"))
+      .orderBy(col("qsim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Probe a materialized L2 index. The probe list is nProbe centroid
     * ids — a driver-side scalar fetch of the (tiny, broadcast-sized)
     * centroid ranking, NOT a data-path collect — turned into a literal

@@ -59,6 +59,44 @@ class SimilaritySpec extends SparkSpec {
       s"cosine pruned probe diverged: $out vs $inMem")
   }
 
+  test("quantized inverted file: measurably smaller on disk, prunes " +
+      "partitions, and its top-k overlaps the raw cosine probe") {
+    val (_, qv, base) = setup()
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+    val rawDir = java.nio.file.Files.createTempDirectory("ivf_raw").toString
+    val qDir = java.nio.file.Files.createTempDirectory("ivf_q8").toString
+    Similarity.ivfWriteIndexCosine(base, cents, "vec_id", "embedding", rawDir)
+    Similarity.ivfWriteIndexQuantized(base, cents, "vec_id", "embedding", qDir)
+
+    def bytes(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).filter(f =>
+          f.toString.endsWith(".parquet")).toArray
+        .map(f => java.nio.file.Files.size(
+          f.asInstanceOf[java.nio.file.Path])).sum
+    }
+    val (rawB, qB) = (bytes(rawDir), bytes(qDir))
+    // the 4x story, measured: int8 codes must store in well under
+    // half the raw float bytes even after parquet encoding
+    assert(qB < rawB / 2,
+      s"quantized index not smaller: $qB vs raw $rawB bytes")
+
+    val pruned = Similarity.ivfProbePrunedQuantized(spark, qDir, cents,
+      qv, "vec_id", k = 10, nProbe = 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"quantized probe did not prune partitions:\n${plan.take(1500)}")
+    val got = pruned.collect().map(_.getLong(0)).toSet
+    val raw = Similarity.ivfProbePrunedCosine(spark, rawDir, cents, qv,
+        "vec_id", "embedding", k = 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 10)
+    // int8 re-ranks borderline neighbors but must agree on most of
+    // the list (same cells, quantized angles within 0.02 of exact)
+    assert(got.intersect(raw).size >= 7,
+      s"quantized probe diverged from raw: ${got.diff(raw)}")
+  }
+
   test("full-probe IVF is exactly brute force (learned centroids, " +
       "cosine probe)") {
     val (_, qv, base) = setup()
