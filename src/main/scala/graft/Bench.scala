@@ -59,11 +59,16 @@ object Bench {
     def num(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     def qmap(key: String => String) =
       results.map { case (k, v, _) => s"${jstr(key(k))}:${num(v)}" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
-      .mkString("{", ",", "}")
+    // errors keyed CONSISTENTLY with the queries map of the same line
+    // (short keys on the short line), so the two maps always join —
+    // and a burst of long full-name error entries can't push the
+    // short line back over the bounded stdout-tail capture
+    def emap(key: String => String) =
+      results.collect { case (k, _, Some(e)) => s"${jstr(key(k))}:${jstr(e)}" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def line(key: String => String) =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(key)},"errors":$errs,"sf":"$sfDir","names":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(key)},"errors":${emap(key)},"sf":"$sfDir","names":"BENCH_LOCAL.json"}"""
     // STDOUT gets the qNN-keyed line: the driver's tail capture is 2000
     // chars and the full-name line outgrew it at ~84 queries (BENCH_r07
     // lost q01–q09 and failed to parse). qNN prefixes are unique by

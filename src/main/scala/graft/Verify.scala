@@ -63,15 +63,14 @@ object Verify {
     } + "\""
     // placeholder substitution for oracles that read query-materialized
     // artifacts (q31's learned centroids): {SCRATCH} → the scratch root,
-    // {SFHASH} → the sf-dir key PipelineQueries.scratchPath uses — so
-    // the oracle reads exactly the parquet the query wrote this run
-    val scratchRoot = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-      "/root/repo/target/scratch")
-    val sfHash = Integer.toHexString(sfDir.hashCode)
+    // {SFHASH} → the sf-dir key — SHARED definitions from
+    // PipelineQueries, so the oracle reads exactly the parquet the
+    // query wrote this run, by construction
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        val sub = v.replace("{SCRATCH}", scratchRoot)
-          .replace("{SFHASH}", sfHash)
+        val sub = v
+          .replace("{SCRATCH}", graft.queries.PipelineQueries.scratchRoot)
+          .replace("{SFHASH}", graft.queries.PipelineQueries.sfHash(sfDir))
         s"${q(k)}: ${q(sub)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -76,7 +76,21 @@ object ImageCodec {
     val n = w * h * 3
     require(bytes.length - pos >= n,
       s"truncated PPM pixels: need $n, have ${bytes.length - pos}")
-    Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    val raw = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+    // per the Netpbm spec, samples are stored 0..maxval and mean
+    // fractions of full intensity: rescale to 0..255 when maxval≠255
+    // (round-half-up), so stored maxval IS full white downstream
+    if (maxval != 255) {
+      var i = 0
+      while (i < raw.length) {
+        // clamp: a malformed sample above maxval saturates rather
+        // than wrapping through toByte
+        raw(i) = math.min(255,
+          ((raw(i) & 0xff) * 255 + maxval / 2) / maxval).toByte
+        i += 1
+      }
+    }
+    Image(w, h, raw)
   }
 
   def encodePpm(img: Image): Array[Byte] = {

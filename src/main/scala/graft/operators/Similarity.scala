@@ -131,6 +131,24 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(min_by(col("centroid_id"), col("cd")).as("centroid_id"))
 
+  /** The query's centroid ranking under cosine — THE one definition
+    * every cosine probe path shares (in-memory, materialized,
+    * quantized), so a tiebreak or metric tweak can never
+    * desynchronize them. */
+  private def rankedCellsCosine(cents: DataFrame,
+                                queryVec: DataFrame): DataFrame =
+    cents.crossJoin(broadcast(queryVec))
+      .withColumn("cd", lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .orderBy(col("cd"), col("centroid_id"))
+      .select(col("centroid_id"))
+
+  /** Driver-side form for the pruned-index paths: the nProbe cell ids
+    * as literals (a scalar fetch of the broadcast-sized ranking). */
+  private def probedCellIds(cents: DataFrame, queryVec: DataFrame,
+                            nProbe: Int): Array[Long] =
+    rankedCellsCosine(cents, queryVec).limit(nProbe)
+      .collect().map(_.getLong(0))
+
   /** IVF probe under COSINE: query's nProbe nearest centroids by cosine
     * distance → candidates from those lists only → exact cosine top-k.
     * The approximate index and the final ranking share one metric, so
@@ -139,11 +157,7 @@ object Similarity {
   def ivfTopKCosine(vectors: DataFrame, cents: DataFrame,
                     queryVec: DataFrame, idCol: String, vecCol: String,
                     k: Int, nProbe: Int): DataFrame = {
-    val probed = cents.crossJoin(broadcast(queryVec))
-      .withColumn("cd", lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
-      .orderBy(col("cd"), col("centroid_id"))
-      .limit(nProbe)
-      .select(col("centroid_id"))
+    val probed = rankedCellsCosine(cents, queryVec).limit(nProbe)
     val assignment = ivfAssignCosine(vectors, cents, idCol, vecCol)
     val candidates = vectors
       .join(assignment, Seq(idCol))
@@ -269,11 +283,7 @@ object Similarity {
                            indexPath: String, cents: DataFrame,
                            queryVec: DataFrame, idCol: String,
                            vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val probed = cents.crossJoin(broadcast(queryVec))
-      .withColumn("cd", lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
-      .orderBy(col("cd"), col("centroid_id"))
-      .limit(nProbe)
-      .select(col("centroid_id")).collect().map(_.getLong(0))
+    val probed = probedCellIds(cents, queryVec, nProbe)
     val idx = spark.read.parquet(indexPath)
       .filter(col("centroid_id")
         .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
@@ -305,11 +315,7 @@ object Similarity {
                               indexPath: String, cents: DataFrame,
                               queryVec: DataFrame, idCol: String,
                               k: Int, nProbe: Int): DataFrame = {
-    val probed = cents.crossJoin(broadcast(queryVec))
-      .withColumn("cd", lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
-      .orderBy(col("cd"), col("centroid_id"))
-      .limit(nProbe)
-      .select(col("centroid_id")).collect().map(_.getLong(0))
+    val probed = probedCellIds(cents, queryVec, nProbe)
     val qCodes = queryVec.select(
       Quantize.int8(col("qvec"), Quantize.scaleOf(col("qvec")))
         .as("query_codes"))

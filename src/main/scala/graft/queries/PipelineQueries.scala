@@ -30,15 +30,21 @@ object PipelineQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
-  /** Scratch directory for the roundtrip queries (q18/q68/q70/q72) —
-    * keyed by the sf dir so different SFs never collide. Assumes one
-    * gate/bench process at a time (the driver's contract); concurrent
-    * runs over the SAME sfDir would race on the overwrite. */
-  private def scratchPath(prefix: String, dir: String): String = {
-    val root = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
-      "/root/repo/target/scratch")
-    s"$root/${prefix}_${Integer.toHexString(dir.hashCode)}"
-  }
+  /** Scratch directory scheme for the roundtrip queries (q18/q68/q70/
+    * q72/q31/q86/q87) — keyed by the sf dir so different SFs never
+    * collide. Assumes one gate/bench process at a time (the driver's
+    * contract); concurrent runs over the SAME sfDir would race on the
+    * overwrite. `scratchRoot`/`sfHash` are the SHARED pieces Verify's
+    * oracle-SQL placeholder substitution uses — one definition, so the
+    * q31 oracle can never desynchronize from the path the query wrote. */
+  private[graft] def scratchRoot: String =
+    sys.env.getOrElse("GRAFT_SCRATCH_DIR", "/root/repo/target/scratch")
+
+  private[graft] def sfHash(dir: String): String =
+    Integer.toHexString(dir.hashCode)
+
+  private def scratchPath(prefix: String, dir: String): String =
+    s"$scratchRoot/${prefix}_${sfHash(dir)}"
 
   /** Stable singleton for the q35 aggregator (serializable object). */
   private[queries] object Dedup0 {

@@ -68,18 +68,23 @@ object CsvIngest {
     * single-column file. */
   private[graft] def sniffSep(sample: String,
                               truncated: Boolean = false): String = {
-    val all = sample.stripPrefix("﻿").split("\r?\n", -1)
+    // quoted fields are opaque to the dialect (a comma-CSV quoting
+    // "R$ 3,00" must not count those commas — csv.Sniffer does the
+    // same). Strip "…" spans GLOBALLY, before line-splitting: a quoted
+    // field may legally contain newlines, and the strip collapses such
+    // a multi-line record back to one logical line. An unterminated
+    // quote (a truncated sample cut mid-field) is left as-is — that
+    // fragment is the final line, dropped below.
+    val cleaned = sample.stripPrefix("﻿")
+      .replaceAll("(?s)\"[^\"]*\"", "")
+    val all = cleaned.split("\r?\n", -1)
     // a TRUNCATED head sample ends mid-line: never score the final
     // fragment (a cut quote/field would skew its counts). A fully-read
     // file's last line is complete and counts.
     val lines = (if (truncated) all.dropRight(1) else all).iterator
       .filter(_.nonEmpty).take(10).toSeq
-    // quoted fields are opaque to the dialect (a comma-CSV quoting
-    // "R$ 3,00" must not count those commas — csv.Sniffer does the
-    // same): strip "..." spans before counting
-    val unquoted = lines.map(_.replaceAll("\"[^\"]*\"", ""))
     val consistent = SepCandidates.flatMap { c =>
-      val counts = unquoted.map(l => l.count(_ == c))
+      val counts = lines.map(l => l.count(_ == c))
       if (counts.nonEmpty && counts.head > 0 && counts.distinct.size == 1)
         Some(c -> counts.head)
       else None
@@ -87,15 +92,19 @@ object CsvIngest {
     if (consistent.isEmpty) ";" else consistent.maxBy(_._2)._1.toString
   }
 
-  /** S5 `sep=None` parity — PER-FILE separator detection: sniff each
+  /** S5 `sep=None` parity — PER-FILE dialect detection: sniff each
     * file's head sample driver-side (metadata-scale IO, same cost class
-    * as the file listing itself), then read each detected-dialect group
-    * in ONE partitioned scan and drift-union the groups (U1's
-    * `Consolidate`, so a dialect group with extra/missing columns still
-    * lands by name). Pandas sniffs per file because it reads one file
-    * at a time; this is the same semantics at Spark shape — a directory
-    * of mixed `,`/`;` monthly files reads correctly instead of
-    * collapsing the minority dialect into one-column rows.
+    * as the file listing itself), group files by (separator, HEADER
+    * LINE), read each group in ONE partitioned scan, and drift-union
+    * the groups (U1's `Consolidate`, align by name, missing → NULL).
+    * Grouping by header matters: a multi-path Spark CSV scan maps
+    * every file POSITIONALLY against the sampled schema, so two
+    * same-separator files with reordered or drifted columns must land
+    * in different scans for their columns to align by NAME — which is
+    * exactly the per-file pandas semantics this operator reproduces at
+    * Spark shape. A directory of mixed `,`/`;` monthly files with
+    * drifting headers reads correctly instead of collapsing the
+    * minority dialect into one-column rows or shuffling columns.
     *
     * `path` may be a file, a directory, or a glob. Hidden/metadata
     * entries (`_SUCCESS`, dotfiles) are skipped like Spark's own
@@ -112,7 +121,7 @@ object CsvIngest {
     }.map(_.getPath)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
     require(files.nonEmpty, s"readSniffed: no files match $path")
-    val bySep = files.groupBy { f =>
+    val byDialect = files.groupBy { f =>
       val in = fs.open(f)
       try {
         val buf = new Array[Byte](sampleBytes)
@@ -122,13 +131,17 @@ object CsvIngest {
           n = in.read(buf, off, buf.length - off)
           if (n > 0) off += n
         }
-        sniffSep(new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8),
-          truncated = off == buf.length)
+        val sample = new String(buf, 0, off,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val header = sample.stripPrefix("﻿")
+          .split("\r?\n", 2)(0)
+        (sniffSep(sample, truncated = off == buf.length), header)
       } finally in.close()
     }
-    Consolidate(bySep.toSeq.sortBy(_._1).map { case (sep, fsGroup) =>
-      read(spark, fsGroup.map(_.toString).toSeq, sep)
-    })
+    Consolidate(byDialect.toSeq.sortBy(_._1.toString)
+      .map { case ((sep, _), fsGroup) =>
+        read(spark, fsGroup.map(_.toString).toSeq, sep)
+      })
   }
 
   /** Read a Hive-partitioned CSV layout (`yr=1997/...csv`). No corrupt

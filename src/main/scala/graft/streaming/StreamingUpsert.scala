@@ -40,7 +40,14 @@ object StreamingUpsert {
     val delayMs = iv.days * 86400000L + iv.microseconds / 1000L
     // internal comparison columns appended ONCE driver-side so the
     // per-row work inside the stateful function is two field reads,
-    // not a cast: _ord (nullable long), _tb (string), _ts (epoch ms)
+    // not a cast: _ord (nullable long), _tb (string), _ts (epoch ms).
+    // The names are reserved — an input column with one of them would
+    // be silently REPLACED by withColumn and shift the positional
+    // reads below onto the wrong fields.
+    Seq("_ord", "_tb", "_ts").foreach { reserved =>
+      require(!updates.columns.contains(reserved),
+        s"latestByKeyWithinWatermark reserves the column name $reserved")
+    }
     val prepared = updates.withWatermark(tsCol, delay)
       .withColumn("_ord", col(ordCol).cast(LongType))
       .withColumn("_tb", col(rowTieBreak).cast(StringType))
@@ -55,10 +62,10 @@ object StreamingUpsert {
       Encoders.tuple(rowEnc, Encoders.scalaLong)
 
     // the batch rule, pairwise: higher _ord wins (NULL loses to any
-    // non-NULL); equal _ord → min _tb; NULL _tb sorts FIRST (min over
-    // a nullable column in batch skips nulls, but a full row with a
-    // NULL tiebreak can only tie against itself after the distinct —
-    // deterministic either way)
+    // non-NULL); equal _ord → MIN non-NULL _tb, and a NULL tiebreak
+    // LOSES to any non-NULL one — exactly batch latestByKey's
+    // `min(tb)` semantics (min skips NULLs, so the non-NULL row is
+    // the one the null-safe winner match keeps)
     def better(a: Row, b: Row): Row = {
       val ao = if (a.isNullAt(iOrd)) None else Some(a.getLong(iOrd))
       val bo = if (b.isNullAt(iOrd)) None else Some(b.getLong(iOrd))
@@ -66,12 +73,12 @@ object StreamingUpsert {
         case (Some(x), Some(y)) if x != y => if (x > y) a else b
         case (Some(_), None) => a
         case (None, Some(_)) => b
-        case _ => // equal versions (or both NULL): min tiebreak
+        case _ => // equal versions (or both NULL): min non-NULL tiebreak
           val at = Option(a.getString(iTb))
           val bt = Option(b.getString(iTb))
           (at, bt) match {
             case (Some(x), Some(y)) => if (x <= y) a else b
-            case (Some(_), None) => b
+            case (None, Some(_)) => b
             case _ => a
           }
       }

@@ -31,8 +31,14 @@ object CCScaleProbe {
         n = 3, minJaccard = 0.5)
       graft.engine.Caching.scoped {
         val t0 = System.nanoTime()
-        val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-          .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        // the SHIPPED edge build (one-pass explode — the round-8 fix);
+        // the self-union form this probe originally measured at 85 s
+        // was replaced in Dedup.connectedComponents, and this probe
+        // must keep measuring what production runs
+        val edges = pairs.select(explode(array(
+            struct(col("id1").as("a"), col("id2").as("b")),
+            struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
           .cache()
         val ne = edges.count()
         val tEdges = (System.nanoTime() - t0) / 1e9

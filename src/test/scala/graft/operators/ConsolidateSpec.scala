@@ -97,6 +97,30 @@ class ConsolidateSpec extends SparkSpec {
     assert(CsvIngest.sniffSep("header\nv1\nv2\n") == ";")
     // truncated sample: the cut final fragment must not be scored
     assert(CsvIngest.sniffSep("a,b\nc,d\ne,f,g,h,i", truncated = true) == ",")
+    // a quoted field containing NEWLINES collapses to one logical
+    // line before counting (multi-line CSV records sniff correctly)
+    assert(CsvIngest.sniffSep("a,\"multi\nline note\",b\nc,d,e\n") == ",")
+  }
+
+  test("sniffed read groups same-separator files by HEADER too: " +
+      "reordered columns land by name, never by position") {
+    val dir = scratch("sniffhdr")
+    Files.createDirectories(dir)
+    writeSig(dir.resolve("a.csv"), Seq(
+      "orgao;credor;pago",
+      "SEMED;Forn A;R$ 1,00"))
+    // same ';' dialect, REORDERED header — a single multi-path scan
+    // would map these columns positionally against a.csv's schema
+    writeSig(dir.resolve("b.csv"), Seq(
+      "credor;orgao;pago",
+      "Forn B;SAUDE;R$ 2,00"))
+    val rows = CsvIngest.readSniffed(spark, dir.toString)
+      .orderBy("credor").collect()
+    assert(rows.length == 2)
+    val byCredor = rows.map(r => r.getAs[String]("credor") ->
+      r.getAs[String]("orgao")).toMap
+    assert(byCredor == Map("Forn A" -> "SEMED", "Forn B" -> "SAUDE"),
+      s"columns mis-aligned across reordered headers: $byCredor")
   }
 
   test("permissive read keeps bad lines in the corrupt column instead of failing") {

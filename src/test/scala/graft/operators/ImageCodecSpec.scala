@@ -29,6 +29,16 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(rt.width == 2 && rt.height == 2 && rt.rgb.toSeq == px.toSeq)
   }
 
+  test("PPM maxval<255 samples rescale to full 8-bit intensity per " +
+      "the Netpbm spec") {
+    // maxval=15: stored 15 IS full white → 255; 7 → (7·255+7)/15 = 119
+    val bytes = "P6\n1 1\n15\n".getBytes("US-ASCII") ++
+      Array[Byte](15, 0, 7)
+    val img = ImageCodec.decodePpm(bytes)
+    assert((img.rgb(0) & 0xff) == 255 && img.rgb(1) == 0 &&
+      (img.rgb(2) & 0xff) == 119, s"got ${img.rgb.toSeq}")
+  }
+
   test("PPM corrupt inputs are loud: truncation, 16-bit maxval") {
     val good = ImageCodec.encodePpm(img2)
     intercept[IllegalArgumentException] {

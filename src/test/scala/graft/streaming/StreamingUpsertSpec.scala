@@ -32,13 +32,18 @@ class StreamingUpsertSpec extends SparkSpec {
       .start()
     try {
       // batch 1: key 1 v1; key 2 with only-NULL versions (the q84 bug
-      // case: must survive, min-text tiebreak); key 3 tie on v=5
+      // case: must survive, min-text tiebreak); key 3 tie on v=5;
+      // key 4 ties on v=7 with a NULL vs non-NULL tiebreak — batch
+      // min(tb) SKIPS the NULL, so the non-NULL row must win (the
+      // round-8 review caught the streaming rule inverting this)
       source.addData(
         (ts("2024-01-01 10:00:00"), 1L, "one-v1", Some(1L)),
         (ts("2024-01-01 10:00:10"), 2L, "nv-b", None),
         (ts("2024-01-01 10:00:20"), 2L, "nv-a", None),
         (ts("2024-01-01 10:00:30"), 3L, "tie-b", Some(5L)),
-        (ts("2024-01-01 10:00:40"), 3L, "tie-a", Some(5L)))
+        (ts("2024-01-01 10:00:40"), 3L, "tie-a", Some(5L)),
+        (ts("2024-01-01 10:00:50"), 4L, null, Some(7L)),
+        (ts("2024-01-01 10:00:55"), 4L, "tbx", Some(7L)))
       q.processAllAvailable()
       // batch 2: EXACT re-delivery of key 1's row (the retry case —
       // must not fan out), plus a LATE-but-admissible higher version
@@ -63,9 +68,10 @@ class StreamingUpsertSpec extends SparkSpec {
       assert(out == Map(
         1L -> (("one-v2-late", Some(2L))), // late v2 beats re-delivered v1
         2L -> (("nv-a", None)), // all-NULL-version key survives, min text
-        3L -> (("tie-a", Some(5L)))), // equal v → min tiebreak
+        3L -> (("tie-a", Some(5L))), // equal v → min tiebreak
+        4L -> (("tbx", Some(7L)))), // NULL tiebreak LOSES (batch parity)
         s"got $out")
-      assert(spark.table("stream_upsert").count() == 3,
+      assert(spark.table("stream_upsert").count() == 4,
         "exactly one row per closed key")
     } finally q.stop()
   }
