@@ -121,23 +121,7 @@ object CsvIngest {
     }.map(_.getPath)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
     require(files.nonEmpty, s"readSniffed: no files match $path")
-    val byDialect = files.groupBy { f =>
-      val in = fs.open(f)
-      try {
-        val buf = new Array[Byte](sampleBytes)
-        var off = 0
-        var n = 0
-        while (off < buf.length && n >= 0) {
-          n = in.read(buf, off, buf.length - off)
-          if (n > 0) off += n
-        }
-        val sample = new String(buf, 0, off,
-          java.nio.charset.StandardCharsets.UTF_8)
-        val header = sample.stripPrefix("﻿")
-          .split("\r?\n", 2)(0)
-        (sniffSep(sample, truncated = off == buf.length), header)
-      } finally in.close()
-    }
+    val byDialect = files.groupBy(sniffFileDialect(fs, _, sampleBytes))
     Consolidate(byDialect.toSeq.sortBy(_._1.toString)
       .map { case ((sep, _), fsGroup) =>
         read(spark, fsGroup.map(_.toString).toSeq, sep)
@@ -264,14 +248,46 @@ object CsvIngest {
     }
   }
 
+  /** Head-sample dialect of one file: (separator, raw header line).
+    * The shared per-file detector behind [[readSniffed]] and
+    * [[consolidate]]. */
+  private def sniffFileDialect(fs: org.apache.hadoop.fs.FileSystem,
+                               f: org.apache.hadoop.fs.Path,
+                               sampleBytes: Int): (String, String) = {
+    val in = fs.open(f)
+    try {
+      val buf = new Array[Byte](sampleBytes)
+      var off = 0
+      var n = 0
+      while (off < buf.length && n >= 0) {
+        n = in.read(buf, off, buf.length - off)
+        if (n > 0) off += n
+      }
+      val sample = new String(buf, 0, off,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val header = sample.stripPrefix("﻿").split("\r?\n", 2)(0)
+      (sniffSep(sample, truncated = off == buf.length), header)
+    } finally in.close()
+  }
+
   /** K2/U1/O1 — per-year consolidation (`file_utils.py:9-59`): read each
-    * monthly file, align schemas BY NAME (missing → NULL), keep
-    * first-seen column order, order by the month key. */
+    * monthly file WITH per-file separator detection (the reference
+    * consolidator reads every monthly file `sep=None` —
+    * `file_utils.py:36-42` — and this is that read), align schemas BY
+    * NAME (missing → NULL), keep first-seen column order, order by the
+    * month key. On a uniformly `;`-separated directory the sniff
+    * detects `;` everywhere and the result is byte-identical to the
+    * fixed-separator read. */
   def consolidate(spark: SparkSession, paths: Seq[String],
                   orderCol: Option[String] = None): DataFrame = {
     // pandas on_bad_lines='warn' drops bad lines from the consolidated
     // output; the corrupt column is a read-side diagnostic only.
-    val dfs = paths.map(read(spark, _).drop(CorruptCol))
+    val dfs = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (sep, _) = sniffFileDialect(fs, hp, 8192)
+      read(spark, Seq(p), sep).drop(CorruptCol)
+    }
     val unioned = Consolidate(dfs)
     val cols = Consolidate.orderedColumns(dfs)
     val selected = unioned.select(cols.map(org.apache.spark.sql.functions.col): _*)

@@ -102,6 +102,30 @@ class ConsolidateSpec extends SparkSpec {
     assert(CsvIngest.sniffSep("a,\"multi\nline note\",b\nc,d,e\n") == ",")
   }
 
+  test("consolidate sniffs each monthly file's dialect (the reference " +
+      "consolidator's sep=None read): a stray comma month lands " +
+      "correctly") {
+    val dir = scratch("conssniff")
+    Files.createDirectories(dir)
+    writeSig(dir.resolve("m01.csv"), Seq(
+      "orgao;credor;pago",
+      "SEMED;Forn A;R$ 1,00"))
+    // a stray comma-dialect month, quoted money (the pandas sep=None
+    // case the reference consolidator handles per file)
+    Files.write(dir.resolve("m02.csv"), Seq(
+      "orgao,credor,pago",
+      "SAUDE,Forn B,\"R$ 2,00\"").mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    val df = CsvIngest.consolidate(spark,
+      Seq(dir.resolve("m01.csv").toString, dir.resolve("m02.csv").toString))
+    assert(df.columns.toSeq == Seq("orgao", "credor", "pago"))
+    val rows = df.orderBy("credor").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("SEMED", "Forn A", "R$ 1,00"), ("SAUDE", "Forn B", "R$ 2,00")),
+      s"got ${rows.toSeq}")
+  }
+
   test("sniffed read groups same-separator files by HEADER too: " +
       "reordered columns land by name, never by position") {
     val dir = scratch("sniffhdr")
