@@ -26,6 +26,11 @@ object Bench {
     // lands entirely on whichever query runs first
     spark.range(1000000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
+    // big-heap only: walk the (build.sbt-bounded) allocation frontier
+    // once, untimed — first-touch page zeroing is slow on this host and
+    // otherwise lands on the first allocation-heavy query (the r8
+    // record's q39 45.8 s reading; see HeapWarmup)
+    graft.engine.HeapWarmup.touchFrontier()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // dt is captured right after save(), BEFORE the scope's exit

@@ -149,28 +149,55 @@ object Dedup {
     * Throws on non-convergence instead of silently returning partial
     * labels (a silently-wrong dedup decision poisons the corpus).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsInstrumented(pairs, maxIter, (_, _) => ())
+
+  /** [[connectedComponents]] with a per-round observer `(round,
+    * seconds)` — the instrumentation seam [[graft.tools.CCScaleProbe]]
+    * hooks, so the probe times THE shipped loop instead of a hand-copy
+    * that can silently drift from it. */
+  def connectedComponentsInstrumented(pairs: DataFrame, maxIter: Int,
+                                      onRound: (Int, Double) => Unit): DataFrame = {
+    val spark = pairs.sparkSession
+    // Lineage-truncation strategy per round: localCheckpoint blocks are
+    // lost with an executor, which on a real cluster silently poisons
+    // the dedup decision — so when the application has configured a
+    // reliable checkpoint dir (spark.sparkContext.setCheckpointDir),
+    // rounds checkpoint THERE; localCheckpoint only in its absence
+    // (single-JVM local mode, where executor loss is process death).
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     // both edge directions in ONE pass over the pair lineage (explode,
     // not self-union): the union form's two branches each embed the
     // full upstream pair-generation plan, and when the upstream's
     // internal caches sit under memory pressure the branches recompute
     // it — measured 85 s vs 13 s on the same 10×-inflated corpus
-    // (CCScaleProbe, round-8). Per-row output is identical.
+    // (CCScaleProbe, round-8). Per-row output is identical. No eager
+    // count(): the round-0 label aggregate below is the first consumer
+    // and populates this cache while doing useful work — an up-front
+    // count is a whole extra pass over the pair lineage.
+    // (The cache level stays the DataFrame default: SQL caches store
+    // compressed columnar batches either way, so a *_SER level would
+    // only re-serialize the already-serialized batch objects.)
     val edges = cached(pairs.select(explode(array(
         struct(col("id1").as("a"), col("id2").as("b")),
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b")))
-    // materialize the (possibly expensive) pair lineage ONCE before the
-    // loop: every iteration and the convergence check re-read this
-    edges.count()
     // fold round 1 into initialization: each node starts at
     // min(self, neighbors) instead of self — one fewer join round
     var labels = cached(edges.groupBy(col("a"))
       .agg(least(min(col("b")), col("a")).as("label"))
       .withColumnRenamed("a", "node"))
+    // the previous round's local-checkpoint blocks, released explicitly
+    // once the current round has materialized: Dataset.unpersist() does
+    // NOT free them (they live at RDD level, outside the CacheManager),
+    // and waiting for the ContextCleaner means every round's blocks pile
+    // up in the BlockManager for the query's whole lifetime — the
+    // big-heap allocation-pressure defect of the round-8 bench record.
+    var prevRoundRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
@@ -185,33 +212,54 @@ object Dedup {
       // a node id present in `prop` (labels only ever take values from
       // the node domain), so the lookup side is prop itself.
       val lab2 = prop.select(col("node").as("_ln"), col("label").as("_ll"))
-      // localCheckpoint (eager), NOT cache: each round's plan embeds the
+      // checkpoint (eager), NOT cache: each round's plan embeds the
       // previous round's TWICE (prop + lab2 sides of the jump join), so
       // lineage doubles per round — by round ~6 the logical plan itself
       // OOMs the driver. Checkpointing truncates lineage to the
-      // materialized blocks; on a real cluster with unreliable executors
-      // swap for checkpoint() on a reliable FS.
-      val next = prop
+      // materialized data. The local flavor stores SERIALIZED blocks:
+      // MEMORY_AND_DISK at RDD level means deserialized row objects,
+      // and a big heap full of them is exactly the GC profile the
+      // round-8 driver bench caught.
+      val jumped = prop
         .join(lab2, prop("label") === lab2("_ln"), "left")
         .select(col("node"), col("prev"),
           least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val next =
+        if (reliable) jumped.checkpoint(true)
+        else jumped.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
       prop.unpersist()
       labels.unpersist()
+      // `next` is materialized, so the previous round's blocks have no
+      // remaining reader — free them now instead of at ContextCleaner GC
+      prevRoundRdd.foreach(_.unpersist(blocking = false))
+      prevRoundRdd = if (reliable) None else materializedRdd(next)
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
       i += 1
+      onRound(i, (System.nanoTime() - t0) / 1e9)
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds 2^rounds; raise maxIter")
-    // labels is localCheckpoint-materialized (lineage-free), so the
-    // edge cache can be released before returning
+    // labels is checkpoint-materialized (lineage-free), so the edge
+    // cache can be released before returning. The FINAL round's blocks
+    // stay — the caller is about to read them; the ContextCleaner frees
+    // that one round's worth (vs every round's, before this fix) when
+    // the frame goes out of reach.
     edges.unpersist()
     labels
   }
+
+  /** The materialized RDD behind a checkpointed frame (the LogicalRDD
+    * leaf), for explicit block release — None for plans not backed by
+    * one. */
+  private def materializedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.headOption
 
   /** Drop-list from verified near-dup pairs: every doc that is NOT the
     * minimum id of its component. `docs.join(dropList, …, "left_anti")`

@@ -124,6 +124,13 @@ object ImageCodec {
     val h = math.abs(rawH)
     require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$rawH")
     val rowSize = ((w * 3 + 3) / 4) * 4 // rows padded to 4 bytes
+    // pixelOffset is attacker-controlled header data: a negative or
+    // inside-the-header value passes the truncation check below (the
+    // sum just shifts down) and then crashes the pixel loop with
+    // ArrayIndexOutOfBounds instead of the contract's
+    // IllegalArgumentException
+    require(pixelOffset >= 14 + dibSize && pixelOffset <= bytes.length,
+      s"bad BMP pixel offset $pixelOffset")
     require(bytes.length.toLong >= pixelOffset.toLong + rowSize.toLong * h,
       "truncated BMP pixels")
     val rgb = new Array[Byte](w * h * 3)

@@ -22,6 +22,7 @@ object TimeQuery {
     graft.plans.KeywordFilterFusion.install(spark)
     spark.range(1000000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
+    graft.engine.HeapWarmup.touchFrontier()
     names.foreach { name =>
       (1 to reps).foreach { r =>
         // mimic the bench loop: caches from a prior rep must not flatter

@@ -78,6 +78,35 @@ class DedupSpec extends SparkSpec {
       s"all chain nodes must reach label 0, got ${comps.filter(_._2 != 0L)}")
   }
 
+  test("connected components honor a configured reliable checkpoint dir " +
+      "(cluster knob) with identical labels") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (3L, 4L)).toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = scratch("cc-checkpoints/run").toAbsolutePath
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "suite precondition: no checkpoint dir configured")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      val viaReliable = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaReliable == local,
+        "reliable-checkpoint path must produce identical labels")
+      // the knob must actually engage: rounds write RDD data under the dir
+      val wrote = java.nio.file.Files.walk(dir).anyMatch(p =>
+        p.getFileName.toString.startsWith("part-"))
+      assert(wrote, s"no checkpoint part files under $dir — " +
+        "reliable checkpointing did not engage")
+    } finally {
+      // null resets SparkContext.checkpointDir to None (Option(null)),
+      // restoring localCheckpoint behavior for the shared session
+      sc.setCheckpointDir(null)
+    }
+    assert(sc.getCheckpointDir.isEmpty)
+  }
+
   test("wide (128-bit) simhash: order-insensitive collisions, matches " +
       "narrow on identical sets, rejects unguaranteed maxDist") {
     import spark.implicits._

@@ -86,6 +86,16 @@ class ImageCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ImageCodec.decodeBmp(bpp32) }
     val rle = good.clone(); rle(30) = 1
     intercept[IllegalArgumentException] { ImageCodec.decodeBmp(rle) }
+    // corrupt pixel offset: negative and inside-the-header values used
+    // to pass the truncation check (the sum just shifts down) and crash
+    // the pixel loop with ArrayIndexOutOfBounds instead of the
+    // contract's IllegalArgumentException
+    val negOff = good.clone(); negOff(10) = -1; negOff(11) = -1
+    negOff(12) = -1; negOff(13) = -1
+    intercept[IllegalArgumentException] { ImageCodec.decodeBmp(negOff) }
+    val lowOff = good.clone(); lowOff(10) = 20; lowOff(11) = 0
+    lowOff(12) = 0; lowOff(13) = 0
+    intercept[IllegalArgumentException] { ImageCodec.decodeBmp(lowOff) }
   }
 
   test("sniff: unknown magic is None, not an error") {
