@@ -68,19 +68,23 @@ object Bench {
     // (short keys on the short line), so the two maps always join —
     // and a burst of long full-name error entries can't push the
     // short line back over the bounded stdout-tail capture
-    def emap(key: String => String) =
-      results.collect { case (k, _, Some(e)) => s"${jstr(key(k))}:${jstr(e)}" }
+    def emap(key: String => String, errLen: Int) =
+      results.collect { case (k, _, Some(e)) =>
+        s"${jstr(key(k))}:${jstr(e.take(errLen))}" }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def line(key: String => String) =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(key)},"errors":${emap(key)},"sf":"$sfDir","names":"BENCH_LOCAL.json"}"""
+    // the stdout line truncates error VALUES too (a burst of verbose
+    // exception messages would otherwise push it back over the bounded
+    // tail capture); full messages live in BENCH_LOCAL.json
+    def line(key: String => String, errLen: Int = Int.MaxValue) =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(key)},"errors":${emap(key, errLen)},"sf":"$sfDir","names":"BENCH_LOCAL.json"}"""
     // STDOUT gets the qNN-keyed line: the driver's tail capture is 2000
     // chars and the full-name line outgrew it at ~84 queries (BENCH_r07
     // lost q01–q09 and failed to parse). qNN prefixes are unique by
     // construction and join 1:1 to CORRECTNESS keys; the full-name map
     // is written to the committed BENCH_LOCAL.json for readers who want
     // it. At 13 bytes/query the short line holds ~140 queries of headroom.
-    println(line(_.takeWhile(_ != '_')))
+    println(line(_.takeWhile(_ != '_'), errLen = 80))
     // belt-and-suspenders artifacts: the full-name record survives on
     // disk even if the stdout capture clips, and BENCH_LOCAL.json is
     // committed per-round as the durable full-fidelity copy

@@ -52,4 +52,47 @@ object QualityModel {
       avg((col("prediction") === col("label")).cast("double"))).collect()(0)
     agg.getDouble(0)
   }
+
+  /** `classification_report` parity (the reference's remaining latent
+    * import, `data_science.ipynb` cell 2): one row per class with the
+    * confusion-matrix counts and the derived precision/recall/F1.
+    *
+    * Shape at scale: ONE map-side-combined aggregate over the scored
+    * frame produces the |classes|² confusion matrix; everything after
+    * runs on that tiny frame. Conventions match sklearn's: a class
+    * never predicted gets precision 0, a class never labeled gets
+    * recall 0 (`zero_division=0`), and F1 is computed from the raw
+    * counts as 2·TP/(support + predicted) — never from the already-
+    * rounded ratios. Rounding is spelled `floor(x·10⁴ + 0.5)/10⁴` so an
+    * oracle engine replicates it digit-for-digit (built-in `round`
+    * half-up/half-even conventions differ between engines). */
+  def classificationReport(scored: DataFrame, labelCol: String,
+                           predCol: String): DataFrame = {
+    // numerator/denominator spelled EXACTLY as the oracle SQL spells
+    // them (floor(num·10⁴/den + 0.5)/10⁴, same association): a
+    // different operation order can differ in the last ulp and flip
+    // the floor at a .00005 boundary
+    def r4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      floor(num * lit(10000.0) / den + lit(0.5)) / lit(10000.0)
+    val cm = scored.groupBy(col(labelCol).cast("long").as("l"),
+        col(predCol).cast("long").as("p"))
+      .agg(count(lit(1)).as("n"))
+    val classes = cm.select(col("l").as("cls"))
+      .union(cm.select(col("p").as("cls"))).distinct()
+    val tp = cm.filter(col("l") === col("p"))
+      .select(col("l").as("cls"), col("n").as("tp"))
+    val support = cm.groupBy(col("l").as("cls")).agg(sum("n").as("support"))
+    val predN = cm.groupBy(col("p").as("cls")).agg(sum("n").as("pred_n"))
+    classes
+      .join(tp, Seq("cls"), "left")
+      .join(support, Seq("cls"), "left")
+      .join(predN, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "support", "pred_n"))
+      .select(col("cls"), col("tp"), col("support"), col("pred_n"),
+        when(col("pred_n") === 0, lit(0.0))
+          .otherwise(r4(col("tp"), col("pred_n"))).as("prec"),
+        when(col("support") === 0, lit(0.0))
+          .otherwise(r4(col("tp"), col("support"))).as("rec"),
+        r4(col("tp") * lit(2), col("support") + col("pred_n")).as("f1"))
+  }
 }

@@ -78,4 +78,67 @@ object Upsert {
       .join(updates.select(col(key).as("_uk")),
         col(key) <=> col("_uk"), "left_anti")
       .unionByName(updates)
+
+  /** Deterministic BATCH REPLAY of the streaming watermark upsert
+    * ([[graft.streaming.StreamingUpsert.latestByKeyWithinWatermark]])
+    * over an explicitly waved event sequence — the bridge that puts the
+    * streaming semantics under a SQL oracle: every streaming-only rule
+    * is restated relationally.
+    *
+    *   - `waveCol` plays the micro-batch: the watermark in force while
+    *     wave w processes is max(event time over waves < w) − delay
+    *     (Spark advances the watermark at batch END from all observed
+    *     event times), NULL (no filtering) for the first wave.
+    *   - admission: a row is DROPPED iff its event time is below that
+    *     watermark — the stateful operator's late-row filter.
+    *   - winner per key among admitted rows: exactly [[latestByKey]]
+    *     (the streaming `better` fold agrees with it by construction;
+    *     event-time and wave columns are excluded from the payload
+    *     first, so a row re-delivered across waves collapses instead
+    *     of fanning out — the streaming re-delivery rule).
+    *   - `evicted`: whether the streaming operator would have EMITTED
+    *     the key by end-of-input — its timeout timestamp
+    *     (max admitted event time + delay + 1, mirroring
+    *     `setTimeoutTimestamp`) lies strictly below the final
+    *     watermark. Un-evicted keys are rows still sitting in state.
+    *
+    * Precondition (documented, not checked): no key re-appears after
+    * its window closed — the replay merges all of a key's admitted
+    * rows into ONE window, where the streaming operator would open a
+    * fresh one (that path is spec-covered separately).
+    *
+    * Scale shape: the wave/watermark frames are |waves|-sized (the
+    * single-partition running-max window is over waves, not rows); the
+    * row-level work is one join against that tiny frame, the
+    * [[latestByKey]] aggregates, and one broadcast of the 1-row final
+    * watermark. `tsMsCol` must be epoch-millis LONG. */
+  def latestByKeyWavedReplay(updates: DataFrame, key: String,
+                             ordCol: String, rowTieBreak: String,
+                             tsMsCol: String, delayMs: Long,
+                             waveCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.engine.Caching.cached
+    val u = cached(updates)
+    val waveMax = u.groupBy(col(waveCol).as("_w"))
+      .agg(max(col(tsMsCol)).as("_wmax"))
+    val wm = waveMax.withColumn("_wm",
+      max(col("_wmax")).over(
+        Window.orderBy(col("_w"))
+          .rowsBetween(Window.unboundedPreceding, -1)) - delayMs)
+    val admitted = cached(u
+      .join(wm.select(col("_w"), col("_wm")), col(waveCol) === col("_w"))
+      .filter(col("_wm").isNull || col(tsMsCol) >= col("_wm")))
+    // watermark tracking observes every row (even ones later dropped
+    // as late), so the final watermark derives from ALL of u
+    val finalWm = u.agg((max(col(tsMsCol)) - delayMs).as("_finwm"))
+    val maxTs = admitted.groupBy(col(key).as("_ek"))
+      .agg(max(col(tsMsCol)).as("_maxts"))
+    latestByKey(admitted.drop(tsMsCol, waveCol, "_w", "_wm"),
+        key, ordCol, rowTieBreak)
+      .join(maxTs, col(key) <=> col("_ek"))
+      .crossJoin(broadcast(finalWm))
+      .withColumn("evicted",
+        col("_maxts") + lit(delayMs) + lit(1L) < col("_finwm"))
+      .drop("_ek", "_maxts", "_finwm")
+  }
 }

@@ -206,6 +206,30 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // X2 — the quantized inverted FILE under the hash gate: the read
+    // path a 100 TB embedding store actually runs, with both IO levers
+    // composed — hive partition pruning opens only the nProbe cell
+    // directories AND the pruned scan reads int8 codes (<½ the raw
+    // bytes, SimilaritySpec asserts the sizes). The DuckDB oracle
+    // replays the whole probe off the same scratch artifacts: centroid
+    // ranking, the materialized index's own codes + partition column,
+    // query quantization (floor(x/s + 0.5), spelled identically in
+    // both engines), cosine on exact small integers.
+    "q90_quantized_ivf_probe" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val base = e.filter(col("vec_id") =!= 0)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("ivfq_cents", dir))
+      val cents = s.read.parquet(scratchPath("ivfq_cents", dir))
+      Similarity.ivfWriteIndexQuantized(base, cents, "vec_id", "embedding",
+        scratchPath("ivfq_index", dir))
+      Similarity.ivfProbePrunedQuantized(s, scratchPath("ivfq_index", dir),
+        cents, qv, "vec_id", k = 10, nProbe = 3)
+    }),
+
     // A6 — running average per user (the reference's incremental
     // rate/ETA, `interface.py:185-194`). Window partitioned by user_id:
     // thousands of independent partitions, no whole-table window.
@@ -603,6 +627,27 @@ object PipelineQueries {
         .groupBy(col("label"), col("prediction"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("label"), col("prediction"))
+    }),
+
+    // A5 — classification_report parity (the reference's last latent
+    // sklearn import) UNDER THE HASH GATE: the seeded forest's scored
+    // frame is materialized to scratch parquet (the q31 mechanism), and
+    // both engines derive the per-class confusion counts and
+    // precision/recall/F1 from the SAME predictions — the fit itself
+    // stays rows-only (q40), but the report arithmetic is exact
+    // integer counts + spelled-out rounding, so it hashes.
+    "q91_classification_report" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val data = graft.engine.Caching.cached(
+        graft.operators.QualityModel.featurize(docs))
+      graft.operators.QualityModel.trainOn(data).transform(data)
+        .select(col("doc_id"), col("label").cast("long").as("label"),
+          col("prediction").cast("long").as("prediction"))
+        .write.mode("overwrite").parquet(scratchPath("clf_scored", dir))
+      graft.operators.QualityModel.classificationReport(
+          s.read.parquet(scratchPath("clf_scored", dir)),
+          "label", "prediction")
+        .orderBy(col("cls"))
     }),
 
     // A3 — K-Means (k=3, seed=42), the reference's clustering step
@@ -1393,6 +1438,44 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // X × W — the STREAMING upsert's semantics under the hash gate:
+    // a deterministic three-wave recrawl sequence (wave 2 carries
+    // late rows that straddle the watermark, wave 3 is a lone
+    // watermark-advancer) batch-replayed with the relational restate
+    // of the watermark rules (admission, winner, eviction) — the
+    // DuckDB oracle replays the identical rules, and
+    // StreamingUpsertSpec ties the replay to the actual
+    // flatMapGroupsWithState operator on the same waves.
+    "q92_streaming_upsert_replay" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = lit(1700000000000L)
+      val w1 = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" w1")).as("text"),
+          lit(1L).as("v"), (base + col("doc_id") * 1000).as("tsms"),
+          lit(1).as("wave"))
+      val w2 = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" w2")).as("text"),
+          lit(2L).as("v"),
+          (base + col("doc_id") * 1000 + 600000).as("tsms"),
+          lit(2).as("wave"))
+      // recrawls whose event time straddles wave 2's watermark: keys
+      // below (max wave-1 id − 410) are late and must be DROPPED
+      val w2late = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" w2late")).as("text"), lit(3L).as("v"),
+          (base + col("doc_id") * 1000 + 350000).as("tsms"),
+          lit(2).as("wave"))
+      val adv = s.range(1).select(lit(999999L).as("doc_id"),
+        lit("wm-advance").as("text"), lit(1L).as("v"),
+        (base + lit(3600000L)).as("tsms"), lit(3).as("wave"))
+      graft.operators.Upsert.latestByKeyWavedReplay(
+          w1.unionByName(w2).unionByName(w2late).unionByName(adv),
+          "doc_id", "v", "text", "tsms", delayMs = 60000L, "wave")
+        // int form: engines disagree on boolean stringification
+        .withColumn("evicted", col("evicted").cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // K-family — ORC roundtrip: Spark's second native columnar format
     // through the SAME layout-controlled sink as q68's parquet loop
     // (directory partitions, in-file sort, file-size cap — every lever
@@ -1559,6 +1642,66 @@ object PipelineQueries {
         |    (SELECT c FROM qz WHERE vec_id = 0)), 4) AS qsim
         |FROM qz WHERE vec_id <> 0
         |ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // replays the materialized quantized index probe end-to-end: the
+    // codes come from the INDEX PARQUET itself (so storage layout,
+    // assignment, and pruning are all under the hash), only the query
+    // is re-quantized from the source embedding
+    "q90_quantized_ivf_probe" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/ivfq_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qv, x -> 0.0)
+        |              ELSE list_transform(qv, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
+        |          AS s FROM q)),
+        |idx AS (
+        |  SELECT vec_id, codes
+        |  FROM read_parquet('{SCRATCH}/ivfq_index_{SFHASH}/*/*.parquet',
+        |                    hive_partitioning = 1)
+        |  WHERE CAST(centroid_id AS BIGINT) IN (SELECT cid FROM probed))
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(codes::DOUBLE[],
+        |    (SELECT qc FROM qq)), 4) AS qsim
+        |FROM idx ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // per-class report derived from the materialized predictions (the
+    // fit is seeded Spark-ML — rows-only in q40; the REPORT arithmetic
+    // is exact counts, so it hashes). floor(x*1e4 + 0.5)/1e4 spells the
+    // rounding identically in both engines.
+    "q91_classification_report" ->
+      """WITH sc AS (SELECT label, prediction
+        |  FROM read_parquet('{SCRATCH}/clf_scored_{SFHASH}/*.parquet')),
+        |cm AS (SELECT label AS l, prediction AS p, count(*) AS n
+        |       FROM sc GROUP BY 1, 2),
+        |cls AS (SELECT l AS cls FROM cm UNION SELECT p FROM cm),
+        |tpt AS (SELECT l AS cls, n AS tp FROM cm WHERE l = p),
+        |sup AS (SELECT l AS cls, sum(n) AS support FROM cm GROUP BY 1),
+        |pn  AS (SELECT p AS cls, sum(n) AS pred_n FROM cm GROUP BY 1)
+        |SELECT c.cls,
+        |  coalesce(tpt.tp, 0) AS tp,
+        |  coalesce(sup.support, 0) AS support,
+        |  coalesce(pn.pred_n, 0) AS pred_n,
+        |  CASE WHEN coalesce(pn.pred_n, 0) = 0 THEN 0.0
+        |       ELSE floor(coalesce(tpt.tp, 0) * 10000.0
+        |                  / pn.pred_n + 0.5) / 10000.0 END AS prec,
+        |  CASE WHEN coalesce(sup.support, 0) = 0 THEN 0.0
+        |       ELSE floor(coalesce(tpt.tp, 0) * 10000.0
+        |                  / sup.support + 0.5) / 10000.0 END AS rec,
+        |  floor(coalesce(tpt.tp, 0) * 2 * 10000.0
+        |        / (coalesce(sup.support, 0) + coalesce(pn.pred_n, 0))
+        |        + 0.5) / 10000.0 AS f1
+        |FROM cls c
+        |LEFT JOIN tpt ON c.cls = tpt.cls
+        |LEFT JOIN sup ON c.cls = sup.cls
+        |LEFT JOIN pn  ON c.cls = pn.cls
+        |ORDER BY c.cls""".stripMargin,
 
     // the sniffed mixed-dialect roundtrip must land on the same
     // numbers as the source parquet (exact integer cents)
@@ -2271,5 +2414,51 @@ object PipelineQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_revised,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // relational replay of the streaming watermark-upsert rules:
+    // per-wave watermark = running max event time of PRIOR waves −
+    // delay; late rows dropped; q84's winner rule on the survivors;
+    // evicted ⇔ timeout (max admitted ts + delay + 1) below the final
+    // watermark
+    "q92_streaming_upsert_replay" ->
+      """WITH w1 AS (SELECT doc_id, text || ' w1' AS text,
+        |              CAST(1 AS BIGINT) AS v,
+        |              1700000000000 + doc_id * 1000 AS tsms, 1 AS wave
+        |            FROM documents WHERE doc_id % 10 = 0),
+        |w2 AS (SELECT doc_id, text || ' w2' AS text,
+        |         CAST(2 AS BIGINT) AS v,
+        |         1700000000000 + doc_id * 1000 + 600000 AS tsms, 2 AS wave
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |w2l AS (SELECT doc_id, text || ' w2late' AS text,
+        |          CAST(3 AS BIGINT) AS v,
+        |          1700000000000 + doc_id * 1000 + 350000 AS tsms, 2 AS wave
+        |        FROM documents WHERE doc_id % 50 = 0),
+        |adv AS (SELECT CAST(999999 AS BIGINT) AS doc_id,
+        |          'wm-advance' AS text, CAST(1 AS BIGINT) AS v,
+        |          CAST(1700000000000 + 3600000 AS BIGINT) AS tsms, 3 AS wave),
+        |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |      UNION ALL SELECT * FROM w2l UNION ALL SELECT * FROM adv),
+        |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
+        |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 60000 AS wm
+        |        FROM wavemax),
+        |adm AS (SELECT u.* FROM u JOIN wmk ON u.wave = wmk.wave
+        |        WHERE wmk.wm IS NULL OR u.tsms >= wmk.wm),
+        |fin AS (SELECT max(tsms) - 60000 AS f FROM u),
+        |mts AS (SELECT doc_id, max(tsms) AS maxts FROM adm GROUP BY 1),
+        |best AS (SELECT doc_id, max(v) AS bv FROM adm GROUP BY 1),
+        |win0 AS (SELECT DISTINCT adm.doc_id, adm.text, adm.v FROM adm
+        |         JOIN best ON adm.doc_id = best.doc_id
+        |                  AND adm.v = best.bv),
+        |tb AS (SELECT doc_id, min(text) AS mt FROM win0 GROUP BY 1),
+        |win AS (SELECT win0.* FROM win0
+        |        JOIN tb ON win0.doc_id = tb.doc_id
+        |                AND win0.text = tb.mt)
+        |SELECT w.doc_id, w.text, w.v,
+        |  CAST((m.maxts + 60000 + 1) < (SELECT f FROM fin) AS INT)
+        |    AS evicted
+        |FROM win w JOIN mts m ON w.doc_id = m.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
   )
 }

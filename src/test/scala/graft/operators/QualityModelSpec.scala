@@ -15,6 +15,26 @@ class QualityModelSpec extends SparkSpec {
       "of the features, a sane forest should recover it")
   }
 
+  test("classificationReport: hand-checked counts, sklearn zero-" +
+      "division conventions, F1 from raw counts") {
+    import spark.implicits._
+    // confusion: label→pred — (0,0)×3 (0,1)×1 (1,1)×2 (1,0)×1 (1,2)×1
+    val scored = Seq((0, 0), (0, 0), (0, 0), (0, 1),
+      (1, 1), (1, 1), (1, 0), (1, 2)).toDF("label", "prediction")
+    val rep = QualityModel.classificationReport(scored, "label", "prediction")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // class 0: tp=3 support=4 pred=4 → P=R=F1=0.75
+    assert(rep(0L) == ((3L, 4L, 4L, 0.75, 0.75, 0.75)), s"got ${rep(0L)}")
+    // class 1: tp=2 support=4 pred=3 → P=2/3 R=1/2 F1=4/7, all
+    // floor-rounded to 4 decimals
+    assert(rep(1L) == ((2L, 4L, 3L, 0.6667, 0.5, 0.5714)), s"got ${rep(1L)}")
+    // class 2 never labeled: recall 0 by convention (zero_division=0),
+    // precision 0 (no tp), support 0
+    assert(rep(2L) == ((0L, 0L, 1L, 0.0, 0.0, 0.0)), s"got ${rep(2L)}")
+  }
+
   test("seeded training is deterministic") {
     val docs = Tables(spark, sf, "documents")
     val m1 = QualityModel.train(docs, seed = 42L)

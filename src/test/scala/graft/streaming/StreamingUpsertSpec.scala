@@ -76,6 +76,57 @@ class StreamingUpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("waved batch replay reproduces the streaming operator exactly: " +
+      "admission, winner rule, and eviction (the q92 gate-row bridge)") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    // wave 2's watermark is 10:05 − 1 min = 10:04: the v9 recrawl at
+    // 10:03 must be DROPPED (its higher version never wins) while the
+    // 10:04:30 row is admitted; wave 3 advances the final watermark so
+    // keys 1-3 close and key 4 stays open in state
+    val waves: Seq[Seq[(java.sql.Timestamp, Long, String, Option[Long])]] =
+      Seq(
+        Seq((ts("2024-01-01 10:00:00"), 1L, "a-v1", Some(1L)),
+          (ts("2024-01-01 10:05:00"), 2L, "b-v1", Some(1L))),
+        Seq((ts("2024-01-01 10:03:00"), 1L, "a-v9-late", Some(9L)),
+          (ts("2024-01-01 10:04:30"), 2L, "b-v2", Some(2L)),
+          (ts("2024-01-01 10:06:00"), 3L, "c-v1", Some(1L))),
+        Seq((ts("2024-01-01 10:30:00"), 4L, "wm-adv", Some(1L))))
+
+    val source = MemoryStream[(java.sql.Timestamp, Long, String, Option[Long])]
+    val latest = StreamingUpsert.latestByKeyWithinWatermark(
+      source.toDF().toDF("ts", "id", "text", "v"),
+      key = "id", ordCol = "v", rowTieBreak = "text",
+      tsCol = "ts", delay = "1 minute")
+    val q = latest.writeStream.format("memory").queryName("waved_replay")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      waves.foreach { w => source.addData(w: _*); q.processAllAvailable() }
+      spark.table("waved_replay").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"),
+          Option(r.getAs[java.lang.Long]("v")).map(_.toLong))).toSet
+    } finally q.stop()
+
+    val batch = waves.zipWithIndex.flatMap { case (w, i) =>
+      w.map { case (t, id, tx, v) => (id, tx, v, t.getTime, i + 1) } }
+      .toDF("id", "text", "v", "tsms", "wave")
+    val replay = graft.operators.Upsert.latestByKeyWavedReplay(
+      batch, "id", "v", "text", "tsms", delayMs = 60000L, "wave").collect()
+    val evicted = replay.filter(_.getAs[Boolean]("evicted"))
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"),
+        Option(r.getAs[java.lang.Long]("v")).map(_.toLong))).toSet
+    assert(evicted == streamed,
+      s"replay evicted $evicted != streaming emissions $streamed")
+    assert(streamed == Set(
+      (1L, "a-v1", Some(1L)), // the dropped late v9 never wins
+      (2L, "b-v2", Some(2L)), // the admitted late v2 does
+      (3L, "c-v1", Some(1L))), s"got $streamed")
+    val open = replay.filterNot(_.getAs[Boolean]("evicted"))
+      .map(_.getAs[Long]("id")).toSet
+    assert(open == Set(4L), s"keys still in state: $open")
+  }
+
   test("continuous corpus refresh: finalized winners merge into a " +
       "corpus store via foreachBatch + the batch byKey merge") {
     val sql = spark.sqlContext
