@@ -66,8 +66,18 @@ object AnnScaleProbe {
         .select(col("embedding").as("qvec"))
       time(f"x$m q13_brute_topk", Similarity.topK(
         d.filter(col("vec_id") =!= 0), qv, "vec_id", "embedding", 10))
+      // the documented scale recipes applied, not fixed toy params:
+      // q48's bucket count doubles as the corpus doubles (nPlanes =
+      // 8 + log2 m) so per-bucket occupancy — and with it pair volume
+      // per bucket — stays constant (the x20 probe with nPlanes FIXED
+      // at 8 measured 29 s: occupancy grows ∝ m, in-bucket pairs ∝ m²);
+      // q82's k ∝ m keeps cluster SIZE constant, at the price of a
+      // k-means fit term ∝ n·k — fit-dominated growth at probe scale,
+      // amortized in production by materializing the fitted index (q31)
+      val nPlanes = 8 + (math.log(m.toDouble) / math.log(2.0)).ceil.toInt
       time(f"x$m q48_embed_lsh ", Dedup.embedNearDupsLSH(
-        d, "vec_id", "embedding", dim = dim, minSim = 0.9))
+        d, "vec_id", "embedding", dim = dim, minSim = 0.9,
+        nPlanes = nPlanes))
       time(f"x$m q82_clustered ", Dedup.embedNearDupsClustered(
         d, "vec_id", "embedding", k = 8 * m, minSim = 0.4))
     }
