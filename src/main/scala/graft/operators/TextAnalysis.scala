@@ -224,6 +224,60 @@ object TextAnalysis {
         i => struct(element_at(toks, i).as("w1"),
           element_at(toks, i + 1).as("w2"))))
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its tokens are under a
+    * TARGET distribution than under the raw corpus, using hashed
+    * unigram buckets — the cheap proxy that lets a 100 TB raw crawl be
+    * resampled toward a high-quality target without training a model.
+    *
+    *   w(d) = Σ_t [ ln p̂_target(b(t)) − ln p̂_raw(b(t)) ]
+    *
+    * with b(t) a hashed bucket and add-1 smoothing over the bucket
+    * space on both estimates. Engine-portable by construction: the
+    * bucket is the first `bucketHexLen` hex chars of md5(token) (md5
+    * is the one hash both engines spell identically — the Sampling
+    * rationale), counts are exact integers, and the final rounding is
+    * the spelled-out floor(x·10⁴ + 0.5)/10⁴.
+    *
+    * Shape at 100 TB: one token explode feeding (a) a 1-row totals
+    * aggregate, (b) a bucket-count aggregate bounded by 16^bucketHexLen
+    * rows, and (c) the per-doc scoring join against that broadcast-
+    * sized model. The model is the only state — at scale it is fitted
+    * once from samples and broadcast into the scoring scan, exactly
+    * this plan's shape with (a)+(b) amortized.
+    *
+    * `isTarget` marks the rows whose token distribution defines the
+    * target (the raw estimate uses ALL rows, target ⊆ raw, as in the
+    * paper's importance weights). Returns (id, n_toks, dsir_logw). */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, bucketHexLen: Int = 3): DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 8,
+      "bucketHexLen must be in [1, 8]")
+    val nBuckets = math.pow(16, bucketHexLen).toLong
+    val tok = cached(docs
+      .select(col(idCol), isTarget.as("_tgt"),
+        explode(tokens(col(textCol))).as("_t"))
+      .select(col(idCol), col("_tgt"),
+        substring(md5(col("_t").cast("binary")), 1, bucketHexLen).as("b")))
+    val totals = tok.agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_nt"),
+      count(lit(1)).as("_nr"))
+    val model = tok.groupBy(col("b"))
+      .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
+        count(lit(1)).as("_cr"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("_ct") + 1).cast("double") / (col("_nt") + nBuckets)) -
+          log((col("_cr") + 1).cast("double") / (col("_nr") + nBuckets)))
+          .as("_lw"))
+    tok.join(broadcast(model), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        (floor(sum(col("_lw")) * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("dsir_logw"))
+  }
+
   /** Standalone bigram model from a reference corpus — the offline
     * companion to [[bigramLmScores]] (which self-trains and scores in
     * one plan): returns the (w1, w2) → count and w1 → count frames plus

@@ -79,6 +79,35 @@ object Upsert {
         col(key) <=> col("_uk"), "left_anti")
       .unionByName(updates)
 
+  /** Corpus version diff — what changed between two snapshots of a
+    * living corpus, by key and content signature: `added` (key only in
+    * `newer`), `removed` (only in `older`), `modified` (both, signature
+    * differs), `unchanged`. The audit every recrawl merge wants BEFORE
+    * applying [[byKey]] — and the anti-entropy check after.
+    *
+    * One full-outer equi-join on the key carrying only (key, 32-byte
+    * signature) — at 100 TB both projections are narrow scans and the
+    * join co-locates on a bucketed store; nothing corpus×corpus.
+    * Null-safe on the key (a NULL-key row is one logical key, as
+    * everywhere in this engine) and on the signature (two NULL
+    * signatures compare equal → `unchanged`). Precondition: one row
+    * per key per snapshot ([[latestByKey]] first if not).
+    *
+    * Returns one row per key in either snapshot: (key, status). */
+  def diffByKey(older: DataFrame, newer: DataFrame, key: String,
+                sigCol: String): DataFrame = {
+    val o = older.select(col(key).as("_ok"), col(sigCol).as("_os"),
+      lit(true).as("_in_old"))
+    val n = newer.select(col(key).as("_nk"), col(sigCol).as("_ns"),
+      lit(true).as("_in_new"))
+    o.join(n, col("_ok") <=> col("_nk"), "full_outer")
+      .select(coalesce(col("_ok"), col("_nk")).as(key),
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(col("_os") <=> col("_ns"), lit("unchanged"))
+          .otherwise(lit("modified")).as("status"))
+  }
+
   /** Deterministic BATCH REPLAY of the streaming watermark upsert
     * ([[graft.streaming.StreamingUpsert.latestByKeyWithinWatermark]])
     * over an explicitly waved event sequence — the bridge that puts the

@@ -1438,6 +1438,40 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // LLM-pipeline — DSIR importance weights (hashed-unigram importance
+    // resampling, the data-selection pass that steers a raw crawl
+    // toward a target distribution): target = the English subcorpus,
+    // raw = everything. md5-hex buckets + exact counts + spelled-out
+    // rounding keep the whole model arithmetic oracle-replicable.
+    "q93_dsir_weights" -> ((s, dir) => {
+      TextAnalysis.dsirLogWeights(Tables(s, dir, "documents"),
+          "doc_id", "text", isTarget = col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline — corpus version diff (the recrawl audit): v2 drops
+    // every 7th doc, revises every 5th, appends a shifted copy of
+    // every 40th; the diff classifies every key by presence + content
+    // signature. Counts + id extrema per status under the hash gate.
+    "q94_corpus_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val older = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("sig"))
+      val newer = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).cast("binary")).as("sig"))
+        .unionByName(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(col("text").cast("binary")).as("sig")))
+      graft.operators.Upsert.diffByKey(older, newer, "doc_id", "sig")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("status"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -2414,6 +2448,53 @@ object PipelineQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_revised,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the DSIR model replicated end-to-end: same md5-hex buckets, same
+    // add-1 smoothing over the 4096-bucket space, same ln-ratio sum,
+    // same spelled-out rounding
+    "q93_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS tgt, substring(md5(t), 1, 3) AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split(text, ' ')) AS t
+        |        FROM documents)),
+        |tot AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+        |          count(*) AS nr FROM tok),
+        |model AS (
+        |  SELECT b,
+        |    ln((sum(CASE WHEN tgt THEN 1 ELSE 0 END) + 1)
+        |       / (any_value(tot.nt) + 4096))
+        |  - ln((count(*) + 1) / (any_value(tot.nr) + 4096)) AS lw
+        |  FROM tok, tot GROUP BY b)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  floor(sum(lw) * 10000.0 + 0.5) / 10000.0 AS dsir_logw
+        |FROM tok JOIN model USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // presence flags (not key IS NULL) and IS NOT DISTINCT FROM mirror
+    // the operator's null-safe key/signature semantics exactly
+    "q94_corpus_diff" ->
+      """WITH oldc AS (SELECT doc_id, md5(text) AS sig, TRUE AS in_old
+        |              FROM documents),
+        |newc AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |             ELSE text END) AS sig, TRUE AS in_new
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS sig,
+        |    TRUE AS in_new
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |d AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.in_old IS NULL THEN 'added'
+        |         WHEN n.in_new IS NULL THEN 'removed'
+        |         WHEN o.sig IS NOT DISTINCT FROM n.sig THEN 'unchanged'
+        |         ELSE 'modified' END AS status
+        |  FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −

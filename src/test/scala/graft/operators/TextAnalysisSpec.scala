@@ -31,4 +31,41 @@ class TextAnalysisSpec extends SparkSpec {
       nz.foreach(x => assert(math.abs(x - ln2) < 1e-12))
     }
   }
+
+  test("dsirLogWeights: target-like documents outscore raw-only ones, " +
+      "per-doc token counts exact, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target (tgt=true) speaks {alpha beta}, the raw remainder speaks
+    // {zeta eta}; probe docs drawn purely from each side must order
+    // accordingly (target-token docs get positive log-ratios, raw-only
+    // docs negative)
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta beta alpha", true),
+      (3L, "zeta eta zeta eta", false),
+      (4L, "zeta eta eta zeta", false),
+      (5L, "alpha beta", false),   // probe: target-like but not target
+      (6L, "zeta eta", false)      // probe: raw-only
+    ).toDF("doc_id", "text", "tgt")
+    val w = TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+        isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(w(5L)._1 == 2 && w(6L)._1 == 2, s"token counts: $w")
+    assert(w(5L)._2 > w(6L)._2,
+      s"target-like doc must outscore raw-only doc: $w")
+    // weights are RELATIVE (target ⊆ raw + add-1 smoothing skews all
+    // log-ratios negative on a tiny corpus) — the resampling order is
+    // the contract, not the sign; target docs themselves must also
+    // outscore pure-raw docs
+    assert(w(1L)._2 > w(3L)._2 && w(2L)._2 > w(4L)._2,
+      s"target docs must outscore raw docs: $w")
+    val w2 = TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+        isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w2 == w.map { case (k, (_, x)) => k -> x },
+      "pure function of the corpus — rerun must be identical")
+  }
 }

@@ -80,6 +80,31 @@ class UpsertSpec extends SparkSpec {
       s"NULL-key update must replace the NULL-key corpus row; got $merged")
   }
 
+  test("diffByKey classifies added/removed/modified/unchanged, " +
+      "null-safe on both key and signature") {
+    import spark.implicits._
+    val older = Seq(
+      (Option(1L), Option("s1")),      // unchanged
+      (Option(2L), Option("s2")),      // modified
+      (Option(3L), Option("s3")),      // removed
+      (Option.empty[Long], Option("sN")), // null key, sig changes
+      (Option(5L), Option.empty[String])  // null sig both sides
+    ).toDF("id", "sig")
+    val newer = Seq(
+      (Option(1L), Option("s1")),
+      (Option(2L), Option("s2x")),
+      (Option(4L), Option("s4")),      // added
+      (Option.empty[Long], Option("sM")),
+      (Option(5L), Option.empty[String])
+    ).toDF("id", "sig")
+    val d = Upsert.diffByKey(older, newer, "id", "sig")
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull ->
+        r.getString(1)).toMap
+    assert(d == Map("1" -> "unchanged", "2" -> "modified",
+      "3" -> "removed", "4" -> "added", (null: String) -> "modified",
+      "5" -> "unchanged"), s"got $d")
+  }
+
   test("composed refresh: multi-wave batch collapses before merging, " +
       "so the corpus sees exactly one row per key") {
     val corpus = Seq((1L, "old", 0L), (2L, "keep", 0L))
