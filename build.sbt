@@ -34,6 +34,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+)
+// Heap flags are RUN-scoped: SPARK_DRIVER_MEM sizes the bench/verify
+// JVM, and -Xms = -Xmx commits the whole heap up front — applying that
+// unscoped would make a `sbt test` run under SPARK_DRIVER_MEM=90g
+// commit 90 GB for the test JVM too (startup failure under a cgroup
+// limit or strict overcommit). Tests keep a fixed modest heap below.
+run / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Big-heap robustness (PLANS.md r9 has the measured table). On this
   // host fresh-page zeroing is slow (~0.3 GB/s), so a large -Xmx heap
@@ -62,3 +69,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // humongous threshold at every heap size used here.
   "-Dspark.buffer.pageSize=8m",
 ) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+// Fixed modest test heap, independent of SPARK_DRIVER_MEM (specs run
+// tiny local[4] data; pre-r9 behavior). Page-size pin kept for
+// config parity with the run surface.
+Test / javaOptions ++= Seq("-Xmx8g", "-Dspark.buffer.pageSize=8m")

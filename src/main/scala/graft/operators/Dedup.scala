@@ -225,16 +225,40 @@ object Dedup {
         .select(col("node"), col("prev"),
           least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
       val next =
-        if (reliable) jumped.checkpoint(true)
-        else jumped.localCheckpoint(true,
+        if (reliable) {
+          // persist BEFORE checkpoint: RDD.checkpoint recomputes its
+          // lineage in the separate checkpoint-write job, so an
+          // unpersisted round would run its two joins twice (the RDD
+          // API's own documented caveat); the cache is dropped below
+          // once the files are written
+          jumped.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          jumped.checkpoint(true)
+        } else jumped.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
       prop.unpersist()
       labels.unpersist()
-      // `next` is materialized, so the previous round's blocks have no
-      // remaining reader — free them now instead of at ContextCleaner GC
-      prevRoundRdd.foreach(_.unpersist(blocking = false))
-      prevRoundRdd = if (reliable) None else materializedRdd(next)
+      if (reliable) jumped.unpersist(blocking = false)
+      // `next` is materialized, so the previous round's blocks/files
+      // have no remaining reader — free them now. Local mode: explicit
+      // block unpersist (the ContextCleaner would wait for GC).
+      // Reliable mode: delete the previous round's checkpoint files
+      // (Spark only ever cleans them with
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true, and
+      // then only at GC time — a long-running corpus service would
+      // otherwise grow the checkpoint FS by maxIter snapshots per call)
+      prevRoundRdd.foreach { prev =>
+        prev.getCheckpointFile match {
+          case Some(dir) =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            catch { case scala.util.control.NonFatal(_) => () }
+          case None => prev.unpersist(blocking = false)
+        }
+      }
+      prevRoundRdd = materializedRdd(next)
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
       i += 1

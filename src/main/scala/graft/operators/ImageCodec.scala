@@ -123,13 +123,22 @@ object ImageCodec {
     val topDown = rawH < 0
     val h = math.abs(rawH)
     require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$rawH")
+    // dimension bound BEFORE any Int arithmetic on w/h: a huge header
+    // width overflows w*3 (negative rowSize → the truncation check
+    // passes trivially → NegativeArraySizeException) — every derived
+    // quantity below must stay well inside Int range
+    require(w.toLong * h * 3 <= Int.MaxValue,
+      s"BMP dimensions ${w}x$h exceed the supported pixel budget")
     val rowSize = ((w * 3 + 3) / 4) * 4 // rows padded to 4 bytes
-    // pixelOffset is attacker-controlled header data: a negative or
-    // inside-the-header value passes the truncation check below (the
-    // sum just shifts down) and then crashes the pixel loop with
-    // ArrayIndexOutOfBounds instead of the contract's
-    // IllegalArgumentException
-    require(pixelOffset >= 14 + dibSize && pixelOffset <= bytes.length,
+    // pixelOffset and dibSize are attacker-controlled header data: a
+    // negative or inside-the-header offset passes the truncation check
+    // below (the sum just shifts down) and then crashes the pixel loop
+    // with ArrayIndexOutOfBounds instead of the contract's
+    // IllegalArgumentException. Compared in Long — `14 + dibSize` in
+    // Int wraps negative for dibSize near Int.MaxValue and would admit
+    // any offset.
+    require(pixelOffset.toLong >= 14L + dibSize &&
+        pixelOffset <= bytes.length,
       s"bad BMP pixel offset $pixelOffset")
     require(bytes.length.toLong >= pixelOffset.toLong + rowSize.toLong * h,
       "truncated BMP pixels")

@@ -2491,7 +2491,8 @@ object PipelineQueries {
         |         WHEN n.in_new IS NULL THEN 'removed'
         |         WHEN o.sig IS NOT DISTINCT FROM n.sig THEN 'unchanged'
         |         ELSE 'modified' END AS status
-        |  FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id)
+        |  FROM oldc o FULL OUTER JOIN newc n
+        |    ON o.doc_id IS NOT DISTINCT FROM n.doc_id)
         |SELECT status, count(*) AS n, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,

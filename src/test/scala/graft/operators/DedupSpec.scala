@@ -85,6 +85,10 @@ class DedupSpec extends SparkSpec {
     val local = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dir = scratch("cc-checkpoints/run").toAbsolutePath
+    // the scratch dir persists across sbt runs and each run's
+    // SparkContext writes under a fresh uuid — start clean or the
+    // bounded-leftovers assertion below counts previous runs' snapshots
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty,
       "suite precondition: no checkpoint dir configured")
@@ -94,11 +98,30 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaReliable == local,
         "reliable-checkpoint path must produce identical labels")
-      // the knob must actually engage: rounds write RDD data under the dir
-      val wrote = java.nio.file.Files.walk(dir).anyMatch(p =>
-        p.getFileName.toString.startsWith("part-"))
-      assert(wrote, s"no checkpoint part files under $dir — " +
-        "reliable checkpointing did not engage")
+      // the knob must actually engage: rounds write RDD data under the
+      // dir (Files.walk holds directory handles — close the stream)
+      def walkCount(pred: java.nio.file.Path => Boolean): Long = {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.filter(p => pred(p)).count() finally walk.close()
+      }
+      assert(walkCount(_.getFileName.toString.startsWith("part-")) > 0,
+        s"no checkpoint part files under $dir — " +
+          "reliable checkpointing did not engage")
+      // rounds must CLEAN UP behind themselves: a multi-round run may
+      // leave only the final round's rdd-* snapshot (Spark itself never
+      // deletes these without cleanCheckpoints=true, and then only at
+      // GC time — unbounded checkpoint-FS growth for a corpus service)
+      val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+      val labels = Dedup.connectedComponents(chain)
+        .collect().map(r => r.getLong(1)).toSet
+      assert(labels == Set(0L), "chain must fully collapse under the dir")
+      val rddDirs = walkCount(p =>
+        p.getFileName.toString.startsWith("rdd-") &&
+          java.nio.file.Files.isDirectory(p))
+      // pairs-run final + chain-run final (earlier rounds deleted)
+      assert(rddDirs <= 2,
+        s"$rddDirs rdd-* checkpoint dirs left under $dir — " +
+          "per-round cleanup is not working")
     } finally {
       // null resets SparkContext.checkpointDir to None (Option(null)),
       // restoring localCheckpoint behavior for the shared session
