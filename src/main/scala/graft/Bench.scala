@@ -31,6 +31,14 @@ object Bench {
     // otherwise lands on the first allocation-heavy query (the r8
     // record's q39 45.8 s reading; see HeapWarmup)
     graft.engine.HeapWarmup.touchFrontier()
+    // one realistic untimed pass: parquet reader init, scan codegen,
+    // and executor-pool first-touch otherwise land on q01 (the
+    // alphabetically-first query) — measured ~5 s of one-time cost on
+    // a 90 GB heap even after the synthetic frontier walk
+    try Seq("lineitem", "documents", "orders").foreach { t =>
+      graft.engine.Tables(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case scala.util.control.NonFatal(_) => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // dt is captured right after save(), BEFORE the scope's exit
