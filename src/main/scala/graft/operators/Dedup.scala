@@ -469,6 +469,132 @@ object Dedup {
       .filter(col("lev") >= 0 && col("lev") <= maxDist)
   }
 
+  /** Exact-substring (shared-span) near-dup detection — the POSITIONAL
+    * member of the family (Lee et al. 2022's "deduplicating training
+    * data makes language models better" exact-substring criterion,
+    * re-expressed relationally). jaccard/minhash/simhash are all
+    * set-based and blind to contiguity; this finds pairs of documents
+    * sharing a run of ≥ `minSpan` consecutive tokens, and reports the
+    * longest such run per pair.
+    *
+    * Shape: positional n-gram shingles (pos, xxhash64) → df cap on
+    * DISTINCT-doc frequency (a shingle in f docs contributes O(f²)
+    * match rows, so stop-shingles are the blowup hazard — same cap
+    * discipline as [[graft.operators.TextAnalysis.jaccardPairs]]) →
+    * self-join on the 8-byte hash → diagonal islands: a shared run of
+    * R tokens is exactly R−n+1 consecutive positional matches on one
+    * diagonal (pa − pb constant), so `grp = pa − row_number` groups
+    * each island and `count + n − 1` recovers the span length. All
+    * integer arithmetic after the hash — bit-exact against the oracle
+    * (which joins raw shingle strings where the engine shuffles
+    * xxhash64 keys: the registered q26/q57/q95 collision trade).
+    *
+    * Scale: the only corpus-sized shuffles are the positional-shingle
+    * aggregate and the df-capped hash equi-join; the window runs per
+    * (pair, diagonal) — bounded by the cap, never corpus-wide. */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, minSpan: Int,
+                  maxShingleDocs: Int = 100): DataFrame =
+    spanRuns(docs, idCol, textCol, n, maxShingleDocs)
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("span")).as("max_span"))
+      .filter(col("max_span") >= minSpan)
+
+  /** The shared run-detection pipeline behind [[sharedSpans]] and
+    * [[spanCoverage]]: one row per maximal diagonal run — (id1, id2,
+    * pa_start, pb_start, span) with id1 < id2 and span in TOKENS
+    * (matches + n − 1). */
+  private[graft] def spanRuns(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int,
+                              maxShingleDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+    // positional (NON-distinct) shingles — position is the payload here,
+    // so TextAnalysis.shingles' array_distinct would be wrong
+    val sh = cached(toks
+      .select(col(idCol), posexplode(
+        when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n))))))
+        .as(Seq("pos", "sh_str")))
+      .select(col(idCol), col("pos"), xxhash64(col("sh_str")).as("sh")))
+    val eligible = sh.groupBy(col("sh"))
+      .agg(countDistinct(col(idCol)).as("cd"))
+      .filter(col("cd") >= 2 && col("cd") <= maxShingleDocs)
+      .select(col("sh"))
+    // cached: both sides of the pair join read this frame
+    val shE = cached(sh.join(eligible, "sh"))
+    val w = Window.partitionBy(col("id1"), col("id2"), col("diag"))
+      .orderBy(col("pa"))
+    shE.as("a")
+      .join(shE.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("pa_start"),
+        (count(lit(1)) + (n - 1)).as("span"))
+      .select(col("id1"), col("id2"), col("pa_start"),
+        (col("pa_start") - col("diag")).as("pb_start"), col("span"))
+  }
+
+  /** Per-document duplicate-token coverage — the Lee et al. 2022
+    * corpus-level readout of [[sharedSpans]]: for each document, how
+    * many of its token positions sit inside some run of ≥ `minSpan`
+    * consecutive tokens shared with ANOTHER document, and the covered
+    * fraction. This is the number that justifies (or kills) an
+    * exact-substring dedup pass over a shard: coverage near 0 means
+    * set-based dedup already caught everything contiguous.
+    *
+    * Shape: [[spanRuns]] → explode each qualifying run into its two
+    * per-doc token intervals → classic interval-union islands per doc
+    * (running-max window) → covered = Σ island widths; docs with no
+    * qualifying run keep coverage 0 via left join. Integer arithmetic
+    * throughout except the final rounded ratio — oracle-exact.
+    *
+    * Scale: interval rows are |runs| (bounded by the df cap), the
+    * union window partitions per doc, and the doc-length frame is one
+    * narrow aggregate — nothing corpus² anywhere. */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minSpan: Int,
+                   maxShingleDocs: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = spanRuns(docs, idCol, textCol, n, maxShingleDocs)
+      .filter(col("span") >= minSpan)
+    // each qualifying run covers [start, start + span − 1] in BOTH docs
+    // (the one-pass two-sided explode — the self-union trap's antidote)
+    val ivals = runs
+      .select(explode(array(
+        struct(col("id1").as("doc"), col("pa_start").as("s")),
+        struct(col("id2").as("doc"), col("pb_start").as("s")))).as("iv"),
+        col("span"))
+      .select(col("iv.doc").as(idCol), col("iv.s").as("s"),
+        (col("iv.s") + col("span") - 1).as("e"))
+    // interval union via running-max islands, partitioned per doc
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val covered = ivals
+      .withColumn("prev_e", max(col("e")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("prev_e").isNull || col("s") > col("prev_e"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wOrd))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+      .groupBy(col(idCol))
+      .agg(sum(col("is_e") - col("is_s") + 1).as("covered_tokens"))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 4).as("dup_fraction"))
+  }
+
   /** Embedding near-dup with random-hyperplane LSH blocking — the scale
     * path when no natural blocking key (label, shard) exists or a block
     * bloats. q30's label-blocked join is O(block²) per label; here the

@@ -59,6 +59,34 @@ object Similarity {
       .select(col("qid"), col(idCol), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training data: for each query
+    * vector, the k nearest candidates by cosine that carry a DIFFERENT
+    * label — the "close but wrong" examples a retrieval/embedding
+    * trainer pairs against each anchor. Same one-scan panel shape as
+    * [[topKMulti]] (queries broadcast, corpus scanned once, per-query
+    * window top-k); the label inequality and self-exclusion are plain
+    * codegen'd filters on the scored frame, so the plan stays a
+    * BroadcastNestedLoop of a panel-sized frame — never an
+    * all-pairs product of the corpus with itself.
+    *
+    * `queries` must be a broadcast-sized frame with columns
+    * (qid, qvec: array<double>, qlabel). Output: (qid, idCol, labelCol,
+    * sim) with ties broken by id — deterministic for the oracle. */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol))
+    vectors.crossJoin(broadcast(queries))
+      .filter(col(labelCol) =!= col("qlabel") && col(idCol) =!= col("qid"))
+      .withColumn("sim",
+        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
+          col("qvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col(labelCol), col("sim"))
+  }
+
   /** Trivial centroid set: every `step`-th vector by id — the
     * dependency-free fallback (deterministic without any fit), kept for
     * comparison probes; the operator of record is [[learnedCentroids]],

@@ -83,8 +83,13 @@ object TextAnalysis {
     // self-join and pair aggregation shuffle longs instead of ~20-byte
     // strings (same output modulo a ~2⁻⁶⁴ collision — the standard
     // dedup-system trade).
+    // tokens() gets its own projection first: Spark does no
+    // subexpression elimination inside HOF lambdas, so slice(toks, …)
+    // referencing the raw split re-tokenizes per ELEMENT — measured 6×
+    // on the explode pass at sf0.1 (NoveltyProbe).
     val sh = cached(docs
-      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("sh_str"))
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(shingles(col("toks"), n)).as("sh_str"))
       .select(col(idCol), xxhash64(col("sh_str")).as("sh")))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq && col("df") >= 2)
@@ -115,6 +120,51 @@ object TextAnalysis {
           (col("s1.sz") + col("s2.sz") - col("inter")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Per-document n-gram novelty profile — for each document, the
+    * fraction of its distinct token n-grams whose FIRST corpus
+    * occurrence (minimum doc id) is this document. The curation metric
+    * behind "how much new content does each shard add": a crawl slice
+    * whose novelty collapses toward 0 is re-crawling what the corpus
+    * already holds, and dedup effort should move upstream of it.
+    *
+    * Shape: distinct-shingle explode → min-id aggregate keyed on the
+    * shingle → join back on the shingle → per-doc counts. Never
+    * all-pairs; both the aggregate and the join shuffle on the same
+    * 8-byte xxhash64 shingle key (the exploded frame is cached — it
+    * feeds both), and the min-id aggregate map-side combines. Documents
+    * shorter than n tokens have no shingles and are absent from the
+    * output in both engines (the DuckDB oracle joins the same way).
+    *
+    * Scale notes (100 TB): cost is |corpus shingles| — the exact-dedup
+    * shape, not the pair shape, so no df cap is needed (a stop-shingle
+    * contributes one aggregate row and f join probes, never f²). The
+    * hash join's build side is the distinct-shingle frame (corpus-
+    * sized): at scale this is a co-partitioned sort-merge join on the
+    * long key, which is the plan AQE picks once the build side
+    * outgrows the broadcast threshold. */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    // tokens() in its own projection (no subexpr elimination inside HOF
+    // lambdas — 6× on the explode, measured in NoveltyProbe); cached
+    // because BOTH the min-id aggregate and the join probe side consume
+    // this frame — left lazy the explode pipeline runs twice.
+    val sh = cached(docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(shingles(col("toks"), n)).as("sh_str"))
+      .select(col(idCol), xxhash64(col("sh_str")).as("sh")))
+    val first = sh.groupBy(col("sh"))
+      .agg(min(col(idCol)).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 4).as("novelty"))
   }
 
   /** Repetition statistics (the Gopher-style "repetition" quality
@@ -342,6 +392,59 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf_count"), col("df"),
         round(col("tf_count") / col("n_toks") *
           log(col("n_docs") / col("df")), 4).as("tfidf"))
+  }
+
+  /** BM25 lexical retrieval top-k — the classic sparse scorer that
+    * complements the dense ANN family (`Similarity`): for each query in
+    * a broadcast-sized panel, the k highest-scoring documents by
+    * Okapi BM25 with the Lucene idf variant
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` (always positive, so terms
+    * appearing in more than half the corpus — guaranteed here by the
+    * tiny vocabulary — still rank sanely).
+    *
+    * Shape: one (doc, term) tf aggregate (map-side combined) → join
+    * with the BROADCAST exploded query-term panel, which prunes the
+    * corpus to docs containing ≥1 query term BEFORE the df join and
+    * scoring → vocab-sized df join (AQE broadcasts it) → per-(query,
+    * doc) sum → per-query window top-k. Never all-pairs: the only
+    * corpus-sized shuffles are the tf aggregate and the final
+    * panel-pruned score aggregate. Scores are rounded to 4 before
+    * ranking so Spark and DuckDB rank identical values (the q13
+    * cosine-parity contract); ties break by doc id.
+    *
+    * `queries` must be a broadcast-sized frame (qid, qtext). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+    val tf = cached(tc.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // integer token counts sum exactly in double, so avgdl is
+    // bit-identical across engines (sum order can't perturb it)
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val qterms = queries.select(col("qid"),
+      explode(array_distinct(tokens(col("qtext")))).as("term"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol))
+    tf.join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
   }
 
   /** TF-IDF as per-doc SPARSE VECTORS (`HashingTF` → `IDF`) — the

@@ -1472,6 +1472,66 @@ object PipelineQueries {
         .orderBy(col("status"))
     }),
 
+    // LLM-pipeline — n-gram novelty profile (the shard-redundancy
+    // curation metric): per doc, the fraction of its distinct 3-gram
+    // shingles first seen (min doc id) in that doc. Exact-dedup shape
+    // on the shingle key — one aggregate + one equi-join, no pair
+    // generation, no df cap needed.
+    "q95_ngram_novelty" -> ((s, dir) => {
+      TextAnalysis.noveltyProfile(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline — hard-negative mining for contrastive training:
+    // top-5 cosine neighbors with a DIFFERENT label for a fixed 5-id
+    // query panel (ids exist at every SF; the panel broadcasts and the
+    // corpus is scanned once).
+    "q96_hard_negatives" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val panel = e.filter(col("vec_id").isin(0L, 7L, 13L, 21L, 34L))
+        .select(col("vec_id").as("qid"),
+          VectorFns.toDouble(col("embedding")).as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(e, panel, "vec_id", "embedding",
+          "label", k = 5)
+        .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+    }),
+
+    // LLM-pipeline — BM25 lexical retrieval: top-10 docs per query for
+    // a fixed 4-query panel (vocabulary terms present at every SF).
+    // The sparse complement to the dense ANN family; panel broadcasts,
+    // corpus aggregates once.
+    "q97_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val panel = Seq(
+        (0L, "merge sort window"), (1L, "stream batch join"),
+        (2L, "hash table scan"), (3L, "slow query filter"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25TopK(Tables(s, dir, "documents"),
+          "doc_id", "text", panel, k = 10)
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
+    // LLM-pipeline — exact-substring shared-span dedup (the positional
+    // criterion the set-based family can't express): pairs sharing a
+    // run of >= 10 consecutive tokens, with the longest run per pair.
+    "q98_shared_spans" -> ((s, dir) => {
+      Dedup.sharedSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 4, minSpan = 10)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // LLM-pipeline — per-doc duplicate-token coverage (the corpus
+    // readout of q98): fraction of each doc's token positions inside
+    // some >=10-token run shared with another doc. Interval-union
+    // islands per doc; integer arithmetic to the final ratio.
+    "q99_span_coverage" -> ((s, dir) => {
+      Dedup.spanCoverage(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 4, minSpan = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -2496,6 +2556,170 @@ object PipelineQueries {
         |SELECT status, count(*) AS n, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same distinct-shingle explode as q57's oracle (raw strings where
+    // the engine shuffles xxhash64 keys — identical output modulo a
+    // ~2⁻⁶⁴ collision, the registered q26/q57 trade); docs shorter
+    // than n have no shingles and are absent from both outputs
+    "q95_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks)),
+        |fst AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+        |SELECT s.doc_id,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    * 1.0 / count(*), 4) AS novelty
+        |FROM sh s JOIN fst f USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // q13's cosine-parity contract (list_cosine_similarity vs the
+    // engine's VectorFold dot, both rounded to 4) extended to a panel
+    // with a label-inequality filter; ties broken by candidate id in
+    // both engines
+    "q96_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,
+        |             label AS qlabel
+        |           FROM embeddings WHERE vec_id IN (0, 7, 13, 21, 34)),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec),
+        |      4) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label <> q.qlabel AND e.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        |      FROM scored)
+        |SELECT qid, vec_id, label, sim FROM r WHERE rn <= 5
+        |ORDER BY qid, sim DESC, vec_id""".stripMargin,
+
+    // BM25 with the Lucene idf variant, arithmetic spelled identically
+    // (ln(1 + (N-df+0.5)/(df+0.5)); tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl));
+    // k1=1.2 b=0.75); scores rounded to 4 BEFORE ranking (the q13
+    // cosine-parity contract), ties by doc id. avgdl is a sum of
+    // integers over a count — exact in both engines.
+    "q97_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'merge sort window'),
+        |        (1, 'stream batch join'), (2, 'hash table scan'),
+        |        (3, 'slow query filter')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+        |      4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT qid, doc_id, score FROM r WHERE rn <= 10
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // positional 4-gram shingles joined on the raw string where the
+    // engine shuffles xxhash64 keys (the q26/q57/q95 collision trade);
+    // diagonal islands via pos - row_number; span = run + n - 1. All
+    // integer arithmetic -> bit-exact.
+    "q98_shared_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(t) - 3, 0) + 1),
+        |      i -> struct_pack(pos := i - 1,
+        |        sh := array_to_string(t[i:i+3], ' ')))) AS u
+        |    FROM toks) z),
+        |eligible AS (SELECT sh FROM (
+        |  SELECT sh, count(DISTINCT doc_id) AS cd FROM sh GROUP BY sh)
+        |  WHERE cd BETWEEN 2 AND 100),
+        |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa,
+        |        a.pos - b.pos AS diag
+        |      FROM (SELECT * FROM sh SEMI JOIN eligible USING (sh)) a
+        |      JOIN (SELECT * FROM sh SEMI JOIN eligible USING (sh)) b
+        |        USING (sh)
+        |      WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT id1, id2, diag, pa,
+        |        pa - row_number() OVER
+        |          (PARTITION BY id1, id2, diag ORDER BY pa) AS grp
+        |      FROM m),
+        |runs AS (SELECT id1, id2, count(*) + 3 AS span
+        |         FROM r GROUP BY id1, id2, diag, grp)
+        |SELECT id1, id2, max(span) AS max_span FROM runs
+        |GROUP BY 1, 2 HAVING max(span) >= 10
+        |ORDER BY id1, id2""".stripMargin,
+
+    // q98's run pipeline extended to intervals: each qualifying run
+    // covers [start, start+span-1] in both docs; per-doc interval
+    // union via running-max islands (ROWS frame for prev_e, default
+    // RANGE frame for the island sum — peers included, matching
+    // Spark's default). All integers until the final rounded ratio.
+    "q99_span_coverage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(t) - 3, 0) + 1),
+        |      i -> struct_pack(pos := i - 1,
+        |        sh := array_to_string(t[i:i+3], ' ')))) AS u
+        |    FROM toks) z),
+        |eligible AS (SELECT sh FROM (
+        |  SELECT sh, count(DISTINCT doc_id) AS cd FROM sh GROUP BY sh)
+        |  WHERE cd BETWEEN 2 AND 100),
+        |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa,
+        |        a.pos - b.pos AS diag
+        |      FROM (SELECT * FROM sh SEMI JOIN eligible USING (sh)) a
+        |      JOIN (SELECT * FROM sh SEMI JOIN eligible USING (sh)) b
+        |        USING (sh)
+        |      WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT id1, id2, diag, pa,
+        |        pa - row_number() OVER
+        |          (PARTITION BY id1, id2, diag ORDER BY pa) AS grp
+        |      FROM m),
+        |runs AS (SELECT id1, id2, diag, min(pa) AS pa_start,
+        |           min(pa) - diag AS pb_start, count(*) + 3 AS span
+        |         FROM r GROUP BY id1, id2, diag, grp),
+        |q AS (SELECT * FROM runs WHERE span >= 10),
+        |iv AS (SELECT id1 AS doc_id, pa_start AS s,
+        |         pa_start + span - 1 AS e FROM q
+        |       UNION ALL
+        |       SELECT id2, pb_start, pb_start + span - 1 FROM q),
+        |mk AS (SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_e
+        |       FROM iv),
+        |isl AS (SELECT doc_id, s, e,
+        |          sum(CASE WHEN prev_e IS NULL OR s > prev_e
+        |                   THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+        |        FROM mk),
+        |cov AS (SELECT doc_id, sum(is_e - is_s + 1) AS covered FROM (
+        |          SELECT doc_id, isl, min(s) AS is_s, max(e) AS is_e
+        |          FROM isl GROUP BY doc_id, isl) zz GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.t) AS n_tokens,
+        |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+        |  round(coalesce(c.covered, 0) * 1.0 / len(t.t), 4)
+        |    AS dup_fraction
+        |FROM toks t LEFT JOIN cov c USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −

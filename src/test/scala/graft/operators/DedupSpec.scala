@@ -319,4 +319,56 @@ class DedupSpec extends SparkSpec {
       6L -> ((1L, 0L, 0L))),  // "" → same [''] chunk, deduped vs doc5
       s"got $out")
   }
+
+  test("sharedSpans: longest diagonal run per pair, minSpan filter, " +
+      "sub-n docs inert") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v w x y"),        // 8-token run with doc 2
+      (2L, "z z p q r s t u v w k"),      // offset by 2 — diag -2
+      (3L, "p q r s a b c d"),            // only a 4-token run with 1/2
+      (4L, "p q r s t k k v w x y"),      // TWO runs vs doc 1: 5 and 4
+      (5L, "p q")                         // shorter than n: no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(docs, "doc_id", "text", n = 4,
+        minSpan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      (1L, 2L) -> 8L,   // 5 consecutive 4-gram matches → span 8
+      (1L, 3L) -> 4L,
+      (1L, 4L) -> 5L,   // max of the 5-run and the separate 4-run
+      (2L, 3L) -> 4L,
+      (2L, 4L) -> 5L,
+      (3L, 4L) -> 4L), s"got $out")
+    // the registered threshold keeps only the true near-dup pair
+    val strict = Dedup.sharedSpans(docs, "doc_id", "text", n = 4,
+        minSpan = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(strict == Map((1L, 2L) -> 8L), s"got $strict")
+  }
+
+  test("spanCoverage: interval union across pairs, zero-coverage docs " +
+      "present, hand-checked fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v w x y"),
+      (2L, "z z p q r s t u v w k"),
+      (3L, "p q r s a b c d"),
+      (4L, "p q r s t k k v w x y"),
+      (5L, "p q")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(docs, "doc_id", "text", n = 4,
+        minSpan = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: [0,7]∪[0,3]∪[0,4]∪[6,9] = [0,9]; doc 4: [0,4]∪[7,10]
+    assert(out == Map(
+      1L -> ((10L, 10L, 1.0)),
+      2L -> ((11L, 8L, 0.7273)),
+      3L -> ((8L, 4L, 0.5)),
+      4L -> ((11L, 9L, 0.8182)),
+      5L -> ((2L, 0L, 0.0))), s"got $out")
+  }
 }

@@ -230,4 +230,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(self.forall(_ == 1.0))
   }
+
+  test("hardNegatives: same-label and self excluded, k bound, ranked " +
+      "by cosine with id tiebreak") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),   // the query
+      (1L, Array(1f, 0f), 0),   // identical but same label — excluded
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0f, 1f), 1),   // orthogonal → sim 0
+      (4L, Array(1f, 0f), 2),   // identical, different label → sim 1
+      (5L, Array(1f, 0f), 2)    // tie with 4 → id order
+    ).toDF("vec_id", "embedding", "label")
+    val panel = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"),
+        VectorFns.toDouble(col("embedding")).as("qvec"),
+        col("label").as("qlabel"))
+    val out = Similarity.hardNegatives(vecs, panel, "vec_id",
+        "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((4L, 1.0), (5L, 1.0), (2L, 0.9939)),
+      s"got ${out.toSeq}")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -67,5 +68,49 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w2 == w.map { case (k, (_, x)) => k -> x },
       "pure function of the corpus — rerun must be identical")
+  }
+
+  test("noveltyProfile: first-seen shingles count as novel, repeats " +
+      "don't, sub-n docs are absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),   // {a b, b c} — both first here → novelty 1
+      (2L, "a b d"),   // {a b} seen in 1, {b d} new → novelty 0.5
+      (3L, "a b c"),   // both shingles first seen in doc 1 → novelty 0
+      (4L, "x")        // shorter than n=2: no shingles, no output row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyProfile(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0))), s"got $out")
+  }
+
+  test("bm25TopK: non-matching docs absent, tf beats dl penalty here, " +
+      "score matches the closed form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a a c"), (3L, "c c c")
+    ).toDF("doc_id", "text")
+    val queries = Seq((0L, "a")).toDF("qid", "qtext")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries,
+        k = 10)
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // doc 3 has no query term — must be absent, not scored 0
+    assert(out.map(_._1).toSeq == Seq(2L, 1L), s"got ${out.toSeq}")
+    // closed form: N=3, df(a)=2, avgdl=8/3, k1=1.2, b=0.75
+    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def tfc(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toMap == Map(
+      2L -> r4(idf * tfc(2, 3)), 1L -> r4(idf * tfc(1, 2))),
+      s"got ${out.toSeq}")
   }
 }
