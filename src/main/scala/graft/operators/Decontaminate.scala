@@ -30,10 +30,13 @@ object Decontaminate {
     * corpus document sharing at least one token n-gram with `bench`. */
   def overlapHits(corpus: DataFrame, bench: DataFrame,
                   idCol: String, textCol: String, n: Int): DataFrame = {
+    // tokens() in its own projection — no subexpr elimination inside
+    // HOF lambdas, so slice(toks, …) over the raw split re-tokenizes
+    // per element (6× on the explode pass, measured in NoveltyProbe)
     def shingleRows(df: DataFrame) = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
-        explode(TextAnalysis.shingles(
-          TextAnalysis.tokens(col(textCol)), n)).as("sh_str"))
+        explode(TextAnalysis.shingles(col("toks"), n)).as("sh_str"))
       .select(col(idCol), xxhash64(col("sh_str")).as("sh"))
     val benchSh = shingleRows(bench).select(col("sh")).distinct()
     shingleRows(corpus)

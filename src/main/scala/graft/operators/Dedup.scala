@@ -67,15 +67,19 @@ object Dedup {
     * reuse), never recomputed per consumer. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int): DataFrame =
-    cached(docs.select(col(idCol),
-      // pre-hash shingles to longs: the 24 signature hash functions
-      // and the intersect/union verification then work on 8-byte
-      // keys instead of strings (identical results modulo ~2⁻⁶⁴
-      // collisions)
-      transform(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN),
-        s => xxhash64(s))
-        .as("shs")))
+    // tokens() in its own projection first (no subexpr elimination
+    // inside HOF lambdas — the shingle slice over a raw split would
+    // re-tokenize per element; measured 6× in NoveltyProbe)
+    cached(docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        // pre-hash shingles to longs: the 24 signature hash functions
+        // and the intersect/union verification then work on 8-byte
+        // keys instead of strings (identical results modulo ~2⁻⁶⁴
+        // collisions)
+        transform(TextAnalysis.shingles(col("toks"), shingleN),
+          s => xxhash64(s))
+          .as("shs")))
 
   /** Candidate pairs from banded MinHash LSH.
     *
@@ -477,10 +481,13 @@ object Dedup {
     * sharing a run of ≥ `minSpan` consecutive tokens, and reports the
     * longest such run per pair.
     *
-    * Shape: positional n-gram shingles (pos, xxhash64) → df cap on
-    * DISTINCT-doc frequency (a shingle in f docs contributes O(f²)
-    * match rows, so stop-shingles are the blowup hazard — same cap
-    * discipline as [[graft.operators.TextAnalysis.jaccardPairs]]) →
+    * Shape: positional n-gram shingles (pos, xxhash64) → frequency cap
+    * on total OCCURRENCES (not just distinct docs: positional shingles
+    * are deliberately non-distinct, so a shingle at p positions in doc
+    * A and q in doc B yields p·q match rows — capping occurrences
+    * bounds that product the way jaccardPairs' df cap bounds its
+    * per-doc-distinct join; a repeated-boilerplate shingle is exactly
+    * the stop-shingle hazard) →
     * self-join on the 8-byte hash → diagonal islands: a shared run of
     * R tokens is exactly R−n+1 consecutive positional matches on one
     * diagonal (pa − pb constant), so `grp = pa − row_number` groups
@@ -494,8 +501,8 @@ object Dedup {
     * (pair, diagonal) — bounded by the cap, never corpus-wide. */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, minSpan: Int,
-                  maxShingleDocs: Int = 100): DataFrame =
-    spanRuns(docs, idCol, textCol, n, maxShingleDocs)
+                  maxShingleOcc: Int = 100): DataFrame =
+    spanRuns(docs, idCol, textCol, n, maxShingleOcc)
       .groupBy(col("id1"), col("id2"))
       .agg(max(col("span")).as("max_span"))
       .filter(col("max_span") >= minSpan)
@@ -506,7 +513,7 @@ object Dedup {
     * (matches + n − 1). */
   private[graft] def spanRuns(docs: DataFrame, idCol: String,
                               textCol: String, n: Int,
-                              maxShingleDocs: Int): DataFrame = {
+                              maxShingleOcc: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
     // positional (NON-distinct) shingles — position is the payload here,
@@ -520,8 +527,8 @@ object Dedup {
         .as(Seq("pos", "sh_str")))
       .select(col(idCol), col("pos"), xxhash64(col("sh_str")).as("sh")))
     val eligible = sh.groupBy(col("sh"))
-      .agg(countDistinct(col(idCol)).as("cd"))
-      .filter(col("cd") >= 2 && col("cd") <= maxShingleDocs)
+      .agg(count(lit(1)).as("occ"), countDistinct(col(idCol)).as("cd"))
+      .filter(col("cd") >= 2 && col("occ") <= maxShingleOcc)
       .select(col("sh"))
     // cached: both sides of the pair join read this frame
     val shE = cached(sh.join(eligible, "sh"))
@@ -560,9 +567,9 @@ object Dedup {
     * narrow aggregate — nothing corpus² anywhere. */
   def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minSpan: Int,
-                   maxShingleDocs: Int = 100): DataFrame = {
+                   maxShingleOcc: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val runs = spanRuns(docs, idCol, textCol, n, maxShingleDocs)
+    val runs = spanRuns(docs, idCol, textCol, n, maxShingleOcc)
       .filter(col("span") >= minSpan)
     // each qualifying run covers [start, start + span − 1] in BOTH docs
     // (the one-pass two-sided explode — the self-union trap's antidote)

@@ -56,6 +56,87 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Greedy token-budget corpus selection — "fill a fixed training
+    * budget with the best-scoring documents". All docs in score groups
+    * that fit wholly above the budget line are kept; the boundary
+    * group is filled in md5-rank order until the budget is exhausted.
+    *
+    * Scale design: the budget cumulative runs over the per-score
+    * AGGREGATE (|distinct scores| rows — the only global-order window,
+    * and it is tiny by construction), never the corpus; the fill
+    * window partitions by score. `scoreCol` must be integer-valued
+    * (quantize a float score upstream) — it is both the ordering and
+    * the partition key, so its cardinality controls boundary-group
+    * size and skew.
+    *
+    * Selection rule (greedy prefix): a doc is kept iff the token mass
+    * strictly before it — higher score groups wholly, same-group
+    * md5-predecessors — totals < `budget`; the selection overshoots by
+    * at most one document. Pure function of (id, score, tokens) —
+    * stable across runs and engines. */
+  def selectToTokenBudget(docs: DataFrame, idCol: String,
+                          scoreCol: String, tokensCol: String,
+                          budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = docs.groupBy(col(scoreCol))
+      .agg(sum(col(tokensCol)).as("grp_tokens"))
+    val wS = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perScore
+      .withColumn("cum_before",
+        coalesce(sum(col("grp_tokens")).over(wS), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col(scoreCol), col("cum_before"))
+    val wG = Window.partitionBy(col(scoreCol))
+      .orderBy(md5Hex(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.join(broadcast(cum), Seq(scoreCol))
+      .withColumn("_run", sum(col(tokensCol)).over(wG))
+      .filter(col("cum_before") + col("_run") - col(tokensCol) <
+        budget)
+      .select(col(idCol), col(scoreCol), col(tokensCol))
+  }
+
+  /** Temperature-flattened mixture resampling (the pretraining-mixture
+    * pass, τ = 2): per-source keep counts ∝ √c_s — flattening a
+    * head-heavy source distribution toward the tail, the standard
+    * knob for "don't let the biggest crawl dominate the mixture".
+    *
+    * Determinism: √ is IEEE-exact, but a SUM of square roots is
+    * addend-order-dependent — so each √c_s is quantized to 1e-7 fixed
+    * point first (the spelled-rounding convention) and the allocation
+    * is floor((targetTotal · w_fp) / Σw_fp) over exact integers and
+    * one correctly-rounded double division, identical in both engines.
+    * Selection within a source is the md5-ranked reservoir (same
+    * contract as [[reservoirPerStratum]]: stable under repartitioning
+    * and corpus growth). Caps at the source's own size.
+    *
+    * Scale: one |sources|-row aggregate, a broadcast allocation join,
+    * and a per-source ranking window — no global sort, no skew beyond
+    * the source key itself. */
+  def temperatureMixSqrt(docs: DataFrame, idCol: String,
+                         sourceCol: String,
+                         targetTotal: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_total").cast("double")) * lit(1e7) + lit(0.5))
+          .cast("long"))
+    val tot = per.agg(sum(col("w_fp")).as("w_sum"))
+    val alloc = per.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        least(col("n_total"),
+          floor((lit(targetTotal) * col("w_fp")).cast("double") /
+            col("w_sum").cast("double")).cast("long")).as("n_keep"))
+    val wG = Window.partitionBy(col(sourceCol))
+      .orderBy(md5Hex(col(idCol)), col(idCol))
+    docs.join(broadcast(alloc), Seq(sourceCol))
+      .withColumn("_rn", row_number().over(wG))
+      .filter(col("_rn") <= col("n_keep"))
+      .drop("_rn", "n_keep")
+  }
+
   /** Domain-mixing weights: per-domain token mass scaled by a sampling
     * weight, normalized to the final mixture fraction each domain
     * contributes to the training stream.

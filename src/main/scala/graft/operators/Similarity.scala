@@ -46,17 +46,29 @@ object Similarity {
     * analog of [[topK]] — the scan cost is paid once for the whole
     * panel instead of once per query. */
   def topKMulti(vectors: DataFrame, queries: DataFrame, idCol: String,
-                vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col(idCol))
+                vecCol: String, k: Int): DataFrame =
+    panelTopK(scoredPanel(vectors, queries, vecCol), idCol, k)
+      .select(col("qid"), col(idCol), col("sim"))
+
+  /** One corpus scan scored against a BROADCAST (qid, qvec, …) panel,
+    * cosine rounded to 4 (the q13 parity contract) — the shared core
+    * of [[topKMulti]] and [[hardNegatives]], so the panel contract
+    * (rounding, broadcast hint) lives in exactly one place. */
+  private def scoredPanel(vectors: DataFrame, queries: DataFrame,
+                          vecCol: String): DataFrame =
     vectors.crossJoin(broadcast(queries))
       .withColumn("sim",
         round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
           col("qvec")), 4))
-      .withColumn("rn", row_number().over(w))
+
+  /** Per-query window top-k over a scored panel, ties broken by id. */
+  private def panelTopK(scored: DataFrame, idCol: String,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("qid"), col(idCol), col("sim"))
   }
 
   /** Hard-negative mining for contrastive training data: for each query
@@ -73,19 +85,15 @@ object Similarity {
     * (qid, qvec: array<double>, qlabel). Output: (qid, idCol, labelCol,
     * sim) with ties broken by id — deterministic for the oracle. */
   def hardNegatives(vectors: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, labelCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col(idCol))
-    vectors.crossJoin(broadcast(queries))
-      .filter(col(labelCol) =!= col("qlabel") && col(idCol) =!= col("qid"))
-      .withColumn("sim",
-        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
-          col("qvec")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+                    vecCol: String, labelCol: String, k: Int): DataFrame =
+    panelTopK(
+      scoredPanel(vectors, queries, vecCol)
+        // Catalyst pushes this below the cosine projection (neither
+        // column depends on sim), so excluded rows are never scored
+        .filter(col(labelCol) =!= col("qlabel") &&
+          col(idCol) =!= col("qid")),
+      idCol, k)
       .select(col("qid"), col(idCol), col(labelCol), col("sim"))
-  }
 
   /** Trivial centroid set: every `step`-th vector by id — the
     * dependency-free fallback (deterministic without any fit), kept for

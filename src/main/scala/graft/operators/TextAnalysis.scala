@@ -408,9 +408,10 @@ object TextAnalysis {
     * scoring → vocab-sized df join (AQE broadcasts it) → per-(query,
     * doc) sum → per-query window top-k. Never all-pairs: the only
     * corpus-sized shuffles are the tf aggregate and the final
-    * panel-pruned score aggregate. Scores are rounded to 4 before
-    * ranking so Spark and DuckDB rank identical values (the q13
-    * cosine-parity contract); ties break by doc id.
+    * panel-pruned score aggregate. Per-term contributions are
+    * quantized to 1e-7 fixed point and summed as integers (order-
+    * independent), then rounded to 4 before ranking so Spark and
+    * DuckDB rank identical values; ties break by doc id.
     *
     * `queries` must be a broadcast-sized frame (qid, qtext). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
@@ -423,25 +424,34 @@ object TextAnalysis {
     val tf = cached(tc.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // integer token counts sum exactly in double, so avgdl is
-    // bit-identical across engines (sum order can't perturb it)
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      avg(size(col("toks"))).as("avgdl"))
+    // corpus stats DERIVED from the cached tf frame (split() never
+    // yields an empty array, so every doc appears there) — the naive
+    // docs.agg would re-scan and re-tokenize the whole corpus. avgdl
+    // is a sum of integers over a count — exact in both engines.
+    val stats = tf.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qterms = queries.select(col("qid"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col(idCol))
+    // per-term contributions are quantized to 1e-7 fixed point BEFORE
+    // the sum (floor(x*1e7 + 0.5), the project's spelled-rounding
+    // convention): integer sums are addend-order-independent, so the
+    // score is deterministic by construction — a raw double sum's 4-dp
+    // rounding could flip at a boundary with Spark's uncontrolled
+    // partial-aggregation order.
     tf.join(broadcast(qterms), "term")
       .join(dfreq, "term")
       .crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+      .withColumn("contrib_fp", floor(
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
             (col("df") + 0.5)) *
           (col("tf") * (k1 + 1)) /
           (col("tf") +
             lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          * lit(1e7) + lit(0.5)).cast("long"))
       .groupBy(col("qid"), col(idCol))
-      .agg(round(sum(col("contrib")), 4).as("score"))
+      .agg(round(sum(col("contrib_fp")) / lit(1e7), 4).as("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("score"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, IsolationForest, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IsolationForest, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.CsvIngest
 
 /** North-star LLM-data-pipeline + streaming-dataflow query set
@@ -1532,6 +1532,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline — greedy token-budget corpus selection: fill a
+    // 15k-token budget with the most lexically diverse docs (integer
+    // distinct-token score), boundary group md5-rank-filled. The
+    // budget cumulative runs over the |distinct scores| aggregate,
+    // never the corpus.
+    "q100_token_budget" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("score"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Sampling.selectToTokenBudget(d, "doc_id", "score", "n_tokens",
+          budget = 15000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline — temperature-flattened mixture resampling (tau=2):
+    // per-source keep counts proportional to sqrt(c_s), fixed-point-
+    // normalized (integer-exact allocation), md5-ranked selection.
+    "q101_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMixSqrt(
+          Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", targetTotal = 300L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -2601,9 +2627,11 @@ object PipelineQueries {
 
     // BM25 with the Lucene idf variant, arithmetic spelled identically
     // (ln(1 + (N-df+0.5)/(df+0.5)); tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl));
-    // k1=1.2 b=0.75); scores rounded to 4 BEFORE ranking (the q13
-    // cosine-parity contract), ties by doc id. avgdl is a sum of
-    // integers over a count — exact in both engines.
+    // k1=1.2 b=0.75); per-term contributions quantized to 1e-7 fixed
+    // point (floor(x*1e7+0.5), same association both engines) and
+    // summed as integers — order-independent — then rounded to 4
+    // BEFORE ranking, ties by doc id. avgdl is a sum of integers over
+    // a count — exact in both engines.
     "q97_bm25_topk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
@@ -2620,9 +2648,10 @@ object PipelineQueries {
         |         AS term FROM q),
         |scored AS (
         |  SELECT qt.qid, tf.doc_id,
-        |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
-        |      (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
-        |      4) AS score
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
         |  CROSS JOIN stats
         |  GROUP BY 1, 2),
@@ -2647,8 +2676,9 @@ object PipelineQueries {
         |        sh := array_to_string(t[i:i+3], ' ')))) AS u
         |    FROM toks) z),
         |eligible AS (SELECT sh FROM (
-        |  SELECT sh, count(DISTINCT doc_id) AS cd FROM sh GROUP BY sh)
-        |  WHERE cd BETWEEN 2 AND 100),
+        |  SELECT sh, count(*) AS occ, count(DISTINCT doc_id) AS cd
+        |  FROM sh GROUP BY sh)
+        |  WHERE cd >= 2 AND occ <= 100),
         |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa,
         |        a.pos - b.pos AS diag
         |      FROM (SELECT * FROM sh SEMI JOIN eligible USING (sh)) a
@@ -2681,8 +2711,9 @@ object PipelineQueries {
         |        sh := array_to_string(t[i:i+3], ' ')))) AS u
         |    FROM toks) z),
         |eligible AS (SELECT sh FROM (
-        |  SELECT sh, count(DISTINCT doc_id) AS cd FROM sh GROUP BY sh)
-        |  WHERE cd BETWEEN 2 AND 100),
+        |  SELECT sh, count(*) AS occ, count(DISTINCT doc_id) AS cd
+        |  FROM sh GROUP BY sh)
+        |  WHERE cd >= 2 AND occ <= 100),
         |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa,
         |        a.pos - b.pos AS diag
         |      FROM (SELECT * FROM sh SEMI JOIN eligible USING (sh)) a
@@ -2720,6 +2751,56 @@ object PipelineQueries {
         |    AS dup_fraction
         |FROM toks t LEFT JOIN cov c USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    // greedy prefix under the budget: per-score cumulative (ROWS frame
+    // matches Spark's rowsBetween), md5-ranked fill of the boundary
+    // group; md5(CAST(id AS VARCHAR)) = the engine's md5Hex (q69
+    // parity). All-integer token arithmetic.
+    "q100_token_budget" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS score,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (SELECT score, sum(n_tokens) AS grp_tokens
+        |        FROM d GROUP BY 1),
+        |cum AS (SELECT score,
+        |    coalesce(sum(grp_tokens) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM per),
+        |el AS (SELECT * FROM cum WHERE cum_before < 15000),
+        |r AS (SELECT d.doc_id, d.score, d.n_tokens, el.cum_before,
+        |    sum(d.n_tokens) OVER (PARTITION BY d.score
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d JOIN el USING (score))
+        |SELECT doc_id, score, n_tokens FROM r
+        |WHERE cum_before + run - n_tokens < 15000
+        |ORDER BY doc_id""".stripMargin,
+
+    // sqrt is IEEE-exact; each sqrt(c_s) is quantized to 1e-7 fixed
+    // point (floor(x*1e7+0.5), same association) so the normalizing
+    // SUM is over integers — order-independent; the allocation is one
+    // correctly-rounded double division + floor, spelled identically.
+    "q101_temperature_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_total
+        |             FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_total,
+        |    CAST(floor(sqrt(CAST(n_total AS DOUBLE)) * 1e7 + 0.5)
+        |      AS BIGINT) AS w_fp
+        |  FROM per),
+        |tot AS (SELECT sum(w_fp) AS w_sum FROM w),
+        |alloc AS (SELECT source,
+        |    least(n_total, CAST(floor(CAST(300 * w_fp AS DOUBLE) /
+        |      CAST(w_sum AS DOUBLE)) AS BIGINT)) AS n_keep
+        |  FROM w CROSS JOIN tot),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN alloc USING (source)
+        |WHERE rn <= n_keep ORDER BY doc_id""".stripMargin,
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −

@@ -19,6 +19,7 @@ import graft.operators.TextAnalysis
   *   - q26 shape: df-capped shingle-join jaccard pairs
   *   - q39 shape: jaccard pairs → pointer-jumping connected components
   *   - q80 shape: chunk-level exact dedup with per-doc accounting
+  *   - q98/q99 shape: positional-shingle shared-span runs + coverage
   *
   * Near-linear wall-clock in m is the pass criterion (the df-cap and
   * the banded/blocked joins exist to keep per-row work flat).
@@ -76,6 +77,10 @@ object ScaleProbe {
           minJaccard = 0.5)))
       time(f"x$m q80_chunks  ", Dedup.chunkDedupStats(
         d, "doc_id", "text", chunkSize = 20))
+      time(f"x$m q98_spans   ", Dedup.sharedSpans(
+        d, "doc_id", "text", n = 4, minSpan = 10))
+      time(f"x$m q99_coverage", Dedup.spanCoverage(
+        d, "doc_id", "text", n = 4, minSpan = 10))
     }
     spark.stop()
   }

@@ -84,4 +84,39 @@ class DedupPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sharedSpans equals brute-force longest common token substring " +
+      "on random corpora (n=2, all spans >= n reported)") {
+    // brute force: longest common contiguous token run between 2 docs
+    def lcts(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices) {
+        var k = 0
+        while (i + k < a.length && j + k < b.length &&
+          a(i + k) == b(j + k)) k += 1
+        best = math.max(best, k)
+      }
+      best
+    }
+    (0 until 4).foreach { rep =>
+      val texts = (0 until 12).map(i =>
+        sample(tinyVocab, seed = 7000L * rep + i))
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // cap lifted: the tiny vocabulary makes every shingle a
+      // stop-shingle; the property pins the span math, not the cap
+      val out = Dedup.sharedSpans(docs, "doc_id", "text", n = 2,
+          minSpan = 2, maxShingleOcc = 1000000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val toks = texts.map(_.split(" "))
+      for (i <- toks.indices; j <- toks.indices if i < j) {
+        val expect = lcts(toks(i), toks(j))
+        val got = out.getOrElse((i.toLong, j.toLong), 0L)
+        assert(got == (if (expect >= 2) expect.toLong else 0L),
+          s"rep $rep pair ($i,$j): sharedSpans=$got brute=$expect " +
+            s"texts='${texts(i)}' / '${texts(j)}'")
+      }
+    }
+  }
 }

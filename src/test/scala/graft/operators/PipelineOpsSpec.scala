@@ -186,4 +186,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(0) == "reach <EMAIL> or <NUM>-<NUM> x<NUM>")
     assert(out(1) == "no pii here at all")
   }
+
+  test("selectToTokenBudget: whole high-score groups kept, boundary " +
+      "group part-filled, budget respected within one doc") {
+    import spark.implicits._
+    // score 3: 10 tokens; score 2: 3 docs x 10; score 1: 10
+    val df = Seq(
+      (1L, 3L, 10L),
+      (2L, 2L, 10L), (3L, 2L, 10L), (4L, 2L, 10L),
+      (5L, 1L, 10L)
+    ).toDF("doc_id", "score", "n_tokens")
+    val sel = Sampling.selectToTokenBudget(df, "doc_id", "score",
+        "n_tokens", budget = 25L)
+      .collect().map(_.getLong(0)).toSet
+    // score-3 group (10) fits; boundary score-2 group fills to the
+    // 25-token line: 2 of its 3 docs (the second starts at 20 < 25,
+    // a third would start at 30). Score-1 group starts at 40 — out.
+    assert(sel.contains(1L) && !sel.contains(5L), s"got $sel")
+    assert(sel.size == 3, s"got $sel")
+    val total = Sampling.selectToTokenBudget(df, "doc_id", "score",
+        "n_tokens", budget = 25L)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .collect()(0).getLong(0)
+    assert(total == 30L, s"overshoot must be at most one doc, got $total")
+    // budget larger than the corpus keeps everything
+    val all = Sampling.selectToTokenBudget(df, "doc_id", "score",
+        "n_tokens", budget = 1000L).count()
+    assert(all == 5L)
+  }
+
+  test("temperatureMixSqrt: sqrt-flattened allocation favors the tail " +
+      "relative to raw counts, caps at source size, deterministic") {
+    import spark.implicits._
+    // head-heavy: src a has 64 docs, src b has 10 — raw share 6.4:1,
+    // sqrt share 8:3.16 ≈ 2.5:1 (the flattening)
+    val docs = ((1L to 64L).map(i => (i, "a")) ++
+      (65L to 74L).map(i => (i, "b"))).toDF("doc_id", "source")
+    val sel = Sampling.temperatureMixSqrt(docs, "doc_id", "source",
+        targetTotal = 30L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source")))
+    val bySrc = sel.groupBy(_._2).view.mapValues(_.length).toMap
+    // w_fp(a)=8e7, w_fp(b)=31622777, sum 111622777;
+    // a: floor(30*8e7/sum)=21, b: floor(30*w_b/sum)=8 — vs the
+    // raw-proportional 25/4 split
+    assert(bySrc == Map("a" -> 21, "b" -> 8), s"got $bySrc")
+    // rerun is identical (pure function of ids)
+    val again = Sampling.temperatureMixSqrt(docs, "doc_id", "source",
+        targetTotal = 30L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source")))
+    assert(sel.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a tiny source is never over-allocated past its own size
+    val capped = Sampling.temperatureMixSqrt(docs, "doc_id", "source",
+        targetTotal = 200L)
+      .collect().count(_.getAs[String]("source") == "b")
+    assert(capped == 10, s"got $capped")
+  }
 }

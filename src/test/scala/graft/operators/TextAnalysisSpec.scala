@@ -103,14 +103,18 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
     // doc 3 has no query term — must be absent, not scored 0
     assert(out.map(_._1).toSeq == Seq(2L, 1L), s"got ${out.toSeq}")
-    // closed form: N=3, df(a)=2, avgdl=8/3, k1=1.2, b=0.75
+    // closed form: N=3, df(a)=2, avgdl=8/3, k1=1.2, b=0.75; the score
+    // path quantizes each contribution to 1e-7 fixed point, sums the
+    // integers, divides by 1e7, and rounds to 4
     val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
     def tfc(tf: Double, dl: Double) =
       tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+    def fp(x: Double) = math.floor(x * 1e7 + 0.5).toLong
     def r4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(tf: Double, dl: Double) = r4(fp(idf * tfc(tf, dl)) / 1e7)
     assert(out.toMap == Map(
-      2L -> r4(idf * tfc(2, 3)), 1L -> r4(idf * tfc(1, 2))),
+      2L -> score(2, 3), 1L -> score(1, 2)),
       s"got ${out.toSeq}")
   }
 }
