@@ -124,10 +124,15 @@ object Sampling {
         floor(sqrt(col("n_total").cast("double")) * lit(1e7) + lit(0.5))
           .cast("long"))
     val tot = per.agg(sum(col("w_fp")).as("w_sum"))
+    // w_fp is cast to double BEFORE the multiply: a Long product wraps
+    // silently (ANSI off) at design-scale inputs (1e6-doc source ×
+    // 1e9-doc target ⇒ 1e19 > Long.MaxValue → negative n_keep →
+    // silently empty output); the double product is correctly rounded
+    // and spelled the same way in the oracle
     val alloc = per.crossJoin(broadcast(tot))
       .select(col(sourceCol),
         least(col("n_total"),
-          floor((lit(targetTotal) * col("w_fp")).cast("double") /
+          floor(col("w_fp").cast("double") * lit(targetTotal.toDouble) /
             col("w_sum").cast("double")).cast("long")).as("n_keep"))
     val wG = Window.partitionBy(col(sourceCol))
       .orderBy(md5Hex(col(idCol)), col(idCol))

@@ -50,16 +50,14 @@ object Similarity {
     panelTopK(scoredPanel(vectors, queries, vecCol), idCol, k)
       .select(col("qid"), col(idCol), col("sim"))
 
-  /** One corpus scan scored against a BROADCAST (qid, qvec, …) panel,
-    * cosine rounded to 4 (the q13 parity contract) — the shared core
-    * of [[topKMulti]] and [[hardNegatives]], so the panel contract
-    * (rounding, broadcast hint) lives in exactly one place. */
+  /** One corpus scan scored against a BROADCAST (qid, qvec, …) panel —
+    * the shared core of [[topKMulti]] and [[hardNegatives]]. Delegates
+    * to [[scoreAgainst]] (the single-query scorer has the identical
+    * shape) so the scoring contract — rounding, broadcast hint — lives
+    * in exactly one place. */
   private def scoredPanel(vectors: DataFrame, queries: DataFrame,
                           vecCol: String): DataFrame =
-    vectors.crossJoin(broadcast(queries))
-      .withColumn("sim",
-        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
-          col("qvec")), 4))
+    scoreAgainst(vectors, queries, vecCol)
 
   /** Per-query window top-k over a scored panel, ties broken by id. */
   private def panelTopK(scored: DataFrame, idCol: String,

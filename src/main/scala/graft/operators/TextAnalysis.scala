@@ -418,16 +418,22 @@ object TextAnalysis {
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // null text coalesces to "" (one empty-string token) so every doc
+    // reaches the tf frame and the corpus stats below — split(NULL)
+    // would silently drop the doc from n_docs/avgdl, diverging from a
+    // SQL oracle that counts it
+    val toks = docs.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("toks"))
     val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
       explode(col("toks")).as("term"))
     val tf = cached(tc.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // corpus stats DERIVED from the cached tf frame (split() never
-    // yields an empty array, so every doc appears there) — the naive
-    // docs.agg would re-scan and re-tokenize the whole corpus. avgdl
-    // is a sum of integers over a count — exact in both engines.
+    // corpus stats DERIVED from the cached tf frame (split never
+    // yields an empty array — even "" gives one token — so every doc
+    // appears there) — the naive docs.agg would re-scan and
+    // re-tokenize the whole corpus. avgdl is a sum of integers over a
+    // count — exact in both engines.
     val stats = tf.select(col(idCol), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qterms = queries.select(col("qid"),

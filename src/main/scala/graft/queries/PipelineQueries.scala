@@ -2633,8 +2633,9 @@ object PipelineQueries {
     // BEFORE ranking, ties by doc id. avgdl is a sum of integers over
     // a count — exact in both engines.
     "q97_bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
         |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
         |tf AS (SELECT doc_id, dl, term, count(*) AS tf
         |       FROM tc GROUP BY 1, 2, 3),
@@ -2650,7 +2651,7 @@ object PipelineQueries {
         |  SELECT qt.qid, tf.doc_id,
         |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
         |        (df + 0.5)) *
-        |      (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
         |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
         |  CROSS JOIN stats
@@ -2792,7 +2793,7 @@ object PipelineQueries {
         |  FROM per),
         |tot AS (SELECT sum(w_fp) AS w_sum FROM w),
         |alloc AS (SELECT source,
-        |    least(n_total, CAST(floor(CAST(300 * w_fp AS DOUBLE) /
+        |    least(n_total, CAST(floor(CAST(w_fp AS DOUBLE) * 300 /
         |      CAST(w_sum AS DOUBLE)) AS BIGINT)) AS n_keep
         |  FROM w CROSS JOIN tot),
         |r AS (SELECT doc_id, source,

@@ -93,22 +93,25 @@ class TextAnalysisSpec extends SparkSpec {
   test("bm25TopK: non-matching docs absent, tf beats dl penalty here, " +
       "score matches the closed form") {
     import spark.implicits._
+    // doc 4's null text must still count in n_docs/avgdl (as one
+    // empty-string token), matching what a SQL oracle would count
     val docs = Seq(
-      (1L, "a b"), (2L, "a a c"), (3L, "c c c")
+      (1L, "a b"), (2L, "a a c"), (3L, "c c c"),
+      (4L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val queries = Seq((0L, "a")).toDF("qid", "qtext")
     val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries,
         k = 10)
       .orderBy(col("score").desc, col("doc_id"))
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
-    // doc 3 has no query term — must be absent, not scored 0
+    // docs 3/4 have no query term — must be absent, not scored 0
     assert(out.map(_._1).toSeq == Seq(2L, 1L), s"got ${out.toSeq}")
-    // closed form: N=3, df(a)=2, avgdl=8/3, k1=1.2, b=0.75; the score
+    // closed form: N=4, df(a)=2, avgdl=9/4, k1=1.2, b=0.75; the score
     // path quantizes each contribution to 1e-7 fixed point, sums the
     // integers, divides by 1e7, and rounds to 4
-    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    val idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
     def tfc(tf: Double, dl: Double) =
-      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (9.0 / 4.0)))
     def fp(x: Double) = math.floor(x * 1e7 + 0.5).toLong
     def r4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
