@@ -1558,6 +1558,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline CAPSTONE — the full curation pipeline as ONE plan,
+    // end-to-end under the hash gate: quality gate (integer lexical
+    // diversity) → exact dedup (md5 token-set, keep min id) → span
+    // near-dup drop (>=20 shared consecutive tokens drops the higher
+    // id) → greedy token-budget selection (15k) → per-source report.
+    // Each stage is an already-gated operator; this row proves they
+    // COMPOSE (the reference's actual usage shape: a pipeline, not
+    // isolated queries). Stages are cached where consumed twice.
+    "q102_curation_pipeline" -> ((s, dir) => {
+      import graft.engine.Caching.cached
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ").as("t"))
+      val qual = cached(base
+        .select(col("doc_id"), col("source"), col("text"),
+          size(array_distinct(col("t"))).cast("long").as("score"),
+          size(col("t")).cast("long").as("n_tokens"))
+        .filter(col("score") >= 15))
+      val reps = Dedup.exact(qual, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val keep1 = cached(qual.join(reps, Seq("doc_id"), "left_semi"))
+      val drops = Dedup.sharedSpans(keep1, "doc_id", "text",
+          n = 4, minSpan = 20)
+        .select(col("id2").as("doc_id")).distinct()
+      val keep2 = cached(keep1.join(drops, Seq("doc_id"), "left_anti"))
+      val sel = Sampling.selectToTokenBudget(keep2, "doc_id", "score",
+        "n_tokens", budget = 15000L)
+      sel.join(keep2.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(col("n_tokens")).as("tokens_kept"))
+        .orderBy(col("source"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -2802,6 +2836,70 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT r.doc_id, r.source FROM r JOIN alloc USING (source)
         |WHERE rn <= n_keep ORDER BY doc_id""".stripMargin,
+
+    // the composed pipeline: every CTE block is a proven gate oracle
+    // (q23-family integer quality, q14 md5 token-set dedup, q98 span
+    // runs, q100 greedy budget) chained end-to-end; all-integer final
+    // report
+    "q102_curation_pipeline" ->
+      """WITH base AS (SELECT doc_id, source, string_split(text, ' ')
+        |    AS t FROM documents),
+        |qual AS (SELECT doc_id, source, t,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS score,
+        |    CAST(len(t) AS BIGINT) AS n_tokens
+        |  FROM base WHERE len(list_distinct(t)) >= 15),
+        |sig AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(t)), ' '))
+        |      AS sg
+        |  FROM qual),
+        |keep1 AS (SELECT q.* FROM qual q
+        |  JOIN (SELECT sg, min(doc_id) AS keep_id FROM sig
+        |        GROUP BY sg) k
+        |    ON q.doc_id = k.keep_id),
+        |sh AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(t) - 3, 0) + 1),
+        |      i -> struct_pack(pos := i - 1,
+        |        sh := array_to_string(t[i:i+3], ' ')))) AS u
+        |    FROM keep1) z),
+        |eligible AS (SELECT sh FROM (
+        |  SELECT sh, count(*) AS occ, count(DISTINCT doc_id) AS cd
+        |  FROM sh GROUP BY sh)
+        |  WHERE cd >= 2 AND occ <= 100),
+        |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa,
+        |        a.pos - b.pos AS diag
+        |      FROM (SELECT * FROM sh SEMI JOIN eligible USING (sh)) a
+        |      JOIN (SELECT * FROM sh SEMI JOIN eligible USING (sh)) b
+        |        USING (sh)
+        |      WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT id1, id2, diag, pa,
+        |        pa - row_number() OVER
+        |          (PARTITION BY id1, id2, diag ORDER BY pa) AS grp
+        |      FROM m),
+        |runs AS (SELECT id1, id2, count(*) + 3 AS span
+        |         FROM r GROUP BY id1, id2, diag, grp),
+        |drops AS (SELECT DISTINCT id2 FROM runs WHERE span >= 20),
+        |keep2 AS (SELECT * FROM keep1
+        |          WHERE doc_id NOT IN (SELECT id2 FROM drops)),
+        |per AS (SELECT score, sum(n_tokens) AS grp_tokens
+        |        FROM keep2 GROUP BY 1),
+        |cum AS (SELECT score,
+        |    coalesce(sum(grp_tokens) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM per),
+        |el AS (SELECT * FROM cum WHERE cum_before < 15000),
+        |rr AS (SELECT k.doc_id, k.source, k.score, k.n_tokens,
+        |    el.cum_before,
+        |    sum(k.n_tokens) OVER (PARTITION BY k.score
+        |      ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM keep2 k JOIN el USING (score)),
+        |sel AS (SELECT doc_id, source, n_tokens FROM rr
+        |        WHERE cum_before + run - n_tokens < 15000)
+        |SELECT source, count(*) AS docs_kept,
+        |  sum(n_tokens) AS tokens_kept
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −
