@@ -119,4 +119,48 @@ class DedupPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("spanCoverage equals brute-force covered-position marking on " +
+      "random corpora (n=2, minSpan=3)") {
+    // brute force: mark every position of every cross-doc common run
+    // of >= minSpan tokens, in both documents of the pair
+    def bruteCovered(toks: IndexedSeq[Array[String]],
+                     minSpan: Int): Map[Int, Set[Int]] = {
+      val cov = toks.indices.map(i => i ->
+        scala.collection.mutable.Set.empty[Int]).toMap
+      for (x <- toks.indices; y <- toks.indices if x < y) {
+        val (a, b) = (toks(x), toks(y))
+        for (i <- a.indices; j <- b.indices) {
+          var k = 0
+          while (i + k < a.length && j + k < b.length &&
+            a(i + k) == b(j + k)) k += 1
+          if (k >= minSpan) {
+            (i until i + k).foreach(cov(x).add)
+            (j until j + k).foreach(cov(y).add)
+          }
+        }
+      }
+      cov.map { case (k, v) => k -> v.toSet }
+    }
+    (0 until 3).foreach { rep =>
+      val texts = (0 until 10).map(i =>
+        sample(tinyVocab, seed = 9000L * rep + i))
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.spanCoverage(docs, "doc_id", "text", n = 2,
+          minSpan = 3, maxShingleOcc = 1000000)
+        .collect().map(r => r.getLong(0).toInt ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val toks = texts.map(_.split(" ")).toIndexedSeq
+      val expect = bruteCovered(toks, minSpan = 3)
+      toks.indices.foreach { i =>
+        val (nTok, covered) = out(i)
+        assert(nTok == toks(i).length.toLong,
+          s"rep $rep doc $i: n_tokens $nTok != ${toks(i).length}")
+        assert(covered == expect(i).size.toLong,
+          s"rep $rep doc $i: coverage $covered != brute " +
+            s"${expect(i).size} (text='${texts(i)}')")
+      }
+    }
+  }
 }
