@@ -142,6 +142,61 @@ object Sampling {
       .drop("_rn", "n_keep")
   }
 
+  /** Epoch-repeat mixing — the UP-sampling counterpart to the
+    * down-sampling mixers above: when the token target exceeds a
+    * source's corpus, the source is repeated whole (epochs) up to
+    * `maxEpochs` (the "don't over-repeat small high-quality sources"
+    * cap), and the fractional remainder is filled by an md5-ranked
+    * greedy prefix of its documents (same stability contract as
+    * [[reservoirPerStratum]]: pure function of ids, stable under
+    * repartitioning and corpus growth).
+    *
+    * Allocation: each source gets an equal integer share
+    * `targetTokens div n_sources`; epochs = min(maxEpochs,
+    * share div c_tokens); the remainder fills only BELOW the cap (at
+    * the cap the budget is forfeit — that is the cap's meaning). The
+    * fill keeps a doc iff the token mass strictly before it is under
+    * the remainder (the [[selectToTokenBudget]] overshoot-by-≤1 rule).
+    * All-integer arithmetic end to end.
+    *
+    * Output per source: (source, n_docs, c_tokens, epochs, fill_docs,
+    * fill_tokens, total_tokens). Scale: one |sources|-row aggregate,
+    * broadcast allocation join, per-source ranking window — no global
+    * sort; the corpus is scanned once. */
+  def epochMix(docs: DataFrame, idCol: String, sourceCol: String,
+               tokensCol: String, targetTokens: Long,
+               maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("c_tokens"))
+    val nSrc = per.agg(count(lit(1)).as("n_sources"))
+    val alloc = per.crossJoin(broadcast(nSrc))
+      .withColumn("t_share", expr(s"${targetTokens}L div n_sources"))
+      .withColumn("epochs",
+        least(lit(maxEpochs.toLong), expr("t_share div c_tokens")))
+      .withColumn("leftover", when(col("epochs") < maxEpochs,
+        col("t_share") - col("epochs") * col("c_tokens"))
+        .otherwise(lit(0L)))
+    val wG = Window.partitionBy(col(sourceCol))
+      .orderBy(md5Hex(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fill = docs
+      .join(broadcast(alloc.select(col(sourceCol), col("leftover"))),
+        Seq(sourceCol))
+      .withColumn("_run", sum(col(tokensCol)).over(wG))
+      .filter(col("_run") - col(tokensCol) < col("leftover"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("fill_docs"),
+        sum(col(tokensCol)).as("fill_tokens"))
+    alloc.join(fill, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("c_tokens"),
+        col("epochs"),
+        coalesce(col("fill_docs"), lit(0L)).as("fill_docs"),
+        coalesce(col("fill_tokens"), lit(0L)).as("fill_tokens"),
+        (col("epochs") * col("c_tokens") +
+          coalesce(col("fill_tokens"), lit(0L))).as("total_tokens"))
+  }
+
   /** Domain-mixing weights: per-domain token mass scaled by a sampling
     * weight, normalized to the final mixture fraction each domain
     * contributes to the training stream.

@@ -93,6 +93,51 @@ object Similarity {
       idCol, k)
       .select(col("qid"), col(idCol), col(labelCol), col("sim"))
 
+  /** 1-based rank column over a scored retrieval list: per-qid
+    * row_number by (score desc, id) — the SAME tiebreak every top-k in
+    * this family uses, so re-ranking a `topKMulti`/`bm25TopK` output
+    * reproduces the ranks those operators assigned internally. */
+  def rankByScore(scored: DataFrame, idCol: String,
+                  scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("qid"))
+        .orderBy(col(scoreCol).desc, col(idCol))))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard
+    * hybrid-retrieval combiner for heterogeneous rankers (sparse BM25 +
+    * dense cosine): score(d) = Σ_lists 1/(kRrf + rank_list(d)), fused
+    * on ranks so the lists' incomparable score scales never meet.
+    *
+    * Each input frame carries (qid, idCol, rank) with rank 1-based
+    * (see [[rankByScore]]). Every contribution is quantized to 1e-7
+    * fixed point — floor(1e7/(kRrf+rank) + 0.5) — and summed as
+    * integers (the project's spelled-rounding convention): the fused
+    * score is a pure integer function of the ranks, bit-exact in any
+    * engine. Output: (qid, idCol, rrf_fp, n_lists) top-k per qid,
+    * ties broken by id.
+    *
+    * Scale: the inputs are already top-k lists (k·|panel| rows each);
+    * everything here is panel-sized — the corpus-scale work happened
+    * in the rankers. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contribs = lists.map(_.select(col("qid"), col(idCol),
+      floor(lit(1e7) / (lit(kRrf) + col("rank")) + lit(0.5))
+        .cast("long").as("contrib_fp")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_fp").desc, col(idCol))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("contrib_fp")).as("rrf_fp"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("rrf_fp"), col("n_lists"))
+  }
+
   /** Trivial centroid set: every `step`-th vector by id — the
     * dependency-free fallback (deterministic without any fit), kept for
     * comparison probes; the operator of record is [[learnedCentroids]],

@@ -63,6 +63,51 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
 
+  /** Gopher-style rule-based quality flags (the document-filter family
+    * of Rae et al. 2021, §A1.1 — token-count window, mean-word-length
+    * window, lexical-diversity floor, minimum stopword presence), with
+    * thresholds as parameters because the published values are tuned to
+    * web text, not a given corpus. Every rule is spelled in INTEGER
+    * arithmetic — the mean-word-length window is cross-multiplied
+    * (10·Σlen vs bound·n) instead of divided, the TTR floor is
+    * 2·distinct ≥ n — so every flag is bit-exact in any engine.
+    *
+    * Output per doc: (id, n_tokens, flag_len, flag_wordlen, flag_ttr,
+    * flag_stop, pass) with each flag 0/1 and pass their conjunction.
+    * One stateless projection — a 100 TB corpus filters at scan speed,
+    * no shuffle, no UDF. */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String],
+                  minTokens: Int = 20, maxTokens: Int = 90,
+                  minMeanLenX10: Int = 40, maxMeanLenX10: Int = 100,
+                  minStopHits: Int = 2): DataFrame = {
+    // tokens materialized in their own projection: every measure below
+    // references the array, and Spark does no subexpression elimination
+    // inside HOF lambdas (the q95 finding)
+    val toks = docs.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("t"))
+    val stopSet = array(stopwords.map(lit): _*)
+    val m = toks.select(col(idCol),
+      size(col("t")).cast("long").as("n_tokens"),
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+      aggregate(col("t"), lit(0L),
+        (acc, x) => acc + length(x).cast("long")).as("sum_len"),
+      size(array_intersect(array_distinct(col("t")), stopSet))
+        .cast("long").as("stop_hits"))
+    m.select(col(idCol), col("n_tokens"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .cast("int").as("flag_len"),
+        (col("sum_len") * 10 >= col("n_tokens") * minMeanLenX10 &&
+          col("sum_len") * 10 <= col("n_tokens") * maxMeanLenX10)
+          .cast("int").as("flag_wordlen"),
+        (col("n_distinct") * 2 >= col("n_tokens")).cast("int")
+          .as("flag_ttr"),
+        (col("stop_hits") >= minStopHits).cast("int").as("flag_stop"))
+      .withColumn("pass",
+        (col("flag_len") + col("flag_wordlen") + col("flag_ttr") +
+          col("flag_stop") === 4).cast("int"))
+  }
+
   /** Candidate near-duplicate pairs by exact n-gram Jaccard, computed
     * scalably: explode distinct shingles → self-join on shingle (only
     * docs sharing ≥1 shingle ever meet — never an all-pairs cartesian)

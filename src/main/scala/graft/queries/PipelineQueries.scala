@@ -1592,6 +1592,107 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // LLM-pipeline — hybrid retrieval: reciprocal-rank fusion of the
+    // sparse (BM25, q97's panel) and dense (cosine, the same qids'
+    // embeddings — doc_id and vec_id are aligned) rankers. Ranks fuse
+    // as integers (1e7-fixed-point contributions), so the fused score
+    // is bit-exact across engines.
+    "q103_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val textPanel = Seq(
+        (0L, "merge sort window"), (1L, "stream batch join"),
+        (2L, "hash table scan"), (3L, "slow query filter"))
+        .toDF("qid", "qtext")
+      val vecPanel = e.filter(col("vec_id").isin(0L, 1L, 2L, 3L))
+        .select(col("vec_id").as("qid"),
+          VectorFns.toDouble(col("embedding")).as("qvec"))
+      val sparse = Similarity.rankByScore(
+        TextAnalysis.bm25TopK(docs, "doc_id", "text", textPanel, k = 20),
+        "doc_id", "score")
+      val dense = Similarity.rankByScore(
+        Similarity.topKMulti(e, vecPanel, "vec_id", "embedding", 20)
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "sim")
+      Similarity.rrfFuse(Seq(sparse, dense), "doc_id", k = 10)
+        .orderBy(col("qid"), col("rrf_fp").desc, col("doc_id"))
+    }),
+
+    // LLM-pipeline — Gopher-style rule-based quality flags (token-count
+    // window, cross-multiplied mean-word-length window, TTR floor,
+    // stopword presence), thresholds adapted so each rule splits the
+    // synthetic corpus. All-integer → every flag hashes.
+    "q104_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherFlags(Tables(s, dir, "documents"),
+          "doc_id", "text", stopwords = langMarkers)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline — epoch-repeat mixing (the up-sampling mixer): equal
+    // integer token shares per source, whole-corpus repeats capped at 3
+    // epochs, md5-ranked greedy fill of the remainder below the cap.
+    // At sf0.01 the 20 sources split into both branches (capped vs
+    // epochs+fill). All-integer.
+    "q105_epoch_mix" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Sampling.epochMix(d, "doc_id", "source", "n_tokens",
+          targetTokens = 80000L, maxEpochs = 3)
+        .orderBy(col("source"))
+    }),
+
+    // LLM-pipeline — duplicate-cluster size histogram (the corpus-health
+    // readout of the dedup DECISION): connected components over the
+    // shared-span pair graph (>=20 consecutive tokens), singleton docs
+    // counted as size-1 clusters. Oracle: q98's span CTE + q39's
+    // recursive transitive closure.
+    "q106_cluster_histogram" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.sharedSpans(docs, "doc_id", "text",
+          n = 4, minSpan = 20)
+        .select(col("id1"), col("id2"))
+      val labels = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("label"))
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // LLM-pipeline — crawl-saturation curve: per 50-doc id bucket, how
+    // many token-set signatures appear for the FIRST time in that
+    // bucket (min-id first occurrence), with the cumulative count and
+    // per-bucket novelty rate. The engine groups on md5 digests
+    // (fixed-width shuffle keys); the oracle groups on the raw
+    // signature — the q14/q26 registered collision trade.
+    "q107_saturation_curve" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sig = docs.select(col("doc_id"),
+        md5(Dedup.tokenSetSignature(col("text"))).as("sig"))
+      val news = sig.groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("first_id"))
+        .select(expr("first_id div 50").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_sigs"))
+      val per = sig.select(expr("doc_id div 50").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      // cumulative over the BUCKET aggregate (|corpus|/50 rows — the
+      // q100 pattern: global-order windows only over tiny aggregates)
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      per.join(news, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"),
+          coalesce(col("new_sigs"), lit(0L)).as("new_sigs"))
+        .withColumn("cum_sigs", sum(col("new_sigs")).over(w))
+        .withColumn("novelty_rate",
+          round(col("new_sigs").cast("double") / col("n_docs"), 4))
+        .orderBy(col("bucket"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -2900,6 +3001,200 @@ object PipelineQueries {
         |SELECT source, count(*) AS docs_kept,
         |  sum(n_tokens) AS tokens_kept
         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
+
+    // hybrid retrieval: q97's BM25 CTE at k=20 + the q13-style cosine
+    // ranker over the same qids' embeddings; ranks fuse as 1e7-fixed-
+    // point integers (floor(1e7/(60+rank)+0.5)), summed as BIGINTs —
+    // the fused score is a pure integer function of the ranks
+    "q103_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'merge sort window'),
+        |        (1, 'stream batch join'), (2, 'hash table scan'),
+        |        (3, 'slow query filter')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |bscored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |bk AS (SELECT qid, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |    FROM bscored) WHERE rank <= 20),
+        |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+        |dscored AS (SELECT qv.qid, e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      qv.qvec), 4) AS sim
+        |  FROM embeddings e CROSS JOIN qv),
+        |dk AS (SELECT qid, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY sim DESC, doc_id) AS rank
+        |    FROM dscored) WHERE rank <= 20),
+        |u AS (SELECT qid, doc_id,
+        |        CAST(floor(1e7 / (60 + rank) + 0.5) AS BIGINT) AS c
+        |      FROM bk
+        |      UNION ALL
+        |      SELECT qid, doc_id,
+        |        CAST(floor(1e7 / (60 + rank) + 0.5) AS BIGINT) AS c
+        |      FROM dk),
+        |f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp,
+        |        count(*) AS n_lists
+        |      FROM u GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER
+        |         (PARTITION BY qid ORDER BY rrf_fp DESC, doc_id) AS rn
+        |       FROM f)
+        |SELECT qid, doc_id, rrf_fp, n_lists FROM rk WHERE rn <= 10
+        |ORDER BY qid, rrf_fp DESC, doc_id""".stripMargin,
+
+    // every rule in integer arithmetic: mean-word-length window
+    // cross-multiplied (10*sum_len vs bound*n), TTR floor as
+    // 2*distinct >= n — no division anywhere
+    "q104_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |    CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(list_intersect(list_distinct(t),
+        |      ['scan', 'table', 'row', 'data', 'query', 'filter']))
+        |      AS BIGINT) AS stop_hits
+        |  FROM t),
+        |fl AS (SELECT doc_id, n_tokens,
+        |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 90
+        |         THEN 1 ELSE 0 END AS INTEGER) AS flag_len,
+        |    CAST(CASE WHEN sum_len * 10 >= n_tokens * 40
+        |          AND sum_len * 10 <= n_tokens * 100
+        |         THEN 1 ELSE 0 END AS INTEGER) AS flag_wordlen,
+        |    CAST(CASE WHEN n_distinct * 2 >= n_tokens
+        |         THEN 1 ELSE 0 END AS INTEGER) AS flag_ttr,
+        |    CAST(CASE WHEN stop_hits >= 2
+        |         THEN 1 ELSE 0 END AS INTEGER) AS flag_stop
+        |  FROM m)
+        |SELECT doc_id, n_tokens, flag_len, flag_wordlen, flag_ttr,
+        |  flag_stop,
+        |  CAST(CASE WHEN flag_len + flag_wordlen + flag_ttr +
+        |         flag_stop = 4 THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |FROM fl ORDER BY doc_id""".stripMargin,
+
+    // equal integer shares (80000 // n_sources), epochs capped at 3,
+    // remainder filled md5-rank-greedily only BELOW the cap; the
+    // window runs per source (never corpus-global)
+    "q105_epoch_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS c_tokens
+        |  FROM d GROUP BY 1),
+        |n AS (SELECT count(*) AS n_sources FROM per),
+        |a0 AS (SELECT source, n_docs, c_tokens,
+        |    80000 // n_sources AS t_share FROM per CROSS JOIN n),
+        |a1 AS (SELECT *, least(3, t_share // c_tokens) AS epochs
+        |       FROM a0),
+        |alloc AS (SELECT *, CASE WHEN epochs < 3
+        |    THEN t_share - epochs * c_tokens ELSE 0 END AS leftover
+        |  FROM a1),
+        |run AS (SELECT d.source, d.doc_id, d.n_tokens, a.leftover,
+        |    sum(d.n_tokens) OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS rsum
+        |  FROM d JOIN alloc a USING (source)),
+        |fill AS (SELECT source, count(*) AS fill_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS fill_tokens
+        |  FROM run WHERE rsum - n_tokens < leftover GROUP BY 1)
+        |SELECT a.source, a.n_docs, a.c_tokens,
+        |  CAST(a.epochs AS BIGINT) AS epochs,
+        |  coalesce(f.fill_docs, 0) AS fill_docs,
+        |  coalesce(f.fill_tokens, 0) AS fill_tokens,
+        |  CAST(a.epochs * a.c_tokens + coalesce(f.fill_tokens, 0)
+        |    AS BIGINT) AS total_tokens
+        |FROM alloc a LEFT JOIN fill f USING (source)
+        |ORDER BY a.source""".stripMargin,
+
+    // q98's span CTE (minSpan 20) -> q39's recursive transitive
+    // closure -> singleton-inclusive size histogram
+    "q106_cluster_histogram" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(t) - 3, 0) + 1),
+        |      i -> struct_pack(pos := i - 1,
+        |        sh := array_to_string(t[i:i+3], ' ')))) AS u
+        |    FROM toks) z),
+        |eligible AS (SELECT sh FROM (
+        |  SELECT sh, count(*) AS occ, count(DISTINCT doc_id) AS cd
+        |  FROM sh GROUP BY sh)
+        |  WHERE cd >= 2 AND occ <= 100),
+        |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa,
+        |        a.pos - b.pos AS diag
+        |      FROM (SELECT * FROM sh SEMI JOIN eligible USING (sh)) a
+        |      JOIN (SELECT * FROM sh SEMI JOIN eligible USING (sh)) b
+        |        USING (sh)
+        |      WHERE a.doc_id < b.doc_id),
+        |rg AS (SELECT id1, id2, diag, pa,
+        |        pa - row_number() OVER
+        |          (PARTITION BY id1, id2, diag ORDER BY pa) AS grp
+        |      FROM m),
+        |runs AS (SELECT id1, id2, count(*) + 3 AS span
+        |         FROM rg GROUP BY id1, id2, diag, grp),
+        |pairs AS (SELECT DISTINCT id1, id2 FROM runs WHERE span >= 20),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, rc.root FROM reach rc JOIN edges e
+        |    ON e.a = rc.node),
+        |lbl AS (SELECT node, min(root) AS label FROM reach
+        |        GROUP BY node),
+        |alld AS (SELECT coalesce(l.label, d.doc_id) AS label
+        |         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node),
+        |cs AS (SELECT label, count(*) AS cluster_size FROM alld
+        |       GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // first-occurrence (min doc id) per token-set signature, bucketed
+    // by 50 ids; the oracle groups on the raw signature where the
+    // engine groups on its md5 (the q14/q26 collision trade)
+    "q107_saturation_curve" ->
+      """WITH sig AS (SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ') AS sig
+        |  FROM documents),
+        |firsts AS (SELECT sig, min(doc_id) AS first_id FROM sig
+        |           GROUP BY sig),
+        |news AS (SELECT first_id // 50 AS bucket, count(*) AS new_sigs
+        |         FROM firsts GROUP BY 1),
+        |per AS (SELECT doc_id // 50 AS bucket, count(*) AS n_docs
+        |        FROM sig GROUP BY 1),
+        |j AS (SELECT p.bucket, p.n_docs,
+        |        coalesce(n2.new_sigs, 0) AS new_sigs
+        |      FROM per p LEFT JOIN news n2 USING (bucket))
+        |SELECT bucket, n_docs, new_sigs,
+        |  CAST(sum(new_sigs) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sigs,
+        |  round(CAST(new_sigs AS DOUBLE) / n_docs, 4) AS novelty_rate
+        |FROM j ORDER BY bucket""".stripMargin,
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −

@@ -243,4 +243,35 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().count(_.getAs[String]("source") == "b")
     assert(capped == 10, s"got $capped")
   }
+
+  test("epochMix: cap forfeits the remainder, below-cap sources fill " +
+      "greedily with at-most-one-doc overshoot") {
+    import spark.implicits._
+    // source a: 3 docs x 10 tokens (c=30); source b: 2 docs x 100
+    // (c=200). target 200 over 2 sources -> t_share 100 each.
+    val d = (Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (10L, "b", 100L), (11L, "b", 100L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.epochMix(d, "doc_id", "source", "n_tokens",
+        targetTokens = 200L, maxEpochs = 3)
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      // a: 100 div 30 = 3 = cap -> epochs 3, remainder (10) FORFEIT:
+      // no fill even though a 10-token doc would fit
+      ("a", 3L, 30L, 3L, 0L, 0L, 90L),
+      // b: 100 div 200 = 0 epochs, leftover 100 -> exactly one
+      // 100-token doc fills (the second would start at 100, not < 100)
+      ("b", 2L, 200L, 0L, 1L, 100L, 100L)), s"got ${out.toSeq}")
+    // fill is md5-rank greedy with the selectToTokenBudget overshoot
+    // rule: for b, t_share 150 gives 0 epochs (< cap 1) and leftover
+    // 150 — the second 100-token doc starts at 100 < 150, so it is
+    // admitted and the fill overshoots by at most that one doc
+    val over = Sampling.epochMix(d, "doc_id", "source", "n_tokens",
+        targetTokens = 300L, maxEpochs = 1)
+      .filter(col("source") === "b")
+      .collect().map(r => (r.getLong(4), r.getLong(6))).head
+    assert(over == ((2L, 200L)), s"got $over")
+  }
 }

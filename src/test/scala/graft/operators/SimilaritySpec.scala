@@ -252,4 +252,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((4L, 1.0), (5L, 1.0), (2L, 0.9939)),
       s"got ${out.toSeq}")
   }
+
+  test("rrfFuse: overlap sums both contributions, fixed-point values " +
+      "are the closed-form floors, ties break by id") {
+    import spark.implicits._
+    // closed-form contributions at kRrf=60:
+    //   rank 1 -> floor(1e7/61 + 0.5) = 163934
+    //   rank 2 -> floor(1e7/62 + 0.5) = 161290
+    //   rank 3 -> floor(1e7/63 + 0.5) = 158730
+    val sparse = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 9L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val dense = Seq((0L, 2L, 1), (0L, 4L, 2), (0L, 5L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(sparse, dense), "doc_id", k = 5)
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2 is in both lists (163934 + 161290); docs 5 and 9 tie at
+    // 158730 and the lower id wins
+    assert(out.toSeq == Seq(
+      (2L, 325224L, 2L), (1L, 163934L, 1L), (4L, 161290L, 1L),
+      (5L, 158730L, 1L), (9L, 158730L, 1L)), s"got ${out.toSeq}")
+    // k truncates per qid after fusion
+    val top2 = Similarity.rrfFuse(Seq(sparse, dense), "doc_id", k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(top2 == Set(2L, 1L), s"got $top2")
+  }
 }

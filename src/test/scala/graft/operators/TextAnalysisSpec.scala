@@ -120,4 +120,28 @@ class TextAnalysisSpec extends SparkSpec {
       2L -> score(2, 3), 1L -> score(1, 2)),
       s"got ${out.toSeq}")
   }
+
+  test("gopherFlags: each rule trips independently on its crafted doc " +
+      "and the conjunction gates pass; null text never drops out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc"),            // all rules pass
+      (2L, "bb bb bb bb bb"),      // too long + zero diversity + no stop
+      (3L, "aaaaaaa bb"),          // mean word length 4.5 > 3.0 cap
+      (4L, null.asInstanceOf[String])) // -> [""]: n=1 under min
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFlags(docs, "doc_id", "text",
+        stopwords = Seq("aa", "zz"),
+        minTokens = 2, maxTokens = 4,
+        minMeanLenX10 = 15, maxMeanLenX10 = 30, minStopHits = 1)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(out.toSeq == Seq(
+      // (id, flag_len, flag_wordlen, flag_ttr, flag_stop, pass)
+      (1L, 1, 1, 1, 1, 1),
+      (2L, 0, 1, 0, 0, 0),
+      (3L, 1, 0, 1, 0, 0),
+      (4L, 0, 0, 1, 0, 0)), s"got ${out.toSeq}")
+  }
 }
