@@ -57,6 +57,24 @@ object Caching {
     * exactly `Dataset.cache()`. */
   def cached[T](ds: Dataset[T]): Dataset[T] = {
     ds.cache()
+    register(ds)
+  }
+
+  /** [[cached]] at MEMORY_AND_DISK_SER. For corpus-sized intermediates
+    * (exploded shingle relations, self-join build sides): deserialized
+    * MEMORY_ONLY blocks inflate several-fold over their on-wire size, and
+    * on a big (90 GB) heap the inflation lands as first-touch page
+    * zeroing on pages the block manager never reuses — the q39-family
+    * tax. Serialized blocks keep the cache near its shuffle footprint;
+    * the per-read deserialization cost is noise next to the join they
+    * feed. Small multi-consumer frames (band signatures, tf stats) stay
+    * on [[cached]] — for them the decode tax is the larger term. */
+  def cachedSer[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    register(ds)
+  }
+
+  private def register[T](ds: Dataset[T]): Dataset[T] = {
     stack.get() match {
       case scope :: _ => scope.tracked += ds
       case Nil        => ()

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Caching.cached
+import graft.engine.Caching.{cached, cachedSer}
 
 /** X1 — deduplication family for a training-data pipeline.
   *
@@ -70,7 +70,9 @@ object Dedup {
     // tokens() in its own projection first (no subexpr elimination
     // inside HOF lambdas — the shingle slice over a raw split would
     // re-tokenize per element; measured 6× in NoveltyProbe)
-    cached(docs
+    // serialized: per-doc shingle-hash ARRAYS are the worst case for
+    // deserialized caching (object header per element) — see cachedSer
+    cachedSer(docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         // pre-hash shingles to longs: the 24 signature hash functions
@@ -461,8 +463,11 @@ object Dedup {
       .filter(col("_bn").between(minBlock, maxBlock))
       .select(col("blk"))
     // cached: self-joined as a/b below — without materialization the
-    // scan + block filter run once per join side
-    val blocked = cached(d.join(sized, "blk"))
+    // scan + block filter run once per join side. Serialized persist:
+    // the frame carries headLen-char heads for the whole corpus, and as
+    // a deserialized block it pays the big-heap first-touch tax
+    // (q55's r9 driver regression — same signature q39 had).
+    val blocked = cachedSer(d.join(sized, "blk"))
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.blk") === col("b.blk") &&
@@ -518,7 +523,9 @@ object Dedup {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
     // positional (NON-distinct) shingles — position is the payload here,
     // so TextAnalysis.shingles' array_distinct would be wrong
-    val sh = cached(toks
+    // serialized: corpus-sized positional-shingle relation — the
+    // big-heap first-touch rationale documented on Caching.cachedSer
+    val sh = cachedSer(toks
       .select(col(idCol), posexplode(
         when(size(col("toks")) < n, array().cast("array<string>"))
           .otherwise(transform(
@@ -530,8 +537,8 @@ object Dedup {
       .agg(count(lit(1)).as("occ"), countDistinct(col(idCol)).as("cd"))
       .filter(col("cd") >= 2 && col("occ") <= maxShingleOcc)
       .select(col("sh"))
-    // cached: both sides of the pair join read this frame
-    val shE = cached(sh.join(eligible, "sh"))
+    // cached (serialized): both sides of the pair join read this frame
+    val shE = cachedSer(sh.join(eligible, "sh"))
     val w = Window.partitionBy(col("id1"), col("id2"), col("diag"))
       .orderBy(col("pa"))
     shE.as("a")

@@ -13,10 +13,20 @@ package graft.operators
   *     4 bytes, bottom-up when height > 0.
   *
   * Everything returns row-major RGB (3 bytes/pixel, top-down) so the
-  * feature math downstream is format-independent. Compressed formats
-  * (JPEG/PNG) need a real codec library and stay out of scope — the
-  * sniffer returns None and [[Multimodal.decodeFeatures]] falls back to
-  * byte-level features, loudly typed as such (`format` NULL).
+  * feature math downstream is format-independent.
+  *
+  * Compressed formats: JPEG and PNG decode through `javax.imageio`
+  * (ships in the JDK — still zero container dependencies). The decoded
+  * `BufferedImage` is normalized through `getRGB` into the same
+  * row-major RGB raster, so every downstream kernel (means, resize, row
+  * sampling) is container-agnostic. PNG is lossless — a PNG round-trip
+  * must reproduce the source raster bit-exactly, and the codec spec
+  * pins that; JPEG is lossy — its decode is pinned for dimensions and
+  * for distributed-vs-local agreement (the q108 gate row), never for
+  * exact pixel values. Formats imageio cannot sniff (WebP, AVIF, raw
+  * video) remain out of scope — the sniffer returns None and
+  * [[Multimodal.decodeFeatures]] falls back to byte-level features,
+  * loudly typed as such (`format` NULL).
   */
 object ImageCodec {
 
@@ -32,14 +42,23 @@ object ImageCodec {
   def sniff(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+             (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
+      Some("jpeg")
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+             bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
+             bytes(4) == 0x0d && bytes(5) == 0x0a &&
+             bytes(6) == 0x1a && bytes(7) == 0x0a)
+      Some("png")
     else None
 
   /** Decode a sniffable payload; None when the magic is unknown.
     * Throws IllegalArgumentException on a recognized-but-corrupt
     * payload (truncated pixels, bad maxval, compressed BMP…). */
   def decode(bytes: Array[Byte]): Option[Image] = sniff(bytes).map {
-    case "ppm" => decodePpm(bytes)
-    case "bmp" => decodeBmp(bytes)
+    case "ppm"          => decodePpm(bytes)
+    case "bmp"          => decodeBmp(bytes)
+    case "jpeg" | "png" => decodeImageIO(bytes)
   }
 
   // ---------------------------------------------------------------- PPM
@@ -197,6 +216,76 @@ object ImageCodec {
   private def w32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
     b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+
+  // ----------------------------------------------- JPEG / PNG (imageio)
+
+  /** Decode a JPEG or PNG payload via `javax.imageio` and normalize to
+    * the codec's row-major RGB raster. Alpha (PNG RGBA, palette
+    * transparency) is DROPPED, not composited — `getRGB` returns
+    * non-premultiplied ARGB and the feature kernels want raw channel
+    * bytes; a corpus that needs background compositing does it upstream.
+    * Throws IllegalArgumentException when imageio recognizes no reader
+    * or the stream is truncated — corrupt media stays loud, matching
+    * the PPM/BMP contract. */
+  def decodeImageIO(bytes: Array[Byte]): Image = {
+    import java.io.ByteArrayInputStream
+    val bi =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"imageio decode failed: ${e.getMessage}", e)
+      }
+    require(bi != null, "imageio found no reader for a sniffed payload")
+    val w = bi.getWidth; val h = bi.getHeight
+    require(w > 0 && h > 0, s"bad imageio dimensions ${w}x$h")
+    require(w.toLong * h * 3 <= Int.MaxValue,
+      s"image dimensions ${w}x$h exceed the supported pixel budget")
+    // one bulk getRGB: imageio's raster may be BGR, gray, palette, or
+    // banded — the ARGB int view is the normalization layer
+    val argb = bi.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      rgb(i * 3) = ((p >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    Image(w, h, rgb)
+  }
+
+  private def toBuffered(img: Image): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    val n = img.width * img.height
+    val argb = new Array[Int](n)
+    while (i < n) {
+      argb(i) = ((img.rgb(i * 3) & 0xff) << 16) |
+        ((img.rgb(i * 3 + 1) & 0xff) << 8) | (img.rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, argb, 0, img.width)
+    bi
+  }
+
+  /** Encode to PNG (lossless) — fixture builder; [[decodeImageIO]] of
+    * the result must equal the input raster exactly. */
+  def encodePng(img: Image): Array[Byte] = encodeVia(img, "png")
+
+  /** Encode to JPEG (lossy, writer-default quality) — fixture builder;
+    * deterministic within one JVM, which is the scope the q108 gate
+    * needs (oracle literals come from the same process). */
+  def encodeJpeg(img: Image): Array[Byte] = encodeVia(img, "jpg")
+
+  private def encodeVia(img: Image, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(toBuffered(img), fmt, out)
+    require(ok, s"no imageio writer for $fmt")
+    out.toByteArray
   }
 
   // ------------------------------------------------------------ kernels

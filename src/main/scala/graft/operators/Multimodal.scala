@@ -7,11 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal columns — image/audio/video as opaque `binary` payloads
   * with typed metadata, per the north-star contract.
   *
-  * The decode kernel is REAL for the uncompressed image formats a
-  * pure JVM can parse ([[ImageCodec]]: PPM P6 + 24-bit BMP — header
-  * parse, pixel decode, channel stats, nearest-neighbor thumbnail, row
-  * sampling). Payloads whose magic the sniffer does not recognize
-  * (text, compressed media needing an external codec library) get
+  * The decode kernel is REAL for every image format a pure JVM can
+  * parse ([[ImageCodec]]: PPM P6 + 24-bit BMP by hand, JPEG + PNG via
+  * `javax.imageio` — header parse, pixel decode, channel stats,
+  * nearest-neighbor thumbnail, row sampling). Payloads whose magic the
+  * sniffer does not recognize (text, WebP/AVIF, raw audio/video) get
   * deterministic BYTE-level features instead, loudly typed as such:
   * their `format`/`width`/`height`/`mean_r|g|b` are NULL, never faked.
   *

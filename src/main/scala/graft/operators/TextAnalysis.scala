@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Caching.cached
+import graft.engine.Caching.{cached, cachedSer}
 
 /** X3 — text-analysis operators for a training-data pipeline, over the
   * `documents` table (doc_id, text, lang, source, n_chars).
@@ -132,7 +132,10 @@ object TextAnalysis {
     // subexpression elimination inside HOF lambdas, so slice(toks, …)
     // referencing the raw split re-tokenizes per ELEMENT — measured 6×
     // on the explode pass at sf0.1 (NoveltyProbe).
-    val sh = cached(docs
+    // Serialized persist: this is the corpus-sized exploded relation —
+    // deserialized MEMORY_ONLY inflates it several-fold and lands the
+    // big-heap first-touch tax (q56's r9 driver regression).
+    val sh = cachedSer(docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(shingles(col("toks"), n)).as("sh_str"))
       .select(col(idCol), xxhash64(col("sh_str")).as("sh")))
@@ -195,7 +198,8 @@ object TextAnalysis {
     // lambdas — 6× on the explode, measured in NoveltyProbe); cached
     // because BOTH the min-id aggregate and the join probe side consume
     // this frame — left lazy the explode pipeline runs twice.
-    val sh = cached(docs
+    // Serialized for the same big-heap reason as jaccardPairs' relation.
+    val sh = cachedSer(docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(shingles(col("toks"), n)).as("sh_str"))
       .select(col(idCol), xxhash64(col("sh_str")).as("sh")))

@@ -68,6 +68,17 @@ object PipelineQueries {
     val ppm: Array[Byte] = ImageCodec.encodePpm(img)
     val bmp: Array[Byte] = ImageCodec.encodeBmp(img)
     val means: (Double, Double, Double) = ImageCodec.meanChannels(img)
+    // q108 (compressed formats via imageio): PNG is lossless, so its
+    // gate row pins the decoder to the ORIGINAL raster (same literals
+    // as ppm/bmp). JPEG is lossy — its row pins dimensions plus
+    // distributed-decode ≡ local-decode agreement (the literals are the
+    // local decode of the same bytes the query ships to executors;
+    // writer-default quality, deterministic within one JVM, which is
+    // the q108 scope: Verify dumps the oracle from this process).
+    val png: Array[Byte] = ImageCodec.encodePng(img)
+    val jpg: Array[Byte] = ImageCodec.encodeJpeg(img)
+    val jpgMeans: (Double, Double, Double) =
+      ImageCodec.meanChannels(ImageCodec.decodeImageIO(jpg))
   }
 
   /** Marker vocabulary for the language-ID heuristic (stopword-ratio
@@ -1693,6 +1704,31 @@ object PipelineQueries {
         .orderBy(col("bucket"))
     }),
 
+    // multimodal — COMPRESSED-format decode gate (q87's mechanism for
+    // JPEG/PNG via javax.imageio): plant real encoded files, ingest via
+    // binaryFile, decode distributed. The PNG row pins the decoder to
+    // the ORIGINAL raster (lossless ⇒ identical channel means to the
+    // ppm/bmp gate); the JPEG row pins dimensions + distributed ≡
+    // local decode of the same bytes (lossy, so pixel literals come
+    // from the local decode — see ImageFixture).
+    "q108_imageio_decode" -> ((s, dir) => {
+      val base = scratchPath("imgio_fix", dir)
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("a.png"), ImageFixture.png)
+      java.nio.file.Files.write(p.resolve("b.jpg"), ImageFixture.jpg)
+      val assets = Multimodal.readBinaryDir(s, base, glob = "*.{png,jpg}")
+        .select(
+          when(col("file_name") === "a.png", 1L).otherwise(2L)
+            .as("asset_id"),
+          col("payload"),
+          struct(lit("image").as("kind"), col("n_bytes")).as("meta"))
+      Multimodal.decodeFeatures(s, assets)
+        .select(col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("n_bytes"))
+        .orderBy(col("format"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -1937,8 +1973,8 @@ object PipelineQueries {
         |       FROM sc GROUP BY 1, 2),
         |cls AS (SELECT l AS cls FROM cm UNION SELECT p FROM cm),
         |tpt AS (SELECT l AS cls, n AS tp FROM cm WHERE l = p),
-        |sup AS (SELECT l AS cls, sum(n) AS support FROM cm GROUP BY 1),
-        |pn  AS (SELECT p AS cls, sum(n) AS pred_n FROM cm GROUP BY 1)
+        |sup AS (SELECT l AS cls, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+        |pn  AS (SELECT p AS cls, CAST(sum(n) AS BIGINT) AS pred_n FROM cm GROUP BY 1)
         |SELECT c.cls,
         |  coalesce(tpt.tp, 0) AS tp,
         |  coalesce(sup.support, 0) AS support,
@@ -2999,7 +3035,7 @@ object PipelineQueries {
         |sel AS (SELECT doc_id, source, n_tokens FROM rr
         |        WHERE cum_before + run - n_tokens < 15000)
         |SELECT source, count(*) AS docs_kept,
-        |  sum(n_tokens) AS tokens_kept
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
 
     // hybrid retrieval: q97's BM25 CTE at k=20 + the q13-style cosine
@@ -3195,6 +3231,23 @@ object PipelineQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sigs,
         |  round(CAST(new_sigs AS DOUBLE) / n_docs, 4) AS novelty_rate
         |FROM j ORDER BY bucket""".stripMargin,
+
+    // literal oracle, q87's pattern: the PNG literals are the ORIGINAL
+    // raster's (lossless decode must reproduce them); the JPEG
+    // literals are the local decode of the planted bytes (lossy —
+    // the row gates dimensions + distributed/local agreement)
+    "q108_imageio_decode" -> {
+      val (mr, mg, mb) = ImageFixture.means
+      val (jr, jg, jb) = ImageFixture.jpgMeans
+      val w = ImageFixture.img.width
+      val h = ImageFixture.img.height
+      s"""SELECT 'jpeg' AS format, $w AS width, $h AS height,
+         |  $jr AS mean_r, $jg AS mean_g, $jb AS mean_b,
+         |  ${ImageFixture.jpg.length} AS n_bytes
+         |UNION ALL
+         |SELECT 'png', $w, $h, $mr, $mg, $mb, ${ImageFixture.png.length}
+         |ORDER BY format""".stripMargin
+    },
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −

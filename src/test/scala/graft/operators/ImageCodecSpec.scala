@@ -114,6 +114,36 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(up.rgb.toSeq == Seq[Byte](9, 8, 7, 9, 8, 7, 9, 8, 7, 9, 8, 7))
   }
 
+  test("PNG encode/decode round-trips the raster byte-exactly (lossless)") {
+    val bytes = ImageCodec.encodePng(img2)
+    assert(ImageCodec.sniff(bytes).contains("png"))
+    val rt = ImageCodec.decodeImageIO(bytes)
+    assert(rt.width == 2 && rt.height == 2 && rt.rgb.toSeq == px.toSeq)
+    // the generic decode entry point routes png to imageio
+    assert(ImageCodec.decode(bytes).get.rgb.toSeq == px.toSeq)
+  }
+
+  test("JPEG decode: dimensions survive; pixels decode deterministically " +
+       "within the JVM (lossy — never asserted equal to the source)") {
+    val bytes = ImageCodec.encodeJpeg(img2)
+    assert(ImageCodec.sniff(bytes).contains("jpeg"))
+    val d1 = ImageCodec.decodeImageIO(bytes)
+    val d2 = ImageCodec.decode(bytes).get
+    assert(d1.width == 2 && d1.height == 2)
+    assert(d1.rgb.toSeq == d2.rgb.toSeq) // decode is deterministic
+  }
+
+  test("imageio corrupt inputs are loud: truncated PNG and JPEG throw") {
+    val png = ImageCodec.encodePng(img2)
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeImageIO(png.take(20))
+    }
+    val jpg = ImageCodec.encodeJpeg(img2)
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeImageIO(jpg.take(4))
+    }
+  }
+
   test("channel means and row sampling") {
     val (r, g, b) = ImageCodec.meanChannels(img2)
     assert(r == (10 + 40 + 70 + 100) / 4.0)
