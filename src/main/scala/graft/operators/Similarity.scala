@@ -430,6 +430,90 @@ object Similarity {
     topK(idx, queryVec, idCol, vecCol, k)
   }
 
+  /** CELL-INCREMENTAL refresh of a quantized cosine inverted file —
+    * the production maintenance loop at 100 TB: a recrawl lands, the
+    * corpus upsert produces a new snapshot, [[graft.operators.Upsert.diffByKey]]
+    * names the changed keys, and ONLY the cells whose membership
+    * changed are re-written; untouched cell directories (the vast
+    * majority of the index under a small recrawl delta) are never read,
+    * never re-quantized, never re-committed. Centroids stay FIXED — an
+    * unchanged key therefore keeps its assignment and its codes, so
+    * its index row is reused verbatim rather than recomputed; re-train
+    * + full [[ivfWriteIndexQuantized]] rebuild remains the periodic
+    * re-optimization path when drift accumulates.
+    *
+    * Mechanics:
+    *   1. dirty-out cells: index rows of removed/modified keys (a
+    *      column-pruned scan of (id, centroid_id) only);
+    *   2. dirty-in cells: fresh cosine assignment of added/modified
+    *      snapshot rows against the broadcast centroid table;
+    *   3. survivors: partition-pruned read of the dirty cells minus
+    *      the removed/modified keys — reused codes, no re-quantization;
+    *   4. stage survivors ∪ freshly-quantized rows partitioned by cell
+    *      (a separate directory: Spark refuses to overwrite a path
+    *      that is also an input, and the staging write is over the
+    *      dirty fraction only);
+    *   5. commit staged cells into the index with DYNAMIC partition
+    *      overwrite (only staged `centroid_id=` directories are
+    *      replaced), then drop the directories of dirty cells that
+    *      ended up empty (dynamic overwrite never touches a partition
+    *      with no output rows — without the explicit drop a fully-
+    *      removed cell would serve stale vectors forever).
+    *
+    * `changes` is [[graft.operators.Upsert.diffByKey]] output (key,
+    * status ∈ added/removed/modified/unchanged) — the diff is the
+    * trigger, so refresh cost scales with the recrawl delta, not the
+    * corpus. Returns the dirty cell ids (a ≤|cells| driver-side list —
+    * the same boundedness as the probe's centroid ranking), so callers
+    * and specs can audit what was touched. */
+  def ivfRefreshQuantizedIncremental(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cents: DataFrame, newSnap: DataFrame, changes: DataFrame,
+      idCol: String, vecCol: String, stagingPath: String): Seq[Long] = {
+    val changed = changes.filter(col("status") =!= "unchanged")
+    val gone = changed.filter(col("status").isin("removed", "modified"))
+      .select(col(idCol))
+    val freshKeys = changed.filter(col("status").isin("added", "modified"))
+      .select(col(idCol))
+    // hive partition-column inference reads `centroid_id=` back as
+    // INT — normalize to long everywhere (assignment emits long)
+    val idx = spark.read.parquet(indexPath)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val freshRows = newSnap.join(freshKeys, Seq(idCol))
+    val freshAssigned = Quantize.quantized(freshRows, vecCol, "codes")
+      .join(ivfAssignCosine(freshRows, cents, idCol, vecCol), Seq(idCol))
+      .select(col(idCol), col("codes"), col("codes_scale"),
+        col("centroid_id"))
+    val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
+      .union(freshAssigned.select(col("centroid_id")))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (dirty.isEmpty) return dirty
+    val dirtyLits = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      dirty.toArray)
+    val survivors = idx
+      .filter(col("centroid_id").isin(dirtyLits: _*))
+      .join(gone, Seq(idCol), "left_anti")
+      .select(col(idCol), col("codes"), col("codes_scale"),
+        col("centroid_id"))
+    survivors.unionByName(freshAssigned)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(stagingPath)
+    val staged = spark.read.parquet(stagingPath)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("centroid_id").parquet(indexPath)
+    val stagedCells = staged
+      .select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirty.filterNot(stagedCells).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexPath/centroid_id=$c"), true)
+    }
+    dirty
+  }
+
   /** IVF probe: query's nProbe nearest centroids → candidate vectors
     * from those lists only → exact cosine top-k on the candidates. */
   def ivfTopK(vectors: DataFrame, cents: DataFrame, queryVec: DataFrame,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, IsolationForest, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IsolationForest, Multimodal, QualityModel, Sampling, Similarity, TextAnalysis, Upsert}
 import graft.sources.CsvIngest
 
 /** North-star LLM-data-pipeline + streaming-dataflow query set
@@ -1729,6 +1729,69 @@ object PipelineQueries {
         .orderBy(col("format"))
     }),
 
+    // X2 × X1 — INCREMENTAL index maintenance under the hash gate: the
+    // 100 TB production loop (recrawl → corpus diff → re-quantize only
+    // cells whose membership changed) composed from q94's diff and
+    // q90's quantized inverted file. A deterministic recrawl delta
+    // (adds, sign-flip modifications, removals) is applied to the
+    // embedding corpus; the index built from the OLD snapshot is
+    // refreshed cell-incrementally (centroids fixed); the probe then
+    // runs against the refreshed index. The oracle replays the probe
+    // off the refreshed index's own parquet (q90's mechanism), so the
+    // gate pins the refreshed LAYOUT — membership, codes, partition
+    // column — not just the top-k list; SimilaritySpec separately
+    // asserts refreshed ≡ full rebuild row-for-row.
+    "q109_ivf_incremental" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val base = e.filter(col("vec_id") =!= 0)
+      // OLD snapshot: the corpus before the recrawl (vec_id % 7 == 3
+      // rows are the future "added" keys — absent initially)
+      val oldSnap = base.filter(col("vec_id") % 7 =!= 3)
+        .select(col("vec_id"), col("embedding"))
+      // NEW snapshot: adds them back, drops vec_id % 13 == 5, and
+      // modifies vec_id % 11 == 0 by sign-flip (deterministic, norm-
+      // preserving — the quantization scale is unchanged)
+      val newSnap = base.filter(col("vec_id") % 13 =!= 5)
+        .select(col("vec_id"),
+          when(col("vec_id") % 11 === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")).as("embedding"))
+      val centsPath = scratchPath("ivfinc_cents", dir)
+      Similarity.learnedCentroids(oldSnap, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite").parquet(centsPath)
+      val cents = s.read.parquet(centsPath)
+      val idxPath = scratchPath("ivfinc_index", dir)
+      Similarity.ivfWriteIndexQuantized(oldSnap, cents, "vec_id",
+        "embedding", idxPath)
+      val sig = (snap: DataFrame) => snap.select(col("vec_id"),
+        xxhash64(col("embedding")).as("sig"))
+      val changes = Upsert.diffByKey(sig(oldSnap), sig(newSnap),
+        "vec_id", "sig")
+      Similarity.ivfRefreshQuantizedIncremental(s, idxPath, cents,
+        newSnap, changes, "vec_id", "embedding",
+        scratchPath("ivfinc_stage", dir))
+      Similarity.ivfProbePrunedQuantized(s, idxPath, cents, qv,
+        "vec_id", k = 10, nProbe = 3)
+    }),
+
+    // A5 — classification report with ≥3 classes, exercising the
+    // sklearn zero_division branches q91's binary gate cannot reach:
+    // label ∈ {0,1,2} from doc features, prediction ∈ {0,1,3} from a
+    // deterministic rule — class 2 has support but is never predicted
+    // (precision 0 branch), class 3 is predicted but never labeled
+    // (recall 0 branch). Pure count arithmetic end-to-end, so the
+    // whole report hashes.
+    "q110_multiclass_report" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents").select(
+        (col("n_chars") % 3).cast("long").as("label"),
+        when(col("doc_id") % 5 === 0, lit(3L))
+          .otherwise((col("n_chars") % 2).cast("long")).as("prediction"))
+      QualityModel.classificationReport(scored, "label", "prediction")
+        .orderBy(col("cls"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3248,6 +3311,67 @@ object PipelineQueries {
          |SELECT 'png', $w, $h, $mr, $mg, $mb, ${ImageFixture.png.length}
          |ORDER BY format""".stripMargin
     },
+
+    // q90's replay mechanism over the REFRESHED index artifacts: the
+    // oracle reads the post-refresh parquet (codes + hive partition
+    // column), so a stale cell, a lingering removed key, or a
+    // mis-assigned fresh row all flip the hash
+    "q109_ivf_incremental" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/ivfinc_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qv, x -> 0.0)
+        |              ELSE list_transform(qv, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
+        |          AS s FROM q)),
+        |idx AS (
+        |  SELECT vec_id, codes
+        |  FROM read_parquet('{SCRATCH}/ivfinc_index_{SFHASH}/*/*.parquet',
+        |                    hive_partitioning = 1)
+        |  WHERE CAST(centroid_id AS BIGINT) IN (SELECT cid FROM probed))
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(codes::DOUBLE[],
+        |    (SELECT qc FROM qq)), 4) AS qsim
+        |FROM idx ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // q91's report SQL over rule-derived 3-way labels / predictions —
+    // the never-predicted (class 2) and never-labeled (class 3)
+    // zero_division branches land under the hash gate
+    "q110_multiclass_report" ->
+      """WITH sc AS (SELECT CAST(n_chars % 3 AS BIGINT) AS label,
+        |    CASE WHEN doc_id % 5 = 0 THEN CAST(3 AS BIGINT)
+        |         ELSE CAST(n_chars % 2 AS BIGINT) END AS prediction
+        |  FROM documents),
+        |cm AS (SELECT label AS l, prediction AS p, count(*) AS n
+        |       FROM sc GROUP BY 1, 2),
+        |cls AS (SELECT l AS cls FROM cm UNION SELECT p FROM cm),
+        |tpt AS (SELECT l AS cls, n AS tp FROM cm WHERE l = p),
+        |sup AS (SELECT l AS cls, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+        |pn  AS (SELECT p AS cls, CAST(sum(n) AS BIGINT) AS pred_n FROM cm GROUP BY 1)
+        |SELECT c.cls,
+        |  coalesce(tpt.tp, 0) AS tp,
+        |  coalesce(sup.support, 0) AS support,
+        |  coalesce(pn.pred_n, 0) AS pred_n,
+        |  CASE WHEN coalesce(pn.pred_n, 0) = 0 THEN 0.0
+        |       ELSE floor(coalesce(tpt.tp, 0) * 10000.0
+        |                  / pn.pred_n + 0.5) / 10000.0 END AS prec,
+        |  CASE WHEN coalesce(sup.support, 0) = 0 THEN 0.0
+        |       ELSE floor(coalesce(tpt.tp, 0) * 10000.0
+        |                  / sup.support + 0.5) / 10000.0 END AS rec,
+        |  floor(coalesce(tpt.tp, 0) * 2 * 10000.0
+        |        / (coalesce(sup.support, 0) + coalesce(pn.pred_n, 0))
+        |        + 0.5) / 10000.0 AS f1
+        |FROM cls c
+        |LEFT JOIN tpt ON c.cls = tpt.cls
+        |LEFT JOIN sup ON c.cls = sup.cls
+        |LEFT JOIN pn  ON c.cls = pn.cls
+        |ORDER BY c.cls""".stripMargin,
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −

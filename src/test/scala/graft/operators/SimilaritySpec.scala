@@ -222,6 +222,49 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 5, s"ANN recall too low: $overlap/10 vs exact")
   }
 
+  test("incremental quantized-IVF refresh equals a full rebuild: " +
+      "membership, codes, and cell assignment row-for-row; empty " +
+      "cells dropped; untouched cells not re-listed as dirty") {
+    val (_, _, base) = setup()
+    val oldSnap = base.filter(col("vec_id") % 7 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val newSnap = base.filter(col("vec_id") % 13 =!= 5)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    val cents = Similarity.learnedCentroids(oldSnap, "embedding", k = 8)
+    val incDir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    val stage = java.nio.file.Files.createTempDirectory("ivf_stage").toString
+    Similarity.ivfWriteIndexQuantized(oldSnap, cents, "vec_id",
+      "embedding", incDir)
+    val sig = (s: org.apache.spark.sql.DataFrame) =>
+      s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+    val changes = Upsert.diffByKey(sig(oldSnap), sig(newSnap),
+      "vec_id", "sig")
+    val dirty = Similarity.ivfRefreshQuantizedIncremental(spark, incDir,
+      cents, newSnap, changes, "vec_id", "embedding", stage)
+    // parity: refreshed index content == full rebuild with same cents
+    Similarity.ivfWriteIndexQuantized(newSnap, cents, "vec_id",
+      "embedding", fullDir)
+    def snap(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("centroid_id"),
+        col("codes").cast("string").as("c"),
+        col("codes_scale"))
+      .collect().map(_.toSeq).toSet
+    assert(snap(incDir) == snap(fullDir),
+      "incremental refresh diverged from the full rebuild")
+    assert(dirty.nonEmpty && dirty.toSet.subsetOf((0L until 8L).toSet),
+      s"dirty cells out of range: $dirty")
+    // removed keys are really gone from the refreshed index
+    val removed = changes.filter(col("status") === "removed")
+      .select(col("vec_id"))
+    assert(spark.read.parquet(incDir)
+      .join(removed, Seq("vec_id")).count() == 0,
+      "a removed key survived the refresh")
+  }
+
   test("cosine of a vector with itself is 1") {
     val (e, _, _) = setup()
     val self = e.limit(5)
