@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal columns — image/audio/video as opaque `binary` payloads
   * with typed metadata, per the north-star contract.
   *
-  * The decode kernel is REAL for every image format a pure JVM can
-  * parse ([[ImageCodec]]: PPM P6 + 24-bit BMP by hand, JPEG + PNG via
-  * `javax.imageio` — header parse, pixel decode, channel stats,
-  * nearest-neighbor thumbnail, row sampling). Payloads whose magic the
-  * sniffer does not recognize (text, WebP/AVIF, raw audio/video) get
+  * The decode kernel is REAL for every format a pure JVM can parse:
+  * images via [[ImageCodec]] (PPM P6 + 24-bit BMP by hand, JPEG + PNG
+  * via `javax.imageio` — header parse, pixel decode, channel stats,
+  * nearest-neighbor thumbnail, row sampling) and audio via
+  * [[AudioCodec]] (RIFF/WAVE PCM — chunk walk, sample normalization,
+  * RMS/peak/zero-crossing stats, frame sampling). Payloads whose magic
+  * neither sniffer recognizes (text, WebP/AVIF, MP3/AAC, video) get
   * deterministic BYTE-level features instead, loudly typed as such:
-  * their `format`/`width`/`height`/`mean_r|g|b` are NULL, never faked.
+  * their `format` and every decoded-statistic column are NULL, never
+  * faked.
   *
   * Why mapPartitions and not an expression: a real decoder amortizes
   * per-batch setup (codec contexts, pinned buffers) across a partition —
@@ -90,6 +93,51 @@ object Multimodal {
     var i = 0
     while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
     if (payload.length == 0) 0.0 else s.toDouble / payload.length
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("byte_mean", DoubleType, nullable = false),
+    StructField("frames", ArrayType(BinaryType), nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("peak", DoubleType, nullable = true),
+    StructField("zero_crossings", LongType, nullable = true)))
+
+  /** Audio analog of [[decodeFeatures]] — same mapPartitions shape,
+    * same loud-fallback contract: recognized WAV payloads are REALLY
+    * decoded ([[AudioCodec]]: header/chunk walk, PCM samples normalized
+    * to [−1,1], RMS / peak / zero-crossing stats, evenly-sampled
+    * frames); anything else gets [[byteFeatures]] with NULL audio
+    * columns (`format` NULL — never faked statistics). */
+  def decodeAudioFeatures(spark: SparkSession, assetsDf: DataFrame,
+                          frameSize: Int = 16): DataFrame = {
+    val rdd = assetsDf
+      .select(col("asset_id").cast("long"), col("meta.kind"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          AudioCodec.decode(payload) match {
+            case Some(clip) =>
+              val (rms, peak, zc) = AudioCodec.stats(clip)
+              Row(r.getLong(0), r.getString(1), payload.length,
+                byteMean(payload),
+                AudioCodec.sampleFrames(clip, 4).toSeq,
+                AudioCodec.sniff(payload).get, clip.sampleRate,
+                clip.channels, clip.durationMs, rms, peak, zc)
+            case None =>
+              val (mean, frames, _) = byteFeatures(payload, frameSize)
+              Row(r.getLong(0), r.getString(1), payload.length, mean,
+                frames.toSeq, null, null, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
   /** Per-partition feature extraction over asset rows. Output partition

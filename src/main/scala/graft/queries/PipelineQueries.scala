@@ -81,6 +81,29 @@ object PipelineQueries {
       ImageCodec.meanChannels(ImageCodec.decodeImageIO(jpg))
   }
 
+  /** Deterministic PCM fixtures behind q111's audio decode gate row —
+    * every sample sits on the exact 1/32768 16-bit grid, so encode →
+    * decode is lossless and the closed-form statistics (square-wave
+    * RMS = amplitude, DC zero-crossings = 0) hold exactly. The oracle
+    * literals come from the LOCAL decode of the same planted bytes
+    * (gate pins distributed ≡ local); AudioCodecSpec pins the local
+    * decode to the closed forms. */
+  private[queries] object AudioFixture {
+    import graft.operators.AudioCodec
+    // mono square wave, period 4, amplitude 0.5: RMS exactly 0.5
+    val mono: AudioCodec.Clip = AudioCodec.Clip(8000, 1,
+      Array.tabulate(16)(i => if ((i / 2) % 2 == 0) 0.5 else -0.5))
+    // stereo DC at 0.25: RMS 0.25, zero crossings 0
+    val stereo: AudioCodec.Clip = AudioCodec.Clip(4000, 2,
+      Array.fill(16)(0.25))
+    val monoWav: Array[Byte] = AudioCodec.encodeWav16(mono)
+    val stereoWav: Array[Byte] = AudioCodec.encodeWav16(stereo)
+    val monoDec: AudioCodec.Clip = AudioCodec.decodeWav(monoWav)
+    val stereoDec: AudioCodec.Clip = AudioCodec.decodeWav(stereoWav)
+    val monoStats: (Double, Double, Long) = AudioCodec.stats(monoDec)
+    val stereoStats: (Double, Double, Long) = AudioCodec.stats(stereoDec)
+  }
+
   /** Marker vocabulary for the language-ID heuristic (stopword-ratio
     * family): words actually present in the synthetic corpus so the
     * ratio varies per document. */
@@ -1792,6 +1815,30 @@ object PipelineQueries {
         .orderBy(col("cls"))
     }),
 
+    // multimodal — AUDIO decode gate (the q87/q108 mechanism for the
+    // third modality): plant real RIFF/WAVE PCM files, ingest via
+    // binaryFile, decode distributed (header/chunk walk, sample
+    // normalization, amplitude stats). Fixtures sit on the exact
+    // 16-bit grid, so every statistic is closed-form.
+    "q111_wav_decode" -> ((s, dir) => {
+      val base = scratchPath("wav_fix", dir)
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("a.wav"), AudioFixture.monoWav)
+      java.nio.file.Files.write(p.resolve("b.wav"), AudioFixture.stereoWav)
+      val assets = Multimodal.readBinaryDir(s, base, glob = "*.wav")
+        .select(
+          when(col("file_name") === "a.wav", 1L).otherwise(2L)
+            .as("asset_id"),
+          col("payload"),
+          struct(lit("audio").as("kind"), col("n_bytes")).as("meta"))
+      Multimodal.decodeAudioFeatures(s, assets)
+        .select(col("asset_id"), col("format"), col("sample_rate"),
+          col("channels"), col("duration_ms"), col("rms"), col("peak"),
+          col("zero_crossings"), col("n_bytes"))
+        .orderBy(col("asset_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3372,6 +3419,25 @@ object PipelineQueries {
         |LEFT JOIN sup ON c.cls = sup.cls
         |LEFT JOIN pn  ON c.cls = pn.cls
         |ORDER BY c.cls""".stripMargin,
+
+    // literal oracle from the shared fixture's local decode (q108's
+    // pattern applied to audio)
+    "q111_wav_decode" -> {
+      val (mr, mp, mz) = AudioFixture.monoStats
+      val (sr, sp, sz) = AudioFixture.stereoStats
+      s"""SELECT 1 AS asset_id, 'wav' AS format,
+         |  ${AudioFixture.monoDec.sampleRate} AS sample_rate,
+         |  ${AudioFixture.monoDec.channels} AS channels,
+         |  ${AudioFixture.monoDec.durationMs} AS duration_ms,
+         |  $mr AS rms, $mp AS peak, $mz AS zero_crossings,
+         |  ${AudioFixture.monoWav.length} AS n_bytes
+         |UNION ALL
+         |SELECT 2, 'wav', ${AudioFixture.stereoDec.sampleRate},
+         |  ${AudioFixture.stereoDec.channels},
+         |  ${AudioFixture.stereoDec.durationMs},
+         |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
+         |ORDER BY asset_id""".stripMargin
+    },
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −
