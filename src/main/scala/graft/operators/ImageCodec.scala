@@ -230,14 +230,33 @@ object ImageCodec {
     * the PPM/BMP contract. */
   def decodeImageIO(bytes: Array[Byte]): Image = {
     import java.io.ByteArrayInputStream
-    val bi =
-      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalArgumentException(
-            s"imageio decode failed: ${e.getMessage}", e)
-      }
-    require(bi != null, "imageio found no reader for a sniffed payload")
+    val bi = try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          "imageio found no reader for a sniffed payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // dimension budget BEFORE reader.read allocates the raster:
+          // headers are cheap to parse, and a small decompression-bomb
+          // payload declaring huge dimensions must fail here, not as
+          // an executor OOM after a multi-GB allocation
+          val w0 = reader.getWidth(0); val h0 = reader.getHeight(0)
+          require(w0 > 0 && h0 > 0, s"bad imageio dimensions ${w0}x$h0")
+          require(w0.toLong * h0 * 3 <= Int.MaxValue,
+            s"image dimensions ${w0}x$h0 exceed the supported pixel budget")
+          reader.read(0)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"imageio decode failed: ${e.getMessage}", e)
+    }
+    require(bi != null, "imageio decode returned no image")
     val w = bi.getWidth; val h = bi.getHeight
     require(w > 0 && h > 0, s"bad imageio dimensions ${w}x$h")
     require(w.toLong * h * 3 <= Int.MaxValue,

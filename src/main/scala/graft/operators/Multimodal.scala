@@ -16,7 +16,12 @@ import org.apache.spark.sql.types._
   * neither sniffer recognizes (text, WebP/AVIF, MP3/AAC, video) get
   * deterministic BYTE-level features instead, loudly typed as such:
   * their `format` and every decoded-statistic column are NULL, never
-  * faked.
+  * faked. A payload whose magic IS recognized but fails to parse
+  * (truncated JPEG, float-PCM WAV, a CMYK imageio rejection) gets the
+  * same byte-level fallback with `decode_error` set — recorded per
+  * row, never job-fatal (the PERMISSIVE-CSV corrupt-record rule
+  * applied to media: one bad asset in a 100 TB corpus is data to
+  * account for, not an exception to die on).
   *
   * Why mapPartitions and not an expression: a real decoder amortizes
   * per-batch setup (codec contexts, pinned buffers) across a partition —
@@ -68,7 +73,8 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("mean_r", DoubleType, nullable = true),
     StructField("mean_g", DoubleType, nullable = true),
-    StructField("mean_b", DoubleType, nullable = true)))
+    StructField("mean_b", DoubleType, nullable = true),
+    StructField("decode_error", StringType, nullable = true)))
 
   /** Thumbnail edge for the decoded-image `resized` column. */
   val thumbEdge = 8
@@ -107,7 +113,27 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true),
     StructField("rms", DoubleType, nullable = true),
     StructField("peak", DoubleType, nullable = true),
-    StructField("zero_crossings", LongType, nullable = true)))
+    StructField("zero_crossings", LongType, nullable = true),
+    StructField("decode_error", StringType, nullable = true)))
+
+  /** One decode attempt, classified for the per-row error contract:
+    * Right(Some) = decoded, Right(None) = unrecognized magic (the
+    * HONEST fallback — not an error), Left(msg) = recognized magic
+    * that failed to parse OR a NULL payload. A failed row must never
+    * kill the job (one corrupt asset in a 100 TB corpus is data, not
+    * an exception — the PERMISSIVE-CSV rule applied to media), and
+    * must never be silently conflated with the unrecognized fallback:
+    * `decode_error` records exactly what happened, per row. */
+  private def attempt[A](payload: Array[Byte],
+                         dec: Array[Byte] => Option[A]): Either[String, Option[A]] =
+    if (payload == null) Left("null payload")
+    else
+      try Right(dec(payload))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(200))
+      }
 
   /** Audio analog of [[decodeFeatures]] — same mapPartitions shape,
     * same loud-fallback contract: recognized WAV payloads are REALLY
@@ -121,19 +147,22 @@ object Multimodal {
       .select(col("asset_id").cast("long"), col("meta.kind"), col("payload"))
       .rdd.mapPartitions { it =>
         it.map { r =>
-          val payload = r.getAs[Array[Byte]](2)
-          AudioCodec.decode(payload) match {
-            case Some(clip) =>
+          val raw = r.getAs[Array[Byte]](2)
+          val payload = if (raw == null) Array.emptyByteArray else raw
+          attempt(raw, AudioCodec.decode) match {
+            case Right(Some(clip)) =>
               val (rms, peak, zc) = AudioCodec.stats(clip)
               Row(r.getLong(0), r.getString(1), payload.length,
                 byteMean(payload),
                 AudioCodec.sampleFrames(clip, 4).toSeq,
-                AudioCodec.sniff(payload).get, clip.sampleRate,
-                clip.channels, clip.durationMs, rms, peak, zc)
-            case None =>
+                "wav", clip.sampleRate,
+                clip.channels, clip.durationMs, rms, peak, zc, null)
+            case other =>
+              val err = other.left.toOption.orNull
               val (mean, frames, _) = byteFeatures(payload, frameSize)
               Row(r.getLong(0), r.getString(1), payload.length, mean,
-                frames.toSeq, null, null, null, null, null, null, null)
+                frames.toSeq, null, null, null, null, null, null, null,
+                err)
           }
         }
       }
@@ -157,21 +186,25 @@ object Multimodal {
       .select(col("asset_id").cast("long"), col("meta.kind"), col("payload"))
       .rdd.mapPartitions { it =>
         it.map { r =>
-          val payload = r.getAs[Array[Byte]](2)
-          ImageCodec.decode(payload) match {
-            case Some(img) =>
+          val raw = r.getAs[Array[Byte]](2)
+          val payload = if (raw == null) Array.emptyByteArray else raw
+          val fmt = ImageCodec.sniff(payload)
+          attempt(raw, ImageCodec.decode) match {
+            case Right(Some(img)) =>
               val (mr, mg, mb) = ImageCodec.meanChannels(img)
               val thumb = ImageCodec.encodePpm(ImageCodec.resizeNearest(
                 img, math.min(thumbEdge, img.width),
                 math.min(thumbEdge, img.height)))
               Row(r.getLong(0), r.getString(1), payload.length,
                 byteMean(payload), ImageCodec.sampleRows(img, 4).toSeq,
-                thumb, ImageCodec.sniff(payload).get, img.width,
-                img.height, mr, mg, mb)
-            case None =>
+                thumb, fmt.get, img.width,
+                img.height, mr, mg, mb, null)
+            case other =>
+              val err = other.left.toOption.orNull
               val (mean, frames, resized) = byteFeatures(payload, frameSize)
               Row(r.getLong(0), r.getString(1), payload.length, mean,
-                frames.toSeq, resized, null, null, null, null, null, null)
+                frames.toSeq, resized, null, null, null, null, null, null,
+                err)
           }
         }
       }

@@ -495,10 +495,14 @@ object Similarity {
       .join(gone, Seq(idCol), "left_anti")
       .select(col(idCol), col("codes"), col("codes_scale"),
         col("centroid_id"))
-    survivors.unionByName(freshAssigned)
-      .write.mode("overwrite").partitionBy("centroid_id")
+    val unioned = survivors.unionByName(freshAssigned)
+    unioned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(stagingPath)
-    val staged = spark.read.parquet(stagingPath)
+    // explicit schema: a SHRINK-ONLY delta stages zero rows, and a
+    // zero-row partitioned write leaves no parquet files to infer a
+    // schema from — schema-less read-back would throw and abort the
+    // refresh exactly when every dirty cell must be dropped
+    val staged = spark.read.schema(unioned.schema).parquet(stagingPath)
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("centroid_id").parquet(indexPath)
@@ -508,8 +512,13 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     dirty.filterNot(stagedCells).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$indexPath/centroid_id=$c"), true)
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/centroid_id=$c")
+      // a false return (object-store hiccup, permissions) with the
+      // directory still present would serve the removed vectors
+      // forever — the one failure this step exists to prevent, so it
+      // must be loud, not a swallowed boolean
+      require(fs.delete(p, true) || !fs.exists(p),
+        s"failed to drop emptied index cell $p")
     }
     dirty
   }

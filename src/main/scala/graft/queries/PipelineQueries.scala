@@ -104,6 +104,60 @@ object PipelineQueries {
     val stereoStats: (Double, Double, Long) = AudioCodec.stats(stereoDec)
   }
 
+  /** q102's five-stage curation pipeline over an ARBITRARY docs frame
+    * (doc_id, source, text) — the ONE definition both the registered
+    * gate row and `CompositionScaleProbe` run, so the probe can never
+    * desynchronize from the query it claims to measure. Stages:
+    * quality gate (integer lexical diversity) → exact dedup (md5
+    * token-set, keep min id) → span near-dup drop (≥20 shared
+    * consecutive tokens drops the higher id) → greedy token-budget
+    * selection → per-source report. Stages cached where consumed
+    * twice. */
+  private[graft] def curationPipeline(docs: DataFrame,
+                                      budget: Long): DataFrame = {
+    import graft.engine.Caching.cached
+    val base = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("t"))
+    val qual = cached(base
+      .select(col("doc_id"), col("source"), col("text"),
+        size(array_distinct(col("t"))).cast("long").as("score"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .filter(col("score") >= 15))
+    val reps = Dedup.exact(qual, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val keep1 = cached(qual.join(reps, Seq("doc_id"), "left_semi"))
+    val drops = Dedup.sharedSpans(keep1, "doc_id", "text",
+        n = 4, minSpan = 20)
+      .select(col("id2").as("doc_id")).distinct()
+    val keep2 = cached(keep1.join(drops, Seq("doc_id"), "left_anti"))
+    val sel = Sampling.selectToTokenBudget(keep2, "doc_id", "score",
+      "n_tokens", budget = budget)
+    sel.join(keep2.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** q106's duplicate-cluster size histogram over an arbitrary docs
+    * frame — shared with `CompositionScaleProbe` (same rule as
+    * [[curationPipeline]]). */
+  private[graft] def clusterHistogram(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.sharedSpans(docs, "doc_id", "text",
+        n = 4, minSpan = 20)
+      .select(col("id1"), col("id2"))
+    val labels = Dedup.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Marker vocabulary for the language-ID heuristic (stopword-ratio
     * family): words actually present in the synthetic corpus so the
     * ratio varies per document. */
@@ -1600,31 +1654,8 @@ object PipelineQueries {
     // Each stage is an already-gated operator; this row proves they
     // COMPOSE (the reference's actual usage shape: a pipeline, not
     // isolated queries). Stages are cached where consumed twice.
-    "q102_curation_pipeline" -> ((s, dir) => {
-      import graft.engine.Caching.cached
-      val base = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"),
-          split(col("text"), " ").as("t"))
-      val qual = cached(base
-        .select(col("doc_id"), col("source"), col("text"),
-          size(array_distinct(col("t"))).cast("long").as("score"),
-          size(col("t")).cast("long").as("n_tokens"))
-        .filter(col("score") >= 15))
-      val reps = Dedup.exact(qual, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val keep1 = cached(qual.join(reps, Seq("doc_id"), "left_semi"))
-      val drops = Dedup.sharedSpans(keep1, "doc_id", "text",
-          n = 4, minSpan = 20)
-        .select(col("id2").as("doc_id")).distinct()
-      val keep2 = cached(keep1.join(drops, Seq("doc_id"), "left_anti"))
-      val sel = Sampling.selectToTokenBudget(keep2, "doc_id", "score",
-        "n_tokens", budget = 15000L)
-      sel.join(keep2.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("docs_kept"),
-          sum(col("n_tokens")).as("tokens_kept"))
-        .orderBy(col("source"))
-    }),
+    "q102_curation_pipeline" -> ((s, dir) =>
+      curationPipeline(Tables(s, dir, "documents"), budget = 15000L)),
 
     // LLM-pipeline — hybrid retrieval: reciprocal-rank fusion of the
     // sparse (BM25, q97's panel) and dense (cosine, the same qids'
@@ -1682,21 +1713,8 @@ object PipelineQueries {
     // shared-span pair graph (>=20 consecutive tokens), singleton docs
     // counted as size-1 clusters. Oracle: q98's span CTE + q39's
     // recursive transitive closure.
-    "q106_cluster_histogram" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.sharedSpans(docs, "doc_id", "text",
-          n = 4, minSpan = 20)
-        .select(col("id1"), col("id2"))
-      val labels = Dedup.connectedComponents(pairs)
-      docs.select(col("doc_id"))
-        .join(labels, col("doc_id") === col("node"), "left")
-        .select(coalesce(col("label"), col("doc_id")).as("label"))
-        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))
-        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
-        .orderBy(col("cluster_size"))
-    }),
+    "q106_cluster_histogram" -> ((s, dir) =>
+      clusterHistogram(Tables(s, dir, "documents"))),
 
     // LLM-pipeline — crawl-saturation curve: per 50-doc id bucket, how
     // many token-set signatures appear for the FIRST time in that

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Similarity, TextAnalysis}
 
 /** Empirical ×m scaling probe for the round-9 COMPOSITIONS — the two
   * heavy plans with no probe entry (r9 verdict item 4) and the
@@ -51,47 +51,10 @@ object CompositionScaleProbe {
         col("embedding"))
     }.reduce(_.unionByName(_))
 
-  /** q102's registered pipeline over an arbitrary docs frame. */
-  def curationPipeline(docs: DataFrame, budget: Long): DataFrame = {
-    import graft.engine.Caching.cached
-    val base = docs.select(col("doc_id"), col("source"), col("text"),
-      split(col("text"), " ").as("t"))
-    val qual = cached(base
-      .select(col("doc_id"), col("source"), col("text"),
-        size(array_distinct(col("t"))).cast("long").as("score"),
-        size(col("t")).cast("long").as("n_tokens"))
-      .filter(col("score") >= 15))
-    val reps = Dedup.exact(qual, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val keep1 = cached(qual.join(reps, Seq("doc_id"), "left_semi"))
-    val drops = Dedup.sharedSpans(keep1, "doc_id", "text",
-        n = 4, minSpan = 20)
-      .select(col("id2").as("doc_id")).distinct()
-    val keep2 = cached(keep1.join(drops, Seq("doc_id"), "left_anti"))
-    val sel = Sampling.selectToTokenBudget(keep2, "doc_id", "score",
-      "n_tokens", budget = budget)
-    sel.join(keep2.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("docs_kept"),
-        sum(col("n_tokens")).as("tokens_kept"))
-      .orderBy(col("source"))
-  }
-
-  /** q106's registered histogram over an arbitrary docs frame. */
-  def clusterHistogram(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.sharedSpans(docs, "doc_id", "text",
-        n = 4, minSpan = 20)
-      .select(col("id1"), col("id2"))
-    val labels = Dedup.connectedComponents(pairs)
-    docs.select(col("doc_id"))
-      .join(labels, col("doc_id") === col("node"), "left")
-      .select(coalesce(col("label"), col("doc_id")).as("label"))
-      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"))
-      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
-      .orderBy(col("cluster_size"))
-  }
+  // the pipeline/histogram under measurement are the REGISTERED
+  // definitions (PipelineQueries.curationPipeline/clusterHistogram) —
+  // one source of truth, so the probe cannot desynchronize from the
+  // gate rows it claims to measure
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -126,9 +89,10 @@ object CompositionScaleProbe {
       val e = inflateEmbeddings(emb, m)
       println(s"-- x$m (${d.count()} docs, ${e.count()} vectors)")
       time(f"x$m q102_pipeline ",
-        curationPipeline(d, budget = 15000L * m))
+        graft.queries.PipelineQueries.curationPipeline(
+          d, budget = 15000L * m))
       time(f"x$m q106_histogram",
-        clusterHistogram(d))
+        graft.queries.PipelineQueries.clusterHistogram(d))
       val panel = Seq(
         (0L, "merge_0 sort_0 window_0"), (1L, "stream_0 batch_0 join_0"),
         (2L, "hash_0 table_0 scan_0"), (3L, "slow_0 query_0 filter_0"))

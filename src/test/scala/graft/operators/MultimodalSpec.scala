@@ -92,19 +92,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("recognized-but-corrupt media is loud, not silently fallback") {
+  test("recognized-but-corrupt media is loud PER ROW (decode_error " +
+      "set, stats NULL) and never job-fatal; unrecognized magic and " +
+      "NULL payloads are distinguished") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val truncated = ImageCodec.encodePpm(ImageCodec.Image(2, 2,
       Array.fill[Byte](12)(1))).dropRight(3)
-    val assets = Seq((1L, truncated)).toDF("asset_id", "payload")
+    val good = ImageCodec.encodePpm(ImageCodec.Image(2, 2,
+      Array.fill[Byte](12)(1)))
+    val assets = Seq(
+      (1L, truncated),                   // sniffs ppm, fails to parse
+      (2L, good),                        // decodes
+      (3L, "plain text".getBytes.toSeq.toArray), // unknown magic
+      (4L, null.asInstanceOf[Array[Byte]]))      // null payload
+      .toDF("asset_id", "payload")
       .select(col("asset_id"), col("payload"),
         struct(lit("image").as("kind"),
-          length(col("payload")).as("n_bytes")).as("meta"))
-    val ex = intercept[org.apache.spark.SparkException] {
-      Multimodal.decodeFeatures(spark, assets).collect()
+          coalesce(length(col("payload")), lit(0)).as("n_bytes"))
+          .as("meta"))
+    val rows = Multimodal.decodeFeatures(spark, assets)
+      .orderBy(col("asset_id")).collect()
+    assert(rows(0).getAs[String]("decode_error") != null &&
+      rows(0).getAs[String]("format") == null,
+      "corrupt row must carry decode_error with NULL stats")
+    assert(rows(1).getAs[String]("decode_error") == null &&
+      rows(1).getAs[String]("format") == "ppm")
+    assert(rows(2).getAs[String]("decode_error") == null &&
+      rows(2).getAs[String]("format") == null,
+      "unknown magic is the honest fallback, NOT an error")
+    assert(rows(3).getAs[String]("decode_error") == "null payload" &&
+      rows(3).getAs[Int]("n_bytes") == 0)
+    // audio twin: a float-PCM WAV (valid in the wild, unsupported
+    // here) must land as an error ROW, not a job failure
+    val floatWav = {
+      val b = AudioCodec.encodeWav16(AudioCodec.Clip(8000, 1,
+        Array(0.0, 0.25)))
+      b(20) = 3; b // audioFormat = IEEE float
     }
-    assert(ex.getMessage != null)
+    val aAssets = Seq((1L, floatWav)).toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(lit("audio").as("kind"),
+          length(col("payload")).as("n_bytes")).as("meta"))
+    val aRow = Multimodal.decodeAudioFeatures(spark, aAssets).collect()(0)
+    assert(aRow.getAs[String]("decode_error") != null &&
+      aRow.getAs[String]("format") == null)
   }
 
   test("binaryFile ingest reads real files as binary payloads, glob " +

@@ -265,6 +265,41 @@ class SimilaritySpec extends SparkSpec {
       "a removed key survived the refresh")
   }
 
+  test("incremental refresh survives a SHRINK-ONLY delta that empties " +
+      "whole cells: zero staged rows, dirty directories dropped") {
+    val (_, _, base) = setup()
+    val oldSnap = base.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(oldSnap, "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_shrink").toString
+    val stage = java.nio.file.Files.createTempDirectory("ivf_sstage").toString
+    Similarity.ivfWriteIndexQuantized(oldSnap, cents, "vec_id",
+      "embedding", dir)
+    // drop EVERY member of one cell (and nothing else)
+    val idxDf = spark.read.parquet(dir)
+    val someCell = idxDf.select(col("centroid_id").cast("long"))
+      .orderBy(col("centroid_id")).limit(1).collect()(0).getLong(0)
+    val cellKeys = idxDf
+      .filter(col("centroid_id").cast("long") === someCell)
+      .select(col("vec_id"))
+    val newSnap = oldSnap.join(cellKeys, Seq("vec_id"), "left_anti")
+    val sig = (s: org.apache.spark.sql.DataFrame) =>
+      s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+    val changes = Upsert.diffByKey(sig(oldSnap), sig(newSnap),
+      "vec_id", "sig")
+    val dirty = Similarity.ivfRefreshQuantizedIncremental(spark, dir,
+      cents, newSnap, changes, "vec_id", "embedding", stage)
+    assert(dirty == Seq(someCell),
+      s"expected only cell $someCell dirty, got $dirty")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$dir/centroid_id=$someCell")),
+      "emptied cell directory survived the refresh")
+    // remaining index is exactly the other cells' old content
+    assert(spark.read.parquet(dir)
+      .filter(col("centroid_id").cast("long") === someCell).count() == 0)
+    assert(spark.read.parquet(dir).count() ==
+      idxDf.filter(col("centroid_id").cast("long") =!= someCell).count())
+  }
+
   test("cosine of a vector with itself is 1") {
     val (e, _, _) = setup()
     val self = e.limit(5)
