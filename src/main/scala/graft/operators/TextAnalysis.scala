@@ -52,6 +52,61 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** HTML/markup boilerplate stripping — the text-extraction step a
+    * web-crawl curation pipeline runs before every quality/dedup
+    * operator here (the trafilatura/jusText role, reduced to its
+    * deterministic regex core). A chain of codegen'd `regexp_replace`
+    * built-ins, RE2-COMPATIBLE BY CONSTRUCTION (no backreferences, no
+    * lookaround — script and style blocks get separate patterns), so
+    * an oracle engine replays it byte-for-byte:
+    *
+    *   1. drop script/style blocks (content is code, not text) and
+    *      comments;
+    *   2. block-level tags (p, div, br, headings, list/table rows) →
+    *      newline — paragraph structure survives as line breaks;
+    *   3. every remaining tag → empty;
+    *   4. decode the six HTML entities that appear in text extraction
+    *      (`&nbsp; &lt; &gt; &quot; &#39;` and LAST `&amp;` — decoding
+    *      it earlier would double-decode `&amp;lt;`);
+    *   5. collapse horizontal whitespace, trim around newlines, trim.
+    *
+    * NOT a sanitizer (output may still contain hostile text for other
+    * sinks) and not a full parser: malformed nesting degrades to extra
+    * whitespace, never to dropped visible text. */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blockBreak = regexp_replace(noComment,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table)[^>]*>", "\n")
+    val noTags = regexp_replace(blockBreak, "<[^>]+>", "")
+    val entities = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    val hws = regexp_replace(entities, "[ \\t]+", " ")
+    val nl = regexp_replace(hws, " ?\\n[ \\n]*", "\n")
+    trim(nl, " \n")
+  }
+
+  /** Markup-density signals over a raw-HTML column, computed alongside
+    * [[stripMarkup]]'s clean text: visible-to-raw length ratio (the
+    * boilerplate-density filter) and anchor count (link farms). */
+  def markupStats(docs: DataFrame, idCol: String,
+                  htmlCol: String): DataFrame = {
+    val clean = stripMarkup(col(htmlCol))
+    docs.select(col(idCol), clean.as("text"),
+      length(col(htmlCol)).cast("long").as("raw_len"),
+      length(clean).cast("long").as("clean_len"),
+      regexp_count(col(htmlCol), lit("(?i)<a[ >]")).cast("long")
+        .as("n_links"))
+      .withColumn("text_ratio",
+        round(col("clean_len").cast("double") /
+          greatest(col("raw_len"), lit(1L)).cast("double"), 4))
+  }
+
   /** Token n-gram shingles (distinct), the unit of Jaccard/MinHash
     * similarity. `sequence`+`slice` keeps it a single codegen'd
     * expression; explode downstream where a row-per-shingle is needed. */

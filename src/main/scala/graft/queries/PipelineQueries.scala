@@ -1857,6 +1857,31 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // X3 — HTML boilerplate stripping under the hash gate: each doc's
+    // text is wrapped into a deterministic HTML page (script + style +
+    // comment + entities + a doc_id-varying link count) IDENTICALLY in
+    // both engines, then stripped by the RE2-compatible regex chain.
+    // Output hashes the clean text (md5 — multi-line strings stay out
+    // of the row hasher) plus the density signals.
+    "q112_markup_strip" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val html = concat(
+        lit("<html><!-- c --><head><style type=\"text/css\">p{color:red}" +
+          "</style><script>var x=1;</script></head><body><h1>T</h1><p>"),
+        regexp_replace(coalesce(col("text"), lit("")), " ", "&nbsp;"),
+        lit("</p><div>&amp; &lt;tag&gt;</div><a href=\"#\">l</a>" +
+          "<a href=\"#\">l2</a>"),
+        when(col("doc_id") % 3 === 0, lit("<a href=\"x\">m</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      TextAnalysis.markupStats(
+          d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          col("raw_len"), col("clean_len"), col("n_links"),
+          col("text_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3456,6 +3481,52 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // the identical page construction + the identical RE2 regex chain
+    // (every pattern avoids backreferences/lookaround so Java regex
+    // and RE2 agree; 'g' flag spelled because DuckDB replaces first
+    // match by default where Spark replaces all)
+    "q112_markup_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><!-- c --><head><style type="text/css">p{color:red}'
+        |    || '</style><script>var x=1;</script></head><body><h1>T</h1><p>'
+        |    || replace(coalesce(text, ''), ' ', '&nbsp;')
+        |    || '</p><div>&amp; &lt;tag&gt;</div><a href="#">l</a>'
+        |    || '<a href="#">l2</a>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<a href="x">m</a>'
+        |            ELSE '' END
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, html,
+        |  trim(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        replace(replace(replace(replace(replace(replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(html,
+        |                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                '(?s)<!--.*?-->', ' ', 'g'),
+        |              '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table)[^>]*>',
+        |              chr(10), 'g'),
+        |            '<[^>]+>', '', 'g'),
+        |          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |          '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |        '[ \t]+', ' ', 'g'),
+        |      ' ?\n[ \n]*', chr(10), 'g'),
+        |    ' ' || chr(10)) AS clean
+        |  FROM h)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  CAST(length(html) AS BIGINT) AS raw_len,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT)
+        |    AS n_links,
+        |  round(CAST(length(clean) AS DOUBLE)
+        |        / greatest(length(html), 1), 4) AS text_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // relational replay of the streaming watermark-upsert rules:
     // per-wave watermark = running max event time of PRIOR waves −

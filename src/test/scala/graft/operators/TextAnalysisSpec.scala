@@ -121,6 +121,40 @@ class TextAnalysisSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("stripMarkup: scripts/styles/comments dropped, block tags " +
+      "break lines, entities decode exactly once, malformed markup " +
+      "degrades to whitespace never lost text") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "<html><head><script>var a = '<p>sneaky</p>';</script>" +
+        "<style>p { color: red }</style></head>" +
+        "<body><h1>Title</h1><p>hello <b>bold</b> world</p>" +
+        "<!-- note --><div>next</div></body></html>"),
+      // entity decode is single-pass: &amp;lt; must yield literal
+      // "&lt;", NOT "<" (double decode), and decoded "<tag>" must not
+      // be re-stripped as a tag
+      (2L, "<p>a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
+        " x&nbsp;y</p>"),
+      // malformed: unclosed tag swallows to next '>', stray '<' kept
+      (3L, "before <unclosed attr next >after 1 < 2 end"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "html")
+    val out = cases
+      .select(col("doc_id"),
+        TextAnalysis.stripMarkup(col("html")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Title\nhello bold world\nnext")
+    assert(out(2L) == "a &lt; b <tag> \"q\" 's' x y")
+    assert(out(3L) == "before after 1 < 2 end")
+    assert(out(4L) == null)
+    val stats = TextAnalysis.markupStats(
+      Seq((1L, "<body><a href=x>l</a><a >m</a><abbr>n</abbr></body>"))
+        .toDF("doc_id", "html"), "doc_id", "html")
+      .collect()(0)
+    assert(stats.getAs[Long]("n_links") == 2) // <abbr> must not count
+    assert(stats.getAs[Long]("clean_len") == 3L) // "lmn"
+  }
+
   test("gopherFlags: each rule trips independently on its crafted doc " +
       "and the conjunction gates pass; null text never drops out") {
     import spark.implicits._
