@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.{TextFns, UrlFns, VectorFns}
 import graft.operators.{Dedup, IsolationForest, Multimodal, QualityModel, Sampling, Similarity, TextAnalysis, Upsert}
 import graft.sources.CsvIngest
 
@@ -1882,6 +1882,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X1 — URL-level dedup under the hash gate: three deterministic
+    // fetch-variants of the same logical page per doc (scheme/host
+    // case noise + default port + duplicate slashes + tracking params
+    // + param order + fragment vs a clean form vs a genuinely distinct
+    // path) — canonicalization must collapse variants 0 and 1 and keep
+    // variant 2 distinct. The oracle reimplements the whole canonical
+    // form in SQL (the regex chain is RE2-compatible by construction).
+    "q113_url_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val n = (col("doc_id") % 40).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW."), col("source"),
+            lit(".Example.COM:443//docs//"), n,
+            lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), n, lit("?a=1&b=2&gclid=zz")))
+        .otherwise(concat(lit("http://www."), col("source"),
+          lit(".example.com:80/docs/"), n, lit("/extra")))
+      d.select(col("doc_id"), UrlFns.canonicalUrl(url).as("canon"))
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_dups"))
+        .orderBy(col("canon"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3481,6 +3507,57 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // the canonical form reimplemented in SQL: same regexes (RE2-safe,
+    // no group refs in replacements), same default-port/trailing-slash
+    // CASE logic, same tracking filter + sort over split params
+    "q113_url_dedup" ->
+      """WITH u0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'HTTPS://WWW.' || source || '.Example.COM:443//docs//'
+        |        || CAST(doc_id % 40 AS VARCHAR)
+        |        || '/?utm_source=x&b=2&a=1#frag'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      'https://www.' || source || '.example.com/docs/'
+        |        || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2&gclid=zz'
+        |    ELSE
+        |      'http://www.' || source || '.example.com:80/docs/'
+        |        || CAST(doc_id % 40 AS VARCHAR) || '/extra'
+        |    END AS u
+        |  FROM documents),
+        |parts AS (SELECT doc_id, u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS hp,
+        |    regexp_replace(
+        |      regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+        |      '/{2,}', '/', 'g') AS sq,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS rq
+        |  FROM u0),
+        |canon AS (SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN lower(trim(u)) ELSE
+        |      scheme || '://'
+        |      || CASE WHEN scheme = 'http'
+        |              THEN regexp_replace(hp, ':80$', '')
+        |              WHEN scheme = 'https'
+        |              THEN regexp_replace(hp, ':443$', '')
+        |              ELSE hp END
+        |      || CASE WHEN p2 = '' THEN '/' ELSE p2 END
+        |      || CASE WHEN len(kept) > 0
+        |              THEN '?' || array_to_string(kept, '&')
+        |              ELSE '' END
+        |    END AS canon
+        |  FROM (SELECT doc_id, u, scheme, hp,
+        |          CASE WHEN length(sq) > 1 AND sq LIKE '%/'
+        |               THEN substr(sq, 1, length(sq) - 1)
+        |               ELSE sq END AS p2,
+        |          list_sort(list_filter(str_split(rq, '&'),
+        |            x -> NOT (x = '' OR regexp_matches(x,
+        |              '^(utm_[^=&]*|gclid|fbclid|ref)(=.*)?$'))))
+        |            AS kept
+        |        FROM parts))
+        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
 
     // the identical page construction + the identical RE2 regex chain
     // (every pattern avoids backreferences/lookaround so Java regex
