@@ -542,16 +542,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qterms = queries.select(col("qid"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col(idCol))
     // per-term contributions are quantized to 1e-7 fixed point BEFORE
     // the sum (floor(x*1e7 + 0.5), the project's spelled-rounding
     // convention): integer sums are addend-order-independent, so the
     // score is deterministic by construction — a raw double sum's 4-dp
     // rounding could flip at a boundary with Spark's uncontrolled
     // partial-aggregation order.
-    tf.join(broadcast(qterms), "term")
-      .join(dfreq, "term")
+    bm25Score(tf.join(dfreq, "term"), qterms, stats, idCol, k, k1, b)
+  }
+
+  /** THE one BM25 scoring definition — shared by the corpus-scan path
+    * ([[bm25TopK]]) and the materialized-index probe
+    * ([[bm25ProbeIndex]]), so the two can never diverge on the
+    * arithmetic the q97/q114 gates pin. `postings` carries
+    * (term, idCol, tf, dl, df); `stats` one row (n_docs, avgdl). */
+  private def bm25Score(postings: DataFrame, qterms: DataFrame,
+                        stats: DataFrame, idCol: String, k: Int,
+                        k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol))
+    postings.join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
       .withColumn("contrib_fp", floor(
         (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
@@ -565,6 +576,60 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("score"))
+  }
+
+  /** Materialize the lexical INVERTED INDEX — the sparse-retrieval
+    * analog of the quantized IVF file: at corpus scale a BM25 query
+    * must probe a posting-list layout, never re-tokenize and re-scan
+    * the corpus per panel. Layout under `path`:
+    *
+    *   - `postings/`: (term, id, tf, dl, df) range-partitioned and
+    *     sorted by term, so every parquet file/row-group carries tight
+    *     term min/max stats and a term predicate prunes the files the
+    *     probe never needs (the PushedFilters analog of the IVF cell
+    *     directories). df is DENORMALIZED onto each posting — +8
+    *     bytes/row buys the probe one fewer corpus-sized join.
+    *   - `stats/`: one row (n_docs, avgdl) — exact integer-sum
+    *     average, the same derivation as [[bm25TopK]].
+    */
+  def bm25WriteIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit = {
+    val toks = docs.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+    val tf = cached(tc.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    tf.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct
+    * terms (a panel-sized driver-side fetch, the same boundedness
+    * contract as the IVF centroid ranking) become a pushed-down
+    * `term IN (…)` predicate over the term-sorted postings — IO scales
+    * with the matched posting lists, not the corpus. Scoring is
+    * [[bm25Score]], identical to the scan path by construction. */
+  def bm25ProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, queries: DataFrame, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col("qid"),
+      explode(array_distinct(tokens(col("qtext")))).as("term"))
+    val terms = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0))
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(terms): _*))
+    val idCol = postings.columns
+      .filterNot(Set("term", "tf", "dl", "df")).head
+    bm25Score(postings, qterms,
+      spark.read.parquet(s"$path/stats"), idCol, k, k1, b)
   }
 
   /** TF-IDF as per-doc SPARSE VECTORS (`HashingTF` → `IDF`) — the

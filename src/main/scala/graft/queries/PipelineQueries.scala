@@ -1908,6 +1908,26 @@ object PipelineQueries {
         .orderBy(col("canon"))
     }),
 
+    // X2/X3 — the MATERIALIZED lexical index under the hash gate (the
+    // sparse analog of q90's quantized IVF file): postings written
+    // term-sorted + range-partitioned, probe reads only the panel's
+    // posting lists via a pushed-down term predicate, scoring shared
+    // with q97's scan path by construction (one bm25Score definition).
+    // The oracle recomputes from the BASE table — index content, probe
+    // pruning, and scoring must all agree with the direct scan.
+    "q114_bm25_index_probe" -> ((s, dir) => {
+      import s.implicits._
+      val panel = Seq(
+        (0L, "sort merge join"), (1L, "query filter scan"),
+        (2L, "window batch table"))
+        .toDF("qid", "qtext")
+      val path = scratchPath("bm25_idx", dir)
+      TextAnalysis.bm25WriteIndex(Tables(s, dir, "documents"),
+        "doc_id", "text", path)
+      TextAnalysis.bm25ProbeIndex(s, path, panel, k = 15)
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3507,6 +3527,39 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // q97's direct-scan SQL with q114's panel and k — the oracle
+    // recomputes from the base table, so the materialized index and
+    // its pruned probe must reproduce the full scan bit-for-bit
+    "q114_bm25_index_probe" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'sort merge join'),
+        |        (1, 'query filter scan'), (2, 'window batch table'))
+        |        v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT qid, doc_id, score FROM r WHERE rn <= 15
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
 
     // the canonical form reimplemented in SQL: same regexes (RE2-safe,
     // no group refs in replacements), same default-port/trailing-slash
