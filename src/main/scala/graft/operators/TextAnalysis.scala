@@ -610,6 +610,106 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** SEGMENTED lexical index — the INCREMENTAL maintenance story for
+    * BM25 (the Lucene segment model, relationally): corpus batches
+    * append as immutable segments, deletions and modifications
+    * tombstone the old rows, and a modification re-appends under a new
+    * segment. Nothing is rewritten in place — the 100 TB-friendly
+    * property the monolithic [[bm25WriteIndex]] lacks (a posting
+    * layout partitioned by TERM scatters any per-doc update across
+    * every partition; segments make updates append-only).
+    *
+    * Global scoring state is reconstructed at probe time without any
+    * full-index work: df for the PANEL's terms is counted from the
+    * already-filtered posting lists themselves, and (n_docs, avgdl)
+    * derive from per-segment exact integer partials minus the
+    * tombstoned rows' — so probe cost stays posting-list-sized and
+    * the arithmetic matches the from-scratch scan bit-for-bit (the
+    * q115 gate). Tombstones are SEGMENT-SCOPED: a tombstone written at
+    * segment s kills the key's postings in segments < s only, so a
+    * modification is "tombstone at s + re-append at s" and the fresh
+    * rows survive (the Lucene doc-generation rule; a key-scoped kill
+    * would erase the re-append too). Contract: re-append lands at a
+    * segment ≥ its tombstone's; ids are LONG. */
+  def bm25AppendSegment(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, segment: Int): Unit = {
+    val toks = docs.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+    val tf = cached(tc.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    tf.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite").parquet(s"$path/postings/seg=$segment")
+    tf.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/segstats/seg=$segment")
+  }
+
+  /** Tombstone keys (with their OLD document length, so the corpus
+    * stats can be corrected without re-reading the old segments). */
+  def bm25Tombstone(keys: DataFrame, idCol: String, dlCol: String,
+                    path: String, segment: Int): Unit =
+    keys.select(col(idCol).cast("long").as(idCol),
+        col(dlCol).cast("long").as("dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones/seg=$segment")
+
+  /** Probe a segmented index: pushed `term IN` over every segment's
+    * term-sorted postings, tombstone anti-join, df counted from the
+    * filtered lists, stats from segment partials − tombstones, then
+    * [[bm25Score]] — the same arithmetic as the direct scan. */
+  def bm25ProbeSegmented(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame, k: Int,
+                         idCol: String, k1: Double = 1.2,
+                         b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val qterms = queries.select(col("qid"),
+      explode(array_distinct(tokens(col("qtext")))).as("term"))
+    val terms = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0))
+    val tombSchema = new StructType()
+      .add(idCol, LongType).add("dl", LongType)
+      .add("seg", org.apache.spark.sql.types.IntegerType)
+    // a fresh index has no tombstones directory — read as empty, not
+    // as an error (schema supplied, same trick as the IVF staging)
+    val tombs =
+      try spark.read.schema(tombSchema).parquet(s"$path/tombstones")
+        .select(col(idCol), col("dl"), col("seg"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tombSchema)
+      }
+    // segment-scoped kill: keep a posting iff no tombstone for its key
+    // has a segment STRICTLY above the posting's (max per key — a
+    // twice-modified key carries two tombstones)
+    val maxTomb = tombs.groupBy(col(idCol))
+      .agg(max(col("seg")).as("_tseg"))
+    val live = cached(spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(terms): _*))
+      .select(col(idCol), col("dl"), col("term"), col("tf"), col("seg"))
+      .join(maxTomb, Seq(idCol), "left")
+      .filter(col("_tseg").isNull || col("seg") >= col("_tseg"))
+      .select(col(idCol), col("dl"), col("term"), col("tf")))
+    val dfq = live.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val seg = spark.read.parquet(s"$path/segstats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+    val tomb = tombs.agg(
+      coalesce(count(lit(1)), lit(0L)).as("tn"),
+      coalesce(sum(col("dl")), lit(0L)).as("ts"))
+    val stats = seg.crossJoin(tomb)
+      .select((col("n") - col("tn")).as("n_docs"),
+        ((col("s") - col("ts")).cast("double") /
+          (col("n") - col("tn")).cast("double")).as("avgdl"))
+    bm25Score(live.join(dfq, "term"), qterms, stats, idCol, k, k1, b)
+  }
+
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct
     * terms (a panel-sized driver-side fetch, the same boundedness
     * contract as the IVF centroid ranking) become a pushed-down

@@ -1928,6 +1928,45 @@ object PipelineQueries {
         .orderBy(col("qid"), col("score").desc, col("doc_id"))
     }),
 
+    // X2/X3 × X1 — the SEGMENTED lexical index under the hash gate
+    // (q114's layout made incremental, the Lucene segment model): a
+    // recrawl delta lands as segment appends + tombstones — nothing
+    // rewritten in place — and the probe reconstructs exact global
+    // scoring state (panel-term df from the filtered lists, corpus
+    // stats from segment partials minus tombstones). The oracle
+    // recomputes the direct scan over the FINAL corpus state, so
+    // segment membership, tombstone filtering, and the stats
+    // correction must all be exact.
+    "q115_bm25_segmented" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val seg0 = d.filter(col("doc_id") % 5 =!= 4)
+      val added = d.filter(col("doc_id") % 5 === 4)
+      val modified = seg0.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+      val removed = seg0.filter(col("doc_id") % 7 =!= 0 &&
+        col("doc_id") % 11 === 3)
+      val path = scratchPath("bm25_seg", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(seg0, "doc_id", "text", path, 0)
+      val tombKeys = seg0
+        .join(modified.select(col("doc_id"))
+          .union(removed.select(col("doc_id"))), Seq("doc_id"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(tombKeys, "doc_id", "dl", path, 1)
+      TextAnalysis.bm25AppendSegment(modified.unionByName(added),
+        "doc_id", "text", path, 1)
+      val panel = Seq(
+        (0L, "sort merge join upd"), (1L, "query filter scan"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25ProbeSegmented(s, path, panel, k = 12, "doc_id")
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3527,6 +3566,42 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // direct scan over the FINAL corpus state (adds in, removals out,
+    // modifications applied) — the segmented index must reproduce it
+    "q115_bm25_segmented" ->
+      """WITH fin AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 4 THEN c
+        |         WHEN doc_id % 7 = 0 THEN c || ' upd'
+        |         ELSE c END AS text
+        |  FROM (SELECT doc_id, coalesce(text, '') AS c FROM documents)
+        |  WHERE NOT (doc_id % 5 <> 4 AND doc_id % 7 <> 0
+        |             AND doc_id % 11 = 3)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'sort merge join upd'),
+        |        (1, 'query filter scan')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT qid, doc_id, score FROM r WHERE rn <= 12
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
 
     // q97's direct-scan SQL with q114's panel and k — the oracle
     // recomputes from the base table, so the materialized index and

@@ -144,6 +144,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probed == direct, "index probe diverged from the direct scan")
   }
 
+  test("segmented bm25: fresh index with NO tombstones dir probes " +
+      "fine, and single-segment probe equals the direct scan") {
+    import spark.implicits._
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val panel = Seq((0L, "scan table row")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25seg").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val probed = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text", panel,
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(probed == direct,
+      "fresh segmented probe diverged from the direct scan")
+  }
+
   test("stripMarkup: scripts/styles/comments dropped, block tags " +
       "break lines, entities decode exactly once, malformed markup " +
       "degrades to whitespace never lost text") {
