@@ -1967,6 +1967,20 @@ object PipelineQueries {
         .orderBy(col("qid"), col("score").desc, col("doc_id"))
     }),
 
+    // scale primitive — dense deterministic row ids WITHOUT a global
+    // window (range partition → per-partition count → broadcast
+    // prefix-sum offsets → per-partition numbering): the sharding /
+    // example-addressing step. Oracle: the single-task global
+    // row_number the implementation exists to avoid.
+    "q116_contiguous_ids" -> ((s, dir) => {
+      graft.operators.Ids.contiguousIds(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "row_id", col("source"), col("doc_id"))
+        .select(col("row_id"), col("doc_id"), col("source"))
+        .orderBy(col("row_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3566,6 +3580,14 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // the single-task global numbering the distributed two-pass must
+    // reproduce exactly
+    "q116_contiguous_ids" ->
+      """SELECT CAST(row_number() OVER (ORDER BY source, doc_id) - 1
+        |         AS BIGINT) AS row_id,
+        |       doc_id, source
+        |FROM documents ORDER BY row_id""".stripMargin,
 
     // direct scan over the FINAL corpus state (adds in, removals out,
     // modifications applied) — the segmented index must reproduce it
