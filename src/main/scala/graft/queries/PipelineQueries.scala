@@ -1981,6 +1981,30 @@ object PipelineQueries {
         .orderBy(col("row_id"))
     }),
 
+    // capstone #2 — SHARD ASSEMBLY: the dataset-finalization tail every
+    // training pipeline runs after curation — deterministic per-source
+    // reservoir sample → md5 pseudo-shuffle (engine-portable "random"
+    // order) → dense row ids (q116's two-pass) → fixed-size shard
+    // assignment → per-shard manifest. Every stage deterministic, so
+    // the whole assembly hashes.
+    "q117_shard_assembly" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+            .as("n_tokens"))
+      val sampled = Sampling.reservoirPerStratum(d, "doc_id", "source",
+        k = 15)
+      val shuffled = graft.operators.Ids.contiguousIds(sampled, "row_id",
+        md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      shuffled.withColumn("shard_id", expr("row_id div 25"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("row_id")).as("first_row"))
+        .orderBy(col("shard_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3580,6 +3604,28 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // the whole assembly replayed with single-task windows — sample
+    // rank, global shuffle order, dense ids, shard grouping
+    "q117_shard_assembly" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |samp AS (SELECT doc_id, source, n_tokens FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    FROM d) WHERE rn <= 15),
+        |ids AS (SELECT doc_id, source, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY
+        |      md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |      AS row_id
+        |  FROM samp)
+        |SELECT row_id // 25 AS shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(row_id) AS first_row
+        |FROM ids GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the single-task global numbering the distributed two-pass must
     // reproduce exactly
