@@ -32,7 +32,12 @@ object UrlFns {
   private val trackingParam = "^(utm_[^=&]*|gclid|fbclid|ref)(=.*)?$"
 
   def canonicalUrl(url: Column): Column = {
-    val u = trim(url)
+    val raw = trim(url)
+    // fragment FIRST: everything after '#' is gone before any other
+    // component parses — an unanchored query extract over the raw
+    // string would resurrect a '?' hiding inside the fragment
+    // ('/p#sec?x=1' must canonicalize to '/p', never '/p?x=1')
+    val u = regexp_replace(raw, "#.*$", "")
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
     val host = when(scheme === "http",
@@ -58,10 +63,10 @@ object UrlFns {
       .otherwise(concat(scheme, lit("://"), host, path, query))
   }
 
-  /** Registrable host of a canonical URL (naive last-two-labels rule —
-    * a public-suffix list is a lookup table to broadcast-join at the
-    * caller when precision matters; the naive rule is deterministic
-    * and oracle-expressible). Empty string when no host parses. */
+  /** Full lowercased hostname (port stripped) — the per-site grouping
+    * key. Registrable-domain reduction (b.com from a.b.com) needs a
+    * public-suffix list, which is a lookup table to broadcast-join at
+    * the caller. Empty string when no host parses. */
   def urlHost(url: Column): Column =
     regexp_extract(lower(trim(url)), "^[^:/?#]+://([^/?#:]*)", 1)
 }

@@ -31,21 +31,33 @@ object Ids {
   def contiguousIds(df: DataFrame, idName: String,
                     orderCols: Column*): DataFrame = {
     require(orderCols.nonEmpty, "contiguousIds needs an ordering")
-    // cached: the ranged frame feeds the per-partition counts AND the
-    // final numbering join; left lazy the full range-shuffle runs twice
+    // the local row index comes from monotonically_increasing_id over
+    // the range-partitioned, partition-sorted frame — NOT from a
+    // Window.partitionBy(_pid): RangePartitioning(orderCols) does not
+    // satisfy the window's ClusteredDistribution(_pid), so the planner
+    // would insert a second corpus-wide hash exchange + sort behind
+    // the one this design exists to avoid. mid is per-partition
+    // monotonic over the sorted rows; (mid − per-partition min) is
+    // the dense local index without any further shuffle. The frame is
+    // cached so both consumers see ONE mid assignment; eviction
+    // recompute is safe because the sort makes re-evaluation
+    // deterministic.
     val ranged = cached(df.repartitionByRange(orderCols: _*)
-      .withColumn("_pid", spark_partition_id()))
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id()))
+    // |partitions|-row aggregate (map-side: one row per partition) +
+    // a window over that tiny frame — the only global-order object
     val offsets = ranged.groupBy(col("_pid"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("_n"), min(col("_mid")).as("_minmid"))
       .withColumn("_offset",
         coalesce(sum(col("_n")).over(
           Window.orderBy(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_offset"))
-    val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+      .select(col("_pid"), col("_offset"), col("_minmid"))
     ranged.join(broadcast(offsets), Seq("_pid"))
       .withColumn(idName,
-        col("_offset") + row_number().over(w) - lit(1))
-      .drop("_pid", "_offset")
+        col("_offset") + (col("_mid") - col("_minmid")))
+      .drop("_pid", "_offset", "_minmid", "_mid")
   }
 }

@@ -521,17 +521,7 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // null text coalesces to "" (one empty-string token) so every doc
-    // reaches the tf frame and the corpus stats below — split(NULL)
-    // would silently drop the doc from n_docs/avgdl, diverging from a
-    // SQL oracle that counts it
-    val toks = docs.select(col(idCol),
-      tokens(coalesce(col(textCol), lit(""))).as("toks"))
-    val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
-      explode(col("toks")).as("term"))
-    val tf = cached(tc.groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf")))
+    val tf = tfFrame(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus stats DERIVED from the cached tf frame (split never
     // yields an empty array — even "" gives one token — so every doc
@@ -542,13 +532,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qterms = queries.select(col("qid"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
+    // panel pruning BEFORE the corpus-wide dfreq join: Catalyst will
+    // not reorder the inner joins itself, and joining every posting
+    // with its df first shuffles the full |doc,term| relation only to
+    // throw all but the panel's terms away (a measured 23% q97
+    // regression when the refactor briefly lost this ordering).
+    // dfreq itself still aggregates the full tf — df is corpus-wide
+    // by definition — but only panel-term rows reach the join.
+    val pruned = tf
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .join(dfreq, "term")
     // per-term contributions are quantized to 1e-7 fixed point BEFORE
     // the sum (floor(x*1e7 + 0.5), the project's spelled-rounding
     // convention): integer sums are addend-order-independent, so the
     // score is deterministic by construction — a raw double sum's 4-dp
     // rounding could flip at a boundary with Spark's uncontrolled
     // partial-aggregation order.
-    bm25Score(tf.join(dfreq, "term"), qterms, stats, idCol, k, k1, b)
+    bm25Score(pruned, qterms, stats, idCol, k, k1, b)
+  }
+
+  /** THE per-(doc, term) frequency relation every BM25 surface builds
+    * on — scan path, monolithic index write, segment append. One
+    * definition: the tokenize/dl/tf derivation decides index≡scan
+    * parity, and three hand-copies of it would let them drift. Null
+    * text coalesces to "" (one empty-string token) so every doc
+    * reaches the frame and the corpus stats — split(NULL) would
+    * silently drop the doc from n_docs/avgdl, diverging from a SQL
+    * oracle that counts it. Returned frame is [[cached]] (every
+    * caller consumes it at least twice). */
+  private def tfFrame(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+    cached(tc.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
   }
 
   /** THE one BM25 scoring definition — shared by the corpus-scan path
@@ -594,12 +613,7 @@ object TextAnalysis {
     */
   def bm25WriteIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String): Unit = {
-    val toks = docs.select(col(idCol),
-      tokens(coalesce(col(textCol), lit(""))).as("toks"))
-    val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
-      explode(col("toks")).as("term"))
-    val tf = cached(tc.groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf")))
+    val tf = tfFrame(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, "term")
       .repartitionByRange(col("term"))
@@ -633,12 +647,7 @@ object TextAnalysis {
     * segment ≥ its tombstone's; ids are LONG. */
   def bm25AppendSegment(docs: DataFrame, idCol: String, textCol: String,
                         path: String, segment: Int): Unit = {
-    val toks = docs.select(col(idCol),
-      tokens(coalesce(col(textCol), lit(""))).as("toks"))
-    val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
-      explode(col("toks")).as("term"))
-    val tf = cached(tc.groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf")))
+    val tf = tfFrame(docs, idCol, textCol)
     tf.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite").parquet(s"$path/postings/seg=$segment")

@@ -1956,7 +1956,10 @@ object PipelineQueries {
         .join(modified.select(col("doc_id"))
           .union(removed.select(col("doc_id"))), Seq("doc_id"))
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("dl"))
+          // dl MUST be the segment's own definition (TextAnalysis
+          // .tokens), not a re-spelled split: the stats correction is
+          // exact only if tombstone dl == the dl segment 0 recorded
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
       TextAnalysis.bm25Tombstone(tombKeys, "doc_id", "dl", path, 1)
       TextAnalysis.bm25AppendSegment(modified.unionByName(added),
         "doc_id", "text", path, 1)
@@ -3721,6 +3724,8 @@ object PipelineQueries {
         |        || CAST(doc_id % 40 AS VARCHAR) || '/extra'
         |    END AS u
         |  FROM documents),
+        |defrag AS (SELECT doc_id,
+        |    regexp_replace(trim(u), '#.*$', '') AS u FROM u0),
         |parts AS (SELECT doc_id, u,
         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |      AS scheme,
@@ -3729,7 +3734,7 @@ object PipelineQueries {
         |      regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
         |      '/{2,}', '/', 'g') AS sq,
         |    regexp_extract(u, '\?([^#]*)', 1) AS rq
-        |  FROM u0),
+        |  FROM defrag),
         |canon AS (SELECT doc_id,
         |    CASE WHEN scheme = '' THEN lower(trim(u)) ELSE
         |      scheme || '://'

@@ -100,17 +100,24 @@ object IvfRefreshProbe {
         .cache()
       newSnap.count()
       println(s"-- x$m ($n vectors, delta $deltaN over 3 of 64 cells)")
+      // scoped like every other probe/bench loop: operator-internal
+      // caches (changed keys, fresh assignment) must not stay pinned
+      // across multipliers and skew the later timings
       var t0 = System.nanoTime()
-      Similarity.ivfWriteIndexQuantized(newSnap, cents, "vec_id",
-        "embedding", s"$base/full")
+      graft.engine.Caching.scoped {
+        Similarity.ivfWriteIndexQuantized(newSnap, cents, "vec_id",
+          "embedding", s"$base/full")
+      }
       println(f"x$m full_rebuild: ${(System.nanoTime - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
-      val changes = Upsert.diffByKey(
-        oldSnap.select(col("vec_id"), col("sig")),
-        newSnap.select(col("vec_id"), col("sig")), "vec_id", "sig")
-      val dirty = Similarity.ivfRefreshQuantizedIncremental(spark,
-        s"$base/inc", cents, newSnap, changes, "vec_id", "embedding",
-        s"$base/stage")
+      val dirty = graft.engine.Caching.scoped {
+        val changes = Upsert.diffByKey(
+          oldSnap.select(col("vec_id"), col("sig")),
+          newSnap.select(col("vec_id"), col("sig")), "vec_id", "sig")
+        Similarity.ivfRefreshQuantizedIncremental(spark,
+          s"$base/inc", cents, newSnap, changes, "vec_id", "embedding",
+          s"$base/stage")
+      }
       println(f"x$m incr_refresh: ${(System.nanoTime - t0) / 1e9}%.2f s" +
         s" (dirty cells: ${dirty.size}/64)")
       // parity at every m

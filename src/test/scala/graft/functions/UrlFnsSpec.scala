@@ -29,6 +29,10 @@ class UrlFnsSpec extends SparkSpec {
     assert(canon("http://h.com") == Seq("http://h.com/"))
     assert(canon("http://h.com/?utm_source=1") == Seq("http://h.com/"))
     assert(canon("http://h.com/p?") == Seq("http://h.com/p"))
+    // '?' INSIDE the fragment must die with the fragment — and must
+    // not merge with the genuinely distinct page /p?x=1
+    assert(canon("http://h.com/p#sec?x=1") == Seq("http://h.com/p"))
+    assert(canon("http://h.com/p?x=1#s?y") == Seq("http://h.com/p?x=1"))
     assert(canon("http://h.com:8080/p") == Seq("http://h.com:8080/p"))
     // :80 is only default for http, :443 only for https
     assert(canon("https://h.com:80/p") == Seq("https://h.com:80/p"))

@@ -26,15 +26,21 @@ class IdsSpec extends SparkSpec {
       ids.distinct.length == 997)
   }
 
-  test("the corpus-sized numbering window is per-partition (no global " +
-      "single-partition exchange feeding a corpus window)") {
+  test("the corpus path carries NO window at all — numbering is " +
+      "arithmetic on mid; the only window is the tiny offsets " +
+      "prefix-sum, and the corpus shuffles exactly once (range)") {
     import spark.implicits._
     val df = (1 to 100).map(_.toLong).toDF("k")
     val plan = Ids.contiguousIds(df, "row_id", col("k"))
       .queryExecution.executedPlan.toString
-    // the numbering window must be partitioned by _pid; only the
-    // |partitions|-row offsets frame may use an unpartitioned window
-    assert(plan.contains("windowspecdefinition(_pid"),
-      s"numbering window is not per-partition:\n${plan.take(2000)}")
+    // row_number anywhere would mean a numbering window returned —
+    // the single-task-regression this spec pins against. (Shuffle
+    // COUNTS can't be asserted from the plan string: the cached
+    // frame's subtree prints once per consumer, duplicating its one
+    // range exchange in the text.)
+    assert(!plan.contains("row_number"),
+      s"numbering regressed to a window:\n${plan.take(2000)}")
+    assert(plan.contains("Exchange rangepartitioning"),
+      "the range-partitioning pass disappeared")
   }
 }
