@@ -2008,6 +2008,27 @@ object PipelineQueries {
         .orderBy(col("shard_id"))
     }),
 
+    // X1/X3 — DOMAIN-level quality filtering (the RefinedWeb-style
+    // block rule): per-host Gopher pass rate → hosts below 60% are
+    // blocked wholesale. Composes urlHost over the synthesized crawl
+    // URLs with q104's rule flags; integer cross-multiplied threshold
+    // so the verdict hashes.
+    "q118_domain_filter" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val url = concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), (col("doc_id") % 40).cast("string"))
+      val flags = TextAnalysis.gopherFlags(d, "doc_id", "text",
+        stopwords = langMarkers)
+      d.select(col("doc_id"), UrlFns.urlHost(url).as("host"))
+        .join(flags.select(col("doc_id"), col("pass")), Seq("doc_id"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pass").cast("long")).as("n_pass"))
+        .withColumn("blocked",
+          (col("n_pass") * 100 < col("n_docs") * 60).cast("int"))
+        .orderBy(col("host"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3607,6 +3628,38 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // q104's rule CTE + the host grouping + the integer threshold
+    "q118_domain_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |    CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(list_intersect(list_distinct(t),
+        |      ['scan', 'table', 'row', 'data', 'query', 'filter']))
+        |      AS BIGINT) AS stop_hits
+        |  FROM t),
+        |fl AS (SELECT doc_id,
+        |    CASE WHEN (CASE WHEN n_tokens BETWEEN 20 AND 90
+        |                THEN 1 ELSE 0 END) +
+        |      (CASE WHEN sum_len * 10 >= n_tokens * 40
+        |            AND sum_len * 10 <= n_tokens * 100
+        |            THEN 1 ELSE 0 END) +
+        |      (CASE WHEN n_distinct * 2 >= n_tokens
+        |            THEN 1 ELSE 0 END) +
+        |      (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) = 4
+        |      THEN 1 ELSE 0 END AS pass
+        |  FROM m),
+        |h AS (SELECT doc_id, 'www.' || source || '.example.com' AS host
+        |      FROM documents)
+        |SELECT h.host, count(*) AS n_docs,
+        |  CAST(sum(pass) AS BIGINT) AS n_pass,
+        |  CAST(CASE WHEN sum(pass) * 100 < count(*) * 60
+        |       THEN 1 ELSE 0 END AS INTEGER) AS blocked
+        |FROM h JOIN fl USING (doc_id)
+        |GROUP BY h.host ORDER BY h.host""".stripMargin,
 
     // the whole assembly replayed with single-task windows — sample
     // rank, global shuffle order, dense ids, shard grouping
