@@ -158,6 +158,21 @@ object PipelineQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** The deterministic HTML page wrapped around each doc's text for
+    * the markup gates (q112/q119) — ONE definition mirrored literally
+    * in both oracles, so the strip gate pins the regex chain, not the
+    * page construction. Carries a script, a style, a comment, the six
+    * entities, and a doc_id-varying link count. */
+  private def syntheticPage: org.apache.spark.sql.Column = concat(
+    lit("<html><!-- c --><head><style type=\"text/css\">p{color:red}" +
+      "</style><script>var x=1;</script></head><body><h1>T</h1><p>"),
+    regexp_replace(coalesce(col("text"), lit("")), " ", "&nbsp;"),
+    lit("</p><div>&amp; &lt;tag&gt;</div><a href=\"#\">l</a>" +
+      "<a href=\"#\">l2</a>"),
+    when(col("doc_id") % 3 === 0, lit("<a href=\"x\">m</a>"))
+      .otherwise(lit("")),
+    lit("</body></html>"))
+
   /** Marker vocabulary for the language-ID heuristic (stopword-ratio
     * family): words actually present in the synthetic corpus so the
     * ratio varies per document. */
@@ -1865,17 +1880,9 @@ object PipelineQueries {
     // of the row hasher) plus the density signals.
     "q112_markup_strip" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val html = concat(
-        lit("<html><!-- c --><head><style type=\"text/css\">p{color:red}" +
-          "</style><script>var x=1;</script></head><body><h1>T</h1><p>"),
-        regexp_replace(coalesce(col("text"), lit("")), " ", "&nbsp;"),
-        lit("</p><div>&amp; &lt;tag&gt;</div><a href=\"#\">l</a>" +
-          "<a href=\"#\">l2</a>"),
-        when(col("doc_id") % 3 === 0, lit("<a href=\"x\">m</a>"))
-          .otherwise(lit("")),
-        lit("</body></html>"))
       TextAnalysis.markupStats(
-          d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+          d.select(col("doc_id"), syntheticPage.as("html")),
+          "doc_id", "html")
         .select(col("doc_id"), md5(col("text")).as("clean_md5"),
           col("raw_len"), col("clean_len"), col("n_links"),
           col("text_ratio"))
@@ -2027,6 +2034,29 @@ object PipelineQueries {
         .withColumn("blocked",
           (col("n_pass") * 100 < col("n_docs") * 60).cast("int"))
         .orderBy(col("host"))
+    }),
+
+    // capstone #3 — WEB-INGEST front end: raw HTML → boilerplate strip
+    // → token-length gate → exact dedup on the CLEAN text → per-source
+    // report, as one plan. The mirror of q102's curation back end:
+    // together they cover crawl-to-corpus end to end, every stage an
+    // already-gated operator.
+    "q119_web_ingest" -> ((s, dir) => {
+      import graft.engine.Caching.cached
+      val d = Tables(s, dir, "documents")
+      val cleaned = d.select(col("doc_id"), col("source"),
+        TextAnalysis.stripMarkup(syntheticPage).as("clean"))
+      val kept = cached(cleaned
+        .withColumn("n_toks",
+          size(split(col("clean"), " ")).cast("long"))
+        .filter(col("n_toks") >= 15))
+      val reps = Dedup.exact(kept, "doc_id", "clean")
+        .select(col("keep_id").as("doc_id"))
+      kept.join(reps, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(col("n_toks")).as("tokens_kept"))
+        .orderBy(col("source"))
     }),
 
     // X × W — the STREAMING upsert's semantics under the hash gate:
@@ -3628,6 +3658,52 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // q112's page + strip chain, q14's signature dedup, per-source agg
+    "q119_web_ingest" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    '<html><!-- c --><head><style type="text/css">p{color:red}'
+        |    || '</style><script>var x=1;</script></head><body><h1>T</h1><p>'
+        |    || replace(coalesce(text, ''), ' ', '&nbsp;')
+        |    || '</p><div>&amp; &lt;tag&gt;</div><a href="#">l</a>'
+        |    || '<a href="#">l2</a>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<a href="x">m</a>'
+        |            ELSE '' END
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  trim(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        replace(replace(replace(replace(replace(replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(html,
+        |                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                '(?s)<!--.*?-->', ' ', 'g'),
+        |              '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table)[^>]*>',
+        |              chr(10), 'g'),
+        |            '<[^>]+>', '', 'g'),
+        |          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |          '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |        '[ \t]+', ' ', 'g'),
+        |      ' ?\n[ \n]*', chr(10), 'g'),
+        |    ' ' || chr(10)) AS clean
+        |  FROM h),
+        |k AS (SELECT doc_id, source, clean,
+        |        CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_toks
+        |      FROM c WHERE len(string_split(clean, ' ')) >= 15),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, array_to_string(list_sort(list_distinct(
+        |      string_split(clean, ' '))), ' ') AS sig FROM k)
+        |  GROUP BY sig)
+        |SELECT source, count(*) AS docs_kept,
+        |  CAST(sum(n_toks) AS BIGINT) AS tokens_kept
+        |FROM k JOIN reps USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // q104's rule CTE + the host grouping + the integer threshold
     "q118_domain_filter" ->
