@@ -47,14 +47,37 @@ object Ids {
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mid", monotonically_increasing_id()))
     // |partitions|-row aggregate (map-side: one row per partition) +
-    // a window over that tiny frame — the only global-order object
-    val offsets = ranged.groupBy(col("_pid"))
-      .agg(count(lit(1)).as("_n"), min(col("_mid")).as("_minmid"))
+    // a window over that tiny frame — the only global-order object.
+    // The per-partition (max − min == n − 1) check pins the
+    // within-partition-CONSECUTIVE property of mid that the dense ids
+    // arithmetically depend on: Spark's API contract only promises
+    // monotonic-and-unique, so a future counter change (striding,
+    // reservation) must fail HERE, loudly, instead of silently
+    // emitting sparse or colliding ids. The frame is partitions-sized,
+    // so collecting it for the guard costs nothing.
+    val perPart = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"), min(col("_mid")).as("_minmid"),
+        max(col("_mid")).as("_maxmid"))
       .withColumn("_offset",
         coalesce(sum(col("_n")).over(
           Window.orderBy(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_offset"), col("_minmid"))
+      .collect()
+    perPart.foreach { r =>
+      val n = r.getAs[Long]("_n")
+      val span = r.getAs[Long]("_maxmid") - r.getAs[Long]("_minmid")
+      require(span == n - 1,
+        s"monotonically_increasing_id is no longer consecutive within " +
+          s"a partition (span $span over $n rows in partition " +
+          s"${r.getAs[Int]("_pid")}) — contiguousIds' arithmetic " +
+          "depends on it; rework the local index derivation")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = perPart.toSeq
+      .map(r => (r.getAs[Int]("_pid"), r.getAs[Long]("_offset"),
+        r.getAs[Long]("_minmid")))
+      .toDF("_pid", "_offset", "_minmid")
     ranged.join(broadcast(offsets), Seq("_pid"))
       .withColumn(idName,
         col("_offset") + (col("_mid") - col("_minmid")))

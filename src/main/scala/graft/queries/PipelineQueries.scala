@@ -2047,8 +2047,9 @@ object PipelineQueries {
       val cleaned = d.select(col("doc_id"), col("source"),
         TextAnalysis.stripMarkup(syntheticPage).as("clean"))
       val kept = cached(cleaned
+        // tokens(), not a re-spelled split — the q115 drift rule
         .withColumn("n_toks",
-          size(split(col("clean"), " ")).cast("long"))
+          size(TextAnalysis.tokens(col("clean"))).cast("long"))
         .filter(col("n_toks") >= 15))
       val reps = Dedup.exact(kept, "doc_id", "clean")
         .select(col("keep_id").as("doc_id"))
