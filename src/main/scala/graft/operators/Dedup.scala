@@ -832,6 +832,45 @@ object Dedup {
         sum(when(col("_kept"), col("clen")).otherwise(0L)).as("toks_kept"))
   }
 
+  /** Chunk-level dedup APPLIED — the boilerplate-removal rewrite
+    * behind [[chunkDedupStats]]'s accounting: every chunk keeps only
+    * its corpus-wide FIRST occurrence (min (doc, position), the same
+    * keeper rule as the stats), and each document is reassembled from
+    * its surviving chunks in order. A fully-boilerplate document comes
+    * back EMPTY, not deleted — the caller decides whether empty docs
+    * drop (deleting here would silently change corpus membership).
+    *
+    * Scale shape: the keeper choice is ONE map-side-combined aggregate
+    * over 32-byte digests (no per-digest window — a viral boilerplate
+    * chunk would make that window's partition corpus-sized); the
+    * reassembly groups per document, so its state is bounded by the
+    * largest document, and chunk strings only ride the reassembly
+    * shuffle for SURVIVING chunks. */
+  def chunkDedupApply(docs: DataFrame, idCol: String, textCol: String,
+                      chunkSize: Int): DataFrame = {
+    val firstKey = struct(col(idCol).as("d"), col("cid").as("c"))
+    val ch = cached(
+      chunkRows(docs, idCol, textCol, chunkSize)
+        .select(col(idCol), col("cid"), col("clen"), col("chunk"),
+          col("sig")))
+    val firstSeen = ch.groupBy(col("sig")).agg(min(firstKey).as("_kkey"))
+    val rebuilt = ch.join(firstSeen, "sig")
+      .filter(firstKey === col("_kkey"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("cid"), col("chunk")))),
+          s => s.getField("chunk"))).as("new_text"),
+        count(lit(1)).as("n_chunks_kept"),
+        sum(col("clen")).as("n_tokens_kept"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("new_text"), lit("")).as("new_text"),
+        coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
   /** One row per `chunkSize`-token chunk: (id, carry…, cid, clen,
     * chunk, sig) — the shared chunker behind [[chunkDedupStats]] and
     * the streaming suppressor

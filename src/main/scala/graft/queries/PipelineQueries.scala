@@ -2060,6 +2060,19 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // X1 — chunk-dedup APPLY (q80's accounting turned into the
+    // rewrite): corpus-wide first-occurrence chunks survive, documents
+    // reassemble in order, fully-boilerplate docs come back empty.
+    // Text hashed for the gate (multi-token strings stay out of the
+    // row hasher).
+    "q120_chunk_dedup_apply" -> ((s, dir) => {
+      Dedup.chunkDedupApply(Tables(s, dir, "documents"), "doc_id",
+          "text", chunkSize = 20)
+        .select(col("doc_id"), md5(col("new_text")).as("new_md5"),
+          col("n_chunks_kept"), col("n_tokens_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3659,6 +3672,36 @@ object PipelineQueries {
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
          |ORDER BY asset_id""".stripMargin
     },
+
+    // q80's chunking + keeper CTEs with an ordered reassembly
+    "q120_chunk_dedup_apply" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split(coalesce(text, ''), ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n, toks,
+        |        unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)))
+        |          AS cid
+        |      FROM t),
+        |ch AS (SELECT doc_id, cid, least(20, n - cid * 20) AS clen,
+        |         array_to_string(toks[cid*20+1:cid*20+20], ' ') AS chunk,
+        |         md5(array_to_string(toks[cid*20+1:cid*20+20], ' '))
+        |           AS sig
+        |       FROM c),
+        |keep AS (SELECT sig, min(ROW(doc_id, cid)) AS kkey
+        |         FROM ch GROUP BY sig),
+        |kept AS (SELECT ch.doc_id, ch.cid, ch.clen, ch.chunk
+        |         FROM ch JOIN keep USING (sig)
+        |         WHERE ROW(doc_id, cid) = kkey),
+        |agg AS (SELECT doc_id,
+        |          string_agg(chunk, ' ' ORDER BY cid) AS new_text,
+        |          count(*) AS nck,
+        |          CAST(sum(clen) AS BIGINT) AS ntk
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, md5(coalesce(agg.new_text, '')) AS new_md5,
+        |  CAST(coalesce(agg.nck, 0) AS BIGINT) AS n_chunks_kept,
+        |  CAST(coalesce(agg.ntk, 0) AS BIGINT) AS n_tokens_kept
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q112's page + strip chain, q14's signature dedup, per-source agg
     "q119_web_ingest" ->

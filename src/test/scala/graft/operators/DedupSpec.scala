@@ -320,6 +320,29 @@ class DedupSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("chunkDedupApply rewrites documents from surviving chunks in " +
+      "order; fully-boilerplate docs come back EMPTY, never deleted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),  // "a b c" drops → rebuilt as "x y z"
+      (3L, "x y z"),        // only chunk seen earlier → empty
+      (4L, "d e f a b c")   // BOTH chunks seen at doc1/(2,?) → empty?
+    ).toDF("doc_id", "text")
+    // keeper rule: "d e f" first occurs at (1,1) — doc4's copy at
+    // (4,0) drops; "a b c" first at (1,0) — doc4's (4,1) drops.
+    val out = Dedup.chunkDedupApply(df, "doc_id", "text", chunkSize = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("new_text"), r.getAs[Long]("n_chunks_kept"),
+          r.getAs[Long]("n_tokens_kept")))).toMap
+    assert(out == Map(
+      1L -> (("a b c d e f", 2L, 6L)),
+      2L -> (("x y z", 1L, 3L)),     // surviving chunk, order kept
+      3L -> (("", 0L, 0L)),          // present with empty text
+      4L -> (("", 0L, 0L))),
+      s"got $out")
+  }
+
   test("sharedSpans: longest diagonal run per pair, minSpan filter, " +
       "sub-n docs inert") {
     import spark.implicits._
