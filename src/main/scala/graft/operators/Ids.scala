@@ -25,7 +25,12 @@ import graft.engine.Caching.cached
   * tiebreak — ids under a tie are otherwise partition-placement
   * noise). Output ids are 0-based, dense, and equal to
   * `row_number() OVER (ORDER BY cols) − 1` — the oracle-checkable
-  * contract (q116). */
+  * contract (q116).
+  *
+  * EAGER: the offsets pass (and its consecutiveness guard) runs at
+  * call time, so calling this materializes the input once — callers
+  * composing lazy plans should place it where that first pass is
+  * acceptable. */
 object Ids {
 
   def contiguousIds(df: DataFrame, idName: String,

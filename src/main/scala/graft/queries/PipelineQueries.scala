@@ -2073,6 +2073,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // multimodal — the PERMISSIVE media contract under the gate: one
+    // decodable image, one recognized-but-corrupt payload (truncated
+    // PPM), one unknown-magic payload, one NULL payload — four
+    // distinct per-row outcomes, none job-fatal. The corrupt row's
+    // error text is engine-internal, so the gate pins its PRESENCE
+    // (has_error), not its wording.
+    "q121_media_corrupt_accounting" -> ((s, dir) => {
+      import s.implicits._
+      val good = ImageFixture.ppm
+      val bad = ImageFixture.ppm.dropRight(3)
+      val assets = Seq(
+        (1L, good), (2L, bad),
+        (3L, "plain text".getBytes("UTF-8")),
+        (4L, null.asInstanceOf[Array[Byte]]))
+        .toDF("asset_id", "payload")
+        .select(col("asset_id"), col("payload"),
+          struct(lit("image").as("kind"),
+            coalesce(length(col("payload")), lit(0)).as("n_bytes"))
+            .as("meta"))
+      Multimodal.decodeFeatures(s, assets)
+        .select(col("asset_id"), col("format"),
+          col("decode_error").isNotNull.cast("int").as("has_error"),
+          col("n_bytes"), col("width"), col("height"))
+        .orderBy(col("asset_id"))
+    }),
+
     // X × W — the STREAMING upsert's semantics under the hash gate:
     // a deterministic three-wave recrawl sequence (wave 2 carries
     // late rows that straddle the watermark, wave 3 is a lone
@@ -3670,6 +3696,20 @@ object PipelineQueries {
          |  ${AudioFixture.stereoDec.channels},
          |  ${AudioFixture.stereoDec.durationMs},
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
+         |ORDER BY asset_id""".stripMargin
+    },
+
+    // literal outcomes per asset: decoded / corrupt-recorded /
+    // unknown-fallback / null-payload
+    "q121_media_corrupt_accounting" -> {
+      val w = ImageFixture.img.width
+      val h = ImageFixture.img.height
+      val n = ImageFixture.ppm.length
+      s"""SELECT 1 AS asset_id, 'ppm' AS format, 0 AS has_error,
+         |  $n AS n_bytes, $w AS width, $h AS height
+         |UNION ALL SELECT 2, NULL, 1, ${n - 3}, NULL, NULL
+         |UNION ALL SELECT 3, NULL, 0, 10, NULL, NULL
+         |UNION ALL SELECT 4, NULL, 1, 0, NULL, NULL
          |ORDER BY asset_id""".stripMargin
     },
 
