@@ -61,14 +61,16 @@ object Caching {
   }
 
   /** [[cached]] at MEMORY_AND_DISK_SER. For corpus-sized intermediates
-    * (exploded shingle relations, self-join build sides): deserialized
-    * MEMORY_ONLY blocks inflate several-fold over their on-wire size, and
-    * on a big (90 GB) heap the inflation lands as first-touch page
-    * zeroing on pages the block manager never reuses — the q39-family
-    * tax. Serialized blocks keep the cache near its shuffle footprint;
-    * the per-read deserialization cost is noise next to the join they
-    * feed. Small multi-consumer frames (band signatures, tf stats) stay
-    * on [[cached]] — for them the decode tax is the larger term. */
+    * (exploded shingle relations, self-join build sides). Dataset.persist
+    * caches serialized columnar CachedBatches at every storage level, so
+    * the _SER flag changes only how the batch wrapper objects are held —
+    * what was MEASURED (PLANS.md round-10 warm-rep table: the q39-family
+    * 90 GB-heap tax disappearing rep-for-rep) is the win, attributed to
+    * disk-spill behavior and first-touch paging of the large cache
+    * blocks on a big heap, not to RDD-style object inflation. Small
+    * multi-consumer frames (band signatures, tf stats) stay on
+    * [[cached]] — for them the re-serialization overhead has no
+    * compensating spill win. */
   def cachedSer[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     register(ds)

@@ -252,7 +252,14 @@ object ImageCodec {
         } finally reader.dispose()
       } finally if (iis != null) iis.close()
     } catch {
-      case e: java.io.IOException =>
+      case e: IllegalArgumentException => throw e
+      // NonFatal, not just IOException: plugin decoders throw runtime
+      // exceptions on malformed payloads (e.g. ArrayIndexOutOfBounds in
+      // the JPEG huffman tables) — every corrupt-input failure must
+      // surface as the documented IllegalArgumentException so the
+      // decode() contract holds for standalone callers too, not only
+      // under Multimodal.attempt's NonFatal net
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(
           s"imageio decode failed: ${e.getMessage}", e)
     }

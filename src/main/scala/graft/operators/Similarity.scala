@@ -474,7 +474,18 @@ object Similarity {
     * trigger, so refresh cost scales with the recrawl delta, not the
     * corpus. Returns the dirty cell ids (a ≤|cells| driver-side list —
     * the same boundedness as the probe's centroid ranking), so callers
-    * and specs can audit what was touched. */
+    * and specs can audit what was touched.
+    *
+    * COMMIT WINDOW (non-atomic, retry-safe): step 5's dynamic partition
+    * overwrite and the emptied-cell directory drops are separate
+    * filesystem operations — a failure between them (or a reader racing
+    * the commit) can observe stale removed vectors in a cell that ended
+    * up empty, until a retry completes. Every step is idempotent (the
+    * staging write, the dynamic overwrite, and the guarded delete all
+    * converge on re-run with the same inputs), so the documented
+    * recovery is: re-run the refresh with the same snapshot + diff; a
+    * half-committed index never loses LIVE rows, only over-serves
+    * removed ones inside the window. */
   def ivfRefreshQuantizedIncremental(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       cents: DataFrame, newSnap: DataFrame, changes: DataFrame,
