@@ -309,27 +309,56 @@ object Similarity {
       .select(col(idCol), round(col("distCol"), 4).as("dist"))
   }
 
-  /** Panel variant of [[brpLshTopK]]: ONE fit (the expensive part —
-    * hash-table planning over the corpus), then one bucket-pruned probe
-    * per query, unioned with the query id carried through. */
+  /** Panel variant of [[brpLshTopK]] as ONE relational plan: the fit
+    * happens once, the corpus is hashed once, and the whole panel
+    * probes via a single (table, bucket) equi-join against the
+    * BROADCAST hashed panel — the same single-probe candidate rule
+    * `approxNearestNeighbors` applies (≥1 shared bucket), but without
+    * its one-job-per-query driver loop (a 50-query panel was 50
+    * corpus scans; this is one). Candidates that collide in several
+    * tables dedupe in the same aggregate that keeps their (identical)
+    * exact distance; per-query top-k ties break by id —
+    * deterministic, unlike the ml API's bare distance sort. */
   def brpLshTopKMulti(vectors: DataFrame, idCol: String, vecCol: String,
                       queries: Seq[(Long, org.apache.spark.ml.linalg.Vector)],
                       k: Int, numHashTables: Int = 4,
                       bucketLength: Double = 2.0): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "brpLshTopKMulti: empty query panel")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vd = graft.functions.VectorFns.toDouble(col(vecCol))
     val df = graft.engine.Caching.cached(
-      vectors.withColumn("fv",
-        array_to_vector(graft.functions.VectorFns.toDouble(col(vecCol)))))
+      vectors.withColumn("fv", array_to_vector(vd)))
     val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setSeed(42L).setInputCol("fv").setOutputCol("hashes")
       .fit(df)
-    queries.map { case (qid, qv) =>
-      model.approxNearestNeighbors(df, qv, k)
-        .select(lit(qid).as("qid"), col(idCol),
-          round(col("distCol"), 4).as("dist"))
-    }.reduce(_.unionByName(_))
+    // hash-table index + scalar bucket id from the model's own
+    // transform (each hash entry is a 1-element vector)
+    def buckets(hashed: DataFrame, keep: Seq[org.apache.spark.sql.Column]) =
+      hashed.select(keep :+ posexplode(col("hashes"))
+          .as(Seq("ht", "hvec")): _*)
+        .withColumn("bucket", vector_to_array(col("hvec"))(0))
+        .drop("hvec")
+    val qdf = queries.toDF("qid", "fv")
+    val qb = buckets(model.transform(qdf),
+      Seq(col("qid"), vector_to_array(col("fv")).as("qarr")))
+    val cb = buckets(model.transform(df),
+      Seq(col(idCol), vector_to_array(col("fv")).as("varr")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col(idCol))
+    cb.join(broadcast(qb), Seq("ht", "bucket"))
+      .withColumn("dist",
+        sqrt(graft.functions.VectorFns.sqDist(col("varr"), col("qarr"))))
+      // multi-table collisions collapse here; dist is identical across
+      // a pair's collisions, so min() is pure dedup
+      .groupBy(col("qid"), col(idCol))
+      .agg(min(col("dist")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), round(col("dist"), 4).as("dist"))
   }
 
   /** Materialize the inverted file: vectors written PARTITIONED BY

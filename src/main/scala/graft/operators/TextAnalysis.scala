@@ -719,6 +719,107 @@ object TextAnalysis {
     bm25Score(live.join(dfq, "term"), qterms, stats, idCol, k, k1, b)
   }
 
+  /** MERGE a segmented lexical index — the other half of the Lucene
+    * generation rule [[bm25AppendSegment]] implements (r10 verdict
+    * item 3): fold every segment and its tombstones into ONE fresh
+    * segment, dropping fully-dead postings, and clear the tombstone
+    * set. Without merging, segments and tombstone files accumulate
+    * unboundedly and every probe pays a per-segment tombstone join
+    * plus |segments| stats partials forever; after a merge the probe
+    * is back to the single-segment fast path while
+    * [[bm25ProbeSegmented]] keeps producing bit-identical scores (the
+    * live-posting rule and the stats arithmetic are the probe's own,
+    * applied corpus-wide instead of panel-term-wide).
+    *
+    * The merged segment is renumbered seg=0 — with no tombstones left
+    * there is no generation to preserve, and later appends restart the
+    * generation clock above it (the re-append contract "segment ≥ its
+    * tombstone's" is vacuously reset).
+    *
+    * COMMIT (crash-recoverable, single-writer): the merged postings
+    * and segstats are fully STAGED under `.merge_staging` and sealed
+    * with a `_COMMIT_READY` marker before anything existing is
+    * touched; then old `postings`/`segstats`/`tombstones` are dropped
+    * and the staged dirs rename into place. A crash inside the window
+    * leaves either (a) no marker — the half-staged merge is garbage,
+    * the live index untouched, re-run from scratch — or (b) the
+    * marker plus a gutted index — probes fail LOUDLY on the missing
+    * path (never serve a half-state), and re-running this method
+    * detects the sealed staging and completes the rename instead of
+    * re-reading the now-missing postings. Readers must not race a
+    * merge (the same single-writer contract as every scratch layout
+    * here).
+    *
+    * Returns (segments folded, live docs in the merged segment). */
+  def bm25MergeSegments(spark: org.apache.spark.sql.SparkSession,
+                        path: String, idCol: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$path/.merge_staging")
+    val marker = new Path(staging, "_COMMIT_READY")
+    def commit(): Unit = {
+      for (d <- Seq("postings", "segstats", "tombstones")) {
+        val p = new Path(s"$path/$d")
+        require(!fs.exists(p) || fs.delete(p, true),
+          s"bm25MergeSegments: failed to drop $p")
+      }
+      for (d <- Seq("postings", "segstats")) {
+        require(fs.rename(new Path(staging, d), new Path(s"$path/$d")),
+          s"bm25MergeSegments: failed to commit staged $d")
+      }
+      require(fs.delete(staging, true) || !fs.exists(staging),
+        s"bm25MergeSegments: failed to clear $staging")
+    }
+    // crash recovery: a sealed staging with no live postings means the
+    // previous merge died mid-swap — complete it instead of re-reading
+    if (fs.exists(marker)) {
+      val merged = spark.read.parquet(s"${staging.toString}/segstats")
+        .agg(sum(col("n_docs")).cast("long")).collect()(0).getLong(0)
+      commit()
+      return (0L, merged)
+    }
+    val segsBefore = fs.listStatus(new Path(s"$path/postings"))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .toLong
+    val tombSchema = new StructType()
+      .add(idCol, LongType).add("dl", LongType).add("seg", IntegerType)
+    val tombs =
+      try spark.read.schema(tombSchema).parquet(s"$path/tombstones")
+        .select(col(idCol), col("seg"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tombSchema).select(col(idCol), col("seg"))
+      }
+    val maxTomb = tombs.groupBy(col(idCol))
+      .agg(max(col("seg")).as("_tseg"))
+    // the probe's live rule, applied corpus-wide: a posting survives
+    // iff no tombstone for its key sits in a STRICTLY later segment
+    val live = cached(spark.read.parquet(s"$path/postings")
+      .join(maxTomb, Seq(idCol), "left")
+      .filter(col("_tseg").isNull || col("seg") >= col("_tseg"))
+      .select(col(idCol), col("dl"), col("term"), col("tf")))
+    live.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite")
+      .parquet(s"${staging.toString}/postings/seg=0")
+    // exact integer partials from the live postings' distinct (id, dl)
+    // — the same numbers the probe's segstats-minus-tombstones
+    // correction reconstructs, now stored directly
+    live.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${staging.toString}/segstats/seg=0")
+    val nLive = spark.read.parquet(s"${staging.toString}/segstats")
+      .agg(sum(col("n_docs")).cast("long")).collect()(0).getLong(0)
+    fs.create(marker, true).close() // seal: staging is complete
+    commit()
+    (segsBefore, nLive)
+  }
+
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct
     * terms (a panel-sized driver-side fetch, the same boundedness
     * contract as the IVF centroid ranking) become a pushed-down

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.engine.Tables
+import graft.engine.{GateChecks, Tables}
 import graft.functions.{TextFns, UrlFns, VectorFns}
 import graft.operators.{Dedup, IsolationForest, Multimodal, QualityModel, Sampling, Similarity, TextAnalysis, Upsert}
 import graft.sources.CsvIngest
@@ -713,9 +713,22 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") === 0)
         .select(VectorFns.toDouble(col("embedding")).as("q"))
         .collect()(0).getSeq[Double](0).toArray
-      Similarity.brpLshTopK(e.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding",
-        org.apache.spark.ml.linalg.Vectors.dense(q), k = 10)
+      val out = graft.engine.Caching.cached(
+        Similarity.brpLshTopK(e.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding",
+          org.apache.spark.ml.linalg.Vectors.dense(q), k = 10))
+      // driver-enforced invariants (r10 verdict item 1): a full,
+      // well-formed neighbor list — exactly k rows, ids distinct,
+      // query id excluded, distances non-negative and non-decreasing
+      val rows = out.orderBy(col("dist"), col("vec_id")).collect()
+      require(rows.length == 10,
+        s"q41: expected 10 neighbors, got ${rows.length}")
+      val ids = rows.map(_.getLong(0))
+      require(ids.distinct.length == ids.length && !ids.contains(0L),
+        "q41: neighbor ids must be distinct and exclude the query id")
+      require(rows.forall(_.getDouble(1) >= 0.0),
+        "q41: negative LSH distance")
+      GateChecks.requirePinned("q41_ann_lsh", dir, out)
     }),
 
     // A5 — the reference's latent RandomForestClassifier, executed:
@@ -726,10 +739,25 @@ object PipelineQueries {
       // cached: the featurized frame feeds the forest fit AND scoring
       val data = graft.engine.Caching.cached(
         graft.operators.QualityModel.featurize(docs))
-      graft.operators.QualityModel.trainOn(data).transform(data)
-        .groupBy(col("label"), col("prediction"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("label"), col("prediction"))
+      val out = graft.engine.Caching.cached(
+        graft.operators.QualityModel.trainOn(data).transform(data)
+          .groupBy(col("label"), col("prediction"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("label"), col("prediction")))
+      // driver-enforced invariants (r10 verdict item 1): the confusion
+      // matrix must account for every featurized row, and the seeded
+      // forest must recover its own deterministic training label (the
+      // label is a function of the features — near-perfect training
+      // accuracy is the design; 0.9 is a loud floor, not a target)
+      val cm = out.collect()
+      val total = cm.map(_.getLong(2)).sum
+      require(total == data.count(),
+        s"q40: confusion matrix covers $total rows, expected all")
+      val correct = cm.filter(r => r.getDouble(0) == r.getDouble(1))
+        .map(_.getLong(2)).sum
+      require(correct * 10 >= total * 9,
+        s"q40: training accuracy ${correct.toDouble / total} below 0.9")
+      GateChecks.requirePinned("q40_quality_model", dir, out)
     }),
 
     // A5 — classification_report parity (the reference's last latent
@@ -770,13 +798,21 @@ object PipelineQueries {
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(3).setSeed(42).setFeaturesCol("features")
         .fit(assembled)
-      model.transform(assembled)
-        .groupBy(col("prediction"))
-        .agg(count(lit(1)).as("n"),
-          round(avg(col("z_bal")), 4).as("mean_z_bal"),
-          round(avg(col("z_spend")), 4).as("mean_z_spend"),
-          round(avg(col("z_orders")), 4).as("mean_z_orders"))
-        .orderBy(col("mean_z_spend"), col("mean_z_bal"))
+      val out = graft.engine.Caching.cached(
+        model.transform(assembled)
+          .groupBy(col("prediction"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("z_bal")), 4).as("mean_z_bal"),
+            round(avg(col("z_spend")), 4).as("mean_z_spend"),
+            round(avg(col("z_orders")), 4).as("mean_z_orders"))
+          .orderBy(col("mean_z_spend"), col("mean_z_bal")))
+      // driver-enforced invariants (r10 verdict item 1): exactly k=3
+      // NON-EMPTY clusters (groupBy emits only populated groups, so 3
+      // rows ⇔ 3 non-empty cells) — a collapsed or degenerate seeded
+      // fit turns this row err-red in the driver record
+      require(out.count() == 3,
+        "q32: seeded k=3 fit did not produce 3 non-empty clusters")
+      GateChecks.requirePinned("q32_kmeans", dir, out)
     }),
 
     // A5 completion — the reference's LAST latent ML import
@@ -792,12 +828,24 @@ object PipelineQueries {
       val feat = graft.engine.Caching.cached(kmeansFeatures(s, dir))
       val cols = Seq("z_bal", "z_spend", "z_orders")
       val forest = IsolationForest.fit(feat, "c_custkey", cols)
-      feat
+      val out = graft.engine.Caching.cached(feat
         .withColumn("iso_score",
           round(IsolationForest.scoreColumn(forest, cols.map(col)), 4))
         .orderBy(col("iso_score").desc, col("c_custkey"))
         .select(col("c_custkey"), col("iso_score"))
-        .limit(25)
+        .limit(25))
+      // driver-enforced invariants (r10 verdict item 1): a full top-25
+      // with scores in the paper's (0, 1) range (s = 2^(−E[h]/c(ψ)) is
+      // strictly inside) and anomalies genuinely above the corpus
+      // midpoint — a broken seeded fit that flattens scores goes red
+      val rows = out.collect()
+      require(rows.length == 25, s"q88: expected 25 rows, got ${rows.length}")
+      val scores = rows.map(_.getDouble(1))
+      require(scores.forall(x => x > 0.0 && x < 1.0),
+        "q88: isolation score outside (0, 1)")
+      require(scores.max > 0.5,
+        "q88: no customer scored above 0.5 — anomaly signal collapsed")
+      GateChecks.requirePinned("q88_isolation_forest", dir, out)
     }),
 
     // X3 — TF-IDF over document tokens (SURVEY.md:175), pure SQL form so
@@ -874,9 +922,16 @@ object PipelineQueries {
     // at sf0.01 — see PLANS.md). Engine-specific hashes → rows-only
     // gate check; semantics covered by DedupSpec.
     "q47_simhash_wide" -> ((s, dir) => {
-      Dedup.simhashNearDupsWide(Tables(s, dir, "documents"), "doc_id",
-          "text", maxDist = 3)
-        .orderBy(col("id1"), col("id2"))
+      val out = graft.engine.Caching.cached(
+        Dedup.simhashNearDupsWide(Tables(s, dir, "documents"), "doc_id",
+            "text", maxDist = 3)
+          .orderBy(col("id1"), col("id2")))
+      // driver-enforced invariants (r10 verdict item 1): canonical pair
+      // orientation; the hash family is deterministic (no seed), so the
+      // pinned digest additionally freezes the exact pair set per sf
+      require(out.filter(col("id1") >= col("id2")).isEmpty,
+        "q47: pair not in canonical id1 < id2 orientation")
+      GateChecks.requirePinned("q47_simhash_wide", dir, out)
     }),
 
     // X1 — embedding near-dup with LSH-bucket blocking (no label
@@ -886,9 +941,19 @@ object PipelineQueries {
     // exact-verified, so every emitted pair genuinely clears minSim.
     // Seeded planes → rows-only but reproducible.
     "q48_embed_lsh_neardup" -> ((s, dir) => {
-      Dedup.embedNearDupsLSH(Tables(s, dir, "embeddings"), "vec_id",
-          "embedding", dim = 64, minSim = 0.3, nPlanes = 8, nTables = 8)
-        .orderBy(col("id1"), col("id2"))
+      val out = graft.engine.Caching.cached(
+        Dedup.embedNearDupsLSH(Tables(s, dir, "embeddings"), "vec_id",
+            "embedding", dim = 64, minSim = 0.3, nPlanes = 8, nTables = 8)
+          .orderBy(col("id1"), col("id2")))
+      // driver-enforced invariants (r10 verdict item 1): canonical
+      // orientation + every emitted pair genuinely clears minSim (the
+      // operator exact-verifies candidates — this re-checks the output
+      // surface); the seeded planes make the digest pinnable per sf
+      require(out.filter(col("id1") >= col("id2")).isEmpty,
+        "q48: pair not in canonical id1 < id2 orientation")
+      require(out.filter(col("sim") < 0.3).isEmpty,
+        "q48: emitted pair below the minSim threshold")
+      GateChecks.requirePinned("q48_embed_lsh_neardup", dir, out)
     }),
 
     // X3 — ml-native TF-IDF vectors (HashingTF → IDF). Hash buckets are
@@ -898,14 +963,24 @@ object PipelineQueries {
     // tf ordering).
     "q49_tfidf_vectors" -> ((s, dir) => {
       import org.apache.spark.ml.functions.vector_to_array
-      TextAnalysis.tfidfVectors(Tables(s, dir, "documents"),
-          "doc_id", "text")
-        .select(col("doc_id"), vector_to_array(col("tfidf")).as("va"))
-        .select(col("doc_id"),
-          size(filter(col("va"), x => x =!= 0.0)).as("nnz"),
-          round(sqrt(aggregate(col("va"), lit(0.0),
-            (acc, x) => acc + x * x)), 4).as("l2"))
-        .orderBy(col("doc_id"))
+      val docs = Tables(s, dir, "documents")
+      val out = graft.engine.Caching.cached(
+        TextAnalysis.tfidfVectors(docs, "doc_id", "text")
+          .select(col("doc_id"), vector_to_array(col("tfidf")).as("va"))
+          .select(col("doc_id"),
+            size(filter(col("va"), x => x =!= 0.0)).as("nnz"),
+            round(sqrt(aggregate(col("va"), lit(0.0),
+              (acc, x) => acc + x * x)), 4).as("l2"))
+          .orderBy(col("doc_id")))
+      // driver-enforced invariants (r10 verdict item 1): one vector per
+      // document, none degenerate (every synthetic doc has tokens, so a
+      // zero vector means the hashing/idf path broke); the murmur3
+      // hashing is seed-fixed, so the digest pins the exact summaries
+      require(out.count() == docs.count(),
+        "q49: vector count != document count")
+      require(out.filter(col("nnz") <= 0 || col("l2") <= 0.0).isEmpty,
+        "q49: degenerate all-zero tf-idf vector")
+      GateChecks.requirePinned("q49_tfidf_vectors", dir, out)
     }),
 
     // LLM-pipeline — sequence packing: bin documents into fixed
@@ -1094,12 +1169,43 @@ object PipelineQueries {
     // distinct shuffle. Sketch internals are engine-specific → rows-only
     // gate check; accuracy-vs-exact invariants in ApproxAggSpec.
     "q64_approx_stats" -> ((s, dir) => {
-      Tables(s, dir, "events")
+      val e = Tables(s, dir, "events")
+      val out = graft.engine.Caching.cached(e
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("ap50"),
           round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("ap99"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type")))
+      // driver-enforced invariants (r10 verdict item 1): every sketch
+      // checked against the EXACT statistic computed in the same
+      // builder. HLL++ at default rsd 0.05 must land within 15% (3σ) of
+      // the exact distinct; the KLL-style percentiles carry a rank
+      // guarantee (error ≤ n/accuracy), so the approx value must fall
+      // between the exact ±1%-rank order statistics — a rank-based
+      // band, robust to value-scale differences across event types.
+      val exact = e.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("ed"),
+          expr("percentile(value, array(0.49, 0.51, 0.985, 0.995))")
+            .as("ps"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getSeq[Double](2)))
+        .toMap
+      out.collect().foreach { r =>
+        val (ed, ps) = exact(r.getString(0))
+        val (au, ap50, ap99) =
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))
+        require(math.abs(au - ed) <= 0.15 * ed,
+          s"q64/${r.getString(0)}: approx distinct $au vs exact $ed " +
+            "outside 15%")
+        require(ap50 >= ps(0) - 1e-4 && ap50 <= ps(1) + 1e-4,
+          s"q64/${r.getString(0)}: ap50 $ap50 outside exact " +
+            s"[p49, p51] = [${ps(0)}, ${ps(1)}]")
+        require(ap99 >= ps(2) - 1e-4 && ap99 <= ps(3) + 1e-4,
+          s"q64/${r.getString(0)}: ap99 $ap99 outside exact " +
+            s"[p98.5, p99.5] = [${ps(2)}, ${ps(3)}]")
+      }
+      out
     }),
 
     // X1 — INCREMENTAL exact dedup: dedup a new ingest batch (sources
@@ -1341,11 +1447,15 @@ object PipelineQueries {
     "q75_ann_recall" -> ((s, dir) => {
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
+      // 50-query panel (r10 verdict item 5 — the 5-query panel's ±5-hit
+      // luck band made single-round recall moves unreadable; 500
+      // (query, hit) trials make the number load-bearing)
+      val nPanel = 50
       val queries = graft.engine.Caching.cached(
-        e.filter(col("vec_id") < 5)
+        e.filter(col("vec_id") < nPanel)
           .select(col("vec_id").as("qid"),
             VectorFns.toDouble(col("embedding")).as("qvec")))
-      val base = e.filter(col("vec_id") >= 5)
+      val base = e.filter(col("vec_id") >= nPanel)
       val exact = Similarity.topKMulti(base, queries, "vec_id",
           "embedding", 10)
         .select(col("qid"), col("vec_id"))
@@ -1362,11 +1472,29 @@ object PipelineQueries {
       val lsh = Similarity.brpLshTopKMulti(base, "vec_id", "embedding",
           qlocal, k = 10)
         .select(col("qid"), col("vec_id"))
-      ivf.withColumn("method", lit("ivf"))
-        .unionByName(lsh.withColumn("method", lit("lsh")))
-        .join(exact, Seq("qid", "vec_id"))
-        .select(col("method"), col("qid"), col("vec_id"))
-        .orderBy(col("method"), col("qid"), col("vec_id"))
+      val out = graft.engine.Caching.cached(
+        ivf.withColumn("method", lit("ivf"))
+          .unionByName(lsh.withColumn("method", lit("lsh")))
+          .join(exact, Seq("qid", "vec_id"))
+          .select(col("method"), col("qid"), col("vec_id"))
+          .orderBy(col("method"), col("qid"), col("vec_id")))
+      // driver-enforced recall floors (r10 verdict item 1): a recall
+      // collapse in either approximate path turns this row err-red in
+      // the driver record instead of silently shrinking a rows-only
+      // count. Measured (AnnRecallPanelProbe, 3 seeds × 3 sfs,
+      // PLANS.md round-11): IVF nProbe=5 54–62%, LSH 96–98%; floors
+      // sit ~15 points under the seed-42 minimum — regression alarms,
+      // not targets.
+      val hits = out.groupBy(col("method")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val denom = nPanel * 10L
+      val ivfHits = hits.getOrElse("ivf", 0L)
+      val lshHits = hits.getOrElse("lsh", 0L)
+      require(ivfHits * 100 >= denom * 45,
+        s"q75: IVF recall@10 collapsed — $ivfHits/$denom < 45%")
+      require(lshHits * 100 >= denom * 80,
+        s"q75: LSH recall@10 collapsed — $lshHits/$denom < 80%")
+      out
     }),
 
     // Skew-salted join UNDER THE HASH GATE: event_type is the maximally
@@ -1488,9 +1616,18 @@ object PipelineQueries {
     // oracle path (rows-only); co-clustering/recall invariants in
     // DedupSpec.
     "q82_semantic_dedup" -> ((s, dir) => {
-      Dedup.embedNearDupsClustered(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 8, minSim = 0.4)
-        .orderBy(col("id1"), col("id2"))
+      val out = graft.engine.Caching.cached(
+        Dedup.embedNearDupsClustered(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, minSim = 0.4)
+          .orderBy(col("id1"), col("id2")))
+      // driver-enforced invariants (r10 verdict item 1): canonical
+      // orientation + exact-verified threshold on the output surface;
+      // the seeded k-means blocking makes the digest pinnable per sf
+      require(out.filter(col("id1") >= col("id2")).isEmpty,
+        "q82: pair not in canonical id1 < id2 orientation")
+      require(out.filter(col("sim") < 0.4).isEmpty,
+        "q82: emitted pair below the minSim threshold")
+      GateChecks.requirePinned("q82_semantic_dedup", dir, out)
     }),
 
     // X1 — the PRODUCTION SemDeDup decision: q82's semantic near-dup
@@ -1507,8 +1644,18 @@ object PipelineQueries {
         .select(col("id1"), col("id2"))
       val scored = Tables(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
-      Dedup.keepBest(pairs, scored, "doc_id", "n_chars")
-        .orderBy(col("label"))
+      val out = graft.engine.Caching.cached(
+        Dedup.keepBest(pairs, scored, "doc_id", "n_chars")
+          .orderBy(col("label")))
+      // driver-enforced invariants (r10 verdict item 1): every semantic
+      // cluster is a genuine multi-member component and the kept member
+      // carries the cluster's best quality score (NULL only if the
+      // id-aligned document is missing — never for this corpus)
+      require(out.filter(col("n_members") < 2).isEmpty,
+        "q85: degenerate single-member dedup component")
+      require(out.filter(col("best_score").isNull).isEmpty,
+        "q85: cluster kept without a quality score")
+      GateChecks.requirePinned("q85_semantic_keep_best", dir, out)
     }),
 
     // LLM-pipeline — corpus refresh (upsert): two recrawl waves + an
@@ -1970,6 +2117,53 @@ object PipelineQueries {
       TextAnalysis.bm25Tombstone(tombKeys, "doc_id", "dl", path, 1)
       TextAnalysis.bm25AppendSegment(modified.unionByName(added),
         "doc_id", "text", path, 1)
+      val panel = Seq(
+        (0L, "sort merge join upd"), (1L, "query filter scan"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25ProbeSegmented(s, path, panel, k = 12, "doc_id")
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
+    // X2/X3 × X1 — segment MERGE under the hash gate (the other half
+    // of q115's Lucene generation rule, r10 verdict item 3): the same
+    // two-segment-plus-tombstones index is FOLDED into one segment
+    // (dead postings dropped, tombstones cleared, stats re-derived
+    // from the live rows), and the probe runs on the merged index.
+    // The oracle is the identical direct scan over the final corpus
+    // state — merge must be invisible to scoring, byte for byte; the
+    // builder additionally requires the folded layout (one segment,
+    // no tombstones) so a merge that silently no-ops goes err-red.
+    "q122_bm25_merge" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val seg0 = d.filter(col("doc_id") % 5 =!= 4)
+      val added = d.filter(col("doc_id") % 5 === 4)
+      val modified = seg0.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+      val removed = seg0.filter(col("doc_id") % 7 =!= 0 &&
+        col("doc_id") % 11 === 3)
+      val path = scratchPath("bm25_merge", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(seg0, "doc_id", "text", path, 0)
+      val tombKeys = seg0
+        .join(modified.select(col("doc_id"))
+          .union(removed.select(col("doc_id"))), Seq("doc_id"))
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(tombKeys, "doc_id", "dl", path, 1)
+      TextAnalysis.bm25AppendSegment(modified.unionByName(added),
+        "doc_id", "text", path, 1)
+      val (folded, _) = TextAnalysis.bm25MergeSegments(s, path, "doc_id")
+      require(folded == 2, s"q122: expected to fold 2 segments, got $folded")
+      val segDirs = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$path/postings"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      require(segDirs == 1 && !fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+        s"q122: merge left $segDirs segments / stale tombstones")
       val panel = Seq(
         (0L, "sort merge join upd"), (1L, "query filter scan"))
         .toDF("qid", "qtext")
@@ -3854,6 +4048,43 @@ object PipelineQueries {
     // direct scan over the FINAL corpus state (adds in, removals out,
     // modifications applied) — the segmented index must reproduce it
     "q115_bm25_segmented" ->
+      """WITH fin AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 4 THEN c
+        |         WHEN doc_id % 7 = 0 THEN c || ' upd'
+        |         ELSE c END AS text
+        |  FROM (SELECT doc_id, coalesce(text, '') AS c FROM documents)
+        |  WHERE NOT (doc_id % 5 <> 4 AND doc_id % 7 <> 0
+        |             AND doc_id % 11 = 3)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'sort merge join upd'),
+        |        (1, 'query filter scan')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT qid, doc_id, score FROM r WHERE rn <= 12
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // q115's oracle verbatim: the merge changes the physical layout
+    // only — the probe over the folded index must reproduce the same
+    // direct scan over the same final corpus state
+    "q122_bm25_merge" ->
       """WITH fin AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 4 THEN c
         |         WHEN doc_id % 7 = 0 THEN c || ' upd'

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, concat, lit, size, when}
 
 import graft.SparkSpec
 
@@ -162,6 +162,111 @@ class TextAnalysisSpec extends SparkSpec {
       .toSet
     assert(probed == direct,
       "fresh segmented probe diverged from the direct scan")
+  }
+
+  test("bm25MergeSegments: probe parity across the merge, folded " +
+      "layout, and the generation clock restarts for later appends") {
+    import spark.implicits._
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+    val panel = Seq((0L, "scan table row"), (1L, "query filter"))
+      .toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25mrg").toString
+    val seg0 = docs.filter(col("doc_id") % 5 =!= 4)
+    val added = docs.filter(col("doc_id") % 5 === 4)
+    val modified = seg0.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+    TextAnalysis.bm25AppendSegment(seg0, "doc_id", "text", dir, 0)
+    // tombstone dl = the OLD (segment-0) dl, per the stats-correction
+    // contract — the modified text's dl would skew pre-merge avgdl
+    TextAnalysis.bm25Tombstone(
+      seg0.join(modified.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl")),
+      "doc_id", "dl", dir, 1)
+    TextAnalysis.bm25AppendSegment(modified.unionByName(added),
+      "doc_id", "text", dir, 1)
+    def probe() = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 12, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val before = probe()
+    val (folded, nLive) = TextAnalysis.bm25MergeSegments(spark, dir,
+      "doc_id")
+    assert(folded == 2, s"folded $folded segments")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .map(_.getPath.getName).toSeq
+    assert(segDirs == Seq("seg=0"), s"got $segDirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "tombstones survived the merge")
+    assert(probe() == before, "probe diverged across the merge")
+    // the final corpus has every doc exactly once (mods re-appended,
+    // nothing removed in this scenario)
+    assert(nLive == docs.count(), s"live docs $nLive")
+    // generation restarts: tombstone one merged doc at seg=1 and
+    // re-append its replacement — the merged seg=0 row must die, the
+    // fresh row must survive, and the probe must equal a direct scan
+    // over the final corpus
+    val mergedText =
+      when(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4,
+        concat(col("text"), lit(" upd"))).otherwise(col("text"))
+    val victim = docs.filter(col("doc_id") === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" upd2")).as("text"))
+    val vTomb = docs.filter(col("doc_id") === 0)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(mergedText)).cast("long").as("dl"))
+    TextAnalysis.bm25Tombstone(vTomb, "doc_id", "dl", dir, 1)
+    TextAnalysis.bm25AppendSegment(victim, "doc_id", "text", dir, 1)
+    val finalCorpus = docs.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), mergedText.as("text"))
+      .unionByName(victim)
+    val direct = TextAnalysis.bm25TopK(finalCorpus, "doc_id", "text",
+        panel, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(probe() == direct,
+      "post-merge append/tombstone diverged from the direct scan")
+  }
+
+  test("bm25MergeSegments: a sealed-but-uncommitted merge (crash " +
+      "inside the swap window) completes on re-run") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b b")).toDF(
+      "doc_id", "text")
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25rcv").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val expect = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // simulate the crash: staging fully written + sealed, live index
+    // already gutted (the worst point of the documented window)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(from: String, to: String) =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$from"),
+        new org.apache.hadoop.fs.Path(s"$dir/$to")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging"))
+    mv("postings", ".merge_staging/postings")
+    mv("segstats", ".merge_staging/segstats")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/.merge_staging/_COMMIT_READY"), true).close()
+    val (folded, nLive) = TextAnalysis.bm25MergeSegments(spark, dir,
+      "doc_id")
+    assert(folded == 0 && nLive == 3, s"recovery returned ($folded, $nLive)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging")))
+    val after = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(after == expect, "recovered index diverged")
   }
 
   test("stripMarkup: scripts/styles/comments dropped, block tags " +
