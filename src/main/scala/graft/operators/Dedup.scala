@@ -342,18 +342,29 @@ object Dedup {
   def simhash(toks: Column): Column =
     simhashFromHashes(transform(array_distinct(toks), t => xxhash64(t)))
 
-  /** Bit votes over an ALREADY-MATERIALIZED hash array column: the 64
-    * per-bit expressions each reference `hs`, so callers must alias the
-    * token-hash transform into its own projection first (otherwise the
-    * transform is inlined and re-evaluated 64× per row — same pathology
-    * as the MinHash signature, see [[shingleSets]]). */
+  /** Bit votes over an ALREADY-MATERIALIZED hash array column, as ONE
+    * aggregate pass: fold the hash array into a 64-long vote-count
+    * array (zip_with against bit positions), then pack bits where the
+    * majority votes 1. Callers must still alias the token-hash
+    * transform into its own projection first (otherwise the transform
+    * is inlined and re-evaluated per fold step — same pathology as the
+    * MinHash signature, see [[shingleSets]]). The earlier unrolled
+    * form — 64 independent `filter(hs, bit i set)` subtrees per use —
+    * walked the hash array 64× per row AND put ~10³ nodes into the
+    * plan per signature; with two hash families (q47) every action on
+    * the frame re-analyzed that tree, a measured ~1 s/action of pure
+    * plan overhead. Vote rule unchanged (count·2 > n ⇒ bit set) — the
+    * pinned q47 digests verify the refactor bit-for-bit. */
   def simhashFromHashes(hs: Column): Column = {
-    val n = size(hs)
-    (0 until 64).map { i =>
-      when(size(filter(hs, h =>
-        shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L))) * 2 > n,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val counts = aggregate(hs, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + call_function("shiftright", h, i)
+          .bitwiseAND(lit(1L))))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)), (c, i) =>
+        when(c * 2 > size(hs), call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 with 4
@@ -636,23 +647,32 @@ object Dedup {
     import graft.functions.VectorFns
     require(nPlanes <= 62, "bucket bits must fit a long")
     val rng = new scala.util.Random(seed)
-    def plane(): Column =
-      array((0 until dim).map(_ => lit(rng.nextGaussian())): _*)
+    // ALL hyperplanes as ONE literal payload (nTables·nPlanes × dim),
+    // indexed by HOFs below. The previous shape — one expression
+    // subtree of dim literal NODES per plane, 64 planes deep in
+    // when/sum chains — made the logical plan itself the bottleneck:
+    // every action on the (cached) frame re-analyzed a tree of ~10⁴
+    // nodes, measured ~3 s/action at ANY data size (the r10 q48 bench
+    // flag was plan overhead, not compute). A typedlit is a single
+    // Literal node carrying the same doubles as data.
+    val planes = (for (_ <- 0 until nTables; _ <- 0 until nPlanes)
+      yield Seq.fill(dim)(rng.nextGaussian())).toSeq
+    val planesCol = typedLit(planes)
     // unit-normalize once; cached — consumed by bucketing AND the two
     // verification join-backs
     val unit = cached(unitVectors(embs, idCol, vecCol))
-    val bucketCols = (0 until nTables).map { t =>
-      (0 until nPlanes).map { i =>
-        when(VectorFns.dot(col("v"), plane()) >= 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _).as(s"_b$t")
-    }
-    // cached: self-joined as a/b below — without materialization the
-    // nPlanes × nTables projection dot products run twice (per join side)
-    val bucketed = cached(unit.select((col(idCol) +: bucketCols): _*)
-      .select(col(idCol),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("table"), col(s"_b$t").as("bucket"))): _*)).as("tb")))
+    // bucket bits via HOFs over the plane payload — same draws, same
+    // sign rule, same bit packing as the unrolled form (verified by
+    // the pinned q48 digests staying put)
+    val bucketed = cached(unit.select(col(idCol),
+      explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
+        struct(t.as("table"),
+          aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L),
+            (acc, i) => acc + when(
+              VectorFns.dot(col("v"),
+                element_at(planesCol, t * lit(nPlanes) + i + 1)) >= 0,
+              call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+            .as("bucket")))).as("tb")))
     val cands = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tb") === col("b.tb") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -583,6 +583,98 @@ object Similarity {
     dirty
   }
 
+  /** Per-cell DRIFT statistics of a quantized cosine inverted file —
+    * the monitoring read that closes the loop
+    * [[ivfRefreshQuantizedIncremental]] opens (r10 verdict item 4):
+    * the refresh holds centroids FIXED, so after many recrawl waves
+    * the partition quality silently degrades — cells bloat
+    * (occupancy skew) and members sit farther from their centroid
+    * (mean cosine displacement). Both symptoms are computable from
+    * the index file alone: one column-pruned scan, codes against the
+    * BROADCAST centroid table, one |cells|-row aggregate.
+    *
+    * Output per cell: (centroid_id, n, mean_cd, cd_fp_sum) where
+    * mean_cd is the mean cosine distance of the cell's members to
+    * their centroid, each row's distance quantized to 1e-7 fixed
+    * point before the integer sum (the project's spelled-rounding
+    * convention — the statistic is addend-order-independent and an
+    * external engine reproduces it from the same parquet). */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, cents: DataFrame): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    idx.join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("cd_fp", floor(
+        (lit(1.0) - VectorFns.cosine(VectorFns.toDouble(col("codes")),
+          col("cvec"))) * lit(1e7) + lit(0.5)).cast("long"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cd_fp")).as("cd_fp_sum"))
+      .select(col("centroid_id"), col("n"),
+        round(col("cd_fp_sum") / col("n") / lit(1e7), 4).as("mean_cd"),
+        col("cd_fp_sum"))
+  }
+
+  /** Scalar drift gauges off an [[ivfDriftStats]] frame (a ≤|cells|-row
+    * driver-side fold): (occupancy skew ×100 = largest cell ÷ mean
+    * cell, corpus-weighted mean displacement in 1e-7 fixed point). */
+  def ivfDriftGauges(stats: DataFrame): (Long, Long) = {
+    val rows = stats.select(col("n"), col("cd_fp_sum")).collect()
+    require(rows.nonEmpty, "ivfDriftGauges: empty index")
+    val total = rows.map(_.getLong(0)).sum
+    val maxN = rows.map(_.getLong(0)).max
+    val skewX100 = maxN * rows.length * 100L / total
+    val meanCdFp = rows.map(_.getLong(1)).sum / total
+    (skewX100, meanCdFp)
+  }
+
+  /** THE production maintenance loop, drift-guarded (r10 verdict item
+    * 4): refresh the quantized IVF file cell-incrementally from a
+    * recrawl diff, gauge drift, and — only when the partition quality
+    * has genuinely degraded — recenter (seeded re-fit on the CURRENT
+    * snapshot) and rebuild. Returns (centroids to use from here on,
+    * baseline gauges to carry to the next wave, recentered?).
+    *
+    * Both triggers are RELATIVE to the gauges captured when the
+    * centroids were last fit (`baseline` = the (skew×100, meanCd fp)
+    * pair [[ivfDriftGauges]] returned then): recenter when occupancy
+    * skew exceeds `skewFactorX100`% of its baseline — cells bloating
+    * toward the scan-cost failure mode, measured the dominant symptom
+    * when drifting vectors CONVERGE (they pile into few cells while
+    * corpus-weighted displacement barely moves, IvfDriftProbe) — or
+    * when mean displacement exceeds `cdFactorX100`% of its baseline
+    * (vectors WANDERING without converging). Absolute thresholds
+    * would misfire on inherently clustered corpora, where a freshly
+    * fit index already carries high skew; relative ones only see
+    * change, and the baselines reset at each refit.
+    *
+    * The rebuild is the periodic re-optimization
+    * [[ivfRefreshQuantizedIncremental]]'s scaladoc promises — full
+    * [[ivfWriteIndexQuantized]] from the snapshot, so the staged
+    * refresh layout and the rebuilt layout stay the same format. */
+  def ivfRefreshOrRecenter(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cents: DataFrame, newSnap: DataFrame, changes: DataFrame,
+      idCol: String, vecCol: String, stagingPath: String,
+      baseline: (Long, Long), k: Int, seed: Long = 42L,
+      cdFactorX100: Long = 115L, skewFactorX100: Long = 175L)
+      : (DataFrame, (Long, Long), Boolean) = {
+    ivfRefreshQuantizedIncremental(spark, indexPath, cents, newSnap,
+      changes, idCol, vecCol, stagingPath)
+    val (skewX100, meanCdFp) =
+      ivfDriftGauges(ivfDriftStats(spark, indexPath, cents))
+    val drifted = meanCdFp * 100L > baseline._2 * cdFactorX100 ||
+      skewX100 * 100L > baseline._1 * skewFactorX100
+    if (!drifted) (cents, baseline, false)
+    else {
+      val cents2 = learnedCentroids(newSnap, vecCol, k, seed)
+        .localCheckpoint() // pin the fit: consumers re-plan it otherwise
+      ivfWriteIndexQuantized(newSnap, cents2, idCol, vecCol, indexPath)
+      val baseline2 =
+        ivfDriftGauges(ivfDriftStats(spark, indexPath, cents2))
+      (cents2, baseline2, true)
+    }
+  }
+
   /** IVF probe: query's nProbe nearest centroids → candidate vectors
     * from those lists only → exact cosine top-k on the candidates. */
   def ivfTopK(vectors: DataFrame, cents: DataFrame, queryVec: DataFrame,

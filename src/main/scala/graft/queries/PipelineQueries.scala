@@ -1979,6 +1979,45 @@ object PipelineQueries {
         "vec_id", k = 10, nProbe = 3)
     }),
 
+    // X2 — IVF drift MONITORING under the hash gate (r10 verdict item
+    // 4): centroids are fit on the clean corpus, the index is built
+    // from a deterministically DRIFTED corpus (a third of the vectors
+    // shifted toward a fixed direction — the observable state of many
+    // fixed-centroid refresh waves), and the per-cell drift statistics
+    // — occupancy, 1e-7 fixed-point mean cosine displacement, global
+    // occupancy skew — are computed from the index file alone. The
+    // oracle replays the whole read off the index's and centroids' own
+    // parquet (the q90 mechanism), so the gate pins the monitoring
+    // arithmetic an operator team would page on. The recenter TRIGGER
+    // composed from these gauges is probed in IvfDriftProbe and spec'd
+    // (relative-to-baseline, so no absolute threshold to gate here).
+    "q123_ivf_drift_stats" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val centsPath = scratchPath("ivfdrift_cents", dir)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite").parquet(centsPath)
+      val cents = s.read.parquet(centsPath)
+      val drifted = base.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0,
+          transform(col("embedding"),
+            (x, i) => (x + lit(0.6) * cos(i.cast("double")))
+              .cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+      val idxPath = scratchPath("ivfdrift_index", dir)
+      Similarity.ivfWriteIndexQuantized(drifted, cents, "vec_id",
+        "embedding", idxPath)
+      val stats = Similarity.ivfDriftStats(s, idxPath, cents)
+      val tot = stats.agg(sum(col("n")).as("tot"),
+        max(col("n")).as("maxn"), count(lit(1)).as("cells"))
+      stats.crossJoin(broadcast(tot))
+        .select(col("centroid_id"), col("n"), col("cd_fp_sum"),
+          col("mean_cd"),
+          expr("(maxn * cells * 100) div tot").as("skew_x100"))
+        .orderBy(col("centroid_id"))
+    }),
+
     // A5 — classification report with ≥3 classes, exercising the
     // sklearn zero_division branches q91's binary gate cannot reach:
     // label ∈ {0,1,2} from doc features, prediction ∈ {0,1,3} from a
@@ -4080,6 +4119,31 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // the drift-monitoring read replayed off the index's and
+    // centroids' own parquet: per-cell occupancy + fixed-point mean
+    // cosine displacement + integer-division occupancy skew
+    "q123_ivf_drift_stats" ->
+      """WITH cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |  FROM read_parquet('{SCRATCH}/ivfdrift_cents_{SFHASH}/*.parquet')),
+        |idx AS (SELECT CAST(centroid_id AS BIGINT) AS cid, codes
+        |  FROM read_parquet('{SCRATCH}/ivfdrift_index_{SFHASH}/*/*.parquet',
+        |                    hive_partitioning = 1)),
+        |cd AS (SELECT idx.cid,
+        |    CAST(floor((1 - list_cosine_similarity(codes::DOUBLE[], cv))
+        |         * 1e7 + 0.5) AS BIGINT) AS cd_fp
+        |  FROM idx JOIN cents ON idx.cid = cents.cid),
+        |cells AS (SELECT cid AS centroid_id, count(*) AS n,
+        |    CAST(sum(cd_fp) AS BIGINT) AS cd_fp_sum
+        |  FROM cd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(max(n) AS BIGINT) AS maxn, count(*) AS cells
+        |  FROM cells)
+        |SELECT centroid_id, n, cd_fp_sum,
+        |  round(cd_fp_sum / n / 1e7, 4) AS mean_cd,
+        |  (maxn * cells * 100) // tot AS skew_x100
+        |FROM cells CROSS JOIN tot
+        |ORDER BY centroid_id""".stripMargin,
 
     // q115's oracle verbatim: the merge changes the physical layout
     // only — the probe over the folded index must reproduce the same

@@ -300,6 +300,91 @@ class SimilaritySpec extends SparkSpec {
       idxDf.filter(col("centroid_id").cast("long") =!= someCell).count())
   }
 
+  test("ivfDriftStats: drifting the corpus away from its fit raises " +
+      "the mean-displacement gauge; clean index agrees with itself") {
+    val (_, _, base) = setup()
+    val snap = base.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(snap, "embedding", k = 8)
+      .localCheckpoint()
+    val clean = java.nio.file.Files.createTempDirectory("drift_c").toString
+    val driftD = java.nio.file.Files.createTempDirectory("drift_d").toString
+    Similarity.ivfWriteIndexQuantized(snap, cents, "vec_id",
+      "embedding", clean)
+    val drifted = snap.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0,
+        transform(col("embedding"),
+          (x, j) => (x + lit(1.5) * cos(j.cast("double"))).cast("float")))
+        .otherwise(col("embedding")).as("embedding"))
+    Similarity.ivfWriteIndexQuantized(drifted, cents, "vec_id",
+      "embedding", driftD)
+    val (skewC, cdC) = Similarity.ivfDriftGauges(
+      Similarity.ivfDriftStats(spark, clean, cents))
+    val (_, cdD) = Similarity.ivfDriftGauges(
+      Similarity.ivfDriftStats(spark, driftD, cents))
+    assert(skewC >= 100, s"skew gauge below the mean-cell floor: $skewC")
+    assert(cdD > cdC,
+      s"drifted displacement $cdD not above clean baseline $cdC")
+    // per-cell stats account for every index row exactly once
+    val stats = Similarity.ivfDriftStats(spark, clean, cents)
+    assert(stats.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      spark.read.parquet(clean).count())
+  }
+
+  test("ivfRefreshOrRecenter: stays put while displacement tracks the " +
+      "baseline, recenters under real drift and restores the gauge") {
+    val (_, _, base) = setup()
+    val snap = base.select(col("vec_id"), col("embedding"))
+    val k = 8
+    val cents0 = Similarity.learnedCentroids(snap, "embedding", k)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("drift_g").toString
+    val stage = java.nio.file.Files.createTempDirectory("drift_gs").toString
+    Similarity.ivfWriteIndexQuantized(snap, cents0, "vec_id",
+      "embedding", dir)
+    val baseline = Similarity.ivfDriftGauges(
+      Similarity.ivfDriftStats(spark, dir, cents0))
+    val sig = (s: org.apache.spark.sql.DataFrame) =>
+      s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+    // wave 1: a tiny benign delta (one removed key) — no recenter
+    val snap1 = snap.filter(col("vec_id") =!= snap
+      .select(min(col("vec_id"))).collect()(0).getLong(0))
+    val (c1, b1, r1) = Similarity.ivfRefreshOrRecenter(spark, dir,
+      cents0, snap1, Upsert.diffByKey(sig(snap), sig(snap1),
+        "vec_id", "sig"),
+      "vec_id", "embedding", stage, baseline, k)
+    assert(!r1, "benign delta triggered a recenter")
+    assert(b1 == baseline && (c1 eq cents0))
+    // wave 2: hard drift on a third of the corpus — must recenter,
+    // and the post-recenter displacement must sit BELOW the drifted
+    // fixed-centroid gauge (that's what recentering buys)
+    val snap2 = snap1.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0,
+        transform(col("embedding"),
+          (x, j) => (x + lit(1.5) * cos(j.cast("double"))).cast("float")))
+        .otherwise(col("embedding")).as("embedding"))
+    val changes2 = Upsert.diffByKey(sig(snap1), sig(snap2),
+      "vec_id", "sig")
+    val (c2, b2, r2) = Similarity.ivfRefreshOrRecenter(spark, dir,
+      cents0, snap2, changes2, "vec_id", "embedding", stage, baseline, k)
+    assert(r2, "hard drift did not trigger a recenter")
+    val after = Similarity.ivfDriftGauges(
+      Similarity.ivfDriftStats(spark, dir, c2))
+    assert(after == b2, "returned baseline is not the rebuilt gauge")
+    // loop closure: the refit baselines are what the next wave
+    // compares against, and the rebuilt displacement sits below the
+    // fixed-centroid displacement the drift produced (that is what
+    // the rebuild buys)
+    val fixedDir = java.nio.file.Files
+      .createTempDirectory("drift_fx").toString
+    Similarity.ivfWriteIndexQuantized(snap2, cents0, "vec_id",
+      "embedding", fixedDir)
+    val (_, cdFixed) = Similarity.ivfDriftGauges(
+      Similarity.ivfDriftStats(spark, fixedDir, cents0))
+    assert(b2._2 < cdFixed,
+      s"recentered displacement ${b2._2} not below the drifted " +
+        s"fixed-centroid gauge $cdFixed")
+  }
+
   test("cosine of a vector with itself is 1") {
     val (e, _, _) = setup()
     val self = e.limit(5)
