@@ -67,10 +67,14 @@ object AudioCodec {
           channels = i16(bytes, body + 2)
           rate = i32(bytes, body + 4)
           bits = i16(bytes, body + 14)
-          require(audioFormat == 1,
-            s"only PCM WAV supported (format=$audioFormat)")
-          require(bits == 8 || bits == 16,
-            s"only 8/16-bit PCM supported (bits=$bits)")
+          require(audioFormat == 1 || audioFormat == 6 || audioFormat == 7,
+            s"only PCM/A-law/mu-law WAV supported (format=$audioFormat)")
+          if (audioFormat == 1)
+            require(bits == 8 || bits == 16,
+              s"only 8/16-bit PCM supported (bits=$bits)")
+          else
+            // G.711 companding is defined on 8-bit codes, full stop
+            require(bits == 8, s"G.711 WAV must be 8-bit (bits=$bits)")
           require(channels > 0 && rate > 0,
             s"bad WAV fmt: channels=$channels rate=$rate")
           fmtSeen = true
@@ -81,13 +85,16 @@ object AudioCodec {
           val out = new Array[Double](n)
           var i = 0
           while (i < n) {
-            out(i) =
-              if (bits == 8) ((bytes(body + i) & 0xff) - 128) / 128.0
-              else { // 16-bit signed little-endian
+            out(i) = audioFormat match {
+              case 7 => g711ULaw(bytes(body + i)) / 32768.0
+              case 6 => g711ALaw(bytes(body + i)) / 32768.0
+              case 1 if bits == 8 =>
+                ((bytes(body + i) & 0xff) - 128) / 128.0
+              case _ => // 16-bit signed little-endian
                 val lo = bytes(body + i * 2) & 0xff
                 val hi = bytes(body + i * 2 + 1).toInt
                 ((hi << 8) | lo) / 32768.0
-              }
+            }
             i += 1
           }
           clip = Clip(rate, channels, out)
@@ -125,6 +132,52 @@ object AudioCodec {
       out(44 + i * 2 + 1) = (v >> 8).toByte
       i += 1
     }
+    out
+  }
+
+  /** ITU-T G.711 mu-law code byte → linear 16-bit sample (the classic
+    * expansion: invert, unpack 3-bit exponent + 4-bit mantissa around
+    * the 0x84 bias). Range ±32124. Both zero codes (0xFF positive,
+    * 0x7F negative) expand to exactly 0. */
+  def g711ULaw(code: Byte): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law code byte → linear 16-bit sample (toggle the
+    * even bits with 0x55, unpack segment + mantissa; segment 0 is the
+    * linear low band). Range ±32256. */
+  def g711ALaw(code: Byte): Int = {
+    val a = (code ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Wrap raw G.711 code bytes in a RIFF/WAVE container (`format` 6 =
+    * A-law, 7 = mu-law) — fixture builder for [[decodeWav]]'s
+    * companded path; G.711 bytes are the ground truth, so "encode" is
+    * containerization, not companding. */
+  def encodeWavG711(format: Int, sampleRate: Int, channels: Int,
+                    codes: Array[Byte]): Array[Byte] = {
+    require(format == 6 || format == 7, s"not a G.711 format: $format")
+    val dataSize = codes.length
+    val out = new Array[Byte](44 + dataSize)
+    def ws(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, out, off, b.length)
+    }
+    ws(0, "RIFF"); w32(out, 4, 36 + dataSize); ws(8, "WAVE")
+    ws(12, "fmt "); w32(out, 16, 16)
+    w16(out, 20, format); w16(out, 22, channels)
+    w32(out, 24, sampleRate)
+    w32(out, 28, sampleRate * channels)
+    w16(out, 32, channels); w16(out, 34, 8)
+    ws(36, "data"); w32(out, 40, dataSize)
+    System.arraycopy(codes, 0, out, 44, dataSize)
     out
   }
 

@@ -50,15 +50,19 @@ object ImageCodec {
              bytes(4) == 0x0d && bytes(5) == 0x0a &&
              bytes(6) == 0x1a && bytes(7) == 0x0a)
       Some("png")
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+             bytes(2) == 'F' && bytes(3) == '8' &&
+             (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      Some("gif")
     else None
 
   /** Decode a sniffable payload; None when the magic is unknown.
     * Throws IllegalArgumentException on a recognized-but-corrupt
     * payload (truncated pixels, bad maxval, compressed BMP…). */
   def decode(bytes: Array[Byte]): Option[Image] = sniff(bytes).map {
-    case "ppm"          => decodePpm(bytes)
-    case "bmp"          => decodeBmp(bytes)
-    case "jpeg" | "png" => decodeImageIO(bytes)
+    case "ppm"                  => decodePpm(bytes)
+    case "bmp"                  => decodeBmp(bytes)
+    case "jpeg" | "png" | "gif" => decodeImageIO(bytes)
   }
 
   // ---------------------------------------------------------------- PPM
@@ -306,6 +310,13 @@ object ImageCodec {
     * deterministic within one JVM, which is the scope the q108 gate
     * needs (oracle literals come from the same process). */
   def encodeJpeg(img: Image): Array[Byte] = encodeVia(img, "jpg")
+
+  /** Encode to GIF. The JDK writer's palette quantizer is NOT exact
+    * even for tiny rasters (measured: a 4-color 2×2 collapses to 2
+    * palette entries), so GIF carries the JPEG contract — dimensions
+    * plus deterministic decode — and the q125 oracle pins via local
+    * decode of the same bytes, never via the source raster. */
+  def encodeGif(img: Image): Array[Byte] = encodeVia(img, "gif")
 
   private def encodeVia(img: Image, fmt: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

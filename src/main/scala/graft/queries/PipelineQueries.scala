@@ -79,6 +79,13 @@ object PipelineQueries {
     val jpg: Array[Byte] = ImageCodec.encodeJpeg(img)
     val jpgMeans: (Double, Double, Double) =
       ImageCodec.meanChannels(ImageCodec.decodeImageIO(jpg))
+    // q125 (GIF): the JDK writer's palette quantizer is lossy even on
+    // tiny rasters (ImageCodecSpec pins that finding), so GIF takes
+    // the JPEG convention — oracle literals from the local decode of
+    // the same planted bytes, never the source raster
+    val gif: Array[Byte] = ImageCodec.encodeGif(img)
+    val gifMeans: (Double, Double, Double) =
+      ImageCodec.meanChannels(ImageCodec.decodeImageIO(gif))
   }
 
   /** Deterministic PCM fixtures behind q111's audio decode gate row —
@@ -102,6 +109,26 @@ object PipelineQueries {
     val stereoDec: AudioCodec.Clip = AudioCodec.decodeWav(stereoWav)
     val monoStats: (Double, Double, Long) = AudioCodec.stats(monoDec)
     val stereoStats: (Double, Double, Long) = AudioCodec.stats(stereoDec)
+    // q124 (G.711 companded WAV): the CODE BYTES are the ground truth
+    // (encodeWavG711 only containers them); expectations come from the
+    // local decode of the same planted bytes, the q111 convention. The
+    // byte sets hit both zero codes, both extremes, and mid-band codes
+    // of each law. AudioCodecSpec pins the expansions to the G.711
+    // closed forms.
+    val ulawCodes: Array[Byte] = Array(
+      0x00, 0x80, 0xFF, 0x7F, 0x9A, 0x1A, 0xD5, 0x55,
+      0x00, 0x80, 0xFF, 0x7F, 0x9A, 0x1A, 0xD5, 0x55).map(_.toByte)
+    val alawCodes: Array[Byte] = Array(
+      0x55, 0xD5, 0x2A, 0xAA, 0x13, 0x93, 0x7B, 0xFB,
+      0x55, 0xD5, 0x2A, 0xAA, 0x13, 0x93, 0x7B, 0xFB).map(_.toByte)
+    val ulawWav: Array[Byte] = AudioCodec.encodeWavG711(7, 8000, 1,
+      ulawCodes)
+    val alawWav: Array[Byte] = AudioCodec.encodeWavG711(6, 4000, 2,
+      alawCodes)
+    val ulawDec: AudioCodec.Clip = AudioCodec.decodeWav(ulawWav)
+    val alawDec: AudioCodec.Clip = AudioCodec.decodeWav(alawWav)
+    val ulawStats: (Double, Double, Long) = AudioCodec.stats(ulawDec)
+    val alawStats: (Double, Double, Long) = AudioCodec.stats(alawDec)
   }
 
   /** q102's five-stage curation pipeline over an ARBITRARY docs frame
@@ -2058,6 +2085,50 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // multimodal — animated-format coverage (r10 verdict stretch
+    // item): GIF through the same imageio path as q108's JPEG/PNG —
+    // new magic in the sniffer, the decode facade unchanged. The
+    // fixture is the canonical 4×2 gradient; means pinned via local
+    // decode of the same planted bytes.
+    "q125_gif_decode" -> ((s, dir) => {
+      val base = scratchPath("gif_fix", dir)
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("a.gif"), ImageFixture.gif)
+      val assets = Multimodal.readBinaryDir(s, base, glob = "*.gif")
+        .select(lit(1L).as("asset_id"), col("payload"),
+          struct(lit("image").as("kind"), col("n_bytes")).as("meta"))
+      Multimodal.decodeFeatures(s, assets)
+        .select(col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("n_bytes"))
+        .orderBy(col("format"))
+    }),
+
+    // multimodal — COMPRESSED-audio coverage (r10 verdict stretch
+    // item): G.711 mu-law and A-law WAV — real telephony companding,
+    // decoded through the same facade, fixtures planted as raw code
+    // bytes (the codes ARE the ground truth; the container only wraps
+    // them). Same literal-oracle convention as q111: the gate pins
+    // distributed decode ≡ local decode of the same planted bytes.
+    "q124_g711_decode" -> ((s, dir) => {
+      val base = scratchPath("g711_fix", dir)
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("u.wav"), AudioFixture.ulawWav)
+      java.nio.file.Files.write(p.resolve("a.wav"), AudioFixture.alawWav)
+      val assets = Multimodal.readBinaryDir(s, base, glob = "*.wav")
+        .select(
+          when(col("file_name") === "u.wav", 1L).otherwise(2L)
+            .as("asset_id"),
+          col("payload"),
+          struct(lit("audio").as("kind"), col("n_bytes")).as("meta"))
+      Multimodal.decodeAudioFeatures(s, assets)
+        .select(col("asset_id"), col("format"), col("sample_rate"),
+          col("channels"), col("duration_ms"), col("rms"), col("peak"),
+          col("zero_crossings"), col("n_bytes"))
+        .orderBy(col("asset_id"))
+    }),
+
     // X3 — HTML boilerplate stripping under the hash gate: each doc's
     // text is wrapped into a deterministic HTML page (script + style +
     // comment + entities + a doc_id-varying link count) IDENTICALLY in
@@ -3852,6 +3923,16 @@ object PipelineQueries {
          |ORDER BY format""".stripMargin
     },
 
+    // q108's convention for the GIF fixture: literals from the local
+    // decode of the same planted bytes
+    "q125_gif_decode" -> {
+      val (gr, gg, gb) = ImageFixture.gifMeans
+      s"""SELECT 'gif' AS format, ${ImageFixture.img.width} AS width,
+         |  ${ImageFixture.img.height} AS height,
+         |  $gr AS mean_r, $gg AS mean_g, $gb AS mean_b,
+         |  ${ImageFixture.gif.length} AS n_bytes""".stripMargin
+    },
+
     // q90's replay mechanism over the REFRESHED index artifacts: the
     // oracle reads the post-refresh parquet (codes + hive partition
     // column), so a stale cell, a lingering removed key, or a
@@ -3929,6 +4010,25 @@ object PipelineQueries {
          |  ${AudioFixture.stereoDec.channels},
          |  ${AudioFixture.stereoDec.durationMs},
          |  $sr, $sp, $sz, ${AudioFixture.stereoWav.length}
+         |ORDER BY asset_id""".stripMargin
+    },
+
+    // q111's convention for the companded fixtures: literals from the
+    // local decode of the same planted G.711 bytes
+    "q124_g711_decode" -> {
+      val (ur, up, uz) = AudioFixture.ulawStats
+      val (ar, ap, az) = AudioFixture.alawStats
+      s"""SELECT 1 AS asset_id, 'wav' AS format,
+         |  ${AudioFixture.ulawDec.sampleRate} AS sample_rate,
+         |  ${AudioFixture.ulawDec.channels} AS channels,
+         |  ${AudioFixture.ulawDec.durationMs} AS duration_ms,
+         |  $ur AS rms, $up AS peak, $uz AS zero_crossings,
+         |  ${AudioFixture.ulawWav.length} AS n_bytes
+         |UNION ALL
+         |SELECT 2, 'wav', ${AudioFixture.alawDec.sampleRate},
+         |  ${AudioFixture.alawDec.channels},
+         |  ${AudioFixture.alawDec.durationMs},
+         |  $ar, $ap, $az, ${AudioFixture.alawWav.length}
          |ORDER BY asset_id""".stripMargin
     },
 

@@ -61,6 +61,51 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.decode("RIFFxxxxAVI ".getBytes).isEmpty)
   }
 
+  test("G.711 expansions match the ITU closed forms: zero codes, " +
+      "extremes, sign symmetry over all 256 codes") {
+    // mu-law: both zero codes expand to exactly 0; extremes ±32124
+    assert(AudioCodec.g711ULaw(0xFF.toByte) == 0)
+    assert(AudioCodec.g711ULaw(0x7F.toByte) == 0)
+    assert(AudioCodec.g711ULaw(0x80.toByte) == 32124)
+    assert(AudioCodec.g711ULaw(0x00.toByte) == -32124)
+    // A-law: smallest magnitudes ±8, extremes ±32256
+    assert(AudioCodec.g711ALaw(0x55.toByte) == -8)
+    assert(AudioCodec.g711ALaw(0xD5.toByte) == 8)
+    assert(AudioCodec.g711ALaw(0x2A.toByte) == -32256)
+    assert(AudioCodec.g711ALaw(0xAA.toByte) == 32256)
+    // the sign bit flips the sample exactly, law-wide
+    for (c <- 0 until 256) {
+      assert(AudioCodec.g711ULaw(c.toByte) ==
+        -AudioCodec.g711ULaw((c ^ 0x80).toByte), s"ulaw sign at $c")
+      assert(AudioCodec.g711ALaw(c.toByte) ==
+        -AudioCodec.g711ALaw((c ^ 0x80).toByte), s"alaw sign at $c")
+    }
+    // magnitude is monotone in the magnitude bits within each segment
+    val uMags = (0 until 128).map(c =>
+      AudioCodec.g711ULaw((c ^ 0xFF).toByte)) // positive half ascending
+    assert(uMags == uMags.sorted, "ulaw expansion not monotone")
+  }
+
+  test("G.711 WAV container decodes through the standard chunk walk; " +
+      "16-bit G.711 fmt is loudly corrupt") {
+    val codes = Array(0x00, 0x80, 0xFF, 0x13).map(_.toByte)
+    val u = AudioCodec.decodeWav(AudioCodec.encodeWavG711(7, 8000, 1,
+      codes))
+    assert(u.sampleRate == 8000 && u.channels == 1 && u.frames == 4)
+    assert(u.samples.toSeq ==
+      codes.toSeq.map(c => AudioCodec.g711ULaw(c) / 32768.0))
+    val a = AudioCodec.decodeWav(AudioCodec.encodeWavG711(6, 4000, 2,
+      codes))
+    assert(a.channels == 2 && a.frames == 2)
+    assert(a.samples.toSeq ==
+      codes.toSeq.map(c => AudioCodec.g711ALaw(c) / 32768.0))
+    assert(AudioCodec.sniff(AudioCodec.encodeWavG711(7, 8000, 1, codes))
+      .contains("wav"))
+    val bad = AudioCodec.encodeWavG711(7, 8000, 1, codes)
+    bad(34) = 16 // bits=16 contradicts G.711's 8-bit definition
+    intercept[IllegalArgumentException] { AudioCodec.decodeWav(bad) }
+  }
+
   test("stats: square-wave RMS equals amplitude; DC has zero " +
       "crossings 0; interleaved channels compare within-channel") {
     val square = Clip(8000, 1,

@@ -133,6 +133,23 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(d1.rgb.toSeq == d2.rgb.toSeq) // decode is deterministic
   }
 
+  test("GIF decode: dimensions survive and decode is deterministic " +
+       "(the JDK writer's palette quantizer is NOT exact even for " +
+       "tiny rasters — same contract as JPEG); sniff covers 87a/89a; " +
+       "truncation is loud") {
+    val bytes = ImageCodec.encodeGif(img2)
+    assert(ImageCodec.sniff(bytes).contains("gif"))
+    val d1 = ImageCodec.decodeImageIO(bytes)
+    val d2 = ImageCodec.decode(bytes).get
+    assert(d1.width == 2 && d1.height == 2)
+    assert(d1.rgb.toSeq == d2.rgb.toSeq) // decode is deterministic
+    val gif87 = bytes.clone(); gif87(4) = '7'
+    assert(ImageCodec.sniff(gif87).contains("gif"))
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeImageIO(bytes.take(10))
+    }
+  }
+
   test("imageio corrupt inputs are loud: truncated PNG and JPEG throw") {
     val png = ImageCodec.encodePng(img2)
     intercept[IllegalArgumentException] {
