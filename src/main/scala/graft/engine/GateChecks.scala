@@ -52,12 +52,11 @@ object GateChecks {
     new java.io.File(dir).getName
 
   /** Pinned seeded-determinism digests, (query, sf-dir basename) →
-    * digest. Generated by `runMain graft.tools.GateDigests` (which runs
-    * the builders under GRAFT_PRINT_DIGESTS) against the driver's
-    * testdata; re-run it to re-pin if the testdata is regenerated. */
-  private val pinned: Map[(String, String), String] = Map(
-    // filled by tools/GateDigests — see that tool's header
-  ) ++ PinnedDigests.all
+    * digest — the values live in [[PinnedDigests]] (one paste-target
+    * file). Regenerate with `GRAFT_PRINT_DIGESTS=1 runMain
+    * graft.tools.GateDigests` when the testdata legitimately changes,
+    * and paste the block THERE, not here. */
+  private val pinned: Map[(String, String), String] = PinnedDigests.all
 
   /** Enforce the pinned digest when one exists for (name, basename of
     * dir). In print mode ([[printMode]]), emit the observed digest

@@ -360,11 +360,15 @@ object Dedup {
       (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
         (a, i) => a + call_function("shiftright", h, i)
           .bitwiseAND(lit(1L))))
-    aggregate(
+    // coalesce preserves the unrolled form's NULL semantics: a null
+    // hash array (null text never tokenized) fingerprints as 0L — all
+    // null-text docs are hamming-0 duplicates of each other — instead
+    // of a null that would silently drop them from every pair filter
+    coalesce(aggregate(
       zip_with(counts, sequence(lit(0), lit(63)), (c, i) =>
         when(c * 2 > size(hs), call_function("shiftleft", lit(1L), i))
           .otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+      lit(0L), (acc, b) => acc.bitwiseOR(b)), lit(0L))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3 with 4

@@ -667,6 +667,38 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/tombstones/seg=$segment")
 
+  /** The segmented layout's tombstone frame (idCol, dl, seg). A fresh
+    * index has no tombstones directory — read as empty, not as an
+    * error (schema supplied, same trick as the IVF staging). */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val tombSchema = new StructType()
+      .add(idCol, LongType).add("dl", LongType).add("seg", IntegerType)
+    try spark.read.schema(tombSchema).parquet(s"$path/tombstones")
+      .select(col(idCol), col("dl"), col("seg"))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tombSchema)
+    }
+  }
+
+  /** THE segment-scoped kill rule, shared by [[bm25ProbeSegmented]]
+    * and [[bm25MergeSegments]] (probe ≡ merge parity is the q122
+    * contract — two hand-copies of this filter could drift): keep a
+    * posting iff no tombstone for its key has a segment STRICTLY
+    * above the posting's (max per key — a twice-modified key carries
+    * two tombstones). `postings` must carry (idCol, seg). */
+  private def liveAfterTombstones(postings: DataFrame, tombs: DataFrame,
+                                  idCol: String): DataFrame = {
+    val maxTomb = tombs.groupBy(col(idCol))
+      .agg(max(col("seg")).as("_tseg"))
+    postings.join(maxTomb, Seq(idCol), "left")
+      .filter(col("_tseg").isNull || col("seg") >= col("_tseg"))
+      .drop("_tseg")
+  }
+
   /** Probe a segmented index: pushed `term IN` over every segment's
     * term-sorted postings, tombstone anti-join, df counted from the
     * filtered lists, stats from segment partials − tombstones, then
@@ -675,35 +707,18 @@ object TextAnalysis {
                          path: String, queries: DataFrame, k: Int,
                          idCol: String, k1: Double = 1.2,
                          b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructType}
     val qterms = queries.select(col("qid"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
     val terms = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0))
-    val tombSchema = new StructType()
-      .add(idCol, LongType).add("dl", LongType)
-      .add("seg", org.apache.spark.sql.types.IntegerType)
-    // a fresh index has no tombstones directory — read as empty, not
-    // as an error (schema supplied, same trick as the IVF staging)
-    val tombs =
-      try spark.read.schema(tombSchema).parquet(s"$path/tombstones")
-        .select(col(idCol), col("dl"), col("seg"))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          tombSchema)
-      }
-    // segment-scoped kill: keep a posting iff no tombstone for its key
-    // has a segment STRICTLY above the posting's (max per key — a
-    // twice-modified key carries two tombstones)
-    val maxTomb = tombs.groupBy(col(idCol))
-      .agg(max(col("seg")).as("_tseg"))
-    val live = cached(spark.read.parquet(s"$path/postings")
-      .filter(col("term").isin(
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(terms): _*))
-      .select(col(idCol), col("dl"), col("term"), col("tf"), col("seg"))
-      .join(maxTomb, Seq(idCol), "left")
-      .filter(col("_tseg").isNull || col("seg") >= col("_tseg"))
+    val tombs = readTombstones(spark, path, idCol)
+    val live = cached(liveAfterTombstones(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("term").isin(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(terms): _*))
+        .select(col(idCol), col("dl"), col("term"), col("tf"),
+          col("seg")),
+      tombs, idCol)
       .select(col(idCol), col("dl"), col("term"), col("tf")))
     val dfq = live.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
@@ -739,67 +754,67 @@ object TextAnalysis {
     * COMMIT (crash-recoverable, single-writer): the merged postings
     * and segstats are fully STAGED under `.merge_staging` and sealed
     * with a `_COMMIT_READY` marker before anything existing is
-    * touched; then old `postings`/`segstats`/`tombstones` are dropped
-    * and the staged dirs rename into place. A crash inside the window
-    * leaves either (a) no marker — the half-staged merge is garbage,
-    * the live index untouched, re-run from scratch — or (b) the
-    * marker plus a gutted index — probes fail LOUDLY on the missing
-    * path (never serve a half-state), and re-running this method
-    * detects the sealed staging and completes the rename instead of
-    * re-reading the now-missing postings. Readers must not race a
-    * merge (the same single-writer contract as every scratch layout
+    * touched; then each staged dir INDEPENDENTLY replaces its live
+    * counterpart (delete old + rename staged, skipped when the staged
+    * source is already gone — i.e. already committed by an earlier
+    * attempt), tombstones are dropped, and the staging dir is
+    * cleared. A crash inside the window leaves either (a) no marker —
+    * the half-staged merge is garbage, the live index untouched,
+    * re-run from scratch — or (b) the marker, after which probes may
+    * fail LOUDLY on a missing path (never serve a half-state) and
+    * re-running this method performs exactly the swap steps still
+    * missing: per-dir commits make the recovery idempotent at every
+    * crash point, including between the two renames and after both
+    * (where only the staging cleanup remains). Readers must not race
+    * a merge (the same single-writer contract as every scratch layout
     * here).
     *
     * Returns (segments folded, live docs in the merged segment). */
   def bm25MergeSegments(spark: org.apache.spark.sql.SparkSession,
                         path: String, idCol: String): (Long, Long) = {
     import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(s"$path/.merge_staging")
     val marker = new Path(staging, "_COMMIT_READY")
     def commit(): Unit = {
-      for (d <- Seq("postings", "segstats", "tombstones")) {
-        val p = new Path(s"$path/$d")
-        require(!fs.exists(p) || fs.delete(p, true),
-          s"bm25MergeSegments: failed to drop $p")
-      }
+      // per-dir: replace only targets whose staged source still exists
+      // — a re-run after a crash mid-swap must never delete a target
+      // that IS the already-renamed staged copy (the only copy left)
       for (d <- Seq("postings", "segstats")) {
-        require(fs.rename(new Path(staging, d), new Path(s"$path/$d")),
-          s"bm25MergeSegments: failed to commit staged $d")
+        val src = new Path(staging, d)
+        val dst = new Path(s"$path/$d")
+        if (fs.exists(src)) {
+          require(!fs.exists(dst) || fs.delete(dst, true),
+            s"bm25MergeSegments: failed to drop $dst")
+          require(fs.rename(src, dst),
+            s"bm25MergeSegments: failed to commit staged $d")
+        }
       }
+      val tomb = new Path(s"$path/tombstones")
+      require(!fs.exists(tomb) || fs.delete(tomb, true),
+        s"bm25MergeSegments: failed to drop $tomb")
       require(fs.delete(staging, true) || !fs.exists(staging),
         s"bm25MergeSegments: failed to clear $staging")
     }
-    // crash recovery: a sealed staging with no live postings means the
-    // previous merge died mid-swap — complete it instead of re-reading
+    // crash recovery: a sealed staging means the previous merge died
+    // mid-swap — perform the missing steps, then read the count from
+    // the COMMITTED segstats (the staged copy may already be renamed)
     if (fs.exists(marker)) {
-      val merged = spark.read.parquet(s"${staging.toString}/segstats")
-        .agg(sum(col("n_docs")).cast("long")).collect()(0).getLong(0)
       commit()
+      val merged = spark.read.parquet(s"$path/segstats")
+        .agg(sum(col("n_docs")).cast("long")).collect()(0).getLong(0)
       return (0L, merged)
     }
     val segsBefore = fs.listStatus(new Path(s"$path/postings"))
       .count(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
       .toLong
-    val tombSchema = new StructType()
-      .add(idCol, LongType).add("dl", LongType).add("seg", IntegerType)
-    val tombs =
-      try spark.read.schema(tombSchema).parquet(s"$path/tombstones")
-        .select(col(idCol), col("seg"))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          tombSchema).select(col(idCol), col("seg"))
-      }
-    val maxTomb = tombs.groupBy(col(idCol))
-      .agg(max(col("seg")).as("_tseg"))
-    // the probe's live rule, applied corpus-wide: a posting survives
-    // iff no tombstone for its key sits in a STRICTLY later segment
-    val live = cached(spark.read.parquet(s"$path/postings")
-      .join(maxTomb, Seq(idCol), "left")
-      .filter(col("_tseg").isNull || col("seg") >= col("_tseg"))
+    // ONE live rule shared with the probe (q122's contract is that the
+    // merge is invisible to scoring — a drifted copy of the kill rule
+    // would break parity silently)
+    val live = cached(liveAfterTombstones(
+      spark.read.parquet(s"$path/postings"),
+      readTombstones(spark, path, idCol), idCol)
       .select(col(idCol), col("dl"), col("term"), col("tf")))
     live.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol))

@@ -22,9 +22,14 @@ import graft.sources.CsvIngest
   * Every query has a DuckDB oracle in [[oracleSql]] except those whose
   * outputs are inherently engine-specific (q47 SimHash hamming,
   * q41/q48 seeded-LSH, q32/q40 ML fits, q49 hashed vectors, q64
-  * sketch internals, q75 seeded-ANN recall) — those get the driver's
-  * rows-only check plus invariant specs in src/test. COVERAGE.md is the operator→query
-  * ledger; PLANS.md the physical-plan audit.
+  * sketch internals, q75 seeded-ANN recall). Those rows are
+  * SELF-ENFORCING (round 11): each builder require()s its invariants
+  * — recall floors, sketch-vs-exact rank bands, cluster counts,
+  * canonical pair orientation — plus a pinned seeded-determinism
+  * digest per driver scale factor ([[graft.engine.GateChecks]]), so
+  * a breach turns the driver's rows-only row err-red; invariant specs
+  * in src/test cover the mechanisms. COVERAGE.md is the
+  * operator→query ledger; PLANS.md the physical-plan audit.
   */
 object PipelineQueries {
 
@@ -2035,7 +2040,11 @@ object PipelineQueries {
       val idxPath = scratchPath("ivfdrift_index", dir)
       Similarity.ivfWriteIndexQuantized(drifted, cents, "vec_id",
         "embedding", idxPath)
-      val stats = Similarity.ivfDriftStats(s, idxPath, cents)
+      // cached: consumed by the global-gauge aggregate AND the final
+      // projection — uncached, the index read + displacement join
+      // runs twice
+      val stats = graft.engine.Caching.cached(
+        Similarity.ivfDriftStats(s, idxPath, cents))
       val tot = stats.agg(sum(col("n")).as("tot"),
         max(col("n")).as("maxn"), count(lit(1)).as("cells"))
       stats.crossJoin(broadcast(tot))

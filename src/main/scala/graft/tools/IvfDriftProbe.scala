@@ -17,10 +17,11 @@ import graft.operators.{Similarity, Upsert}
   * 0.12·t·cos(j)), so every wave re-ingests those keys as
   * "modified" and the clean-corpus centroids describe the data less
   * and less. Both tracks run the SAME cell-incremental refresh; the
-  * guarded track additionally recenters when the corpus-weighted mean
-  * displacement exceeds 115% of its fit-time baseline (or occupancy
-  * skew 3×). Recall@10 is measured each wave for a 10-query panel
-  * against exact brute force on the CURRENT snapshot.
+  * guarded track additionally recenters when a gauge breaches its
+  * fit-time baseline (ivfRefreshOrRecenter defaults: displacement
+  * ×1.15 or occupancy skew ×1.75). Recall@10 is measured each wave
+  * for a 10-query panel against exact brute force on the CURRENT
+  * snapshot.
   *
   * Usage: runMain graft.tools.IvfDriftProbe [sfDir] [waves]
   */

@@ -11,8 +11,9 @@ import graft.operators.TextAnalysis
   * q114/q115/q122: corpus inflated ×m with tagged tokens
   * ([[CompositionScaleProbe.inflateWithSource]] — vocabulary grows
   * ×m, the df aggregate's worst case), written as a SEGMENTED index
-  * with S ∈ {1,4,16} segments plus deletion tombstones against every
-  * earlier segment (~2% of keys), then:
+  * with S ∈ {1,4,16} segments; each segment ≥ 1 also tombstones ~2%
+  * of the IMMEDIATELY PREVIOUS segment's keys (S−1 tombstone files
+  * total — per-neighbor deletions, not an all-earlier fan-out), then:
   *
   *   - segmented probe wall at (m, S) — measures the tombstone
   *     max-segment join and the |segments|-row stats partials the

@@ -51,6 +51,27 @@ class DedupSpec extends SparkSpec {
       s"got $pairs — simhash over distinct tokens must be order-insensitive")
   }
 
+  test("simhash: NULL-text docs fingerprint as 0L and pair with each " +
+      "other at distance 0 (the pre-refactor semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]),
+      (3L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxDist = 0)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"got $pairs — null-text docs must dedup against each other, " +
+        "never silently vanish from the pair set")
+    val wide = Dedup.simhashNearDupsWide(df, "doc_id", "text",
+        maxDist = 0)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == Set((1L, 2L)), s"wide: got $wide")
+  }
+
   test("connected components collapse chained near-dup pairs") {
     import spark.implicits._
     // chain 1-2-3 plus isolated pair 7-9: labels must propagate

@@ -234,6 +234,56 @@ class TextAnalysisSpec extends SparkSpec {
       "post-merge append/tombstone diverged from the direct scan")
   }
 
+  test("bm25MergeSegments: a crash BETWEEN the two renames (postings " +
+      "committed, segstats still staged) recovers without destroying " +
+      "the merged postings") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b b")).toDF(
+      "doc_id", "text")
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25rc2").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val expect = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(from: String, to: String) =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$from"),
+        new org.apache.hadoop.fs.Path(s"$dir/$to")))
+    // the worst crash point the old commit destroyed data at: staged
+    // postings ALREADY renamed into place (the only copy), staged
+    // segstats not yet — simulated by staging only segstats + marker
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging"))
+    mv("segstats", ".merge_staging/segstats")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/.merge_staging/_COMMIT_READY"), true).close()
+    val (folded, nLive) = TextAnalysis.bm25MergeSegments(spark, dir,
+      "doc_id")
+    assert(folded == 0 && nLive == 3, s"recovery returned ($folded, $nLive)")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")),
+      "recovery destroyed the committed postings")
+    val after = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(after == expect, "recovered index diverged")
+    // crash AFTER both renames, before staging cleanup: staging holds
+    // only the marker — recovery must finish (clear staging) without
+    // touching the healthy live index
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/.merge_staging/_COMMIT_READY"), true).close()
+    val (f2, n2) = TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
+    assert(f2 == 0 && n2 == 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging")))
+    assert(TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == expect, "marker-only recovery diverged")
+  }
+
   test("bm25MergeSegments: a sealed-but-uncommitted merge (crash " +
       "inside the swap window) completes on re-run") {
     import spark.implicits._
