@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Caching.cached
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the "fit the tokenizer on the corpus" step of a training
+  * pipeline, and the canonical example of why it scales: BPE never
+  * iterates over the CORPUS. It iterates over the word-frequency
+  * table, which is vocabulary-sized (≈10⁷ rows at 100 TB, not 10¹³),
+  * so the only corpus-sized work is the initial word count — one
+  * map-side-combined aggregate. Each merge round is then one
+  * adjacent-pair aggregate over the vocab frame (rows ≈ Σ|word| ≤
+  * ~20× vocab) plus a single-row argmax collect, and the merge apply
+  * is a per-row array fold. Determinism: ties on pair frequency break
+  * lexicographically, so the learned merge list is a pure function of
+  * the corpus.
+  *
+  * Encoding does NOT replay merges over the corpus: the fitted
+  * word→pieces segmentation table IS the tokenizer (the word-cache
+  * every production BPE encoder builds), and applying it is a join —
+  * broadcast when the vocab fits, shuffle otherwise. Out-of-vocab
+  * words (absent here — we encode the fitted corpus) fall back to
+  * character pieces via the same fold.
+  *
+  * Reference scope: the reference pipeline has no tokenizer
+  * (etl-transparencia-sergipe stops at CSV curation); this is
+  * training-data extension surface from the published algorithm.
+  */
+object BpeTokenizer {
+
+  /** One learned merge: at `rank`, symbols (`left`,`right`) fused,
+    * with the pair's corpus frequency at merge time. */
+  final case class Merge(rank: Int, left: String, right: String,
+                         freq: Long)
+
+  /** Greedy leftmost non-overlapping application of ONE merge to a
+    * symbol array, as a codegen'd fold: walk the array once, fusing
+    * (left,right) whenever the accumulator's tail is `left` and the
+    * incoming symbol is `right`. Matches the reference algorithm's
+    * single-merge semantics (after "aa" fuses in "aaa", the trailing
+    * "a" does not re-pair with the new "aa" within the same round). */
+  private def applyMerge(syms: Column, left: String, right: String)
+      : Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === left && x === right,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Adjacent symbol pairs of one word, as structs (reusing the
+    * [[TextAnalysis.bigramPairs]] shape over symbols). */
+  private def symPairs(syms: Column): Column =
+    TextAnalysis.bigramPairs(syms)
+
+  /** Fits `numMerges` BPE merges on the corpus behind `textCol`
+    * (whitespace words, character-level initial symbols; empty words
+    * dropped) and returns (merge list in rank order, the fitted
+    * word-segmentation table `word | freq | syms`). Stops early when
+    * no pair occurs at least `minPairFreq` times.
+    *
+    * Lineage per round doubles (the vocab frame re-enters its own
+    * plan through the merge fold), so rounds checkpoint every
+    * `checkpointEvery` merges — reliable checkpoint dir when the
+    * application configured one, localCheckpoint otherwise (the
+    * [[Dedup.connectedComponents]] policy; executor loss in local
+    * mode is process death). */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            minPairFreq: Long = 2L, checkpointEvery: Int = 8)
+      : (Seq[Merge], DataFrame) = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val spark = docs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // the ONLY corpus-sized pass: word frequencies (map-side combine)
+    var vocab = cached(docs
+      .select(explode(TextAnalysis.tokens(
+        coalesce(col(textCol), lit("")))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // split-by-empty-regex uses limit -1 under the hood, which KEEPS
+      // a zero-width trailing match on some JDK/Spark combinations —
+      // filter empties so "" can never enter the symbol alphabet
+      .withColumn("syms",
+        filter(split(col("word"), ""), x => length(x) > 0)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // the frame TWO rounds back: unpersisted only after the argmax
+    // collect has populated the current round's cache, so the fold
+    // lineage never re-derives from an evicted parent mid-loop
+    var prevFrame: Option[DataFrame] = None
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // vocab-sized aggregate; weight each pair by the word's corpus
+      // frequency. Deterministic argmax: max freq, then lexicographic
+      // smallest (left, right). This collect also materializes the
+      // current vocab cache — the previous round's frame is dead after
+      // it.
+      val best = vocab
+        .select(explode(symPairs(col("syms"))).as("p"), col("freq"))
+        .groupBy(col("p.w1"), col("p.w2"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      prevFrame.foreach(_.unpersist())
+      prevFrame = Some(vocab)
+      if (best.isEmpty || best(0).getAs[Long]("f") < minPairFreq) {
+        exhausted = true
+      } else {
+        val l = best(0).getAs[String]("w1")
+        val r = best(0).getAs[String]("w2")
+        merges += Merge(rank, l, r, best(0).getAs[Long]("f"))
+        var next = vocab.withColumn("syms", applyMerge(col("syms"), l, r))
+        if ((rank + 1) % checkpointEvery == 0)
+          next = if (reliable) next.checkpoint(true)
+                 else next.localCheckpoint(true)
+        vocab = cached(next)
+        rank += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** Encodes the corpus through a fitted segmentation table: explodes
+    * words in document order and joins each against `vocab`'s pieces.
+    * The join is the scale story — `vocab` is vocabulary-sized, so
+    * Spark broadcasts it under the threshold and shuffle-joins above
+    * it; either way no merge list ever replays over the corpus. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
+        .as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+    words.join(vocab.select(col("word"), col("syms")), Seq("word"))
+      .select(col(idCol), col("word_pos"), col("word"), col("syms"))
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{GateChecks, Tables}
 import graft.functions.{TextFns, UrlFns, VectorFns}
-import graft.operators.{Dedup, IsolationForest, Multimodal, QualityModel, Sampling, Similarity, TextAnalysis, Upsert}
+import graft.operators.{BpeTokenizer, Dedup, IsolationForest, Multimodal, Packing, QualityModel, Sampling, Similarity, TextAnalysis, Upsert}
 import graft.sources.CsvIngest
 
 /** North-star LLM-data-pipeline + streaming-dataflow query set
@@ -2290,6 +2290,72 @@ object PipelineQueries {
         .orderBy(col("qid"), col("score").desc, col("doc_id"))
     }),
 
+    // scale primitive — token-level SEQUENCE PACKING (concat-and-chunk,
+    // the Raffel et al. §2.2 training-sequence layout). q50 bins WHOLE
+    // docs per source shard; this is the other packing discipline —
+    // documents split across fixed-length sequence boundaries under
+    // one GLOBAL order, so it needs a corpus-wide token prefix sum,
+    // done q116-style (range partition → broadcast per-partition token
+    // offsets → partition-local running sum — never a single-task
+    // global window), then the per-sequence fill/fragmentation audit.
+    // Oracle: the global cumsum window the implementation avoids.
+    "q126_sequence_pack" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("n_toks"))
+      Packing.packSequences(d, "n_toks", 64, col("source"), col("doc_id"))
+        .orderBy(col("seq_id"))
+    }),
+
+    // RAG/embedding prep — overlapping-chunk APPLY (size 12, stride 8:
+    // every token covered, 4-token overlap, trailing partial kept).
+    // q63 emits the span PLAN (start/len only); this materializes the
+    // chunk PAYLOAD — the text a RAG pipeline actually embeds — via
+    // token-slice reassembly (the q80-stats/q120-apply pairing, for
+    // chunking). Stateless map + explode, integer arithmetic so the
+    // oracle replays it exactly.
+    "q127_chunk_overlap" -> ((s, dir) => {
+      Packing.chunkOverlap(Tables(s, dir, "documents"), "doc_id",
+          "text", size = 12, stride = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // tokenizer-fit capstone — distributed BPE (Sennrich et al. 2016):
+    // the merge loop iterates the VOCAB-sized word-frequency frame
+    // (the initial word count is the only corpus pass); encoding is a
+    // segmentation-table join, never a merge replay over the corpus.
+    // The fit itself is pinned against a step-by-step local reference
+    // implementation in BpeTokenizerSpec and require()-guarded here
+    // (dense ranks; round-trip concat(pieces) == word for EVERY vocab
+    // row); the gate row writes the fitted segmentation to scratch and
+    // reports per-source encoding stats that the oracle replays off
+    // that parquet — DuckDB verifies the whole apply path.
+    "q128_bpe_encode" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val (merges, vocabRaw) =
+        BpeTokenizer.train(d, "text", numMerges = 24)
+      require(merges.nonEmpty && merges.map(_.rank) == merges.indices,
+        "q128: merge ranks must be dense from 0")
+      val vc = graft.engine.Caching.cached(vocabRaw)
+      val bad = vc.filter(concat_ws("", col("syms")) =!= col("word"))
+        .count()
+      require(bad == 0, s"q128: $bad vocab rows fail the round-trip " +
+        "(concat of pieces != word) — the merge fold corrupted a " +
+        "segmentation")
+      val path = scratchPath("bpe_vocab", dir)
+      vc.select(col("word"), col("freq"), col("syms"))
+        // vocab-sized frame: one file keeps the oracle glob trivial
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      BpeTokenizer.encode(d, "doc_id", "text", vc)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("syms")).cast("long")).as("n_pieces"),
+          countDistinct(col("word")).as("n_distinct_words"))
+        .orderBy(col("source"))
+    }),
+
     // scale primitive — dense deterministic row ids WITHOUT a global
     // window (range partition → per-partition count → broadcast
     // prefix-sum offsets → per-partition numbering): the sharding /
@@ -4290,6 +4356,70 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // the single-task global cumsum window the two-pass prefix sum
+    // must reproduce exactly, then the same integer interval algebra
+    "q126_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS n
+        |  FROM documents),
+        |o AS (SELECT *, CAST(coalesce(sum(n) OVER (
+        |      ORDER BY source, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS off
+        |  FROM d WHERE n > 0),
+        |e AS (SELECT off, n,
+        |    unnest(generate_series(off // 64, (off + n - 1) // 64))
+        |      AS seq_id
+        |  FROM o)
+        |SELECT seq_id,
+        |  CAST(sum(least((seq_id + 1) * 64, off + n)
+        |           - greatest(seq_id * 64, off)) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN off >= seq_id * 64 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_starts,
+        |  CAST(sum(CASE WHEN off >= seq_id * 64
+        |                 AND off + n <= (seq_id + 1) * 64
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs
+        |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // same chunk-count ceiling, same token-slice reassembly (DuckDB
+    // list slices are 1-based inclusive, matching Spark's slice())
+    "q127_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d),
+        |k AS (SELECT *, CASE WHEN n <= 12 THEN 1
+        |        ELSE (n - 12 + 8 - 1) // 8 + 1 END AS nk FROM n),
+        |e AS (SELECT doc_id, t, n,
+        |    unnest(generate_series(0, nk - 1)) AS chunk_idx FROM k)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(chunk_idx * 8 AS BIGINT) AS start_tok,
+        |  CAST(least(12, n - chunk_idx * 8) AS BIGINT) AS n_chunk_toks,
+        |  array_to_string(t[(chunk_idx * 8 + 1):
+        |    (chunk_idx * 8 + least(12, n - chunk_idx * 8))], ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the encode join replayed off the fitted segmentation table the
+    // query wrote to scratch — DuckDB re-derives every per-source stat
+    // from (word counts × pieces-per-word); the fit itself is pinned
+    // by BpeTokenizerSpec's reference implementation + the in-builder
+    // round-trip require
+    "q128_bpe_encode" ->
+      """WITH w0 AS (SELECT source,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |w AS (SELECT source, word FROM w0 WHERE word <> ''),
+        |v AS (SELECT word, CAST(len(syms) AS BIGINT) AS k
+        |  FROM read_parquet('{SCRATCH}/bpe_vocab_{SFHASH}/*.parquet'))
+        |SELECT source, count(*) AS n_words,
+        |  CAST(sum(k) AS BIGINT) AS n_pieces,
+        |  count(DISTINCT word) AS n_distinct_words
+        |FROM w JOIN v USING (word)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // q97's direct-scan SQL with q114's panel and k — the oracle
     // recomputes from the base table, so the materialized index and

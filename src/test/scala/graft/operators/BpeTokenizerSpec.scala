@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the distributed BPE fit to a step-by-step local reference
+  * implementation of Sennrich et al. 2016's algorithm 1 (plain Scala
+  * maps and folds, no Spark), plus the greedy-leftmost single-merge
+  * semantics and the encode join. */
+class BpeTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- local reference implementation -------------------------------
+
+  private def refApply1(syms: Vector[String], a: String, b: String)
+      : Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  private def refTrain(words: Map[String, Long], numMerges: Int,
+                       minFreq: Long = 2L)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var seg: Map[String, Vector[String]] = words.keysIterator
+      .map(w => w -> w.split("").toVector.filter(_.nonEmpty)).toMap
+    val merges = Vector.newBuilder[(String, String, Long)]
+    var done = false
+    var r = 0
+    while (r < numMerges && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, f) <- words; Seq(a, b) <- seg(w).sliding(2)
+           if seg(w).length >= 2)
+        counts((a, b)) += f
+      if (counts.isEmpty || counts.values.max < minFreq) done = true
+      else {
+        // max frequency, ties to the lexicographically smallest pair
+        val ((a, b), f) = counts.toSeq
+          .sortBy { case ((x, y), c) => (-c, x, y) }.head
+        merges += ((a, b, f))
+        seg = seg.map { case (w, s) => w -> refApply1(s, a, b) }
+        r += 1
+      }
+    }
+    (merges.result(), seg)
+  }
+
+  // ---- specs --------------------------------------------------------
+
+  test("distributed fit matches the local reference step for step") {
+    val docs = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "widest widest newest low lowest lowest",
+      "the newest widest low the the").map(Tuple1(_)).toDF("text")
+    val wordFreq = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val (refMerges, refSeg) = refTrain(wordFreq, numMerges = 12)
+    val (gotMerges, vocab) = BpeTokenizer.train(docs, "text", 12)
+    assert(gotMerges.map(m => (m.left, m.right, m.freq)) == refMerges)
+    assert(gotMerges.map(_.rank) == gotMerges.indices)
+    val gotSeg = vocab.select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect()
+      .map { case (w, s) => w -> s.toVector }.toMap
+    assert(gotSeg == refSeg)
+  }
+
+  test("single-merge apply is greedy leftmost non-overlapping") {
+    // "aaa" under merge (a,a): leftmost pair fuses, trailing 'a' does
+    // NOT re-pair with the new "aa" within the same round
+    val docs = Seq("aaa aaa aaa").map(Tuple1(_)).toDF("text")
+    val (merges, vocab) = BpeTokenizer.train(docs, "text", 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "a")))
+    val syms = vocab.select(col("syms")).as[Seq[String]].head()
+    assert(syms == Seq("aa", "a"))
+  }
+
+  test("fit on real docs round-trips every vocab word") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (merges, vocab) = BpeTokenizer.train(d, "text", 10)
+    assert(merges.nonEmpty)
+    val bad = vocab
+      .filter(concat_ws("", col("syms")) =!= col("word")).count()
+    assert(bad == 0L)
+    // merges actually compressed something: some word has < |chars|
+    // pieces
+    val compressed = vocab.filter(
+      size(col("syms")) < length(col("word"))).count()
+    assert(compressed > 0L)
+  }
+
+  test("encode joins every corpus word to its segmentation in order") {
+    val docs = Seq((1L, "ab ab ba"), (2L, "ba ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val (_, vocab) = BpeTokenizer.train(docs, "text", 2)
+    val enc = BpeTokenizer.encode(docs, "doc_id", "text", vocab)
+      .orderBy(col("doc_id"), col("word_pos"))
+      .select(col("doc_id"), col("word_pos"), col("word"))
+      .as[(Long, Int, String)].collect().toSeq
+    assert(enc == Seq((1L, 0, "ab"), (1L, 1, "ab"), (1L, 2, "ba"),
+      (2L, 0, "ba"), (2L, 1, "ab")))
+    // reassembling pieces reproduces each word
+    val mismatch = BpeTokenizer.encode(docs, "doc_id", "text", vocab)
+      .filter(concat_ws("", col("syms")) =!= col("word")).count()
+    assert(mismatch == 0L)
+  }
+
+  test("early exhaustion: stops when no pair reaches minPairFreq") {
+    val docs = Seq("ab cd").map(Tuple1(_)).toDF("text")
+    // every adjacent pair occurs once — below the default minPairFreq
+    val (merges, vocab) = BpeTokenizer.train(docs, "text", 5)
+    assert(merges.isEmpty)
+    val segs = vocab.select(col("syms")).as[Seq[String]].collect()
+    assert(segs.forall(_.forall(_.length == 1)))
+  }
+}
