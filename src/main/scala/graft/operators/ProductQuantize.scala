@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Caching.cached
+import graft.functions.VectorFns
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — the FAISS IVF-PQ building block): split
+  * each d-dim embedding into m contiguous subvectors, learn a small
+  * k-entry codebook PER SUBSPACE (seeded k-means), and store each
+  * vector as m small codes. At d=64, m=8, k=16 that is 8 bytes of
+  * codes versus 256 bytes of float32 — a 32× scan-IO reduction, the
+  * difference between "the 100 TB embedding store fits the page cache
+  * budget" and "it doesn't". The int8 path ([[Quantize]]) compresses
+  * 4×; PQ is the next rung, trading exactness for asymmetric-distance
+  * scoring.
+  *
+  * Scoring is ADC (asymmetric distance computation): the query stays
+  * un-quantized; per subspace a k-entry lookup table of
+  * query-subvector · codebook-entry inner products is built ONCE
+  * (m·k ≈ 128 rows — broadcast-sized at any corpus scale), and each
+  * stored vector scores as the sum of m table lookups — no float
+  * vector is ever read back. The lookup sums run on 1e-7 fixed-point
+  * integers, so the DuckDB oracle reproduces the ranking bit-for-bit
+  * (float summation ORDER never enters the comparison).
+  *
+  * Corpus vectors are unit-normalized before training and encoding,
+  * so the ADC inner product approximates cosine; the query is used
+  * raw — a positive per-query scale factor that never reorders ranks.
+  *
+  * Scale shape: training fits m seeded k-means models on |corpus|
+  * subvector slices (Spark-ML, distributed); encoding is an
+  * m-way explode + broadcast codebook join + min_by argmin — one
+  * shuffle back to (id → codes); probing reads ONLY the codes column
+  * and broadcasts the per-query lookup table.
+  */
+object ProductQuantize {
+
+  /** Fits the m per-subspace codebooks. Returns `subspace | code |
+    * cvec` (m·k rows — broadcast-sized). Seeds are `seed + subspace`
+    * so the fit is deterministic end-to-end. */
+  def pqTrain(vectors: DataFrame, vecCol: String, m: Int, k: Int,
+              seed: Long = 42L): DataFrame = {
+    require(m > 0 && k > 1, s"need m > 0, k > 1; got m=$m k=$k")
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vd = VectorFns.toDouble(col(vecCol))
+    val unit = cached(vectors
+      .withColumn("_n", VectorFns.norm(vd))
+      .filter(col("_n") > 0)
+      .select(VectorFns.unitNormalizeWith(vd, col("_n")).as("_uv")))
+    val n = unit.count()
+    require(n > 0, "pqTrain: no non-zero-norm vectors")
+    val dim = unit.select(size(col("_uv"))).head().getInt(0)
+    require(dim % m == 0,
+      s"pqTrain: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val rows = (0 until m).flatMap { j =>
+      val feat = unit.select(
+        array_to_vector(slice(col("_uv"), j * sub + 1, sub))
+          .as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(math.min(k.toLong, n).toInt).setSeed(seed + j)
+        .setFeaturesCol("features")
+        .fit(feat)
+      // PQ centroids are MEANS, not directions — no re-normalization
+      // (unlike learnedCentroids' spherical cells)
+      model.clusterCenters.zipWithIndex.map { case (c, ci) =>
+        (j.toLong, ci.toLong, c.toArray.toSeq)
+      }
+    }
+    unit.unpersist()
+    rows.toDF("subspace", "code", "cvec")
+  }
+
+  /** Encodes each vector as its m nearest-codebook-entry codes
+    * (squared-L2 argmin per subspace, ties to the smallest code id).
+    * Returns `idCol | codes` with `codes` an m-length array ordered by
+    * subspace. */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int): DataFrame = {
+    val vd = VectorFns.toDouble(col(vecCol))
+    val unit = vectors
+      .withColumn("_n", VectorFns.norm(vd))
+      .filter(col("_n") > 0)
+      .select(col(idCol),
+        VectorFns.unitNormalizeWith(vd, col("_n")).as("_uv"))
+    val exploded = unit
+      .select(col(idCol), col("_uv"),
+        explode(sequence(lit(0L), lit(m.toLong - 1))).as("subspace"))
+      // integer `div` — Column./ is double division
+      .withColumn("_sublen", expr(s"size(_uv) div $m"))
+      .withColumn("_sv", slice(col("_uv"),
+        (col("subspace") * col("_sublen") + 1).cast("int"),
+        col("_sublen").cast("int")))
+    exploded.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("_d2", VectorFns.sqDist(col("_sv"), col("cvec")))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min_by(col("code"), struct(col("_d2"), col("code")))
+        .as("code"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code")))),
+        x => x("code")).as("codes"))
+  }
+
+  /** Trains and encodes, writing `codebooks/` (one file — m·k rows)
+    * and `codes/` under `path`. The codes table is the ONLY
+    * corpus-sized artifact — m small ints per vector. */
+  def pqWriteIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                   m: Int, k: Int, path: String,
+                   seed: Long = 42L): Unit = {
+    val cb = pqTrain(vectors, vecCol, m, k, seed)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val spark = vectors.sparkSession
+    val cbRead = spark.read.parquet(s"$path/codebooks")
+    pqEncode(vectors, idCol, vecCol, cbRead, m)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** The per-query ADC lookup table: m·k rows of fixed-point
+    * query-subvector · codebook-entry inner products (floor(ip·1e7 +
+    * 0.5) — the suite's engine-portable rounding). ONE definition for
+    * both the flat and the IVF-pruned probe. */
+  private def adcLut(cb: DataFrame, queryVec: DataFrame,
+                     m: Int): DataFrame =
+    cb.crossJoin(broadcast(queryVec))
+      .withColumn("_sublen", expr(s"size(qvec) div $m"))
+      .withColumn("_qs", slice(col("qvec"),
+        (col("subspace") * col("_sublen") + 1).cast("int"),
+        col("_sublen").cast("int")))
+      .select(col("subspace"), col("code"),
+        floor(VectorFns.dot(col("cvec"), col("_qs")) * 1e7 + 0.5)
+          .cast("long").as("ip_fp"))
+
+  /** Integer ADC scoring of a codes relation against a broadcast
+    * lookup table: m lookups summed per vector, fixed-point → the
+    * suite's 4-decimal surface. */
+  private def adcScore(codes: DataFrame, lut: DataFrame, idCol: String,
+                       k: Int): DataFrame =
+    codes
+      .select(col(idCol),
+        posexplode(col("codes")).as(Seq("_pos", "code")))
+      .withColumn("subspace", col("_pos").cast("long"))
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("ip_fp")) / 1e7, 4).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+
+  /** ADC top-k over a flat [[pqWriteIndex]] layout. `queryVec` is one
+    * row with an `array<double>` column `qvec` (used raw — a positive
+    * per-query scale never reorders ranks). */
+  def pqProbeADC(spark: SparkSession, path: String,
+                 queryVec: DataFrame, idCol: String,
+                 k: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    adcScore(spark.read.parquet(s"$path/codes"),
+      adcLut(cb, queryVec, m), idCol, k)
+  }
+
+  /** Materialize the IVF-PQ layout — the FAISS production shape, both
+    * IO levers composed: hive partition pruning opens only the nProbe
+    * cell directories (cells from [[Similarity.learnedCentroids]],
+    * cosine assignment) AND the payload inside each cell is m PQ codes
+    * instead of floats (32×) or int8 (8× vs [[Similarity
+    * .ivfWriteIndexQuantized]]'s 4×). Codebooks are GLOBAL (trained on
+    * the whole corpus's unit vectors), not per-cell residual — the
+    * simpler published variant, which keeps the probe's lookup table
+    * query-only; `codes/` is the single corpus-sized artifact,
+    * repartitioned to one compact file per cell (the sliver-file
+    * lesson from the quantized-IVF refresh). */
+  def ivfPqWriteIndex(vectors: DataFrame, cents: DataFrame,
+                      idCol: String, vecCol: String, m: Int, k: Int,
+                      path: String, seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    pqTrain(vectors, vecCol, m, k, seed)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val cbRead = spark.read.parquet(s"$path/codebooks")
+    pqEncode(vectors, idCol, vecCol, cbRead, m)
+      .join(Similarity.ivfAssignCosine(vectors, cents, idCol, vecCol),
+        Seq(idCol))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Probe an IVF-PQ index: cell ranking + literal-`isin` partition
+    * pruning exactly as the cosine-IVF family (one shared
+    * [[Similarity.probedCellIds]]), then integer ADC on the surviving
+    * cells' codes. IO per probe = nProbe cell directories × m bytes
+    * per vector. */
+  def ivfPqProbe(spark: SparkSession, path: String, cents: DataFrame,
+                 queryVec: DataFrame, idCol: String, k: Int,
+                 nProbe: Int): DataFrame = {
+    val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("centroid_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+    adcScore(codes, adcLut(cb, queryVec, m), idCol, k)
+  }
+}

@@ -222,9 +222,12 @@ object Similarity {
       .select(col("centroid_id"))
 
   /** Driver-side form for the pruned-index paths: the nProbe cell ids
-    * as literals (a scalar fetch of the broadcast-sized ranking). */
-  private def probedCellIds(cents: DataFrame, queryVec: DataFrame,
-                            nProbe: Int): Array[Long] =
+    * as literals (a scalar fetch of the broadcast-sized ranking).
+    * `private[operators]`: [[ProductQuantize.ivfPqProbe]] shares this
+    * ONE cell-ranking definition so the IVF-PQ probe can never
+    * desynchronize from the cosine-IVF family's pruning. */
+  private[operators] def probedCellIds(cents: DataFrame, queryVec: DataFrame,
+                                       nProbe: Int): Array[Long] =
     rankedCellsCosine(cents, queryVec).limit(nProbe)
       .collect().map(_.getLong(0))
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{GateChecks, Tables}
 import graft.functions.{TextFns, UrlFns, VectorFns}
-import graft.operators.{BpeTokenizer, Dedup, IsolationForest, Multimodal, Packing, QualityModel, Sampling, Similarity, TextAnalysis, Upsert}
+import graft.operators.{BpeTokenizer, Dedup, IsolationForest, Multimodal, Packing, ProductQuantize, QualityModel, Sampling, Similarity, TextAnalysis, Upsert}
 import graft.sources.CsvIngest
 
 /** North-star LLM-data-pipeline + streaming-dataflow query set
@@ -2356,6 +2356,48 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // X2 — PRODUCT-QUANTIZED ANN probe under the hash gate (Jégou
+    // et al. 2011, the FAISS IVF-PQ building block): m=8 per-subspace
+    // codebooks of k=16 entries (seeded k-means per subspace), each
+    // vector stored as 8 small codes — 32× less scan IO than float32,
+    // the rung below q89's int8 (4×). Scoring is ADC: a broadcast m·k
+    // lookup table of query·codebook-entry inner products on 1e-7
+    // fixed-point integers, summed per vector — float summation order
+    // never enters the comparison, so the oracle replays the ranking
+    // off the index's own codebooks+codes parquet bit-for-bit.
+    "q129_pq_probe" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val path = scratchPath("pq_index", dir)
+      ProductQuantize.pqWriteIndex(e.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", m = 8, k = 16, path)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      ProductQuantize.pqProbeADC(s, path, qv, "vec_id", k = 10)
+    }),
+
+    // X2 — IVF-PQ, the FAISS production layout with BOTH IO levers
+    // under one hash gate: hive partition pruning opens only the
+    // nProbe cell directories AND each cell's payload is m=8 PQ codes
+    // (32× vs float32; q90's int8 variant is 4×). The oracle replays
+    // the whole probe off the written artifacts: centroid ranking
+    // (list_cosine_similarity), the codes' own partition column,
+    // fixed-point ADC lookup sums — identical integer arithmetic.
+    "q130_ivfpq_probe" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("ivfpq_cents", dir))
+      val cents = s.read.parquet(scratchPath("ivfpq_cents", dir))
+      val path = scratchPath("ivfpq_index", dir)
+      ProductQuantize.ivfPqWriteIndex(base, cents, "vec_id",
+        "embedding", m = 8, k = 16, path)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      ProductQuantize.ivfPqProbe(s, path, cents, qv, "vec_id",
+        k = 10, nProbe = 3)
+    }),
+
     // scale primitive — dense deterministic row ids WITHOUT a global
     // window (range partition → per-partition count → broadcast
     // prefix-sum offsets → per-partition numbering): the sharding /
@@ -4420,6 +4462,65 @@ object PipelineQueries {
         |  count(DISTINCT word) AS n_distinct_words
         |FROM w JOIN v USING (word)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the ADC ranking replayed off the index's own parquet: per-
+    // subspace fixed-point inner-product lookup table from the written
+    // codebooks × the raw query, integer lookup sums over the written
+    // codes — identical floor(ip·1e7 + 0.5) in both engines, so float
+    // association never enters the hash
+    "q129_pq_probe" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cb AS (SELECT subspace, code, cvec
+        |  FROM read_parquet('{SCRATCH}/pq_index_{SFHASH}/codebooks/*.parquet')),
+        |ip AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb, q),
+        |cx AS (SELECT vec_id, subspace, codes[subspace + 1] AS code
+        |  FROM (SELECT vec_id, codes,
+        |          unnest(generate_series(0, 7)) AS subspace
+        |        FROM read_parquet(
+        |          '{SCRATCH}/pq_index_{SFHASH}/codes/*.parquet')))
+        |SELECT vec_id,
+        |  round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS adc_score
+        |FROM cx JOIN ip USING (subspace, code)
+        |GROUP BY vec_id ORDER BY adc_score DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // q129's ADC arithmetic behind q90's pruning: centroid ranking +
+    // partition filter replayed off the index's own layout, then the
+    // same integer lookup sums
+    "q130_ivfpq_probe" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |  FROM read_parquet('{SCRATCH}/ivfpq_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |cb AS (SELECT subspace, code, cvec
+        |  FROM read_parquet(
+        |    '{SCRATCH}/ivfpq_index_{SFHASH}/codebooks/*.parquet')),
+        |ip AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb, q),
+        |cx AS (SELECT vec_id, subspace, codes[subspace + 1] AS code
+        |  FROM (SELECT vec_id, codes,
+        |          unnest(generate_series(0, 7)) AS subspace
+        |        FROM read_parquet(
+        |            '{SCRATCH}/ivfpq_index_{SFHASH}/codes/*/*.parquet',
+        |            hive_partitioning = 1)
+        |        WHERE CAST(centroid_id AS BIGINT) IN
+        |          (SELECT cid FROM probed)))
+        |SELECT vec_id,
+        |  round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS adc_score
+        |FROM cx JOIN ip USING (subspace, code)
+        |GROUP BY vec_id ORDER BY adc_score DESC, vec_id
+        |LIMIT 10""".stripMargin,
 
     // q97's direct-scan SQL with q114's panel and k — the oracle
     // recomputes from the base table, so the materialized index and

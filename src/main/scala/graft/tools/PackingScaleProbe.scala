@@ -42,13 +42,19 @@ object PackingScaleProbe {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
 
+    // 3 reps per cell, all printed: the sf0.1 corpus is small enough
+    // that host band + JIT dominate any single run — min-of-3 within
+    // one session is the comparable number
     def time(label: String)(body: => Unit): Double = {
-      val t0 = System.nanoTime()
-      graft.engine.Caching.scoped { body }
-      spark.catalog.clearCache()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"$label: $dt%.2f s")
-      dt
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.engine.Caching.scoped { body }
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label: ${reps.map(r => f"$r%.2f").mkString(" / ")} s " +
+        f"(min ${reps.min}%.2f)")
+      reps.min
     }
 
     def noop(df: DataFrame): Unit =
