@@ -38,29 +38,46 @@ import graft.functions.VectorFns
   */
 object ProductQuantize {
 
-  /** Fits the m per-subspace codebooks. Returns `subspace | code |
-    * cvec` (m·k rows — broadcast-sized). Seeds are `seed + subspace`
-    * so the fit is deterministic end-to-end. */
+  /** Fits the m per-subspace codebooks on corpus vectors
+    * (unit-normalized first, so ADC inner products approximate
+    * cosine). Returns `subspace | code | cvec` (m·k rows —
+    * broadcast-sized). Seeds are `seed + subspace` so the fit is
+    * deterministic end-to-end. */
   def pqTrain(vectors: DataFrame, vecCol: String, m: Int, k: Int,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L): DataFrame =
+    pqTrainRaw(unitVectors(vectors, vecCol, Seq.empty), "_uv", m, k,
+      seed)
+
+  /** `idCol` + unit-normalized `_uv` (zero-norm rows dropped). */
+  private def unitVectors(vectors: DataFrame, vecCol: String,
+                          keep: Seq[String]): DataFrame = {
+    val vd = VectorFns.toDouble(col(vecCol))
+    vectors
+      .withColumn("_n", VectorFns.norm(vd))
+      .filter(col("_n") > 0)
+      .select(keep.map(col) :+
+        VectorFns.unitNormalizeWith(vd, col("_n")).as("_uv"): _*)
+  }
+
+  /** [[pqTrain]] on an ALREADY-prepared double-array column — no
+    * normalization (residual vectors must not be re-normalized). */
+  private[operators] def pqTrainRaw(vectors: DataFrame, vecCol: String,
+                                    m: Int, k: Int,
+                                    seed: Long): DataFrame = {
     require(m > 0 && k > 1, s"need m > 0, k > 1; got m=$m k=$k")
     import org.apache.spark.ml.functions.array_to_vector
     val spark = vectors.sparkSession
     import spark.implicits._
-    val vd = VectorFns.toDouble(col(vecCol))
-    val unit = cached(vectors
-      .withColumn("_n", VectorFns.norm(vd))
-      .filter(col("_n") > 0)
-      .select(VectorFns.unitNormalizeWith(vd, col("_n")).as("_uv")))
-    val n = unit.count()
-    require(n > 0, "pqTrain: no non-zero-norm vectors")
-    val dim = unit.select(size(col("_uv"))).head().getInt(0)
+    val prepared = cached(vectors.select(col(vecCol).as("_pv")))
+    val n = prepared.count()
+    require(n > 0, "pqTrain: no vectors to fit")
+    val dim = prepared.select(size(col("_pv"))).head().getInt(0)
     require(dim % m == 0,
       s"pqTrain: dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val rows = (0 until m).flatMap { j =>
-      val feat = unit.select(
-        array_to_vector(slice(col("_uv"), j * sub + 1, sub))
+      val feat = prepared.select(
+        array_to_vector(slice(col("_pv"), j * sub + 1, sub))
           .as("features"))
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(math.min(k.toLong, n).toInt).setSeed(seed + j)
@@ -72,7 +89,7 @@ object ProductQuantize {
         (j.toLong, ci.toLong, c.toArray.toSeq)
       }
     }
-    unit.unpersist()
+    prepared.unpersist()
     rows.toDF("subspace", "code", "cvec")
   }
 
@@ -81,19 +98,22 @@ object ProductQuantize {
     * Returns `idCol | codes` with `codes` an m-length array ordered by
     * subspace. */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
-               codebooks: DataFrame, m: Int): DataFrame = {
-    val vd = VectorFns.toDouble(col(vecCol))
-    val unit = vectors
-      .withColumn("_n", VectorFns.norm(vd))
-      .filter(col("_n") > 0)
-      .select(col(idCol),
-        VectorFns.unitNormalizeWith(vd, col("_n")).as("_uv"))
-    val exploded = unit
-      .select(col(idCol), col("_uv"),
+               codebooks: DataFrame, m: Int): DataFrame =
+    pqEncodeRaw(unitVectors(vectors, vecCol, Seq(idCol)), idCol, "_uv",
+      codebooks, m)
+
+  /** [[pqEncode]] on an already-prepared double-array column (no
+    * normalization — the residual path). */
+  private[operators] def pqEncodeRaw(vectors: DataFrame, idCol: String,
+                                     vecCol: String,
+                                     codebooks: DataFrame,
+                                     m: Int): DataFrame = {
+    val exploded = vectors
+      .select(col(idCol), col(vecCol).as("_pv"),
         explode(sequence(lit(0L), lit(m.toLong - 1))).as("subspace"))
       // integer `div` — Column./ is double division
-      .withColumn("_sublen", expr(s"size(_uv) div $m"))
-      .withColumn("_sv", slice(col("_uv"),
+      .withColumn("_sublen", expr(s"size(_pv) div $m"))
+      .withColumn("_sv", slice(col("_pv"),
         (col("subspace") * col("_sublen") + 1).cast("int"),
         col("_sublen").cast("int")))
     exploded.join(broadcast(codebooks), Seq("subspace"))
@@ -204,5 +224,194 @@ object ProductQuantize {
       .filter(col("centroid_id")
         .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
     adcScore(codes, adcLut(cb, queryVec, m), idCol, k)
+  }
+
+  /** Batch (multi-query) ADC: one broadcast |panel|·m·k lookup table,
+    * per-query top-k via a qid-partitioned window. `queries` carries
+    * (`qid`, `qvec`). The production shape for scoring a query PANEL
+    * against the codes in one pass — and the recall-panel instrument's
+    * scorer. */
+  def pqProbeADCMulti(spark: SparkSession, path: String,
+                      queries: DataFrame, idCol: String,
+                      k: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    adcScoreMulti(spark.read.parquet(s"$path/codes"),
+      adcLutMulti(cb, queries, m), idCol, k)
+  }
+
+  /** Batch IVF-PQ probe, relational cell restriction: per-query top
+    * nProbe cells by centroid cosine (a |cells|·|panel| broadcast
+    * frame), codes joined to their query's probed cells — the same
+    * candidate set the literal-`isin` single-query path prunes to,
+    * in one pass for the whole panel. */
+  def ivfPqProbeMulti(spark: SparkSession, path: String,
+                      cents: DataFrame, queries: DataFrame,
+                      idCol: String, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("_cd"), col("centroid_id"))
+    val probed = cents.crossJoin(broadcast(queries))
+      .withColumn("_cd",
+        lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .withColumn("_rn", row_number().over(wc))
+      .filter(col("_rn") <= nProbe)
+      .select(col("qid"), col("centroid_id"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .join(broadcast(probed), Seq("centroid_id"))
+    adcScoreMulti(codes, adcLutMulti(cb, queries, m), idCol, k)
+  }
+
+  /** Residual IVF-PQ — FAISS's default accuracy rung: each vector is
+    * stored as (cell, PQ codes of the RESIDUAL uv − cell centroid).
+    * Residuals concentrate in a much tighter distribution than the
+    * vectors themselves, so the same m·k codebook budget spends its
+    * entries where the data actually is — the measured recall lift in
+    * PLANS.md round-11. Scoring stays pure ADC:
+    *
+    *   q·v ≈ q·c_cell + Σ_j q_j·cb_j[code_j]
+    *
+    * one fixed-point per-cell constant (nProbe values, driver-free)
+    * plus the same integer lookup sums — still no float vector read
+    * at probe time. */
+  def ivfPqWriteIndexResidual(vectors: DataFrame, cents: DataFrame,
+                              idCol: String, vecCol: String, m: Int,
+                              k: Int, path: String,
+                              seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    val unit = unitVectors(vectors, vecCol, Seq(idCol))
+    // cosine assignment is scale-invariant — raw vectors assign to the
+    // same cell their unit forms would
+    val assign = Similarity.ivfAssignCosine(vectors, cents, idCol,
+      vecCol)
+    // cached: the residual frame feeds the codebook fit AND the encode
+    val res = cached(unit.join(assign, Seq(idCol))
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col("_uv"), col("cvec"), (a, b) => a - b).as("_res")))
+    pqTrainRaw(res, "_res", m, k, seed)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val cbRead = spark.read.parquet(s"$path/codebooks")
+    pqEncodeRaw(res, idCol, "_res", cbRead, m)
+      .join(res.select(col(idCol), col("centroid_id")), Seq(idCol))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+    res.unpersist()
+  }
+
+  /** Probe a residual IVF-PQ index: partition pruning as
+    * [[ivfPqProbe]], then integer ADC on the residual codes PLUS the
+    * probed cells' fixed-point q·centroid constants. */
+  def ivfPqProbeResidual(spark: SparkSession, path: String,
+                         cents: DataFrame, queryVec: DataFrame,
+                         idCol: String, k: Int,
+                         nProbe: Int): DataFrame = {
+    val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
+    val probedSeq =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(probed)
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val cellConst = cents.filter(col("centroid_id").isin(probedSeq: _*))
+      .crossJoin(broadcast(queryVec))
+      .select(col("centroid_id"),
+        floor(VectorFns.dot(col("cvec"), col("qvec")) * 1e7 + 0.5)
+          .cast("long").as("cell_fp"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("centroid_id").isin(probedSeq: _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    codes
+      .select(col(idCol), col("centroid_id"),
+        posexplode(col("codes")).as(Seq("_pos", "code")))
+      .withColumn("subspace", col("_pos").cast("long"))
+      .join(broadcast(adcLut(cb, queryVec, m)), Seq("subspace", "code"))
+      .groupBy(col(idCol), col("centroid_id"))
+      .agg(sum(col("ip_fp")).as("_res_fp"))
+      .join(broadcast(cellConst), Seq("centroid_id"))
+      .select(col(idCol),
+        round((col("_res_fp") + col("cell_fp")) / 1e7, 4)
+          .as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batch residual probe (the recall-panel scorer): per-query probed
+    * cells + per-(query, cell) constants, relationally. */
+  def ivfPqProbeResidualMulti(spark: SparkSession, path: String,
+                              cents: DataFrame, queries: DataFrame,
+                              idCol: String, k: Int,
+                              nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("_cd"), col("centroid_id"))
+    val probed = cents.crossJoin(broadcast(queries))
+      .withColumn("_cd",
+        lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .withColumn("_rn", row_number().over(wc))
+      .filter(col("_rn") <= nProbe)
+      .select(col("qid"), col("centroid_id"),
+        floor(VectorFns.dot(col("cvec"), col("qvec")) * 1e7 + 0.5)
+          .cast("long").as("cell_fp"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .join(broadcast(probed), Seq("centroid_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_score").desc, col(idCol))
+    codes
+      .select(col(idCol), col("qid"), col("cell_fp"),
+        posexplode(col("codes")).as(Seq("_pos", "code")))
+      .withColumn("subspace", col("_pos").cast("long"))
+      .join(broadcast(adcLutMulti(cb, queries, m)),
+        Seq("qid", "subspace", "code"))
+      .groupBy(col("qid"), col(idCol), col("cell_fp"))
+      .agg(sum(col("ip_fp")).as("_res_fp"))
+      .select(col("qid"), col(idCol),
+        round((col("_res_fp") + col("cell_fp")) / 1e7, 4)
+          .as("adc_score"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col(idCol), col("adc_score"))
+  }
+
+  /** [[adcLut]] for a query panel: |panel|·m·k rows keyed by qid. */
+  private def adcLutMulti(cb: DataFrame, queries: DataFrame,
+                          m: Int): DataFrame =
+    cb.crossJoin(broadcast(queries))
+      .withColumn("_sublen", expr(s"size(qvec) div $m"))
+      .withColumn("_qs", slice(col("qvec"),
+        (col("subspace") * col("_sublen") + 1).cast("int"),
+        col("_sublen").cast("int")))
+      .select(col("qid"), col("subspace"), col("code"),
+        floor(VectorFns.dot(col("cvec"), col("_qs")) * 1e7 + 0.5)
+          .cast("long").as("ip_fp"))
+
+  /** [[adcScore]] for a panel: the lookup join fans each code row out
+    * per query (or per that query's probed cells when `codes` already
+    * carries a qid), top-k per qid via window. */
+  private def adcScoreMulti(codes: DataFrame, lut: DataFrame,
+                            idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hasQid = codes.columns.contains("qid")
+    val joinKeys =
+      if (hasQid) Seq("qid", "subspace", "code")
+      else Seq("subspace", "code")
+    val keep =
+      if (hasQid) Seq(col(idCol), col("qid")) else Seq(col(idCol))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_score").desc, col(idCol))
+    codes
+      .select(keep :+ posexplode(col("codes")).as(Seq("_pos", "code")): _*)
+      .withColumn("subspace", col("_pos").cast("long"))
+      .join(broadcast(lut), joinKeys)
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("ip_fp")) / 1e7, 4).as("adc_score"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col(idCol), col("adc_score"))
   }
 }

@@ -2398,6 +2398,34 @@ object PipelineQueries {
         k = 10, nProbe = 3)
     }),
 
+    // X2 — RESIDUAL IVF-PQ (FAISS's default): codes quantize the
+    // residual (unit vector − cell centroid), concentrating the same
+    // m·k codebook budget on the tighter within-cell distribution.
+    // The reconstruction win is real where the corpus has cluster
+    // structure (spec pins it on a clustered fixture); on THIS
+    // isotropic synthetic table it measurably does not materialize
+    // (PLANS.md round-11 records both readings — honest limits).
+    // Scoring = one fixed-point q·centroid constant per probed cell +
+    // the same integer ADC lookup sums; the oracle replays both terms
+    // off the written centroids/codebooks/codes parquet.
+    "q131_ivfpq_residual_probe" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      // reuses q130's centroid parquet contract with its own prefix so
+      // the two rows never race on scratch
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("ivfpqr_cents", dir))
+      val cents = s.read.parquet(scratchPath("ivfpqr_cents", dir))
+      val path = scratchPath("ivfpqr_index", dir)
+      ProductQuantize.ivfPqWriteIndexResidual(base, cents, "vec_id",
+        "embedding", m = 8, k = 16, path)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      ProductQuantize.ivfPqProbeResidual(s, path, cents, qv, "vec_id",
+        k = 10, nProbe = 3)
+    }),
+
     // scale primitive — dense deterministic row ids WITHOUT a global
     // window (range partition → per-partition count → broadcast
     // prefix-sum offsets → per-partition numbering): the sharding /
@@ -4521,6 +4549,46 @@ object PipelineQueries {
         |FROM cx JOIN ip USING (subspace, code)
         |GROUP BY vec_id ORDER BY adc_score DESC, vec_id
         |LIMIT 10""".stripMargin,
+
+    // q130's replay plus the residual decomposition: per-cell
+    // fixed-point q·centroid constants joined back onto the residual
+    // lookup sums — both terms off the written parquet
+    "q131_ivfpq_residual_probe" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |  FROM read_parquet('{SCRATCH}/ivfpqr_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |cellc AS (SELECT cid,
+        |    CAST(floor(list_inner_product(cv, qv) * 1e7 + 0.5)
+        |      AS BIGINT) AS cell_fp
+        |  FROM cents, q WHERE cid IN (SELECT cid FROM probed)),
+        |cb AS (SELECT subspace, code, cvec
+        |  FROM read_parquet(
+        |    '{SCRATCH}/ivfpqr_index_{SFHASH}/codebooks/*.parquet')),
+        |ip AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb, q),
+        |cx AS (SELECT vec_id, cid, subspace, codes[subspace + 1] AS code
+        |  FROM (SELECT vec_id, CAST(centroid_id AS BIGINT) AS cid,
+        |          codes, unnest(generate_series(0, 7)) AS subspace
+        |        FROM read_parquet(
+        |            '{SCRATCH}/ivfpqr_index_{SFHASH}/codes/*/*.parquet',
+        |            hive_partitioning = 1)
+        |        WHERE CAST(centroid_id AS BIGINT) IN
+        |          (SELECT cid FROM probed))),
+        |r AS (SELECT vec_id, cid,
+        |        CAST(sum(ip_fp) AS BIGINT) AS res_fp
+        |      FROM cx JOIN ip USING (subspace, code)
+        |      GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  round((res_fp + cell_fp) / 1e7, 4) AS adc_score
+        |FROM r JOIN cellc USING (cid)
+        |ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin,
 
     // q97's direct-scan SQL with q114's panel and k — the oracle
     // recomputes from the base table, so the materialized index and

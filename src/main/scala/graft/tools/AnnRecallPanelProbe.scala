@@ -65,6 +65,56 @@ object AnnRecallPanelProbe {
           .select(col("qid"), col("vec_id")))
       println(s"RECALL ${graft.engine.GateChecks.sfKey(dir)} " +
         s"lsh seed=42 $lsh /500")
+      // PQ family (round-11): flat ADC (quantization loss only — the
+      // recall ceiling PQ's 8×16-code geometry imposes), then IVF-PQ's
+      // nProbe sweep (quantization loss × pruning loss composed)
+      locally {
+        // codebook-size sweep: recall vs code width (k=16 is the
+        // 4-bit gate-row setting; 256 is FAISS's standard 1-byte code)
+        Seq(16, 64, 256).foreach { kcb =>
+          val pqPath = s"target/probe-scratch/annpq${kcb}_" +
+            graft.engine.GateChecks.sfKey(dir)
+          graft.operators.ProductQuantize.pqWriteIndex(base, "vec_id",
+            "embedding", m = 8, k = kcb, pqPath)
+          val flat = recallOf(
+            graft.operators.ProductQuantize.pqProbeADCMulti(spark,
+                pqPath, queries, "vec_id", 10)
+              .select(col("qid"), col("vec_id")))
+          println(s"RECALL ${graft.engine.GateChecks.sfKey(dir)} " +
+            s"pq-adc flat k=$kcb $flat /500")
+        }
+        val cents = Similarity.learnedCentroids(base, "embedding",
+          k = 16, seed = 42L)
+        val ivfPath = s"target/probe-scratch/annivfpq_" +
+          graft.engine.GateChecks.sfKey(dir)
+        graft.operators.ProductQuantize.ivfPqWriteIndex(base, cents,
+          "vec_id", "embedding", m = 8, k = 16, ivfPath)
+        val line = Seq(1, 3, 5, 8).map { nProbe =>
+          val r = recallOf(
+            graft.operators.ProductQuantize.ivfPqProbeMulti(spark,
+                ivfPath, cents, queries, "vec_id", k = 10,
+                nProbe = nProbe)
+              .select(col("qid"), col("vec_id")))
+          f"nProbe=$nProbe:$r%3d"
+        }.mkString(" ")
+        println(s"RECALL ${graft.engine.GateChecks.sfKey(dir)} " +
+          s"ivfpq seed=42 $line /500")
+        // residual rung, same m·k budget — the q131 accuracy claim
+        val resPath = s"target/probe-scratch/annivfpqr_" +
+          graft.engine.GateChecks.sfKey(dir)
+        graft.operators.ProductQuantize.ivfPqWriteIndexResidual(base,
+          cents, "vec_id", "embedding", m = 8, k = 16, resPath)
+        val rline = Seq(1, 3, 5, 8).map { nProbe =>
+          val r = recallOf(
+            graft.operators.ProductQuantize.ivfPqProbeResidualMulti(
+                spark, resPath, cents, queries, "vec_id", k = 10,
+                nProbe = nProbe)
+              .select(col("qid"), col("vec_id")))
+          f"nProbe=$nProbe:$r%3d"
+        }.mkString(" ")
+        println(s"RECALL ${graft.engine.GateChecks.sfKey(dir)} " +
+          s"ivfpq-res seed=42 $rline /500")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -145,4 +145,114 @@ class ProductQuantizeSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(all == flat)
   }
+
+  test("residual probe matches a local recompute of both score terms") {
+    val path = scratch("pq_spec4").toString
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+    ProductQuantize.ivfPqWriteIndexResidual(base, cents, "vec_id",
+      "embedding", m = 8, k = 16, path)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+    val got = ProductQuantize.ivfPqProbeResidual(spark, path, cents,
+        qv, "vec_id", k = 10, nProbe = 8)
+      .as[(Long, Double)].collect().toSeq
+    // local replay: q·centroid constant + residual-codebook ADC sums
+    val q = qv.head().getAs[scala.collection.Seq[Double]]("qvec")
+    val cmap = cents.collect().map(r => r.getAs[Long]("centroid_id") ->
+      r.getAs[scala.collection.Seq[Double]]("cvec")).toMap
+    val cbm = spark.read.parquet(s"$path/codebooks").collect().map(r =>
+      (r.getAs[Long]("subspace"), r.getAs[Long]("code")) ->
+        r.getAs[scala.collection.Seq[Double]]("cvec")).toMap
+    val lut = cbm.map { case ((j, c), cv) =>
+      val qs = q.slice(j.toInt * 8, j.toInt * 8 + 8)
+      (j, c) -> math.floor(
+        cv.zip(qs).map { case (a, b) => a * b }.sum * 1e7 + 0.5).toLong
+    }
+    val expected = spark.read.parquet(s"$path/codes").collect()
+      .map { r =>
+        val id = r.getAs[Long]("vec_id")
+        val cid = r.getAs[Number]("centroid_id").longValue()
+        val cellFp = math.floor(
+          cmap(cid).zip(q).map { case (a, b) => a * b }.sum * 1e7
+            + 0.5).toLong
+        val resFp = r.getAs[scala.collection.Seq[Long]]("codes")
+          .zipWithIndex.map { case (c, j) => lut((j.toLong, c)) }.sum
+        id -> java.math.BigDecimal.valueOf((cellFp + resFp) / 1e7)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    assert(got == expected)
+  }
+
+  test("residual encoding reconstructs tighter than direct PQ " +
+      "on clustered data") {
+    // the accuracy claim behind q131: with the SAME m·k budget, the
+    // mean squared reconstruction error of (centroid + decoded
+    // residual) is below direct PQ's — residuals concentrate the
+    // codebooks on a tighter distribution. The claim holds where the
+    // corpus HAS cluster structure (every real embedding corpus); on
+    // the ISOTROPIC synthetic embeddings table it measurably does NOT
+    // (residual 0.69 vs direct 0.54 MSE — subtracting barely-
+    // informative centroids only adds cross-cell variance), so this
+    // spec builds a clustered corpus: 8 seeded unit centers + 0.15
+    // noise. PLANS.md round-11 records both measurements.
+    val rnd = new scala.util.Random(42)
+    def unitVec(d: Int) = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unitVec(64))
+    val clustered = (0 until 256).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+        .toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.learnedCentroids(clustered, "embedding",
+      k = 8)
+    val cmap = cents.collect().map(r => r.getAs[Long]("centroid_id") ->
+      r.getAs[scala.collection.Seq[Double]]("cvec")).toMap
+    val dirPath = scratch("pq_spec5_dir").toString
+    val resPath = scratch("pq_spec5_res").toString
+    ProductQuantize.pqWriteIndex(clustered, "vec_id", "embedding",
+      m = 8, k = 16, dirPath)
+    ProductQuantize.ivfPqWriteIndexResidual(clustered, cents, "vec_id",
+      "embedding", m = 8, k = 16, resPath)
+    def cb(path: String) = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r =>
+        (r.getAs[Long]("subspace"), r.getAs[Long]("code")) ->
+          r.getAs[scala.collection.Seq[Double]]("cvec")).toMap
+    val dirCb = cb(dirPath); val resCb = cb(resPath)
+    val unit = clustered.select(col("vec_id"),
+        VectorFns.toDouble(col("embedding")).as("v"))
+      .collect().map { r =>
+        val v = r.getAs[scala.collection.Seq[Double]]("v")
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getAs[Long]("vec_id") -> v.map(_ / n)
+      }.toMap
+    def decode(codes: scala.collection.Seq[Long],
+               book: Map[(Long, Long), scala.collection.Seq[Double]]) =
+      codes.zipWithIndex.flatMap { case (c, j) => book((j.toLong, c)) }
+    def mse(path: String,
+            book: Map[(Long, Long), scala.collection.Seq[Double]],
+            addCentroid: Boolean): Double = {
+      val rows = spark.read.parquet(s"$path/codes").collect()
+      rows.map { r =>
+        val id = r.getAs[Long]("vec_id")
+        val dec0 = decode(
+          r.getAs[scala.collection.Seq[Long]]("codes"), book)
+        val dec = if (addCentroid) {
+          val cid = r.getAs[Number]("centroid_id").longValue()
+          dec0.zip(cmap(cid)).map { case (a, b) => a + b }
+        } else dec0
+        unit(id).zip(dec).map { case (a, b) =>
+          val d = a - b; d * d
+        }.sum
+      }.sum / rows.length
+    }
+    val direct = mse(dirPath, dirCb, addCentroid = false)
+    val residual = mse(resPath, resCb, addCentroid = true)
+    assert(residual < direct,
+      f"residual MSE $residual%.5f not below direct $direct%.5f")
+  }
 }
