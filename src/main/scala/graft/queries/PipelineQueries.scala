@@ -2426,6 +2426,40 @@ object PipelineQueries {
         k = 10, nProbe = 3)
     }),
 
+    // capstone #5 — the DATASET CARD: the per-source release report
+    // every corpus ships (sizes, length range, language spread,
+    // exact-dup rate, quality pass rate) as ONE plan — every signal
+    // an already-gated operator's (q14 token-set signatures, q104
+    // Gopher rules, q15-style accounting), all-integer so the card
+    // hashes. One token explode feeding one hash-aggregate per
+    // source; the dup rate is integer-cross-multiplied (no float
+    // division).
+    "q132_dataset_card" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val flags = TextAnalysis.gopherFlags(d, "doc_id", "text",
+          stopwords = langMarkers)
+        .select(col("doc_id"), col("pass"))
+      val toks = TextAnalysis.tokens(coalesce(col("text"), lit("")))
+      d.select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), toks.as("_t"))
+        .withColumn("n_toks", size(col("_t")).cast("long"))
+        .withColumn("sig",
+          concat_ws(" ", array_sort(array_distinct(col("_t")))))
+        .join(flags, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_toks")).as("min_toks"),
+          max(col("n_toks")).as("max_toks"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("sig")).as("n_distinct_sigs"),
+          sum(col("pass").cast("long")).as("n_gopher_pass"))
+        .withColumn("dup_bp",
+          expr("((n_docs - n_distinct_sigs) * 10000) div n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // scale primitive — dense deterministic row ids WITHOUT a global
     // window (range partition → per-partition count → broadcast
     // prefix-sum offsets → per-partition numbering): the sharding /
@@ -4589,6 +4623,47 @@ object PipelineQueries {
         |  round((res_fp + cell_fp) / 1e7, 4) AS adc_score
         |FROM r JOIN cellc USING (cid)
         |ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // every signal re-derived from proven spellings: q14's token-set
+    // signature, q104's integer Gopher rules, q15-style accounting;
+    // dup rate integer-cross-multiplied
+    "q132_dataset_card" ->
+      """WITH t AS (SELECT doc_id, source, lang, n_chars,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |    CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(list_intersect(list_distinct(t),
+        |      ['scan', 'table', 'row', 'data', 'query', 'filter']))
+        |      AS BIGINT) AS stop_hits
+        |  FROM t),
+        |fl AS (SELECT doc_id,
+        |    CASE WHEN n_tokens BETWEEN 20 AND 90
+        |          AND sum_len * 10 >= n_tokens * 40
+        |          AND sum_len * 10 <= n_tokens * 100
+        |          AND n_distinct * 2 >= n_tokens
+        |          AND stop_hits >= 2
+        |         THEN 1 ELSE 0 END AS pass
+        |  FROM m),
+        |base AS (SELECT t.doc_id, t.source, t.lang, t.n_chars,
+        |    CAST(len(t.t) AS BIGINT) AS n_toks,
+        |    array_to_string(list_sort(list_distinct(t.t)), ' ') AS sig,
+        |    fl.pass
+        |  FROM t JOIN fl USING (doc_id)),
+        |agg AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(min(n_toks) AS BIGINT) AS min_toks,
+        |    CAST(max(n_toks) AS BIGINT) AS max_toks,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT sig) AS n_distinct_sigs,
+        |    CAST(sum(pass) AS BIGINT) AS n_gopher_pass
+        |  FROM base GROUP BY source)
+        |SELECT *,
+        |  ((n_docs - n_distinct_sigs) * 10000) // n_docs AS dup_bp
+        |FROM agg ORDER BY source""".stripMargin,
 
     // q97's direct-scan SQL with q114's panel and k — the oracle
     // recomputes from the base table, so the materialized index and
