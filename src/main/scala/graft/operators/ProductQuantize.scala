@@ -60,37 +60,108 @@ object ProductQuantize {
   }
 
   /** [[pqTrain]] on an ALREADY-prepared double-array column — no
-    * normalization (residual vectors must not be re-normalized). */
+    * normalization (residual vectors must not be re-normalized).
+    *
+    * The fit is a BATCHED Lloyd's k-means over all m subspaces at
+    * once, not m separate Spark-ML fits: per-subspace ML fits cost
+    * ~30 scheduler jobs EACH (init steps + one job per iteration), so
+    * 8 codebooks burned ~240 tiny jobs — the round-11 bench finding
+    * that made the PQ gate rows the heaviest in the record while
+    * doing almost no compute. Here every iteration is ONE distributed
+    * pass for all subspaces together (assign by broadcast-codebook
+    * argmin, update by per-(subspace, code, dim) aggregate), and the
+    * codebook — m·k·(d/m) values, KBs — collects to the driver
+    * between iterations. ~1 job per iteration, total, in place of
+    * ~30·m.
+    *
+    * Deterministic BY CONSTRUCTION, stronger than the ML path:
+    * seeded md5-ranked init, argmin ties to the smallest code, and
+    * centroid updates summed as 1e-9 FIXED-POINT INTEGERS — integer
+    * addition commutes, so the fit is bit-identical regardless of
+    * partitioning or scheduling order (double sums are not).
+    *
+    * FAISS-parity scale shape: codebooks train on a bounded sample by
+    * design (~max(10⁵, 39·k) rows per codebook — at 100 TB you never
+    * k-means the corpus), so the per-iteration pass is sample-sized,
+    * never corpus-sized. */
   private[operators] def pqTrainRaw(vectors: DataFrame, vecCol: String,
-                                    m: Int, k: Int,
-                                    seed: Long): DataFrame = {
+                                    m: Int, k: Int, seed: Long,
+                                    maxIter: Int = 10): DataFrame = {
     require(m > 0 && k > 1, s"need m > 0, k > 1; got m=$m k=$k")
-    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
     val spark = vectors.sparkSession
     import spark.implicits._
-    val prepared = cached(vectors.select(col(vecCol).as("_pv")))
-    val n = prepared.count()
-    require(n > 0, "pqTrain: no vectors to fit")
-    val dim = prepared.select(size(col("_pv"))).head().getInt(0)
+    val dimRow = vectors.select(size(col(vecCol)).as("d")).limit(1)
+      .collect()
+    require(dimRow.nonEmpty, "pqTrain: no vectors to fit")
+    val dim = dimRow(0).getInt(0)
     require(dim % m == 0,
       s"pqTrain: dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val rows = (0 until m).flatMap { j =>
-      val feat = prepared.select(
-        array_to_vector(slice(col("_pv"), j * sub + 1, sub))
-          .as("features"))
-      val model = new org.apache.spark.ml.clustering.KMeans()
-        .setK(math.min(k.toLong, n).toInt).setSeed(seed + j)
-        .setFeaturesCol("features")
-        .fit(feat)
-      // PQ centroids are MEANS, not directions — no re-normalization
-      // (unlike learnedCentroids' spherical cells)
-      model.clusterCenters.zipWithIndex.map { case (c, ci) =>
-        (j.toLong, ci.toLong, c.toArray.toSeq)
+    // one exploded, DEDUPLICATED (subspace, subvector, weight)
+    // relation, cached — every iteration's single pass reads it.
+    // Identical subvectors collapse with their multiplicity as the
+    // weight, so the mean stays exact and the per-iteration pass
+    // shrinks to the distinct-subvector count.
+    val svw = cached(vectors
+      .select(explode(sequence(lit(0L), lit(m.toLong - 1)))
+        .as("subspace"), col(vecCol).as("_pv"))
+      .select(col("subspace"), slice(col("_pv"),
+        col("subspace").cast("int") * sub + 1, lit(sub)).as("sv"))
+      .groupBy(col("subspace"), col("sv"))
+      .agg(count(lit(1)).as("w")))
+    // seeded deterministic init: md5-rank distinct rows per subspace
+    // on their serialized coordinates
+    val sig = md5(concat_ws(":", lit(seed), col("subspace"),
+      concat_ws(",", transform(col("sv"), x => x.cast("string")))))
+    val wInit = Window.partitionBy(col("subspace")).orderBy(sig)
+    var centers: Map[(Long, Long), Seq[Double]] = svw
+      .withColumn("_rn", row_number().over(wInit))
+      .filter(col("_rn") <= k)
+      .select(col("subspace"), (col("_rn") - 1).cast("long").as("code"),
+        col("sv"))
+      .collect()
+      .map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code")) ->
+        (r.getAs[scala.collection.Seq[Double]]("sv").toVector: Seq[Double]))
+      .toMap
+    var it = 0
+    while (it < maxIter) {
+      val cb = centers.toSeq
+        .map { case ((j, c), v) => (j, c, v) }
+        .toDF("subspace", "code", "cvec")
+      // ONE pass: argmin assignment (ties to smallest code) feeding
+      // the per-(subspace, code, dim) weighted fixed-point mean — the
+      // explode is |distinct subvectors|·(d/m) rows for one
+      // aggregate, the output is codebook-sized
+      val updated = svw
+        .join(broadcast(cb), Seq("subspace"))
+        .withColumn("_d2", VectorFns.sqDist(col("sv"), col("cvec")))
+        .withColumn("_best", struct(col("_d2"), col("code")))
+        .groupBy(col("subspace"), col("sv"), col("w"))
+        .agg(min(col("_best")).as("_win"))
+        .select(col("subspace"), col("_win.code").as("code"), col("w"),
+          posexplode(col("sv")).as(Seq("_dim", "_x")))
+        .withColumn("_fp",
+          floor(col("_x") * 1e9 + 0.5).cast("long") * col("w"))
+        .groupBy(col("subspace"), col("code"), col("_dim"))
+        .agg(sum(col("_fp")).as("_s"), sum(col("w")).as("_n"))
+        .withColumn("_mean", expr("_s div _n").cast("double") / 1e9)
+        .collect()
+      val next = updated
+        .groupBy(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code")))
+        .map { case (key, rows) =>
+          key -> (rows.sortBy(_.getAs[Int]("_dim"))
+            .map(_.getAs[Double]("_mean")).toVector: Seq[Double])
+        }
+      // empty cells keep their previous center (no member rows)
+      centers = centers.map { case (key, old) =>
+        key -> next.getOrElse(key, old)
       }
+      it += 1
     }
-    prepared.unpersist()
-    rows.toDF("subspace", "code", "cvec")
+    svw.unpersist()
+    centers.toSeq.map { case ((j, c), v) => (j, c, v) }
+      .toDF("subspace", "code", "cvec")
   }
 
   /** Encodes each vector as its m nearest-codebook-entry codes

@@ -91,25 +91,28 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("ADC ranking tracks exact cosine (recall floor on top-10)") {
+  test("ADC ranking tracks exact cosine (panel recall floor)") {
+    // PANEL recall, not single-query (single-query overlap was
+    // measured luck-dominated — the q75 lesson): 10 queries × top-10
+    // against exact brute-force cosine. Measured 28-35/100 on this
+    // isotropic corpus with the k=16 4-bit codebooks; floor set well
+    // under the band. PLANS.md round-11 has the full 50-query sweep.
     val path = scratch("pq_spec2").toString
-    ProductQuantize.pqWriteIndex(base, "vec_id", "embedding",
+    val panel = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        VectorFns.toDouble(col("embedding")).as("qvec"))
+    val rest = emb.filter(col("vec_id") >= 10)
+    ProductQuantize.pqWriteIndex(rest, "vec_id", "embedding",
       m = 8, k = 16, path)
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
-    val adc = ProductQuantize.pqProbeADC(spark, path, qv, "vec_id", 10)
-      .select(col("vec_id")).as[Long].collect().toSet
-    val exact = base.crossJoin(broadcast(qv))
-      .select(col("vec_id"),
-        VectorFns.cosine(VectorFns.toDouble(col("embedding")),
-          col("qvec")).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id")).limit(10)
-      .select(col("vec_id")).as[Long].collect().toSet
-    // 16 codes per 8-dim subspace is coarse — demand a floor, not
-    // equality; measured overlap on this corpus is recorded in
-    // PLANS.md round-11
-    assert((adc & exact).size >= 4,
-      s"ADC top-10 overlaps exact top-10 only ${(adc & exact).size}")
+    val adc = ProductQuantize
+      .pqProbeADCMulti(spark, path, panel, "vec_id", 10)
+      .select(col("qid"), col("vec_id"))
+    val exact = Similarity.topKMulti(rest, panel, "vec_id",
+        "embedding", 10)
+      .select(col("qid"), col("vec_id"))
+    val overlap = adc.join(exact, Seq("qid", "vec_id")).count()
+    assert(overlap >= 18L,
+      s"ADC panel recall only $overlap/100 against exact top-10")
   }
 
   test("IVF-PQ probe prunes partitions and converges to the flat scan") {
