@@ -2426,6 +2426,36 @@ object PipelineQueries {
         k = 10, nProbe = 3)
     }),
 
+    // capstone #6 — TOKENIZE → PACK: q128's tokenizer composed with
+    // q126's packing, the end-of-pipeline artifact real pretraining
+    // sharding produces — documents measured in TOKENIZER PIECES
+    // (not whitespace tokens) and packed into fixed 64-piece
+    // sequences under the global (source, doc_id) order. Fits its own
+    // BPE (16 merges) into its own scratch prefix so the row never
+    // races q128; the oracle re-derives per-doc piece counts from the
+    // written segmentation and replays q126's cumsum-window algebra.
+    "q133_tokenize_pack" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val (merges, vocabRaw) =
+        BpeTokenizer.train(d, "text", numMerges = 16)
+      require(merges.nonEmpty, "q133: no merges learned")
+      val vc = graft.engine.Caching.cached(vocabRaw)
+      val path = scratchPath("bpe_pack", dir)
+      vc.select(col("word"), col("syms"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      // per-doc piece counts via the segmentation join; empty-text
+      // docs have no words, drop out here, and the oracle's inner
+      // join drops them identically
+      val perDoc = BpeTokenizer.encode(d, "doc_id", "text", vc)
+        .groupBy(col("doc_id"))
+        .agg(sum(size(col("syms")).cast("long")).as("n_pieces"))
+      Packing.packSequences(
+          d.select(col("doc_id"), col("source"))
+            .join(perDoc, Seq("doc_id")),
+          "n_pieces", 64, col("source"), col("doc_id"))
+        .orderBy(col("seq_id"))
+    }),
+
     // capstone #5 — the DATASET CARD: the per-source release report
     // every corpus ships (sizes, length range, language spread,
     // exact-dup rate, quality pass rate) as ONE plan — every signal
@@ -4623,6 +4653,37 @@ object PipelineQueries {
         |  round((res_fp + cell_fp) / 1e7, 4) AS adc_score
         |FROM r JOIN cellc USING (cid)
         |ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // per-doc piece counts off the written segmentation, then q126's
+    // cumsum-window + interval algebra verbatim over PIECES
+    "q133_tokenize_pack" ->
+      """WITH w0 AS (SELECT doc_id, source,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, word FROM w0 WHERE word <> ''),
+        |v AS (SELECT word, CAST(len(syms) AS BIGINT) AS k
+        |  FROM read_parquet('{SCRATCH}/bpe_pack_{SFHASH}/*.parquet')),
+        |d AS (SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n
+        |  FROM w JOIN v USING (word) GROUP BY 1, 2),
+        |o AS (SELECT *, CAST(coalesce(sum(n) OVER (
+        |      ORDER BY source, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS off
+        |  FROM d WHERE n > 0),
+        |e AS (SELECT off, n,
+        |    unnest(generate_series(off // 64, (off + n - 1) // 64))
+        |      AS seq_id
+        |  FROM o)
+        |SELECT seq_id,
+        |  CAST(sum(least((seq_id + 1) * 64, off + n)
+        |           - greatest(seq_id * 64, off)) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN off >= seq_id * 64 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_starts,
+        |  CAST(sum(CASE WHEN off >= seq_id * 64
+        |                 AND off + n <= (seq_id + 1) * 64
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs
+        |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
     // every signal re-derived from proven spellings: q14's token-set
     // signature, q104's integer Gopher rules, q15-style accounting;
