@@ -23,8 +23,8 @@ import graft.engine.Caching.cached
   * word→pieces segmentation table IS the tokenizer (the word-cache
   * every production BPE encoder builds), and applying it is a join —
   * broadcast when the vocab fits, shuffle otherwise. Out-of-vocab
-  * words (absent here — we encode the fitted corpus) fall back to
-  * character pieces via the same fold.
+  * words fall back to character pieces with the fitted merges folded
+  * in rank order (see [[encode]]) — never dropped.
   *
   * Reference scope: the reference pipeline has no tokenizer
   * (etl-transparencia-sergipe stops at CSV curation); this is
@@ -125,17 +125,38 @@ object BpeTokenizer {
   }
 
   /** Encodes the corpus through a fitted segmentation table: explodes
-    * words in document order and joins each against `vocab`'s pieces.
-    * The join is the scale story — `vocab` is vocabulary-sized, so
-    * Spark broadcasts it under the threshold and shuffle-joins above
-    * it; either way no merge list ever replays over the corpus. */
+    * words in document order and LEFT-joins each against `vocab`'s
+    * pieces. The join is the scale story — `vocab` is
+    * vocabulary-sized, so Spark broadcasts it under the threshold and
+    * shuffle-joins above it; no merge list ever replays over the
+    * corpus for in-vocab words (at production vocabulary sizes the
+    * word cache covers the Zipf head, i.e. ≈ all tokens).
+    *
+    * Out-of-vocab words — the norm the moment encode runs on text the
+    * tokenizer was not fitted on — fall back to character pieces with
+    * the fitted `merges` applied in rank order (standard BPE encode
+    * semantics), NEVER silently dropped: the fallback is the same
+    * [[applyMerge]] fold, chained once per merge into a single
+    * expression that coalesce only evaluates on unmatched rows. Plan
+    * size is linear in |merges| — fine for bounded merge lists; for
+    * 10⁴-merge production tokenizers, pre-extend `vocab` with the
+    * expected OOV words instead (segment them via [[train]]'s fold on
+    * a vocabulary-sized frame) and keep this fallback as the
+    * correctness backstop. With `merges` empty, OOV words encode as
+    * raw character pieces. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             vocab: DataFrame): DataFrame = {
+             vocab: DataFrame, merges: Seq[Merge] = Seq.empty)
+      : DataFrame = {
     val words = docs.select(col(idCol),
       posexplode(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
         .as(Seq("word_pos", "word")))
       .filter(col("word") =!= "")
-    words.join(vocab.select(col("word"), col("syms")), Seq("word"))
+    val charSplit = filter(split(col("word"), ""), x => length(x) > 0)
+    val fallback = merges.sortBy(_.rank)
+      .foldLeft(charSplit)((c, mg) => applyMerge(c, mg.left, mg.right))
+    words
+      .join(vocab.select(col("word"), col("syms")), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), fallback))
       .select(col(idCol), col("word_pos"), col("word"), col("syms"))
   }
 }

@@ -30,11 +30,12 @@ import graft.functions.VectorFns
   * so the ADC inner product approximates cosine; the query is used
   * raw — a positive per-query scale factor that never reorders ranks.
   *
-  * Scale shape: training fits m seeded k-means models on |corpus|
-  * subvector slices (Spark-ML, distributed); encoding is an
-  * m-way explode + broadcast codebook join + min_by argmin — one
-  * shuffle back to (id → codes); probing reads ONLY the codes column
-  * and broadcasts the per-query lookup table.
+  * Scale shape: training is a batched Lloyd's fit over a BOUNDED
+  * seeded sample of distinct subvectors (see [[pqTrainRaw]] — the
+  * corpus is touched only by the initial dedup + count aggregates);
+  * encoding is an m-way explode + broadcast codebook join + min_by
+  * argmin — one shuffle back to (id → codes); probing reads ONLY the
+  * codes column and broadcasts the per-query lookup table.
   */
 object ProductQuantize {
 
@@ -80,14 +81,28 @@ object ProductQuantize {
     * addition commutes, so the fit is bit-identical regardless of
     * partitioning or scheduling order (double sums are not).
     *
-    * FAISS-parity scale shape: codebooks train on a bounded sample by
-    * design (~max(10⁵, 39·k) rows per codebook — at 100 TB you never
-    * k-means the corpus), so the per-iteration pass is sample-sized,
-    * never corpus-sized. */
+    * FAISS-parity scale shape: codebooks train on a BOUNDED SAMPLE
+    * (max(10⁵, 39·k) subvectors per subspace by default, FAISS's
+    * documented training bound — at 100 TB you never k-means the
+    * corpus). The sample is a seeded deterministic Bernoulli draw on
+    * the md5 rank of each distinct subvector (u·count < cap), so it
+    * is a pure function of the corpus + seed, independent of
+    * partitioning. Corpus-sized work is exactly two bounded-output
+    * aggregates (the distinct-subvector shuffle and an m-row count);
+    * every Lloyd's iteration then reads the cached sample — ≤ cap
+    * rows per subspace — never the corpus. When the corpus is smaller
+    * than the cap the filter keeps every row and the fit is
+    * bit-identical to an unsampled one (the gate scales are all in
+    * this regime). `sampleCap` overrides the default bound (probes
+    * use a small cap to demonstrate the wall stays flat as the
+    * corpus grows). */
   private[operators] def pqTrainRaw(vectors: DataFrame, vecCol: String,
                                     m: Int, k: Int, seed: Long,
-                                    maxIter: Int = 10): DataFrame = {
+                                    maxIter: Int = 10,
+                                    sampleCap: Long = 0L): DataFrame = {
     require(m > 0 && k > 1, s"need m > 0, k > 1; got m=$m k=$k")
+    val cap = if (sampleCap > 0L) sampleCap
+      else math.max(100000L, 39L * k)
     import org.apache.spark.sql.expressions.Window
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -98,23 +113,40 @@ object ProductQuantize {
     require(dim % m == 0,
       s"pqTrain: dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // one exploded, DEDUPLICATED (subspace, subvector, weight)
-    // relation, cached — every iteration's single pass reads it.
-    // Identical subvectors collapse with their multiplicity as the
-    // weight, so the mean stays exact and the per-iteration pass
-    // shrinks to the distinct-subvector count.
-    val svw = cached(vectors
+    // the exploded, DEDUPLICATED (subspace, subvector, weight)
+    // relation. Identical subvectors collapse with their multiplicity
+    // as the weight, so the sample mean stays exact over what it sees.
+    val svwAll = vectors
       .select(explode(sequence(lit(0L), lit(m.toLong - 1)))
         .as("subspace"), col(vecCol).as("_pv"))
       .select(col("subspace"), slice(col("_pv"),
         col("subspace").cast("int") * sub + 1, lit(sub)).as("sv"))
       .groupBy(col("subspace"), col("sv"))
-      .agg(count(lit(1)).as("w")))
-    // seeded deterministic init: md5-rank distinct rows per subspace
-    // on their serialized coordinates
+      .agg(count(lit(1)).as("w"))
+    // seeded deterministic rank of each distinct subvector, used for
+    // BOTH the bounded sample and the init ordering: md5 over the
+    // serialized coordinates — a pure function of (seed, row)
     val sig = md5(concat_ws(":", lit(seed), col("subspace"),
       concat_ws(",", transform(col("sv"), x => x.cast("string")))))
-    val wInit = Window.partitionBy(col("subspace")).orderBy(sig)
+    // sig's top 60 bits as a uniform draw in [0,1)
+    val unif = conv(substring(sig, 1, 15), 16, 10).cast("double") /
+      lit(math.pow(2, 60))
+    // per-subspace distinct counts (m rows) → keep row iff
+    // u·count < cap, i.e. Bernoulli fraction cap/count — expected
+    // sample size ≈ cap, and a provable no-op when count ≤ cap
+    val cnts = svwAll.groupBy(col("subspace"))
+      .agg(count(lit(1)).as("_cnt"))
+    val svw = cached(svwAll
+      .withColumn("_sig", sig)
+      .join(broadcast(cnts), Seq("subspace"))
+      .filter(unif * col("_cnt") < lit(cap.toDouble))
+      .select(col("subspace"), col("sv"), col("w"), col("_sig")))
+    // seeded deterministic init: md5-rank rows per subspace. The sort
+    // runs over the BOUNDED SAMPLE (≤ cap rows per subspace task),
+    // never the corpus — the per-subspace window is safe only because
+    // the sample bound precedes it.
+    val wInit = Window.partitionBy(col("subspace"))
+      .orderBy(col("_sig"))
     var centers: Map[(Long, Long), Seq[Double]] = svw
       .withColumn("_rn", row_number().over(wInit))
       .filter(col("_rn") <= k)
@@ -164,6 +196,28 @@ object ProductQuantize {
       .toDF("subspace", "code", "cvec")
   }
 
+  /** `size(vec) div m`, failing LOUDLY when m does not divide the
+    * dimension — encode/probe accept externally supplied codebooks
+    * and an independent m, so a mismatch must not silently truncate
+    * trailing dimensions into plausible-looking wrong codes (the
+    * [[pqTrain]] require() mirrored into the per-row paths). */
+  private def subLen(vec: Column, m: Int, who: String): Column =
+    when(pmod(size(vec), lit(m)) === 0,
+      (size(vec).cast("double") / m).cast("int"))
+    .otherwise(raise_error(concat(lit(s"$who: vector dim "),
+      size(vec).cast("string"), lit(s" not divisible by m=$m")))
+      .cast("int"))
+
+  /** Inner product guarded against a codebook-entry / subvector
+    * length mismatch (zip_with would silently drop the overhang). */
+  private def guardedIp(cvec: Column, qs: Column, who: String): Column =
+    when(size(cvec) === size(qs), VectorFns.dot(cvec, qs))
+      .otherwise(raise_error(concat(
+        lit(s"$who: codebook entry length "),
+        size(cvec).cast("string"),
+        lit(" != subvector length "), size(qs).cast("string")))
+        .cast("double"))
+
   /** Encodes each vector as its m nearest-codebook-entry codes
     * (squared-L2 argmin per subspace, ties to the smallest code id).
     * Returns `idCol | codes` with `codes` an m-length array ordered by
@@ -182,13 +236,19 @@ object ProductQuantize {
     val exploded = vectors
       .select(col(idCol), col(vecCol).as("_pv"),
         explode(sequence(lit(0L), lit(m.toLong - 1))).as("subspace"))
-      // integer `div` — Column./ is double division
-      .withColumn("_sublen", expr(s"size(_pv) div $m"))
+      .withColumn("_sublen", subLen(col("_pv"), m, "pqEncode"))
       .withColumn("_sv", slice(col("_pv"),
         (col("subspace") * col("_sublen") + 1).cast("int"),
         col("_sublen").cast("int")))
     exploded.join(broadcast(codebooks), Seq("subspace"))
-      .withColumn("_d2", VectorFns.sqDist(col("_sv"), col("cvec")))
+      .withColumn("_d2",
+        when(size(col("cvec")) === size(col("_sv")),
+          VectorFns.sqDist(col("_sv"), col("cvec")))
+        .otherwise(raise_error(concat(
+          lit("pqEncode: codebook entry length "),
+          size(col("cvec")).cast("string"),
+          lit(" != subvector length "), size(col("_sv")).cast("string")))
+          .cast("double")))
       .groupBy(col(idCol), col("subspace"))
       .agg(min_by(col("code"), struct(col("_d2"), col("code")))
         .as("code"))
@@ -219,12 +279,12 @@ object ProductQuantize {
   private def adcLut(cb: DataFrame, queryVec: DataFrame,
                      m: Int): DataFrame =
     cb.crossJoin(broadcast(queryVec))
-      .withColumn("_sublen", expr(s"size(qvec) div $m"))
+      .withColumn("_sublen", subLen(col("qvec"), m, "adcLut"))
       .withColumn("_qs", slice(col("qvec"),
         (col("subspace") * col("_sublen") + 1).cast("int"),
         col("_sublen").cast("int")))
       .select(col("subspace"), col("code"),
-        floor(VectorFns.dot(col("cvec"), col("_qs")) * 1e7 + 0.5)
+        floor(guardedIp(col("cvec"), col("_qs"), "adcLut") * 1e7 + 0.5)
           .cast("long").as("ip_fp"))
 
   /** Integer ADC scoring of a codes relation against a broadcast
@@ -319,9 +379,30 @@ object ProductQuantize {
   def ivfPqProbeMulti(spark: SparkSession, path: String,
                       cents: DataFrame, queries: DataFrame,
                       idCol: String, k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    ivfPqScoreCodesMulti(codes, cb, cents, queries, idCol, k, nProbe, m)
+  }
+
+  /** Flat ADC top-k per panel query over IN-MEMORY codes + codebooks —
+    * the recall-gate scorer (q75's PQ floor): when only the ranking
+    * quality is under test, no index write/read round-trip is needed.
+    * Same arithmetic as [[pqProbeADCMulti]] by construction. */
+  def pqScoreCodesMulti(codes: DataFrame, cb: DataFrame,
+                        queries: DataFrame, idCol: String, k: Int,
+                        m: Int): DataFrame =
+    adcScoreMulti(codes, adcLutMulti(cb, queries, m), idCol, k)
+
+  /** [[ivfPqProbeMulti]] over in-memory frames (`codes` carries
+    * `centroid_id`): per-query top-nProbe cells restrict candidates,
+    * then batch ADC — the q75 IVF-PQ recall-floor scorer. */
+  def ivfPqScoreCodesMulti(codes: DataFrame, cb: DataFrame,
+                           cents: DataFrame, queries: DataFrame,
+                           idCol: String, k: Int, nProbe: Int,
+                           m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("_cd"), col("centroid_id"))
     val probed = cents.crossJoin(broadcast(queries))
@@ -330,10 +411,8 @@ object ProductQuantize {
       .withColumn("_rn", row_number().over(wc))
       .filter(col("_rn") <= nProbe)
       .select(col("qid"), col("centroid_id"))
-    val codes = spark.read.parquet(s"$path/codes")
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
-      .join(broadcast(probed), Seq("centroid_id"))
-    adcScoreMulti(codes, adcLutMulti(cb, queries, m), idCol, k)
+    adcScoreMulti(codes.join(broadcast(probed), Seq("centroid_id")),
+      adcLutMulti(cb, queries, m), idCol, k)
   }
 
   /** Residual IVF-PQ — FAISS's default accuracy rung: each vector is
@@ -453,12 +532,12 @@ object ProductQuantize {
   private def adcLutMulti(cb: DataFrame, queries: DataFrame,
                           m: Int): DataFrame =
     cb.crossJoin(broadcast(queries))
-      .withColumn("_sublen", expr(s"size(qvec) div $m"))
+      .withColumn("_sublen", subLen(col("qvec"), m, "adcLut"))
       .withColumn("_qs", slice(col("qvec"),
         (col("subspace") * col("_sublen") + 1).cast("int"),
         col("_sublen").cast("int")))
       .select(col("qid"), col("subspace"), col("code"),
-        floor(VectorFns.dot(col("cvec"), col("_qs")) * 1e7 + 0.5)
+        floor(guardedIp(col("cvec"), col("_qs"), "adcLut") * 1e7 + 0.5)
           .cast("long").as("ip_fp"))
 
   /** [[adcScore]] for a panel: the lookup join fans each code row out

@@ -107,6 +107,44 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("encode falls back to merge-folded character pieces for OOV " +
+      "words — nothing is dropped") {
+    // fit on corpus A, encode corpus B with planted unseen words: the
+    // production situation the word-cache join alone would silently
+    // lose. "lowestest" is OOV but shares subwords with the fit
+    // corpus, so the rank-ordered merge fold must compress it; "zq"
+    // shares nothing and must come out as raw characters.
+    val fitDocs = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "widest widest newest low lowest lowest")
+      .map(Tuple1(_)).toDF("text")
+    val (merges, vocab) = BpeTokenizer.train(fitDocs, "text", 12)
+    val fresh = Seq((1L, "low lowestest zq newest"))
+      .toDF("doc_id", "text")
+    val enc = BpeTokenizer
+      .encode(fresh, "doc_id", "text", vocab, merges)
+      .orderBy(col("word_pos"))
+      .select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect().toSeq
+    // every word of the fresh doc present, in order
+    assert(enc.map(_._1) == Seq("low", "lowestest", "zq", "newest"))
+    // round-trip holds for ALL words, OOV included
+    assert(enc.forall { case (w, s) => s.mkString == w })
+    // OOV segmentation == local reference: char split + merges in
+    // rank order (the same greedy-leftmost single-merge semantics)
+    val refOov = merges.sortBy(_.rank).foldLeft(
+      "lowestest".split("").toVector.filter(_.nonEmpty))(
+      (s, m) => refApply1(s, m.left, m.right))
+    assert(enc.find(_._1 == "lowestest").get._2 == refOov)
+    // the fold genuinely compressed the shared subwords
+    assert(refOov.length < "lowestest".length)
+    assert(enc.find(_._1 == "zq").get._2 == Seq("z", "q"))
+    // in-vocab words still come from the segmentation table
+    val lowSyms = vocab.filter(col("word") === "low")
+      .select(col("syms")).as[Seq[String]].head()
+    assert(enc.find(_._1 == "low").get._2 == lowSyms)
+  }
+
   test("early exhaustion: stops when no pair reaches minPairFreq") {
     val docs = Seq("ab cd").map(Tuple1(_)).toDF("text")
     // every adjacent pair occurs once — below the default minPairFreq

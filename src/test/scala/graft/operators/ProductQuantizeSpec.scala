@@ -187,6 +187,59 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bounded-sample fit: a binding cap still yields a full, " +
+      "deterministic codebook") {
+    // the 100 TB contract: the Lloyd's loop reads a seeded bounded
+    // sample, never the corpus. base has ~499 distinct subvectors per
+    // subspace; cap=100 forces the sample to actually bind (the gate
+    // scales never do — there the filter is a provable no-op).
+    val unit = base // pqTrainRaw needs a prepared column; reuse pqTrain
+    val fit = () => ProductQuantize.pqTrainRaw(
+      unit.select(VectorFns.toDouble(col("embedding")).as("_v")),
+      "_v", m = 8, k = 16, seed = 42L, sampleCap = 100L)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("subspace"), r.getAs[Long]("code")) ->
+        r.getAs[scala.collection.Seq[Double]]("cvec")).toMap
+    val a = keyed(fit().collect())
+    assert(a.size == 8 * 16,
+      s"sampled fit lost codebook entries: ${a.size}")
+    // bit-identical across runs: the sample is a pure function of
+    // (corpus, seed), not of partitioning or scheduling
+    assert(a == keyed(fit().collect()))
+    // and it genuinely differs from the unsampled fit — the cap bound
+    // changed what the fit saw (≈100 of ~499 subvectors)
+    val unsampled = keyed(ProductQuantize.pqTrainRaw(
+      unit.select(VectorFns.toDouble(col("embedding")).as("_v")),
+      "_v", m = 8, k = 16, seed = 42L).collect())
+    assert(a != unsampled, "cap=100 sample did not bind")
+  }
+
+  test("encode/probe fail loudly on dimension or codebook mismatch") {
+    val cb = ProductQuantize.pqTrain(base, "embedding", m = 8, k = 16)
+    // m=7 does not divide dim=64: must raise, not silently truncate
+    val e1 = intercept[Exception] {
+      ProductQuantize.pqEncode(base, "vec_id", "embedding", cb, m = 7)
+        .collect()
+    }
+    assert(e1.getMessage != null &&
+      (e1.getMessage.contains("not divisible") ||
+        e1.getCause != null &&
+          e1.getCause.getMessage.contains("not divisible")),
+      s"wrong error: ${e1.getMessage}")
+    // m=4 divides 64 (sublen 16) but the codebook entries are dim 8:
+    // the length-mismatch guard must fire instead of zip_with
+    // silently dropping the overhang
+    val e2 = intercept[Exception] {
+      ProductQuantize.pqEncode(base, "vec_id", "embedding", cb, m = 4)
+        .collect()
+    }
+    assert(e2.getMessage != null &&
+      (e2.getMessage.contains("codebook entry length") ||
+        e2.getCause != null &&
+          e2.getCause.getMessage.contains("codebook entry length")),
+      s"wrong error: ${e2.getMessage}")
+  }
+
   test("residual encoding reconstructs tighter than direct PQ " +
       "on clustered data") {
     // the accuracy claim behind q131: with the SAME m·k budget, the
