@@ -89,9 +89,12 @@ object ProductQuantize {
     * is a pure function of the corpus + seed, independent of
     * partitioning. Corpus-sized work is exactly two bounded-output
     * aggregates (the distinct-subvector shuffle and an m-row count);
-    * every Lloyd's iteration then reads the cached sample — ≤ cap
-    * rows per subspace — never the corpus. When the corpus is smaller
-    * than the cap the filter keeps every row and the fit is
+    * the sample itself — ≤ cap rows per subspace — then collects and
+    * the Lloyd's loop runs IN MEMORY, FAISS's own shape: zero cluster
+    * passes per iteration, with the same fixed-point integer
+    * arithmetic the distributed loop used, so the fit stays a pure
+    * deterministic function of (corpus, seed). When the corpus is
+    * smaller than the cap the filter keeps every row and the fit is
     * bit-identical to an unsampled one (the gate scales are all in
     * this regime). `sampleCap` overrides the default bound (probes
     * use a small cap to demonstrate the wall stays flat as the
@@ -103,7 +106,6 @@ object ProductQuantize {
     require(m > 0 && k > 1, s"need m > 0, k > 1; got m=$m k=$k")
     val cap = if (sampleCap > 0L) sampleCap
       else math.max(100000L, 39L * k)
-    import org.apache.spark.sql.expressions.Window
     val spark = vectors.sparkSession
     import spark.implicits._
     val dimRow = vectors.select(size(col(vecCol)).as("d")).limit(1)
@@ -136,62 +138,84 @@ object ProductQuantize {
     // sample size ≈ cap, and a provable no-op when count ≤ cap
     val cnts = svwAll.groupBy(col("subspace"))
       .agg(count(lit(1)).as("_cnt"))
-    val svw = cached(svwAll
+    // the collect is cap-BOUNDED BY DESIGN (≤ m·cap rows ≈ tens of MB
+    // at the default cap), which is exactly FAISS's shape: sample
+    // distributed, fit in memory. The corpus is never touched again —
+    // the Lloyd's loop below costs ZERO cluster passes, where the
+    // previous in-Spark loop paid ~2 scheduler rounds per iteration
+    // (the round-11 PQ gate rows' dominant wall at small data, and
+    // pointless at large data once the sample is the input anyway).
+    val sample = svwAll
       .withColumn("_sig", sig)
       .join(broadcast(cnts), Seq("subspace"))
       .filter(unif * col("_cnt") < lit(cap.toDouble))
-      .select(col("subspace"), col("sv"), col("w"), col("_sig")))
-    // seeded deterministic init: md5-rank rows per subspace. The sort
-    // runs over the BOUNDED SAMPLE (≤ cap rows per subspace task),
-    // never the corpus — the per-subspace window is safe only because
-    // the sample bound precedes it.
-    val wInit = Window.partitionBy(col("subspace"))
-      .orderBy(col("_sig"))
-    var centers: Map[(Long, Long), Seq[Double]] = svw
-      .withColumn("_rn", row_number().over(wInit))
-      .filter(col("_rn") <= k)
-      .select(col("subspace"), (col("_rn") - 1).cast("long").as("code"),
-        col("sv"))
+      .select(col("subspace"), col("sv"), col("w"), col("_sig"))
       .collect()
-      .map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code")) ->
-        (r.getAs[scala.collection.Seq[Double]]("sv").toVector: Seq[Double]))
-      .toMap
+      .map(r => (r.getAs[Long]("subspace"),
+        r.getAs[scala.collection.Seq[Double]]("sv").toArray,
+        r.getAs[Long]("w"), r.getAs[String]("_sig")))
+    val bySub: Map[Long, Array[(Array[Double], Long, String)]] =
+      sample.groupBy(_._1)
+        .map { case (j, rows) => j -> rows.map(t => (t._2, t._3, t._4)) }
+    // seeded deterministic init: the k md5-rank-smallest sample rows
+    // per subspace (ASCII-hex string order — identical to the SQL
+    // string sort this replaces)
+    var centers: Map[(Long, Long), Seq[Double]] =
+      bySub.flatMap { case (j, rows) =>
+        rows.sortBy(_._3).take(k).zipWithIndex.map {
+          case ((sv, _, _), i) => (j, i.toLong) -> (sv.toVector: Seq[Double])
+        }
+      }
+    // in-memory Lloyd's, arithmetic BIT-IDENTICAL to the distributed
+    // form it replaces: d² is the same left-to-right fold as
+    // [[graft.functions.SqDistExpr]], the argmin compares via
+    // Double.compare (NaN-greatest — Spark's double ordering) with
+    // ties to the smallest code, and centroid updates are 1e-9
+    // fixed-point Long sums with truncating division (Spark `div`),
+    // so the result is independent of iteration order here exactly as
+    // it was of partitioning there.
     var it = 0
     while (it < maxIter) {
-      val cb = centers.toSeq
-        .map { case ((j, c), v) => (j, c, v) }
-        .toDF("subspace", "code", "cvec")
-      // ONE pass: argmin assignment (ties to smallest code) feeding
-      // the per-(subspace, code, dim) weighted fixed-point mean — the
-      // explode is |distinct subvectors|·(d/m) rows for one
-      // aggregate, the output is codebook-sized
-      val updated = svw
-        .join(broadcast(cb), Seq("subspace"))
-        .withColumn("_d2", VectorFns.sqDist(col("sv"), col("cvec")))
-        .withColumn("_best", struct(col("_d2"), col("code")))
-        .groupBy(col("subspace"), col("sv"), col("w"))
-        .agg(min(col("_best")).as("_win"))
-        .select(col("subspace"), col("_win.code").as("code"), col("w"),
-          posexplode(col("sv")).as(Seq("_dim", "_x")))
-        .withColumn("_fp",
-          floor(col("_x") * 1e9 + 0.5).cast("long") * col("w"))
-        .groupBy(col("subspace"), col("code"), col("_dim"))
-        .agg(sum(col("_fp")).as("_s"), sum(col("w")).as("_n"))
-        .withColumn("_mean", expr("_s div _n").cast("double") / 1e9)
-        .collect()
-      val next = updated
-        .groupBy(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code")))
-        .map { case (key, rows) =>
-          key -> (rows.sortBy(_.getAs[Int]("_dim"))
-            .map(_.getAs[Double]("_mean")).toVector: Seq[Double])
+      val codesOf: Map[Long, Array[(Long, Array[Double])]] =
+        centers.keys.groupBy(_._1).map { case (j, ks) =>
+          j -> ks.toArray.map(_._2).sorted
+            .map(c => c -> centers((j, c)).toArray)
         }
+      val acc = scala.collection.mutable.Map
+        .empty[(Long, Long), (Array[Long], Array[Long])]
+      for ((j, sv, w, _) <- sample) {
+        val cands = codesOf(j)
+        var bestC = -1L
+        var bestD = Double.NaN
+        var ci = 0
+        while (ci < cands.length) {
+          val cv = cands(ci)._2
+          var d = 0.0
+          var i = 0
+          while (i < sv.length) {
+            val t = sv(i) - cv(i); d += t * t; i += 1
+          }
+          if (bestC < 0 || java.lang.Double.compare(d, bestD) < 0) {
+            bestD = d; bestC = cands(ci)._1
+          }
+          ci += 1
+        }
+        val (s, n) = acc.getOrElseUpdate((j, bestC),
+          (new Array[Long](sv.length), new Array[Long](1)))
+        var i = 0
+        while (i < sv.length) {
+          s(i) += math.floor(sv(i) * 1e9 + 0.5).toLong * w; i += 1
+        }
+        n(0) += w
+      }
       // empty cells keep their previous center (no member rows)
       centers = centers.map { case (key, old) =>
-        key -> next.getOrElse(key, old)
+        key -> acc.get(key).map { case (s, n) =>
+          (s.map(v => (v / n(0)).toDouble / 1e9).toVector: Seq[Double])
+        }.getOrElse(old)
       }
       it += 1
     }
-    svw.unpersist()
     centers.toSeq.map { case ((j, c), v) => (j, c, v) }
       .toDF("subspace", "code", "cvec")
   }
@@ -228,34 +252,49 @@ object ProductQuantize {
       codebooks, m)
 
   /** [[pqEncode]] on an already-prepared double-array column (no
-    * normalization — the residual path). */
+    * normalization — the residual path).
+    *
+    * The codebook is m·k rows BY CONTRACT (the same boundedness as
+    * the ADC lookup tables), so it collects once and ships as ONE
+    * typedlit payload; encoding is then a stateless narrow map — per
+    * vector, m array_min argmins over the payload — with NO explode,
+    * NO join, and NO shuffle back to (id → codes). At 100 TB that is
+    * a pure scan-shaped pass instead of two corpus×m exchanges.
+    * Argmin semantics (lexicographic (d², code) struct min = smallest
+    * distance, ties to the smallest code) are bit-identical to the
+    * broadcast-join form this replaces. */
   private[operators] def pqEncodeRaw(vectors: DataFrame, idCol: String,
                                      vecCol: String,
                                      codebooks: DataFrame,
                                      m: Int): DataFrame = {
-    val exploded = vectors
-      .select(col(idCol), col(vecCol).as("_pv"),
-        explode(sequence(lit(0L), lit(m.toLong - 1))).as("subspace"))
-      .withColumn("_sublen", subLen(col("_pv"), m, "pqEncode"))
-      .withColumn("_sv", slice(col("_pv"),
-        (col("subspace") * col("_sublen") + 1).cast("int"),
-        col("_sublen").cast("int")))
-    exploded.join(broadcast(codebooks), Seq("subspace"))
-      .withColumn("_d2",
-        when(size(col("cvec")) === size(col("_sv")),
-          VectorFns.sqDist(col("_sv"), col("cvec")))
-        .otherwise(raise_error(concat(
-          lit("pqEncode: codebook entry length "),
-          size(col("cvec")).cast("string"),
-          lit(" != subvector length "), size(col("_sv")).cast("string")))
-          .cast("double")))
-      .groupBy(col(idCol), col("subspace"))
-      .agg(min_by(col("code"), struct(col("_d2"), col("code")))
-        .as("code"))
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("subspace"), col("code")))),
-        x => x("code")).as("codes"))
+    val entries = codebooks
+      .select(col("subspace"), col("code"), col("cvec")).collect()
+      .map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code"),
+        r.getAs[scala.collection.Seq[Double]]("cvec").toVector
+          : Seq[Double]))
+      .sortBy(t => (t._1, t._2)).toSeq
+    require(entries.nonEmpty, "pqEncode: empty codebooks")
+    val entryLen = entries.head._3.length
+    require(entries.forall(_._3.length == entryLen),
+      "pqEncode: ragged codebook entry lengths")
+    val cbLit = typedlit(entries)
+    // per-row guards: m must divide the dimension (subLen raises
+    // otherwise) AND the subvector length must equal the codebook
+    // entries' — never silently truncate into plausible wrong codes
+    val sublen = when(
+        subLen(col(vecCol), m, "pqEncode") === entryLen, lit(entryLen))
+      .otherwise(raise_error(concat(
+        lit(s"pqEncode: codebook entry length $entryLen" +
+          " != subvector length "),
+        subLen(col(vecCol), m, "pqEncode").cast("string"))).cast("int"))
+    vectors.select(col(idCol),
+      transform(sequence(lit(0L), lit(m.toLong - 1)), j => {
+        val sv = slice(col(vecCol), (j * sublen + 1).cast("int"), sublen)
+        val scored = transform(filter(cbLit, e => e("_1") === j),
+          e => struct(VectorFns.sqDist(sv, e("_3")).as("d"),
+            e("_2").as("c")))
+        array_min(scored)("c")
+      }).as("codes"))
   }
 
   /** Trains and encodes, writing `codebooks/` (one file — m·k rows)

@@ -835,6 +835,126 @@ object TextAnalysis {
     (segsBefore, nLive)
   }
 
+  /** TIERED merge — the Lucene merge-policy half of the segment
+    * story: [[bm25MergeSegments]] folds EVERYTHING into one segment,
+    * which is correct but O(index) write amplification per merge; a
+    * real deployment merges small segments into bigger ones so each
+    * append's bytes are rewritten only O(log n) times. This variant
+    * folds the ADJACENT segment pair with the smallest combined
+    * n_docs, repeatedly, until at most `maxSegments` remain —
+    * size-tiered compaction under the one constraint the tombstone
+    * algebra imposes: merged ranges must be CONTIGUOUS in segment
+    * order, because the merged rows are renumbered to the range's
+    * upper segment and must keep their position in the generation
+    * clock.
+    *
+    * Tombstones are applied PHYSICALLY to the merged pair's rows (the
+    * shared [[liveAfterTombstones]] rule, so probe ≡ merge parity
+    * holds by construction) but RETAINED, and the merged segment's
+    * stats partials are the SUM of the pair's old partials — the
+    * retained tombstones keep subtracting the physically-dropped
+    * rows, so the probe's (n_docs, avgdl) arithmetic is unchanged bit
+    * for bit. Correctness of the renumbering: a surviving row had
+    * seg ≥ every tombstone of its key, so lifting it to the pair's
+    * upper segment can never re-expose it to a retained tombstone,
+    * and rows outside the pair are untouched. Only the full
+    * [[bm25MergeSegments]] clears the tombstone set (it is the only
+    * merge whose scope provably covers every segment a tombstone can
+    * reach).
+    *
+    * Commit protocol per fold: stage postings + summed stats under
+    * `.tier_staging`, seal with a marker RECORDING THE RANGE, then
+    * swap (drop the pair's two live dirs, rename the staged one in).
+    * A crash before the marker leaves the live index untouched; after
+    * it, re-running recovers by replaying exactly the missing swap
+    * steps (same idempotence argument as the full merge).
+    *
+    * Returns (folds performed, segments remaining). */
+  def bm25MergeSegmentsTiered(spark: org.apache.spark.sql.SparkSession,
+                              path: String, idCol: String,
+                              maxSegments: Int): (Long, Long) = {
+    require(maxSegments >= 1,
+      s"bm25MergeSegmentsTiered: maxSegments must be >= 1, got $maxSegments")
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$path/.tier_staging")
+    val marker = new Path(staging, "_COMMIT_READY")
+    def commitRange(a: Int, b: Int): Unit = {
+      for (d <- Seq("postings", "segstats")) {
+        val src = new Path(staging, s"$d/seg=$b")
+        val dst = new Path(s"$path/$d/seg=$b")
+        val old = new Path(s"$path/$d/seg=$a")
+        // when the staged source is gone this dir is already
+        // committed by an earlier attempt — only the seg=a leftover
+        // (if any) remains to drop; never touch dst then, it IS the
+        // renamed copy
+        require(!fs.exists(old) || fs.delete(old, true),
+          s"bm25MergeSegmentsTiered: failed to drop $old")
+        if (fs.exists(src)) {
+          require(!fs.exists(dst) || fs.delete(dst, true),
+            s"bm25MergeSegmentsTiered: failed to drop $dst")
+          require(fs.rename(src, dst),
+            s"bm25MergeSegmentsTiered: failed to commit staged $d")
+        }
+      }
+      require(fs.delete(staging, true) || !fs.exists(staging),
+        s"bm25MergeSegmentsTiered: failed to clear $staging")
+    }
+    // crash recovery: the marker records the in-flight range
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      val parts = txt.trim.split(" ")
+      commitRange(parts(0).toInt, parts(1).toInt)
+    } else if (fs.exists(staging)) {
+      // unsealed staging is garbage from a crash before the marker
+      require(fs.delete(staging, true),
+        s"bm25MergeSegmentsTiered: failed to clear stale $staging")
+    }
+    def segSizes(): Seq[(Int, Long, Long)] =
+      spark.read.parquet(s"$path/segstats")
+        .select(col("seg").cast("int"), col("n_docs").cast("long"),
+          col("sum_dl").cast("long"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    var segs = segSizes()
+    var folds = 0L
+    while (segs.length > maxSegments) {
+      // adjacent pair with the smallest combined size; ties to the
+      // oldest pair (deterministic)
+      val i = segs.indices.dropRight(1)
+        .minBy(j => (segs(j)._2 + segs(j + 1)._2, segs(j)._1))
+      val (a, na, sa) = segs(i)
+      val (b, nb, sb) = segs(i + 1)
+      val tombs = readTombstones(spark, path, idCol)
+      val live = liveAfterTombstones(
+        spark.read.parquet(s"$path/postings")
+          .filter(col("seg") === a || col("seg") === b),
+        tombs, idCol)
+        .select(col(idCol), col("dl"), col("term"), col("tf"))
+      live.repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col(idCol))
+        .write.mode("overwrite")
+        .parquet(s"${staging.toString}/postings/seg=$b")
+      // summed OLD partials, not live counts — retained tombstones
+      // still subtract the dropped rows at probe time
+      Seq((na + nb, sa + sb)).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${staging.toString}/segstats/seg=$b")
+      val out = fs.create(marker, true)
+      try out.write(s"$a $b".getBytes("UTF-8")) finally out.close()
+      commitRange(a, b)
+      folds += 1
+      segs = (segs.take(i) :+ (b, na + nb, sa + sb)) ++
+        segs.drop(i + 2)
+    }
+    (folds, segs.length.toLong)
+  }
+
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct
     * terms (a panel-sized driver-side fetch, the same boundedness
     * contract as the IVF centroid ranking) become a pushed-down

@@ -1504,28 +1504,55 @@ object PipelineQueries {
       val lsh = Similarity.brpLshTopKMulti(base, "vec_id", "embedding",
           qlocal, k = 10)
         .select(col("qid"), col("vec_id"))
+      // PQ family on the panel (r11 verdict item 4): flat ADC (the
+      // quantization ceiling at the 4-bit m=8·k=16 gate geometry) and
+      // IVF-PQ at nProbe=8 (quantization × pruning composed), scored
+      // over in-memory codes — ONE codebook fit + encode feeds both
+      val pqCb = graft.operators.ProductQuantize.pqTrain(base,
+        "embedding", m = 8, k = 16)
+      val pqCodes = graft.engine.Caching.cached(
+        graft.operators.ProductQuantize.pqEncode(base, "vec_id",
+          "embedding", pqCb, m = 8))
+      val pq = graft.operators.ProductQuantize.pqScoreCodesMulti(
+          pqCodes, pqCb, queries, "vec_id", k = 10, m = 8)
+        .select(col("qid"), col("vec_id"))
+      val ivfpq = graft.operators.ProductQuantize.ivfPqScoreCodesMulti(
+          pqCodes.join(Similarity.ivfAssignCosine(base, cents,
+            "vec_id", "embedding"), Seq("vec_id")),
+          pqCb, cents, queries, "vec_id", k = 10, nProbe = 8, m = 8)
+        .select(col("qid"), col("vec_id"))
       val out = graft.engine.Caching.cached(
         ivf.withColumn("method", lit("ivf"))
           .unionByName(lsh.withColumn("method", lit("lsh")))
+          .unionByName(pq.withColumn("method", lit("pq")))
+          .unionByName(ivfpq.withColumn("method", lit("ivfpq")))
           .join(exact, Seq("qid", "vec_id"))
           .select(col("method"), col("qid"), col("vec_id"))
           .orderBy(col("method"), col("qid"), col("vec_id")))
       // driver-enforced recall floors (r10 verdict item 1): a recall
-      // collapse in either approximate path turns this row err-red in
+      // collapse in any approximate path turns this row err-red in
       // the driver record instead of silently shrinking a rows-only
       // count. Measured (AnnRecallPanelProbe, 3 seeds × 3 sfs,
-      // PLANS.md round-11): IVF nProbe=5 54–62%, LSH 96–98%; floors
-      // sit ~15 points under the seed-42 minimum — regression alarms,
-      // not targets.
+      // PLANS.md round-11/12): IVF nProbe=5 54–62%, LSH 96–98%;
+      // PQ flat k=16 18–28% and IVF-PQ nProbe=8 16–29% (the sf0.1
+      // panel is the hard end — 2000-vector corpus, same 4-bit code
+      // budget). Floors sit well under each cross-sf minimum —
+      // regression alarms, not targets.
       val hits = out.groupBy(col("method")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val denom = nPanel * 10L
       val ivfHits = hits.getOrElse("ivf", 0L)
       val lshHits = hits.getOrElse("lsh", 0L)
+      val pqHits = hits.getOrElse("pq", 0L)
+      val ivfpqHits = hits.getOrElse("ivfpq", 0L)
       require(ivfHits * 100 >= denom * 45,
         s"q75: IVF recall@10 collapsed — $ivfHits/$denom < 45%")
       require(lshHits * 100 >= denom * 80,
         s"q75: LSH recall@10 collapsed — $lshHits/$denom < 80%")
+      require(pqHits * 100 >= denom * 10,
+        s"q75: PQ flat-ADC recall@10 collapsed — $pqHits/$denom < 10%")
+      require(ivfpqHits * 100 >= denom * 8,
+        s"q75: IVF-PQ recall@10 collapsed — $ivfpqHits/$denom < 8%")
       out
     }),
 
@@ -2668,6 +2695,58 @@ object PipelineQueries {
         .groupBy(col("rf"))
         .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("sum_qty_cents"))
         .orderBy(col("rf"))
+    }),
+
+    // X3 × X1 — TIERED segment merge under the hash gate (r11 verdict
+    // item 5, the Lucene merge-policy half): four generations (three
+    // corpus slices + a tombstone/re-append wave) compacted down to
+    // maxSegments=2 by folding the smallest ADJACENT pairs — bounded
+    // write amplification, unlike the full fold's O(index) — with
+    // tombstones RETAINED and stats partials summed so scoring is
+    // untouched. Oracle: the identical direct scan over the final
+    // corpus state (q115's SQL shape); the builder requires the tiered
+    // layout (exactly 2 segments, tombstones still present) so a
+    // merge that silently full-folds or no-ops goes err-red.
+    "q134_bm25_tiered_merge" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val old = d.filter(col("doc_id") % 5 =!= 4)
+      val added = d.filter(col("doc_id") % 5 === 4)
+      val modified = old.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+      val removed = old.filter(col("doc_id") % 7 =!= 0 &&
+        col("doc_id") % 11 === 3)
+      val path = scratchPath("bm25_tier", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(
+        old.filter(col("doc_id") % 5 <= 1), "doc_id", "text", path, 0)
+      TextAnalysis.bm25AppendSegment(
+        old.filter(col("doc_id") % 5 === 2), "doc_id", "text", path, 1)
+      TextAnalysis.bm25AppendSegment(
+        old.filter(col("doc_id") % 5 === 3), "doc_id", "text", path, 2)
+      val tombKeys = old
+        .join(modified.select(col("doc_id"))
+          .union(removed.select(col("doc_id"))), Seq("doc_id"))
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(tombKeys, "doc_id", "dl", path, 3)
+      TextAnalysis.bm25AppendSegment(modified.unionByName(added),
+        "doc_id", "text", path, 3)
+      val (folds, remaining) = TextAnalysis.bm25MergeSegmentsTiered(
+        s, path, "doc_id", maxSegments = 2)
+      require(folds == 2 && remaining == 2,
+        s"q134: expected 2 folds down to 2 segments, got ($folds, $remaining)")
+      require(fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+        "q134: tiered merge must retain tombstones")
+      val panel = Seq(
+        (0L, "sort merge join upd"), (1L, "query filter scan"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25ProbeSegmented(s, path, panel, k = 12, "doc_id")
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
     }),
   )
 
@@ -4458,6 +4537,43 @@ object PipelineQueries {
     // only — the probe over the folded index must reproduce the same
     // direct scan over the same final corpus state
     "q122_bm25_merge" ->
+      """WITH fin AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 4 THEN c
+        |         WHEN doc_id % 7 = 0 THEN c || ' upd'
+        |         ELSE c END AS text
+        |  FROM (SELECT doc_id, coalesce(text, '') AS c FROM documents)
+        |  WHERE NOT (doc_id % 5 <> 4 AND doc_id % 7 <> 0
+        |             AND doc_id % 11 = 3)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'sort merge join upd'),
+        |        (1, 'query filter scan')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT qid, doc_id, score FROM r WHERE rn <= 12
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // q115's oracle verbatim again: the TIERED merge — folds, pair
+    // renumbering, retained tombstones, summed stats partials — must
+    // also be invisible to scoring over the same final corpus state
+    "q134_bm25_tiered_merge" ->
       """WITH fin AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 4 THEN c
         |         WHEN doc_id % 7 = 0 THEN c || ' upd'

@@ -319,6 +319,143 @@ class TextAnalysisSpec extends SparkSpec {
     assert(after == expect, "recovered index diverged")
   }
 
+  test("bm25MergeSegmentsTiered: folds smallest adjacent pairs, " +
+      "retains tombstones, probe parity; full merge still works after") {
+    import spark.implicits._
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+    val panel = Seq((0L, "scan table row upd"), (1L, "query filter"))
+      .toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25tier").toString
+    // four generations: three slices of the original corpus, then a
+    // tombstone + re-append generation on top
+    val segA = docs.filter(col("doc_id") % 5 <= 1)
+    val segB = docs.filter(col("doc_id") % 5 === 2)
+    val segC = docs.filter(col("doc_id") % 5 === 3)
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+    val added = docs.filter(col("doc_id") % 5 === 4)
+    val modified = old.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+    val removed = old.filter(col("doc_id") % 7 =!= 0 &&
+      col("doc_id") % 11 === 3)
+    TextAnalysis.bm25AppendSegment(segA, "doc_id", "text", dir, 0)
+    TextAnalysis.bm25AppendSegment(segB, "doc_id", "text", dir, 1)
+    TextAnalysis.bm25AppendSegment(segC, "doc_id", "text", dir, 2)
+    TextAnalysis.bm25Tombstone(
+      old.join(modified.select(col("doc_id"))
+          .union(removed.select(col("doc_id"))), Seq("doc_id"))
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl")),
+      "doc_id", "dl", dir, 3)
+    TextAnalysis.bm25AppendSegment(modified.unionByName(added),
+      "doc_id", "text", dir, 3)
+    def probe() = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 12, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val before = probe()
+    val (folds, remaining) = TextAnalysis.bm25MergeSegmentsTiered(
+      spark, dir, "doc_id", maxSegments = 2)
+    assert(folds == 2 && remaining == 2, s"got ($folds, $remaining)")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(segDirs.length == 2, s"got $segDirs")
+    // tombstones RETAINED — only the full merge's scope covers every
+    // segment a tombstone can reach
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "tiered merge must not clear tombstones")
+    assert(probe() == before, "probe diverged across the tiered merge")
+    // parity against the from-scratch direct scan of the final state
+    val finalCorpus = old
+      .filter(col("doc_id") % 7 =!= 0 &&
+        !(col("doc_id") % 11 === 3))
+      .unionByName(modified).unionByName(added)
+    val direct = TextAnalysis.bm25TopK(finalCorpus, "doc_id", "text",
+        panel, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(probe() == direct, "tiered-merged probe != direct scan")
+    // idempotent when already within budget
+    val (f2, r2) = TextAnalysis.bm25MergeSegmentsTiered(spark, dir,
+      "doc_id", maxSegments = 2)
+    assert(f2 == 0 && r2 == 2)
+    // the FULL merge composes on top: folds the rest, clears
+    // tombstones, parity still holds
+    val (f3, _) = TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
+    assert(f3 == 2, s"full merge folded $f3")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    assert(probe() == before, "probe diverged across the full merge")
+  }
+
+  test("bm25MergeSegmentsTiered: a sealed in-flight fold (crash " +
+      "inside the swap window) completes on the next call") {
+    import spark.implicits._
+    val a = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val b = Seq((3L, "b b")).toDF("doc_id", "text")
+    val c = Seq((4L, "c a"), (5L, "b a"), (6L, "c c"), (7L, "a a"))
+      .toDF("doc_id", "text")
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25tcr").toString
+    TextAnalysis.bm25AppendSegment(a, "doc_id", "text", dir, 0)
+    TextAnalysis.bm25AppendSegment(b, "doc_id", "text", dir, 1)
+    TextAnalysis.bm25AppendSegment(c, "doc_id", "text", dir, 2)
+    val expect = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 7, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the genuine staged content of fold (0,1): segments are disjoint
+    // and tombstone-free, so the merged segment is exactly an append
+    // of a∪b — build it in a scratch index and plant it as staging
+    val scratch = java.nio.file.Files
+      .createTempDirectory("bm25tcr_s").toString
+    TextAnalysis.bm25AppendSegment(a.unionByName(b), "doc_id", "text",
+      scratch, 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path) = {
+      fs.mkdirs(to.getParent); assert(fs.rename(from, to))
+    }
+    mv(new org.apache.hadoop.fs.Path(s"$scratch/postings/seg=1"),
+      new org.apache.hadoop.fs.Path(s"$dir/.tier_staging/postings/seg=1"))
+    mv(new org.apache.hadoop.fs.Path(s"$scratch/segstats/seg=1"),
+      new org.apache.hadoop.fs.Path(s"$dir/.tier_staging/segstats/seg=1"))
+    // crash point: marker sealed, live pair already half-gutted
+    // (postings/seg=0 dropped, seg=1 still the stale original)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/.tier_staging/_COMMIT_READY"), true)
+    out.write("0 1".getBytes("UTF-8")); out.close()
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/postings/seg=0"), true))
+    val (folds, remaining) = TextAnalysis.bm25MergeSegmentsTiered(
+      spark, dir, "doc_id", maxSegments = 2)
+    assert(folds == 0 && remaining == 2, s"got ($folds, $remaining)")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/.tier_staging")))
+    val after = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 7, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(after == expect, "recovered tiered index diverged")
+    // an UNSEALED staging (crash before the marker) is garbage and
+    // must be cleared without touching the live index
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dir/.tier_staging/postings/seg=9"))
+    val (f2, r2) = TextAnalysis.bm25MergeSegmentsTiered(spark, dir,
+      "doc_id", maxSegments = 2)
+    assert(f2 == 0 && r2 == 2)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/.tier_staging")))
+    assert(TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 7, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == expect)
+  }
+
   test("stripMarkup: scripts/styles/comments dropped, block tags " +
       "break lines, entities decode exactly once, malformed markup " +
       "degrades to whitespace never lost text") {
