@@ -113,6 +113,68 @@ object Packing {
         sum(col("_full")).as("n_full_docs"))
   }
 
+  /** Materializes the packed sequences' PAYLOAD — the other half of
+    * [[packSequences]] (which emits the audit MAP only): each output
+    * row is one fixed-`seqLen` training sequence with its actual
+    * token array, assembled by slicing every document's tokens at the
+    * sequence boundaries and concatenating the slices in corpus
+    * order. `df` carries an already-tokenized array column (plain
+    * whitespace tokens, or BPE pieces from [[BpeTokenizer.encode]] —
+    * the tokenize → pack → write tail of a training pipeline).
+    *
+    * Scale shape: the same two-pass prefix sum as [[packSequences]]
+    * for the offsets, then a per-(doc × touched sequence) explode
+    * whose groups are BOUNDED BY CONSTRUCTION — a sequence holds
+    * exactly `seqLen` tokens, so no collect_list group exceeds
+    * seqLen tokens / seqLen+1 docs regardless of corpus size. The
+    * final sequence may be shorter (the corpus tail). */
+  def packShardPayloads(df: DataFrame, toksCol: String, seqLen: Int,
+                        orderCols: Column*): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val L = lit(seqLen.toLong)
+    val withOff = withTokenOffsets(
+      df.withColumn("_n",
+          org.apache.spark.sql.functions.size(col(toksCol)).cast("long"))
+        .filter(col("_n") > 0),
+      "_n", "_off", orderCols: _*)
+    val exploded = withOff
+      .withColumn("_s0", expr(s"_off div $seqLen"))
+      .withColumn("_s1", expr(s"(_off + _n - 1) div $seqLen"))
+      .select(col(toksCol), col("_off"), col("_n"),
+        explode(sequence(col("_s0"), col("_s1"))).as("seq_id"))
+    val segStart = greatest(col("seq_id") * L, col("_off"))
+    val segEnd = least((col("seq_id") + 1) * L, col("_off") + col("_n"))
+    exploded
+      .withColumn("_slice", slice(col(toksCol),
+        (segStart - col("_off") + 1).cast("int"),
+        (segEnd - segStart).cast("int")))
+      .groupBy(col("seq_id"))
+      // _off is unique under the total order, so the sort key is
+      // unambiguous and the concatenation deterministic
+      .agg(
+        flatten(transform(array_sort(collect_list(
+          struct(col("_off"), col("_slice")))), x => x("_slice")))
+          .as("tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(col("tokens")).cast("long"))
+  }
+
+  /** Writes [[packShardPayloads]] output as hive-partitioned training
+    * shards (`shard=K/` holds `seqsPerShard` consecutive sequences,
+    * sorted by seq_id inside each file) — the artifact a training job
+    * actually reads, with partition pruning selecting shard ranges. */
+  def writePackedShards(payloads: DataFrame, path: String,
+                        seqsPerShard: Long): Unit = {
+    require(seqsPerShard > 0,
+      s"seqsPerShard must be positive, got $seqsPerShard")
+    payloads
+      .withColumn("shard", expr(s"seq_id div $seqsPerShard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("seq_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding-prep step:
     * split each document into windows of `size` tokens advancing by
     * `stride` (< size ⇒ overlap of size − stride), final partial window

@@ -42,12 +42,13 @@ object ProductQuantize {
   /** Fits the m per-subspace codebooks on corpus vectors
     * (unit-normalized first, so ADC inner products approximate
     * cosine). Returns `subspace | code | cvec` (m·k rows —
-    * broadcast-sized). Seeds are `seed + subspace` so the fit is
-    * deterministic end-to-end. */
+    * broadcast-sized). Deterministic end-to-end for a given seed.
+    * `sampleCap` bounds the per-subspace training sample (0 = the
+    * FAISS-style default, max(10⁵, 39·k) — see [[pqTrainRaw]]). */
   def pqTrain(vectors: DataFrame, vecCol: String, m: Int, k: Int,
-              seed: Long = 42L): DataFrame =
+              seed: Long = 42L, sampleCap: Long = 0L): DataFrame =
     pqTrainRaw(unitVectors(vectors, vecCol, Seq.empty), "_uv", m, k,
-      seed)
+      seed, sampleCap = sampleCap)
 
   /** `idCol` + unit-normalized `_uv` (zero-norm rows dropped). */
   private def unitVectors(vectors: DataFrame, vecCol: String,

@@ -2748,6 +2748,109 @@ object PipelineQueries {
       TextAnalysis.bm25ProbeSegmented(s, path, panel, k = 12, "doc_id")
         .orderBy(col("qid"), col("score").desc, col("doc_id"))
     }),
+
+    // scale primitive — packed-shard PAYLOAD writer (r11 verdict item
+    // 7, the other half of q126's audit map): the actual fixed-length
+    // token sequences a training job reads, assembled by slicing every
+    // document at sequence boundaries and concatenating in corpus
+    // order (two-pass prefix sum for offsets; every collect_list group
+    // bounded at seqLen tokens by construction). The row under the
+    // hash gate is read BACK from the written hive-partitioned shard
+    // layout — green iff tokenize → pack → write → read loses nothing
+    // vs the oracle's global-cumsum replay.
+    "q135_packed_shards" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(coalesce(col("text"), lit("")))
+            .as("toks"))
+      val payloads = Packing.packShardPayloads(d, "toks", 64,
+        col("source"), col("doc_id"))
+      val path = scratchPath("packed_shards", dir)
+      Packing.writePackedShards(payloads, path, seqsPerShard = 100L)
+      s.read.parquet(path)
+        .select(col("seq_id"), col("shard").cast("long").as("shard"),
+          col("n_docs"), col("n_tokens"),
+          array_join(col("tokens"), " ").as("payload"))
+        .orderBy(col("seq_id"))
+    }),
+
+    // X2 — the drift-guarded IVF maintenance loop END-TO-END under the
+    // gate (r11 verdict item 8; the IvfDriftProbe scenario, driver-
+    // enforced): build → benign recrawl wave (refresh only, require NO
+    // recenter) → hard-drift wave (gauges breach the fit-time baseline,
+    // require recenter + rebuild) → probe the rebuilt index with every
+    // cell probed against exact brute force on the final snapshot
+    // (quantization-only loss, floor require()d). The hash-gated output
+    // is the recentered index's per-cell drift stats, replayed by the
+    // oracle off the written index + centroid parquet (q123's shape on
+    // the post-loop artifacts).
+    "q136_ivf_drift_loop" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val idxPath = scratchPath("ivfloop_index", dir)
+      val stagePath = scratchPath("ivfloop_stage", dir)
+      val centsPath = scratchPath("ivfloop_cents", dir)
+      val k = 16
+      val cents0 = Similarity.learnedCentroids(base, "embedding", k)
+        .localCheckpoint()
+      Similarity.ivfWriteIndexQuantized(base, cents0, "vec_id",
+        "embedding", idxPath)
+      val baseline = Similarity.ivfDriftGauges(
+        Similarity.ivfDriftStats(s, idxPath, cents0))
+      // wave 1 — benign recrawl: ~1% of keys nudged by 1e-3; neither
+      // gauge can move past its relative trigger
+      val snap1 = base.select(col("vec_id"),
+        when(col("vec_id") % 97 === 1,
+          transform(col("embedding"), x => (x + lit(0.001f))))
+          .otherwise(col("embedding")).as("embedding"))
+      val changes1 = base.select(col("vec_id"),
+        when(col("vec_id") % 97 === 1, lit("modified"))
+          .otherwise(lit("unchanged")).as("status"))
+      val (c1, b1, rec1) = Similarity.ivfRefreshOrRecenter(s, idxPath,
+        cents0, snap1, changes1, "vec_id", "embedding", stagePath,
+        baseline, k)
+      require(!rec1, "q136: benign wave must not recenter")
+      // wave 2 — a third of the corpus drifts hard (the IvfDriftProbe
+      // direction at full magnitude): displacement gauge breaches
+      val snap2 = snap1.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0,
+          transform(col("embedding"),
+            (x, j) => (x + lit(1.0) * cos(j.cast("double")))
+              .cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+      val changes2 = base.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0, lit("modified"))
+          .otherwise(lit("unchanged")).as("status"))
+      val (c2, _, rec2) = Similarity.ivfRefreshOrRecenter(s, idxPath,
+        c1, snap2, changes2, "vec_id", "embedding", stagePath, b1, k)
+      require(rec2, "q136: hard-drift wave must recenter")
+      // probe parity on the rebuilt index: all cells probed ⇒ the only
+      // loss is int8 quantization; exact brute force is the truth
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val got = Similarity.ivfProbePrunedQuantized(s, idxPath, c2, qv,
+          "vec_id", k = 10, nProbe = k)
+        .select(col("vec_id"))
+      val exact = Similarity.topK(snap2, qv, "vec_id", "embedding", 10)
+        .select(col("vec_id"))
+      val overlap = got.join(exact, Seq("vec_id")).count()
+      require(overlap >= 6,
+        s"q136: post-recenter probe overlap $overlap/10 vs exact")
+      // gate surface: the recentered index's drift stats, oracle-
+      // replayed off the written artifacts
+      c2.coalesce(1).write.mode("overwrite").parquet(centsPath)
+      val centsR = s.read.parquet(centsPath)
+      val stats = graft.engine.Caching.cached(
+        Similarity.ivfDriftStats(s, idxPath, centsR))
+      val tot = stats.agg(sum(col("n")).as("tot"),
+        max(col("n")).as("maxn"), count(lit(1)).as("cells"))
+      stats.crossJoin(broadcast(tot))
+        .select(col("centroid_id"), col("n"), col("cd_fp_sum"),
+          col("mean_cd"),
+          expr("(maxn * cells * 100) div tot").as("skew_x100"))
+        .orderBy(col("centroid_id"))
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -4606,6 +4709,63 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // q126's global-cumsum replay extended to the PAYLOAD: per
+    // (doc × touched sequence) token slice, concatenated in corpus
+    // order — compared as the final assembled string per sequence
+    "q135_packed_shards" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    string_split(coalesce(text, ''), ' ') AS t,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS n
+        |  FROM documents),
+        |o AS (SELECT *, CAST(coalesce(sum(n) OVER (
+        |      ORDER BY source, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS off
+        |  FROM d WHERE n > 0),
+        |e AS (SELECT t, off, n,
+        |    unnest(generate_series(off // 64, (off + n - 1) // 64))
+        |      AS seq_id
+        |  FROM o),
+        |s AS (SELECT seq_id, off,
+        |    list_slice(t,
+        |      CAST(greatest(seq_id * 64, off) - off + 1 AS BIGINT),
+        |      CAST(least((seq_id + 1) * 64, off + n) - off AS BIGINT))
+        |      AS sl
+        |  FROM e)
+        |SELECT seq_id, seq_id // 100 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(sl)) AS BIGINT) AS n_tokens,
+        |  string_agg(array_to_string(sl, ' '), ' ' ORDER BY off)
+        |    AS payload
+        |FROM s GROUP BY 1, 2
+        |ORDER BY seq_id""".stripMargin,
+
+    // q123's replay on the POST-LOOP artifacts: the builder's
+    // refresh → breach → recenter → rebuild must leave an index +
+    // centroid pair whose per-cell stats DuckDB reproduces bit-for-bit
+    "q136_ivf_drift_loop" ->
+      """WITH cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |  FROM read_parquet('{SCRATCH}/ivfloop_cents_{SFHASH}/*.parquet')),
+        |idx AS (SELECT CAST(centroid_id AS BIGINT) AS cid, codes
+        |  FROM read_parquet('{SCRATCH}/ivfloop_index_{SFHASH}/*/*.parquet',
+        |                    hive_partitioning = 1)),
+        |cd AS (SELECT idx.cid,
+        |    CAST(floor((1 - list_cosine_similarity(codes::DOUBLE[], cv))
+        |         * 1e7 + 0.5) AS BIGINT) AS cd_fp
+        |  FROM idx JOIN cents ON idx.cid = cents.cid),
+        |cells AS (SELECT cid AS centroid_id, count(*) AS n,
+        |    CAST(sum(cd_fp) AS BIGINT) AS cd_fp_sum
+        |  FROM cd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(max(n) AS BIGINT) AS maxn, count(*) AS cells
+        |  FROM cells)
+        |SELECT centroid_id, n, cd_fp_sum,
+        |  round(cd_fp_sum / n / 1e7, 4) AS mean_cd,
+        |  (maxn * cells * 100) // tot AS skew_x100
+        |FROM cells CROSS JOIN tot
+        |ORDER BY centroid_id""".stripMargin,
 
     // the single-task global cumsum window the two-pass prefix sum
     // must reproduce exactly, then the same integer interval algebra

@@ -89,6 +89,79 @@ class PackingSpec extends SparkSpec {
       r.getAs[Long]("n_full_docs") <= r.getAs[Long]("n_starts")))
   }
 
+  test("packShardPayloads assembles exact fixed-length sequences on " +
+      "a handcrafted corpus") {
+    // same geometry as the packSequences case (L=4; docs of 5,3,4,6
+    // tokens), now with the actual token payloads: the global token
+    // stream is a1..a5 b1..b3 c1..c4 d1..d6 and each sequence must be
+    // its exact 4-token window of that stream
+    val df = Seq(
+      (1L, Seq("a1", "a2", "a3", "a4", "a5")),
+      (2L, Seq("b1", "b2", "b3")),
+      (3L, Seq("c1", "c2", "c3", "c4")),
+      (4L, Seq("d1", "d2", "d3", "d4", "d5", "d6")))
+      .toDF("id", "toks")
+    val got = Packing.packShardPayloads(df, "toks", 4, col("id"))
+      .orderBy(col("seq_id"))
+      .select(col("seq_id"), col("tokens"), col("n_docs"),
+        col("n_tokens"))
+      .as[(Long, Seq[String], Long, Long)].collect().toSeq
+    val expected = Seq(
+      (0L, Seq("a1", "a2", "a3", "a4"), 1L, 4L),
+      (1L, Seq("a5", "b1", "b2", "b3"), 2L, 4L),
+      (2L, Seq("c1", "c2", "c3", "c4"), 1L, 4L),
+      (3L, Seq("d1", "d2", "d3", "d4"), 1L, 4L),
+      (4L, Seq("d5", "d6"), 1L, 2L))
+    assert(got == expected)
+  }
+
+  test("packShardPayloads ∘ writePackedShards round-trips on real " +
+      "docs and agrees with the packSequences audit map") {
+    val L = 32
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("toks"))
+    val payloads = Packing.packShardPayloads(d, "toks", L,
+      col("source"), col("doc_id"))
+    // every sequence except the last is exactly L tokens, and the
+    // audit map's (n_tokens, n_docs) agree row for row
+    val audit = Packing.packSequences(
+      d.select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks")),
+      "n_toks", L, col("source"), col("doc_id"))
+    val joined = payloads.alias("p")
+      .join(audit.alias("a"), Seq("seq_id"), "full")
+    assert(joined.filter(col("p.n_tokens").isNull ||
+      col("a.n_tokens").isNull ||
+      col("p.n_tokens") =!= col("a.n_tokens") ||
+      col("p.n_docs") =!= col("a.n_docs")).count() == 0L)
+    val maxSeq = payloads.agg(max(col("seq_id"))).head().getLong(0)
+    assert(payloads.filter(col("seq_id") < maxSeq &&
+      size(col("tokens")) =!= L).count() == 0L)
+    // shard write → read loses nothing (the training-job read path)
+    val dir = java.nio.file.Files
+      .createTempDirectory("packshards").toString
+    Packing.writePackedShards(payloads, dir, seqsPerShard = 10L)
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("shard") =!= expr("seq_id div 10")).count()
+      == 0L)
+    val diff = back
+      .select(col("seq_id"), col("tokens").as("t2"))
+      .join(payloads, Seq("seq_id"), "full")
+      .filter(col("t2").isNull || col("tokens").isNull ||
+        col("t2") =!= col("tokens"))
+      .count()
+    assert(diff == 0L)
+    // reassembling every shard in seq order reproduces the corpus
+    // token stream exactly
+    val corpusToks = d.orderBy(col("source"), col("doc_id"))
+      .select(explode(col("toks")).as("t"))
+      .as[String].collect().toSeq
+    val packedToks = back.orderBy(col("seq_id"))
+      .select(col("tokens")).as[Seq[String]].collect().toSeq.flatten
+    assert(packedToks == corpusToks)
+  }
+
   test("chunkOverlap covers every token with the documented overlap") {
     val df = Seq((1L, "a b c d e f g h i j"), // 10 toks: size 4 stride 3
       (2L, "x y"), (3L, ""), (4L, null.asInstanceOf[String]))
