@@ -2851,6 +2851,57 @@ object PipelineQueries {
           expr("(maxn * cells * 100) div tot").as("skew_x100"))
         .orderBy(col("centroid_id"))
     }),
+
+    // capstone #7 — TOKEN-ID training shards, the full pretraining
+    // tail in one gated flow: BPE fit → piece vocabulary with dense
+    // ids (Ids.contiguousIds — the two-pass shape, no global window
+    // even at 10⁷-piece production vocabularies) → documents encoded
+    // to ordered id streams → packed into fixed 64-id sequences →
+    // written as hive-partitioned shards → read BACK. What a training
+    // job actually consumes is integer ids, not piece strings — q133
+    // stops at the audit map, q135 packs raw words; this row closes
+    // the gap. Oracle: segmentation + piece-id ranking + global
+    // cumsum + slice replayed off the written vocab parquet.
+    "q137_token_id_shards" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val (merges, vocabRaw) =
+        BpeTokenizer.train(d, "text", numMerges = 16)
+      require(merges.nonEmpty, "q137: no merges learned")
+      val vc = graft.engine.Caching.cached(vocabRaw)
+      val segPath = scratchPath("idshard_vocab", dir)
+      vc.select(col("word"), col("syms"))
+        .coalesce(1).write.mode("overwrite").parquet(segPath)
+      // piece vocabulary: dense 0-based ids in piece string order —
+      // contiguousIds' contract is row_number()−1, so the oracle
+      // reproduces the mapping with a plain window over the (small)
+      // distinct-piece set
+      val pieceIds = graft.engine.Caching.cached(
+        graft.operators.Ids.contiguousIds(
+          vc.select(explode(col("syms")).as("piece")).distinct(),
+          "id", col("piece")))
+      val enc = BpeTokenizer.encode(d, "doc_id", "text", vc)
+      val docStreams = enc
+        .select(col("doc_id"), col("word_pos"),
+          posexplode(col("syms")).as(Seq("piece_pos", "piece")))
+        .join(pieceIds, Seq("piece"))
+        .groupBy(col("doc_id"))
+        // per-doc group, bounded by document length; (word_pos,
+        // piece_pos) is a total order within the doc
+        .agg(transform(array_sort(collect_list(struct(col("word_pos"),
+            col("piece_pos"), col("id")))), x => x("id")).as("ids"))
+      val payloads = Packing.packShardPayloads(
+        d.select(col("doc_id"), col("source"))
+          .join(docStreams, Seq("doc_id")),
+        "ids", 64, col("source"), col("doc_id"))
+      val outPath = scratchPath("idshard_out", dir)
+      Packing.writePackedShards(payloads, outPath, seqsPerShard = 100L)
+      s.read.parquet(outPath)
+        .select(col("seq_id"), col("shard").cast("long").as("shard"),
+          col("n_docs"), col("n_tokens"),
+          concat_ws(" ", transform(col("tokens"), _.cast("string")))
+            .as("payload"))
+        .orderBy(col("seq_id"))
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -4766,6 +4817,55 @@ object PipelineQueries {
         |  (maxn * cells * 100) // tot AS skew_x100
         |FROM cells CROSS JOIN tot
         |ORDER BY centroid_id""".stripMargin,
+
+    // the full tokenize→id→pack tail replayed off the written
+    // segmentation: piece ids from a plain rank window (the
+    // contiguousIds contract), per-doc ordered id streams via aligned
+    // unnest/generate_subscripts, then q135's cumsum + slice algebra
+    // over id lists
+    "q137_token_id_shards" ->
+      """WITH seg AS (SELECT word, syms FROM
+        |    read_parquet('{SCRATCH}/idshard_vocab_{SFHASH}/*.parquet')),
+        |pv AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1
+        |         AS id
+        |  FROM (SELECT DISTINCT unnest(syms) AS piece FROM seg)),
+        |w0 AS (SELECT doc_id, source,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS word,
+        |    generate_subscripts(
+        |      string_split(coalesce(text, ''), ' '), 1) AS wpos
+        |  FROM documents),
+        |w AS (SELECT * FROM w0 WHERE word <> ''),
+        |p AS (SELECT doc_id, source, wpos,
+        |    unnest(syms) AS piece,
+        |    generate_subscripts(syms, 1) AS ppos
+        |  FROM w JOIN seg USING (word)),
+        |da AS (SELECT doc_id, source,
+        |    list(id ORDER BY wpos, ppos) AS ids,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p JOIN pv USING (piece)
+        |  GROUP BY 1, 2),
+        |o AS (SELECT *, CAST(coalesce(sum(n) OVER (
+        |      ORDER BY source, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS off
+        |  FROM da WHERE n > 0),
+        |e AS (SELECT ids, off, n,
+        |    unnest(generate_series(off // 64, (off + n - 1) // 64))
+        |      AS seq_id
+        |  FROM o),
+        |sl AS (SELECT seq_id, off,
+        |    list_slice(ids,
+        |      CAST(greatest(seq_id * 64, off) - off + 1 AS BIGINT),
+        |      CAST(least((seq_id + 1) * 64, off + n) - off AS BIGINT))
+        |      AS s
+        |  FROM e)
+        |SELECT seq_id, seq_id // 100 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(s)) AS BIGINT) AS n_tokens,
+        |  string_agg(array_to_string(s, ' '), ' ' ORDER BY off)
+        |    AS payload
+        |FROM sl GROUP BY 1, 2
+        |ORDER BY seq_id""".stripMargin,
 
     // the single-task global cumsum window the two-pass prefix sum
     // must reproduce exactly, then the same integer interval algebra
