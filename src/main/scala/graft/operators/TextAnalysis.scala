@@ -955,6 +955,62 @@ object TextAnalysis {
     (folds, segs.length.toLong)
   }
 
+  /** POSITIONAL posting lists — the layout phrase/proximity queries
+    * need and the tf-only [[bm25WriteIndex]] postings cannot answer
+    * (Lucene's positions file, relationally): per (term, doc) the
+    * sorted 0-based token positions. Term-range-partitioned and
+    * term-sorted like the BM25 layouts, so a phrase probe's
+    * `term IN (…)` predicate prunes to the phrase's posting lists.
+    * Positions are NOT filtered or renumbered — adjacency is defined
+    * on the raw [[tokens]] stream, which keeps the semantics exactly
+    * "the phrase appears as consecutive tokens of the document". */
+  def writePositionalIndex(docs: DataFrame, idCol: String,
+                           textCol: String, path: String): Unit =
+    docs
+      .select(col(idCol),
+        posexplode(tokens(coalesce(col(textCol), lit(""))))
+          .as(Seq("pos", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite").parquet(s"$path/postings")
+
+  /** Exact phrase search over a [[writePositionalIndex]] layout: the
+    * classic positional-intersection algorithm — read ONLY the
+    * phrase terms' posting lists (pushed `term IN`), shift term i's
+    * positions by −i, and a phrase start is a position present in
+    * every shifted list. Returns (id, n_matches, first_pos) per
+    * matching document.
+    *
+    * Scale shape: IO and the k-way join are posting-list-bounded (the
+    * probe never touches documents), the intersection is a per-doc
+    * array fold over lists no longer than the document, and repeated
+    * phrase terms just read the same pruned list twice. */
+  def phraseSearch(spark: org.apache.spark.sql.SparkSession,
+                   path: String, phrase: Seq[String],
+                   idCol: String): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(
+        scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(phrase.distinct.toArray): _*))
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("term") === t)
+        .select(col(idCol),
+          transform(col("positions"), p => p - i).as(s"_p$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, Seq(idCol)))
+    val starts = (1 until phrase.length).foldLeft(col("_p0"))(
+      (acc, i) => filter(acc, p => array_contains(col(s"_p$i"), p)))
+    joined
+      .select(col(idCol), starts.as("_starts"))
+      .filter(size(col("_starts")) > 0)
+      .select(col(idCol),
+        size(col("_starts")).cast("long").as("n_matches"),
+        element_at(col("_starts"), 1).cast("long").as("first_pos"))
+  }
+
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct
     * terms (a panel-sized driver-side fetch, the same boundedness
     * contract as the IVF centroid ranking) become a pushed-down

@@ -2902,6 +2902,27 @@ object PipelineQueries {
             .as("payload"))
         .orderBy(col("seq_id"))
     }),
+
+    // X3 — POSITIONAL index + exact phrase search (the Lucene
+    // positions file, relationally; the query class tf-only BM25
+    // postings cannot answer): a bigram AND a trigram probed over the
+    // same written layout, both posting-list-bounded k-way positional
+    // intersections. The oracle replays the SEMANTICS from the
+    // documents directly (consecutive-token list comparison) — index
+    // layout and intersection algebra must be invisible to the
+    // answer, exactly like the BM25 merge rows.
+    "q138_phrase_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("pos_index", dir)
+      TextAnalysis.writePositionalIndex(d, "doc_id", "text", path)
+      val bi = TextAnalysis.phraseSearch(s, path,
+        Seq("sort", "merge"), "doc_id")
+      val tri = TextAnalysis.phraseSearch(s, path,
+        Seq("hash", "value", "table"), "doc_id")
+      bi.withColumn("phrase", lit("sort merge"))
+        .unionByName(tri.withColumn("phrase", lit("hash value table")))
+        .orderBy(col("phrase"), col("doc_id"))
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -4866,6 +4887,28 @@ object PipelineQueries {
         |    AS payload
         |FROM sl GROUP BY 1, 2
         |ORDER BY seq_id""".stripMargin,
+
+    // phrase semantics replayed WITHOUT the index: a phrase match is
+    // a run of consecutive tokens equal to the phrase list — DuckDB
+    // slices the token list at every candidate start (1-based; the
+    // engine's positions are 0-based, hence the −1)
+    "q138_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |bi AS (SELECT doc_id, 'sort merge' AS phrase,
+        |    list_filter(generate_series(1, len(t) - 1),
+        |      p -> t[p:p+1] = ['sort', 'merge']) AS starts
+        |  FROM d WHERE len(t) >= 2),
+        |tri AS (SELECT doc_id, 'hash value table' AS phrase,
+        |    list_filter(generate_series(1, len(t) - 2),
+        |      p -> t[p:p+2] = ['hash', 'value', 'table']) AS starts
+        |  FROM d WHERE len(t) >= 3),
+        |u AS (SELECT * FROM bi UNION ALL SELECT * FROM tri)
+        |SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+        |  CAST(starts[1] - 1 AS BIGINT) AS first_pos, phrase
+        |FROM u WHERE len(starts) > 0
+        |ORDER BY phrase, doc_id""".stripMargin,
 
     // the single-task global cumsum window the two-pass prefix sum
     // must reproduce exactly, then the same integer interval algebra

@@ -456,6 +456,37 @@ class TextAnalysisSpec extends SparkSpec {
       .toSet == expect)
   }
 
+  test("phraseSearch: positional intersection matches consecutive-" +
+      "token runs only, counts overlaps, handles repeated terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),       // "a b" twice (pos 0, 3); "a b c" once
+      (2L, "b a c b a"),       // terms present, never adjacent as a-b
+      (3L, "a a a"),           // repeated-term phrase "a a": pos 0, 1
+      (4L, "x y a b"),         // phrase at document end
+      (5L, "c c c"))           // no phrase terms at all
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("posidx").toString
+    TextAnalysis.writePositionalIndex(docs, "doc_id", "text", dir)
+    def run(ph: String*) = TextAnalysis
+      .phraseSearch(spark, dir, ph, "doc_id")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(run("a", "b") == Seq((1L, 2L, 0L), (4L, 1L, 2L)))
+    assert(run("a", "b", "c") == Seq((1L, 1L, 0L)))
+    // overlapping occurrences of a repeated-term phrase both count
+    assert(run("a", "a") == Seq((3L, 2L, 0L)))
+    assert(run("c", "a", "b") == Seq((1L, 1L, 2L)))
+    assert(run("z", "q").isEmpty)
+    // the probe's term predicate is PUSHED to the posting scan
+    val plan = TextAnalysis
+      .phraseSearch(spark, dir, Seq("a", "b"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"phrase probe did not push the term predicate:\n${plan.take(1200)}")
+  }
+
   test("stripMarkup: scripts/styles/comments dropped, block tags " +
       "break lines, entities decode exactly once, malformed markup " +
       "degrades to whitespace never lost text") {
