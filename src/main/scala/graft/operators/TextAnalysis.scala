@@ -1011,6 +1011,56 @@ object TextAnalysis {
         element_at(col("_starts"), 1).cast("long").as("first_pos"))
   }
 
+  /** PROXIMITY search over a [[writePositionalIndex]] layout: documents
+    * where every query term occurs within a token window of `maxSpan`
+    * (span = max position − min position over one occurrence of each
+    * term), with the tightest such span. The minimal covering span is
+    * computed by the classic one-pass scan over the doc's merged
+    * position events ("minimum window" algorithm): walk positions in
+    * ascending order keeping the last-seen position per term; whenever
+    * all terms have been seen, the current position minus the stalest
+    * last-seen is a candidate span. That is O(occurrences) per
+    * document — never the O(∏|positions|) all-combinations product —
+    * and the fold runs as one Catalyst `aggregate` HOF over a
+    * per-doc array bounded by document length. IO is posting-list-
+    * bounded exactly as [[phraseSearch]]. Returns (id, min_span). */
+  def proximitySearch(spark: org.apache.spark.sql.SparkSession,
+                      path: String, terms: Seq[String], maxSpan: Long,
+                      idCol: String): DataFrame = {
+    require(terms.size >= 2 && terms.distinct.size == terms.size,
+      "proximitySearch needs >= 2 distinct terms")
+    val k = terms.size
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(terms.toArray): _*))
+    val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
+      case (c, (t, i)) => when(col("term") === t, lit(i)).otherwise(c)
+    }
+    val events = posts
+      .select(col(idCol), tidx.as("tidx"),
+        explode(col("positions")).as("pos"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+          col("pos").cast("long").as("pos"), col("tidx").as("tidx"))))
+          .as("ev"),
+        count_distinct(col("tidx")).as("_nt"))
+      .filter(col("_nt") === k)
+    val init = struct(
+      array_repeat(lit(-1L), k).as("last"),
+      lit(Long.MaxValue).as("best"))
+    val folded = aggregate(col("ev"), init, (acc, e) => {
+      val last2 = transform(acc("last"),
+        (v, i) => when(i === e("tidx"), e("pos")).otherwise(v))
+      struct(last2.as("last"),
+        when(array_min(last2) >= 0,
+          least(acc("best"), e("pos") - array_min(last2)))
+          .otherwise(acc("best")).as("best"))
+    })
+    events
+      .select(col(idCol), folded("best").as("min_span"))
+      .filter(col("min_span") <= maxSpan)
+  }
+
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct
     * terms (a panel-sized driver-side fetch, the same boundedness
     * contract as the IVF centroid ranking) become a pushed-down

@@ -2923,6 +2923,26 @@ object PipelineQueries {
         .unionByName(tri.withColumn("phrase", lit("hash value table")))
         .orderBy(col("phrase"), col("doc_id"))
     }),
+
+    // X3 — PROXIMITY search over the q138 positional layout: tightest
+    // within-`maxSpan` co-occurrence window per document, computed by
+    // the one-pass minimum-window scan (O(occurrences), never the
+    // all-combinations product). The oracle replays the SEMANTICS
+    // brute-force — min over every occurrence combination of
+    // (max − min) — which the linear scan must equal exactly; two
+    // term sets share one written index.
+    "q139_proximity_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("prox_index", dir)
+      TextAnalysis.writePositionalIndex(d, "doc_id", "text", path)
+      val two = TextAnalysis.proximitySearch(s, path,
+        Seq("sort", "merge"), maxSpan = 5L, "doc_id")
+      val three = TextAnalysis.proximitySearch(s, path,
+        Seq("query", "table", "join"), maxSpan = 6L, "doc_id")
+      two.withColumn("q", lit("sort merge w5"))
+        .unionByName(three.withColumn("q", lit("query table join w6")))
+        .orderBy(col("q"), col("doc_id"))
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -4909,6 +4929,42 @@ object PipelineQueries {
         |  CAST(starts[1] - 1 AS BIGINT) AS first_pos, phrase
         |FROM u WHERE len(starts) > 0
         |ORDER BY phrase, doc_id""".stripMargin,
+
+    // proximity semantics replayed brute-force: per-term position
+    // lists from the token stream, min over every occurrence
+    // combination of (greatest − least) — the engine's linear
+    // minimum-window scan must equal this exactly
+    "q139_proximity_search" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |p2 AS (SELECT doc_id,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'sort')
+        |      AS pa,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'merge')
+        |      AS pb
+        |  FROM d),
+        |m2 AS (SELECT doc_id, 'sort merge w5' AS q,
+        |    list_min(flatten(list_transform(pa,
+        |      x -> list_transform(pb, y -> abs(x - y))))) AS ms
+        |  FROM p2 WHERE len(pa) > 0 AND len(pb) > 0),
+        |p3 AS (SELECT doc_id,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'query')
+        |      AS pa,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'table')
+        |      AS pb,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'join')
+        |      AS pc
+        |  FROM d),
+        |m3 AS (SELECT doc_id, 'query table join w6' AS q,
+        |    list_min(flatten(flatten(list_transform(pa,
+        |      x -> list_transform(pb, y -> list_transform(pc,
+        |        z -> greatest(x, y, z) - least(x, y, z))))))) AS ms
+        |  FROM p3 WHERE len(pa) > 0 AND len(pb) > 0 AND len(pc) > 0),
+        |u AS (SELECT * FROM m2 WHERE ms <= 5
+        |      UNION ALL SELECT * FROM m3 WHERE ms <= 6)
+        |SELECT doc_id, CAST(ms AS BIGINT) AS min_span, q
+        |FROM u ORDER BY q, doc_id""".stripMargin,
 
     // the single-task global cumsum window the two-pass prefix sum
     // must reproduce exactly, then the same integer interval algebra

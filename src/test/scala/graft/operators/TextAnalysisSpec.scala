@@ -487,6 +487,60 @@ class TextAnalysisSpec extends SparkSpec {
       s"phrase probe did not push the term predicate:\n${plan.take(1200)}")
   }
 
+  test("proximitySearch: linear minimum-window scan equals the " +
+      "brute-force all-combinations span, threshold filters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a x x b x a"),     // a@{0,5} b@{3}: min span |5-3| = 2
+      (2L, "b x x x x a"),     // single combo: span 5
+      (3L, "a x b x c"),       // 3-term: span 4
+      (4L, "c a b x x c x a"), // 3-term: a@{1,7} b@{2} c@{0,5}: [0..2]=2
+      (5L, "a a a"))           // b missing: never returned
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("proxidx").toString
+    TextAnalysis.writePositionalIndex(docs, "doc_id", "text", dir)
+    def run(w: Long, ts: String*) = TextAnalysis
+      .proximitySearch(spark, dir, ts, w, "doc_id")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+    // doc 3 has a@0 b@2 (span 2); doc 4 has a@{1,7} b@2 (span 1)
+    assert(run(10L, "a", "b") ==
+      Seq((1L, 2L), (2L, 5L), (3L, 2L), (4L, 1L)))
+    assert(run(4L, "a", "b") ==
+      Seq((1L, 2L), (3L, 2L), (4L, 1L)))         // threshold drops doc 2
+    assert(run(10L, "a", "b", "c") == Seq((3L, 4L), (4L, 2L)))
+    assert(run(3L, "a", "b", "c") == Seq((4L, 2L)))
+    assert(run(10L, "a", "z").isEmpty)
+    // brute-force cross-check on real docs: the linear scan's span
+    // equals min over all occurrence combinations (computed locally)
+    val real = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val rdir = java.nio.file.Files
+      .createTempDirectory("proxidx_r").toString
+    TextAnalysis.writePositionalIndex(real, "doc_id", "text", rdir)
+    val got = TextAnalysis.proximitySearch(spark, rdir,
+        Seq("sort", "merge"), maxSpan = 5L, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val local = real.select(col("doc_id"),
+        TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
+      .as[(Long, Seq[String])].collect()
+      .flatMap { case (id, t) =>
+        val pa = t.zipWithIndex.collect { case ("sort", i) => i.toLong }
+        val pb = t.zipWithIndex.collect { case ("merge", i) => i.toLong }
+        if (pa.isEmpty || pb.isEmpty) None
+        else {
+          val ms = (for (a <- pa; b <- pb) yield math.abs(a - b)).min
+          if (ms <= 5L) Some(id -> ms) else None
+        }
+      }.toMap
+    assert(got == local,
+      s"linear scan diverged from brute force on ${
+        (got.keySet ++ local.keySet).count(k =>
+          got.get(k) != local.get(k))} docs")
+    assert(got.nonEmpty)
+  }
+
   test("stripMarkup: scripts/styles/comments dropped, block tags " +
       "break lines, entities decode exactly once, malformed markup " +
       "degrades to whitespace never lost text") {
