@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.TextAnalysis
+
+/** X3 × W — CONTINUOUS lexical-index maintenance: every micro-batch
+  * of arriving documents appends one immutable BM25 segment (the
+  * Lucene flush) and the size-tiered merge immediately compacts the
+  * layout back to `maxSegments` — the steady-state ingestion loop a
+  * live search index runs, composed from the batch operators the gate
+  * already verifies ([[TextAnalysis.bm25AppendSegment]] → q115,
+  * [[TextAnalysis.bm25MergeSegmentsTiered]] → q134).
+  *
+  * `foreachBatch` is the right tool here, not a streaming sink:
+  * append + merge are batch operators with a crash-recoverable commit
+  * protocol of their own, and `batchId` supplies the MONOTONE segment
+  * numbers the tombstone generation rule requires (a tiered fold
+  * renumbers to the folded range's upper segment, which stays strictly
+  * below every future batchId). Restart safety: a replayed batch
+  * rewrites its `seg=<batchId>` directory idempotently (overwrite
+  * mode), and a crash mid-fold recovers through the merge's own
+  * sealed-marker protocol on the next batch.
+  *
+  * Probes against the index must not race the maintenance loop — the
+  * same single-writer contract as every segmented layout here. */
+object StreamingLexicalIndex {
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          path: String, maxSegments: Int,
+          checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          TextAnalysis.bm25AppendSegment(batch.toDF(), idCol, textCol,
+            path, batchId.toInt)
+          TextAnalysis.bm25MergeSegmentsTiered(batch.sparkSession,
+            path, idCol, maxSegments)
+          ()
+        }
+      }
+      .start()
+}
