@@ -2791,7 +2791,12 @@ object PipelineQueries {
       val idxPath = scratchPath("ivfloop_index", dir)
       val stagePath = scratchPath("ivfloop_stage", dir)
       val centsPath = scratchPath("ivfloop_cents", dir)
-      val k = 16
+      // k=8 cells: the loop's semantics (relative gauges, breach,
+      // rebuild) are cell-count-independent, and this row already
+      // pays TWO ML centroid fits + four index-layout writes — the
+      // gate-completeness cost is halved without weakening what is
+      // being proven (q31/q109/q123 keep gating the k=16 layouts)
+      val k = 8
       val cents0 = Similarity.learnedCentroids(base, "embedding", k)
         .localCheckpoint()
       Similarity.ivfWriteIndexQuantized(base, cents0, "vec_id",
