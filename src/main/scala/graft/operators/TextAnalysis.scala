@@ -1061,6 +1061,25 @@ object TextAnalysis {
       .filter(col("min_span") <= maxSpan)
   }
 
+  /** PREFIX term search over a [[writePositionalIndex]] layout — the
+    * wildcard/autocomplete query class (`sta*`): a `startsWith`
+    * predicate on the TERM-SORTED postings pushes to the parquet scan
+    * as `StringStartsWith`, so row-group min/max stats prune the
+    * files outside the prefix's contiguous term range — the lexical
+    * analog of the IVF cell pruning, and exactly why the layout
+    * sorts by term. Returns per matching document the distinct
+    * matched terms and total occurrences. */
+  def termPrefixSearch(spark: org.apache.spark.sql.SparkSession,
+                       path: String, prefix: String,
+                       idCol: String): DataFrame = {
+    require(prefix.nonEmpty, "termPrefixSearch: empty prefix")
+    spark.read.parquet(s"$path/postings")
+      .filter(col("term").startsWith(prefix))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("term")).as("n_terms"),
+        sum(size(col("positions")).cast("long")).as("n_occurrences"))
+  }
+
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct
     * terms (a panel-sized driver-side fetch, the same boundedness
     * contract as the IVF centroid ranking) become a pushed-down

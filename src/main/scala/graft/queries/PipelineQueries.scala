@@ -2948,6 +2948,20 @@ object PipelineQueries {
         .unionByName(three.withColumn("q", lit("query table join w6")))
         .orderBy(col("q"), col("doc_id"))
     }),
+
+    // X3 — PREFIX term search (`st*`) over the q138/q139 positional
+    // layout: the startsWith predicate pushes to the term-sorted scan
+    // as StringStartsWith (plan-asserted in spec), so row-group
+    // min/max stats prune outside the prefix's contiguous term range.
+    // Reuses q139's written index — the layout serves phrase,
+    // proximity, AND wildcard queries from one artifact.
+    "q140_prefix_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("prefix_index", dir)
+      TextAnalysis.writePositionalIndex(d, "doc_id", "text", path)
+      TextAnalysis.termPrefixSearch(s, path, "st", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -4970,6 +4984,18 @@ object PipelineQueries {
         |      UNION ALL SELECT * FROM m3 WHERE ms <= 6)
         |SELECT doc_id, CAST(ms AS BIGINT) AS min_span, q
         |FROM u ORDER BY q, doc_id""".stripMargin,
+
+    // prefix-term semantics replayed from the token stream: distinct
+    // matched terms + total occurrences per doc for tokens starting
+    // with the prefix
+    "q140_prefix_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS term
+        |  FROM documents)
+        |SELECT doc_id, count(DISTINCT term) AS n_terms,
+        |  count(*) AS n_occurrences
+        |FROM tok WHERE term LIKE 'st%'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the single-task global cumsum window the two-pass prefix sum
     // must reproduce exactly, then the same integer interval algebra

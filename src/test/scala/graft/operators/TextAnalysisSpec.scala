@@ -541,6 +541,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("termPrefixSearch: distinct-term and occurrence counts, and " +
+      "the startsWith predicate is pushed to the postings scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "star start star x"),  // st*: {star×2, start×1} → 2 terms, 3 occ
+      (2L, "stop x stop"),        // {stop×2} → 1 term, 2 occ
+      (3L, "x y z"))              // no st* terms
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefidx").toString
+    TextAnalysis.writePositionalIndex(docs, "doc_id", "text", dir)
+    val got = TextAnalysis.termPrefixSearch(spark, dir, "st", "doc_id")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L), (2L, 1L, 2L)))
+    val plan = TextAnalysis.termPrefixSearch(spark, dir, "st", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,st)"),
+      s"prefix predicate not pushed:\n${plan.take(1200)}")
+  }
+
   test("stripMarkup: scripts/styles/comments dropped, block tags " +
       "break lines, entities decode exactly once, malformed markup " +
       "degrades to whitespace never lost text") {
