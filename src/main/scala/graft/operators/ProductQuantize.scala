@@ -455,6 +455,64 @@ object ProductQuantize {
       adcLutMulti(cb, queries, m), idCol, k)
   }
 
+  /** CELL-INCREMENTAL refresh of an [[ivfPqWriteIndex]] layout — the
+    * maintenance story the int8 inverted file already has
+    * ([[Similarity.ivfRefreshQuantizedIncremental]]), for the PQ rung:
+    * a recrawl diff names the changed keys, only the cells whose
+    * membership changed are re-written, and unchanged keys keep their
+    * PQ codes verbatim (no re-encode). CODEBOOKS and CENTROIDS stay
+    * FIXED across refreshes — fresh rows encode through the WRITTEN
+    * codebooks, so the ADC arithmetic of survivors and fresh rows
+    * stays mutually consistent; retraining both is the periodic
+    * re-optimization path (the [[Similarity.ivfRefreshOrRecenter]]
+    * drift loop, which composes unchanged because the layouts share
+    * the `centroid_id=` cell scheme). Commit via the shared
+    * [[Similarity.commitCellRefresh]] tail — same staging, same
+    * dynamic partition overwrite, same loud empty-cell drop.
+    *
+    * `changes` is [[Upsert.diffByKey]] output (key, status). Returns
+    * the dirty cell ids (≤|cells|, driver-side — the probe's own
+    * boundedness contract). */
+  def ivfPqRefreshIncremental(
+      spark: SparkSession, path: String, cents: DataFrame,
+      newSnap: DataFrame, changes: DataFrame, idCol: String,
+      vecCol: String, stagingPath: String): Seq[Long] = {
+    val indexPath = s"$path/codes"
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val changed = cached(
+      changes.filter(col("status") =!= "unchanged"))
+    val gone = changed.filter(col("status").isin("removed", "modified"))
+      .select(col(idCol))
+    val freshKeys = changed
+      .filter(col("status").isin("added", "modified"))
+      .select(col(idCol))
+    val idx = spark.read.parquet(indexPath)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val freshRows = newSnap.join(freshKeys, Seq(idCol))
+    val freshAssigned = cached(
+      pqEncode(freshRows, idCol, vecCol, cb, m)
+        .join(Similarity.ivfAssignCosine(freshRows, cents, idCol,
+          vecCol), Seq(idCol))
+        .select(col(idCol), col("codes"), col("centroid_id")))
+    val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
+      .union(freshAssigned.select(col("centroid_id")))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (dirty.isEmpty) return dirty
+    val dirtyLits = scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(dirty.toArray)
+    val survivors = idx
+      .filter(col("centroid_id").isin(dirtyLits: _*))
+      .join(gone, Seq(idCol), "left_anti")
+      .select(col(idCol), col("codes"), col("centroid_id"))
+    val unioned = survivors.unionByName(freshAssigned)
+      .repartition(col("centroid_id"))
+    Similarity.commitCellRefresh(spark, indexPath, stagingPath,
+      unioned, dirty)
+    freshAssigned.unpersist(); changed.unpersist()
+    dirty
+  }
+
   /** Residual IVF-PQ — FAISS's default accuracy rung: each vector is
     * stored as (cell, PQ codes of the RESIDUAL uv − cell centroid).
     * Residuals concentrate in a much tighter distribution than the

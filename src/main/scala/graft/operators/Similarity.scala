@@ -559,6 +559,22 @@ object Similarity {
         col("centroid_id"))
     val unioned = survivors.unionByName(freshAssigned)
       .repartition(col("centroid_id")) // cell compaction, as the writers
+    commitCellRefresh(spark, indexPath, stagingPath, unioned, dirty)
+    dirty
+  }
+
+  /** THE cell-refresh commit tail, shared by the int8 and the PQ
+    * refreshes (a second hand-copy of the empty-cell-drop rule would
+    * drift silently): stage the dirty cells' new content, dynamic-
+    * partition-overwrite only the staged `centroid_id=` directories,
+    * then LOUDLY drop the dirty cells that ended up with no staged
+    * rows (dynamic overwrite never touches a partition with no output
+    * rows — without the explicit drop a fully-removed cell would
+    * serve stale vectors forever). */
+  private[operators] def commitCellRefresh(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      stagingPath: String, unioned: DataFrame,
+      dirty: Seq[Long]): Unit = {
     unioned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(stagingPath)
     // explicit schema: a SHRINK-ONLY delta stages zero rows, and a
@@ -583,7 +599,6 @@ object Similarity {
       require(fs.delete(p, true) || !fs.exists(p),
         s"failed to drop emptied index cell $p")
     }
-    dirty
   }
 
   /** Per-cell DRIFT statistics of a quantized cosine inverted file —

@@ -2962,6 +2962,67 @@ object PipelineQueries {
       TextAnalysis.termPrefixSearch(s, path, "st", "doc_id")
         .orderBy(col("doc_id"))
     }),
+
+    // X2 — IVF-PQ cell-incremental REFRESH under the hash gate (the
+    // maintenance rung the int8 file gets from q109, for the PQ
+    // layout): index built on snapshot A, then one recrawl wave with
+    // adds + modifies + removes refreshed cell-incrementally —
+    // codebooks and centroids FIXED, survivors keep their codes
+    // verbatim. The builder require()s full membership parity with a
+    // from-scratch re-encode of the final snapshot (the refresh must
+    // be INVISIBLE to index content); the gated row is the ADC probe
+    // over the refreshed layout, replayed by DuckDB off the written
+    // artifacts exactly as q130.
+    "q141_ivfpq_refresh" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      // snapshot A lacks the %11==5 keys (they arrive in the wave)
+      val snapA = base.filter(col("vec_id") % 11 =!= 5)
+      val status = when(col("vec_id") % 11 === 5, lit("added"))
+        .when(col("vec_id") % 7 === 1, lit("modified"))
+        .when(col("vec_id") % 13 === 2, lit("removed"))
+        .otherwise(lit("unchanged"))
+      val changes = base.select(col("vec_id"), status.as("status"))
+      val snapB = base
+        .filter(status =!= "removed")
+        .select(col("vec_id"),
+          when(status === "modified",
+            transform(col("embedding"), x => (x + lit(0.05f))))
+            .otherwise(col("embedding")).as("embedding"))
+      val path = scratchPath("ivfpqf_index", dir)
+      val centsPath = scratchPath("ivfpqf_cents", dir)
+      Similarity.learnedCentroids(snapA, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite").parquet(centsPath)
+      val cents = s.read.parquet(centsPath)
+      ProductQuantize.ivfPqWriteIndex(snapA, cents, "vec_id",
+        "embedding", m = 8, k = 16, path)
+      val dirty = ProductQuantize.ivfPqRefreshIncremental(s, path,
+        cents, snapB, changes, "vec_id", "embedding",
+        scratchPath("ivfpqf_stage", dir))
+      require(dirty.nonEmpty, "q141: recrawl wave touched no cells")
+      // membership parity: refreshed content == from-scratch encode of
+      // the final snapshot against the SAME codebooks + centroids
+      val cb = s.read.parquet(s"$path/codebooks")
+      val expect = ProductQuantize.pqEncode(snapB, "vec_id",
+          "embedding", cb, m = 8)
+        .join(Similarity.ivfAssignCosine(snapB, cents, "vec_id",
+          "embedding"), Seq("vec_id"))
+        .select(col("vec_id"), col("codes"), col("centroid_id"))
+      val got = graft.engine.Caching.cached(
+        s.read.parquet(s"$path/codes")
+          .select(col("vec_id"), col("codes"),
+            col("centroid_id").cast("long").as("centroid_id")))
+      // equal row counts + one empty set-difference ⟺ equal multisets
+      // (half the exceptAll cost of the two-sided spelling)
+      require(got.count() == expect.count() &&
+          got.exceptAll(expect).count() == 0,
+        "q141: refreshed index diverged from a from-scratch re-encode")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      ProductQuantize.ivfPqProbe(s, path, cents, qv, "vec_id",
+        k = 10, nProbe = 3)
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -5111,6 +5172,39 @@ object PipelineQueries {
         |          unnest(generate_series(0, 7)) AS subspace
         |        FROM read_parquet(
         |            '{SCRATCH}/ivfpq_index_{SFHASH}/codes/*/*.parquet',
+        |            hive_partitioning = 1)
+        |        WHERE CAST(centroid_id AS BIGINT) IN
+        |          (SELECT cid FROM probed)))
+        |SELECT vec_id,
+        |  round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS adc_score
+        |FROM cx JOIN ip USING (subspace, code)
+        |GROUP BY vec_id ORDER BY adc_score DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // q130's replay pointed at the REFRESHED layout: the probe over
+    // the cell-incrementally maintained index must be reproducible
+    // off its own written artifacts exactly like a fresh build's
+    "q141_ivfpq_refresh" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |  FROM read_parquet('{SCRATCH}/ivfpqf_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |cb AS (SELECT subspace, code, cvec
+        |  FROM read_parquet(
+        |    '{SCRATCH}/ivfpqf_index_{SFHASH}/codebooks/*.parquet')),
+        |ip AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb, q),
+        |cx AS (SELECT vec_id, subspace, codes[subspace + 1] AS code
+        |  FROM (SELECT vec_id, codes,
+        |          unnest(generate_series(0, 7)) AS subspace
+        |        FROM read_parquet(
+        |            '{SCRATCH}/ivfpqf_index_{SFHASH}/codes/*/*.parquet',
         |            hive_partitioning = 1)
         |        WHERE CAST(centroid_id AS BIGINT) IN
         |          (SELECT cid FROM probed)))

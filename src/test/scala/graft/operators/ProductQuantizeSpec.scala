@@ -240,6 +240,84 @@ class ProductQuantizeSpec extends SparkSpec {
       s"wrong error: ${e2.getMessage}")
   }
 
+  test("ivfPqRefreshIncremental: only dirty cells rewritten, content " +
+      "equals a from-scratch re-encode through the same codebooks") {
+    import spark.implicits._
+    val snapA = base.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(snapA, "embedding", k = 16)
+      .localCheckpoint()
+    // confine the wave to keys of ONE cell (the largest), so the
+    // incremental claim — untouched cells' files never rewritten — is
+    // deterministic; the q141 gate row exercises the scattered
+    // add/modify/remove mix at scale
+    val assign = Similarity.ivfAssignCosine(snapA, cents, "vec_id",
+      "embedding")
+    val bigCell = assign.groupBy(col("centroid_id")).count()
+      .orderBy(col("count").desc, col("centroid_id"))
+      .head().getLong(0)
+    val cellKeys = assign.filter(col("centroid_id") === bigCell)
+      .select(col("vec_id")).as[Long].collect().sorted
+    assert(cellKeys.length >= 5, s"fixture cell too small: ${cellKeys.length}")
+    val modifyKeys = cellKeys.take(3).toSet
+    val removeKeys = cellKeys.slice(3, 5).toSet
+    val status = when(col("vec_id").isin(modifyKeys.toSeq: _*),
+        lit("modified"))
+      .when(col("vec_id").isin(removeKeys.toSeq: _*), lit("removed"))
+      .otherwise(lit("unchanged"))
+    val changes = snapA.select(col("vec_id"), status.as("status"))
+    val snapB = snapA.filter(status =!= "removed")
+      .select(col("vec_id"),
+        when(status === "modified",
+          transform(col("embedding"), x => (x + lit(0.05f))))
+          .otherwise(col("embedding")).as("embedding"))
+    val path = scratch("pqrefresh").toString
+    ProductQuantize.ivfPqWriteIndex(snapA, cents, "vec_id",
+      "embedding", m = 8, k = 16, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellMtimes(): Map[String, Long] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+      .flatMap(d => fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${d.getPath.getName}/${f.getPath.getName}" ->
+          f.getModificationTime))
+      .toMap
+    val before = cellMtimes()
+    val dirty = ProductQuantize.ivfPqRefreshIncremental(spark, path,
+      cents, snapB, changes, "vec_id", "embedding",
+      scratch("pqrefresh_stage").toString)
+    assert(dirty.nonEmpty)
+    // untouched cells: every pre-refresh file survives bit-unmoved
+    val after = cellMtimes()
+    val untouched = before.keys.filterNot(k =>
+      dirty.exists(c => k.startsWith(s"centroid_id=$c/")))
+    assert(untouched.nonEmpty, "refresh dirtied every cell — fixture " +
+      "no longer exercises the incremental path")
+    untouched.foreach { k =>
+      assert(after.get(k).contains(before(k)),
+        s"untouched cell file $k was rewritten")
+    }
+    // content parity: refreshed layout == from-scratch encode of the
+    // final snapshot through the SAME codebooks + centroids
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val expect = ProductQuantize.pqEncode(snapB, "vec_id", "embedding",
+        cb, m = 8)
+      .join(Similarity.ivfAssignCosine(snapB, cents, "vec_id",
+        "embedding"), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("centroid_id"))
+    val got = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("codes"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+    // removed keys are gone, modified keys survive
+    val ids = got.select(col("vec_id")).as[Long].collect().toSet
+    assert(removeKeys.forall(k => !ids.contains(k)))
+    assert(modifyKeys.forall(ids.contains))
+  }
+
   test("residual encoding reconstructs tighter than direct PQ " +
       "on clustered data") {
     // the accuracy claim behind q131: with the SAME m·k budget, the
