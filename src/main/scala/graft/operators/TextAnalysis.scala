@@ -869,12 +869,26 @@ object TextAnalysis {
     * it, re-running recovers by replaying exactly the missing swap
     * steps (same idempotence argument as the full merge).
     *
+    * `protectNewest` exempts that many of the HIGHEST-numbered
+    * segments from folding — the replay-safety lever for streaming
+    * ingestion ([[graft.streaming.StreamingLexicalIndex]]): a
+    * micro-batch retry re-appends `seg=batchId` with overwrite, so if
+    * a fold had already absorbed an OLDER segment into seg=batchId,
+    * the replay's overwrite would destroy the absorbed docs; keeping
+    * the newest segment out of the fold set makes append-then-merge
+    * idempotent under replay. With protection the layout may
+    * transiently hold maxSegments + protectNewest segments when no
+    * unprotected pair remains.
+    *
     * Returns (folds performed, segments remaining). */
   def bm25MergeSegmentsTiered(spark: org.apache.spark.sql.SparkSession,
                               path: String, idCol: String,
-                              maxSegments: Int): (Long, Long) = {
+                              maxSegments: Int,
+                              protectNewest: Int = 0): (Long, Long) = {
     require(maxSegments >= 1,
       s"bm25MergeSegmentsTiered: maxSegments must be >= 1, got $maxSegments")
+    require(protectNewest >= 0,
+      s"bm25MergeSegmentsTiered: protectNewest must be >= 0, got $protectNewest")
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = new Path(path)
@@ -923,10 +937,11 @@ object TextAnalysis {
         .toSeq.sortBy(_._1)
     var segs = segSizes()
     var folds = 0L
-    while (segs.length > maxSegments) {
-      // adjacent pair with the smallest combined size; ties to the
-      // oldest pair (deterministic)
-      val i = segs.indices.dropRight(1)
+    while (segs.length > maxSegments &&
+        segs.length - protectNewest >= 2) {
+      // adjacent pair with the smallest combined size among the
+      // UNPROTECTED segments; ties to the oldest pair (deterministic)
+      val i = segs.indices.dropRight(1 + protectNewest)
         .minBy(j => (segs(j)._2 + segs(j + 1)._2, segs(j)._1))
       val (a, na, sa) = segs(i)
       val (b, nb, sb) = segs(i + 1)

@@ -18,10 +18,18 @@ import graft.operators.TextAnalysis
   * protocol of their own, and `batchId` supplies the MONOTONE segment
   * numbers the tombstone generation rule requires (a tiered fold
   * renumbers to the folded range's upper segment, which stays strictly
-  * below every future batchId). Restart safety: a replayed batch
-  * rewrites its `seg=<batchId>` directory idempotently (overwrite
-  * mode), and a crash mid-fold recovers through the merge's own
-  * sealed-marker protocol on the next batch.
+  * below every future batchId).
+  *
+  * Restart safety hinges on `protectNewest = 1`: a replayed batch
+  * re-appends `seg=<batchId>` with OVERWRITE, so the just-appended
+  * segment must never be absorbed by a fold within the same batch —
+  * if it were, the replay's overwrite would destroy the absorbed
+  * older docs. With the newest segment protected, append-then-merge
+  * is idempotent under replay (the re-append rewrites identical
+  * content, the re-merge is a no-op or folds exactly what the lost
+  * attempt folded), and a crash mid-fold recovers through the
+  * merge's own sealed-marker protocol on the next batch. The layout
+  * transiently holds up to maxSegments + 1 segments for one batch.
   *
   * Probes against the index must not race the maintenance loop — the
   * same single-writer contract as every segmented layout here. */
@@ -38,7 +46,7 @@ object StreamingLexicalIndex {
           TextAnalysis.bm25AppendSegment(batch.toDF(), idCol, textCol,
             path, batchId.toInt)
           TextAnalysis.bm25MergeSegmentsTiered(batch.sparkSession,
-            path, idCol, maxSegments)
+            path, idCol, maxSegments, protectNewest = 1)
           ()
         }
       }

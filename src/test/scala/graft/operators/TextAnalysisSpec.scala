@@ -541,6 +541,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("bm25MergeSegmentsTiered protectNewest: a replayed append-" +
+      "then-merge loses nothing; unprotected replay demonstrably " +
+      "would") {
+    import spark.implicits._
+    val a = Seq((1L, "a b"), (2L, "a c"), (3L, "b c"), (4L, "c c"))
+      .toDF("doc_id", "text")                   // biggest (4 docs)
+    val b = Seq((5L, "a b c")).toDF("doc_id", "text") // small
+    val c = Seq((6L, "b b a")).toDF("doc_id", "text") // small
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    def probe(dir: String) = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    def ingest(dir: String, protect: Int): Unit = {
+      // the streaming loop's per-batch step, with batch 2 REPLAYED
+      // (append is overwrite — the foreachBatch retry semantics)
+      TextAnalysis.bm25AppendSegment(a, "doc_id", "text", dir, 0)
+      TextAnalysis.bm25MergeSegmentsTiered(spark, dir, "doc_id", 2,
+        protect)
+      TextAnalysis.bm25AppendSegment(b, "doc_id", "text", dir, 1)
+      TextAnalysis.bm25MergeSegmentsTiered(spark, dir, "doc_id", 2,
+        protect)
+      TextAnalysis.bm25AppendSegment(c, "doc_id", "text", dir, 2)
+      TextAnalysis.bm25MergeSegmentsTiered(spark, dir, "doc_id", 2,
+        protect)
+      TextAnalysis.bm25AppendSegment(c, "doc_id", "text", dir, 2)
+      TextAnalysis.bm25MergeSegmentsTiered(spark, dir, "doc_id", 2,
+        protect)
+    }
+    val direct = TextAnalysis
+      .bm25TopK(a.unionByName(b).unionByName(c), "doc_id", "text",
+        panel, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // protected: replay is idempotent — nothing lost
+    val safeDir = java.nio.file.Files
+      .createTempDirectory("tierreplay_p").toString
+    ingest(safeDir, protect = 1)
+    assert(probe(safeDir) == direct,
+      "protected replay diverged from the direct scan")
+    // UNprotected: batch 2's merge absorbs segment 1 into seg=2
+    // (smallest adjacent pair), so the replayed overwrite of seg=2
+    // destroys batch 1's docs — the failure protectNewest exists for
+    val unsafeDir = java.nio.file.Files
+      .createTempDirectory("tierreplay_u").toString
+    ingest(unsafeDir, protect = 0)
+    val lost = probe(unsafeDir)
+    assert(lost != direct && !lost.exists(_._2 == 5L),
+      "expected the unprotected replay to lose the absorbed batch")
+  }
+
   test("termPrefixSearch: distinct-term and occurrence counts, and " +
       "the startsWith predicate is pushed to the postings scan") {
     import spark.implicits._
