@@ -1076,6 +1076,39 @@ object TextAnalysis {
       .filter(col("min_span") <= maxSpan)
   }
 
+  /** ONE RECRAWL WAVE applied to a segmented BM25 index — the lexical
+    * counterpart of the vector indexes' incremental refreshes
+    * ([[Similarity.ivfRefreshQuantizedIncremental]],
+    * [[ProductQuantize.ivfPqRefreshIncremental]]): the corpus diff
+    * ([[Upsert.diffByKey]] output) drives tombstones for
+    * removed/modified keys (dl taken from the OLD snapshot — the
+    * stats-correction contract), a fresh segment for added/modified
+    * docs, and a tiered compaction back to `maxSegments`, all at
+    * generation `segment`. Cost scales with the recrawl delta plus
+    * the tiered fold — never a full index rewrite; the probe's
+    * arithmetic is untouched by construction (tombstone algebra +
+    * summed stats partials, the q134 contract). */
+  def bm25ApplyRecrawl(spark: org.apache.spark.sql.SparkSession,
+                       path: String, oldSnap: DataFrame,
+                       newSnap: DataFrame, changes: DataFrame,
+                       idCol: String, textCol: String, segment: Int,
+                       maxSegments: Int): (Long, Long) = {
+    val changed = changes.filter(col("status") =!= "unchanged")
+    val gone = changed
+      .filter(col("status").isin("removed", "modified"))
+      .select(col(idCol))
+    val goneKeys = oldSnap.join(gone, Seq(idCol))
+      .select(col(idCol),
+        size(tokens(coalesce(col(textCol), lit(""))))
+          .cast("long").as("dl"))
+    bm25Tombstone(goneKeys, idCol, "dl", path, segment)
+    val fresh = newSnap.join(
+      changed.filter(col("status").isin("added", "modified"))
+        .select(col(idCol)), Seq(idCol))
+    bm25AppendSegment(fresh, idCol, textCol, path, segment)
+    bm25MergeSegmentsTiered(spark, path, idCol, maxSegments)
+  }
+
   /** PREFIX term search over a [[writePositionalIndex]] layout — the
     * wildcard/autocomplete query class (`sta*`): a `startsWith`
     * predicate on the TERM-SORTED postings pushes to the parquet scan
