@@ -513,6 +513,93 @@ object ProductQuantize {
     dirty
   }
 
+  /** Per-cell DRIFT statistics of an IVF-PQ index, computed from the
+    * CODES alone — the monitoring read that lets the PQ layout run
+    * the same refresh-or-recenter loop as the int8 file
+    * ([[Similarity.ivfDriftStats]] cannot serve here: its codes are
+    * VALUES, PQ codes are INDICES). Reconstruction never
+    * materializes: per (cell, subspace, code) the codebook entry's
+    * inner product with the cell centroid's subvector and the
+    * entry's squared norm are precomputed as 1e-7 FIXED-POINT
+    * integers (a |cells|·m·k broadcast LUT), so each stored vector's
+    * cosine displacement is m integer lookups summed — commutative,
+    * hence deterministic under any partitioning, and an external
+    * engine replays it bit-for-bit off the written parquet
+    * (cos = (Σip/1e7) / (√(Σnn/1e7)·‖centroid‖), all post-sum float
+    * ops IEEE-identical across engines). Output mirrors
+    * [[Similarity.ivfDriftStats]]: (centroid_id, n, mean_cd,
+    * cd_fp_sum) — [[Similarity.ivfDriftGauges]] consumes it
+    * unchanged. */
+  def ivfPqDriftStats(spark: SparkSession, path: String,
+                      cents: DataFrame, idCol: String): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("code"), col("cvec").as("bvec"))
+    val lut = cb.crossJoin(broadcast(
+        cents.select(col("centroid_id"), col("cvec"))))
+      .withColumn("_sublen", size(col("bvec")))
+      .withColumn("_cs", slice(col("cvec"),
+        (col("subspace") * col("_sublen") + 1).cast("int"),
+        col("_sublen").cast("int")))
+      .select(col("centroid_id"), col("subspace"), col("code"),
+        floor(guardedIp(col("bvec"), col("_cs"), "ivfPqDriftStats")
+          * 1e7 + 0.5).cast("long").as("ip_fp"),
+        floor(VectorFns.dot(col("bvec"), col("bvec")) * 1e7 + 0.5)
+          .cast("long").as("nn_fp"))
+    val cnorm = cents.select(col("centroid_id"),
+      VectorFns.norm(col("cvec")).as("_cnorm"))
+    spark.read.parquet(s"$path/codes")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .select(col(idCol), col("centroid_id"),
+        posexplode(col("codes")).as(Seq("_pos", "code")))
+      .withColumn("subspace", col("_pos").cast("long"))
+      .join(broadcast(lut), Seq("centroid_id", "subspace", "code"))
+      .groupBy(col("centroid_id"), col(idCol))
+      .agg(sum(col("ip_fp")).as("_ips"), sum(col("nn_fp")).as("_nns"))
+      .join(broadcast(cnorm), Seq("centroid_id"))
+      .withColumn("cd_fp", floor((lit(1.0) -
+          (col("_ips") / 1e7) /
+          (sqrt(col("_nns") / 1e7) * col("_cnorm"))) * 1e7 + 0.5)
+        .cast("long"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cd_fp")).as("cd_fp_sum"))
+      .select(col("centroid_id"), col("n"),
+        round(col("cd_fp_sum") / col("n") / 1e7, 4).as("mean_cd"),
+        col("cd_fp_sum"))
+  }
+
+  /** The PQ layout's drift-guarded maintenance loop — the
+    * [[Similarity.ivfRefreshOrRecenter]] shape with BOTH model
+    * artifacts retrained on breach: refresh cell-incrementally
+    * (codebooks + centroids fixed), gauge drift from the codes alone
+    * ([[ivfPqDriftStats]]), and when a gauge breaches its fit-time
+    * baseline (same relative triggers), refit centroids AND codebooks
+    * on the current snapshot and rebuild. Returns (centroids to use
+    * from here on, baseline gauges for the next wave, recentered?). */
+  def ivfPqRefreshOrRecenter(
+      spark: SparkSession, path: String, cents: DataFrame,
+      newSnap: DataFrame, changes: DataFrame, idCol: String,
+      vecCol: String, stagingPath: String, baseline: (Long, Long),
+      kCells: Int, m: Int, k: Int, seed: Long = 42L,
+      cdFactorX100: Long = 115L, skewFactorX100: Long = 175L)
+      : (DataFrame, (Long, Long), Boolean) = {
+    ivfPqRefreshIncremental(spark, path, cents, newSnap, changes,
+      idCol, vecCol, stagingPath)
+    val (skewX100, meanCdFp) = Similarity.ivfDriftGauges(
+      ivfPqDriftStats(spark, path, cents, idCol))
+    val drifted = meanCdFp * 100L > baseline._2 * cdFactorX100 ||
+      skewX100 * 100L > baseline._1 * skewFactorX100
+    if (!drifted) (cents, baseline, false)
+    else {
+      val cents2 = Similarity
+        .learnedCentroids(newSnap, vecCol, kCells, seed)
+        .localCheckpoint()
+      ivfPqWriteIndex(newSnap, cents2, idCol, vecCol, m, k, path, seed)
+      val baseline2 = Similarity.ivfDriftGauges(
+        ivfPqDriftStats(spark, path, cents2, idCol))
+      (cents2, baseline2, true)
+    }
+  }
+
   /** Residual IVF-PQ — FAISS's default accuracy rung: each vector is
     * stored as (cell, PQ codes of the RESIDUAL uv − cell centroid).
     * Residuals concentrate in a much tighter distribution than the

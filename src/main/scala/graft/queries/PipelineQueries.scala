@@ -3071,6 +3071,66 @@ object PipelineQueries {
       TextAnalysis.bm25ProbeSegmented(s, path, panel, k = 12, "doc_id")
         .orderBy(col("qid"), col("score").desc, col("doc_id"))
     }),
+
+    // X2 — the PQ layout's drift-guarded maintenance loop end-to-end
+    // (q136's scenario on IVF-PQ; closes the round-12 "PQ drift loop"
+    // known-limit): refresh keeps codebooks + centroids fixed, the
+    // drift gauges come from the CODES alone (per-(cell, subspace,
+    // code) fixed-point LUT — no vector ever reconstructed), and the
+    // breach retrains BOTH artifacts and rebuilds. Benign wave must
+    // not recenter, hard-drift wave must; the gated output is the
+    // rebuilt index's per-cell code-level drift stats, replayed by
+    // DuckDB through the same LUT algebra off the written artifacts.
+    "q143_ivfpq_drift_loop" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val path = scratchPath("ivfpqd_index", dir)
+      val stagePath = scratchPath("ivfpqd_stage", dir)
+      val centsPath = scratchPath("ivfpqd_cents", dir)
+      val kCells = 8
+      val cents0 = Similarity.learnedCentroids(base, "embedding",
+        kCells).localCheckpoint()
+      ProductQuantize.ivfPqWriteIndex(base, cents0, "vec_id",
+        "embedding", m = 8, k = 16, path)
+      val baseline = Similarity.ivfDriftGauges(
+        ProductQuantize.ivfPqDriftStats(s, path, cents0, "vec_id"))
+      val snap1 = base.select(col("vec_id"),
+        when(col("vec_id") % 97 === 1,
+          transform(col("embedding"), x => (x + lit(0.001f))))
+          .otherwise(col("embedding")).as("embedding"))
+      val changes1 = base.select(col("vec_id"),
+        when(col("vec_id") % 97 === 1, lit("modified"))
+          .otherwise(lit("unchanged")).as("status"))
+      val (c1, b1, rec1) = ProductQuantize.ivfPqRefreshOrRecenter(s,
+        path, cents0, snap1, changes1, "vec_id", "embedding",
+        stagePath, baseline, kCells, m = 8, k = 16)
+      require(!rec1, "q143: benign wave must not recenter")
+      val snap2 = snap1.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0,
+          transform(col("embedding"),
+            (x, j) => (x + lit(1.0) * cos(j.cast("double")))
+              .cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+      val changes2 = base.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0, lit("modified"))
+          .otherwise(lit("unchanged")).as("status"))
+      val (c2, _, rec2) = ProductQuantize.ivfPqRefreshOrRecenter(s,
+        path, c1, snap2, changes2, "vec_id", "embedding", stagePath,
+        b1, kCells, m = 8, k = 16)
+      require(rec2, "q143: hard-drift wave must recenter")
+      c2.coalesce(1).write.mode("overwrite").parquet(centsPath)
+      val centsR = s.read.parquet(centsPath)
+      val stats = graft.engine.Caching.cached(
+        ProductQuantize.ivfPqDriftStats(s, path, centsR, "vec_id"))
+      val tot = stats.agg(sum(col("n")).as("tot"),
+        max(col("n")).as("maxn"), count(lit(1)).as("cells"))
+      stats.crossJoin(broadcast(tot))
+        .select(col("centroid_id"), col("n"), col("cd_fp_sum"),
+          col("mean_cd"),
+          expr("(maxn * cells * 100) div tot").as("skew_x100"))
+        .orderBy(col("centroid_id"))
+    }),
   )
 
   /** q32's featurization, exposed so KMeansSpec can fit alternative k
@@ -5265,6 +5325,55 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // the code-level drift stats replayed through the same
+    // fixed-point LUT algebra: per (cell, subspace, code) the
+    // codebook entry's inner product with the centroid slice and its
+    // squared norm, integer-summed per stored vector, then the
+    // IDENTICALLY-parenthesized cosine-displacement float expression
+    "q143_ivfpq_drift_loop" ->
+      """WITH cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |  FROM read_parquet('{SCRATCH}/ivfpqd_cents_{SFHASH}/*.parquet')),
+        |cb AS (SELECT subspace, code, cvec AS bvec
+        |  FROM read_parquet(
+        |    '{SCRATCH}/ivfpqd_index_{SFHASH}/codebooks/*.parquet')),
+        |lut AS (SELECT cid, subspace, code,
+        |    CAST(floor(list_inner_product(bvec,
+        |      cv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp,
+        |    CAST(floor(list_inner_product(bvec, bvec) * 1e7 + 0.5)
+        |      AS BIGINT) AS nn_fp
+        |  FROM cb, cents),
+        |cx AS (SELECT vec_id, CAST(centroid_id AS BIGINT) AS cid,
+        |    subspace, codes[subspace + 1] AS code
+        |  FROM (SELECT vec_id, codes, centroid_id,
+        |          unnest(generate_series(0, 7)) AS subspace
+        |        FROM read_parquet(
+        |            '{SCRATCH}/ivfpqd_index_{SFHASH}/codes/*/*.parquet',
+        |            hive_partitioning = 1))),
+        |rowsum AS (SELECT vec_id, cid,
+        |    CAST(sum(ip_fp) AS BIGINT) AS ips,
+        |    CAST(sum(nn_fp) AS BIGINT) AS nns
+        |  FROM cx JOIN lut USING (cid, subspace, code)
+        |  GROUP BY 1, 2),
+        |cn AS (SELECT cid, sqrt(list_inner_product(cv, cv)) AS cnorm
+        |       FROM cents),
+        |cd AS (SELECT cid,
+        |    CAST(floor((1.0 - (ips / 1e7) /
+        |      (sqrt(nns / 1e7) * cnorm)) * 1e7 + 0.5) AS BIGINT)
+        |      AS cd_fp
+        |  FROM rowsum JOIN cn USING (cid)),
+        |cells AS (SELECT cid AS centroid_id, count(*) AS n,
+        |    CAST(sum(cd_fp) AS BIGINT) AS cd_fp_sum
+        |  FROM cd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(max(n) AS BIGINT) AS maxn, count(*) AS cells
+        |  FROM cells)
+        |SELECT centroid_id, n, cd_fp_sum,
+        |  round(cd_fp_sum / n / 1e7, 4) AS mean_cd,
+        |  (maxn * cells * 100) // tot AS skew_x100
+        |FROM cells CROSS JOIN tot
+        |ORDER BY centroid_id""".stripMargin,
 
     // q130's replay pointed at the REFRESHED layout: the probe over
     // the cell-incrementally maintained index must be reproducible
