@@ -1087,7 +1087,14 @@ object TextAnalysis {
     * generation `segment`. Cost scales with the recrawl delta plus
     * the tiered fold — never a full index rewrite; the probe's
     * arithmetic is untouched by construction (tombstone algebra +
-    * summed stats partials, the q134 contract). */
+    * summed stats partials, the q134 contract).
+    *
+    * RETRY-safe by the streaming loop's argument: the compaction
+    * runs with `protectNewest = 1`, so the wave's own segment is
+    * never absorbed by a fold — an orchestrator retrying the whole
+    * wave rewrites the tombstones and the segment idempotently
+    * (overwrite mode) instead of destroying previously-folded older
+    * docs. */
   def bm25ApplyRecrawl(spark: org.apache.spark.sql.SparkSession,
                        path: String, oldSnap: DataFrame,
                        newSnap: DataFrame, changes: DataFrame,
@@ -1106,7 +1113,8 @@ object TextAnalysis {
       changed.filter(col("status").isin("added", "modified"))
         .select(col(idCol)), Seq(idCol))
     bm25AppendSegment(fresh, idCol, textCol, path, segment)
-    bm25MergeSegmentsTiered(spark, path, idCol, maxSegments)
+    bm25MergeSegmentsTiered(spark, path, idCol, maxSegments,
+      protectNewest = 1)
   }
 
   /** PREFIX term search over a [[writePositionalIndex]] layout — the

@@ -592,6 +592,51 @@ class TextAnalysisSpec extends SparkSpec {
       "expected the unprotected replay to lose the absorbed batch")
   }
 
+  test("bm25ApplyRecrawl: one diff-driven wave matches the direct " +
+      "scan of the final state, and a full retry of the wave is " +
+      "idempotent") {
+    import spark.implicits._
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+    val status = when(col("doc_id") % 5 === 4, lit("added"))
+      .when(col("doc_id") % 7 === 0, lit("modified"))
+      .when(col("doc_id") % 11 === 3, lit("removed"))
+      .otherwise(lit("unchanged"))
+    val changes = docs.select(col("doc_id"), status.as("status"))
+    val newSnap = docs.filter(status =!= "removed")
+      .select(col("doc_id"),
+        when(status === "modified", concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).as("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25recrawl").toString
+    TextAnalysis.bm25AppendSegment(
+      old.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, 0)
+    TextAnalysis.bm25AppendSegment(
+      old.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir, 1)
+    def wave() = TextAnalysis.bm25ApplyRecrawl(spark, dir, old,
+      newSnap, changes, "doc_id", "text", segment = 2,
+      maxSegments = 2)
+    wave()
+    val panel = Seq((0L, "scan table row upd"), (1L, "query filter"))
+      .toDF("qid", "qtext")
+    def probe() = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 12, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = TextAnalysis.bm25TopK(newSnap, "doc_id", "text",
+        panel, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(probe() == direct, "recrawl wave diverged from direct scan")
+    // a FULL retry of the wave (orchestrator re-run): tombstones and
+    // the wave segment rewrite idempotently, nothing previously
+    // folded is destroyed — the protectNewest guarantee
+    wave()
+    assert(probe() == direct, "retried recrawl wave lost data")
+  }
+
   test("termPrefixSearch: distinct-term and occurrence counts, and " +
       "the startsWith predicate is pushed to the postings scan") {
     import spark.implicits._
