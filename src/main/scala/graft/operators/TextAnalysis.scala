@@ -1076,6 +1076,95 @@ object TextAnalysis {
       .filter(col("min_span") <= maxSpan)
   }
 
+  /** TOMBSTONE GC for a tiered-merged index — the piece that makes
+    * tombstone accumulation bounded WITHOUT the full fold: a
+    * tombstone at generation t kills postings in segments < t, so
+    * once every live segment number is ≥ t (its victims long since
+    * physically dropped by folds), the tombstone's only remaining
+    * role is the global stats correction. This compaction bakes the
+    * eligible tombstones' (count, Σdl) into the LOWEST segment's
+    * stats partial — the probe only ever consumes segstats SUMMED,
+    * so any single segment may absorb the correction — and drops
+    * them. Probe arithmetic is unchanged to the bit: live-rule
+    * outcomes are untouched (the dropped tombstones could kill
+    * nothing) and the global (n_docs, sum_dl) sums are identical by
+    * construction.
+    *
+    * Commit: staged under `.tomb_staging` + marker, swap, clear —
+    * the tiered-merge protocol with its own directory so the two
+    * recoveries never misread each other's markers. The window
+    * between the two renames leaves stats and tombstones momentarily
+    * inconsistent (unlike the merges' missing-path windows, a racing
+    * reader here would get silently shifted stats rather than a loud
+    * failure), so the no-reader-during-maintenance contract is
+    * LOAD-BEARING for this call; re-running completes the swap
+    * idempotently. Single-writer, like every merge here.
+    *
+    * Returns (tombstones dropped, tombstones remaining). */
+  def bm25CompactTombstones(spark: org.apache.spark.sql.SparkSession,
+                            path: String, idCol: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$path/.tomb_staging")
+    val marker = new Path(staging, "_COMMIT_READY")
+    def commit(minSeg: Int): Unit = {
+      for ((d, seg) <- Seq("segstats" -> Some(minSeg),
+          "tombstones" -> None)) {
+        val name = seg.map(sg => s"$d/seg=$sg").getOrElse(d)
+        val src = new Path(staging, name)
+        val dst = new Path(s"$path/$name")
+        if (fs.exists(src)) {
+          require(!fs.exists(dst) || fs.delete(dst, true),
+            s"bm25CompactTombstones: failed to drop $dst")
+          require(fs.rename(src, dst),
+            s"bm25CompactTombstones: failed to commit staged $name")
+        }
+      }
+      require(fs.delete(staging, true) || !fs.exists(staging),
+        s"bm25CompactTombstones: failed to clear $staging")
+    }
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      commit(txt.trim.toInt)
+    } else if (fs.exists(staging)) {
+      require(fs.delete(staging, true),
+        s"bm25CompactTombstones: failed to clear stale $staging")
+    }
+    val tombs = readTombstones(spark, path, idCol)
+    val minSeg = spark.read.parquet(s"$path/segstats")
+      .agg(min(col("seg").cast("int"))).head().getInt(0)
+    val eligible = tombs.filter(col("seg") <= minSeg)
+    val nDrop = eligible.count()
+    val nKeep = tombs.count() - nDrop
+    if (nDrop == 0L) return (0L, nKeep)
+    val corr = eligible
+      .agg(count(lit(1)).as("_n"), sum(col("dl")).as("_s"))
+      .head()
+    val (cn, cs) = (corr.getLong(0), corr.getLong(1))
+    val st = spark.read.parquet(s"$path/segstats")
+      .filter(col("seg").cast("int") === minSeg)
+      .agg(sum(col("n_docs")).cast("long"),
+        sum(col("sum_dl")).cast("long")).head()
+    Seq((st.getLong(0) - cn, st.getLong(1) - cs))
+      .toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${staging.toString}/segstats/seg=$minSeg")
+    // surviving tombstones re-staged WITHOUT the hive seg column in
+    // the file (seg returns as the partition dir, same as the writers)
+    tombs.filter(col("seg") > minSeg)
+      .repartition(col("seg"))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(s"${staging.toString}/tombstones")
+    val out = fs.create(marker, true)
+    try out.write(minSeg.toString.getBytes("UTF-8")) finally out.close()
+    commit(minSeg)
+    (nDrop, nKeep)
+  }
+
   /** ONE RECRAWL WAVE applied to a segmented BM25 index — the lexical
     * counterpart of the vector indexes' incremental refreshes
     * ([[Similarity.ivfRefreshQuantizedIncremental]],

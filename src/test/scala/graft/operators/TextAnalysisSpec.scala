@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.functions.{coalesce, col, concat, lit, size, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, lit, min, size, when}
 
 import graft.SparkSpec
 
@@ -635,6 +635,66 @@ class TextAnalysisSpec extends SparkSpec {
     // folded is destroyed — the protectNewest guarantee
     wave()
     assert(probe() == direct, "retried recrawl wave lost data")
+  }
+
+  test("bm25CompactTombstones: generations below every live segment " +
+      "are dropped with the stats correction baked in; probe parity " +
+      "holds and later generations survive") {
+    import spark.implicits._
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+    val added = docs.filter(col("doc_id") % 5 === 4)
+    val modified = old.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25tgc").toString
+    TextAnalysis.bm25AppendSegment(
+      old.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, 0)
+    TextAnalysis.bm25AppendSegment(
+      old.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir, 1)
+    TextAnalysis.bm25Tombstone(
+      old.join(modified.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl")),
+      "doc_id", "dl", dir, 2)
+    TextAnalysis.bm25AppendSegment(modified.unionByName(added),
+      "doc_id", "text", dir, 2)
+    // a LATER-generation tombstone that must survive the GC: kill one
+    // fresh doc at generation 3
+    val victim = added.orderBy(col("doc_id")).limit(1)
+    TextAnalysis.bm25Tombstone(
+      victim.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("dl")),
+      "doc_id", "dl", dir, 3)
+    // fold everything (tiered all the way down) so every victim of
+    // the gen-2 tombstones is physically gone and the min live
+    // segment reaches 2 — gen 2 becomes GC-able, gen 3 must not
+    val (_, remaining) = TextAnalysis.bm25MergeSegmentsTiered(spark,
+      dir, "doc_id", maxSegments = 1)
+    assert(remaining == 1)
+    val panel = Seq((0L, "scan table row upd"), (1L, "query filter"))
+      .toDF("qid", "qtext")
+    def probe() = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 12, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val before = probe()
+    val minSeg = spark.read.parquet(s"$dir/segstats")
+      .agg(min(col("seg").cast("int"))).head().getInt(0)
+    assert(minSeg == 2, s"fold did not land on seg=2: $minSeg")
+    val (dropped, kept) = TextAnalysis.bm25CompactTombstones(spark,
+      dir, "doc_id")
+    assert(dropped > 0, "expected the gen-2 tombstones to be GC-able")
+    assert(kept == 1, "exactly the gen-3 tombstone must survive")
+    assert(probe() == before,
+      "tombstone compaction changed probe results")
+    // idempotent: nothing more to drop on a re-run
+    val (d2, k2) = TextAnalysis.bm25CompactTombstones(spark, dir,
+      "doc_id")
+    assert(d2 == 0 && k2 == kept)
+    assert(probe() == before)
   }
 
   test("termPrefixSearch: distinct-term and occurrence counts, and " +
