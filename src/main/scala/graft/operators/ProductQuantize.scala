@@ -86,9 +86,12 @@ object ProductQuantize {
     * (max(10⁵, 39·k) subvectors per subspace by default, FAISS's
     * documented training bound — at 100 TB you never k-means the
     * corpus). The sample is a seeded deterministic Bernoulli draw on
-    * the md5 rank of each distinct subvector (u·count < cap), so it
-    * is a pure function of the corpus + seed, independent of
-    * partitioning. Corpus-sized work is exactly two bounded-output
+    * the md5 rank of each distinct subvector, with keep probability
+    * PROPORTIONAL TO ITS MULTIPLICITY (u·W < cap·w — FAISS samples
+    * corpus rows, not distinct values) and the Horvitz-Thompson
+    * integer re-weight max(w, ⌈W/cap⌉), so it is a pure function of
+    * the corpus + seed, independent of partitioning, and unbiased on
+    * skewed corpora. Corpus-sized work is exactly two bounded-output
     * aggregates (the distinct-subvector shuffle and an m-row count);
     * the sample itself — ≤ cap rows per subspace — then collects and
     * the Lloyd's loop runs IN MEMORY, FAISS's own shape: zero cluster
@@ -134,11 +137,16 @@ object ProductQuantize {
     // sig's top 60 bits as a uniform draw in [0,1)
     val unif = conv(substring(sig, 1, 15), 16, 10).cast("double") /
       lit(math.pow(2, 60))
-    // per-subspace distinct counts (m rows) → keep row iff
-    // u·count < cap, i.e. Bernoulli fraction cap/count — expected
-    // sample size ≈ cap, and a provable no-op when count ≤ cap
+    // per-subspace TOTAL weight (m rows) → keep a distinct subvector
+    // iff u·W < cap·w, i.e. Bernoulli probability min(1, cap·w/W) —
+    // PROPORTIONAL TO MULTIPLICITY, the FAISS row-sampling parity
+    // (uniform over corpus ROWS, so heavy-multiplicity subvectors are
+    // represented as a skewed corpus actually weights them; a
+    // distinct-uniform draw under-sampled them relative to the
+    // w-weighted Lloyd's mean). Expected kept rows Σmin(1, cap·w/W)
+    // ≤ cap, and a provable no-op when W ≤ cap (p = 1 for every row).
     val cnts = svwAll.groupBy(col("subspace"))
-      .agg(count(lit(1)).as("_cnt"))
+      .agg(sum(col("w")).as("_tw"))
     // the collect is cap-BOUNDED BY DESIGN (≤ m·cap rows ≈ tens of MB
     // at the default cap), which is exactly FAISS's shape: sample
     // distributed, fit in memory. The corpus is never touched again —
@@ -146,15 +154,24 @@ object ProductQuantize {
     // previous in-Spark loop paid ~2 scheduler rounds per iteration
     // (the round-11 PQ gate rows' dominant wall at small data, and
     // pointless at large data once the sample is the input anyway).
+    // Kept rows re-weight to max(w, ⌈W/cap⌉) — the Horvitz-Thompson
+    // 1/p correction rounded to an integer so the fixed-point Lloyd's
+    // arithmetic stays exact; in the no-op regime (W ≤ cap) the
+    // correction is max(w, 1) = w, bit-identical to an unsampled fit.
     val sample = svwAll
       .withColumn("_sig", sig)
       .join(broadcast(cnts), Seq("subspace"))
-      .filter(unif * col("_cnt") < lit(cap.toDouble))
-      .select(col("subspace"), col("sv"), col("w"), col("_sig"))
+      .filter(unif * col("_tw") < lit(cap.toDouble) * col("w"))
+      .select(col("subspace"), col("sv"), col("w"), col("_sig"),
+        col("_tw"))
       .collect()
-      .map(r => (r.getAs[Long]("subspace"),
-        r.getAs[scala.collection.Seq[Double]]("sv").toArray,
-        r.getAs[Long]("w"), r.getAs[String]("_sig")))
+      .map { r =>
+        val w = r.getAs[Long]("w")
+        val tw = r.getAs[Long]("_tw")
+        (r.getAs[Long]("subspace"),
+          r.getAs[scala.collection.Seq[Double]]("sv").toArray,
+          math.max(w, (tw + cap - 1L) / cap), r.getAs[String]("_sig"))
+      }
     val bySub: Map[Long, Array[(Array[Double], Long, String)]] =
       sample.groupBy(_._1)
         .map { case (j, rows) => j -> rows.map(t => (t._2, t._3, t._4)) }
@@ -257,13 +274,23 @@ object ProductQuantize {
     *
     * The codebook is m·k rows BY CONTRACT (the same boundedness as
     * the ADC lookup tables), so it collects once and ships as ONE
-    * typedlit payload; encoding is then a stateless narrow map — per
-    * vector, m array_min argmins over the payload — with NO explode,
+    * typedlit payload — PRE-GROUPED by subspace on the driver into an
+    * array-of-per-subspace-arrays indexed by `element_at(j+1)`, so
+    * each subspace's argmin scans exactly its own k entries (a flat
+    * literal filtered per subspace per row would re-scan all m·k
+    * structs m times per vector — O(m²k), ~65k struct scans/row at
+    * FAISS-standard m=16, k=256). Encoding is then a stateless narrow
+    * map — per vector, m k-entry array_min argmins — with NO explode,
     * NO join, and NO shuffle back to (id → codes). At 100 TB that is
     * a pure scan-shaped pass instead of two corpus×m exchanges.
     * Argmin semantics (lexicographic (d², code) struct min = smallest
     * distance, ties to the smallest code) are bit-identical to the
-    * broadcast-join form this replaces. */
+    * broadcast-join form this replaces.
+    *
+    * Externally supplied codebooks are validated to cover subspaces
+    * 0..m−1 EXACTLY — a missing subspace would otherwise score an
+    * empty entry list and emit null codes that look plausible
+    * downstream (the fail-loud contract of subLen/guardedIp). */
   private[operators] def pqEncodeRaw(vectors: DataFrame, idCol: String,
                                      vecCol: String,
                                      codebooks: DataFrame,
@@ -278,7 +305,16 @@ object ProductQuantize {
     val entryLen = entries.head._3.length
     require(entries.forall(_._3.length == entryLen),
       "pqEncode: ragged codebook entry lengths")
-    val cbLit = typedlit(entries)
+    val subsSeen = entries.map(_._1).distinct.sorted
+    require(subsSeen == (0L until m.toLong),
+      s"pqEncode: codebooks must cover subspaces 0..${m - 1} exactly, " +
+        s"got [${subsSeen.mkString(", ")}]")
+    // driver-side pre-group: perSub(j) = subspace j's (code, cvec)
+    // entries in ascending code order (the argmin tiebreak order)
+    val perSub: Seq[Seq[(Long, Seq[Double])]] =
+      (0L until m.toLong).map(j =>
+        entries.filter(_._1 == j).map(t => (t._2, t._3)))
+    val cbLit = typedlit(perSub)
     // per-row guards: m must divide the dimension (subLen raises
     // otherwise) AND the subvector length must equal the codebook
     // entries' — never silently truncate into plausible wrong codes
@@ -291,9 +327,9 @@ object ProductQuantize {
     vectors.select(col(idCol),
       transform(sequence(lit(0L), lit(m.toLong - 1)), j => {
         val sv = slice(col(vecCol), (j * sublen + 1).cast("int"), sublen)
-        val scored = transform(filter(cbLit, e => e("_1") === j),
-          e => struct(VectorFns.sqDist(sv, e("_3")).as("d"),
-            e("_2").as("c")))
+        val scored = transform(element_at(cbLit, (j + 1).cast("int")),
+          e => struct(VectorFns.sqDist(sv, e("_2")).as("d"),
+            e("_1").as("c")))
         array_min(scored)("c")
       }).as("codes"))
   }

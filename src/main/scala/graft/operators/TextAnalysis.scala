@@ -663,7 +663,14 @@ object TextAnalysis {
   def bm25Tombstone(keys: DataFrame, idCol: String, dlCol: String,
                     path: String, segment: Int): Unit =
     keys.select(col(idCol).cast("long").as(idCol),
-        col(dlCol).cast("long").as("dl"))
+        // null dl fails AT WRITE: the stats correction (probe and
+        // tombstone GC) subtracts this value — a null would silently
+        // shift n_docs/avgdl (probe sum skips nulls, count does not)
+        // and NPE the GC's driver-side fold
+        coalesce(col(dlCol).cast("long"),
+          raise_error(lit("bm25Tombstone: null dl — the stats " +
+            "correction requires the old document length"))
+            .cast("long")).as("dl"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/tombstones/seg=$segment")
 
@@ -1141,8 +1148,11 @@ object TextAnalysis {
     val nDrop = eligible.count()
     val nKeep = tombs.count() - nDrop
     if (nDrop == 0L) return (0L, nKeep)
+    // dl is non-null by the write-side guard ([[bm25Tombstone]]); the
+    // coalesce is defense for layouts written by older code
     val corr = eligible
-      .agg(count(lit(1)).as("_n"), sum(col("dl")).as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(col("dl")), lit(0L)).as("_s"))
       .head()
     val (cn, cs) = (corr.getLong(0), corr.getLong(1))
     val st = spark.read.parquet(s"$path/segstats")

@@ -43,6 +43,13 @@ object StreamingLexicalIndex {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          // a batchId above Int.MaxValue would wrap NEGATIVE under
+          // toInt and break the monotone segment-generation rule the
+          // tombstone algebra depends on — fail loudly, never fold a
+          // wrapped generation into the clock
+          require(batchId <= Int.MaxValue,
+            s"StreamingLexicalIndex: batchId $batchId exceeds the " +
+              "Int segment-id range")
           TextAnalysis.bm25AppendSegment(batch.toDF(), idCol, textCol,
             path, batchId.toInt)
           TextAnalysis.bm25MergeSegmentsTiered(batch.sparkSession,

@@ -215,29 +215,44 @@ class ProductQuantizeSpec extends SparkSpec {
   }
 
   test("encode/probe fail loudly on dimension or codebook mismatch") {
+    import spark.implicits._
     val cb = ProductQuantize.pqTrain(base, "embedding", m = 8, k = 16)
-    // m=7 does not divide dim=64: must raise, not silently truncate
+    def msgHas(e: Exception, s: String): Boolean =
+      e.getMessage != null && e.getMessage.contains(s) ||
+        e.getCause != null && e.getCause.getMessage != null &&
+          e.getCause.getMessage.contains(s)
+    // an m that disagrees with the codebook's subspace set is caught
+    // at the DRIVER (coverage check), before any row is scored — a
+    // missing subspace would otherwise argmin an empty entry list
+    // into null codes
+    for (badM <- Seq(7, 4)) {
+      val e = intercept[Exception] {
+        ProductQuantize.pqEncode(base, "vec_id", "embedding", cb,
+          m = badM).collect()
+      }
+      assert(msgHas(e, "must cover subspaces"), s"wrong error: $e")
+    }
+    // codebook matches m but the VECTOR dim does not divide by m:
+    // the per-row subLen guard must raise, not silently truncate
+    val dim60 = base.select(col("vec_id"),
+      slice(VectorFns.toDouble(col("embedding")), 1, 60)
+        .as("embedding"))
     val e1 = intercept[Exception] {
-      ProductQuantize.pqEncode(base, "vec_id", "embedding", cb, m = 7)
+      ProductQuantize.pqEncode(dim60, "vec_id", "embedding", cb, m = 8)
         .collect()
     }
-    assert(e1.getMessage != null &&
-      (e1.getMessage.contains("not divisible") ||
-        e1.getCause != null &&
-          e1.getCause.getMessage.contains("not divisible")),
-      s"wrong error: ${e1.getMessage}")
-    // m=4 divides 64 (sublen 16) but the codebook entries are dim 8:
-    // the length-mismatch guard must fire instead of zip_with
-    // silently dropping the overhang
+    assert(msgHas(e1, "not divisible"), s"wrong error: $e1")
+    // m divides the vector dim but sublen 16 != the codebook's entry
+    // length 8: the length-mismatch guard must fire instead of
+    // zip_with silently dropping the overhang
+    val dim128 = base.select(col("vec_id"),
+      flatten(array(VectorFns.toDouble(col("embedding")),
+        VectorFns.toDouble(col("embedding")))).as("embedding"))
     val e2 = intercept[Exception] {
-      ProductQuantize.pqEncode(base, "vec_id", "embedding", cb, m = 4)
+      ProductQuantize.pqEncode(dim128, "vec_id", "embedding", cb, m = 8)
         .collect()
     }
-    assert(e2.getMessage != null &&
-      (e2.getMessage.contains("codebook entry length") ||
-        e2.getCause != null &&
-          e2.getCause.getMessage.contains("codebook entry length")),
-      s"wrong error: ${e2.getMessage}")
+    assert(msgHas(e2, "codebook entry length"), s"wrong error: $e2")
   }
 
   test("ivfPqRefreshIncremental: only dirty cells rewritten, content " +
