@@ -570,6 +570,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf")))
   }
 
+  /** [[tfFrame]] with POSITIONS — the segmented layout's posting
+    * relation (Lucene keeps positions inside the segment postings,
+    * and so does this engine since round 13): per (doc, term) the
+    * sorted 0-based token positions alongside dl/tf, so ONE written
+    * artifact serves BM25 scoring AND phrase/proximity/prefix — and
+    * the positional probes inherit the whole maintenance family
+    * (append, tombstones, tiered merge, GC, recrawl, streaming)
+    * instead of a rebuild-only side layout. tf ≡ size(positions) by
+    * construction; the BM25 read paths project positions away, so
+    * parquet never materializes the column for pure scoring probes.
+    * Same null-text coalesce contract as [[tfFrame]]. */
+  private def tfPosFrame(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    val tc = toks.select(col(idCol), size(col("toks")).as("dl"),
+      posexplode(col("toks")).as(Seq("pos", "term")))
+    cached(tc.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions")))
+  }
+
   /** THE one BM25 scoring definition — shared by the corpus-scan path
     * ([[bm25TopK]]) and the materialized-index probe
     * ([[bm25ProbeIndex]]), so the two can never diverge on the
@@ -644,10 +666,18 @@ object TextAnalysis {
     * modification is "tombstone at s + re-append at s" and the fresh
     * rows survive (the Lucene doc-generation rule; a key-scoped kill
     * would erase the re-append too). Contract: re-append lands at a
-    * segment ≥ its tombstone's; ids are LONG. */
+    * segment ≥ its tombstone's; ids are LONG.
+    *
+    * Postings carry (id, dl, term, tf, positions) — the positional
+    * payload ([[tfPosFrame]], Lucene's positions-in-the-postings
+    * layout) rides in the segment rows, so [[phraseSearch]] /
+    * [[proximitySearch]] / [[termPrefixSearch]] probe THIS layout and
+    * inherit the whole maintenance family (tombstones, tiered merge,
+    * GC, recrawl, streaming ingest); BM25 probes project the column
+    * away and parquet never reads its pages. */
   def bm25AppendSegment(docs: DataFrame, idCol: String, textCol: String,
                         path: String, segment: Int): Unit = {
-    val tf = tfFrame(docs, idCol, textCol)
+    val tf = tfPosFrame(docs, idCol, textCol)
     tf.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite").parquet(s"$path/postings/seg=$segment")
@@ -709,11 +739,14 @@ object TextAnalysis {
   /** Probe a segmented index: pushed `term IN` over every segment's
     * term-sorted postings, tombstone anti-join, df counted from the
     * filtered lists, stats from segment partials − tombstones, then
-    * [[bm25Score]] — the same arithmetic as the direct scan. */
+    * [[bm25Score]] — the same arithmetic as the direct scan. Guarded
+    * by [[requireQuiescent]]: a probe racing a maintenance op's swap
+    * window fails loudly instead of mis-scoring. */
   def bm25ProbeSegmented(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame, k: Int,
                          idCol: String, k1: Double = 1.2,
                          b: Double = 0.75): DataFrame = {
+    requireQuiescent(spark, path)
     val qterms = queries.select(col("qid"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
     val terms = qterms.select(col("term")).distinct()
@@ -822,7 +855,8 @@ object TextAnalysis {
     val live = cached(liveAfterTombstones(
       spark.read.parquet(s"$path/postings"),
       readTombstones(spark, path, idCol), idCol)
-      .select(col(idCol), col("dl"), col("term"), col("tf")))
+      .select(col(idCol), col("dl"), col("term"), col("tf"),
+        col("positions")))
     live.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite")
@@ -957,7 +991,8 @@ object TextAnalysis {
         spark.read.parquet(s"$path/postings")
           .filter(col("seg") === a || col("seg") === b),
         tombs, idCol)
-        .select(col(idCol), col("dl"), col("term"), col("tf"))
+        .select(col(idCol), col("dl"), col("term"), col("tf"),
+          col("positions"))
       live.repartitionByRange(col("term"))
         .sortWithinPartitions(col("term"), col(idCol))
         .write.mode("overwrite")
@@ -977,33 +1012,57 @@ object TextAnalysis {
     (folds, segs.length.toLong)
   }
 
-  /** POSITIONAL posting lists — the layout phrase/proximity queries
-    * need and the tf-only [[bm25WriteIndex]] postings cannot answer
-    * (Lucene's positions file, relationally): per (term, doc) the
-    * sorted 0-based token positions. Term-range-partitioned and
-    * term-sorted like the BM25 layouts, so a phrase probe's
-    * `term IN (…)` predicate prunes to the phrase's posting lists.
-    * Positions are NOT filtered or renumbered — adjacency is defined
-    * on the raw [[tokens]] stream, which keeps the semantics exactly
-    * "the phrase appears as consecutive tokens of the document". */
-  def writePositionalIndex(docs: DataFrame, idCol: String,
-                           textCol: String, path: String): Unit =
-    docs
-      .select(col(idCol),
-        posexplode(tokens(coalesce(col(textCol), lit(""))))
-          .as(Seq("pos", "term")))
-      .groupBy(col("term"), col(idCol))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"), col(idCol))
-      .write.mode("overwrite").parquet(s"$path/postings")
+  /** LOUD single-writer guard for segmented-layout reads: any live
+    * maintenance staging directory (full merge, tiered fold,
+    * tombstone GC) means a maintenance op is mid-flight or died
+    * mid-commit — its swap windows can serve a missing path (the
+    * merges) or SILENTLY SHIFTED stats (the GC, whose window is the
+    * one non-loud failure mode in the family), so a racing probe must
+    * fail here instead of mis-scoring. Recovery: re-run the owning
+    * maintenance op — its sealed-marker protocol replays exactly the
+    * missing swap steps and clears the staging dir. */
+  private def requireQuiescent(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq(".merge_staging", ".tier_staging", ".tomb_staging"))
+      require(!fs.exists(new Path(s"$path/$d")),
+        s"segmented index at $path has live maintenance staging $d — " +
+          "probes must not race maintenance (single-writer contract); " +
+          "re-run the owning maintenance op to recover")
+  }
 
-  /** Exact phrase search over a [[writePositionalIndex]] layout: the
+  /** Live positional postings of a SEGMENTED index under a pushed
+    * term predicate — the shared read path of the phrase, proximity
+    * and prefix probes: scan-filtered postings ([[bm25AppendSegment]]
+    * carries positions in every segment row) → the segment-scoped
+    * tombstone kill rule → (id, term, positions). One definition so
+    * all three probes see exactly the live set the BM25 probe scores,
+    * under the same [[requireQuiescent]] single-writer guard. */
+  private def livePositional(spark: org.apache.spark.sql.SparkSession,
+                             path: String, idCol: String,
+                             termPred: Column): DataFrame = {
+    requireQuiescent(spark, path)
+    liveAfterTombstones(
+      spark.read.parquet(s"$path/postings")
+        .filter(termPred)
+        .select(col(idCol), col("term"), col("positions"), col("seg")),
+      readTombstones(spark, path, idCol), idCol)
+      .select(col(idCol), col("term"), col("positions"))
+  }
+
+  /** Exact phrase search over a SEGMENTED index
+    * ([[bm25AppendSegment]] layout — positions live in the BM25
+    * segment postings, so this probe inherits append, tombstones,
+    * tiered merge, GC, recrawl and the streaming loop for free): the
     * classic positional-intersection algorithm — read ONLY the
-    * phrase terms' posting lists (pushed `term IN`), shift term i's
-    * positions by −i, and a phrase start is a position present in
-    * every shifted list. Returns (id, n_matches, first_pos) per
-    * matching document.
+    * phrase terms' posting lists (pushed `term IN`), drop tombstoned
+    * rows by the shared kill rule, shift term i's positions by −i,
+    * and a phrase start is a position present in every shifted list.
+    * Positions are global 0-based token offsets of the document, so
+    * adjacency is segment-invariant by construction. Returns
+    * (id, n_matches, first_pos) per matching document.
     *
     * Scale shape: IO and the k-way join are posting-list-bounded (the
     * probe never touches documents), the intersection is a per-doc
@@ -1013,10 +1072,12 @@ object TextAnalysis {
                    path: String, phrase: Seq[String],
                    idCol: String): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
-    val posts = spark.read.parquet(s"$path/postings")
-      .filter(col("term").isin(
-        scala.collection.immutable.ArraySeq
-          .unsafeWrapArray(phrase.distinct.toArray): _*))
+    // cached: the tombstone-filtered live set is re-filtered once per
+    // phrase term below — left lazy, the kill-rule join re-runs per
+    // term
+    val posts = cached(livePositional(spark, path, idCol,
+      col("term").isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(phrase.distinct.toArray): _*)))
     val frames = phrase.zipWithIndex.map { case (t, i) =>
       posts.filter(col("term") === t)
         .select(col(idCol),
@@ -1033,7 +1094,8 @@ object TextAnalysis {
         element_at(col("_starts"), 1).cast("long").as("first_pos"))
   }
 
-  /** PROXIMITY search over a [[writePositionalIndex]] layout: documents
+  /** PROXIMITY search over a SEGMENTED index (same layout and
+    * maintenance inheritance as [[phraseSearch]]): documents
     * where every query term occurs within a token window of `maxSpan`
     * (span = max position − min position over one occurrence of each
     * term), with the tightest such span. The minimal covering span is
@@ -1052,8 +1114,8 @@ object TextAnalysis {
     require(terms.size >= 2 && terms.distinct.size == terms.size,
       "proximitySearch needs >= 2 distinct terms")
     val k = terms.size
-    val posts = spark.read.parquet(s"$path/postings")
-      .filter(col("term").isin(scala.collection.immutable.ArraySeq
+    val posts = livePositional(spark, path, idCol,
+      col("term").isin(scala.collection.immutable.ArraySeq
         .unsafeWrapArray(terms.toArray): _*))
     val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
       case (c, (t, i)) => when(col("term") === t, lit(i)).otherwise(c)
@@ -1101,11 +1163,13 @@ object TextAnalysis {
     * the tiered-merge protocol with its own directory so the two
     * recoveries never misread each other's markers. The window
     * between the two renames leaves stats and tombstones momentarily
-    * inconsistent (unlike the merges' missing-path windows, a racing
-    * reader here would get silently shifted stats rather than a loud
-    * failure), so the no-reader-during-maintenance contract is
-    * LOAD-BEARING for this call; re-running completes the swap
-    * idempotently. Single-writer, like every merge here.
+    * inconsistent — and unlike the merges' missing-path windows, a
+    * reader racing it would get silently shifted stats, which is why
+    * every probe entry point runs [[requireQuiescent]]: the live
+    * `.tomb_staging` directory turns the race into a loud failure
+    * for the whole window (including a crash mid-swap, until a
+    * re-run completes it idempotently). Single-writer, like every
+    * merge here.
     *
     * Returns (tombstones dropped, tombstones remaining). */
   def bm25CompactTombstones(spark: org.apache.spark.sql.SparkSession,
@@ -1216,20 +1280,21 @@ object TextAnalysis {
       protectNewest = 1)
   }
 
-  /** PREFIX term search over a [[writePositionalIndex]] layout — the
+  /** PREFIX term search over a SEGMENTED index (same layout and
+    * maintenance inheritance as [[phraseSearch]]) — the
     * wildcard/autocomplete query class (`sta*`): a `startsWith`
     * predicate on the TERM-SORTED postings pushes to the parquet scan
     * as `StringStartsWith`, so row-group min/max stats prune the
     * files outside the prefix's contiguous term range — the lexical
     * analog of the IVF cell pruning, and exactly why the layout
-    * sorts by term. Returns per matching document the distinct
+    * sorts by term. Tombstoned rows drop by the shared kill rule
+    * before counting. Returns per matching document the distinct
     * matched terms and total occurrences. */
   def termPrefixSearch(spark: org.apache.spark.sql.SparkSession,
                        path: String, prefix: String,
                        idCol: String): DataFrame = {
     require(prefix.nonEmpty, "termPrefixSearch: empty prefix")
-    spark.read.parquet(s"$path/postings")
-      .filter(col("term").startsWith(prefix))
+    livePositional(spark, path, idCol, col("term").startsWith(prefix))
       .groupBy(col(idCol))
       .agg(count_distinct(col("term")).as("n_terms"),
         sum(size(col("positions")).cast("long")).as("n_occurrences"))

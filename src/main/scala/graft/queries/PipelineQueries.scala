@@ -2908,18 +2908,27 @@ object PipelineQueries {
         .orderBy(col("seq_id"))
     }),
 
-    // X3 — POSITIONAL index + exact phrase search (the Lucene
-    // positions file, relationally; the query class tf-only BM25
-    // postings cannot answer): a bigram AND a trigram probed over the
-    // same written layout, both posting-list-bounded k-way positional
-    // intersections. The oracle replays the SEMANTICS from the
-    // documents directly (consecutive-token list comparison) — index
-    // layout and intersection algebra must be invisible to the
+    // X3 — exact phrase search over the SEGMENTED index (positions
+    // live in the BM25 segment postings since round 13 — Lucene's
+    // actual layout — so the probe inherits the whole maintenance
+    // family; the corpus lands as TWO segments here to pin
+    // segment-invariance of the positional intersection): a bigram
+    // AND a trigram probed over the same written layout, both
+    // posting-list-bounded k-way positional intersections. The
+    // oracle replays the SEMANTICS from the documents directly
+    // (consecutive-token list comparison) — index layout, segment
+    // membership, and intersection algebra must be invisible to the
     // answer, exactly like the BM25 merge rows.
     "q138_phrase_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = scratchPath("pos_index", dir)
-      TextAnalysis.writePositionalIndex(d, "doc_id", "text", path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, 0)
+      TextAnalysis.bm25AppendSegment(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 1)
       val bi = TextAnalysis.phraseSearch(s, path,
         Seq("sort", "merge"), "doc_id")
       val tri = TextAnalysis.phraseSearch(s, path,
@@ -2929,17 +2938,20 @@ object PipelineQueries {
         .orderBy(col("phrase"), col("doc_id"))
     }),
 
-    // X3 — PROXIMITY search over the q138 positional layout: tightest
-    // within-`maxSpan` co-occurrence window per document, computed by
-    // the one-pass minimum-window scan (O(occurrences), never the
-    // all-combinations product). The oracle replays the SEMANTICS
-    // brute-force — min over every occurrence combination of
-    // (max − min) — which the linear scan must equal exactly; two
+    // X3 — PROXIMITY search over the segmented positional layout:
+    // tightest within-`maxSpan` co-occurrence window per document,
+    // computed by the one-pass minimum-window scan (O(occurrences),
+    // never the all-combinations product). The oracle replays the
+    // SEMANTICS brute-force — min over every occurrence combination
+    // of (max − min) — which the linear scan must equal exactly; two
     // term sets share one written index.
     "q139_proximity_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = scratchPath("prox_index", dir)
-      TextAnalysis.writePositionalIndex(d, "doc_id", "text", path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
       val two = TextAnalysis.proximitySearch(s, path,
         Seq("sort", "merge"), maxSpan = 5L, "doc_id")
       val three = TextAnalysis.proximitySearch(s, path,
@@ -2949,18 +2961,81 @@ object PipelineQueries {
         .orderBy(col("q"), col("doc_id"))
     }),
 
-    // X3 — PREFIX term search (`st*`) over the q138/q139 positional
+    // X3 — PREFIX term search (`st*`) over the segmented positional
     // layout: the startsWith predicate pushes to the term-sorted scan
     // as StringStartsWith (plan-asserted in spec), so row-group
     // min/max stats prune outside the prefix's contiguous term range.
-    // Reuses q139's written index — the layout serves phrase,
-    // proximity, AND wildcard queries from one artifact.
+    // One written segment serves phrase, proximity, BM25, AND
+    // wildcard queries from the same artifact.
     "q140_prefix_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = scratchPath("prefix_index", dir)
-      TextAnalysis.writePositionalIndex(d, "doc_id", "text", path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
       TextAnalysis.termPrefixSearch(s, path, "st", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // X3 × X1 — PHRASE SEARCH SURVIVES MAINTENANCE (the r12 verdict's
+    // "done" bar for the segmented positional index): the exact q142
+    // recrawl wave — two generations, a diff-driven tombstone +
+    // fresh-segment + tiered-fold pass — applied to a layout whose
+    // positions ride in the segment postings, then the phrase probe
+    // runs on the MAINTAINED index. The builder requires the result
+    // bit-identical to a from-scratch rebuild on the final corpus
+    // (count + empty multiset difference, the q141 contract), and the
+    // oracle replays phrase semantics over that same final corpus —
+    // so append, tombstone algebra, renumbering fold, AND the
+    // positional payload must all survive the wave byte-for-byte.
+    // Modified docs gain a fresh " sort merge" suffix, so the wave
+    // CHANGES the phrase answer: stale positions or lost tombstones
+    // cannot hide.
+    "q144_phrase_maintained" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val old = d.filter(col("doc_id") % 5 =!= 4)
+      val status = when(col("doc_id") % 5 === 4, lit("added"))
+        .when(col("doc_id") % 7 === 0, lit("modified"))
+        .when(col("doc_id") % 11 === 3, lit("removed"))
+        .otherwise(lit("unchanged"))
+      val changes = d.select(col("doc_id"), status.as("status"))
+      val newSnap = d
+        .filter(status =!= "removed")
+        .select(col("doc_id"),
+          when(status === "modified",
+            concat(col("text"), lit(" sort merge")))
+            .otherwise(col("text")).as("text"))
+      val path = scratchPath("posm_index", dir)
+      val fresh = scratchPath("posm_fresh", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(fresh), true)
+      TextAnalysis.bm25AppendSegment(
+        old.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, 0)
+      TextAnalysis.bm25AppendSegment(
+        old.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 1)
+      val (folds, remaining) = TextAnalysis.bm25ApplyRecrawl(s, path,
+        old, newSnap, changes, "doc_id", "text", segment = 2,
+        maxSegments = 2)
+      require(folds == 1 && remaining == 2,
+        s"q144: expected 1 fold down to 2 segments, got ($folds, $remaining)")
+      val maintained = graft.engine.Caching.cached(
+        TextAnalysis.phraseSearch(s, path, Seq("sort", "merge"),
+          "doc_id"))
+      TextAnalysis.bm25AppendSegment(newSnap, "doc_id", "text", fresh, 0)
+      val rebuilt = graft.engine.Caching.cached(
+        TextAnalysis.phraseSearch(s, fresh, Seq("sort", "merge"),
+          "doc_id"))
+      // equal row counts + one empty multiset difference ⟺ equal
+      // multisets (the q141 spelling)
+      require(maintained.count() == rebuilt.count() &&
+          maintained.exceptAll(rebuilt).count() == 0,
+        "q144: maintained phrase results diverged from a " +
+          "from-scratch rebuild on the final corpus")
+      maintained.orderBy(col("doc_id"))
     }),
 
     // X2 — IVF-PQ cell-incremental REFRESH under the hash gate (the
@@ -5325,6 +5400,30 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // phrase semantics replayed over the FINAL post-recrawl corpus
+    // state (the q142 wave with ' sort merge' as the modification
+    // suffix): the maintained segmented positional index must answer
+    // exactly what a direct consecutive-token scan of that corpus
+    // answers — tombstones, renumbering fold, and the positional
+    // payload all invisible
+    "q144_phrase_maintained" ->
+      """WITH fin AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 4 THEN c
+        |         WHEN doc_id % 7 = 0 THEN c || ' sort merge'
+        |         ELSE c END AS text
+        |  FROM (SELECT doc_id, coalesce(text, '') AS c FROM documents)
+        |  WHERE NOT (doc_id % 5 <> 4 AND doc_id % 7 <> 0
+        |             AND doc_id % 11 = 3)),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+        |m AS (SELECT doc_id,
+        |    list_filter(generate_series(1, len(t) - 1),
+        |      p -> t[p:p+1] = ['sort', 'merge']) AS starts
+        |  FROM d WHERE len(t) >= 2)
+        |SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+        |  CAST(starts[1] - 1 AS BIGINT) AS first_pos
+        |FROM m WHERE len(starts) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the code-level drift stats replayed through the same
     // fixed-point LUT algebra: per (cell, subspace, code) the

@@ -468,7 +468,7 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files
       .createTempDirectory("posidx").toString
-    TextAnalysis.writePositionalIndex(docs, "doc_id", "text", dir)
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
     def run(ph: String*) = TextAnalysis
       .phraseSearch(spark, dir, ph, "doc_id")
       .orderBy(col("doc_id"))
@@ -499,7 +499,7 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files
       .createTempDirectory("proxidx").toString
-    TextAnalysis.writePositionalIndex(docs, "doc_id", "text", dir)
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
     def run(w: Long, ts: String*) = TextAnalysis
       .proximitySearch(spark, dir, ts, w, "doc_id")
       .orderBy(col("doc_id"))
@@ -518,7 +518,7 @@ class TextAnalysisSpec extends SparkSpec {
       "documents")
     val rdir = java.nio.file.Files
       .createTempDirectory("proxidx_r").toString
-    TextAnalysis.writePositionalIndex(real, "doc_id", "text", rdir)
+    TextAnalysis.bm25AppendSegment(real, "doc_id", "text", rdir, 0)
     val got = TextAnalysis.proximitySearch(spark, rdir,
         Seq("sort", "merge"), maxSpan = 5L, "doc_id")
       .as[(Long, Long)].collect().toMap
@@ -707,7 +707,7 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files
       .createTempDirectory("prefidx").toString
-    TextAnalysis.writePositionalIndex(docs, "doc_id", "text", dir)
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
     val got = TextAnalysis.termPrefixSearch(spark, dir, "st", "doc_id")
       .orderBy(col("doc_id"))
       .as[(Long, Long, Long)].collect().toSeq
@@ -716,6 +716,78 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("StringStartsWith(term,st)"),
       s"prefix predicate not pushed:\n${plan.take(1200)}")
+  }
+
+  test("positional probes inherit segment maintenance: phrase and " +
+      "prefix answers survive tombstone + re-append + full merge " +
+      "bit-identically to a rebuild on the final corpus") {
+    import spark.implicits._
+    val seg0 = Seq(
+      (1L, "a b c"),       // will be MODIFIED: loses the phrase
+      (2L, "x a b y"),     // untouched, phrase at 1
+      (3L, "a b a b"))     // will be REMOVED
+      .toDF("doc_id", "text")
+    val mod = Seq((1L, "c c c")).toDF("doc_id", "text")
+    val add = Seq((4L, "q a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("posmaint").toString
+    TextAnalysis.bm25AppendSegment(seg0, "doc_id", "text", dir, 0)
+    // tombstone doc 1 (modify) and doc 3 (remove) at generation 1,
+    // re-append doc 1's new text + doc 4 there
+    TextAnalysis.bm25Tombstone(
+      Seq((1L, 3L), (3L, 4L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    TextAnalysis.bm25AppendSegment(mod.unionByName(add),
+      "doc_id", "text", dir, 1)
+    val finalCorpus = Seq((1L, "c c c"), (2L, "x a b y"),
+      (4L, "q a b")).toDF("doc_id", "text")
+    val fresh = java.nio.file.Files
+      .createTempDirectory("posmaint_f").toString
+    TextAnalysis.bm25AppendSegment(finalCorpus, "doc_id", "text",
+      fresh, 0)
+    def phrase(p: String) = TextAnalysis
+      .phraseSearch(spark, p, Seq("a", "b"), "doc_id")
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+    def prefix(p: String) = TextAnalysis
+      .termPrefixSearch(spark, p, "a", "doc_id")
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+    val expectPhrase = Seq((2L, 1L, 1L), (4L, 1L, 1L))
+    assert(phrase(dir) == expectPhrase)
+    assert(phrase(dir) == phrase(fresh))
+    assert(prefix(dir) == prefix(fresh))
+    // the full merge folds everything and the answers are unchanged
+    TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
+    assert(phrase(dir) == expectPhrase)
+    assert(prefix(dir) == prefix(fresh))
+  }
+
+  test("probes fail loudly while a maintenance staging dir is live " +
+      "(the tombstone-GC silent-stats window made loud)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("quiesce").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    // sanity: probes work on the quiescent layout
+    assert(TextAnalysis.bm25ProbeSegmented(spark, dir, panel, 5,
+      "doc_id").count() > 0)
+    for (st <- Seq(".merge_staging", ".tier_staging", ".tomb_staging")) {
+      val p = new java.io.File(s"$dir/$st")
+      assert(p.mkdir())
+      val e1 = intercept[IllegalArgumentException] {
+        TextAnalysis.bm25ProbeSegmented(spark, dir, panel, 5, "doc_id")
+      }
+      assert(e1.getMessage.contains(st), s"wrong guard message: $e1")
+      val e2 = intercept[IllegalArgumentException] {
+        TextAnalysis.phraseSearch(spark, dir, Seq("a", "b"), "doc_id")
+      }
+      assert(e2.getMessage.contains(st), s"wrong guard message: $e2")
+      assert(p.delete())
+    }
+    // quiescent again: probes recover
+    assert(TextAnalysis.phraseSearch(spark, dir, Seq("a", "b"),
+      "doc_id").count() == 1)
   }
 
   test("stripMarkup: scripts/styles/comments dropped, block tags " +
