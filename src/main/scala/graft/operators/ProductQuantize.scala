@@ -534,7 +534,10 @@ object ProductQuantize {
     val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
       .union(freshAssigned.select(col("centroid_id")))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    if (dirty.isEmpty) return dirty
+    if (dirty.isEmpty) {
+      freshAssigned.unpersist(); changed.unpersist()
+      return dirty
+    }
     val dirtyLits = scala.collection.immutable.ArraySeq
       .unsafeWrapArray(dirty.toArray)
     val survivors = idx
@@ -620,10 +623,10 @@ object ProductQuantize {
       : (DataFrame, (Long, Long), Boolean) = {
     ivfPqRefreshIncremental(spark, path, cents, newSnap, changes,
       idCol, vecCol, stagingPath)
-    val (skewX100, meanCdFp) = Similarity.ivfDriftGauges(
-      ivfPqDriftStats(spark, path, cents, idCol))
-    val drifted = meanCdFp * 100L > baseline._2 * cdFactorX100 ||
-      skewX100 * 100L > baseline._1 * skewFactorX100
+    val drifted = Similarity.driftBreached(
+      Similarity.ivfDriftGauges(
+        ivfPqDriftStats(spark, path, cents, idCol)),
+      baseline, cdFactorX100, skewFactorX100)
     if (!drifted) (cents, baseline, false)
     else {
       val cents2 = Similarity

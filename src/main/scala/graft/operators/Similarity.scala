@@ -549,7 +549,13 @@ object Similarity {
     val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
       .union(freshAssigned.select(col("centroid_id")))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    if (dirty.isEmpty) return dirty
+    // unpersist on BOTH exits: a long-running caller (the streaming
+    // maintenance loop) refreshes every micro-batch, and leaked
+    // per-wave caches accumulate in the BlockManager
+    if (dirty.isEmpty) {
+      freshAssigned.unpersist(); changed.unpersist()
+      return dirty
+    }
     val dirtyLits = scala.collection.immutable.ArraySeq.unsafeWrapArray(
       dirty.toArray)
     val survivors = idx
@@ -560,6 +566,7 @@ object Similarity {
     val unioned = survivors.unionByName(freshAssigned)
       .repartition(col("centroid_id")) // cell compaction, as the writers
     commitCellRefresh(spark, indexPath, stagingPath, unioned, dirty)
+    freshAssigned.unpersist(); changed.unpersist()
     dirty
   }
 
@@ -632,6 +639,21 @@ object Similarity {
         col("cd_fp_sum"))
   }
 
+  /** THE drift-trigger comparison — ONE definition shared by the two
+    * batch loops ([[ivfRefreshOrRecenter]],
+    * [[ProductQuantize.ivfPqRefreshOrRecenter]]) and the streaming
+    * loop ([[graft.streaming.StreamingVectorIndex]]), so the breach
+    * rule can never drift between them: recenter when occupancy skew
+    * exceeds `skewFactorX100`% of its fit-time baseline, or mean
+    * displacement exceeds `cdFactorX100`% of its — both RELATIVE
+    * (see [[ivfRefreshOrRecenter]]'s rationale). */
+  private[graft] def driftBreached(gauges: (Long, Long),
+                                   baseline: (Long, Long),
+                                   cdFactorX100: Long,
+                                   skewFactorX100: Long): Boolean =
+    gauges._2 * 100L > baseline._2 * cdFactorX100 ||
+      gauges._1 * 100L > baseline._1 * skewFactorX100
+
   /** Scalar drift gauges off an [[ivfDriftStats]] frame (a ≤|cells|-row
     * driver-side fold): (occupancy skew ×100 = largest cell ÷ mean
     * cell, corpus-weighted mean displacement in 1e-7 fixed point). */
@@ -678,10 +700,9 @@ object Similarity {
       : (DataFrame, (Long, Long), Boolean) = {
     ivfRefreshQuantizedIncremental(spark, indexPath, cents, newSnap,
       changes, idCol, vecCol, stagingPath)
-    val (skewX100, meanCdFp) =
-      ivfDriftGauges(ivfDriftStats(spark, indexPath, cents))
-    val drifted = meanCdFp * 100L > baseline._2 * cdFactorX100 ||
-      skewX100 * 100L > baseline._1 * skewFactorX100
+    val drifted = driftBreached(
+      ivfDriftGauges(ivfDriftStats(spark, indexPath, cents)),
+      baseline, cdFactorX100, skewFactorX100)
     if (!drifted) (cents, baseline, false)
     else {
       val cents2 = learnedCentroids(newSnap, vecCol, k, seed)

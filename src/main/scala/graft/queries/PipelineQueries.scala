@@ -1521,11 +1521,22 @@ object PipelineQueries {
             "vec_id", "embedding"), Seq("vec_id")),
           pqCb, cents, queries, "vec_id", k = 10, nProbe = 8, m = 8)
         .select(col("qid"), col("vec_id"))
+      // residual rung (r12 verdict item 4): same m·k budget, codes of
+      // uv − centroid, scored via the batch residual prober off a
+      // written scratch index (the residual scorer is layout-based)
+      val resPath = scratchPath("annres_idx", dir)
+      graft.operators.ProductQuantize.ivfPqWriteIndexResidual(base,
+        cents, "vec_id", "embedding", m = 8, k = 16, resPath)
+      val ivfpqRes = graft.operators.ProductQuantize
+        .ivfPqProbeResidualMulti(s, resPath, cents, queries,
+          "vec_id", k = 10, nProbe = 8)
+        .select(col("qid"), col("vec_id"))
       val out = graft.engine.Caching.cached(
         ivf.withColumn("method", lit("ivf"))
           .unionByName(lsh.withColumn("method", lit("lsh")))
           .unionByName(pq.withColumn("method", lit("pq")))
           .unionByName(ivfpq.withColumn("method", lit("ivfpq")))
+          .unionByName(ivfpqRes.withColumn("method", lit("ivfpq_res")))
           .join(exact, Seq("qid", "vec_id"))
           .select(col("method"), col("qid"), col("vec_id"))
           .orderBy(col("method"), col("qid"), col("vec_id")))
@@ -1533,11 +1544,13 @@ object PipelineQueries {
       // collapse in any approximate path turns this row err-red in
       // the driver record instead of silently shrinking a rows-only
       // count. Measured (AnnRecallPanelProbe, 3 seeds × 3 sfs,
-      // PLANS.md round-11/12): IVF nProbe=5 54–62%, LSH 96–98%;
-      // PQ flat k=16 18–28% and IVF-PQ nProbe=8 16–29% (the sf0.1
-      // panel is the hard end — 2000-vector corpus, same 4-bit code
-      // budget). Floors sit well under each cross-sf minimum —
-      // regression alarms, not targets.
+      // PLANS.md round-11/12/13): IVF nProbe=5 54–62%, LSH 96–98%;
+      // PQ flat k=16 18–28%, IVF-PQ nProbe=8 16–29%, and residual
+      // IVF-PQ nProbe=8 12.6–24.6% (the sf0.1 panel is the hard end —
+      // 2000-vector corpus, same 4-bit code budget; the residual rung
+      // measures BELOW direct IVF-PQ on this isotropic corpus, the
+      // honest PLANS.md round-11 finding). Floors sit well under each
+      // cross-sf minimum — regression alarms, not targets.
       val hits = out.groupBy(col("method")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val denom = nPanel * 10L
@@ -1545,6 +1558,7 @@ object PipelineQueries {
       val lshHits = hits.getOrElse("lsh", 0L)
       val pqHits = hits.getOrElse("pq", 0L)
       val ivfpqHits = hits.getOrElse("ivfpq", 0L)
+      val resHits = hits.getOrElse("ivfpq_res", 0L)
       require(ivfHits * 100 >= denom * 45,
         s"q75: IVF recall@10 collapsed — $ivfHits/$denom < 45%")
       require(lshHits * 100 >= denom * 80,
@@ -1553,6 +1567,9 @@ object PipelineQueries {
         s"q75: PQ flat-ADC recall@10 collapsed — $pqHits/$denom < 10%")
       require(ivfpqHits * 100 >= denom * 8,
         s"q75: IVF-PQ recall@10 collapsed — $ivfpqHits/$denom < 8%")
+      require(resHits * 100 >= denom * 6,
+        s"q75: residual IVF-PQ recall@10 collapsed — " +
+          s"$resHits/$denom < 6%")
       out
     }),
 

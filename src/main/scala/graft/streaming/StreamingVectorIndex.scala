@@ -1,0 +1,336 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{ProductQuantize, Similarity}
+
+/** X2 × W — CONTINUOUS vector-index maintenance: the streaming
+  * counterpart of the batch drift loops
+  * ([[Similarity.ivfRefreshOrRecenter]] /
+  * [[ProductQuantize.ivfPqRefreshOrRecenter]]), mirroring
+  * [[StreamingLexicalIndex]] for the dense side. Every micro-batch of
+  * embedding UPSERTS/DELETES (rows `idCol | vecCol | op` with
+  * op ∈ upsert/delete) drives one maintenance wave: snapshot update,
+  * cell-incremental refresh, drift gauges, and — on a breach of the
+  * fit-time baseline (the shared [[Similarity.driftBreached]] rule) —
+  * a deterministic recenter + rebuild. `foreachBatch` is the right
+  * tool exactly as on the lexical side: refresh and rebuild are batch
+  * operators with commit protocols of their own, and `batchId`
+  * supplies the monotone GENERATION numbers the state store keys on.
+  *
+  * State under `root` (all of it on storage, none in the driver — a
+  * restarted stream resumes from the layout alone):
+  *
+  *   - `snapshot/gen=<g>`: the corpus snapshot AFTER wave g
+  *     (gen = batchId + 1; [[bootstrap*]] writes gen=0). Only the two
+  *     newest generations are retained.
+  *   - `cents/gen=<g>` + `baseline/gen=<g>`: the centroid model and
+  *     its fit-time drift gauges, written at bootstrap and at each
+  *     recenter; the CURRENT model is the largest generation.
+  *   - `index/`: the cell-partitioned index (int8 codes, or the
+  *     IVF-PQ codebooks+codes root), maintained in place.
+  *   - `staging/`: the refresh's cell staging.
+  *   - `_RECENTER_PENDING`: sealed marker carrying the generation of
+  *     an in-flight recenter (see the replay argument).
+  *
+  * == Replay safety ==
+  *
+  * A failed micro-batch is REPLAYED with the same batchId and the
+  * same data. Every step converges under that replay:
+  *
+  *   1. SNAPSHOT: wave g derives its new snapshot from the largest
+  *      generation STRICTLY BELOW g — never from gen=g itself — so a
+  *      replay whose crashed attempt already wrote gen=g recomputes
+  *      the identical frame from identical inputs and the overwrite
+  *      converges.
+  *   2. CHANGES are derived from the DELTA ALONE (upsert → modified,
+  *      delete → removed), never from a diff against the possibly
+  *      already-updated snapshot. A key the crashed attempt already
+  *      added is simply "modified" on replay: its cell is dirtied and
+  *      the identical row re-staged — the refresh never sees
+  *      "unchanged" for a row the index might hold only half of.
+  *   3. REFRESH COMMIT (the dynamic-partition-overwrite window): with
+  *      (1) and (2) the replayed refresh runs with bit-identical
+  *      (snapshot, changes) inputs, which is precisely the
+  *      precondition of [[Similarity.ivfRefreshQuantizedIncremental]]'s
+  *      documented idempotent recovery — the same dirty cells re-stage
+  *      the same content, the dynamic overwrite replaces only those
+  *      cell directories again, and the emptied-cell drops re-run. A
+  *      half-committed refresh never loses live rows; it over-serves
+  *      removed ones only until the replay completes.
+  *   4. RECENTER: the breach decision is made ONCE, sealed by the
+  *      `_RECENTER_PENDING` marker BEFORE the rebuild. Recovery (the
+  *      next wave, or a replay) sees the marker and REPLAYS THE
+  *      DECISION, not the gauge: refit from `snapshot/gen=<marker>`
+  *      (a pure seeded function of the snapshot), rebuild (a full
+  *      overwrite — idempotent), re-gauge, write the model, clear the
+  *      marker. Without the marker, a crash between the rebuild and
+  *      the model write would leave a cents2-shaped index governed by
+  *      cents1 — and a replayed refresh under stale centroids could
+  *      double-place rows; the marker makes that window unreachable.
+  *   5. MODEL WRITE: tiny coalesced overwrites keyed by generation —
+  *      re-running them is idempotent; the marker clears only after
+  *      both are on storage.
+  *
+  * Probes must not race the loop (single-writer, as everywhere). */
+object StreamingVectorIndex {
+
+  /** The family-specific pieces: the int8 quantized IVF file and the
+    * IVF-PQ layout run the identical wave protocol. */
+  private[graft] sealed trait IndexOps {
+    def refresh(spark: SparkSession, root: String, cents: DataFrame,
+                upserts: DataFrame, changes: DataFrame, idCol: String,
+                vecCol: String): Unit
+    def gauges(spark: SparkSession, root: String, cents: DataFrame,
+               idCol: String): (Long, Long)
+    def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
+                vecCol: String, root: String): Unit
+    def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame
+  }
+
+  private[graft] final case class QuantizedOps(k: Int, seed: Long)
+      extends IndexOps {
+    def refresh(spark: SparkSession, root: String, cents: DataFrame,
+                upserts: DataFrame, changes: DataFrame, idCol: String,
+                vecCol: String): Unit = {
+      Similarity.ivfRefreshQuantizedIncremental(spark, s"$root/index",
+        cents, upserts, changes, idCol, vecCol, s"$root/staging")
+      ()
+    }
+    def gauges(spark: SparkSession, root: String, cents: DataFrame,
+               idCol: String): (Long, Long) =
+      Similarity.ivfDriftGauges(
+        Similarity.ivfDriftStats(spark, s"$root/index", cents))
+    def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
+                vecCol: String, root: String): Unit =
+      Similarity.ivfWriteIndexQuantized(snapshot, cents, idCol, vecCol,
+        s"$root/index")
+    def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame =
+      Similarity.learnedCentroids(snapshot, vecCol, k, seed)
+  }
+
+  private[graft] final case class IvfPqOps(kCells: Int, m: Int, k: Int,
+                                    seed: Long) extends IndexOps {
+    def refresh(spark: SparkSession, root: String, cents: DataFrame,
+                upserts: DataFrame, changes: DataFrame, idCol: String,
+                vecCol: String): Unit = {
+      ProductQuantize.ivfPqRefreshIncremental(spark, s"$root/index",
+        cents, upserts, changes, idCol, vecCol, s"$root/staging")
+      ()
+    }
+    def gauges(spark: SparkSession, root: String, cents: DataFrame,
+               idCol: String): (Long, Long) =
+      Similarity.ivfDriftGauges(
+        ProductQuantize.ivfPqDriftStats(spark, s"$root/index", cents,
+          idCol))
+    // a recenter retrains BOTH artifacts (centroids and codebooks) —
+    // the ivfPqRefreshOrRecenter contract
+    def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
+                vecCol: String, root: String): Unit =
+      ProductQuantize.ivfPqWriteIndex(snapshot, cents, idCol, vecCol,
+        m, k, s"$root/index", seed)
+    def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame =
+      Similarity.learnedCentroids(snapshot, vecCol, kCells, seed)
+  }
+
+  // ---- state-store helpers ------------------------------------------
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def gens(spark: SparkSession, root: String,
+                   sub: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    val fs = fsOf(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toInt)
+      .sorted
+  }
+
+  private def readBaseline(spark: SparkSession, root: String,
+                           gen: Int): (Long, Long) = {
+    val r = spark.read.parquet(s"$root/baseline/gen=$gen").head()
+    (r.getAs[Long]("skew_x100"), r.getAs[Long]("mean_cd_fp"))
+  }
+
+  private def writeModel(spark: SparkSession, root: String, gen: Int,
+                         cents: DataFrame, bl: (Long, Long)): Unit = {
+    import spark.implicits._
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/cents/gen=$gen")
+    Seq(bl).toDF("skew_x100", "mean_cd_fp").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/baseline/gen=$gen")
+  }
+
+  private def markerPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")
+
+  /** Refit + rebuild + model write for generation `gen`, then clear
+    * the marker — every step a pure function of `snapshot/gen=<gen>`
+    * and the seed, so replaying it from any crash point converges
+    * (the scaladoc's recenter argument). Also the bootstrap body. */
+  private def finishRecenter(spark: SparkSession, root: String,
+                             gen: Int, idCol: String, vecCol: String,
+                             ops: IndexOps): Unit = {
+    val snap = spark.read.parquet(s"$root/snapshot/gen=$gen")
+    val cents2 = ops.fitCentroids(snap, vecCol)
+      .localCheckpoint() // pin the fit: consumers re-plan it otherwise
+    ops.rebuild(snap, cents2, idCol, vecCol, root)
+    val bl2 = ops.gauges(spark, root, cents2, idCol)
+    writeModel(spark, root, gen, cents2, bl2)
+    val fs = fsOf(spark, root)
+    require(fs.delete(markerPath(root), false) ||
+        !fs.exists(markerPath(root)),
+      s"StreamingVectorIndex: failed to clear recenter marker at $root")
+  }
+
+  /** Replay a sealed-but-unfinished recenter decision (crash between
+    * the marker and the model write). The gauge is NOT re-consulted —
+    * the decision was made once; recovery replays it. */
+  private def recoverPending(spark: SparkSession, root: String,
+                             idCol: String, vecCol: String,
+                             ops: IndexOps): Unit = {
+    val fs = fsOf(spark, root)
+    val mp = markerPath(root)
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val gen = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      finishRecenter(spark, root, gen, idCol, vecCol, ops)
+    }
+  }
+
+  // ---- the wave -----------------------------------------------------
+
+  /** One maintenance wave (the foreachBatch body; `private[graft]` so
+    * the crash-point specs can drive it directly). */
+  private[graft] def applyWave(spark: SparkSession, root: String,
+                               delta: DataFrame, batchId: Long,
+                               idCol: String, vecCol: String,
+                               ops: IndexOps, cdFactorX100: Long,
+                               skewFactorX100: Long): Unit = {
+    require(batchId >= 0 && batchId < Int.MaxValue,
+      s"StreamingVectorIndex: batchId $batchId outside the generation " +
+        "range")
+    val gen = batchId.toInt + 1
+    // a crashed recenter (of ANY earlier wave) recovers before this
+    // wave touches the index
+    recoverPending(spark, root, idCol, vecCol, ops)
+    val fs = fsOf(spark, root)
+    // 1. snapshot: derive from the largest generation STRICTLY below
+    //    gen — a replay whose crashed attempt already wrote gen=g
+    //    recomputes the identical frame (replay-safety step 1)
+    val snapGens = gens(spark, root, "snapshot")
+    val prevGens = snapGens.filter(_ < gen)
+    require(prevGens.nonEmpty,
+      s"StreamingVectorIndex: no snapshot below gen=$gen at $root — " +
+        "bootstrap the loop first")
+    val prevGen = prevGens.max
+    val prev = spark.read.parquet(s"$root/snapshot/gen=$prevGen")
+    val deltaC = graft.engine.Caching.cached(delta)
+    try {
+      val opStatus = when(col("op") === "upsert", lit("modified"))
+        .when(col("op") === "delete", lit("removed"))
+        .otherwise(raise_error(concat(
+          lit("StreamingVectorIndex: unknown op "), col("op"))))
+      val upserts = deltaC.filter(col("op") === "upsert")
+        .select(col(idCol), col(vecCol))
+      prev.join(deltaC.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(upserts)
+        .write.mode("overwrite").parquet(s"$root/snapshot/gen=$gen")
+      // 2. changes from the DELTA alone (replay-safety step 2): every
+      //    upsert is "modified" — an actually-new key just dirties no
+      //    outgoing cell — and every delete is "removed"
+      val changes = deltaC.select(col(idCol), opStatus.as("status"))
+      // 3. cell-incremental refresh under the CURRENT model; the
+      //    upsert rows are the only "snapshot" the refresh needs
+      //    (freshRows = newSnap ⋈ freshKeys ⊆ upserts), so the wave
+      //    never rescans the corpus
+      val mGen = gens(spark, root, "cents").max
+      val cents = spark.read.parquet(s"$root/cents/gen=$mGen")
+      val baseline = readBaseline(spark, root, mGen)
+      ops.refresh(spark, root, cents, upserts, changes, idCol, vecCol)
+      // 4. drift decision — sealed BEFORE the rebuild (replay-safety
+      //    step 4), then executed by the same deterministic path the
+      //    recovery replays
+      if (Similarity.driftBreached(
+          ops.gauges(spark, root, cents, idCol), baseline,
+          cdFactorX100, skewFactorX100)) {
+        val out = fs.create(markerPath(root), true)
+        try out.write(gen.toString.getBytes("UTF-8"))
+        finally out.close()
+        finishRecenter(spark, root, gen, idCol, vecCol, ops)
+      }
+      // 5. snapshot GC: this wave's replay still needs prevGen; all
+      //    older generations are dead
+      snapGens.filter(_ < prevGen).foreach { g =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/snapshot/gen=$g")
+        require(fs.delete(p, true) || !fs.exists(p),
+          s"StreamingVectorIndex: failed to GC snapshot gen=$g")
+      }
+    } finally deltaC.unpersist()
+  }
+
+  private def bootstrap(initial: DataFrame, root: String, idCol: String,
+                        vecCol: String, ops: IndexOps): Unit = {
+    val spark = initial.sparkSession
+    initial.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$root/snapshot/gen=0")
+    finishRecenter(spark, root, 0, idCol, vecCol, ops)
+  }
+
+  // ---- public surface -----------------------------------------------
+
+  /** Bootstrap the int8 quantized-IVF loop state: snapshot gen=0,
+    * seeded centroid fit, full index write, fit-time baseline. */
+  def bootstrapQuantized(initial: DataFrame, root: String,
+                         idCol: String, vecCol: String, k: Int,
+                         seed: Long = 42L): Unit =
+    bootstrap(initial, root, idCol, vecCol, QuantizedOps(k, seed))
+
+  /** Run the int8 quantized-IVF maintenance loop over a stream of
+    * delta rows (`idCol | vecCol | op`, op ∈ upsert/delete). */
+  def runQuantized(delta: DataFrame, root: String, idCol: String,
+                   vecCol: String, k: Int, checkpoint: String,
+                   seed: Long = 42L, cdFactorX100: Long = 115L,
+                   skewFactorX100: Long = 175L): StreamingQuery =
+    run(delta, root, idCol, vecCol, QuantizedOps(k, seed), checkpoint,
+      cdFactorX100, skewFactorX100)
+
+  /** Bootstrap the IVF-PQ loop state (codebooks + centroids fit at
+    * gen=0, codes written cell-partitioned). */
+  def bootstrapIvfPq(initial: DataFrame, root: String, idCol: String,
+                     vecCol: String, kCells: Int, m: Int, k: Int,
+                     seed: Long = 42L): Unit =
+    bootstrap(initial, root, idCol, vecCol,
+      IvfPqOps(kCells, m, k, seed))
+
+  /** Run the IVF-PQ maintenance loop; a drift breach retrains BOTH
+    * centroids and codebooks (the batch loop's contract). */
+  def runIvfPq(delta: DataFrame, root: String, idCol: String,
+               vecCol: String, kCells: Int, m: Int, k: Int,
+               checkpoint: String, seed: Long = 42L,
+               cdFactorX100: Long = 115L,
+               skewFactorX100: Long = 175L): StreamingQuery =
+    run(delta, root, idCol, vecCol, IvfPqOps(kCells, m, k, seed),
+      checkpoint, cdFactorX100, skewFactorX100)
+
+  private def run(delta: DataFrame, root: String, idCol: String,
+                  vecCol: String, ops: IndexOps, checkpoint: String,
+                  cdFactorX100: Long,
+                  skewFactorX100: Long): StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          applyWave(batch.sparkSession, root, batch.toDF(), batchId,
+            idCol, vecCol, ops, cdFactorX100, skewFactorX100)
+      }
+      .start()
+}

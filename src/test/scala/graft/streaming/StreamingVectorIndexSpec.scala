@@ -1,0 +1,273 @@
+package graft.streaming
+
+// Spark 4 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{ProductQuantize, Similarity}
+
+/** Continuous vector-index maintenance: the foreachBatch drift loop's
+  * state routing (snapshot generations, model generations, recenter
+  * marker) must produce indexes identical to hand-driven batch calls,
+  * converge under micro-batch replay, and recover a crashed recenter
+  * deterministically — the crash points of the scaladoc's replay
+  * argument, spec'd like the lexical loop's. */
+class StreamingVectorIndexSpec extends SparkSpec {
+
+  // deterministic synthetic embeddings: 8-dim, integer-derived floats
+  private def vec(i: Long, shift: Double = 0.0): Seq[Float] =
+    Seq.tabulate(8)(j =>
+      (((i * 31 + j * 17) % 97) / 97.0 + shift + 0.01).toFloat)
+
+  private def corpus(ids: Seq[Long]): Seq[(Long, Seq[Float])] =
+    ids.map(i => i -> vec(i))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def indexContent(path: String): Set[(Long, Seq[Byte], Long)] =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("codes"),
+        col("centroid_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Byte]](1).toSeq, r.getLong(2)))
+      .toSet
+
+  test("benign streaming waves produce an int8 index identical to " +
+      "hand-driven batch refresh calls, and the snapshot tracks the " +
+      "corpus") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val rootS = tmp("svi_stream")
+    val rootB = tmp("svi_batch")
+    val ckpt = tmp("svi_ck")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, rootS,
+      "vec_id", "embedding", k = 4)
+    // batch twin: the BOOTSTRAP's fitted model (seeded ML fits are
+    // deterministic only per physical input layout, so the twin must
+    // share the fit, not repeat it on a differently-partitioned frame)
+    val cents0 = spark.read.parquet(s"$rootS/cents/gen=0")
+      .localCheckpoint()
+    Similarity.ivfWriteIndexQuantized(
+      spark.read.parquet(s"$rootS/snapshot/gen=0"), cents0, "vec_id",
+      "embedding", s"$rootB/index")
+    // wave 1: 3 adds + 2 modifies; wave 2: 2 deletes + 1 modify
+    val w1 = Seq(40L -> "upsert", 41L -> "upsert", 42L -> "upsert",
+      3L -> "upsert", 7L -> "upsert")
+      .map { case (i, op) => (i, vec(i, shift = 0.002), op) }
+    val w2 = Seq((5L, vec(5L), "delete"), (11L, vec(11L), "delete"),
+      (3L, vec(3L, shift = 0.004), "upsert"))
+    val source = MemoryStream[(Long, Seq[Float], String)]
+    val q = StreamingVectorIndex.runQuantized(
+      source.toDF().toDF("vec_id", "embedding", "op"),
+      rootS, "vec_id", "embedding", k = 4, ckpt)
+    try {
+      Seq(w1, w2).foreach { w =>
+        source.addData(w: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch twin replays the same waves through the refresh directly
+    for (w <- Seq(w1, w2)) {
+      val delta = w.toDF("vec_id", "embedding", "op")
+      Similarity.ivfRefreshQuantizedIncremental(spark, s"$rootB/index",
+        cents0,
+        delta.filter(col("op") === "upsert")
+          .select(col("vec_id"), col("embedding")),
+        delta.select(col("vec_id"),
+          when(col("op") === "upsert", lit("modified"))
+            .otherwise(lit("removed")).as("status")),
+        "vec_id", "embedding", s"$rootB/staging")
+    }
+    assert(indexContent(s"$rootS/index") == indexContent(s"$rootB/index"),
+      "streaming loop diverged from the batch refresh calls")
+    // snapshot gen=2 is the corpus after both waves
+    val expectIds = ((0L until 40L).toSet -- Set(5L, 11L)) ++
+      Set(40L, 41L, 42L)
+    val snapIds = spark.read.parquet(s"$rootS/snapshot/gen=2")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(snapIds == expectIds)
+    // GC kept only the two newest generations
+    val fs = new org.apache.hadoop.fs.Path(rootS)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$rootS/snapshot"))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.toSeq == Seq("gen=1", "gen=2"), gens.mkString(","))
+  }
+
+  test("a replayed wave converges: applying the same batch twice " +
+      "leaves index and snapshot bit-identical to one application") {
+    import spark.implicits._
+    val root = tmp("svi_replay")
+    val initial = corpus(0L until 30L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    val delta = Seq((30L, vec(30L), "upsert"),
+      (2L, vec(2L, 0.003), "upsert"), (9L, vec(9L), "delete"))
+      .toDF("vec_id", "embedding", "op")
+    StreamingVectorIndex.applyWave(spark, root, delta, 0L,
+      "vec_id", "embedding", ops, 115L, 175L)
+    val once = indexContent(s"$root/index")
+    val snapOnce = spark.read.parquet(s"$root/snapshot/gen=1")
+      .collect().map(_.toString).sorted.toSeq
+    // the replay: same batchId, same delta — the crashed-attempt case
+    // (snapshot gen=1 already written, refresh already committed; the
+    // already-added key 30 arrives as a plain "modified" upsert)
+    StreamingVectorIndex.applyWave(spark, root, delta, 0L,
+      "vec_id", "embedding", ops, 115L, 175L)
+    assert(indexContent(s"$root/index") == once,
+      "replay changed the index")
+    assert(spark.read.parquet(s"$root/snapshot/gen=1")
+      .collect().map(_.toString).sorted.toSeq == snapOnce,
+      "replay changed the snapshot")
+  }
+
+  test("a crashed recenter (sealed marker, no model write) recovers " +
+      "deterministically before the next wave touches the index") {
+    import spark.implicits._
+    val root = tmp("svi_crash")
+    val expectRoot = tmp("svi_crash_expect")
+    val initial = corpus(0L until 30L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    // wave 1's snapshot is on storage and the recenter DECISION was
+    // sealed — then the process died before rebuild/model-write
+    val snap1 = corpus(0L until 25L).toDF("vec_id", "embedding")
+    snap1.write.mode("overwrite").parquet(s"$root/snapshot/gen=1")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING"), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    // next wave (batch 1 → gen 2): recovery must replay the decision
+    // from snapshot gen=1 — refit, rebuild, model write, marker clear
+    val delta = Seq((50L, vec(50L), "upsert"))
+      .toDF("vec_id", "embedding", "op")
+    StreamingVectorIndex.applyWave(spark, root, delta, 1L,
+      "vec_id", "embedding", ops, 115L, 175L)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/cents/gen=1")),
+      "recovery did not write the recentered model")
+    // the recovered model is the pure seeded function of the WRITTEN
+    // snapshot-1 files (ML fits are deterministic per physical layout)
+    val expectCents = Similarity.learnedCentroids(
+      spark.read.parquet(s"$root/snapshot/gen=1"), "embedding",
+      k = 4).localCheckpoint()
+    val gotCents = spark.read.parquet(s"$root/cents/gen=1")
+    assert(gotCents.collect().map(_.toString).sorted.toSeq ==
+      expectCents.collect().map(_.toString).sorted.toSeq,
+      "recovered centroids diverged from the deterministic refit")
+    // and the index equals rebuild-from-snapshot-1 + the wave's
+    // refresh, replayed against an expectation root
+    Similarity.ivfWriteIndexQuantized(snap1, expectCents, "vec_id",
+      "embedding", s"$expectRoot/index")
+    Similarity.ivfRefreshQuantizedIncremental(spark,
+      s"$expectRoot/index", expectCents,
+      delta.filter(col("op") === "upsert")
+        .select(col("vec_id"), col("embedding")),
+      delta.select(col("vec_id"), lit("modified").as("status")),
+      "vec_id", "embedding", s"$expectRoot/staging")
+    assert(indexContent(s"$root/index") ==
+      indexContent(s"$expectRoot/index"),
+      "recovered index diverged from the deterministic replay")
+  }
+
+  test("a hard-drift wave recenters in-loop: marker cleared, model " +
+      "generation advanced, index equals the from-scratch rebuild of " +
+      "the final snapshot") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val root = tmp("svi_drift")
+    val ckpt = tmp("svi_drift_ck")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, root,
+      "vec_id", "embedding", k = 4)
+    // every vector wanders far from its fitted cell: displacement
+    // breaches the relative trigger and the loop must recenter
+    val wave = (0L until 40L).map(i =>
+      (i, vec(i, shift = 3.0 * (i % 5)), "upsert"))
+    val source = MemoryStream[(Long, Seq[Float], String)]
+    val q = StreamingVectorIndex.runQuantized(
+      source.toDF().toDF("vec_id", "embedding", "op"),
+      root, "vec_id", "embedding", k = 4, ckpt)
+    try {
+      source.addData(wave: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/cents/gen=1")),
+      "hard drift did not recenter")
+    val finalSnap = spark.read.parquet(s"$root/snapshot/gen=1")
+    val expectRoot = tmp("svi_drift_expect")
+    val cents2 = Similarity.learnedCentroids(finalSnap, "embedding",
+      k = 4).localCheckpoint()
+    Similarity.ivfWriteIndexQuantized(finalSnap, cents2, "vec_id",
+      "embedding", s"$expectRoot/index")
+    assert(indexContent(s"$root/index") ==
+      indexContent(s"$expectRoot/index"),
+      "recentered index diverged from the from-scratch rebuild")
+  }
+
+  test("the IVF-PQ loop: benign wave equals batch refresh through " +
+      "the same written codebooks") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val rootS = tmp("svi_pq_stream")
+    val rootB = tmp("svi_pq_batch")
+    val ckpt = tmp("svi_pq_ck")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapIvfPq(initial, rootS,
+      "vec_id", "embedding", kCells = 4, m = 4, k = 8)
+    // share the bootstrap's fitted model + snapshot (fit determinism
+    // is per physical input layout)
+    val cents0 = spark.read.parquet(s"$rootS/cents/gen=0")
+      .localCheckpoint()
+    ProductQuantize.ivfPqWriteIndex(
+      spark.read.parquet(s"$rootS/snapshot/gen=0"), cents0, "vec_id",
+      "embedding", m = 4, k = 8, s"$rootB/index")
+    val w = Seq((40L, vec(40L), "upsert"),
+      (6L, vec(6L, 0.002), "upsert"), (13L, vec(13L), "delete"))
+    val source = MemoryStream[(Long, Seq[Float], String)]
+    val q = StreamingVectorIndex.runIvfPq(
+      source.toDF().toDF("vec_id", "embedding", "op"),
+      rootS, "vec_id", "embedding", kCells = 4, m = 4, k = 8, ckpt)
+    try {
+      source.addData(w: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val delta = w.toDF("vec_id", "embedding", "op")
+    ProductQuantize.ivfPqRefreshIncremental(spark, s"$rootB/index",
+      cents0,
+      delta.filter(col("op") === "upsert")
+        .select(col("vec_id"), col("embedding")),
+      delta.select(col("vec_id"),
+        when(col("op") === "upsert", lit("modified"))
+          .otherwise(lit("removed")).as("status")),
+      "vec_id", "embedding", s"$rootB/staging")
+    def pqContent(path: String): Set[(Long, Seq[Long], Long)] =
+      spark.read.parquet(path)
+        .select(col("vec_id"), col("codes"),
+          col("centroid_id").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Long]](1).toSeq, r.getLong(2)))
+        .toSet
+    assert(pqContent(s"$rootS/index/codes") ==
+      pqContent(s"$rootB/index/codes"),
+      "streaming IVF-PQ loop diverged from the batch refresh")
+  }
+}
