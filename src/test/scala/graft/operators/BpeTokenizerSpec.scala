@@ -153,4 +153,53 @@ class BpeTokenizerSpec extends SparkSpec {
     val segs = vocab.select(col("syms")).as[Seq[String]].collect()
     assert(segs.forall(_.forall(_.length == 1)))
   }
+
+  test("vocab pre-extension: pre-extended encode equals the per-row " +
+      "fallback encode on planted OOV words, and the fold expression " +
+      "leaves the plan") {
+    val fitDocs = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "widest widest newest low lowest lowest")
+      .map(Tuple1(_)).toDF("text")
+    val (merges, vocab) = BpeTokenizer.train(fitDocs, "text", 12)
+    // corpus B: planted OOV words among in-vocab ones
+    val fresh = Seq((1L, "low lowestest zq newest"),
+      (2L, "widest newlow zq")).toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("doc_id"), col("word_pos"))
+      .select(col("doc_id"), col("word_pos"), col("word"), col("syms"))
+      .as[(Long, Long, String, Seq[String])].collect().toSeq
+    // path 1: the per-row fallback fold (|merges| plan nodes)
+    val viaFallback = collect(
+      BpeTokenizer.encode(fresh, "doc_id", "text", vocab, merges))
+    // path 2: production — segment B's words offline, extend the
+    // vocab, encode with NO per-row fold at all
+    val freshWords = fresh.select(
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    // materialized, as a stored tokenizer table would be — the
+    // offline segmentation fold must not ride into every encode plan
+    val vocabExt = BpeTokenizer.extendVocab(vocab, freshWords, "word",
+      merges).localCheckpoint(true)
+    val viaExtension = collect(
+      BpeTokenizer.encode(fresh, "doc_id", "text", vocabExt))
+    assert(viaExtension == viaFallback,
+      "pre-extended encode diverged from the fallback encode")
+    // extended entries carry freq 0 and only the genuinely-missing
+    // words were added
+    assert(vocabExt.filter(col("freq") === 0L)
+      .select(col("word")).as[String].collect().toSet ==
+      Set("lowestest", "zq", "newlow"))
+    // the merge-fold `aggregate` HOF is ABSENT from the pre-extended
+    // plan (and present in the fallback one) — the |merges|-plan-size
+    // problem is gone for covered words
+    val planExt = BpeTokenizer
+      .encode(fresh, "doc_id", "text", vocabExt)
+      .queryExecution.executedPlan.toString
+    val planFb = BpeTokenizer
+      .encode(fresh, "doc_id", "text", vocab, merges)
+      .queryExecution.executedPlan.toString
+    assert(!planExt.contains("aggregate("),
+      s"fold expression still in the pre-extended plan:\n${planExt.take(800)}")
+    assert(planFb.contains("aggregate("))
+  }
 }
