@@ -681,6 +681,14 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
     val before = probe()
+    // the positional family rides the same layout: phrase answers
+    // must also be GC-invariant (and still honor the surviving
+    // gen-3 tombstone)
+    def phrase() = TextAnalysis
+      .phraseSearch(spark, dir, Seq("scan", "table"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val phraseBefore = phrase()
     val minSeg = spark.read.parquet(s"$dir/segstats")
       .agg(min(col("seg").cast("int"))).head().getInt(0)
     assert(minSeg == 2, s"fold did not land on seg=2: $minSeg")
@@ -690,6 +698,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == 1, "exactly the gen-3 tombstone must survive")
     assert(probe() == before,
       "tombstone compaction changed probe results")
+    assert(phrase() == phraseBefore,
+      "tombstone compaction changed phrase results")
     // idempotent: nothing more to drop on a re-run
     val (d2, k2) = TextAnalysis.bm25CompactTombstones(spark, dir,
       "doc_id")

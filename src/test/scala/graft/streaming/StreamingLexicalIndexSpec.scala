@@ -65,5 +65,24 @@ class StreamingLexicalIndexSpec extends SparkSpec {
     assert(probed == direct,
       "maintained streaming index diverged from the direct scan")
     assert(probed.nonEmpty)
+    // positions ride the streamed segments too: phrase answers off
+    // the maintained layout equal the consecutive-token semantics of
+    // everything ingested (docs 1 and 9 carry no "sort merge" run;
+    // doc 1 has "sort merge" at pos 1, doc 9 "scan merge" — check
+    // against a locally computed truth)
+    val phrase = TextAnalysis
+      .phraseSearch(spark, dir, Seq("sort", "merge"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val truth = waves.flatten.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      val starts = (0 until t.length - 1)
+        .filter(i => t(i) == "sort" && t(i + 1) == "merge")
+      if (starts.isEmpty) None
+      else Some((id, starts.length.toLong, starts.head.toLong))
+    }.toSet
+    assert(phrase == truth,
+      "phrase over the streamed layout diverged from token truth")
+    assert(phrase.nonEmpty)
   }
 }
