@@ -512,7 +512,31 @@ object ProductQuantize {
   def ivfPqRefreshIncremental(
       spark: SparkSession, path: String, cents: DataFrame,
       newSnap: DataFrame, changes: DataFrame, idCol: String,
-      vecCol: String, stagingPath: String): Seq[Long] = {
+      vecCol: String, stagingPath: String): Seq[Long] =
+    ivfPqRefresh(spark, path, cents, newSnap, changes, idCol, vecCol,
+      stagingPath, residual = false)
+
+  /** [[ivfPqRefreshIncremental]] for a RESIDUAL layout
+    * ([[ivfPqWriteIndexResidual]]): identical dirty-cell mechanics —
+    * one shared body, so the two families can never drift — except
+    * fresh rows encode the RESIDUAL (unit vector − assigned cell's
+    * centroid) through the written codebooks, exactly the write
+    * path's derivation. Centroids staying FIXED across refreshes is
+    * what makes survivor codes and fresh codes mutually consistent
+    * here too: a survivor's residual was taken against the same
+    * centroid a fresh row subtracts now. */
+  def ivfPqRefreshIncrementalResidual(
+      spark: SparkSession, path: String, cents: DataFrame,
+      newSnap: DataFrame, changes: DataFrame, idCol: String,
+      vecCol: String, stagingPath: String): Seq[Long] =
+    ivfPqRefresh(spark, path, cents, newSnap, changes, idCol, vecCol,
+      stagingPath, residual = true)
+
+  private def ivfPqRefresh(
+      spark: SparkSession, path: String, cents: DataFrame,
+      newSnap: DataFrame, changes: DataFrame, idCol: String,
+      vecCol: String, stagingPath: String,
+      residual: Boolean): Seq[Long] = {
     val indexPath = s"$path/codes"
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
@@ -527,10 +551,12 @@ object ProductQuantize {
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     val freshRows = newSnap.join(freshKeys, Seq(idCol))
     val freshAssigned = cached(
-      pqEncode(freshRows, idCol, vecCol, cb, m)
-        .join(Similarity.ivfAssignCosine(freshRows, cents, idCol,
-          vecCol), Seq(idCol))
-        .select(col(idCol), col("codes"), col("centroid_id")))
+      if (!residual)
+        pqEncode(freshRows, idCol, vecCol, cb, m)
+          .join(Similarity.ivfAssignCosine(freshRows, cents, idCol,
+            vecCol), Seq(idCol))
+          .select(col(idCol), col("codes"), col("centroid_id"))
+      else encodeResidual(freshRows, cents, idCol, vecCol, cb, m))
     val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
       .union(freshAssigned.select(col("centroid_id")))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
@@ -637,6 +663,27 @@ object ProductQuantize {
         ivfPqDriftStats(spark, path, cents2, idCol))
       (cents2, baseline2, true)
     }
+  }
+
+  /** Residual-encodes vectors through FIXED written artifacts
+    * (codebooks + centroids): cosine cell assignment (scale-
+    * invariant), residual = unit vector − cell centroid, codes via
+    * the shared argmin — the [[ivfPqWriteIndexResidual]] derivation
+    * as ONE reusable definition, so the residual refresh and its
+    * from-scratch parity checks can never drift on it. Returns
+    * (idCol, codes, centroid_id); zero-norm rows drop, as at write. */
+  def encodeResidual(vectors: DataFrame, cents: DataFrame,
+                     idCol: String, vecCol: String,
+                     codebooks: DataFrame, m: Int): DataFrame = {
+    val res = unitVectors(vectors, vecCol, Seq(idCol))
+      .join(Similarity.ivfAssignCosine(vectors, cents, idCol, vecCol),
+        Seq(idCol))
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col("_uv"), col("cvec"), (a, b) => a - b).as("_res"))
+    pqEncodeRaw(res, idCol, "_res", codebooks, m)
+      .join(res.select(col(idCol), col("centroid_id")), Seq(idCol))
+      .select(col(idCol), col("codes"), col("centroid_id"))
   }
 
   /** Residual IVF-PQ — FAISS's default accuracy rung: each vector is

@@ -3116,6 +3116,60 @@ object PipelineQueries {
         k = 10, nProbe = 3)
     }),
 
+    // X2 — RESIDUAL IVF-PQ cell-incremental refresh (q141's scenario
+    // on the residual layout — the last index family without a
+    // maintenance rung): fresh rows residual-encode through the
+    // WRITTEN codebooks against their assigned cell's FIXED centroid
+    // (the one shared encodeResidual definition), survivors keep
+    // codes verbatim. In-builder membership parity vs a from-scratch
+    // residual re-encode of the final snapshot through the same
+    // artifacts; the gated output is q131's residual ADC replay off
+    // the refreshed parquet.
+    "q145_ivfpq_residual_refresh" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val snapA = base.filter(col("vec_id") % 11 =!= 5)
+      val status = when(col("vec_id") % 11 === 5, lit("added"))
+        .when(col("vec_id") % 7 === 1, lit("modified"))
+        .when(col("vec_id") % 13 === 2, lit("removed"))
+        .otherwise(lit("unchanged"))
+      val changes = base.select(col("vec_id"), status.as("status"))
+      val snapB = base
+        .filter(status =!= "removed")
+        .select(col("vec_id"),
+          when(status === "modified",
+            transform(col("embedding"), x => (x + lit(0.05f))))
+            .otherwise(col("embedding")).as("embedding"))
+      val path = scratchPath("ivfpqrf_index", dir)
+      val centsPath = scratchPath("ivfpqrf_cents", dir)
+      Similarity.learnedCentroids(snapA, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite").parquet(centsPath)
+      val cents = s.read.parquet(centsPath)
+      ProductQuantize.ivfPqWriteIndexResidual(snapA, cents, "vec_id",
+        "embedding", m = 8, k = 16, path)
+      val dirty = ProductQuantize.ivfPqRefreshIncrementalResidual(s,
+        path, cents, snapB, changes, "vec_id", "embedding",
+        scratchPath("ivfpqrf_stage", dir))
+      require(dirty.nonEmpty, "q145: recrawl wave touched no cells")
+      // membership parity through the SHARED residual derivation
+      val cb = s.read.parquet(s"$path/codebooks")
+      val expect = ProductQuantize.encodeResidual(snapB, cents,
+        "vec_id", "embedding", cb, m = 8)
+      val got = graft.engine.Caching.cached(
+        s.read.parquet(s"$path/codes")
+          .select(col("vec_id"), col("codes"),
+            col("centroid_id").cast("long").as("centroid_id")))
+      require(got.count() == expect.count() &&
+          got.exceptAll(expect).count() == 0,
+        "q145: refreshed residual index diverged from a " +
+          "from-scratch re-encode")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      ProductQuantize.ivfPqProbeResidual(s, path, cents, qv, "vec_id",
+        k = 10, nProbe = 3)
+    }),
+
     // X3 × X1 — the lexical RECRAWL wave (q141's counterpart for the
     // BM25 index): a corpus diff drives tombstones (old-snapshot dl),
     // a fresh segment, and tiered compaction through ONE operator —
@@ -5552,6 +5606,46 @@ object PipelineQueries {
         |          codes, unnest(generate_series(0, 7)) AS subspace
         |        FROM read_parquet(
         |            '{SCRATCH}/ivfpqr_index_{SFHASH}/codes/*/*.parquet',
+        |            hive_partitioning = 1)
+        |        WHERE CAST(centroid_id AS BIGINT) IN
+        |          (SELECT cid FROM probed))),
+        |r AS (SELECT vec_id, cid,
+        |        CAST(sum(ip_fp) AS BIGINT) AS res_fp
+        |      FROM cx JOIN ip USING (subspace, code)
+        |      GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  round((res_fp + cell_fp) / 1e7, 4) AS adc_score
+        |FROM r JOIN cellc USING (cid)
+        |ORDER BY adc_score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // q131's residual replay off the REFRESHED artifacts: the
+    // cell-incremental wave must leave a layout the same two-term
+    // fixed-point algebra scores identically
+    "q145_ivfpq_residual_refresh" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |  FROM read_parquet('{SCRATCH}/ivfpqrf_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |cellc AS (SELECT cid,
+        |    CAST(floor(list_inner_product(cv, qv) * 1e7 + 0.5)
+        |      AS BIGINT) AS cell_fp
+        |  FROM cents, q WHERE cid IN (SELECT cid FROM probed)),
+        |cb AS (SELECT subspace, code, cvec
+        |  FROM read_parquet(
+        |    '{SCRATCH}/ivfpqrf_index_{SFHASH}/codebooks/*.parquet')),
+        |ip AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb, q),
+        |cx AS (SELECT vec_id, cid, subspace, codes[subspace + 1] AS code
+        |  FROM (SELECT vec_id, CAST(centroid_id AS BIGINT) AS cid,
+        |          codes, unnest(generate_series(0, 7)) AS subspace
+        |        FROM read_parquet(
+        |            '{SCRATCH}/ivfpqrf_index_{SFHASH}/codes/*/*.parquet',
         |            hive_partitioning = 1)
         |        WHERE CAST(centroid_id AS BIGINT) IN
         |          (SELECT cid FROM probed))),

@@ -333,6 +333,48 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(modifyKeys.forall(ids.contains))
   }
 
+  test("ivfPqRefreshIncrementalResidual: fresh rows residual-encode " +
+      "through the fixed artifacts; content equals the shared " +
+      "from-scratch residual derivation") {
+    import spark.implicits._
+    val snapA = base.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(snapA, "embedding", k = 16)
+      .localCheckpoint()
+    val status = when(col("vec_id") % 9 === 1, lit("modified"))
+      .when(col("vec_id") % 9 === 2, lit("removed"))
+      .otherwise(lit("unchanged"))
+    val changes = snapA.select(col("vec_id"), status.as("status"))
+    val snapB = snapA.filter(status =!= "removed")
+      .select(col("vec_id"),
+        when(status === "modified",
+          transform(col("embedding"), x => (x + lit(0.05f))))
+          .otherwise(col("embedding")).as("embedding"))
+    val path = scratch("pqrefresh_res").toString
+    ProductQuantize.ivfPqWriteIndexResidual(snapA, cents, "vec_id",
+      "embedding", m = 8, k = 16, path)
+    val dirty = ProductQuantize.ivfPqRefreshIncrementalResidual(spark,
+      path, cents, snapB, changes, "vec_id", "embedding",
+      scratch("pqrefresh_res_stage").toString)
+    assert(dirty.nonEmpty)
+    // the refreshed layout equals encodeResidual(snapB) through the
+    // WRITTEN codebooks + the fixed centroids — survivors' residuals
+    // (taken at write time) and fresh rows' (taken now) agree because
+    // the centroids never moved
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val expect = ProductQuantize.encodeResidual(snapB, cents, "vec_id",
+      "embedding", cb, m = 8)
+    val got = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("codes"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+    // and the residual probe still ranks over the refreshed layout
+    val qv = Seq(Tuple1((0 until 64).map(i => 0.1 + 0.01 * i)))
+      .toDF("qvec")
+    assert(ProductQuantize.ivfPqProbeResidual(spark, path, cents, qv,
+      "vec_id", k = 5, nProbe = 3).count() == 5)
+  }
+
   test("residual encoding reconstructs tighter than direct PQ " +
       "on clustered data") {
     // the accuracy claim behind q131: with the SAME m·k budget, the
