@@ -23,9 +23,16 @@ import graft.operators.{ProductQuantize, Similarity}
   * State under `root` (all of it on storage, none in the driver — a
   * restarted stream resumes from the layout alone):
   *
-  *   - `snapshot/gen=<g>`: the corpus snapshot AFTER wave g
-  *     (gen = batchId + 1; [[bootstrap*]] writes gen=0). Only the two
-  *     newest generations are retained.
+  *   - `snapfull/gen=<g>` + `snapdelta/gen=<g>`: the snapshot store
+  *     as a DELTA CHAIN (gen = batchId + 1; [[bootstrap*]] writes
+  *     full gen=0). Each wave appends only its delta — a DELTA-SIZED
+  *     write, never a corpus rewrite; the corpus materializes only
+  *     at compaction (every `compactEvery` waves, staged + renamed)
+  *     and at recenter (which pays the corpus read anyway and
+  *     doubles as compaction). "Snapshot at g" = largest full ≤ g
+  *     plus the deltas strictly between, folded in order
+  *     ([[readSnapshot]]) — chain length, and hence fold plan depth,
+  *     is bounded by compactEvery.
   *   - `cents/gen=<g>` + `baseline/gen=<g>`: the centroid model and
   *     its fit-time drift gauges, written at bootstrap and at each
   *     recenter; the CURRENT model is the largest generation.
@@ -40,11 +47,13 @@ import graft.operators.{ProductQuantize, Similarity}
   * A failed micro-batch is REPLAYED with the same batchId and the
   * same data. Every step converges under that replay:
   *
-  *   1. SNAPSHOT: wave g derives its new snapshot from the largest
-  *      generation STRICTLY BELOW g — never from gen=g itself — so a
-  *      replay whose crashed attempt already wrote gen=g recomputes
-  *      the identical frame from identical inputs and the overwrite
-  *      converges.
+  *   1. SNAPSHOT: wave g only APPENDS `snapdelta/gen=g` — the
+  *      overwrite is idempotent (same data, same batchId), and a
+  *      delta re-written AFTER a compaction already absorbed it is
+  *      excluded by the fold rule (only deltas STRICTLY above the
+  *      latest full base fold in). A crash mid-compaction leaves
+  *      staging garbage, never a partial base: the full snapshot
+  *      appears only via rename.
   *   2. CHANGES are derived from the DELTA ALONE (upsert → modified,
   *      delete → removed), never from a diff against the possibly
   *      already-updated snapshot. A key the crashed attempt already
@@ -63,13 +72,18 @@ import graft.operators.{ProductQuantize, Similarity}
   *   4. RECENTER: the breach decision is made ONCE, sealed by the
   *      `_RECENTER_PENDING` marker BEFORE the rebuild. Recovery (the
   *      next wave, or a replay) sees the marker and REPLAYS THE
-  *      DECISION, not the gauge: refit from `snapshot/gen=<marker>`
-  *      (a pure seeded function of the snapshot), rebuild (a full
-  *      overwrite — idempotent), re-gauge, write the model, clear the
-  *      marker. Without the marker, a crash between the rebuild and
-  *      the model write would leave a cents2-shaped index governed by
-  *      cents1 — and a replayed refresh under stale centroids could
-  *      double-place rows; the marker makes that window unreachable.
+  *      DECISION, not the gauge: materialize the fold at the sealed
+  *      generation as the full snapshot (skip-if-exists), refit from
+  *      those WRITTEN files (a pure seeded function of them), rebuild
+  *      (a full overwrite — idempotent), re-gauge, write the model,
+  *      clear the marker. Without the marker, a crash between the
+  *      rebuild and the model write would leave a cents2-shaped index
+  *      governed by cents1 — and a replayed refresh under stale
+  *      centroids could double-place rows; the marker makes that
+  *      window unreachable. The marker's snapshot chain is never
+  *      GC'd out from under it: compaction runs either inside
+  *      finishRecenter itself or at the END of a marker-free wave,
+  *      and recovery runs FIRST in every wave.
   *   5. MODEL WRITE: tiny coalesced overwrites keyed by generation —
   *      re-running them is idempotent; the marker clears only after
   *      both are on storage.
@@ -170,14 +184,86 @@ object StreamingVectorIndex {
   private def markerPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")
 
+  /** The corpus snapshot AT generation `gen`, reconstructed from the
+    * delta chain: the largest full snapshot with generation ≤ gen,
+    * then every delta STRICTLY between that base and gen folded in
+    * ascending order (anti-join the delta's keys, union its upsert
+    * rows). The strictly-above-the-base rule is load-bearing twice:
+    * the base already contains its own generation's delta (a
+    * compaction at g materializes the fold THROUGH g), and a delta
+    * REWRITTEN by a replayed wave after its compaction must be
+    * ignored. Chain length is bounded by `compactEvery`, so the fold
+    * plan depth is bounded too. Exposed to the crash-point specs. */
+  private[graft] def readSnapshot(spark: SparkSession, root: String,
+                                  gen: Int, idCol: String,
+                                  vecCol: String): DataFrame = {
+    val fulls = gens(spark, root, "snapfull").filter(_ <= gen)
+    require(fulls.nonEmpty,
+      s"StreamingVectorIndex: no full snapshot at or below gen=$gen " +
+        s"at $root — bootstrap the loop first")
+    val base = fulls.max
+    var snap = spark.read.parquet(s"$root/snapfull/gen=$base")
+      .select(col(idCol), col(vecCol))
+    for (d <- gens(spark, root, "snapdelta")
+        .filter(g => g > base && g <= gen)) {
+      val delta = spark.read.parquet(s"$root/snapdelta/gen=$d")
+      snap = snap
+        .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(delta.filter(col("op") === "upsert")
+          .select(col(idCol), col(vecCol)))
+    }
+    snap
+  }
+
+  /** Materialize the fold at `gen` as a new full snapshot (staged +
+    * renamed — a crash mid-write leaves only staging garbage, never a
+    * partial base), then GC every older full and every delta ≤ gen
+    * (the fold rule makes lingering ones harmless if the GC dies
+    * mid-way; the next compaction re-drops them). Skips the write
+    * when gen's full already exists — bootstrap wrote it, or a
+    * crashed attempt already committed the rename. */
+  private def compactSnapshot(spark: SparkSession, root: String,
+                              gen: Int, idCol: String,
+                              vecCol: String): Unit = {
+    val fs = fsOf(spark, root)
+    val fullPath = new org.apache.hadoop.fs.Path(s"$root/snapfull/gen=$gen")
+    if (!fs.exists(fullPath)) {
+      val staging =
+        new org.apache.hadoop.fs.Path(s"$root/snapfull/.staging_$gen")
+      require(fs.delete(staging, true) || !fs.exists(staging),
+        s"StreamingVectorIndex: failed to clear stale $staging")
+      readSnapshot(spark, root, gen, idCol, vecCol)
+        .write.mode("overwrite").parquet(staging.toString)
+      require(fs.rename(staging, fullPath),
+        s"StreamingVectorIndex: failed to commit full snapshot gen=$gen")
+    }
+    for (g <- gens(spark, root, "snapfull").filter(_ < gen)) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/snapfull/gen=$g")
+      require(fs.delete(p, true) || !fs.exists(p),
+        s"StreamingVectorIndex: failed to GC full snapshot gen=$g")
+    }
+    for (g <- gens(spark, root, "snapdelta").filter(_ <= gen)) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/snapdelta/gen=$g")
+      require(fs.delete(p, true) || !fs.exists(p),
+        s"StreamingVectorIndex: failed to GC snapshot delta gen=$g")
+    }
+  }
+
   /** Refit + rebuild + model write for generation `gen`, then clear
-    * the marker — every step a pure function of `snapshot/gen=<gen>`
-    * and the seed, so replaying it from any crash point converges
-    * (the scaladoc's recenter argument). Also the bootstrap body. */
+    * the marker — every step a pure function of the generation's
+    * snapshot fold and the seed, so replaying it from any crash
+    * point converges (the scaladoc's recenter argument). The fold is
+    * first materialized as the new full snapshot (the recenter pays
+    * the corpus read anyway, and fitting from the WRITTEN files
+    * keeps the seeded fit deterministic across recovery replays —
+    * ML fits are deterministic per physical input layout). Also the
+    * bootstrap body. */
   private def finishRecenter(spark: SparkSession, root: String,
                              gen: Int, idCol: String, vecCol: String,
                              ops: IndexOps): Unit = {
-    val snap = spark.read.parquet(s"$root/snapshot/gen=$gen")
+    compactSnapshot(spark, root, gen, idCol, vecCol)
+    val snap = spark.read.parquet(s"$root/snapfull/gen=$gen")
+      .select(col(idCol), col(vecCol))
     val cents2 = ops.fitCentroids(snap, vecCol)
       .localCheckpoint() // pin the fit: consumers re-plan it otherwise
     ops.rebuild(snap, cents2, idCol, vecCol, root)
@@ -213,25 +299,21 @@ object StreamingVectorIndex {
                                delta: DataFrame, batchId: Long,
                                idCol: String, vecCol: String,
                                ops: IndexOps, cdFactorX100: Long,
-                               skewFactorX100: Long): Unit = {
+                               skewFactorX100: Long,
+                               compactEvery: Int = 8): Unit = {
     require(batchId >= 0 && batchId < Int.MaxValue,
       s"StreamingVectorIndex: batchId $batchId outside the generation " +
         "range")
+    require(compactEvery >= 1,
+      s"StreamingVectorIndex: compactEvery must be >= 1, got $compactEvery")
     val gen = batchId.toInt + 1
     // a crashed recenter (of ANY earlier wave) recovers before this
     // wave touches the index
     recoverPending(spark, root, idCol, vecCol, ops)
     val fs = fsOf(spark, root)
-    // 1. snapshot: derive from the largest generation STRICTLY below
-    //    gen — a replay whose crashed attempt already wrote gen=g
-    //    recomputes the identical frame (replay-safety step 1)
-    val snapGens = gens(spark, root, "snapshot")
-    val prevGens = snapGens.filter(_ < gen)
-    require(prevGens.nonEmpty,
-      s"StreamingVectorIndex: no snapshot below gen=$gen at $root — " +
-        "bootstrap the loop first")
-    val prevGen = prevGens.max
-    val prev = spark.read.parquet(s"$root/snapshot/gen=$prevGen")
+    require(gens(spark, root, "snapfull").nonEmpty,
+      s"StreamingVectorIndex: no snapshot store at $root — bootstrap " +
+        "the loop first")
     val deltaC = graft.engine.Caching.cached(delta)
     try {
       val opStatus = when(col("op") === "upsert", lit("modified"))
@@ -240,9 +322,17 @@ object StreamingVectorIndex {
           lit("StreamingVectorIndex: unknown op "), col("op"))))
       val upserts = deltaC.filter(col("op") === "upsert")
         .select(col(idCol), col(vecCol))
-      prev.join(deltaC.select(col(idCol)), Seq(idCol), "left_anti")
-        .unionByName(upserts)
-        .write.mode("overwrite").parquet(s"$root/snapshot/gen=$gen")
+      // 1. snapshot: append THIS wave's delta to the chain — a
+      //    delta-sized write, never a corpus rewrite (replay-safety
+      //    step 1: the overwrite is idempotent, and a delta re-written
+      //    after its compaction is excluded by the fold rule). The
+      //    derived status column rides INTO the delta file — it
+      //    forces the unknown-op raise_error before any state
+      //    changes (a dropped column would be pruned out of the
+      //    plan), and makes the stored delta self-describing.
+      deltaC.select(col(idCol), col(vecCol), col("op"),
+          opStatus.as("status"))
+        .write.mode("overwrite").parquet(s"$root/snapdelta/gen=$gen")
       // 2. changes from the DELTA alone (replay-safety step 2): every
       //    upsert is "modified" — an actually-new key just dirties no
       //    outgoing cell — and every delete is "removed"
@@ -257,7 +347,9 @@ object StreamingVectorIndex {
       ops.refresh(spark, root, cents, upserts, changes, idCol, vecCol)
       // 4. drift decision — sealed BEFORE the rebuild (replay-safety
       //    step 4), then executed by the same deterministic path the
-      //    recovery replays
+      //    recovery replays (which also materializes the fold as the
+      //    new full snapshot — the recenter pays the corpus read
+      //    anyway, so it doubles as a chain compaction)
       if (Similarity.driftBreached(
           ops.gauges(spark, root, cents, idCol), baseline,
           cdFactorX100, skewFactorX100)) {
@@ -265,13 +357,15 @@ object StreamingVectorIndex {
         try out.write(gen.toString.getBytes("UTF-8"))
         finally out.close()
         finishRecenter(spark, root, gen, idCol, vecCol, ops)
-      }
-      // 5. snapshot GC: this wave's replay still needs prevGen; all
-      //    older generations are dead
-      snapGens.filter(_ < prevGen).foreach { g =>
-        val p = new org.apache.hadoop.fs.Path(s"$root/snapshot/gen=$g")
-        require(fs.delete(p, true) || !fs.exists(p),
-          s"StreamingVectorIndex: failed to GC snapshot gen=$g")
+      } else {
+        // 5. chain compaction: once `compactEvery` deltas sit above
+        //    the full base, materialize the fold (staged + renamed)
+        //    and GC the chain — amortized 1/compactEvery corpus
+        //    writes per wave; every other wave is delta-sized
+        val base = gens(spark, root, "snapfull").max
+        if (gens(spark, root, "snapdelta").count(_ > base)
+            >= compactEvery)
+          compactSnapshot(spark, root, gen, idCol, vecCol)
       }
     } finally deltaC.unpersist()
   }
@@ -280,7 +374,7 @@ object StreamingVectorIndex {
                         vecCol: String, ops: IndexOps): Unit = {
     val spark = initial.sparkSession
     initial.select(col(idCol), col(vecCol))
-      .write.mode("overwrite").parquet(s"$root/snapshot/gen=0")
+      .write.mode("overwrite").parquet(s"$root/snapfull/gen=0")
     finishRecenter(spark, root, 0, idCol, vecCol, ops)
   }
 

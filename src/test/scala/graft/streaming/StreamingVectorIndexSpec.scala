@@ -53,7 +53,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
     val cents0 = spark.read.parquet(s"$rootS/cents/gen=0")
       .localCheckpoint()
     Similarity.ivfWriteIndexQuantized(
-      spark.read.parquet(s"$rootS/snapshot/gen=0"), cents0, "vec_id",
+      spark.read.parquet(s"$rootS/snapfull/gen=0"), cents0, "vec_id",
       "embedding", s"$rootB/index")
     // wave 1: 3 adds + 2 modifies; wave 2: 2 deletes + 1 modify
     val w1 = Seq(40L -> "upsert", 41L -> "upsert", 42L -> "upsert",
@@ -85,19 +85,22 @@ class StreamingVectorIndexSpec extends SparkSpec {
     }
     assert(indexContent(s"$rootS/index") == indexContent(s"$rootB/index"),
       "streaming loop diverged from the batch refresh calls")
-    // snapshot gen=2 is the corpus after both waves
+    // the snapshot fold at gen=2 is the corpus after both waves
     val expectIds = ((0L until 40L).toSet -- Set(5L, 11L)) ++
       Set(40L, 41L, 42L)
-    val snapIds = spark.read.parquet(s"$rootS/snapshot/gen=2")
+    val snapIds = StreamingVectorIndex
+      .readSnapshot(spark, rootS, 2, "vec_id", "embedding")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(snapIds == expectIds)
-    // GC kept only the two newest generations
+    // below the compaction threshold: the base full plus one
+    // delta-sized file per wave — no corpus rewrite happened
     val fs = new org.apache.hadoop.fs.Path(rootS)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$rootS/snapshot"))
-      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
-    assert(gens.toSeq == Seq("gen=1", "gen=2"), gens.mkString(","))
+    def gensOf(sub: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$rootS/$sub"))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gensOf("snapfull") == Seq("gen=0"))
+    assert(gensOf("snapdelta") == Seq("gen=1", "gen=2"))
   }
 
   test("a replayed wave converges: applying the same batch twice " +
@@ -114,8 +117,10 @@ class StreamingVectorIndexSpec extends SparkSpec {
     StreamingVectorIndex.applyWave(spark, root, delta, 0L,
       "vec_id", "embedding", ops, 115L, 175L)
     val once = indexContent(s"$root/index")
-    val snapOnce = spark.read.parquet(s"$root/snapshot/gen=1")
+    def snapFold() = StreamingVectorIndex
+      .readSnapshot(spark, root, 1, "vec_id", "embedding")
       .collect().map(_.toString).sorted.toSeq
+    val snapOnce = snapFold()
     // the replay: same batchId, same delta — the crashed-attempt case
     // (snapshot gen=1 already written, refresh already committed; the
     // already-added key 30 arrives as a plain "modified" upsert)
@@ -123,9 +128,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
       "vec_id", "embedding", ops, 115L, 175L)
     assert(indexContent(s"$root/index") == once,
       "replay changed the index")
-    assert(spark.read.parquet(s"$root/snapshot/gen=1")
-      .collect().map(_.toString).sorted.toSeq == snapOnce,
-      "replay changed the snapshot")
+    assert(snapFold() == snapOnce, "replay changed the snapshot")
   }
 
   test("a crashed recenter (sealed marker, no model write) recovers " +
@@ -140,7 +143,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
     // wave 1's snapshot is on storage and the recenter DECISION was
     // sealed — then the process died before rebuild/model-write
     val snap1 = corpus(0L until 25L).toDF("vec_id", "embedding")
-    snap1.write.mode("overwrite").parquet(s"$root/snapshot/gen=1")
+    snap1.write.mode("overwrite").parquet(s"$root/snapfull/gen=1")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(
@@ -160,7 +163,8 @@ class StreamingVectorIndexSpec extends SparkSpec {
     // the recovered model is the pure seeded function of the WRITTEN
     // snapshot-1 files (ML fits are deterministic per physical layout)
     val expectCents = Similarity.learnedCentroids(
-      spark.read.parquet(s"$root/snapshot/gen=1"), "embedding",
+      spark.read.parquet(s"$root/snapfull/gen=1")
+        .select(col("vec_id"), col("embedding")), "embedding",
       k = 4).localCheckpoint()
     val gotCents = spark.read.parquet(s"$root/cents/gen=1")
     assert(gotCents.collect().map(_.toString).sorted.toSeq ==
@@ -210,7 +214,9 @@ class StreamingVectorIndexSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/cents/gen=1")),
       "hard drift did not recenter")
-    val finalSnap = spark.read.parquet(s"$root/snapshot/gen=1")
+    // the recenter materialized the fold as the new full snapshot
+    val finalSnap = spark.read.parquet(s"$root/snapfull/gen=1")
+      .select(col("vec_id"), col("embedding"))
     val expectRoot = tmp("svi_drift_expect")
     val cents2 = Similarity.learnedCentroids(finalSnap, "embedding",
       k = 4).localCheckpoint()
@@ -219,6 +225,49 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(indexContent(s"$root/index") ==
       indexContent(s"$expectRoot/index"),
       "recentered index diverged from the from-scratch rebuild")
+  }
+
+  test("chain compaction: the fold materializes via staged rename, " +
+      "old chain GCs, and a replayed wave after its own compaction " +
+      "is a no-op under the fold rule") {
+    import spark.implicits._
+    val root = tmp("svi_compact")
+    val initial = corpus(0L until 30L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    val d0 = Seq((30L, vec(30L), "upsert"), (4L, vec(4L), "delete"))
+      .toDF("vec_id", "embedding", "op")
+    val d1 = Seq((31L, vec(31L), "upsert"),
+      (6L, vec(6L, 0.003), "upsert")).toDF("vec_id", "embedding", "op")
+    StreamingVectorIndex.applyWave(spark, root, d0, 0L,
+      "vec_id", "embedding", ops, 115L, 175L, compactEvery = 2)
+    StreamingVectorIndex.applyWave(spark, root, d1, 1L,
+      "vec_id", "embedding", ops, 115L, 175L, compactEvery = 2)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gensOf(sub: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$sub"))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    // wave 2 triggered compaction: one full at gen=2, chain empty
+    assert(gensOf("snapfull") == Seq("gen=2"), gensOf("snapfull"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/snapdelta")) || gensOf("snapdelta").isEmpty)
+    val expectIds = ((0L until 30L).toSet - 4L) ++ Set(30L, 31L)
+    def foldIds() = StreamingVectorIndex
+      .readSnapshot(spark, root, 2, "vec_id", "embedding")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(foldIds() == expectIds)
+    val idx = indexContent(s"$root/index")
+    // replay wave 1 AFTER its compaction: the re-written delta gen=2
+    // must be excluded by the fold rule (full gen=2 is the base) and
+    // the refresh must converge — state bit-identical
+    StreamingVectorIndex.applyWave(spark, root, d1, 1L,
+      "vec_id", "embedding", ops, 115L, 175L, compactEvery = 2)
+    assert(foldIds() == expectIds,
+      "replay after compaction changed the snapshot fold")
+    assert(indexContent(s"$root/index") == idx,
+      "replay after compaction changed the index")
   }
 
   test("the IVF-PQ loop: benign wave equals batch refresh through " +
@@ -237,7 +286,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
     val cents0 = spark.read.parquet(s"$rootS/cents/gen=0")
       .localCheckpoint()
     ProductQuantize.ivfPqWriteIndex(
-      spark.read.parquet(s"$rootS/snapshot/gen=0"), cents0, "vec_id",
+      spark.read.parquet(s"$rootS/snapfull/gen=0"), cents0, "vec_id",
       "embedding", m = 4, k = 8, s"$rootB/index")
     val w = Seq((40L, vec(40L), "upsert"),
       (6L, vec(6L, 0.002), "upsert"), (13L, vec(13L), "delete"))
