@@ -1280,6 +1280,75 @@ object TextAnalysis {
       protectNewest = 1)
   }
 
+  /** ONE UPSERT/DELETE WAVE applied to a segmented BM25 index WITHOUT
+    * a corpus snapshot — the CRUD-stream maintenance primitive
+    * ([[bm25ApplyRecrawl]] needs the old snapshot for tombstone dl;
+    * here old document lengths come from the index's OWN live
+    * postings, a column-pruned (id, dl, seg) scan): tombstones for
+    * every delta key present in the index (an upsert is
+    * modify-or-add, a delete is remove), a fresh segment for the
+    * upserts, and tiered compaction back to `maxSegments` with the
+    * streaming loop's `protectNewest = 1`.
+    *
+    * REPLAY-safe via the tombstone commit marker: the old-dl
+    * derivation is valid only against the PRE-wave layout — a
+    * replayed wave cannot re-derive it (its own append and the folds
+    * have changed the live set; a re-derived "old" dl would be the
+    * NEW one, silently corrupting the stats correction) — so the
+    * wave SKIPS the tombstone step when
+    * `tombstones/seg=<segment>/_SUCCESS` already exists. Spark's
+    * file-output committer writes _SUCCESS only on job commit, so a
+    * half-written tombstone dir (crash mid-write) lacks it, is
+    * dropped, and re-derives safely — nothing else has run yet,
+    * because the append only starts after the tombstone commit. The
+    * append overwrite and the tiered merge then converge under
+    * replay by the streaming loop's protectNewest argument.
+    *
+    * Generation contract, checked loudly: `segment` must exceed
+    * every pre-existing segment (a tombstone at s kills only
+    * segs < s — reusing a live generation would let the upserts'
+    * old rows survive). Returns the tiered merge's
+    * (folds, segments remaining). */
+  def bm25ApplyUpserts(spark: org.apache.spark.sql.SparkSession,
+                       path: String, upserts: DataFrame,
+                       deletes: DataFrame, idCol: String,
+                       textCol: String, segment: Int,
+                       maxSegments: Int): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombDir = new Path(s"$path/tombstones/seg=$segment")
+    val committed = fs.exists(new Path(tombDir, "_SUCCESS"))
+    val maxSeg = fs.listStatus(new Path(s"$path/postings"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .map(_.getPath.getName.stripPrefix("seg=").toInt)
+      .foldLeft(Int.MinValue)(math.max)
+    require(committed || segment > maxSeg,
+      s"bm25ApplyUpserts: segment $segment must exceed every live " +
+        s"segment (max $maxSeg) — the generation rule")
+    if (!committed) {
+      require(!fs.exists(tombDir) || fs.delete(tombDir, true),
+        s"bm25ApplyUpserts: failed to drop half-written $tombDir")
+      val live = liveAfterTombstones(
+        spark.read.parquet(s"$path/postings")
+          .select(col(idCol), col("dl"), col("seg")),
+        readTombstones(spark, path, idCol), idCol)
+      val allKeys = upserts.select(col(idCol))
+        .unionByName(deletes.select(col(idCol))).distinct()
+      // keys absent from the index (pure adds) simply produce no
+      // tombstone row; an empty tombstone file still commits, which
+      // is what makes the replay skip-signal unambiguous
+      bm25Tombstone(
+        live.select(col(idCol), col("dl")).distinct()
+          .join(allKeys, Seq(idCol)),
+        idCol, "dl", path, segment)
+    }
+    if (!upserts.isEmpty)
+      bm25AppendSegment(upserts, idCol, textCol, path, segment)
+    bm25MergeSegmentsTiered(spark, path, idCol, maxSegments,
+      protectNewest = 1)
+  }
+
   /** PREFIX term search over a SEGMENTED index (same layout and
     * maintenance inheritance as [[phraseSearch]]) — the
     * wildcard/autocomplete query class (`sta*`): a `startsWith`

@@ -3170,6 +3170,51 @@ object PipelineQueries {
         k = 10, nProbe = 3)
     }),
 
+    // X3 × X1 — the SNAPSHOT-FREE upsert wave (q142's scenario with
+    // no old corpus in hand — the CRUD-stream primitive): old
+    // document lengths for the tombstone stats correction come from
+    // the index's OWN live postings, so a delta of upserts + deletes
+    // maintains the index with zero side state. Same final corpus as
+    // q142, so the identical direct-scan oracle pins the derivation:
+    // a wrong old-dl shifts avgdl and every score with it.
+    "q146_bm25_upsert_wave" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val old = d.filter(col("doc_id") % 5 =!= 4)
+      val status = when(col("doc_id") % 5 === 4, lit("added"))
+        .when(col("doc_id") % 7 === 0, lit("modified"))
+        .when(col("doc_id") % 11 === 3, lit("removed"))
+        .otherwise(lit("unchanged"))
+      val upserts = d.filter(status.isin("added", "modified"))
+        .select(col("doc_id"),
+          when(status === "modified",
+            concat(col("text"), lit(" upd"))).otherwise(col("text"))
+            .as("text"))
+      val deletes = d.filter(status === "removed").select(col("doc_id"))
+      val path = scratchPath("bm25_upw", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(
+        old.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, 0)
+      TextAnalysis.bm25AppendSegment(
+        old.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 1)
+      val (folds, remaining) = TextAnalysis.bm25ApplyUpserts(s, path,
+        upserts, deletes, "doc_id", "text", segment = 2,
+        maxSegments = 2)
+      require(folds == 1 && remaining == 2,
+        s"q146: expected 1 fold down to 2 segments, got ($folds, $remaining)")
+      require(fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+        "q146: upsert wave must leave its tombstones")
+      val panel = Seq(
+        (0L, "sort merge join upd"), (1L, "query filter scan"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25ProbeSegmented(s, path, panel, k = 12, "doc_id")
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
     // X3 × X1 — the lexical RECRAWL wave (q141's counterpart for the
     // BM25 index): a corpus diff drives tombstones (old-snapshot dl),
     // a fresh segment, and tiered compaction through ONE operator —
@@ -5439,6 +5484,44 @@ object PipelineQueries {
     // (tombstones + fresh segment + tiered fold) must land the index
     // on the identical final corpus state the direct scan computes
     "q142_bm25_recrawl" ->
+      """WITH fin AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 4 THEN c
+        |         WHEN doc_id % 7 = 0 THEN c || ' upd'
+        |         ELSE c END AS text
+        |  FROM (SELECT doc_id, coalesce(text, '') AS c FROM documents)
+        |  WHERE NOT (doc_id % 5 <> 4 AND doc_id % 7 <> 0
+        |             AND doc_id % 11 = 3)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'sort merge join upd'),
+        |        (1, 'query filter scan')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT qid, doc_id, score FROM r WHERE rn <= 12
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // q142's direct-scan oracle once more: the snapshot-free upsert
+    // wave must land the index on the identical final corpus state —
+    // including the stats correction whose old-dl now comes from the
+    // index's own postings instead of a snapshot
+    "q146_bm25_upsert_wave" ->
       """WITH fin AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 4 THEN c
         |         WHEN doc_id % 7 = 0 THEN c || ' upd'

@@ -35,6 +35,44 @@ import graft.operators.TextAnalysis
   * same single-writer contract as every segmented layout here. */
 object StreamingLexicalIndex {
 
+  /** Full-CRUD variant of [[run]]: micro-batches carry
+    * `idCol | textCol | op` with op ∈ upsert/delete, and every batch
+    * applies one [[TextAnalysis.bm25ApplyUpserts]] wave — tombstones
+    * with old dl taken from the index's OWN live postings (no side
+    * snapshot), fresh segment, tiered compaction. Replay safety is
+    * the wave's own: the tombstone step is skipped once its
+    * `_SUCCESS` marker exists (a replay cannot re-derive old dl from
+    * a layout its first attempt already changed), the re-append
+    * overwrites identical content, and `protectNewest = 1` keeps the
+    * wave's segment out of the folds. `firstSegment` (default 1)
+    * offsets batchId into the generation clock and must exceed every
+    * bootstrap segment — checked loudly by the wave. */
+  def runUpserts(delta: DataFrame, idCol: String, textCol: String,
+                 path: String, maxSegments: Int, checkpoint: String,
+                 firstSegment: Int = 1): StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          require(batchId + firstSegment <= Int.MaxValue,
+            s"StreamingLexicalIndex: batchId $batchId exceeds the " +
+              "Int segment-id range")
+          val b = batch.toDF()
+          require(b.filter(!org.apache.spark.sql.functions.col("op")
+              .isin("upsert", "delete")).isEmpty,
+            "StreamingLexicalIndex: unknown op in delta batch")
+          TextAnalysis.bm25ApplyUpserts(batch.sparkSession, path,
+            b.filter(org.apache.spark.sql.functions.col("op") === "upsert")
+              .select(idCol, textCol),
+            b.filter(org.apache.spark.sql.functions.col("op") === "delete")
+              .select(idCol),
+            idCol, textCol, (batchId + firstSegment).toInt, maxSegments)
+          ()
+        }
+      }
+      .start()
+
   def run(docs: DataFrame, idCol: String, textCol: String,
           path: String, maxSegments: Int,
           checkpoint: String): StreamingQuery =

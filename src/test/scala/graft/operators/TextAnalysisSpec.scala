@@ -637,6 +637,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe() == direct, "retried recrawl wave lost data")
   }
 
+  test("bm25ApplyUpserts: snapshot-free wave takes old dl from the " +
+      "live postings, probe equals the direct scan, and a wholesale " +
+      "replay converges even after folds changed the layout") {
+    import spark.implicits._
+    val old = Seq((1L, "a b c"), (2L, "b c d e"), (3L, "c d"),
+      (4L, "a a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("upswave").toString
+    TextAnalysis.bm25AppendSegment(
+      old.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, 0)
+    TextAnalysis.bm25AppendSegment(
+      old.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir, 1)
+    val upserts = Seq((2L, "b c"), (5L, "e f g"))
+      .toDF("doc_id", "text")                  // modify 2, add 5
+    val deletes = Seq(Tuple1(3L)).toDF("doc_id")
+    def wave() = TextAnalysis.bm25ApplyUpserts(spark, dir, upserts,
+      deletes, "doc_id", "text", segment = 2, maxSegments = 2)
+    val (folds, remaining) = wave()
+    assert(folds == 1 && remaining == 2)
+    val finalCorpus = Seq((1L, "a b c"), (2L, "b c"), (4L, "a a b"),
+      (5L, "e f g")).toDF("doc_id", "text")
+    val panel = Seq((0L, "b c"), (1L, "a e")).toDF("qid", "qtext")
+    def probe() = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = TextAnalysis.bm25TopK(finalCorpus, "doc_id", "text",
+        panel, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(probe() == direct,
+      "snapshot-free wave diverged from the direct scan")
+    // wholesale retry: the tombstone step must SKIP via its committed
+    // marker — re-deriving old dl now would read the NEW lengths and
+    // silently shift the stats correction
+    wave()
+    assert(probe() == direct, "replayed wave shifted the scores")
+  }
+
   test("bm25CompactTombstones: generations below every live segment " +
       "are dropped with the stats correction baked in; probe parity " +
       "holds and later generations survive") {

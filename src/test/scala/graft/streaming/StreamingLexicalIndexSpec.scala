@@ -85,4 +85,53 @@ class StreamingLexicalIndexSpec extends SparkSpec {
       "phrase over the streamed layout diverged from token truth")
     assert(phrase.nonEmpty)
   }
+
+  test("full-CRUD streaming loop: upsert and delete waves maintain " +
+      "the index snapshot-free; probe equals a direct scan of the " +
+      "final corpus") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val dir = java.nio.file.Files
+      .createTempDirectory("streamcrud").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("streamcrud_ck").toString
+    // bootstrap index at segment 0 (runUpserts' firstSegment=1 keeps
+    // the generation clock above it)
+    val initial = Seq((1L, "spark sort merge join"),
+      (2L, "hash join scan"), (3L, "table scan filter"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25AppendSegment(initial, "doc_id", "text", dir, 0)
+    val source = MemoryStream[(Long, String, String)]
+    val q = StreamingLexicalIndex.runUpserts(
+      source.toDF().toDF("doc_id", "text", "op"),
+      "doc_id", "text", dir, maxSegments = 3, ckpt)
+    val waves = Seq(
+      Seq((4L, "merge sort window", "upsert"),
+        (1L, "spark sort merge join upd", "upsert")),   // add + modify
+      Seq((2L, "", "delete"),                            // remove
+        (5L, "query filter merge", "upsert")))
+    try {
+      waves.foreach { w =>
+        source.addData(w: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val finalCorpus = Seq((1L, "spark sort merge join upd"),
+      (3L, "table scan filter"), (4L, "merge sort window"),
+      (5L, "query filter merge")).toDF("doc_id", "text")
+    val panel = Seq((0L, "sort merge upd"), (1L, "table scan"))
+      .toDF("qid", "qtext")
+    val probed = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = TextAnalysis
+      .bm25TopK(finalCorpus, "doc_id", "text", panel, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(probed == direct,
+      "CRUD streaming loop diverged from the direct scan")
+    assert(probed.nonEmpty)
+  }
 }
