@@ -1145,6 +1145,71 @@ object TextAnalysis {
       .filter(col("min_span") <= maxSpan)
   }
 
+  /** Best-window SNIPPET spans over a segmented index — the
+    * retrieval-display primitive (Lucene's highlighter core, on the
+    * posting lists alone): for each document matching at least
+    * `minMatched` of the query terms, the tightest token window
+    * covering one occurrence of every PRESENT term, as global 0-based
+    * (start_pos, end_pos) offsets a caller slices the document with.
+    * Among equal-span windows the EARLIEST (smallest end) wins —
+    * deterministic, and exactly what the left-to-right scan produces.
+    *
+    * The fold is [[proximitySearch]]'s one-pass minimum-window scan
+    * extended to (a) track the winning window's offsets, not just its
+    * span, and (b) tolerate ABSENT terms: the per-doc last-seen array
+    * initializes present terms to −1 (blocking) and absent ones to
+    * Long.MaxValue (never blocking, never the stalest once any
+    * present term is seen) — so a document matching only a subset
+    * still yields its best window over that subset (a single-term doc
+    * snippets at its first occurrence). O(occurrences) per document,
+    * IO posting-list-bounded, same maintenance inheritance as the
+    * rest of the positional family. Returns
+    * (id, n_matched, start_pos, end_pos). */
+  def snippetSpans(spark: org.apache.spark.sql.SparkSession,
+                   path: String, terms: Seq[String], minMatched: Int,
+                   idCol: String): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "snippetSpans needs distinct, non-empty terms")
+    require(minMatched >= 1 && minMatched <= terms.size,
+      s"snippetSpans: minMatched must be in [1, ${terms.size}]")
+    val k = terms.size
+    val posts = livePositional(spark, path, idCol,
+      col("term").isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(terms.toArray): _*))
+    val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
+      case (c, (t, i)) => when(col("term") === t, lit(i)).otherwise(c)
+    }
+    val events = posts
+      .select(col(idCol), tidx.as("tidx"),
+        explode(col("positions")).as("pos"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+          col("pos").cast("long").as("pos"), col("tidx").as("tidx"))))
+          .as("ev"),
+        collect_set(col("tidx")).as("present"))
+      .filter(size(col("present")) >= minMatched)
+    val init = struct(
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        when(array_contains(col("present"), i), lit(-1L))
+          .otherwise(lit(Long.MaxValue))).as("last"),
+      lit(Long.MaxValue).as("best"),
+      lit(-1L).as("bs"), lit(-1L).as("be"))
+    val folded = aggregate(col("ev"), init, (acc, e) => {
+      val last2 = transform(acc("last"),
+        (v, i) => when(i === e("tidx"), e("pos")).otherwise(v))
+      val m = array_min(last2)
+      val cand = e("pos") - m
+      val better = m >= 0 && cand < acc("best")
+      struct(last2.as("last"),
+        when(better, cand).otherwise(acc("best")).as("best"),
+        when(better, m).otherwise(acc("bs")).as("bs"),
+        when(better, e("pos")).otherwise(acc("be")).as("be"))
+    })
+    events.select(col(idCol),
+      size(col("present")).cast("long").as("n_matched"),
+      folded("bs").as("start_pos"), folded("be").as("end_pos"))
+  }
+
   /** TOMBSTONE GC for a tiered-merged index — the piece that makes
     * tombstone accumulation bounded WITHOUT the full fold: a
     * tombstone at generation t kills postings in segments < t, so

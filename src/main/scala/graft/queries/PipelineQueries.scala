@@ -3116,6 +3116,43 @@ object PipelineQueries {
         k = 10, nProbe = 3)
     }),
 
+    // X3 — best-window SNIPPET extraction over the segmented
+    // positional layout (the Lucene-highlighter core, the
+    // retrieval-display primitive): per matching document the
+    // tightest window covering one occurrence of every PRESENT query
+    // term — subset matching included (a single-term doc snippets at
+    // its first occurrence) — materialized to the actual token-slice
+    // text. Ties break to the earliest window (smallest end), which
+    // is exactly what the left-to-right minimum-window scan produces
+    // and what the oracle's lexicographic [span, end] list_min
+    // replays. Two term sets share one written index.
+    "q147_snippets" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("snip_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val toks = d.select(col("doc_id"),
+        TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
+      def withText(sn: org.apache.spark.sql.DataFrame,
+                   q: String): org.apache.spark.sql.DataFrame =
+        sn.join(toks, Seq("doc_id"))
+          .select(col("doc_id"), lit(q).as("q"), col("n_matched"),
+            col("start_pos"), col("end_pos"),
+            concat_ws(" ", slice(col("t"),
+              (col("start_pos") + 1).cast("int"),
+              (col("end_pos") - col("start_pos") + 1).cast("int")))
+              .as("snippet"))
+      val two = TextAnalysis.snippetSpans(s, path,
+        Seq("sort", "merge"), minMatched = 1, "doc_id")
+      val three = TextAnalysis.snippetSpans(s, path,
+        Seq("query", "table", "join"), minMatched = 3, "doc_id")
+      withText(two, "sort merge any")
+        .unionByName(withText(three, "query table join all"))
+        .orderBy(col("q"), col("doc_id"))
+    }),
+
     // X2 — RESIDUAL IVF-PQ cell-incremental refresh (q141's scenario
     // on the residual layout — the last index family without a
     // maintenance rung): fresh rows residual-encode through the
@@ -5554,6 +5591,52 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // snippet semantics replayed brute-force: per-term position
+    // lists, every occurrence-combination window as a [span, end]
+    // list, lexicographic list_min = the engine's (span, earliest
+    // end) tie-break, then the same 1-based token slice
+    "q147_snippets" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |p2 AS (SELECT doc_id, t,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'sort')
+        |      AS pa,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'merge')
+        |      AS pb
+        |  FROM d),
+        |m2 AS (SELECT doc_id, t, 'sort merge any' AS q,
+        |    CAST(len(pa) > 0 AS INT) + CAST(len(pb) > 0 AS INT)
+        |      AS n_matched,
+        |    CASE WHEN len(pa) > 0 AND len(pb) > 0 THEN
+        |        list_min(flatten(list_transform(pa, x ->
+        |          list_transform(pb, y ->
+        |            [greatest(x, y) - least(x, y), greatest(x, y)]))))
+        |      WHEN len(pa) > 0 THEN [CAST(0 AS BIGINT), pa[1]]
+        |      ELSE [CAST(0 AS BIGINT), pb[1]] END AS best
+        |  FROM p2 WHERE len(pa) > 0 OR len(pb) > 0),
+        |p3 AS (SELECT doc_id, t,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'query')
+        |      AS pa,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'table')
+        |      AS pb,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'join')
+        |      AS pc
+        |  FROM d),
+        |m3 AS (SELECT doc_id, t, 'query table join all' AS q,
+        |    3 AS n_matched,
+        |    list_min(flatten(flatten(list_transform(pa, x ->
+        |      list_transform(pb, y -> list_transform(pc, z ->
+        |        [greatest(x, y, z) - least(x, y, z),
+        |         greatest(x, y, z)])))))) AS best
+        |  FROM p3 WHERE len(pa) > 0 AND len(pb) > 0 AND len(pc) > 0),
+        |u AS (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+        |SELECT doc_id, q, CAST(n_matched AS BIGINT) AS n_matched,
+        |  CAST(best[2] - best[1] - 1 AS BIGINT) AS start_pos,
+        |  CAST(best[2] - 1 AS BIGINT) AS end_pos,
+        |  array_to_string(t[(best[2] - best[1]):(best[2])], ' ')
+        |    AS snippet
+        |FROM u ORDER BY q, doc_id""".stripMargin,
 
     // phrase semantics replayed over the FINAL post-recrawl corpus
     // state (the q142 wave with ' sort merge' as the modification

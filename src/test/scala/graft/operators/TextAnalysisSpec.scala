@@ -767,6 +767,51 @@ class TextAnalysisSpec extends SparkSpec {
       s"prefix predicate not pushed:\n${plan.take(1200)}")
   }
 
+  test("snippetSpans: tightest window over present terms, earliest " +
+      "on ties, subset matching, and span-consistency with the " +
+      "proximity scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a x x b x a b"),   // windows: [0,3],[3,5]?,[5,6] → span1 tie? a@{0,5} b@{3,6}: pairs (0,3)=3,(5,3)=2@5? windows (5,6)=1 → best [1,6]→(5,6)
+      (2L, "b x a"),           // single window (2,0): span 2 → (0,2)
+      (3L, "a x x a"),         // only a: first occurrence (0,0)
+      (4L, "b b b"),           // only b: (0,0)
+      (5L, "x y z"),           // neither: absent
+      (6L, "a b x a b"))       // tie: (0,1) and (3,4) span 1 → earliest (0,1)
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("snipidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(minM: Int, ts: String*) = TextAnalysis
+      .snippetSpans(spark, dir, ts, minM, "doc_id")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(run(1, "a", "b") == Seq(
+      (1L, 2L, 5L, 6L), (2L, 2L, 0L, 2L), (3L, 1L, 0L, 0L),
+      (4L, 1L, 0L, 0L), (6L, 2L, 0L, 1L)))
+    // minMatched = 2 drops the single-term docs
+    assert(run(2, "a", "b").map(_._1) == Seq(1L, 2L, 6L))
+    // 3-term window on real docs agrees with the proximity scan's
+    // span for every all-present doc (two independent folds)
+    val real = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val rdir = java.nio.file.Files
+      .createTempDirectory("snipidx_r").toString
+    TextAnalysis.bm25AppendSegment(real, "doc_id", "text", rdir, 0)
+    val ts = Seq("query", "table", "join")
+    val spans = TextAnalysis
+      .snippetSpans(spark, rdir, ts, minMatched = 3, "doc_id")
+      .select(col("doc_id"), (col("end_pos") - col("start_pos"))
+        .as("span"))
+      .as[(Long, Long)].collect().toMap
+    val prox = TextAnalysis
+      .proximitySearch(spark, rdir, ts, Long.MaxValue, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(spans == prox,
+      "snippet window spans diverged from the proximity min-window")
+    assert(spans.nonEmpty)
+  }
+
   test("positional probes inherit segment maintenance: phrase and " +
       "prefix answers survive tombstone + re-append + full merge " +
       "bit-identically to a rebuild on the final corpus") {
