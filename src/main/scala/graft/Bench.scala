@@ -66,12 +66,17 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // 4-decimal timings: full-precision doubles made the line ~1 KB
-    // longer than it needs to be, and the driver's bounded stdout-tail
-    // capture truncated BENCH_r06's head (q01–q10 lost, parse failed)
-    def num(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    def qmap(key: String => String) =
-      results.map { case (k, v, _) => s"${jstr(key(k))}:${num(v)}" }.mkString("{", ",", "}")
+    // bounded-precision timings: full-precision doubles made the line
+    // ~1 KB longer than it needs to be, and the driver's bounded
+    // stdout-tail capture truncated BENCH_r06's head (q01–q10 lost,
+    // parse failed). The short stdout line carries 2 decimals (10 ms —
+    // plenty for the driver's mover tracking); the committed
+    // BENCH_LOCAL.json keeps 4.
+    def num(v: Double, scale: Int) =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    def qmap(key: String => String, scale: Int) =
+      results.map { case (k, v, _) => s"${jstr(key(k))}:${num(v, scale)}" }
+        .mkString("{", ",", "}")
     // errors keyed CONSISTENTLY with the queries map of the same line
     // (short keys on the short line), so the two maps always join —
     // and a burst of long full-name error entries can't push the
@@ -84,19 +89,23 @@ object Bench {
     // the stdout line truncates error VALUES too (a burst of verbose
     // exception messages would otherwise push it back over the bounded
     // tail capture); full messages live in BENCH_LOCAL.json
-    def line(key: String => String, errLen: Int = Int.MaxValue) =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qmap(key)},"errors":${emap(key, errLen)},"sf":"$sfDir","names":"BENCH_LOCAL.json"}"""
+    def line(key: String => String, scale: Int, errLen: Int = Int.MaxValue) =
+      s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","queries":${qmap(key, scale)},"errors":${emap(key, errLen)},"sf":"$sfDir","names":"BENCH_LOCAL.json"}"""
     // STDOUT gets the qNN-keyed line: the driver's tail capture is 2000
     // chars and the full-name line outgrew it at ~84 queries (BENCH_r07
-    // lost q01–q09 and failed to parse). qNN prefixes are unique by
-    // construction and join 1:1 to CORRECTNESS keys; the full-name map
-    // is written to the committed BENCH_LOCAL.json for readers who want
-    // it. At 13 bytes/query the short line holds ~140 queries of headroom.
-    println(line(_.takeWhile(_ != '_'), errLen = 80))
+    // lost q01–q09 and failed to parse); the 4-decimal qNN line outgrew
+    // it too at 145 queries (round 13 — 2064 chars, caught before the
+    // driver run). qNN prefixes are unique by construction and join 1:1
+    // to CORRECTNESS keys; the full-name 4-decimal map is written to the
+    // committed BENCH_LOCAL.json. 2 decimals holds ~160 queries; the
+    // 1-decimal fallback ~190 — degrade rather than clip, loudly.
+    val short2 = line(_.takeWhile(_ != '_'), scale = 2, errLen = 80)
+    println(if (short2.length <= 1900) short2
+            else line(_.takeWhile(_ != '_'), scale = 1, errLen = 60))
     // belt-and-suspenders artifacts: the full-name record survives on
     // disk even if the stdout capture clips, and BENCH_LOCAL.json is
     // committed per-round as the durable full-fidelity copy
-    val full = line(identity)
+    val full = line(identity, scale = 4)
     for (p <- Seq(java.nio.file.Paths.get("target", "bench_last.json"),
                   java.nio.file.Paths.get("BENCH_LOCAL.json"))) {
       try {

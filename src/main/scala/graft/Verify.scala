@@ -5,7 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query names — dev-only fast
+    // path for gating a single new query; the driver passes two args,
+    // so the full dump is unchanged
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val selected = only match {
+      case Some(names) =>
+        val missing = names -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown queries: $missing")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,10 +42,11 @@ object Verify {
     // prune result dirs of queries no longer registered: on a reused
     // outDir a stale dir would resurrect a DEREGISTERED query in the
     // compare (bit round 7: the demoted q29 kept appearing in the gate)
-    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !SparkEntry.queries.contains(d.getName))
-      .foreach(deleteTree)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    if (only.isEmpty)
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !SparkEntry.queries.contains(d.getName))
+        .foreach(deleteTree)
+    selected.foreach { case (name, fn) =>
       // scoped: operator-internal caches built by this query are
       // unpersisted at scope exit (graft.engine.Caching)
       try graft.engine.Caching.scoped {

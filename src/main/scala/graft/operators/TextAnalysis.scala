@@ -592,6 +592,18 @@ object TextAnalysis {
         sort_array(collect_list(col("pos"))).as("positions")))
   }
 
+  /** THE one fixed-point BM25 term-contribution expression — over
+    * columns (tf, df, dl, n_docs, avgdl) — shared by every scoring
+    * path ([[bm25Score]] and [[booleanSearch]]) so the arithmetic
+    * the q97/q114/q115 gates pin can never fork. */
+  private def contribFp(k1: Double, b: Double): Column = floor(
+    (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+        (col("df") + 0.5)) *
+      (col("tf") * (k1 + 1)) /
+      (col("tf") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      * lit(1e7) + lit(0.5)).cast("long")
+
   /** THE one BM25 scoring definition — shared by the corpus-scan path
     * ([[bm25TopK]]) and the materialized-index probe
     * ([[bm25ProbeIndex]]), so the two can never diverge on the
@@ -605,13 +617,7 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol))
     postings.join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("contrib_fp", floor(
-        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
-            (col("df") + 0.5)) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") +
-            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-          * lit(1e7) + lit(0.5)).cast("long"))
+      .withColumn("contrib_fp", contribFp(k1, b))
       .groupBy(col("qid"), col(idCol))
       .agg(round(sum(col("contrib_fp")) / lit(1e7), 4).as("score"))
       .withColumn("rn", row_number().over(w))
@@ -746,11 +752,30 @@ object TextAnalysis {
                          path: String, queries: DataFrame, k: Int,
                          idCol: String, k1: Double = 1.2,
                          b: Double = 0.75): DataFrame = {
-    requireQuiescent(spark, path)
     val qterms = queries.select(col("qid"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
     val terms = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0))
+    val (live, stats) = liveScoring(spark, path, idCol, terms)
+    val dfq = live.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    bm25Score(live.join(dfq, "term"), qterms, stats, idCol, k, k1, b)
+  }
+
+  /** Live scoring rows + exact global stats of a SEGMENTED index for
+    * a bounded term set — the shared read path of
+    * [[bm25ProbeSegmented]] and [[booleanSearch]]: pushed `term IN`
+    * posting scan → segment-scoped tombstone kill rule →
+    * (id, dl, term, tf), plus the one-row (n_docs, avgdl) frame
+    * derived from per-segment exact integer partials minus the
+    * tombstoned rows' (bit-identical to the from-scratch scan — the
+    * q115 contract). The live frame is cached: both callers
+    * re-consume it (df derivation + scoring). */
+  private def liveScoring(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idCol: String,
+                          terms: Array[String])
+      : (DataFrame, DataFrame) = {
+    requireQuiescent(spark, path)
     val tombs = readTombstones(spark, path, idCol)
     val live = cached(liveAfterTombstones(
       spark.read.parquet(s"$path/postings")
@@ -760,8 +785,6 @@ object TextAnalysis {
           col("seg")),
       tombs, idCol)
       .select(col(idCol), col("dl"), col("term"), col("tf")))
-    val dfq = live.groupBy(col("term"))
-      .agg(count_distinct(col(idCol)).as("df"))
     val seg = spark.read.parquet(s"$path/segstats")
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
     val tomb = tombs.agg(
@@ -771,7 +794,149 @@ object TextAnalysis {
       .select((col("n") - col("tn")).as("n_docs"),
         ((col("s") - col("ts")).cast("double") /
           (col("n") - col("tn")).cast("double")).as("avgdl"))
-    bm25Score(live.join(dfq, "term"), qterms, stats, idCol, k, k1, b)
+    (live, stats)
+  }
+
+  /** Lucene's BooleanQuery over a SEGMENTED index, relationally:
+    * a document matches iff it contains EVERY `must` term, NONE of
+    * the `mustNot` terms, and — when `must` is empty — at least one
+    * `should` term; its score is the BM25 sum over the distinct
+    * positive (must ∪ should) terms it contains, through the one
+    * shared [[contribFp]] arithmetic. Returns the top `k` as
+    * (idCol, score), ties broken by id.
+    *
+    * Scale shape: ONE pushed `term IN` posting scan over all three
+    * clauses' terms (posting-list-bounded, documents never read),
+    * the tombstone kill rule, a panel-term-sized broadcast df join,
+    * and a single groupBy(id) that folds matching flags and the
+    * score together — the mustNot exclusion is a `max(when)` flag in
+    * the same aggregate, never a second scan or an anti-join. Top-k
+    * is orderBy+limit (TakeOrderedAndProject — no global sort
+    * materialization). */
+  def booleanSearch(spark: org.apache.spark.sql.SparkSession,
+                    path: String, must: Seq[String],
+                    should: Seq[String], mustNot: Seq[String],
+                    k: Int, idCol: String, k1: Double = 1.2,
+                    b: Double = 0.75,
+                    excludeIds: Seq[Any] = Nil): DataFrame = {
+    val mustD = must.distinct
+    val shouldD = should.distinct.filterNot(mustD.contains)
+    val notD = mustNot.distinct
+    require(mustD.nonEmpty || shouldD.nonEmpty,
+      "booleanSearch: no positive (must/should) terms")
+    val clash = (mustD ++ shouldD).intersect(notD)
+    require(clash.isEmpty,
+      s"booleanSearch: terms both positive and mustNot: $clash")
+    val (live, stats) = liveScoring(spark, path, idCol,
+      (mustD ++ shouldD ++ notD).toArray)
+    booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
+      excludeIds)
+  }
+
+  /** [[booleanSearch]]'s scoring body over an already-read live
+    * frame — shared with [[moreLikeThis]], which selects its terms
+    * from the SAME scan and must score them through the same
+    * arithmetic. `excludeIds` drops documents before the top-k cut
+    * (MLT's seed exclusion). */
+  private def booleanCore(live: DataFrame, stats: DataFrame,
+                          mustD: Seq[String], shouldD: Seq[String],
+                          notD: Seq[String], k: Int, idCol: String,
+                          k1: Double, b: Double,
+                          excludeIds: Seq[Any]): DataFrame = {
+    val positive = mustD ++ shouldD
+    def inSet(set: Seq[String]): Column =
+      if (set.isEmpty) lit(false)
+      else col("term").isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(set.toArray): _*)
+    val dfq = live.filter(inSet(positive))
+      .groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    // left join: mustNot rows carry no df, and their contribution is
+    // masked to 0 below before the null could propagate
+    val scored = live.join(broadcast(dfq), Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(inSet(positive), contribFp(k1, b))
+          .otherwise(lit(0L))).as("score_fp"),
+        count_distinct(when(inSet(mustD), col("term"))).as("n_must"),
+        // minimum-should-match=1: a doc must carry ≥1 POSITIVE term —
+        // the live frame can be wider than the positive set (MLT scans
+        // the full seed vocabulary but selects a subset), and a doc
+        // matching only unselected terms must not leak through at
+        // score 0
+        max(when(inSet(positive), lit(1)).otherwise(lit(0)))
+          .as("has_pos"),
+        max(when(inSet(notD), lit(1)).otherwise(lit(0)))
+          .as("has_not"))
+      .filter(col("has_not") === 0 && col("has_pos") === 1 &&
+        col("n_must") === mustD.size)
+    val excluded =
+      if (excludeIds.isEmpty) scored
+      else scored.filter(!col(idCol).isin(
+        scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(excludeIds.toArray): _*))
+    excluded
+      .select(col(idCol),
+        round(col("score_fp") / lit(1e7), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Lucene's MoreLikeThis, relationally: rank the seed text's terms
+    * by tf·idf AGAINST THE INDEX (seed tf × the engine's one BM25 idf
+    * spelling — fixed-point, ties to the lexicographically smaller
+    * term), keep the top `maxQueryTerms`, and run them as a
+    * should-only [[booleanSearch]] (exactly what Lucene builds: a
+    * BooleanQuery of SHOULD TermQueries), excluding `excludeIds`
+    * (the seed document, when the text came from the corpus).
+    *
+    * Scale shape: ONE pushed `term IN` posting scan (the seed's
+    * distinct terms — document-vocabulary-bounded, guarded by
+    * `maxSeedTerms`) feeds BOTH the selection ranking and the final
+    * scoring: selection needs df for only those terms, and the
+    * selected subset's live rows are already in the cached frame.
+    * The seed tokenizes through THE one [[tokens]] definition on a
+    * 1-row frame, so selection and index agree on term boundaries by
+    * construction. */
+  def moreLikeThis(spark: org.apache.spark.sql.SparkSession,
+                   path: String, likeText: String, maxQueryTerms: Int,
+                   k: Int, idCol: String, excludeIds: Seq[Any] = Nil,
+                   minTf: Int = 1, k1: Double = 1.2, b: Double = 0.75,
+                   maxSeedTerms: Int = 10000): DataFrame = {
+    require(maxQueryTerms > 0,
+      s"moreLikeThis: maxQueryTerms $maxQueryTerms <= 0")
+    val seedTf = cached(spark.range(1)
+      .select(explode(tokens(lit(likeText))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("stf"))
+      .filter(col("stf") >= minTf))
+    val seedTerms = seedTf.select(col("term"))
+      .collect().map(_.getString(0))
+    require(seedTerms.length <= maxSeedTerms,
+      s"moreLikeThis: seed has ${seedTerms.length} distinct terms > " +
+        s"maxSeedTerms $maxSeedTerms — raise the bound or trim the text")
+    val (live, stats) = liveScoring(spark, path, idCol, seedTerms)
+    def empty = live.groupBy(col(idCol))
+      .agg(max(lit(0.0)).as("score")).limit(0)
+    if (seedTerms.isEmpty) empty
+    else {
+      val dfq = live.groupBy(col("term"))
+        .agg(count_distinct(col(idCol)).as("df"))
+      // selection rank: seed tf × idf, the same fixed-point discipline
+      // as contribFp so the cut is platform-deterministic
+      val selected = seedTf.join(dfq, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("rank_fp", floor(
+          col("stf") * log(lit(1.0) +
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+            * lit(1e7) + lit(0.5)).cast("long"))
+        .orderBy(col("rank_fp").desc, col("term"))
+        .limit(maxQueryTerms)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      if (selected.isEmpty) empty
+      else booleanCore(live, stats, Nil, selected, Nil, k, idCol,
+        k1, b, excludeIds)
+    }
   }
 
   /** MERGE a segmented lexical index — the other half of the Lucene
@@ -1432,6 +1597,54 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count_distinct(col("term")).as("n_terms"),
         sum(size(col("positions")).cast("long")).as("n_occurrences"))
+  }
+
+  /** FUZZY term search (Lucene's fuzzy query, relationally): expand
+    * the query term against the index's term DICTIONARY within
+    * Levenshtein distance `maxDist` — a one-column distinct over the
+    * postings' term column (vocabulary-sized OUTPUT; the scan reads
+    * parquet's dictionary-encoded term pages — a production layout
+    * would materialize a per-segment term dictionary, which is the
+    * same information) — then probe the matched terms' posting lists
+    * with the same pushed `term IN` the phrase probe uses, through
+    * the tombstone kill rule. The expansion is a driver-side fetch
+    * bounded by `maxExpansion`: fail loudly rather than ship an
+    * unbounded literal list into the scan predicate. Returns per
+    * matching document the distinct matched terms and total
+    * occurrences, like [[termPrefixSearch]]. */
+  def fuzzyTermSearch(spark: org.apache.spark.sql.SparkSession,
+                      path: String, term: String, maxDist: Int,
+                      idCol: String,
+                      maxExpansion: Int = 1000): DataFrame = {
+    require(term.nonEmpty, "fuzzyTermSearch: empty term")
+    require(maxDist >= 0, s"fuzzyTermSearch: maxDist $maxDist < 0")
+    requireQuiescent(spark, path)
+    // the length band |len(t) − len(q)| ≤ maxDist is implied by the
+    // edit distance; pushing it lets parquet min/max stats prune term
+    // pages before the per-term levenshtein runs
+    val matched = spark.read.parquet(s"$path/postings")
+      .select(col("term")).distinct()
+      .filter(length(col("term"))
+        .between(term.length - maxDist, term.length + maxDist))
+      .filter(levenshtein(col("term"), lit(term)) <= maxDist)
+      .collect().map(_.getString(0)).sorted
+    require(matched.length <= maxExpansion,
+      s"fuzzyTermSearch: '$term'~$maxDist expands to " +
+        s"${matched.length} terms > maxExpansion $maxExpansion — " +
+        "tighten the distance or raise the bound")
+    if (matched.isEmpty) {
+      import org.apache.spark.sql.types.{LongType, StructType}
+      val schema = new StructType().add(idCol, LongType)
+        .add("n_terms", LongType).add("n_occurrences", LongType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      livePositional(spark, path, idCol,
+        col("term").isin(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(matched): _*))
+        .groupBy(col(idCol))
+        .agg(count_distinct(col("term")).as("n_terms"),
+          sum(size(col("positions")).cast("long")).as("n_occurrences"))
   }
 
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct

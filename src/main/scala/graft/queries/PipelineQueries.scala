@@ -3153,6 +3153,86 @@ object PipelineQueries {
         .orderBy(col("q"), col("doc_id"))
     }),
 
+    // X3 — FUZZY term search over the segmented layout (Lucene's
+    // fuzzy query: term-dictionary expansion within Levenshtein
+    // maxDist — vocabulary-sized, driver-bounded — then the same
+    // pushed `term IN` posting probe as phrase). Two probes share
+    // one written segment: an exact-ish term and a misspelling that
+    // only the expansion can reach. Oracle replays the semantics off
+    // the token stream with DuckDB's levenshtein — the two engines'
+    // edit-distance must agree term for term.
+    "q148_fuzzy_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("fuzzy_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val f1 = TextAnalysis.fuzzyTermSearch(s, path, "sort",
+          maxDist = 1, "doc_id")
+        .withColumn("q", lit("sort~1"))
+      val f2 = TextAnalysis.fuzzyTermSearch(s, path, "tble",
+          maxDist = 1, "doc_id")
+        .withColumn("q", lit("tble~1"))
+      f1.unionByName(f2).orderBy(col("q"), col("doc_id"))
+    }),
+
+    // X3 — Lucene's BooleanQuery over the segmented layout: a doc
+    // matches iff it has EVERY must term, NONE of the mustNot terms,
+    // and (must empty) ≥1 should term; score = BM25 sum over its
+    // distinct positive terms through the ONE shared fixed-point
+    // contribution (contribFp — the q115 arithmetic). Two panels:
+    // must+mustNot, and should-only. One pushed `term IN` scan + one
+    // groupBy(id) folding flags and score together — the exclusion
+    // is a max(when) flag, never an anti-join.
+    "q149_boolean_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("bool_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val b1 = TextAnalysis.booleanSearch(s, path,
+          must = Seq("sort", "merge"), should = Nil,
+          mustNot = Seq("scan"), k = 15, "doc_id")
+        .withColumn("q", lit("+sort +merge -scan"))
+      val b2 = TextAnalysis.booleanSearch(s, path,
+          must = Nil, should = Seq("query", "filter"),
+          mustNot = Nil, k = 15, "doc_id")
+        .withColumn("q", lit("query filter"))
+      b1.unionByName(b2)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
+
+    // X3 — Lucene's MoreLikeThis over the segmented layout: the seed
+    // document's terms ranked by tf·idf against the index (fixed-
+    // point, ties to the smaller term), top maxQueryTerms run as a
+    // should-only boolean query through the ONE shared contribFp
+    // arithmetic, seed excluded before the top-k cut. One pushed
+    // `term IN` posting scan feeds BOTH selection and scoring. Two
+    // seeds with different panel widths on one written segment.
+    "q150_more_like_this" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("mlt_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      def seedText(id: Long): String = d
+        .filter(col("doc_id") === id).select(col("text"))
+        .collect()(0).getString(0)
+      val m1 = TextAnalysis.moreLikeThis(s, path, seedText(3L),
+          maxQueryTerms = 8, k = 12, "doc_id",
+          excludeIds = Seq(3L))
+        .withColumn("q", lit("like:3"))
+      val m2 = TextAnalysis.moreLikeThis(s, path, seedText(7L),
+          maxQueryTerms = 5, k = 10, "doc_id",
+          excludeIds = Seq(7L))
+        .withColumn("q", lit("like:7"))
+      m1.unionByName(m2)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
+
     // X2 — RESIDUAL IVF-PQ cell-incremental refresh (q141's scenario
     // on the residual layout — the last index family without a
     // maintenance rung): fresh rows residual-encode through the
@@ -5591,6 +5671,124 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // fuzzy-term semantics replayed from the token stream: DuckDB's
+    // levenshtein must agree with Spark's term for term
+    "q148_fuzzy_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS term
+        |  FROM documents),
+        |f1 AS (SELECT doc_id, count(DISTINCT term) AS n_terms,
+        |    count(*) AS n_occurrences, 'sort~1' AS q
+        |  FROM tok WHERE levenshtein(term, 'sort') <= 1
+        |  GROUP BY doc_id),
+        |f2 AS (SELECT doc_id, count(DISTINCT term) AS n_terms,
+        |    count(*) AS n_occurrences, 'tble~1' AS q
+        |  FROM tok WHERE levenshtein(term, 'tble') <= 1
+        |  GROUP BY doc_id)
+        |SELECT * FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |ORDER BY q, doc_id""".stripMargin,
+
+    // boolean-query semantics replayed from the token stream with the
+    // q115 fixed-point BM25 arithmetic: must = HAVING all-distinct
+    // count, mustNot = NOT IN on the term's doc set, should = plain
+    // membership; same rounded score, same (score DESC, id) cut
+    "q149_boolean_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('sort', 'merge', 'query', 'filter')
+        |        GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |b1 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('sort', 'merge')
+        |  GROUP BY 1
+        |  HAVING count(DISTINCT term) = 2),
+        |b1f AS (SELECT doc_id, score, '+sort +merge -scan' AS q
+        |  FROM b1 WHERE doc_id NOT IN
+        |    (SELECT doc_id FROM tf WHERE term = 'scan')
+        |  ORDER BY score DESC, doc_id LIMIT 15),
+        |b2 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    'query filter' AS q
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'filter')
+        |  GROUP BY 1
+        |  ORDER BY score DESC, doc_id LIMIT 15)
+        |SELECT q, doc_id, score FROM
+        |  (SELECT * FROM b1f UNION ALL
+        |   SELECT doc_id, score, q FROM b2)
+        |ORDER BY q, score DESC, doc_id""".stripMargin,
+
+    // MoreLikeThis semantics replayed from the token stream: the same
+    // fixed-point tf·idf selection cut (rank desc, term asc, LIMIT),
+    // the q115 fixed-point BM25 scoring over the selected terms, seed
+    // excluded before the top-k cut
+    "q150_more_like_this" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |s1 AS (SELECT term, count(*) AS stf FROM tc
+        |       WHERE doc_id = 3 GROUP BY 1),
+        |d1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        |       WHERE term IN (SELECT term FROM s1) GROUP BY 1),
+        |sel1 AS (SELECT term, df FROM s1 JOIN d1 USING (term)
+        |         CROSS JOIN stats
+        |         ORDER BY CAST(floor(stf * ln(1 + (n_docs - df + 0.5) /
+        |           (df + 0.5)) * 1e7 + 0.5) AS BIGINT) DESC, term
+        |         LIMIT 8),
+        |r1 AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    'like:3' AS q
+        |  FROM tf JOIN sel1 USING (term) CROSS JOIN stats
+        |  WHERE tf.doc_id <> 3
+        |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 12),
+        |s2 AS (SELECT term, count(*) AS stf FROM tc
+        |       WHERE doc_id = 7 GROUP BY 1),
+        |d2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        |       WHERE term IN (SELECT term FROM s2) GROUP BY 1),
+        |sel2 AS (SELECT term, df FROM s2 JOIN d2 USING (term)
+        |         CROSS JOIN stats
+        |         ORDER BY CAST(floor(stf * ln(1 + (n_docs - df + 0.5) /
+        |           (df + 0.5)) * 1e7 + 0.5) AS BIGINT) DESC, term
+        |         LIMIT 5),
+        |r2 AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    'like:7' AS q
+        |  FROM tf JOIN sel2 USING (term) CROSS JOIN stats
+        |  WHERE tf.doc_id <> 7
+        |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT q, doc_id, score FROM
+        |  (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY q, score DESC, doc_id""".stripMargin,
 
     // snippet semantics replayed brute-force: per-term position
     // lists, every occurrence-combination window as a [span, end]

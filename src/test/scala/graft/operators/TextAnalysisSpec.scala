@@ -767,6 +767,134 @@ class TextAnalysisSpec extends SparkSpec {
       s"prefix predicate not pushed:\n${plan.take(1200)}")
   }
 
+  test("fuzzyTermSearch: dictionary expansion within edit distance, " +
+      "loud expansion cap, empty result for unreachable terms, " +
+      "tombstones honored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sort sorts port x"),   // sort(0) sorts(1) port(1) → 3 terms, 3 occ at d=1
+      (2L, "short spot x"),        // short(1 — delete h) spot(2) → 1 term, 1 occ
+      (3L, "sort sort fort"))      // sort×2(0) fort(1) → 2 terms, 3 occ
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("fuzzyidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(t: String, d: Int, cap: Int = 1000) = TextAnalysis
+      .fuzzyTermSearch(spark, dir, t, d, "doc_id", cap)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(run("sort", 1) == Seq((1L, 3L, 3L), (2L, 1L, 1L), (3L, 2L, 3L)))
+    assert(run("sort", 0) == Seq((1L, 1L, 1L), (3L, 1L, 2L)))
+    // unreachable: empty frame with the contract schema, no error
+    assert(run("zzzzzz", 1).isEmpty)
+    // the expansion cap fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.fuzzyTermSearch(spark, dir, "sort", 1, "doc_id",
+        maxExpansion = 2)
+    }
+    assert(e.getMessage.contains("expands to"), s"wrong error: $e")
+    // tombstoned docs drop out of fuzzy results too
+    TextAnalysis.bm25Tombstone(Seq((3L, 3L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    assert(run("sort", 1) == Seq((1L, 3L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("booleanSearch: must/should/mustNot semantics, score parity " +
+      "with the BM25 probe, guards, tombstones honored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a c x"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("boolidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def ids(must: Seq[String], should: Seq[String],
+            not: Seq[String]) = TextAnalysis
+      .booleanSearch(spark, dir, must, should, not, 10, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // must-all + exclusion: doc 3 lacks b AND carries x; doc 4 lacks a
+    assert(ids(Seq("a", "b"), Nil, Seq("x")) == Set(1L, 2L))
+    // should-only: any doc containing a
+    assert(ids(Nil, Seq("a"), Nil) == Set(1L, 2L, 3L))
+    // mixed: must a narrows, should c only scores
+    assert(ids(Seq("a"), Seq("c"), Nil) == Set(1L, 2L, 3L))
+    // score parity: must=[a] should=[c] scores ≡ the BM25 probe's
+    // "a c" panel restricted to docs containing a — same contribFp,
+    // same df/stats derivation, by shared definition
+    val bool = TextAnalysis.booleanSearch(spark, dir,
+        Seq("a"), Seq("c"), Nil, 10, "doc_id")
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    val probe = TextAnalysis.bm25ProbeSegmented(spark, dir,
+        Seq((0L, "a c")).toDF("qid", "qtext"), 10, "doc_id")
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(bool == probe.view.filterKeys(Set(1L, 2L, 3L)).toMap,
+      s"boolean $bool != probe-restricted $probe")
+    // guards: no positive terms; a term both positive and negative
+    intercept[IllegalArgumentException] {
+      TextAnalysis.booleanSearch(spark, dir, Nil, Nil, Seq("a"),
+        10, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.booleanSearch(spark, dir, Seq("a"), Nil, Seq("a"),
+        10, "doc_id")
+    }
+    // tombstoned docs drop out (doc 1 dies; doc 2 remains)
+    TextAnalysis.bm25Tombstone(Seq((1L, 3L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    assert(ids(Seq("a", "b"), Nil, Seq("x")) == Set(2L))
+  }
+
+  test("moreLikeThis: tf-idf term selection with fixed-point tie-" +
+      "break, seed exclusion, score parity with the should-only " +
+      "boolean query, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "apple banana apple cherry"),
+      (11L, "apple banana kiwi"),
+      (12L, "cherry cherry melon"),
+      (13L, "melon kiwi grape"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("mltidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val seed = "apple banana apple cherry"
+    def ids(mqt: Int, exclude: Seq[Any]) = TextAnalysis
+      .moreLikeThis(spark, dir, seed, mqt, 5, "doc_id",
+        excludeIds = exclude)
+      .select("doc_id").as[Long].collect().toSet
+    // all three seed terms share df=2 → idf ties; apple wins on
+    // stf=2, then banana beats cherry lexicographically. mqt=2 →
+    // {apple, banana} → only doc 11 matches (seed excluded)
+    assert(ids(2, Seq(10L)) == Set(11L))
+    // mqt=3 adds cherry → doc 12 joins
+    assert(ids(3, Seq(10L)) == Set(11L, 12L))
+    // no exclusion: the seed doc itself dominates
+    assert(ids(3, Nil) == Set(10L, 11L, 12L))
+    // score parity with the should-only boolean query over the same
+    // terms — shared booleanCore by construction, pinned here
+    val mlt = TextAnalysis.moreLikeThis(spark, dir, seed, 10, 5,
+        "doc_id", excludeIds = Seq(10L))
+      .as[(Long, Double)].collect().toMap
+    val bool = TextAnalysis.booleanSearch(spark, dir, Nil,
+        Seq("apple", "banana", "cherry"), Nil, 5, "doc_id",
+        excludeIds = Seq(10L))
+      .as[(Long, Double)].collect().toMap
+    assert(mlt == bool, s"mlt $mlt != boolean $bool")
+    // unreachable seed text → empty frame with the contract schema
+    val none = TextAnalysis.moreLikeThis(spark, dir, "zzz yyy", 5, 5,
+      "doc_id")
+    assert(none.columns.toSeq == Seq("doc_id", "score"))
+    assert(none.count() == 0)
+    // seed-vocabulary guard fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.moreLikeThis(spark, dir, seed, 5, 5, "doc_id",
+        maxSeedTerms = 2)
+    }
+    assert(e.getMessage.contains("maxSeedTerms"), s"wrong error: $e")
+  }
+
   test("snippetSpans: tightest window over present terms, earliest " +
       "on ties, subset matching, and span-consistency with the " +
       "proximity scan") {
