@@ -1628,10 +1628,24 @@ object TextAnalysis {
         .between(term.length - maxDist, term.length + maxDist))
       .filter(levenshtein(col("term"), lit(term)) <= maxDist)
       .collect().map(_.getString(0)).sorted
+    expandedTermOccurrences(spark, path, idCol, matched,
+      s"fuzzyTermSearch: '$term'~$maxDist", maxExpansion,
+      "tighten the distance or raise the bound")
+  }
+
+  /** Shared tail of the dictionary-expansion query family
+    * ([[fuzzyTermSearch]], [[wildcardTermSearch]]): bound the
+    * expansion loudly, then probe the matched terms' posting lists
+    * with the same pushed `term IN` the phrase probe uses, through
+    * the tombstone kill rule, returning per matching document the
+    * distinct matched terms and total occurrences. */
+  private def expandedTermOccurrences(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, matched: Array[String], what: String,
+      maxExpansion: Int, remedy: String): DataFrame = {
     require(matched.length <= maxExpansion,
-      s"fuzzyTermSearch: '$term'~$maxDist expands to " +
-        s"${matched.length} terms > maxExpansion $maxExpansion — " +
-        "tighten the distance or raise the bound")
+      s"$what expands to ${matched.length} terms > " +
+        s"maxExpansion $maxExpansion — $remedy")
     if (matched.isEmpty) {
       import org.apache.spark.sql.types.{LongType, StructType}
       val schema = new StructType().add(idCol, LongType)
@@ -1645,6 +1659,77 @@ object TextAnalysis {
         .groupBy(col(idCol))
         .agg(count_distinct(col("term")).as("n_terms"),
           sum(size(col("positions")).cast("long")).as("n_occurrences"))
+  }
+
+  /** WILDCARD term search (Lucene's wildcard query, relationally):
+    * `*` matches any run of characters, `?` exactly one. The pattern
+    * expands against the index's term dictionary — the same
+    * vocabulary-sized distinct as [[fuzzyTermSearch]] — and probes
+    * the matched posting lists. A literal PREFIX before the first
+    * wildcard is additionally pushed as a `startsWith` predicate:
+    * the postings layout is term-sorted, so parquet min/max stats
+    * prune every file outside the prefix range (Lucene's own
+    * economics — a leading-literal wildcard is cheap, a leading-`*`
+    * scans the whole dictionary; both are correct here, the latter
+    * just pays the full vocabulary pass). */
+  def wildcardTermSearch(spark: org.apache.spark.sql.SparkSession,
+                         path: String, pattern: String, idCol: String,
+                         maxExpansion: Int = 1000): DataFrame = {
+    require(pattern.nonEmpty, "wildcardTermSearch: empty pattern")
+    requireQuiescent(spark, path)
+    val likePat = pattern.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case c @ ('%' | '_') => "\\" + c
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val prefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val dict = spark.read.parquet(s"$path/postings")
+      .select(col("term")).distinct()
+    val banded =
+      if (prefix.nonEmpty) dict.filter(col("term").startsWith(prefix))
+      else dict
+    val matched = banded.filter(col("term").like(likePat))
+      .collect().map(_.getString(0)).sorted
+    expandedTermOccurrences(spark, path, idCol, matched,
+      s"wildcardTermSearch: '$pattern'", maxExpansion,
+      "narrow the pattern or raise the bound")
+  }
+
+  /** FACETED search (the Solr/Lucene facet model, relationally):
+    * count the FULL matching set — documents containing ≥1 panel
+    * term, the should-only boolean match BEFORE any top-k cut — by
+    * each requested facet attribute of the docs relation. Returns
+    * (facet, value, n_docs); null attribute values group as one NULL
+    * bucket, Solr's missing-value count.
+    *
+    * Scale shape: matching ids are posting-bounded (pushed `term IN`
+    * + the tombstone kill rule — documents are never read to decide
+    * membership), then ONE id equi-join against the docs relation
+    * carries the facet columns and every facet dimension aggregates
+    * in ONE pass over the joined rows (the per-dimension struct
+    * explode is width-|facetCols|, not a per-facet re-join). */
+  def searchFacets(spark: org.apache.spark.sql.SparkSession,
+                   path: String, terms: Seq[String], docs: DataFrame,
+                   idCol: String, facetCols: Seq[String]): DataFrame = {
+    val termsD = terms.distinct
+    require(termsD.nonEmpty, "searchFacets: no terms")
+    require(facetCols.nonEmpty, "searchFacets: no facet columns")
+    requireQuiescent(spark, path)
+    val ids = liveAfterTombstones(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("term").isin(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(termsD.toArray): _*))
+        .select(col(idCol), col("seg")),
+      readTombstones(spark, path, idCol), idCol)
+      .select(col(idCol)).distinct()
+    docs.join(ids, Seq(idCol))
+      .select(explode(array(facetCols.map(c =>
+        struct(lit(c).as("facet"), col(c).cast("string").as("value"))
+      ): _*)).as("fv"))
+      .groupBy(col("fv.facet").as("facet"), col("fv.value").as("value"))
+      .agg(count(lit(1)).as("n_docs"))
   }
 
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct

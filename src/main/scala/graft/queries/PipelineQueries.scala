@@ -3233,6 +3233,47 @@ object PipelineQueries {
         .orderBy(col("q"), col("score").desc, col("doc_id"))
     }),
 
+    // X3 — WILDCARD term search (Lucene's wildcard query: dictionary
+    // expansion via LIKE-translated pattern — a literal prefix before
+    // the first wildcard is pushed as startsWith so the term-sorted
+    // layout's parquet stats prune; leading-* pays the full
+    // vocabulary pass), then the shared posting probe. Three probes
+    // on one segment: prefix-banded, leading-star, and ?-classes.
+    "q151_wildcard_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("wild_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val w1 = TextAnalysis.wildcardTermSearch(s, path, "s*", "doc_id")
+        .withColumn("q", lit("s*"))
+      val w2 = TextAnalysis.wildcardTermSearch(s, path, "*er", "doc_id")
+        .withColumn("q", lit("*er"))
+      val w3 = TextAnalysis.wildcardTermSearch(s, path, "?a??",
+          "doc_id")
+        .withColumn("q", lit("?a??"))
+      w1.unionByName(w2).unionByName(w3)
+        .orderBy(col("q"), col("doc_id"))
+    }),
+
+    // X3 — FACETED search (the Solr facet model: the FULL should-
+    // match set — posting-bounded membership through the tombstone
+    // kill rule, documents never read to decide it — counted by each
+    // facet attribute in ONE pass; null values are the missing-value
+    // bucket).
+    "q152_search_facets" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("facet_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      TextAnalysis.searchFacets(s, path, Seq("query", "scan"), d,
+          "doc_id", Seq("lang", "source"))
+        .orderBy(col("facet"), col("value"))
+    }),
+
     // X2 — RESIDUAL IVF-PQ cell-incremental refresh (q141's scenario
     // on the residual layout — the last index family without a
     // maintenance rung): fresh rows residual-encode through the
@@ -5735,6 +5776,44 @@ object PipelineQueries {
         |  (SELECT * FROM b1f UNION ALL
         |   SELECT doc_id, score, q FROM b2)
         |ORDER BY q, score DESC, doc_id""".stripMargin,
+
+    // wildcard semantics replayed from the token stream with the same
+    // LIKE translation (* → %, ? → _)
+    "q151_wildcard_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS term
+        |  FROM documents),
+        |f1 AS (SELECT doc_id, count(DISTINCT term) AS n_terms,
+        |    count(*) AS n_occurrences, 's*' AS q
+        |  FROM tok WHERE term LIKE 's%' GROUP BY doc_id),
+        |f2 AS (SELECT doc_id, count(DISTINCT term) AS n_terms,
+        |    count(*) AS n_occurrences, '*er' AS q
+        |  FROM tok WHERE term LIKE '%er' GROUP BY doc_id),
+        |f3 AS (SELECT doc_id, count(DISTINCT term) AS n_terms,
+        |    count(*) AS n_occurrences, '?a??' AS q
+        |  FROM tok WHERE term LIKE '_a__' GROUP BY doc_id)
+        |SELECT * FROM (SELECT * FROM f1 UNION ALL
+        |  SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        |ORDER BY q, doc_id""".stripMargin,
+
+    // facet semantics replayed: distinct matching ids from the token
+    // stream, one join to the attributes, per-dimension counts with
+    // the NULL bucket
+    "q152_search_facets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS term
+        |  FROM documents),
+        |m AS (SELECT DISTINCT doc_id FROM tok
+        |      WHERE term IN ('query', 'scan')),
+        |j AS (SELECT d.lang, d.source FROM documents d
+        |      JOIN m USING (doc_id))
+        |SELECT facet, value, n_docs FROM (
+        |  SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs
+        |  FROM j GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'source' AS facet, source AS value, count(*) AS n_docs
+        |  FROM j GROUP BY 2)
+        |ORDER BY facet, value""".stripMargin,
 
     // MoreLikeThis semantics replayed from the token stream: the same
     // fixed-point tf·idf selection cut (rank desc, term asc, LIMIT),

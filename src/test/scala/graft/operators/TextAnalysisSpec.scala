@@ -846,6 +846,84 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids(Seq("a", "b"), Nil, Seq("x")) == Set(2L))
   }
 
+  test("wildcardTermSearch: * and ? expansion, literal-prefix band, " +
+      "leading-star full-dictionary path, cap, tombstones honored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "start stop star x"),
+      (2L, "strong stop"),
+      (3L, "star start art"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("wildidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(p: String, cap: Int = 1000) = TextAnalysis
+      .wildcardTermSearch(spark, dir, p, "doc_id", cap)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // prefix-banded *: start/stop/star/strong
+    assert(run("st*") ==
+      Seq((1L, 3L, 3L), (2L, 2L, 2L), (3L, 2L, 2L)))
+    // ? is exactly one char: st?r → star only
+    assert(run("st?r") == Seq((1L, 1L, 1L), (3L, 1L, 1L)))
+    // leading star (full-dictionary path): *art → start, art
+    assert(run("*art") == Seq((1L, 1L, 1L), (3L, 2L, 2L)))
+    // unreachable pattern: empty frame, contract schema, no error
+    assert(run("zz*").isEmpty)
+    // expansion cap fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.wildcardTermSearch(spark, dir, "st*", "doc_id",
+        maxExpansion = 2)
+    }
+    assert(e.getMessage.contains("expands to"), s"wrong error: $e")
+    // tombstoned docs drop out
+    TextAnalysis.bm25Tombstone(Seq((3L, 3L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    assert(run("st*") == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+  }
+
+  test("searchFacets: full-match-set counts per facet dimension, " +
+      "null bucket, guards, tombstones honored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "en", "web"),
+      (2L, "a", "en", "book"),
+      (3L, "b", "fr", "web"),
+      (4L, "c", "fr", null))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("facetidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(terms: Seq[String]) = TextAnalysis
+      .searchFacets(spark, dir, terms, docs, "doc_id",
+        Seq("lang", "source"))
+      .orderBy(col("facet"), col("value"))
+      .as[(String, Option[String], Long)].collect().toSeq
+    // docs {1,2,3} match a|b: lang en=2 fr=1; source web=2 book=1
+    assert(run(Seq("a", "b")) == Seq(
+      ("lang", Some("en"), 2L), ("lang", Some("fr"), 1L),
+      ("source", Some("book"), 1L), ("source", Some("web"), 2L)))
+    // null facet values group as one NULL bucket (Solr's missing
+    // count) — nulls sort first in ascending order
+    assert(run(Seq("c")) == Seq(
+      ("lang", Some("fr"), 1L),
+      ("source", None, 1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.searchFacets(spark, dir, Nil, docs, "doc_id",
+        Seq("lang"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.searchFacets(spark, dir, Seq("a"), docs, "doc_id",
+        Nil)
+    }
+    // tombstoned doc 1 leaves {2,3}
+    TextAnalysis.bm25Tombstone(Seq((1L, 2L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    assert(run(Seq("a", "b")) == Seq(
+      ("lang", Some("en"), 1L), ("lang", Some("fr"), 1L),
+      ("source", Some("book"), 1L), ("source", Some("web"), 1L)))
+  }
+
   test("moreLikeThis: tf-idf term selection with fixed-point tie-" +
       "break, seed exclusion, score parity with the should-only " +
       "boolean query, guards") {
