@@ -687,6 +687,20 @@ object TextAnalysis {
     tf.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite").parquet(s"$path/postings/seg=$segment")
+    // per-segment TERM DICTIONARY (Lucene's terms file): the
+    // dictionary-expansion queries (fuzzy/wildcard) read this
+    // vocabulary-sized artifact instead of distinct-ing the
+    // corpus-sized postings. Maintenance invariant: the dict union
+    // must be a SUPERSET of the live vocabulary — appends write their
+    // segment's exact terms; tombstones and tiered folds leave dicts
+    // untouched (a dead term in the dict expands into the probe's IN
+    // list and matches nothing — correct, just unpruned, exactly
+    // Lucene's deleted-docs-keep-terms behavior); only the full merge
+    // rewrites the dict from the live rows (the purge).
+    tf.select(col("term")).distinct()
+      .sort(col("term"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/termdict/seg=$segment")
     tf.select(col(idCol), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"))
@@ -986,7 +1000,7 @@ object TextAnalysis {
       // per-dir: replace only targets whose staged source still exists
       // — a re-run after a crash mid-swap must never delete a target
       // that IS the already-renamed staged copy (the only copy left)
-      for (d <- Seq("postings", "segstats")) {
+      for (d <- Seq("postings", "segstats", "termdict")) {
         val src = new Path(staging, d)
         val dst = new Path(s"$path/$d")
         if (fs.exists(src)) {
@@ -1026,6 +1040,13 @@ object TextAnalysis {
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite")
       .parquet(s"${staging.toString}/postings/seg=0")
+    // the dict purge: rewrite the term dictionary from the LIVE rows —
+    // the one maintenance op whose scope provably covers every dead
+    // term the per-append dicts may still carry
+    live.select(col("term")).distinct()
+      .sort(col("term"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${staging.toString}/termdict/seg=0")
     // exact integer partials from the live postings' distinct (id, dl)
     // — the same numbers the probe's segstats-minus-tombstones
     // correction reconstructs, now stored directly
@@ -1622,8 +1643,7 @@ object TextAnalysis {
     // the length band |len(t) − len(q)| ≤ maxDist is implied by the
     // edit distance; pushing it lets parquet min/max stats prune term
     // pages before the per-term levenshtein runs
-    val matched = spark.read.parquet(s"$path/postings")
-      .select(col("term")).distinct()
+    val matched = termDict(spark, path)
       .filter(length(col("term"))
         .between(term.length - maxDist, term.length + maxDist))
       .filter(levenshtein(col("term"), lit(term)) <= maxDist)
@@ -1631,6 +1651,27 @@ object TextAnalysis {
     expandedTermOccurrences(spark, path, idCol, matched,
       s"fuzzyTermSearch: '$term'~$maxDist", maxExpansion,
       "tighten the distance or raise the bound")
+  }
+
+  /** The term DICTIONARY of a segmented index: the per-segment
+    * `termdict` artifact when present (a vocabulary-sized read — the
+    * production path, Lucene's terms file), else derived from the
+    * postings' term column (a distinct over the corpus-sized layout —
+    * the fallback for layouts written before the artifact existed).
+    * The artifact union may be a SUPERSET of the live vocabulary (see
+    * [[bm25AppendSegment]]'s invariant) — every caller filters the
+    * expansion through the posting probe, which IS the live filter,
+    * so a dead term costs an unpruned IN entry and nothing else. */
+  private def termDict(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/termdict")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(s"$path/termdict")
+        .select(col("term")).distinct()
+    else
+      spark.read.parquet(s"$path/postings")
+        .select(col("term")).distinct()
   }
 
   /** Shared tail of the dictionary-expansion query family
@@ -1685,8 +1726,7 @@ object TextAnalysis {
       case c => c.toString
     }
     val prefix = pattern.takeWhile(c => c != '*' && c != '?')
-    val dict = spark.read.parquet(s"$path/postings")
-      .select(col("term")).distinct()
+    val dict = termDict(spark, path)
     val banded =
       if (prefix.nonEmpty) dict.filter(col("term").startsWith(prefix))
       else dict

@@ -882,6 +882,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run("st*") == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
   }
 
+  test("term dictionary artifact: written per segment, superset-safe " +
+      "under tombstones and folds, purged by the full merge, " +
+      "postings fallback when absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("dictidx").toString
+    TextAnalysis.bm25AppendSegment(
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0)
+    TextAnalysis.bm25AppendSegment(
+      Seq((3L, "delta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1)
+    def dictTerms() = spark.read.parquet(s"$dir/termdict")
+      .select("term").distinct().as[String].collect().toSet
+    assert(dictTerms() == Set("alpha", "beta", "gamma", "delta"))
+    // tombstone doc 1 (the only alpha): dict keeps alpha (superset),
+    // but the expansion finds nothing live for it
+    TextAnalysis.bm25Tombstone(Seq((1L, 2L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 2)
+    assert(dictTerms().contains("alpha"))
+    assert(TextAnalysis.wildcardTermSearch(spark, dir, "alp*",
+      "doc_id").count() == 0)
+    assert(TextAnalysis.wildcardTermSearch(spark, dir, "*a", "doc_id")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 2L, 2L), (3L, 1L, 1L)))
+    // the full merge purges dead-only terms from the dict
+    TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
+    assert(dictTerms() == Set("beta", "gamma", "delta"))
+    // fallback: with the artifact removed, expansion derives the
+    // dictionary from the postings and results are identical
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/termdict"), true)
+    assert(TextAnalysis.wildcardTermSearch(spark, dir, "*a", "doc_id")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 2L, 2L), (3L, 1L, 1L)))
+  }
+
   test("searchFacets: full-match-set counts per facet dimension, " +
       "null bucket, guards, tombstones honored") {
     import spark.implicits._
