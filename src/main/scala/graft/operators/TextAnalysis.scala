@@ -826,13 +826,21 @@ object TextAnalysis {
     * score together — the mustNot exclusion is a `max(when)` flag in
     * the same aggregate, never a second scan or an anti-join. Top-k
     * is orderBy+limit (TakeOrderedAndProject — no global sort
-    * materialization). */
+    * materialization).
+    *
+    * `minShouldMatch` is Lucene/Solr's mm parameter: require at least
+    * that many DISTINCT should terms per document, ON TOP of the
+    * default rule (with no must terms, ≥1 positive term is always
+    * required — mm=0 never readmits a zero-match doc). The count
+    * folds as one more `count_distinct(when)` in the same aggregate —
+    * no extra scan. */
   def booleanSearch(spark: org.apache.spark.sql.SparkSession,
                     path: String, must: Seq[String],
                     should: Seq[String], mustNot: Seq[String],
                     k: Int, idCol: String, k1: Double = 1.2,
                     b: Double = 0.75,
-                    excludeIds: Seq[Any] = Nil): DataFrame = {
+                    excludeIds: Seq[Any] = Nil,
+                    minShouldMatch: Int = 0): DataFrame = {
     val mustD = must.distinct
     val shouldD = should.distinct.filterNot(mustD.contains)
     val notD = mustNot.distinct
@@ -841,10 +849,13 @@ object TextAnalysis {
     val clash = (mustD ++ shouldD).intersect(notD)
     require(clash.isEmpty,
       s"booleanSearch: terms both positive and mustNot: $clash")
+    require(minShouldMatch >= 0 && minShouldMatch <= shouldD.size,
+      s"booleanSearch: minShouldMatch $minShouldMatch outside " +
+        s"[0, ${shouldD.size}] (distinct should terms not already must)")
     val (live, stats) = liveScoring(spark, path, idCol,
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
-      excludeIds)
+      excludeIds, minShouldMatch)
   }
 
   /** [[booleanSearch]]'s scoring body over an already-read live
@@ -856,7 +867,8 @@ object TextAnalysis {
                           mustD: Seq[String], shouldD: Seq[String],
                           notD: Seq[String], k: Int, idCol: String,
                           k1: Double, b: Double,
-                          excludeIds: Seq[Any]): DataFrame = {
+                          excludeIds: Seq[Any],
+                          minShouldMatch: Int = 0): DataFrame = {
     val positive = mustD ++ shouldD
     def inSet(set: Seq[String]): Column =
       if (set.isEmpty) lit(false)
@@ -881,10 +893,15 @@ object TextAnalysis {
         // score 0
         max(when(inSet(positive), lit(1)).otherwise(lit(0)))
           .as("has_pos"),
+        // mm: distinct SHOULD terms only — must terms never count
+        // toward the should quota (Lucene's accounting)
+        count_distinct(when(inSet(shouldD), col("term")))
+          .as("n_should"),
         max(when(inSet(notD), lit(1)).otherwise(lit(0)))
           .as("has_not"))
       .filter(col("has_not") === 0 && col("has_pos") === 1 &&
-        col("n_must") === mustD.size)
+        col("n_must") === mustD.size &&
+        col("n_should") >= minShouldMatch)
     val excluded =
       if (excludeIds.isEmpty) scored
       else scored.filter(!col(idCol).isin(
@@ -1331,6 +1348,74 @@ object TextAnalysis {
       .filter(col("min_span") <= maxSpan)
   }
 
+  /** ORDERED near search over a SEGMENTED index (Lucene's
+    * SpanNearQuery with inOrder=true; same layout and maintenance
+    * inheritance as [[phraseSearch]]): documents containing one
+    * occurrence of every query term IN QUERY ORDER — positions
+    * p₀ < p₁ < … < p_{k−1} with pᵢ an occurrence of term i — within
+    * the tightest such span (p_{k−1} − p₀ ≤ `maxSpan`). The ordered
+    * constraint is what [[proximitySearch]]'s unordered window can't
+    * express ("slow query" near-misses like "query … slow" must NOT
+    * match).
+    *
+    * The minimal ordered window is the classic latest-possible-start
+    * subsequence DP, run left-to-right over the doc's merged position
+    * events: seeing term i at position p extends the best chain of
+    * terms 0..i−1 that ended strictly before p (positions are unique
+    * per doc, and events fold in ascending order, so the stored start
+    * for prefix i−1 is exactly that), recording start[i] = start[i−1]
+    * (or p itself for i = 0); completing term k−1 yields candidate
+    * span p − start[k−1]. Starts only grow as the scan advances, so
+    * keeping the latest start minimizes each completed span — the
+    * same O(occurrences)-per-doc shape as [[proximitySearch]], one
+    * Catalyst `aggregate` HOF, never the ∏|positions| product. IO is
+    * posting-list-bounded. Returns (id, min_span). */
+  def orderedNearSearch(spark: org.apache.spark.sql.SparkSession,
+                        path: String, terms: Seq[String], maxSpan: Long,
+                        idCol: String): DataFrame = {
+    require(terms.size >= 2 && terms.distinct.size == terms.size,
+      "orderedNearSearch needs >= 2 distinct terms")
+    require(maxSpan >= terms.size - 1,
+      s"orderedNearSearch: maxSpan $maxSpan can never cover " +
+        s"${terms.size} ordered terms (min span ${terms.size - 1})")
+    val k = terms.size
+    val posts = livePositional(spark, path, idCol,
+      col("term").isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(terms.toArray): _*))
+    val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
+      case (c, (t, i)) => when(col("term") === t, lit(i)).otherwise(c)
+    }
+    val events = posts
+      .select(col(idCol), tidx.as("tidx"),
+        explode(col("positions")).as("pos"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+          col("pos").cast("long").as("pos"), col("tidx").as("tidx"))))
+          .as("ev"),
+        count_distinct(col("tidx")).as("_nt"))
+      .filter(col("_nt") === k)
+    val init = struct(
+      array_repeat(lit(-1L), k).as("starts"),
+      lit(Long.MaxValue).as("best"))
+    val folded = aggregate(col("ev"), init, (acc, e) => {
+      // chain start feeding term e.tidx: its own position for term 0,
+      // else the stored start of prefix e.tidx−1 (element_at is
+      // 1-based, so index e.tidx IS entry e.tidx−1); −1 = no chain yet
+      val feed = when(e("tidx") === 0, e("pos"))
+        .otherwise(element_at(acc("starts"), e("tidx").cast("int")))
+      val starts2 = transform(acc("starts"), (v, i) =>
+        when(i === e("tidx") && feed >= 0, feed).otherwise(v))
+      val done = element_at(starts2, k)
+      struct(starts2.as("starts"),
+        when(e("tidx") === k - 1 && done >= 0,
+          least(acc("best"), e("pos") - done))
+          .otherwise(acc("best")).as("best"))
+    })
+    events
+      .select(col(idCol), folded("best").as("min_span"))
+      .filter(col("min_span") <= maxSpan)
+  }
+
   /** Best-window SNIPPET spans over a segmented index — the
     * retrieval-display primitive (Lucene's highlighter core, on the
     * posting lists alone): for each document matching at least
@@ -1770,6 +1855,58 @@ object TextAnalysis {
       ): _*)).as("fv"))
       .groupBy(col("fv.facet").as("facet"), col("fv.value").as("value"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** NUMERIC RANGE facets (Lucene's LongRangeFacetCounts,
+    * relationally): count the FULL matching set — the same
+    * posting-bounded, tombstone-killed membership as [[searchFacets]]
+    * — against caller-declared value ranges of a numeric document
+    * attribute. Ranges are half-open [lo, hi), may overlap (a doc
+    * counts once per range it falls in — Lucene's semantics), and
+    * every requested range is emitted even at count 0 (the facet UI
+    * contract; a missing row and a zero row are different answers).
+    * Null attribute values count toward no range, Lucene's
+    * missing-value behavior.
+    *
+    * Scale shape: membership is posting-bounded; ONE id equi-join
+    * carries the value column; all ranges then aggregate in ONE pass
+    * as |ranges| conditional sums folded to a single row (map-side
+    * partials — no per-range re-scan, no shuffle wider than one row)
+    * and unpivot driver-free via a literal-struct explode. Returns
+    * (range, n_docs) in the caller's range order. */
+  def searchRangeFacets(spark: org.apache.spark.sql.SparkSession,
+                        path: String, terms: Seq[String],
+                        docs: DataFrame, idCol: String,
+                        valueCol: String,
+                        ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val termsD = terms.distinct
+    require(termsD.nonEmpty, "searchRangeFacets: no terms")
+    require(ranges.nonEmpty, "searchRangeFacets: no ranges")
+    require(ranges.map(_._1).distinct.size == ranges.size,
+      "searchRangeFacets: duplicate range labels")
+    ranges.foreach { case (label, lo, hi) =>
+      require(lo < hi, s"searchRangeFacets: empty range '$label' " +
+        s"[$lo, $hi)") }
+    requireQuiescent(spark, path)
+    val ids = liveAfterTombstones(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("term").isin(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(termsD.toArray): _*))
+        .select(col(idCol), col("seg")),
+      readTombstones(spark, path, idCol), idCol)
+      .select(col(idCol)).distinct()
+    val v = docs.join(ids, Seq(idCol))
+      .select(col(valueCol).cast("long").as("_v"))
+    val sums = ranges.zipWithIndex.map { case ((_, lo, hi), i) =>
+      coalesce(sum(when(col("_v") >= lo && col("_v") < hi, lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as(s"_r$i")
+    }
+    v.agg(sums.head, sums.tail: _*)
+      .select(explode(array(ranges.zipWithIndex.map {
+        case ((label, _, _), i) =>
+          struct(lit(label).as("range"), col(s"_r$i").as("n_docs"))
+      }: _*)).as("rv"))
+      .select(col("rv.range").as("range"), col("rv.n_docs").as("n_docs"))
   }
 
   /** Probe a materialized [[bm25WriteIndex]]: the panel's distinct

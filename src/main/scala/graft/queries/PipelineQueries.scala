@@ -3274,6 +3274,122 @@ object PipelineQueries {
         .orderBy(col("facet"), col("value"))
     }),
 
+    // X3 — ORDERED near search (Lucene SpanNearQuery inOrder=true):
+    // terms must occur IN QUERY ORDER within the tightest span ≤
+    // maxSpan — the constraint proximitySearch's unordered window
+    // can't express. Minimal ordered window via the latest-possible-
+    // start subsequence DP, one aggregate HOF per doc (never the
+    // ∏|positions| product). Two probes (a pair and a triple) on one
+    // written segment; the oracle brute-forces every ordered
+    // occurrence combination, so the DP must agree with exhaustive
+    // enumeration doc for doc.
+    "q153_ordered_near" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("onear_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val o1 = TextAnalysis.orderedNearSearch(s, path,
+          Seq("slow", "query"), maxSpan = 6L, "doc_id")
+        .withColumn("q", lit("slow->query/6"))
+      val o2 = TextAnalysis.orderedNearSearch(s, path,
+          Seq("hash", "table", "scan"), maxSpan = 12L, "doc_id")
+        .withColumn("q", lit("hash->table->scan/12"))
+      o1.unionByName(o2).orderBy(col("q"), col("doc_id"))
+    }),
+
+    // X3 — NUMERIC RANGE facets (Lucene LongRangeFacetCounts): the
+    // posting-bounded should-match set counted against half-open
+    // [lo, hi) value ranges of n_chars — overlapping ranges count a
+    // doc once per range, an empty range still emits its 0 row (the
+    // facet-UI contract), and all ranges fold in ONE aggregate pass
+    // (|ranges| conditional sums to a single row, then a literal
+    // explode — no per-range re-scan).
+    "q154_range_facets" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("rfacet_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      TextAnalysis.searchRangeFacets(s, path, Seq("query", "scan"), d,
+          "doc_id", "n_chars", Seq(
+            ("short", 0L, 200L), ("mid", 200L, 350L),
+            ("long", 350L, 600L), ("all", 0L, 1000L),
+            ("none", 600L, 1000L)))
+        .orderBy(col("range"))
+    }),
+
+    // X3 — minimum-should-match (Lucene/Solr's mm): ≥ mm DISTINCT
+    // should terms per doc, folded as one more count_distinct(when)
+    // in booleanSearch's single aggregate — no extra scan. Two
+    // panels: should-only with mm=2 of 4, and must+should with mm=1
+    // (must terms never count toward the quota — Lucene's
+    // accounting). Scoring stays the ONE shared contribFp arithmetic.
+    "q155_min_should_match" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("msm_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val m1 = TextAnalysis.booleanSearch(s, path,
+          must = Nil, should = Seq("sort", "merge", "hash", "join"),
+          mustNot = Nil, k = 15, "doc_id", minShouldMatch = 2)
+        .withColumn("q", lit("sort merge hash join mm=2"))
+      val m2 = TextAnalysis.booleanSearch(s, path,
+          must = Seq("scan"), should = Seq("slow", "fast"),
+          mustNot = Nil, k = 15, "doc_id", minShouldMatch = 1)
+        .withColumn("q", lit("+scan slow fast mm=1"))
+      m1.unionByName(m2)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
+
+    // X2+X3 capstone — HYBRID retrieval off the engine's own index
+    // artifacts (q103 fused the two SCAN paths; this row fuses the
+    // INDEX paths a production deployment actually serves): sparse =
+    // the segmented BM25 probe (pushed `term IN`, tombstone kill
+    // rule, exact reconstructed stats — the q115 arithmetic), dense =
+    // the IVF cosine probe against MATERIALIZED centroids (nProbe
+    // cell pruning — the q31 replay contract), fused by fixed-point
+    // RRF. The oracle replays the lexical side from the token stream,
+    // the dense side from the same centroid parquet (assignment,
+    // probe ranking, rounded cosine), and the integer RRF fold — so
+    // index-path scoring must match scan-path semantics end to end.
+    "q156_hybrid_index_search" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val path = scratchPath("hyb_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      Similarity.learnedCentroids(e, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("hyb_cents", dir))
+      val cents = s.read.parquet(scratchPath("hyb_cents", dir))
+      val textPanel = Seq(
+        (0L, "merge sort window"), (1L, "stream batch join"),
+        (2L, "hash table scan"), (3L, "slow query filter"))
+        .toDF("qid", "qtext")
+      val vecPanel = e.filter(col("vec_id").isin(0L, 1L, 2L, 3L))
+        .select(col("vec_id").as("qid"),
+          VectorFns.toDouble(col("embedding")).as("qvec"))
+      val sparse = Similarity.rankByScore(
+        TextAnalysis.bm25ProbeSegmented(s, path, textPanel, k = 20,
+          "doc_id"),
+        "doc_id", "score")
+      val dense = Similarity.rankByScore(
+        Similarity.ivfTopKCosineMulti(e, cents, vecPanel,
+            "vec_id", "embedding", k = 20, nProbe = 3)
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "sim")
+      Similarity.rrfFuse(Seq(sparse, dense), "doc_id", k = 10)
+        .orderBy(col("qid"), col("rrf_fp").desc, col("doc_id"))
+    }),
+
     // X2 — RESIDUAL IVF-PQ cell-incremental refresh (q141's scenario
     // on the residual layout — the last index family without a
     // maintenance rung): fresh rows residual-encode through the
@@ -5814,6 +5930,192 @@ object PipelineQueries {
         |  SELECT 'source' AS facet, source AS value, count(*) AS n_docs
         |  FROM j GROUP BY 2)
         |ORDER BY facet, value""".stripMargin,
+
+    // ordered-near semantics replayed BRUTE-FORCE: per-term position
+    // lists, every ordered occurrence combination enumerated with
+    // nested list comprehensions (y > x, z > y), min span — the
+    // engine's one-pass DP must agree with exhaustive enumeration
+    "q153_ordered_near" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |p2 AS (SELECT doc_id,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'slow')
+        |      AS pa,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'query')
+        |      AS pb
+        |  FROM d),
+        |m2 AS (SELECT doc_id, 'slow->query/6' AS q,
+        |    list_min(flatten(list_transform(pa, x ->
+        |      list_transform(list_filter(pb, y -> y > x),
+        |        y -> y - x)))) AS min_span
+        |  FROM p2),
+        |p3 AS (SELECT doc_id,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'hash')
+        |      AS pa,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'table')
+        |      AS pb,
+        |    list_filter(generate_series(1, len(t)), p -> t[p] = 'scan')
+        |      AS pc
+        |  FROM d),
+        |m3 AS (SELECT doc_id, 'hash->table->scan/12' AS q,
+        |    list_min(flatten(flatten(list_transform(pa, x ->
+        |      list_transform(list_filter(pb, y -> y > x), y ->
+        |        list_transform(list_filter(pc, z -> z > y),
+        |          z -> z - x)))))) AS min_span
+        |  FROM p3)
+        |SELECT doc_id, CAST(min_span AS BIGINT) AS min_span, q FROM (
+        |  SELECT * FROM m2 WHERE min_span <= 6
+        |  UNION ALL
+        |  SELECT * FROM m3 WHERE min_span <= 12)
+        |ORDER BY q, doc_id""".stripMargin,
+
+    // range-facet semantics replayed: the distinct match set joined
+    // once to n_chars, then one scalar count per half-open range —
+    // including the overlapping catch-all and the empty range's 0 row
+    "q154_range_facets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS term
+        |  FROM documents),
+        |m AS (SELECT DISTINCT doc_id FROM tok
+        |      WHERE term IN ('query', 'scan')),
+        |j AS (SELECT d.n_chars AS v FROM documents d
+        |      JOIN m USING (doc_id))
+        |SELECT range, n_docs FROM (
+        |  SELECT 'short' AS range,
+        |    (SELECT count(*) FROM j WHERE v >= 0 AND v < 200) AS n_docs
+        |  UNION ALL SELECT 'mid',
+        |    (SELECT count(*) FROM j WHERE v >= 200 AND v < 350)
+        |  UNION ALL SELECT 'long',
+        |    (SELECT count(*) FROM j WHERE v >= 350 AND v < 600)
+        |  UNION ALL SELECT 'all',
+        |    (SELECT count(*) FROM j WHERE v >= 0 AND v < 1000)
+        |  UNION ALL SELECT 'none',
+        |    (SELECT count(*) FROM j WHERE v >= 600 AND v < 1000))
+        |ORDER BY range""".stripMargin,
+
+    // minimum-should-match replayed with the q115 fixed-point BM25
+    // arithmetic: mm = HAVING count(DISTINCT should term) >= mm, must
+    // terms excluded from the quota; same (score DESC, id) cut
+    "q155_min_should_match" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('sort', 'merge', 'hash', 'join',
+        |                       'scan', 'slow', 'fast')
+        |        GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |b1 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    'sort merge hash join mm=2' AS q
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('sort', 'merge', 'hash', 'join')
+        |  GROUP BY 1
+        |  HAVING count(DISTINCT term) >= 2
+        |  ORDER BY score DESC, doc_id LIMIT 15),
+        |b2 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    '+scan slow fast mm=1' AS q
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('scan', 'slow', 'fast')
+        |  GROUP BY 1
+        |  HAVING count(DISTINCT CASE WHEN term = 'scan'
+        |           THEN term END) = 1
+        |     AND count(DISTINCT CASE WHEN term IN ('slow', 'fast')
+        |           THEN term END) >= 1
+        |  ORDER BY score DESC, doc_id LIMIT 15)
+        |SELECT q, doc_id, score FROM
+        |  (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        |ORDER BY q, score DESC, doc_id""".stripMargin,
+
+    // hybrid-off-artifacts replayed end to end: q103's lexical
+    // fixed-point BM25 + RRF spelling, with the dense list replayed
+    // through the MATERIALIZED centroids (per-query nProbe=3 cell
+    // ranking, full-corpus cosine assignment, rounded cosine over the
+    // probed cells only — the q31 contract, multi-query)
+    "q156_hybrid_index_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'merge sort window'),
+        |        (1, 'stream batch join'), (2, 'hash table scan'),
+        |        (3, 'slow query filter')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |bscored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |bk AS (SELECT qid, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |    FROM bscored) WHERE rank <= 20),
+        |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/hyb_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT qid, cid FROM (
+        |    SELECT qv.qid, c.cid, row_number() OVER (PARTITION BY qv.qid
+        |      ORDER BY 1 - list_cosine_similarity(c.cv, qv.qvec), c.cid)
+        |      AS rn
+        |    FROM cents c CROSS JOIN qv) WHERE rn <= 3),
+        |assign AS (
+        |  SELECT e.vec_id AS vid,
+        |    arg_min(c.cid,
+        |      1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv))
+        |      AS cid
+        |  FROM embeddings e, cents c
+        |  GROUP BY e.vec_id),
+        |dscored AS (SELECT qv.qid, e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      qv.qvec), 4) AS sim
+        |  FROM embeddings e
+        |  JOIN assign a ON e.vec_id = a.vid
+        |  JOIN probed p ON a.cid = p.cid
+        |  JOIN qv ON qv.qid = p.qid),
+        |dk AS (SELECT qid, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY sim DESC, doc_id) AS rank
+        |    FROM dscored) WHERE rank <= 20),
+        |u AS (SELECT qid, doc_id,
+        |        CAST(floor(1e7 / (60 + rank) + 0.5) AS BIGINT) AS c
+        |      FROM bk
+        |      UNION ALL
+        |      SELECT qid, doc_id,
+        |        CAST(floor(1e7 / (60 + rank) + 0.5) AS BIGINT) AS c
+        |      FROM dk),
+        |f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp,
+        |        count(*) AS n_lists
+        |      FROM u GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER
+        |         (PARTITION BY qid ORDER BY rrf_fp DESC, doc_id) AS rn
+        |       FROM f)
+        |SELECT qid, doc_id, rrf_fp, n_lists FROM rk WHERE rn <= 10
+        |ORDER BY qid, rrf_fp DESC, doc_id""".stripMargin,
 
     // MoreLikeThis semantics replayed from the token stream: the same
     // fixed-point tf·idf selection cut (rank desc, term asc, LIMIT),

@@ -1187,4 +1187,140 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 1, 0, 1, 0, 0),
       (4L, 0, 0, 1, 0, 0)), s"got ${out.toSeq}")
   }
+
+  test("orderedNearSearch: in-order constraint, DP span equals " +
+      "brute-force ordered enumeration, threshold and guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a x x b"),         // a@0 b@3: ordered span 3
+      (2L, "b x x x a"),       // only b-before-a: NOT a match for a->b
+      (3L, "b a b"),           // a@1 b@{0,2}: ordered a->b span 1
+      (4L, "a x b x c"),       // 3-term ordered: 4
+      (5L, "c b a"),           // all terms, wrong order: no match
+      (6L, "a b a x x c"),     // a@{0,2} b@1 c@5: best chain 0,1,5 = 5
+      (7L, "a a a"))           // b missing: never returned
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("onearidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(w: Long, ts: String*) = TextAnalysis
+      .orderedNearSearch(spark, dir, ts, w, "doc_id")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(run(10L, "a", "b") == Seq((1L, 3L), (3L, 1L), (4L, 2L),
+      (6L, 1L)))
+    assert(run(2L, "a", "b") == Seq((3L, 1L), (4L, 2L), (6L, 1L)))
+    assert(run(10L, "a", "b", "c") == Seq((4L, 4L), (6L, 5L)))
+    // reversed query order finds the reversed chains only
+    assert(run(10L, "b", "a") == Seq((2L, 4L), (3L, 1L), (5L, 1L),
+      (6L, 1L)))
+    assert(run(10L, "a", "z").isEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.orderedNearSearch(spark, dir, Seq("a"), 5L, "doc_id")
+    }
+    intercept[IllegalArgumentException] {  // maxSpan below k-1 tokens
+      TextAnalysis.orderedNearSearch(spark, dir,
+        Seq("a", "b", "c"), 1L, "doc_id")
+    }
+    // brute-force cross-check on the real corpus: the one-pass DP
+    // equals min over every ORDERED occurrence combination
+    val real = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val rdir = java.nio.file.Files
+      .createTempDirectory("onearidx_r").toString
+    TextAnalysis.bm25AppendSegment(real, "doc_id", "text", rdir, 0)
+    val got = TextAnalysis.orderedNearSearch(spark, rdir,
+        Seq("slow", "query"), maxSpan = 6L, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val local = real.select(col("doc_id"),
+        TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
+      .as[(Long, Seq[String])].collect()
+      .flatMap { case (id, t) =>
+        val pa = t.zipWithIndex.collect { case ("slow", i) => i.toLong }
+        val pb = t.zipWithIndex.collect { case ("query", i) => i.toLong }
+        val spans = for (a <- pa; b <- pb if b > a) yield b - a
+        if (spans.nonEmpty && spans.min <= 6L) Some(id -> spans.min)
+        else None
+      }.toMap
+    assert(got == local,
+      s"DP diverged from ordered brute force on ${
+        (got.keySet ++ local.keySet).count(k =>
+          got.get(k) != local.get(k))} docs")
+    assert(got.nonEmpty)
+  }
+
+  test("searchRangeFacets: half-open bounds, overlap counts twice, " +
+      "empty range emits 0, nulls count nowhere, tombstones drop, " +
+      "guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", 10L), (2L, "a c", 25L), (3L, "b c", 30L),
+      (4L, "a a", 40L), (5L, "z z", 15L),   // no match term
+      (6L, "a b", -1L))                     // matches; null value below
+      .toDF("doc_id", "text", "v")
+      .withColumn("v", when(col("v") >= 0, col("v")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("rfacetidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run() = TextAnalysis.searchRangeFacets(spark, dir,
+        Seq("a"), docs, "doc_id", "v", Seq(
+          ("low", 0L, 30L),      // docs 1, 2       (30 is excluded)
+          ("high", 30L, 100L),   // doc 4           (3 has no 'a')
+          ("all", 0L, 100L),     // overlap: 1, 2, 4
+          ("none", 200L, 300L))) // empty: still a 0 row
+      .as[(String, Long)].collect().toSeq
+    // caller's range order preserved; null v (doc 6) in no bucket
+    assert(run() == Seq(("low", 2L), ("high", 1L), ("all", 3L),
+      ("none", 0L)))
+    // tombstoning doc 4 drops it from every bucket it was in
+    TextAnalysis.bm25Tombstone(Seq((4L, 2L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    assert(run() == Seq(("low", 2L), ("high", 0L), ("all", 2L),
+      ("none", 0L)))
+    intercept[IllegalArgumentException] {  // lo >= hi
+      TextAnalysis.searchRangeFacets(spark, dir, Seq("a"), docs,
+        "doc_id", "v", Seq(("bad", 5L, 5L)))
+    }
+    intercept[IllegalArgumentException] {  // duplicate labels
+      TextAnalysis.searchRangeFacets(spark, dir, Seq("a"), docs,
+        "doc_id", "v", Seq(("x", 0L, 1L), ("x", 1L, 2L)))
+    }
+  }
+
+  test("booleanSearch minShouldMatch: quota on DISTINCT should terms " +
+      "only, must terms excluded from the quota, mm=0 keeps the " +
+      "default rule, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),   // should hits: a, b
+      (2L, "a a a x"), // should hits: a (tf 3 still ONE distinct term)
+      (3L, "b x y"),   // should hits: b
+      (4L, "m a x"),   // must m + should a
+      (5L, "m x y"),   // must m, zero should
+      (6L, "x y z"))   // nothing
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("msmidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def ids(must: Seq[String], should: Seq[String], mm: Int) =
+      TextAnalysis.booleanSearch(spark, dir, must, should, Nil,
+          k = 10, "doc_id", minShouldMatch = mm)
+        .select(col("doc_id")).as[Long].collect().toSeq.sorted
+    // should-only: mm=0/1 keep every >=1-hit doc; mm=2 needs two
+    // DISTINCT terms — doc 2's repeated 'a' does not qualify
+    assert(ids(Nil, Seq("a", "b"), 0) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(Nil, Seq("a", "b"), 1) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(Nil, Seq("a", "b"), 2) == Seq(1L))
+    // with must: the must term never fills the should quota
+    assert(ids(Seq("m"), Seq("a", "b"), 0) == Seq(4L, 5L))
+    assert(ids(Seq("m"), Seq("a", "b"), 1) == Seq(4L))
+    intercept[IllegalArgumentException] {  // mm above |should|
+      TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"), Nil,
+        k = 10, "doc_id", minShouldMatch = 2)
+    }
+    intercept[IllegalArgumentException] {  // mm negative
+      TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"), Nil,
+        k = 10, "doc_id", minShouldMatch = -1)
+    }
+  }
 }
