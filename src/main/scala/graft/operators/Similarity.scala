@@ -403,6 +403,39 @@ object Similarity {
     topK(idx, queryVec, idCol, vecCol, k)
   }
 
+  /** FILTERED ANN over a cosine-materialized index — the
+    * attribute-constrained vector search every production vector
+    * store serves ("nearest neighbors WHERE lang = 'pt'"): the
+    * caller's attribute predicate runs on its own metadata relation
+    * (pushed to THAT scan), producing `allowed` — an id relation —
+    * and the probe PRE-filters the cell-pruned candidates with a
+    * left-semi join before the top-k cut. Pre-filtering is the
+    * correct semantics: post-filtering a top-k list under-fills k
+    * whenever the filter drops list entries (the classic filtered-ANN
+    * failure); here k survivors are guaranteed whenever the probed
+    * cells hold ≥ k allowed vectors.
+    *
+    * Scale shape: partition pruning first (IO = nProbe cell
+    * directories), THEN the semi-join — candidate-sized × filter-
+    * sized, broadcast when the filter relation is small; the exact
+    * cosine runs only on allowed survivors. Selective filters thin
+    * the probed cells rather than redirect them, so a highly
+    * selective filter wants a larger nProbe — the caller's dial,
+    * same economics as every filtered-IVF implementation. */
+  def ivfProbePrunedCosineFiltered(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cents: DataFrame, queryVec: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int,
+      allowed: DataFrame): DataFrame = {
+    val probed = probedCellIds(cents, queryVec, nProbe)
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("centroid_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+      .join(allowed.select(col(idCol)).distinct(), Seq(idCol),
+        "left_semi")
+    topK(idx, queryVec, idCol, vecCol, k)
+  }
+
   /** Materialize the QUANTIZED cosine inverted file — the composed
     * 100 TB layout: cells from [[learnedCentroids]], rows partitioned
     * by their cosine-assigned cell, and the vector column stored as

@@ -833,14 +833,24 @@ object TextAnalysis {
     * default rule (with no must terms, ≥1 positive term is always
     * required — mm=0 never readmits a zero-match doc). The count
     * folds as one more `count_distinct(when)` in the same aggregate —
-    * no extra scan. */
+    * no extra scan.
+    *
+    * `after` is Lucene's searchAfter cursor — KEYSET pagination for
+    * deep result paging: pass the last returned (score, id) and get
+    * the next k strictly after it in the total (score DESC, id ASC)
+    * order. The cursor compares on the ROUNDED score the caller was
+    * handed (the public contract — rounding and ordering use the same
+    * value, so the continuation is exact), as one codegen'd filter
+    * before the top-k cut; unlike OFFSET paging, page n never
+    * re-ranks or discards n·k rows. */
   def booleanSearch(spark: org.apache.spark.sql.SparkSession,
                     path: String, must: Seq[String],
                     should: Seq[String], mustNot: Seq[String],
                     k: Int, idCol: String, k1: Double = 1.2,
                     b: Double = 0.75,
                     excludeIds: Seq[Any] = Nil,
-                    minShouldMatch: Int = 0): DataFrame = {
+                    minShouldMatch: Int = 0,
+                    after: Option[(Double, Long)] = None): DataFrame = {
     val mustD = must.distinct
     val shouldD = should.distinct.filterNot(mustD.contains)
     val notD = mustNot.distinct
@@ -855,7 +865,7 @@ object TextAnalysis {
     val (live, stats) = liveScoring(spark, path, idCol,
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
-      excludeIds, minShouldMatch)
+      excludeIds, minShouldMatch, after)
   }
 
   /** [[booleanSearch]]'s scoring body over an already-read live
@@ -868,7 +878,9 @@ object TextAnalysis {
                           notD: Seq[String], k: Int, idCol: String,
                           k1: Double, b: Double,
                           excludeIds: Seq[Any],
-                          minShouldMatch: Int = 0): DataFrame = {
+                          minShouldMatch: Int = 0,
+                          after: Option[(Double, Long)] = None)
+      : DataFrame = {
     val positive = mustD ++ shouldD
     def inSet(set: Seq[String]): Column =
       if (set.isEmpty) lit(false)
@@ -907,9 +919,17 @@ object TextAnalysis {
       else scored.filter(!col(idCol).isin(
         scala.collection.immutable.ArraySeq
           .unsafeWrapArray(excludeIds.toArray): _*))
-    excluded
+    val ranked = excluded
       .select(col(idCol),
         round(col("score_fp") / lit(1e7), 4).as("score"))
+    // searchAfter: strictly after the cursor in (score DESC, id ASC)
+    // order — compares on the same rounded score the cursor came from
+    val paged = after match {
+      case Some((s, id)) => ranked.filter(
+        col("score") < s || (col("score") === s && col(idCol) > id))
+      case None => ranked
+    }
+    paged
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

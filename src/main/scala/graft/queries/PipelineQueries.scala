@@ -3390,6 +3390,66 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rrf_fp").desc, col("doc_id"))
     }),
 
+    // X2 — FILTERED ANN (attribute-constrained vector search, the
+    // production vector-store query class): the attribute predicate
+    // runs on the metadata relation, the written cosine IVF index is
+    // partition-pruned to nProbe cells, and the candidates PRE-filter
+    // through a left-semi join before the exact top-k — post-
+    // filtering a top-k list would under-fill k. Two filters of
+    // different selectivity over one written index + materialized
+    // centroids; the oracle replays assignment, cell pruning, filter,
+    // and rounded cosine from the same centroid parquet.
+    "q157_filtered_ann" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val base = e.filter(col("vec_id") =!= 0)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("fann_cents", dir))
+      val cents = s.read.parquet(scratchPath("fann_cents", dir))
+      val ipath = scratchPath("fann_index", dir)
+      Similarity.ivfWriteIndexCosine(base, cents, "vec_id",
+        "embedding", ipath)
+      val f1 = Similarity.ivfProbePrunedCosineFiltered(s, ipath,
+          cents, qv, "vec_id", "embedding", k = 10, nProbe = 3,
+          allowed = e.filter(col("label") % 3 === 0))
+        .withColumn("q", lit("label%3=0"))
+      val f2 = Similarity.ivfProbePrunedCosineFiltered(s, ipath,
+          cents, qv, "vec_id", "embedding", k = 10, nProbe = 3,
+          allowed = e.filter(col("label") === 7))
+        .withColumn("q", lit("label=7"))
+      f1.unionByName(f2).orderBy(col("q"), col("sim").desc,
+        col("vec_id"))
+    }),
+
+    // X3 — searchAfter (Lucene's keyset pagination): page 2 passes
+    // page 1's last (score, id) cursor and must continue the total
+    // (score DESC, id ASC) order EXACTLY — the oracle pins keyset
+    // continuation against OFFSET paging over the full ranking, which
+    // only agree when the cursor filter is precise on the rounded
+    // score. Unlike OFFSET, page n never re-ranks n·k rows.
+    "q158_search_after" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("sa_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      def page(after: Option[(Double, Long)]) =
+        TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = Seq("query", "filter"), mustNot = Nil, k = 8,
+          "doc_id", after = after)
+      val p1 = page(None)
+      val rows = p1.orderBy(col("score").desc, col("doc_id")).collect()
+      val cursor = (rows.last.getDouble(rows.last.fieldIndex("score")),
+        rows.last.getLong(rows.last.fieldIndex("doc_id")))
+      val p2 = page(Some(cursor))
+      p1.withColumn("page", lit(1))
+        .unionByName(p2.withColumn("page", lit(2)))
+        .orderBy(col("page"), col("score").desc, col("doc_id"))
+    }),
+
     // X2 — RESIDUAL IVF-PQ cell-incremental refresh (q141's scenario
     // on the residual layout — the last index family without a
     // maintenance rung): fresh rows residual-encode through the
@@ -6096,7 +6156,7 @@ object PipelineQueries {
         |  FROM embeddings e
         |  JOIN assign a ON e.vec_id = a.vid
         |  JOIN probed p ON a.cid = p.cid
-        |  JOIN qv ON qv.qid = p.qid),
+        |  JOIN qv ON qv.qid = p.qid),  -- q156 dense replay
         |dk AS (SELECT qid, doc_id, rank FROM (
         |    SELECT *, row_number() OVER
         |      (PARTITION BY qid ORDER BY sim DESC, doc_id) AS rank
@@ -6116,6 +6176,73 @@ object PipelineQueries {
         |       FROM f)
         |SELECT qid, doc_id, rrf_fp, n_lists FROM rk WHERE rn <= 10
         |ORDER BY qid, rrf_fp DESC, doc_id""".stripMargin,
+
+    // filtered-ANN semantics replayed from the materialized centroids
+    // (the q31 contract) with the attribute predicate applied BEFORE
+    // the top-k cut — pre-filter, never post-filter
+    "q157_filtered_ann" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/fann_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |assign AS (
+        |  SELECT e.vec_id AS vid,
+        |    arg_min(c.cid,
+        |      1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv))
+        |      AS cid
+        |  FROM embeddings e, cents c WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id),
+        |cand AS (SELECT e.vec_id, e.embedding, e.label
+        |         FROM embeddings e
+        |         JOIN assign a ON e.vec_id = a.vid
+        |         WHERE a.cid IN (SELECT cid FROM probed)),
+        |f1 AS (SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[],
+        |      (SELECT qv FROM q)), 4) AS sim, 'label%3=0' AS q
+        |  FROM cand WHERE label % 3 = 0
+        |  ORDER BY sim DESC, vec_id LIMIT 10),
+        |f2 AS (SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[],
+        |      (SELECT qv FROM q)), 4) AS sim, 'label=7' AS q
+        |  FROM cand WHERE label = 7
+        |  ORDER BY sim DESC, vec_id LIMIT 10)
+        |SELECT q, vec_id, sim FROM
+        |  (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |ORDER BY q, sim DESC, vec_id""".stripMargin,
+
+    // keyset pagination pinned against OFFSET paging over the full
+    // (score DESC, id ASC) ranking — they agree only when the cursor
+    // continuation is exact on the rounded score
+    "q158_search_after" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('query', 'filter') GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |b AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'filter')
+        |  GROUP BY 1),
+        |p1 AS (SELECT doc_id, score, 1 AS page FROM b
+        |       ORDER BY score DESC, doc_id LIMIT 8),
+        |p2 AS (SELECT doc_id, score, 2 AS page FROM b
+        |       ORDER BY score DESC, doc_id LIMIT 8 OFFSET 8)
+        |SELECT page, doc_id, score FROM
+        |  (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |ORDER BY page, score DESC, doc_id""".stripMargin,
 
     // MoreLikeThis semantics replayed from the token stream: the same
     // fixed-point tf·idf selection cut (rank desc, term asc, LIMIT),

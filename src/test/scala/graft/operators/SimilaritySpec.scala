@@ -59,6 +59,45 @@ class SimilaritySpec extends SparkSpec {
       s"cosine pruned probe diverged: $out vs $inMem")
   }
 
+  test("filtered ANN: pre-filter semantics (never post-filter), still " +
+      "partition-pruned, trivial filter equals the unfiltered probe") {
+    val (e, qv, base) = setup()
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_filt_idx").toString
+    Similarity.ivfWriteIndexCosine(base, cents, "vec_id", "embedding",
+      dir)
+    def run(allowed: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbePrunedCosineFiltered(spark, dir, cents, qv,
+        "vec_id", "embedding", k = 10, nProbe = 3, allowed)
+    // trivial filter (everything allowed) == the unfiltered probe
+    val unfiltered = Similarity.ivfProbePrunedCosine(spark, dir, cents,
+        qv, "vec_id", "embedding", k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val trivial = run(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(trivial == unfiltered,
+      s"trivial filter diverged: $trivial vs $unfiltered")
+    // selective filter: every result satisfies the predicate, and the
+    // list equals PRE-filtering the probed candidates (post-filtering
+    // the unfiltered top-10 would generally return fewer rows)
+    val allowed = e.filter(col("label") % 3 === 0)
+    val got = run(allowed).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == 10, s"pre-filter must fill k: ${got.size}")
+    val okIds = allowed.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => okIds(r._1)),
+      s"results violate the filter: $got")
+    val postFiltered = unfiltered.filter(r => okIds(r._1))
+    assert(postFiltered.size < got.size,
+      "fixture too weak: post-filter did not under-fill k here")
+    // the filter must not break partition pruning
+    val plan = run(allowed).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"filtered probe lost partition pruning:\n${plan.take(1500)}")
+  }
+
   test("quantized inverted file: measurably smaller on disk, prunes " +
       "partitions, and its top-k overlaps the raw cosine probe") {
     val (_, qv, base) = setup()

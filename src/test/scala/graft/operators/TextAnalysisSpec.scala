@@ -1323,4 +1323,33 @@ class TextAnalysisSpec extends SparkSpec {
         k = 10, "doc_id", minShouldMatch = -1)
     }
   }
+
+  test("booleanSearch searchAfter: keyset pages tile the full ranking " +
+      "exactly (no overlap, no gap), cursor ties on score break by id") {
+    import spark.implicits._
+    val real = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("saidx").toString
+    TextAnalysis.bm25AppendSegment(real, "doc_id", "text", dir, 0)
+    def page(k: Int, after: Option[(Double, Long)]) =
+      TextAnalysis.booleanSearch(spark, dir, Nil,
+          Seq("query", "filter"), Nil, k, "doc_id", after = after)
+        .orderBy(col("score").desc, col("doc_id"))
+        .as[(Long, Double)].collect().toSeq
+    // the reference: one big page, in total order
+    val all = page(40, None)
+    assert(all.size == 40)
+    // three keyset pages must tile it exactly
+    val p1 = page(15, None)
+    val p2 = page(15, Some((p1.last._2, p1.last._1)))
+    val p3 = page(10, Some((p2.last._2, p2.last._1)))
+    assert(p1 ++ p2 ++ p3 == all,
+      s"keyset pages do not tile the ranking")
+    // ties on score MUST exist across a page boundary somewhere for
+    // the id tiebreak to be load-bearing; verify the fixture has
+    // score ties at all (the synthetic corpus does)
+    assert(all.map(_._2).distinct.size < all.size,
+      "fixture too weak: no score ties in the top 40")
+  }
 }
