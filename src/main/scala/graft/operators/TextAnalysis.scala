@@ -842,7 +842,19 @@ object TextAnalysis {
     * handed (the public contract — rounding and ordering use the same
     * value, so the continuation is exact), as one codegen'd filter
     * before the top-k cut; unlike OFFSET paging, page n never
-    * re-ranks or discards n·k rows. */
+    * re-ranks or discards n·k rows.
+    *
+    * `allowed` restricts results to an id RELATION — the lexical
+    * analog of [[Similarity.ivfProbePrunedCosineFiltered]]'s filtered
+    * retrieval, and the composition hook for non-term clauses: pass
+    * an attribute-filtered metadata relation ("search WHERE lang =
+    * 'pt'") or another probe's matching ids ([[phraseSearch]] as a
+    * required phrase clause — Lucene's PhraseQuery-inside-
+    * BooleanQuery). PRE-filter semantics as the ANN side: a left-semi
+    * join before the top-k cut, so k survivors fill whenever the
+    * match set holds them — post-filtering a page under-fills it.
+    * Scoring is untouched: only the panel terms contribute, exactly
+    * as Lucene scores a filter clause at zero. */
   def booleanSearch(spark: org.apache.spark.sql.SparkSession,
                     path: String, must: Seq[String],
                     should: Seq[String], mustNot: Seq[String],
@@ -850,7 +862,8 @@ object TextAnalysis {
                     b: Double = 0.75,
                     excludeIds: Seq[Any] = Nil,
                     minShouldMatch: Int = 0,
-                    after: Option[(Double, Long)] = None): DataFrame = {
+                    after: Option[(Double, Long)] = None,
+                    allowed: Option[DataFrame] = None): DataFrame = {
     val mustD = must.distinct
     val shouldD = should.distinct.filterNot(mustD.contains)
     val notD = mustNot.distinct
@@ -865,7 +878,7 @@ object TextAnalysis {
     val (live, stats) = liveScoring(spark, path, idCol,
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
-      excludeIds, minShouldMatch, after)
+      excludeIds, minShouldMatch, after, allowed)
   }
 
   /** [[booleanSearch]]'s scoring body over an already-read live
@@ -879,7 +892,8 @@ object TextAnalysis {
                           k1: Double, b: Double,
                           excludeIds: Seq[Any],
                           minShouldMatch: Int = 0,
-                          after: Option[(Double, Long)] = None)
+                          after: Option[(Double, Long)] = None,
+                          allowed: Option[DataFrame] = None)
       : DataFrame = {
     val positive = mustD ++ shouldD
     def inSet(set: Seq[String]): Column =
@@ -919,7 +933,14 @@ object TextAnalysis {
       else scored.filter(!col(idCol).isin(
         scala.collection.immutable.ArraySeq
           .unsafeWrapArray(excludeIds.toArray): _*))
-    val ranked = excluded
+    // filter clause: PRE-filter before the cut (see scaladoc); the
+    // match set is aggregate-sized, the filter relation the caller's
+    val gated = allowed match {
+      case Some(rel) => excluded.join(
+        rel.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      case None => excluded
+    }
+    val ranked = gated
       .select(col(idCol),
         round(col("score_fp") / lit(1e7), 4).as("score"))
     // searchAfter: strictly after the cursor in (score DESC, id ASC)
@@ -932,6 +953,44 @@ object TextAnalysis {
     paged
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Lucene's Explanation, relationally: the PER-TERM decomposition of
+    * a document's BM25 score against a term panel — (id, term, tf, df,
+    * contrib_fp, contrib) with contrib_fp the SAME fixed-point
+    * [[contribFp]] INTEGER every scoring path sums, so
+    * round(Σ contrib_fp / 1e7, 4) over a doc's rows IS its
+    * [[booleanSearch]]/[[bm25ProbeSegmented]] score to the last digit
+    * (spec-pinned; the integers are exact, where summing the rounded
+    * per-term doubles would drift) — the property that makes the
+    * explanation trustworthy rather than a parallel re-derivation.
+    * `contrib` is the rounded display value. df/stats come from the
+    * same live read path ([[liveScoring]]), so tombstones and segment
+    * partials affect the explanation exactly as they affect scoring.
+    *
+    * Scale shape: one pushed `term IN` posting scan for the panel,
+    * then a literal-`isin` cut to the requested docs (a bounded
+    * explain set — this is a debugging/UI primitive, guarded loud at
+    * `maxDocs`), broadcast df join, no aggregation at all. */
+  def bm25Explain(spark: org.apache.spark.sql.SparkSession,
+                  path: String, terms: Seq[String], docIds: Seq[Long],
+                  idCol: String, k1: Double = 1.2, b: Double = 0.75,
+                  maxDocs: Int = 1000): DataFrame = {
+    val termsD = terms.distinct
+    require(termsD.nonEmpty, "bm25Explain: no terms")
+    require(docIds.nonEmpty && docIds.size <= maxDocs,
+      s"bm25Explain: explain set size ${docIds.size} outside " +
+        s"[1, $maxDocs] — the explanation is a bounded-panel primitive")
+    val (live, stats) = liveScoring(spark, path, idCol, termsD.toArray)
+    val dfq = live.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    live.filter(col(idCol).isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(docIds.toArray): _*))
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        contribFp(k1, b).as("contrib_fp"),
+        round(contribFp(k1, b) / lit(1e7), 4).as("contrib"))
   }
 
   /** Lucene's MoreLikeThis, relationally: rank the seed text's terms

@@ -3450,6 +3450,57 @@ object PipelineQueries {
         .orderBy(col("page"), col("score").desc, col("doc_id"))
     }),
 
+    // X3 — score EXPLAIN (Lucene's Explanation): per-term (tf, df,
+    // contrib_fp, contrib) decomposition of the top-3 docs' scores,
+    // through the ONE shared contribFp integer — Σ contrib_fp
+    // replays the q149 score exactly (integers are exact; summed
+    // rounded doubles would drift). The explain set is chosen BY the
+    // engine's own ranking, so the oracle must reproduce both the cut
+    // and the decomposition.
+    "q159_score_explain" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("expl_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val terms = Seq("sort", "merge", "scan")
+      val top = TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = terms, mustNot = Nil, k = 3, "doc_id")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+      TextAnalysis.bm25Explain(s, path, terms, top, "doc_id")
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // X3 — FILTERED search (the lexical analog of q157's filtered
+    // ANN, and Lucene's filter/clause composition): the same boolean
+    // panel restricted by (a) an attribute relation (search WHERE
+    // lang = 'en') and (b) another probe's match set (phraseSearch as
+    // a required PhraseQuery clause). PRE-filter semantics — a
+    // left-semi join before the top-k cut, so k fills whenever the
+    // match set holds k docs; the filter clause scores zero, exactly
+    // Lucene.
+    "q160_filtered_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("fsearch_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val f1 = TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = Seq("query", "scan"), mustNot = Nil, k = 12,
+          "doc_id", allowed = Some(d.filter(col("lang") === "en")))
+        .withColumn("q", lit("query scan lang=en"))
+      val phraseIds = TextAnalysis.phraseSearch(s, path,
+        Seq("slow", "query"), "doc_id")
+      val f2 = TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = Seq("filter", "join"), mustNot = Nil, k = 12,
+          "doc_id", allowed = Some(phraseIds))
+        .withColumn("q", lit("filter join +\"slow query\""))
+      f1.unionByName(f2)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
+
     // X2 — RESIDUAL IVF-PQ cell-incremental refresh (q141's scenario
     // on the residual layout — the last index family without a
     // maintenance rung): fresh rows residual-encode through the
@@ -6243,6 +6294,91 @@ object PipelineQueries {
         |SELECT page, doc_id, score FROM
         |  (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
         |ORDER BY page, score DESC, doc_id""".stripMargin,
+
+    // explain replayed: the engine's own top-3 cut reproduced (same
+    // fixed-point score, same tiebreak), then the per-term integer
+    // contributions for exactly those docs
+    "q159_score_explain" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('sort', 'merge', 'scan') GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('sort', 'merge', 'scan')
+        |  GROUP BY 1),
+        |top3 AS (SELECT doc_id FROM sc
+        |         ORDER BY score DESC, doc_id LIMIT 3)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  CAST(floor((ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |    * 1e7 + 0.5) AS BIGINT) AS contrib_fp,
+        |  round(CAST(floor((ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |    * 1e7 + 0.5) AS BIGINT) / 1e7, 4) AS contrib
+        |FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |JOIN top3 USING (doc_id)
+        |ORDER BY doc_id, term""".stripMargin,
+
+    // filtered-search replayed: scoring/df/stats stay GLOBAL (the
+    // filter clause scores zero — Lucene), the id restriction applies
+    // before the (score DESC, id) cut; the phrase clause replays the
+    // adjacent-pair membership from the token stream
+    "q160_filtered_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('query', 'scan', 'filter', 'join')
+        |        GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |ph AS (SELECT doc_id FROM tok
+        |       WHERE len(list_filter(generate_series(1, len(t) - 1),
+        |         p -> t[p] = 'slow' AND t[p + 1] = 'query')) > 0),
+        |b1 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    'query scan lang=en' AS q
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'scan')
+        |    AND tf.doc_id IN (SELECT doc_id FROM documents
+        |                      WHERE lang = 'en')
+        |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 12),
+        |b2 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    'filter join +"slow query"' AS q
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('filter', 'join')
+        |    AND tf.doc_id IN (SELECT doc_id FROM ph)
+        |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 12)
+        |SELECT q, doc_id, score FROM
+        |  (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        |ORDER BY q, score DESC, doc_id""".stripMargin,
 
     // MoreLikeThis semantics replayed from the token stream: the same
     // fixed-point tf·idf selection cut (rank desc, term asc, LIMIT),

@@ -1352,4 +1352,95 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.map(_._2).distinct.size < all.size,
       "fixture too weak: no score ties in the top 40")
   }
+
+  test("bm25Explain: per-term integer contributions sum EXACTLY to " +
+      "the booleanSearch score, tombstones respected, guards") {
+    import spark.implicits._
+    val real = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("explidx").toString
+    TextAnalysis.bm25AppendSegment(real, "doc_id", "text", dir, 0)
+    val terms = Seq("sort", "merge", "scan")
+    val scored = TextAnalysis.booleanSearch(spark, dir, Nil, terms,
+        Nil, k = 20, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    val expl = TextAnalysis.bm25Explain(spark, dir, terms,
+        scored.keySet.toSeq.sorted, "doc_id")
+      .select(col("doc_id"), col("contrib_fp")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(expl.keySet == scored.keySet)
+    for ((id, fp) <- expl)
+      assert(math.round(fp / 1e7 * 1e4) / 1e4 == scored(id),
+        s"doc $id: sum(contrib_fp)=$fp != score ${scored(id)}")
+    // tombstoning a doc removes its rows AND shifts df/stats for the
+    // others' contributions the same way scoring shifts
+    val victim = scored.keySet.min
+    val dl = real.filter(col("doc_id") === victim)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .collect()(0).getLong(0)
+    TextAnalysis.bm25Tombstone(
+      Seq((victim, dl)).toDF("doc_id", "dl"), "doc_id", "dl", dir, 1)
+    val scored2 = TextAnalysis.booleanSearch(spark, dir, Nil, terms,
+        Nil, k = 20, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(!scored2.contains(victim))
+    val expl2 = TextAnalysis.bm25Explain(spark, dir, terms,
+        scored2.keySet.toSeq.sorted, "doc_id")
+      .select(col("doc_id"), col("contrib_fp")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for ((id, fp) <- expl2)
+      assert(math.round(fp / 1e7 * 1e4) / 1e4 == scored2(id),
+        s"post-tombstone doc $id: $fp != ${scored2(id)}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Explain(spark, dir, terms, Nil, "doc_id")
+    }
+    intercept[IllegalArgumentException] {  // maxDocs bound is loud
+      TextAnalysis.bm25Explain(spark, dir, terms,
+        (1L to 50L).toSeq, "doc_id", maxDocs = 10)
+    }
+  }
+
+  test("booleanSearch allowed: pre-filter fills k where post-filter " +
+      "under-fills, scoring/df stay global, phrase clause composes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b x", "en"), (2L, "a a y", "en"), (3L, "a b b", "fr"),
+      (4L, "b q r", "fr"), (5L, "a z z", "en"), (6L, "p q r", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("fsearchidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def ids(k: Int, allowed: Option[org.apache.spark.sql.DataFrame]) =
+      TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a", "b"), Nil,
+          k, "doc_id", allowed = allowed)
+        .select(col("doc_id")).as[Long].collect().toSeq.sorted
+    // unrestricted match set: 1,2,3,4,5; en-only: 1,2,5
+    assert(ids(10, None) == Seq(1L, 2L, 3L, 4L, 5L))
+    val en = docs.filter(col("lang") === "en")
+    assert(ids(3, Some(en)) == Seq(1L, 2L, 5L))
+    // pre-filter vs post-filter: top-2 unrestricted are docs {3, 1}
+    // (3 has b b + a); en@k=2 must return TWO en docs, while
+    // post-filtering the unrestricted top-2 would keep only doc 1
+    val top2 = TextAnalysis.booleanSearch(spark, dir, Nil,
+        Seq("a", "b"), Nil, k = 2, "doc_id")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert((top2 -- Set(1L, 2L, 5L)).nonEmpty,
+      "fixture too weak: unrestricted top-2 is all-en")
+    assert(ids(2, Some(en)).size == 2)
+    // scores under the filter are UNCHANGED for surviving docs
+    // (global df/stats — the filter clause scores zero)
+    val full = TextAnalysis.booleanSearch(spark, dir, Nil,
+        Seq("a", "b"), Nil, 10, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    val filt = TextAnalysis.booleanSearch(spark, dir, Nil,
+        Seq("a", "b"), Nil, 10, "doc_id", allowed = Some(en))
+      .as[(Long, Double)].collect().toMap
+    assert(filt == full.view.filterKeys(Set(1L, 2L, 5L)).toMap,
+      s"filtered scores drifted: $filt vs $full")
+    // phrase clause: docs with the exact phrase "a b" are 1 and 3
+    val ph = TextAnalysis.phraseSearch(spark, dir, Seq("a", "b"),
+      "doc_id")
+    assert(ids(10, Some(ph)) == Seq(1L, 3L))
+  }
 }
