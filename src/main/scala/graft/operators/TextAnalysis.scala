@@ -761,16 +761,29 @@ object TextAnalysis {
     * filtered lists, stats from segment partials − tombstones, then
     * [[bm25Score]] — the same arithmetic as the direct scan. Guarded
     * by [[requireQuiescent]]: a probe racing a maintenance op's swap
-    * window fails loudly instead of mis-scoring. */
+    * window fails loudly instead of mis-scoring.
+    *
+    * `asOfSegment` is the TIME-TRAVEL read (the generational layout's
+    * free dividend, Lucene's point-in-time commit / Delta's version
+    * read): score against the index state as of generation g by
+    * dropping every posting, tombstone, and stats partial with
+    * seg > g — arithmetic and kill rule untouched, so the answer is
+    * bit-identical to what a probe at generation g returned.
+    * VALIDITY WINDOW: history survives only until a fold rewrites it
+    * — tiered/full merges renumber segments and drop dead rows, so
+    * as-of reads reach back to the last compaction, exactly Lucene's
+    * deleted-commit / Delta's vacuum horizon. */
   def bm25ProbeSegmented(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame, k: Int,
                          idCol: String, k1: Double = 1.2,
-                         b: Double = 0.75): DataFrame = {
+                         b: Double = 0.75,
+                         asOfSegment: Option[Int] = None): DataFrame = {
     val qterms = queries.select(col("qid"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
     val terms = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0))
-    val (live, stats) = liveScoring(spark, path, idCol, terms)
+    val (live, stats) = liveScoring(spark, path, idCol, terms,
+      asOfSegment)
     val dfq = live.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
     bm25Score(live.join(dfq, "term"), qterms, stats, idCol, k, k1, b)
@@ -787,19 +800,27 @@ object TextAnalysis {
     * re-consume it (df derivation + scoring). */
   private def liveScoring(spark: org.apache.spark.sql.SparkSession,
                           path: String, idCol: String,
-                          terms: Array[String])
+                          terms: Array[String],
+                          asOfSegment: Option[Int] = None)
       : (DataFrame, DataFrame) = {
     requireQuiescent(spark, path)
-    val tombs = readTombstones(spark, path, idCol)
+    // as-of: the generation cut applies uniformly to postings,
+    // tombstones, and stats partials — seg is the partition column on
+    // all three layouts, so the cut prunes DIRECTORIES
+    def cut(df: DataFrame): DataFrame = asOfSegment match {
+      case Some(g) => df.filter(col("seg").cast("int") <= g)
+      case None => df
+    }
+    val tombs = cut(readTombstones(spark, path, idCol))
     val live = cached(liveAfterTombstones(
-      spark.read.parquet(s"$path/postings")
+      cut(spark.read.parquet(s"$path/postings"))
         .filter(col("term").isin(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(terms): _*))
         .select(col(idCol), col("dl"), col("term"), col("tf"),
           col("seg")),
       tombs, idCol)
       .select(col(idCol), col("dl"), col("term"), col("tf")))
-    val seg = spark.read.parquet(s"$path/segstats")
+    val seg = cut(spark.read.parquet(s"$path/segstats"))
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
     val tomb = tombs.agg(
       coalesce(count(lit(1)), lit(0L)).as("tn"),

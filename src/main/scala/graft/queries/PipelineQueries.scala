@@ -3501,6 +3501,53 @@ object PipelineQueries {
         .orderBy(col("q"), col("score").desc, col("doc_id"))
     }),
 
+    // X3 — TIME-TRAVEL probe (the generational layout's free
+    // dividend; Lucene point-in-time commit / Delta version read):
+    // generation 0 indexes the even docs, generation 1 applies a
+    // remove/modify/add wave (tombstones + fresh segment), then the
+    // SAME panel probes asOf=0 and live — asOf must replay
+    // generation-0 scoring bit-for-bit (stats partials, df, kill
+    // rule all cut at the generation), live must score the final
+    // corpus. The oracle rebuilds both corpus states from the raw
+    // table and replays the q115 arithmetic on each.
+    "q161_index_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("tt_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val even = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", path, 0)
+      // the wave: %10==0 removed, %10==2 modified, odd %10==1 added
+      val kill = even.filter(
+          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
+      val wave = even.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          concat(lit("extra "), coalesce(col("text"), lit("")))
+            .as("text"))
+        .unionByName(d.filter(
+            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+          .select(col("doc_id"), col("text")))
+      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 1)
+      val panel = Seq((0L, "merge sort window"),
+        (1L, "slow query filter")).toDF("qid", "qtext")
+      val asOf0 = TextAnalysis.bm25ProbeSegmented(s, path, panel,
+          k = 10, "doc_id", asOfSegment = Some(0))
+        .withColumn("gen", lit(0))
+      val live = TextAnalysis.bm25ProbeSegmented(s, path, panel,
+          k = 10, "doc_id")
+        .withColumn("gen", lit(1))
+      asOf0.unionByName(live)
+        .orderBy(col("gen"), col("qid"), col("score").desc,
+          col("doc_id"))
+    }),
+
     // X2 — RESIDUAL IVF-PQ cell-incremental refresh (q141's scenario
     // on the residual layout — the last index family without a
     // maintenance rung): fresh rows residual-encode through the
@@ -6332,6 +6379,76 @@ object PipelineQueries {
         |FROM tf JOIN dfq USING (term) CROSS JOIN stats
         |JOIN top3 USING (doc_id)
         |ORDER BY doc_id, term""".stripMargin,
+
+    // time travel replayed: both corpus states rebuilt from the raw
+    // table (state 0 = even docs; state 1 = the wave applied), each
+    // scored with the q115 fixed-point arithmetic and the same
+    // (score DESC, id) top-10 cut
+    "q161_index_time_travel" ->
+      """WITH s0 AS (SELECT doc_id, text FROM documents
+        |            WHERE doc_id % 2 = 0),
+        |s1 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 2
+        |              THEN 'extra ' || coalesce(text, '')
+        |              ELSE text END AS text
+        |       FROM documents
+        |       WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+        |       UNION ALL
+        |       SELECT doc_id, text FROM documents
+        |       WHERE doc_id % 2 = 1 AND doc_id % 10 = 1),
+        |q AS (SELECT * FROM (VALUES (0, 'merge sort window'),
+        |        (1, 'slow query filter')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |tok0 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')
+        |           AS t FROM s0),
+        |tf0 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |          SELECT doc_id, len(t) AS dl, unnest(t) AS term
+        |          FROM tok0) GROUP BY 1, 2, 3),
+        |df0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf0
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |st0 AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |        FROM tok0),
+        |b0 AS (
+        |  SELECT qt.qid, tf0.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf0 JOIN qt USING (term) JOIN df0 USING (term)
+        |  CROSS JOIN st0
+        |  GROUP BY 1, 2),
+        |k0 AS (SELECT 0 AS gen, qid, doc_id, score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |    FROM b0) WHERE rn <= 10),
+        |tok1 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')
+        |           AS t FROM s1),
+        |tf1 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |          SELECT doc_id, len(t) AS dl, unnest(t) AS term
+        |          FROM tok1) GROUP BY 1, 2, 3),
+        |df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf1
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |st1 AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |        FROM tok1),
+        |b1 AS (
+        |  SELECT qt.qid, tf1.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf1 JOIN qt USING (term) JOIN df1 USING (term)
+        |  CROSS JOIN st1
+        |  GROUP BY 1, 2),
+        |k1 AS (SELECT 1 AS gen, qid, doc_id, score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |    FROM b1) WHERE rn <= 10)
+        |SELECT gen, qid, doc_id, score FROM
+        |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
+        |ORDER BY gen, qid, score DESC, doc_id""".stripMargin,
 
     // filtered-search replayed: scoring/df/stats stay GLOBAL (the
     // filter clause scores zero — Lucene), the id restriction applies

@@ -1443,4 +1443,45 @@ class TextAnalysisSpec extends SparkSpec {
       "doc_id")
     assert(ids(10, Some(ph)) == Seq(1L, 3L))
   }
+
+  test("bm25ProbeSegmented asOfSegment: generation-0 read equals a " +
+      "fresh index of the old corpus bit-for-bit; asOf past the max " +
+      "segment equals live") {
+    import spark.implicits._
+    val state0 = Seq((1L, "a b c"), (2L, "a a d"), (3L, "b d e"),
+      (4L, "c e a")).toDF("doc_id", "text")
+    // the wave: doc 2 removed, doc 3 modified, docs 5-6 added
+    val state1 = Seq((1L, "a b c"), (3L, "x b d e"), (4L, "c e a"),
+      (5L, "a e"), (6L, "d d b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ttidx").toString
+    TextAnalysis.bm25AppendSegment(state0, "doc_id", "text", dir, 0)
+    TextAnalysis.bm25Tombstone(
+      Seq((2L, 3L), (3L, 3L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    TextAnalysis.bm25AppendSegment(
+      Seq((3L, "x b d e"), (5L, "a e"), (6L, "d d b"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1)
+    val panel = Seq((0L, "a b"), (1L, "d e")).toDF("qid", "qtext")
+    def probe(path: String, asOf: Option[Int]) =
+      TextAnalysis.bm25ProbeSegmented(spark, path, panel, k = 10,
+          "doc_id", asOfSegment = asOf)
+        .as[(Long, Long, Double)].collect().toSet
+    val fresh0 = java.nio.file.Files
+      .createTempDirectory("ttidx0").toString
+    TextAnalysis.bm25AppendSegment(state0, "doc_id", "text", fresh0, 0)
+    val fresh1 = java.nio.file.Files
+      .createTempDirectory("ttidx1").toString
+    TextAnalysis.bm25AppendSegment(state1, "doc_id", "text", fresh1, 0)
+    assert(probe(dir, Some(0)) == probe(fresh0, None),
+      "asOf=0 diverged from a fresh generation-0 index")
+    assert(probe(dir, None) == probe(fresh1, None),
+      "live probe diverged from a fresh final-state index")
+    // the histories genuinely differ (doc 2 only exists at gen 0)
+    assert(probe(dir, Some(0)) != probe(dir, None))
+    // asOf at/above the max live segment is exactly the live read
+    assert(probe(dir, Some(1)) == probe(dir, None))
+    assert(probe(dir, Some(99)) == probe(dir, None))
+  }
 }
