@@ -1838,6 +1838,50 @@ object TextAnalysis {
       "tighten the distance or raise the bound")
   }
 
+  /** SPELL SUGGESTION (Lucene's DirectSpellChecker, relationally):
+    * candidate terms within Levenshtein `maxDist` of the query term,
+    * ranked by (edit distance ASC, LIVE document frequency DESC, term
+    * ASC) — Lucene's exact ordering — top `k`. Candidates expand
+    * against the vocabulary-sized term dictionary with the implied
+    * length band (the [[fuzzyTermSearch]] economics); df counts
+    * DISTINCT LIVE documents through the tombstone kill rule, so a
+    * fully-deleted term can never be suggested (the dict keeps dead
+    * terms by the SUPERSET invariant — the df join is the liveness
+    * filter). An exact hit ranks first at distance 0 — callers
+    * typically suggest only when the query term itself is rare.
+    * Returns (term, dist, df). */
+  def spellSuggest(spark: org.apache.spark.sql.SparkSession,
+                   path: String, term: String, maxDist: Int, k: Int,
+                   idCol: String,
+                   maxExpansion: Int = 1000): DataFrame = {
+    require(term.nonEmpty, "spellSuggest: empty term")
+    require(maxDist >= 0 && k > 0,
+      s"spellSuggest: bad maxDist $maxDist / k $k")
+    requireQuiescent(spark, path)
+    val matched = termDict(spark, path)
+      .filter(length(col("term"))
+        .between(term.length - maxDist, term.length + maxDist))
+      .filter(levenshtein(col("term"), lit(term)) <= maxDist)
+      .collect().map(_.getString(0)).sorted
+    require(matched.length <= maxExpansion,
+      s"spellSuggest: '$term'~$maxDist expands to ${matched.length} " +
+        s"terms > maxExpansion $maxExpansion — tighten the distance " +
+        "or raise the bound")
+    val live = liveAfterTombstones(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("term").isin(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(matched): _*))
+        .select(col(idCol), col("term"), col("seg")),
+      readTombstones(spark, path, idCol), idCol)
+    live.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .withColumn("dist",
+        levenshtein(col("term"), lit(term)).cast("long"))
+      .select(col("term"), col("dist"), col("df"))
+      .orderBy(col("dist"), col("df").desc, col("term"))
+      .limit(k)
+  }
+
   /** The term DICTIONARY of a segmented index: the per-segment
     * `termdict` artifact when present (a vocabulary-sized read — the
     * production path, Lucene's terms file), else derived from the

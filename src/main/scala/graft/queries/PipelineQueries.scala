@@ -3501,6 +3501,32 @@ object PipelineQueries {
         .orderBy(col("q"), col("score").desc, col("doc_id"))
     }),
 
+    // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
+    // candidates within Levenshtein maxDist ranked by (distance ASC,
+    // LIVE df DESC, term ASC) — df through the tombstone kill rule,
+    // so a dead term can never be suggested. Three probes on one
+    // segment: a misspelling at distance 1, a worse one at distance
+    // 2, and an exact term (ranks itself first at distance 0).
+    "q162_spell_suggest" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("spell_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val s1 = TextAnalysis.spellSuggest(s, path, "tble",
+          maxDist = 1, k = 5, "doc_id")
+        .withColumn("q", lit("tble~1"))
+      val s2 = TextAnalysis.spellSuggest(s, path, "sot",
+          maxDist = 2, k = 5, "doc_id")
+        .withColumn("q", lit("sot~2"))
+      val s3 = TextAnalysis.spellSuggest(s, path, "pat",
+          maxDist = 2, k = 5, "doc_id")
+        .withColumn("q", lit("pat~2"))
+      s1.unionByName(s2).unionByName(s3)
+        .orderBy(col("q"), col("dist"), col("df").desc, col("term"))
+    }),
+
     // X3 — TIME-TRAVEL probe (the generational layout's free
     // dividend; Lucene point-in-time commit / Delta version read):
     // generation 0 indexes the even docs, generation 1 applies a
@@ -6379,6 +6405,35 @@ object PipelineQueries {
         |FROM tf JOIN dfq USING (term) CROSS JOIN stats
         |JOIN top3 USING (doc_id)
         |ORDER BY doc_id, term""".stripMargin,
+
+    // spell suggestion replayed: per-term distinct-doc df from the
+    // token stream, DuckDB's levenshtein, the same (dist, df DESC,
+    // term) cut
+    "q162_spell_suggest" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS term
+        |  FROM documents),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |        GROUP BY 1),
+        |s1 AS (SELECT term,
+        |         CAST(levenshtein(term, 'tble') AS BIGINT) AS dist,
+        |         df, 'tble~1' AS q
+        |       FROM dfq WHERE levenshtein(term, 'tble') <= 1
+        |       ORDER BY dist, df DESC, term LIMIT 5),
+        |s2 AS (SELECT term,
+        |         CAST(levenshtein(term, 'sot') AS BIGINT) AS dist,
+        |         df, 'sot~2' AS q
+        |       FROM dfq WHERE levenshtein(term, 'sot') <= 2
+        |       ORDER BY dist, df DESC, term LIMIT 5),
+        |s3 AS (SELECT term,
+        |         CAST(levenshtein(term, 'pat') AS BIGINT) AS dist,
+        |         df, 'pat~2' AS q
+        |       FROM dfq WHERE levenshtein(term, 'pat') <= 2
+        |       ORDER BY dist, df DESC, term LIMIT 5)
+        |SELECT q, term, dist, df FROM
+        |  (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |   UNION ALL SELECT * FROM s3)
+        |ORDER BY q, dist, df DESC, term""".stripMargin,
 
     // time travel replayed: both corpus states rebuilt from the raw
     // table (state 0 = even docs; state 1 = the wave applied), each

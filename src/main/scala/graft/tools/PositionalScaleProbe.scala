@@ -81,10 +81,15 @@ object PositionalScaleProbe {
         Seq(s"sort$tag", s"merge$tag"), "doc_id"))
       val tProx = run(TextAnalysis.proximitySearch(spark, dir,
         Seq(s"query$tag", s"table$tag", s"join$tag"), 6L, "doc_id"))
+      // ordered-near shares proximity's event-fold shape plus the
+      // per-event chain-start transform — same posting-bounded claim
+      val tONear = run(TextAnalysis.orderedNearSearch(spark, dir,
+        Seq(s"slow$tag", s"query$tag"), 6L, "doc_id"))
       val tPrefix = run(TextAnalysis.termPrefixSearch(spark, dir,
         "st", "doc_id"))
       println(f"POS m=$m%-3d mode=$mode%-6s phrase=$tPhrase%5.2f s " +
-        f"prox=$tProx%5.2f s prefix=$tPrefix%5.2f s")
+        f"prox=$tProx%5.2f s onear=$tONear%5.2f s " +
+        f"prefix=$tPrefix%5.2f s")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -1444,6 +1444,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids(10, Some(ph)) == Seq(1L, 3L))
   }
 
+  test("spellSuggest: (distance, live df desc, term) ranking, exact " +
+      "hit first, tombstoned terms never suggested, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table cable"), (2L, "table stable"), (3L, "fable"),
+      (4L, "tble"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("spellidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(t: String, d: Int, k: Int = 5) =
+      TextAnalysis.spellSuggest(spark, dir, t, d, k, "doc_id")
+        .as[(String, Long, Long)].collect().toSeq
+    // df tiebreak: table(df 2) before cable/fable/tble (df 1, term
+    // asc; 'tble' is one substitution from 'able')
+    assert(run("able", 1) == Seq(("table", 1L, 2L), ("cable", 1L, 1L),
+      ("fable", 1L, 1L), ("tble", 1L, 1L)))
+    // an exact corpus term ranks itself first at distance 0
+    assert(run("tble", 1) == Seq(("tble", 0L, 1L), ("table", 1L, 2L)))
+    // k truncates
+    assert(run("able", 1, k = 1) == Seq(("table", 1L, 2L)))
+    // tombstoning the only doc holding 'tble' removes the suggestion
+    // even though the term dictionary still lists the dead term
+    TextAnalysis.bm25Tombstone(Seq((4L, 1L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    assert(run("tble", 1) == Seq(("table", 1L, 2L)))
+    assert(run("able", 1) == Seq(("table", 1L, 2L), ("cable", 1L, 1L),
+      ("fable", 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.spellSuggest(spark, dir, "", 1, 5, "doc_id")
+    }
+    intercept[IllegalArgumentException] {  // expansion cap is loud
+      TextAnalysis.spellSuggest(spark, dir, "able", 1, 5, "doc_id",
+        maxExpansion = 1)
+    }
+  }
+
   test("bm25ProbeSegmented asOfSegment: generation-0 read equals a " +
       "fresh index of the old corpus bit-for-bit; asOf past the max " +
       "segment equals live") {
