@@ -436,6 +436,96 @@ object Similarity {
     topK(idx, queryVec, idCol, vecCol, k)
   }
 
+  /** Filtered ANN, COVERING-INDEX form: when the filter attributes
+    * were written INTO the index rows ([[ivfWriteIndexCosine]] keeps
+    * every column of the `vectors` frame — denormalizing metadata
+    * into the cells is the covering-index trade), the predicate is a
+    * plain `Column` over the index scan itself: it reaches parquet as
+    * `PushedFilters` UNDER the cell `PartitionFilters`, so the probe
+    * pays zero joins — row groups prune by attribute stats inside the
+    * surviving cell directories. Same pre-filter semantics as
+    * [[ivfProbePrunedCosineFiltered]] (that form is for filters over
+    * a SEPARATE metadata relation); prefer this one whenever the
+    * attribute rides in the index — at 100 TB the difference is a
+    * corpus-wide shuffle-free scan vs a semi-join. */
+  def ivfProbePrunedCosinePredicate(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cents: DataFrame, queryVec: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, pred: Column): DataFrame = {
+    val probed = probedCellIds(cents, queryVec, nProbe)
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("centroid_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+      .filter(pred)
+    topK(idx, queryVec, idCol, vecCol, k)
+  }
+
+  /** BATCHED probe of a cosine-materialized index — the production
+    * amortization shape: serving N queries one probe at a time pays N
+    * index opens and up to N·nProbe cell reads; this form ranks every
+    * query's cells in one broadcast pass, prunes ONE scan to the UNION
+    * of all probed cells, and cuts per-query top-k with a single
+    * window. A cell probed by many queries is read once and its rows
+    * fan out to exactly the queries that probed it (the broadcast
+    * (qid, cell) join — a candidate never reaches a query that did
+    * not probe its cell, so per-query results are bit-identical to N
+    * independent [[ivfProbePrunedCosine]] calls). `queries` is a
+    * broadcast-sized (qid, qvec) panel; the isin literal keeps
+    * `PartitionFilters` pruning, bounded by |queries|·nProbe cells. */
+  def ivfProbePrunedCosineMulti(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cents: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cd"), col("centroid_id"))
+    val probed = cents.crossJoin(broadcast(queries))
+      .withColumn("cd",
+        lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("centroid_id"))
+    // driver-side union of cells: |queries|·nProbe-bounded, and the
+    // only way the literal reaches the scan as a partition filter
+    val cells = probed.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol))
+    spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(cells): _*))
+      .join(broadcast(probed), Seq("centroid_id"))
+      .withColumn("sim",
+        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
+          col("qvec")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
+  }
+
+  /** RANGE search over a cosine-materialized index — FAISS's
+    * `range_search`: every vector with similarity ≥ `minSim` to the
+    * query, NOT a top-k cut (radius retrieval: "all near-duplicates
+    * above 0.9", where the result size is data-dependent). Same
+    * partition-pruned read as [[ivfProbePrunedCosine]] (IVF range
+    * search shares top-k's approximation: matches outside the probed
+    * cells are missed, recall is the nProbe dial); the threshold
+    * compares on the ROUNDED similarity the caller is handed, so the
+    * boundary is reproducible. Output (idCol, sim), unbounded by
+    * design — callers wanting a safety valve compose `.limit` on top. */
+  def ivfRangeSearchCosine(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cents: DataFrame, queryVec: DataFrame, idCol: String,
+      vecCol: String, minSim: Double, nProbe: Int): DataFrame = {
+    val probed = probedCellIds(cents, queryVec, nProbe)
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("centroid_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+    scoreAgainst(idx, queryVec, vecCol)
+      .filter(col("sim") >= minSim)
+      .select(col(idCol), col("sim"))
+  }
+
   /** Materialize the QUANTIZED cosine inverted file — the composed
     * 100 TB layout: cells from [[learnedCentroids]], rows partitioned
     * by their cosine-assigned cell, and the vector column stored as

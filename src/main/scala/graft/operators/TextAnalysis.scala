@@ -551,6 +551,98 @@ object TextAnalysis {
     bm25Score(pruned, qterms, stats, idCol, k, k1, b)
   }
 
+  /** BM25F (Robertson & Zaragoza, "Simple BM25 Extension to Multiple
+    * Weighted Fields", CIKM 2004), relationally: multi-field ranking
+    * where per-field term frequencies are length-normalized and
+    * weight-combined into ONE pseudo-frequency BEFORE the saturation —
+    * the published insight that makes BM25F a single non-linear
+    * function of a linear field combination (scoring fields
+    * independently and summing would double-saturate):
+    *
+    *   t̃f(t,d)  = Σ_f  w_f · tf_f(t,d) / (1 − b_f + b_f · dl_f/avgdl_f)
+    *   score(d) = Σ_t  idf(t) · t̃f / (k1 + t̃f)
+    *
+    * idf uses the engine's one BM25 idf spelling with DOCUMENT-level
+    * df (the doc contains t in ANY field — the paper's definition).
+    * Contributions quantize to the project's 1e-7 fixed point before
+    * the sum, so the score is addend-order-deterministic like every
+    * other scoring path. `fields` is (column, weight w_f, length-norm
+    * b_f) — per-field b is the paper's point: a title field wants
+    * weaker length normalization than a body field.
+    *
+    * Scale shape: one tokenize pass PER FIELD unioned into a tagged
+    * (id, term, tf, dl, fld) relation; per-field avgdl and n_docs are
+    * tiny aggregates off it; panel pruning happens BEFORE any
+    * corpus-wide join (the q97 lesson); df derives from the pruned
+    * pseudo-frequency relation — corpus-wide per definition, panel-
+    * bounded in cost. Output (qid, idCol, score), top `k` per query. */
+  def bm25fTopK(docs: DataFrame, idCol: String,
+                fields: Seq[(String, Double, Double)],
+                queries: DataFrame, k: Int,
+                k1: Double = 1.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fields.nonEmpty, "bm25fTopK: no fields")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "bm25fTopK: duplicate field column")
+    require(fields.forall { case (_, w, bf) =>
+      w > 0 && bf >= 0 && bf <= 1 },
+      "bm25fTopK: weights must be > 0 and b_f in [0, 1]")
+    // tagged per-field tf relation — every doc reaches every field's
+    // frame (null coalesces to "", one empty token), so per-field
+    // stats count the full corpus exactly like tfFrame's contract
+    val tfAll = cached(fields.zipWithIndex.map { case ((fcol, _, _), fi) =>
+      docs.select(col(idCol),
+          tokens(coalesce(col(fcol), lit(""))).as("toks"))
+        .select(col(idCol), size(col("toks")).as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy(col(idCol), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col(idCol), col("term"), col("tf"), col("dl"),
+          lit(fi).as("fld"))
+    }.reduce(_ unionByName _))
+    val fstats = tfAll.select(col("fld"), col(idCol), col("dl"))
+      .distinct()
+      .groupBy(col("fld")).agg(avg(col("dl")).as("avgdl_f"))
+    val ndocs = tfAll.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val qterms = queries.select(col("qid"),
+      explode(array_distinct(tokens(col("qtext")))).as("term"))
+    // per-field weight / b as chained-when literals on the field tag
+    val wcol = fields.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, ((_, w, _), fi)) =>
+        when(col("fld") === fi, lit(w)).otherwise(acc)
+    }
+    val bcol = fields.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, ((_, _, bf), fi)) =>
+        when(col("fld") === fi, lit(bf)).otherwise(acc)
+    }
+    // panel pruning BEFORE the stats join (the q97 ordering lesson)
+    val ptf = tfAll
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .join(broadcast(fstats), "fld")
+      .withColumn("wtf", col("tf") * wcol /
+        (lit(1.0) - bcol + bcol * col("dl") / col("avgdl_f")))
+      .groupBy(col(idCol), col("term"))
+      .agg(sum(col("wtf")).as("ptf"))
+    // document-level df: one row per (doc, term-in-any-field) above
+    val dfq = ptf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol))
+    ptf.join(broadcast(qterms), "term")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("contrib_fp", floor(
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          col("ptf") / (col("ptf") + lit(k1)))
+          * lit(1e7) + lit(0.5)).cast("long"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("contrib_fp")) / lit(1e7), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+  }
+
   /** THE per-(doc, term) frequency relation every BM25 surface builds
     * on — scan path, monolithic index write, segment append. One
     * definition: the tokenize/dl/tf derivation decides index≡scan
@@ -875,7 +967,21 @@ object TextAnalysis {
     * join before the top-k cut, so k survivors fill whenever the
     * match set holds them — post-filtering a page under-fills it.
     * Scoring is untouched: only the panel terms contribute, exactly
-    * as Lucene scores a filter clause at zero. */
+    * as Lucene scores a filter clause at zero.
+    *
+    * `collapse` is Lucene/Solr FIELD COLLAPSING (CollapsingTopDocs /
+    * collapse query parser): pass (metadata relation, group column)
+    * and the result keeps only the SINGLE best hit per group value —
+    * highest score, ties to the smaller id — before the top-k cut, so
+    * a page holds k DISTINCT groups (result diversification: ≤1 hit
+    * per domain/source). NULL group keys collapse together as one
+    * group (Solr's nullPolicy=collapse). The output gains the group
+    * column. Scale shape: the group key joins onto the MATCH SET
+    * (aggregate-sized, never the corpus), and the best-per-group cut
+    * is a window over that same set — the cost class ranking already
+    * paid; collapse composes with `after` (collapse first, then the
+    * cursor, Lucene's order — the cursor walks the collapsed total
+    * order). */
   def booleanSearch(spark: org.apache.spark.sql.SparkSession,
                     path: String, must: Seq[String],
                     should: Seq[String], mustNot: Seq[String],
@@ -884,7 +990,9 @@ object TextAnalysis {
                     excludeIds: Seq[Any] = Nil,
                     minShouldMatch: Int = 0,
                     after: Option[(Double, Long)] = None,
-                    allowed: Option[DataFrame] = None): DataFrame = {
+                    allowed: Option[DataFrame] = None,
+                    collapse: Option[(DataFrame, String)] = None)
+      : DataFrame = {
     val mustD = must.distinct
     val shouldD = should.distinct.filterNot(mustD.contains)
     val notD = mustNot.distinct
@@ -899,7 +1007,7 @@ object TextAnalysis {
     val (live, stats) = liveScoring(spark, path, idCol,
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
-      excludeIds, minShouldMatch, after, allowed)
+      excludeIds, minShouldMatch, after, allowed, collapse)
   }
 
   /** [[booleanSearch]]'s scoring body over an already-read live
@@ -914,7 +1022,8 @@ object TextAnalysis {
                           excludeIds: Seq[Any],
                           minShouldMatch: Int = 0,
                           after: Option[(Double, Long)] = None,
-                          allowed: Option[DataFrame] = None)
+                          allowed: Option[DataFrame] = None,
+                          collapse: Option[(DataFrame, String)] = None)
       : DataFrame = {
     val positive = mustD ++ shouldD
     def inSet(set: Seq[String]): Column =
@@ -964,14 +1073,139 @@ object TextAnalysis {
     val ranked = gated
       .select(col(idCol),
         round(col("score_fp") / lit(1e7), 4).as("score"))
+    // field collapse: best hit per group value — the key joins onto
+    // the aggregate-sized match set, never the corpus; a left join so
+    // an id absent from the metadata relation lands in the NULL group
+    // rather than vanishing; window partitioning puts all NULL keys in
+    // one partition = Solr's nullPolicy=collapse
+    val collapsed = collapse match {
+      case Some((meta, fcol)) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(fcol))
+          .orderBy(col("score").desc, col(idCol))
+        ranked.join(
+            meta.select(col(idCol), col(fcol)).distinct(),
+            Seq(idCol), "left")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+      case None => ranked
+    }
     // searchAfter: strictly after the cursor in (score DESC, id ASC)
     // order — compares on the same rounded score the cursor came from
     val paged = after match {
-      case Some((s, id)) => ranked.filter(
+      case Some((s, id)) => collapsed.filter(
         col("score") < s || (col("score") === s && col(idCol) > id))
-      case None => ranked
+      case None => collapsed
     }
     paged
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Lucene's SynonymQuery over a SEGMENTED index, relationally: each
+    * `groups` entry is a synonym set scored AS IF ITS MEMBERS WERE ONE
+    * TERM — per document the group's tf is the SUM of member tfs, and
+    * its df is the number of live documents containing ≥1 member. Where
+    * Lucene's architecture forces the max-of-member-dfs APPROXIMATION
+    * for the blended df (exact union cardinality would need a posting
+    * merge it can't afford at query time), the relational form computes
+    * the exact union df in the same aggregate that builds the pseudo-
+    * postings — strictly the semantics SynonymQuery's javadoc states
+    * ("as if they were a single term"). Each group then contributes
+    * through the ONE shared [[contribFp]] arithmetic; a document
+    * matches iff it contains ≥1 member of ≥1 group (should semantics).
+    *
+    * Scale shape: ONE pushed `term IN` posting scan over every group's
+    * members (posting-bounded) → tombstone kill rule → broadcast
+    * term→group map join → groupBy(id, group) tf fold → group df as a
+    * groups-sized aggregate → one scoring groupBy(id). Top-k is
+    * orderBy+limit. Groups must be pairwise disjoint — an overlapping
+    * member would double-count its tf (guarded loud). */
+  def synonymSearch(spark: org.apache.spark.sql.SparkSession,
+                    path: String, groups: Seq[Seq[String]], k: Int,
+                    idCol: String, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val gs = groups.map(_.distinct)
+    require(gs.nonEmpty && gs.forall(_.nonEmpty),
+      "synonymSearch: empty group")
+    val flat = gs.zipWithIndex.flatMap { case (ms, gi) =>
+      ms.map(t => (t, gi)) }
+    require(flat.map(_._1).distinct.size == flat.size,
+      "synonymSearch: groups must be pairwise disjoint")
+    val (live, stats) = liveScoring(spark, path, idCol,
+      flat.map(_._1).toArray)
+    import spark.implicits._
+    val gmap = flat.toDF("term", "grp")
+    val pseudo = live.join(broadcast(gmap), "term")
+      .groupBy(col(idCol), col("dl"), col("grp"))
+      .agg(sum(col("tf")).as("tf"))
+    val dfg = pseudo.groupBy(col("grp"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    pseudo.join(broadcast(dfg), "grp")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_fp", contribFp(k1, b))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("contrib_fp")) / lit(1e7), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Lucene's DisjunctionMaxQuery, relationally: each clause is a term
+    * set scored as its own BM25 sum, and a document's score is the MAX
+    * clause score plus `tiebreak` × the sum of the others —
+    *
+    *   score(d) = max_c s_c(d) + tiebreak · (Σ_c s_c(d) − max_c s_c(d))
+    *
+    * the published semantics (tiebreak 0 = pure max, the classic
+    * multi-field "best field wins" ranking that stops a term matching
+    * two weak clauses from outranking one strong match; tiebreak 1
+    * degenerates to the boolean sum). A document matches iff ≥1 clause
+    * matches. Unlike [[synonymSearch]] clauses may OVERLAP — a shared
+    * term scores independently in each clause, exactly as Lucene's
+    * subqueries are independent scorers.
+    *
+    * Fixed-point discipline: per-clause sums fold the shared
+    * [[contribFp]] longs; the tiebreak combine rounds to a long ONCE
+    * (`floor(tb·rest + 0.5)`) before the public 1e-7 rounding, so the
+    * score is addend-order-deterministic like every scoring path.
+    *
+    * Scale shape: ONE pushed `term IN` posting scan over the union of
+    * clause terms → tombstone kill rule → broadcast (term, clause)
+    * fan-out (a term in c clauses duplicates into c rows — clause
+    * count, not corpus, sized) → per-(doc, clause) fold → per-doc
+    * max/sum fold. Top-k is orderBy+limit. */
+  def disMaxSearch(spark: org.apache.spark.sql.SparkSession,
+                   path: String, clauses: Seq[Seq[String]],
+                   tiebreak: Double, k: Int, idCol: String,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val cs = clauses.map(_.distinct)
+    require(cs.nonEmpty && cs.forall(_.nonEmpty),
+      "disMaxSearch: empty clause")
+    require(tiebreak >= 0 && tiebreak <= 1,
+      "disMaxSearch: tiebreak must be in [0, 1]")
+    val flat = cs.zipWithIndex.flatMap { case (ts, ci) =>
+      ts.map(t => (t, ci)) }
+    val (live, stats) = liveScoring(spark, path, idCol,
+      flat.map(_._1).distinct.toArray)
+    import spark.implicits._
+    val cmap = flat.toDF("term", "clause")
+    // BM25 df is per TERM (corpus-level), shared across clauses
+    val dfq = live.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val perClause = live.join(broadcast(dfq), "term")
+      .join(broadcast(cmap), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_fp", contribFp(k1, b))
+      .groupBy(col(idCol), col("clause"))
+      .agg(sum(col("contrib_fp")).as("cs"))
+    perClause.groupBy(col(idCol))
+      .agg(max(col("cs")).as("mx"), sum(col("cs")).as("sm"))
+      .withColumn("score_fp", col("mx") +
+        floor(lit(tiebreak) * (col("sm") - col("mx")) + lit(0.5))
+          .cast("long"))
+      .select(col(idCol),
+        round(col("score_fp") / lit(1e7), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -1836,6 +2070,38 @@ object TextAnalysis {
     expandedTermOccurrences(spark, path, idCol, matched,
       s"fuzzyTermSearch: '$term'~$maxDist", maxExpansion,
       "tighten the distance or raise the bound")
+  }
+
+  /** Lucene's SegmentInfos, relationally: the per-generation
+    * inventory of a segmented index — (seg, n_docs, sum_dl, n_terms,
+    * n_tombstones) — read ENTIRELY from the maintenance artifacts
+    * (segstats partials, per-segment term dictionary, tombstone
+    * files); the corpus-sized postings are never touched. n_docs and
+    * sum_dl are the exact integer partials the probes' global stats
+    * derive from, so this is the operator's own bookkeeping surfaced,
+    * not a re-derivation; n_tombstones counts the kill rows WRITTEN
+    * AT that generation (their victims live in lower segments — the
+    * generation rule). The ops surface for "is compaction due":
+    * |segments| vs the tier budget and the tombstone accumulation are
+    * exactly what [[bm25MergeSegmentsTiered]] and
+    * [[bm25CompactTombstones]] bound. */
+  def segmentInfos(spark: org.apache.spark.sql.SparkSession,
+                   path: String, idCol: String): DataFrame = {
+    requireQuiescent(spark, path)
+    val stats = spark.read.parquet(s"$path/segstats")
+      .select(col("seg").cast("int").as("seg"), col("n_docs"),
+        col("sum_dl"))
+    val dict = spark.read.parquet(s"$path/termdict")
+      .groupBy(col("seg").cast("int").as("seg"))
+      .agg(count(lit(1)).as("n_terms"))
+    val tombs = readTombstones(spark, path, idCol)
+      .groupBy(col("seg").cast("int").as("seg"))
+      .agg(count(lit(1)).as("n_tombstones"))
+    stats.join(dict, Seq("seg"), "left")
+      .join(tombs, Seq("seg"), "left")
+      .select(col("seg"), col("n_docs"), col("sum_dl"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("n_tombstones"), lit(0L)).as("n_tombstones"))
   }
 
   /** SPELL SUGGESTION (Lucene's DirectSpellChecker, relationally):

@@ -3501,6 +3501,72 @@ object PipelineQueries {
         .orderBy(col("q"), col("score").desc, col("doc_id"))
     }),
 
+    // X2 — COVERING-INDEX filtered ANN (q157's sibling): the filter
+    // attribute (label) was WRITTEN INTO the index rows, so the
+    // predicate is a plain Column over the index scan — PushedFilters
+    // under the cell PartitionFilters, zero joins (vs q157's
+    // semi-join against a separate metadata relation; at 100 TB
+    // that's the denormalize-into-the-index trade). Same pre-filter
+    // semantics; oracle identical in shape to q157's replay.
+    "q163_covering_filtered_ann" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val base = e.filter(col("vec_id") =!= 0)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("cfann_cents", dir))
+      val cents = s.read.parquet(scratchPath("cfann_cents", dir))
+      val ipath = scratchPath("cfann_index", dir)
+      // base carries (vec_id, embedding, label) — label rides into
+      // the cells: the covering write
+      Similarity.ivfWriteIndexCosine(base, cents, "vec_id",
+        "embedding", ipath)
+      val f1 = Similarity.ivfProbePrunedCosinePredicate(s, ipath,
+          cents, qv, "vec_id", "embedding", k = 10, nProbe = 3,
+          pred = col("label") % 2 === 1)
+        .withColumn("q", lit("label%2=1"))
+      val f2 = Similarity.ivfProbePrunedCosinePredicate(s, ipath,
+          cents, qv, "vec_id", "embedding", k = 10, nProbe = 3,
+          pred = col("label").between(3, 9))
+        .withColumn("q", lit("label in [3,9]"))
+      f1.unionByName(f2).orderBy(col("q"), col("sim").desc,
+        col("vec_id"))
+    }),
+
+    // X3 — SEGMENT INFOS (Lucene's SegmentInfos): the per-generation
+    // inventory (n_docs, sum_dl, n_terms, n_tombstones) read entirely
+    // from the maintenance artifacts — postings never touched. Built
+    // over q161's two-generation wave so every column is replayable
+    // from the raw table: the oracle re-derives each generation's
+    // exact partials from the corpus slices and the wave's kill set.
+    "q164_segment_infos" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("si_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val even = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", path, 0)
+      val kill = even.filter(
+          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
+      val wave = even.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          concat(lit("extra "), coalesce(col("text"), lit("")))
+            .as("text"))
+        .unionByName(d.filter(
+            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+          .select(col("doc_id"), col("text")))
+      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 1)
+      TextAnalysis.segmentInfos(s, path, "doc_id")
+        .orderBy(col("seg"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -6405,6 +6471,76 @@ object PipelineQueries {
         |FROM tf JOIN dfq USING (term) CROSS JOIN stats
         |JOIN top3 USING (doc_id)
         |ORDER BY doc_id, term""".stripMargin,
+
+    // covering-index filtered ANN replayed: the q157 replay shape
+    // with the label predicate applied before the top-k cut (label
+    // read straight off the embeddings relation — the same values
+    // the covering write denormalized into the cells)
+    "q163_covering_filtered_ann" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/cfann_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |assign AS (
+        |  SELECT e.vec_id AS vid,
+        |    arg_min(c.cid,
+        |      1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv))
+        |      AS cid
+        |  FROM embeddings e, cents c WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id),
+        |cand AS (SELECT e.vec_id, e.embedding, e.label
+        |         FROM embeddings e
+        |         JOIN assign a ON e.vec_id = a.vid
+        |         WHERE a.cid IN (SELECT cid FROM probed)),
+        |f1 AS (SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[],
+        |      (SELECT qv FROM q)), 4) AS sim, 'label%2=1' AS q
+        |  FROM cand WHERE label % 2 = 1
+        |  ORDER BY sim DESC, vec_id LIMIT 10),
+        |f2 AS (SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[],
+        |      (SELECT qv FROM q)), 4) AS sim, 'label in [3,9]' AS q
+        |  FROM cand WHERE label BETWEEN 3 AND 9
+        |  ORDER BY sim DESC, vec_id LIMIT 10)
+        |SELECT q, vec_id, sim FROM
+        |  (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |ORDER BY q, sim DESC, vec_id""".stripMargin,
+
+    // segment infos replayed from the raw table: each generation's
+    // exact integer partials (doc count, summed token lengths,
+    // distinct vocabulary) over its corpus slice, and the wave's
+    // kill-set size at generation 1
+    "q164_segment_infos" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |t1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM (
+        |    SELECT doc_id, 'extra ' || coalesce(text, '') AS text
+        |    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 2
+        |    UNION ALL
+        |    SELECT doc_id, coalesce(text, '') AS text
+        |    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 1)),
+        |i0 AS (SELECT 0 AS seg, count(*) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS sum_dl,
+        |    (SELECT count(DISTINCT term) FROM
+        |      (SELECT unnest(t) AS term FROM t0)) AS n_terms,
+        |    CAST(0 AS BIGINT) AS n_tombstones
+        |  FROM t0),
+        |i1 AS (SELECT 1 AS seg, count(*) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS sum_dl,
+        |    (SELECT count(DISTINCT term) FROM
+        |      (SELECT unnest(t) AS term FROM t1)) AS n_terms,
+        |    (SELECT count(*) FROM documents
+        |     WHERE doc_id % 2 = 0
+        |       AND (doc_id % 10 = 0 OR doc_id % 10 = 2))
+        |      AS n_tombstones
+        |  FROM t1)
+        |SELECT seg, n_docs, sum_dl, n_terms, n_tombstones FROM
+        |  (SELECT * FROM i0 UNION ALL SELECT * FROM i1)
+        |ORDER BY seg""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,

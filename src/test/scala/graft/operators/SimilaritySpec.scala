@@ -98,6 +98,96 @@ class SimilaritySpec extends SparkSpec {
       s"filtered probe lost partition pruning:\n${plan.take(1500)}")
   }
 
+  test("covering-index filtered ANN: predicate form equals the " +
+      "relation form, pushes the attribute filter to the index scan, " +
+      "keeps partition pruning") {
+    val (e, qv, base) = setup()
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_cov_idx").toString
+    Similarity.ivfWriteIndexCosine(base, cents, "vec_id", "embedding",
+      dir)
+    val byPred = Similarity.ivfProbePrunedCosinePredicate(spark, dir,
+      cents, qv, "vec_id", "embedding", k = 10, nProbe = 3,
+      pred = col("label") % 3 === 0)
+    val byRel = Similarity.ivfProbePrunedCosineFiltered(spark, dir,
+      cents, qv, "vec_id", "embedding", k = 10, nProbe = 3,
+      allowed = e.filter(col("label") % 3 === 0))
+    assert(byPred.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq ==
+      byRel.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "covering predicate diverged from the relation semi-join")
+    val plan = byPred.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"covering probe lost partition pruning:\n${plan.take(1500)}")
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate not pushed to the index scan:\n${
+        plan.take(1500)}")
+  }
+
+  test("batched index probe: per-query results bit-identical to N " +
+      "independent probes, one scan pruned to the union of cells") {
+    val (e, _, base) = setup()
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_multi_idx").toString
+    Similarity.ivfWriteIndexCosine(base, cents, "vec_id", "embedding",
+      dir)
+    val qids = Seq(0L, 5L, 9L)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"),
+        VectorFns.toDouble(col("embedding")).as("qvec"))
+    val batched = Similarity.ivfProbePrunedCosineMulti(spark, dir,
+        cents, queries, "vec_id", "embedding", k = 10, nProbe = 3)
+    val got = batched.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(x =>
+        (-x._2, x._1)).toSeq).toMap
+    qids.foreach { q =>
+      val qv = e.filter(col("vec_id") === q)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val solo = Similarity.ivfProbePrunedCosine(spark, dir, cents,
+          qv, "vec_id", "embedding", k = 10, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(q) == solo,
+        s"batched probe diverged from solo for qid=$q")
+    }
+    val plan = batched.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"batched probe lost partition pruning:\n${plan.take(1500)}")
+  }
+
+  test("range search: equals the thresholded exhaustive probe over " +
+      "the same cells, looser threshold is a superset, prunes " +
+      "partitions") {
+    val (_, qv, base) = setup()
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_range_idx").toString
+    Similarity.ivfWriteIndexCosine(base, cents, "vec_id", "embedding",
+      dir)
+    def range(t: Double) = Similarity.ivfRangeSearchCosine(spark, dir,
+        cents, qv, "vec_id", "embedding", minSim = t, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // k = full corpus: the top-k probe thresholded by hand must equal
+    // the range result (range is the no-k form of the same probe)
+    val n = base.count().toInt
+    val viaTopK = Similarity.ivfProbePrunedCosine(spark, dir, cents,
+        qv, "vec_id", "embedding", k = n, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._2 >= 0.1).toSet
+    assert(range(0.1) == viaTopK,
+      "range search diverged from the thresholded exhaustive probe")
+    assert(range(0.3).subsetOf(range(0.1)),
+      "tighter threshold is not a subset")
+    assert(range(0.1).nonEmpty)
+    val plan = Similarity.ivfRangeSearchCosine(spark, dir, cents, qv,
+        "vec_id", "embedding", minSim = 0.1, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"range search lost partition pruning:\n${plan.take(1500)}")
+  }
+
   test("quantized inverted file: measurably smaller on disk, prunes " +
       "partitions, and its top-k overlaps the raw cosine probe") {
     val (_, qv, base) = setup()

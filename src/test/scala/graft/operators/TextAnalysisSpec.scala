@@ -1444,6 +1444,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids(10, Some(ph)) == Seq(1L, 3L))
   }
 
+  test("segmentInfos: per-generation inventory from the artifacts " +
+      "alone, tombstones counted at their write generation, full " +
+      "merge folds to one purged segment") {
+    import spark.implicits._
+    val a = Seq((1L, "a b c"), (2L, "a a"))    // 5 tokens, terms {a,b,c}
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "d d"), (2L, "e"))        // 3 tokens, terms {d,e}
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("seginfo").toString
+    TextAnalysis.bm25AppendSegment(a, "doc_id", "text", dir, 0)
+    // doc 2 modified at gen 1: tombstone (old dl 2) + re-append
+    TextAnalysis.bm25Tombstone(Seq((2L, 2L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    TextAnalysis.bm25AppendSegment(b, "doc_id", "text", dir, 1)
+    def infos() = TextAnalysis.segmentInfos(spark, dir, "doc_id")
+      .orderBy(col("seg"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(infos() == Seq(
+      (0, 2L, 5L, 3L, 0L),     // docs {1,2}, 5 tokens, {a,b,c}, no kills
+      (1, 2L, 3L, 2L, 1L)))    // docs {3,2'}, 3 tokens, {d,e}, 1 kill
+    // the full merge folds everything into one purged seg=0: live
+    // docs {1, 3, 2'} (old doc 2 dead), dict rewritten to live vocab
+    TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
+    assert(infos() == Seq((0, 3L, 6L, 5L, 0L)),
+      s"post-merge inventory wrong: ${infos()}")
+  }
+
   test("spellSuggest: (distance, live df desc, term) ranking, exact " +
       "hit first, tombstoned terms never suggested, guards") {
     import spark.implicits._
@@ -1520,5 +1548,211 @@ class TextAnalysisSpec extends SparkSpec {
     // asOf at/above the max live segment is exactly the live read
     assert(probe(dir, Some(1)) == probe(dir, None))
     assert(probe(dir, Some(99)) == probe(dir, None))
+  }
+
+  test("synonymSearch: member tfs sum into one pseudo-term, union df " +
+      "exact, singleton group equals plain probe, disjointness guard, " +
+      "tombstones honored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "car car auto"),     // both members: tf 3 in one group
+      (2L, "automobile x"),     // one member
+      (3L, "car y"),            // one member
+      (4L, "x y"))              // no member
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("synidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(groups: Seq[Seq[String]]) = TextAnalysis
+      .synonymSearch(spark, dir, groups, 10, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    val syn = run(Seq(Seq("car", "auto", "automobile")))
+    assert(syn.keySet == Set(1L, 2L, 3L), s"match set wrong: $syn")
+    // the group behaves as ONE term with df=3 (union over members),
+    // tf = summed members — replay the engine's own arithmetic on a
+    // corpus where every doc has dl 3 except docs 2-4 (dl 2):
+    // equivalently, a corpus rewritten with every member spelled as
+    // one token must score identically
+    val rewritten = Seq(
+      (1L, "t t t"), (2L, "t x"), (3L, "t y"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("synidx2").toString
+    TextAnalysis.bm25AppendSegment(rewritten, "doc_id", "text", dir2, 0)
+    val plain = TextAnalysis.bm25ProbeSegmented(spark, dir2,
+        Seq((0L, "t")).toDF("qid", "qtext"), 10, "doc_id")
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(syn == plain,
+      s"synonym group diverged from the one-term rewrite: $syn vs $plain")
+    // a singleton group is exactly a one-term probe on the real index
+    val single = run(Seq(Seq("car")))
+    val probe1 = TextAnalysis.bm25ProbeSegmented(spark, dir,
+        Seq((0L, "car")).toDF("qid", "qtext"), 10, "doc_id")
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(single == probe1)
+    // guards: overlap across groups, empty group
+    intercept[IllegalArgumentException] {
+      run(Seq(Seq("car", "auto"), Seq("auto", "truck")))
+    }
+    intercept[IllegalArgumentException] { run(Seq(Seq())) }
+    // tombstones: killing doc 1 shrinks the union df to 2 and drops it
+    TextAnalysis.bm25Tombstone(Seq((1L, 3L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    val after = run(Seq(Seq("car", "auto", "automobile")))
+    assert(after.keySet == Set(2L, 3L))
+  }
+
+  test("bm25fTopK: single unit-weight field reproduces single-field " +
+      "ranking, a boosted title field reorders a crafted pair, " +
+      "per-field b respected, guards") {
+    import spark.implicits._
+    // doc 1: term only in body (long); doc 2: term in short title —
+    // with title boosted + weak title length-norm, doc 2 must win
+    val docs = Seq(
+      (1L, "hit filler filler filler filler filler", "other words"),
+      (2L, "filler alpha beta gamma delta epsilon", "hit words"),
+      (3L, "noise noise noise", "noise words"))
+      .toDF("doc_id", "body", "title")
+    val q = Seq((0L, "hit")).toDF("qid", "qtext")
+    val boosted = TextAnalysis.bm25fTopK(docs, "doc_id",
+        Seq(("body", 1.0, 0.75), ("title", 3.0, 0.3)), q, 10)
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect()
+    assert(boosted.map(_._1).toSeq == Seq(2L, 1L),
+      s"title boost did not dominate: ${boosted.toSeq}")
+    // single field at unit weight ranks exactly like the plain scan
+    // scorer (same monotone saturation of the same normalized tf; the
+    // absolute scale differs by the (k1+1) factor BM25F drops)
+    val d2 = Seq(
+      (1L, "a a b c"), (2L, "a b"), (3L, "b c c"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val q2 = Seq((0L, "a c"), (1L, "b")).toDF("qid", "qtext")
+    val f = TextAnalysis.bm25fTopK(d2, "doc_id",
+        Seq(("text", 1.0, 0.75)), q2, 10)
+      .select(col("qid"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2))
+        .map(_._2).toSeq).toMap
+    val p = TextAnalysis.bm25TopK(d2, "doc_id", "text", q2, 10)
+      .select(col("qid"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2))
+        .map(_._2).toSeq).toMap
+    assert(f == p, s"single-field BM25F ranking diverged: $f vs $p")
+    // guards
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25fTopK(docs, "doc_id", Nil, q, 10)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25fTopK(docs, "doc_id",
+        Seq(("body", 1.0, 0.75), ("body", 2.0, 0.5)), q, 10)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25fTopK(docs, "doc_id",
+        Seq(("body", -1.0, 0.75)), q, 10)
+    }
+  }
+
+  test("booleanSearch collapse: one best hit per group, NULLs form " +
+      "one group, composes with searchAfter, uncollapsed otherwise " +
+      "unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a"), (2L, "a a x"), (3L, "a y z"), (4L, "a w v"),
+      (5L, "a u t"))
+      .toDF("doc_id", "text")
+    // groups: docs 1,2 → g1; docs 3,4 → g2; doc 5 → NULL
+    val meta = Seq(
+      (1L, Some("g1")), (2L, Some("g1")), (3L, Some("g2")),
+      (4L, Some("g2")), (5L, None: Option[String]))
+      .toDF("doc_id", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("collidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val coll = TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"),
+        Nil, 10, "doc_id", collapse = Some((meta, "source")))
+      .select(col("doc_id"), col("source"))
+      .as[(Long, Option[String])].collect().toSet
+    // g1's best is doc 1 (tf 3), g2's best is doc 3 (ties → smaller
+    // id), the NULL group keeps exactly one row (doc 5)
+    assert(coll == Set((1L, Some("g1")), (3L, Some("g2")),
+      (5L, None)), s"collapse wrong: $coll")
+    // searchAfter composes: collapse first, then the cursor
+    val all = TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"),
+        Nil, 10, "doc_id", collapse = Some((meta, "source")))
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect()
+      .sortBy(r => (-r._2, r._1)).toSeq
+    val (s0, id0) = all.head.swap
+    val page2 = TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"),
+        Nil, 10, "doc_id", after = Some((id0, s0).swap),
+        collapse = Some((meta, "source")))
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().sortBy(r => (-r._2, r._1)).toSeq
+    assert(page2 == all.tail, s"cursor page diverged: $page2 vs ${
+      all.tail}")
+    // without collapse the schema and results are the r13 contract
+    val plain = TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"),
+        Nil, 10, "doc_id")
+    assert(plain.columns.toSeq == Seq("doc_id", "score"))
+    assert(plain.count() == 5)
+  }
+
+  test("disMaxSearch: tiebreak=0 is the max of per-clause scores, " +
+      "tiebreak=1 on disjoint clauses is the boolean sum, overlap " +
+      "scores per clause, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red red blue"),      // strong in c0, weak in c1
+      (2L, "green green green"), // only c1
+      (3L, "red green"),         // both clauses
+      (4L, "x y z"))             // neither
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("dismaxidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val c0 = Seq("red", "blue"); val c1 = Seq("green")
+    def clauseScores(ts: Seq[String]) = TextAnalysis
+      .booleanSearch(spark, dir, Nil, ts, Nil, 10, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    val (s0, s1) = (clauseScores(c0), clauseScores(c1))
+    val dm0 = TextAnalysis.disMaxSearch(spark, dir, Seq(c0, c1),
+        tiebreak = 0.0, 10, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    val expect0 = (s0.keySet ++ s1.keySet).map { id =>
+      id -> math.max(s0.getOrElse(id, 0.0), s1.getOrElse(id, 0.0))
+    }.toMap
+    assert(dm0 == expect0,
+      s"tiebreak=0 is not the clause max: $dm0 vs $expect0")
+    // disjoint clauses at tiebreak=1 degenerate to the boolean sum
+    // over the union panel (same fixed-point longs, one rounding)
+    val dm1 = TextAnalysis.disMaxSearch(spark, dir, Seq(c0, c1),
+        tiebreak = 1.0, 10, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    val union = clauseScores(c0 ++ c1)
+    assert(dm1 == union,
+      s"tiebreak=1 is not the boolean sum: $dm1 vs $union")
+    // an overlapping term scores independently in each clause: with
+    // clauses {red} and {red} at tiebreak=1, doc 1 scores twice its
+    // single-clause reading
+    val twice = TextAnalysis.disMaxSearch(spark, dir,
+        Seq(Seq("red"), Seq("red")), tiebreak = 1.0, 10, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    val once = clauseScores(Seq("red"))
+    assert(twice.keySet == once.keySet &&
+      twice.forall { case (id, s) =>
+        math.abs(s - 2 * once(id)) < 1e-6 },
+      s"overlapping clauses did not score independently: $twice vs $once")
+    // guards
+    intercept[IllegalArgumentException] {
+      TextAnalysis.disMaxSearch(spark, dir, Seq(Seq()), 0.0, 10,
+        "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.disMaxSearch(spark, dir, Seq(Seq("red")), 1.5, 10,
+        "doc_id")
+    }
   }
 }
