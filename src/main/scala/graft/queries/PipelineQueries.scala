@@ -3567,6 +3567,140 @@ object PipelineQueries {
         .orderBy(col("seg"))
     }),
 
+    // X3 — SYNONYM QUERY (Lucene's SynonymQuery): each group scored
+    // as ONE pseudo-term — member tfs summed per doc, df the EXACT
+    // count of live docs containing ≥1 member (where Lucene
+    // approximates with max-of-member-dfs, the relational form
+    // affords the union cardinality) — through the shared contribFp
+    // arithmetic. Two panels on one segment: a two-member synset
+    // beside a plain term, and a three-member synset alone.
+    "q165_synonym_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("syn_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val r1 = TextAnalysis.synonymSearch(s, path,
+          Seq(Seq("scan", "seek"), Seq("merge")), k = 15, "doc_id")
+        .withColumn("q", lit("syn(scan,seek) merge"))
+      val r2 = TextAnalysis.synonymSearch(s, path,
+          Seq(Seq("fast", "quick", "rapid")), k = 15, "doc_id")
+        .withColumn("q", lit("syn(fast,quick,rapid)"))
+      r1.unionByName(r2)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
+
+    // X3 — DISJUNCTION MAX (Lucene's DisjunctionMaxQuery): per-clause
+    // BM25 sums fold the shared contribFp longs; the doc's score is
+    // max-clause + tiebreak × rest, the combine rounded to a long
+    // ONCE before the public rounding. Two panels: overlapping
+    // clauses at tiebreak 0.3, and pure-max (tiebreak 0) where only
+    // the best clause counts.
+    "q166_dismax_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("dismax_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val r1 = TextAnalysis.disMaxSearch(s, path,
+          Seq(Seq("sort", "merge"), Seq("scan", "sort")),
+          tiebreak = 0.3, k = 15, "doc_id")
+        .withColumn("q", lit("dismax0.3"))
+      val r2 = TextAnalysis.disMaxSearch(s, path,
+          Seq(Seq("query", "filter"), Seq("window")),
+          tiebreak = 0.0, k = 15, "doc_id")
+        .withColumn("q", lit("dismax0.0"))
+      r1.unionByName(r2)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
+
+    // X3 — BM25F (Robertson & Zaragoza 2004): multi-field ranking
+    // where per-field tfs are length-normalized and weight-combined
+    // into ONE pseudo-frequency BEFORE saturation. Fields synthesized
+    // deterministically from the corpus — title = first 4 tokens
+    // (weight 2, weak length norm b=0.4), body = the rest (weight 1,
+    // b=0.75) — so the oracle replays the split, both normalizations,
+    // and the document-level df exactly.
+    "q167_bm25f" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val fielded = d.select(col("doc_id"),
+        array_join(slice(toks, 1, 4), " ").as("title"),
+        array_join(slice(toks, 5, 1000000), " ").as("body"))
+      val panel = Seq((0L, "table scan"), (1L, "merge sort fast"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25fTopK(fielded, "doc_id",
+          Seq(("title", 2.0, 0.4), ("body", 1.0, 0.75)), panel, k = 12)
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
+    // X3 — FIELD COLLAPSING (Lucene CollapsingTopDocs / Solr
+    // collapse): one best hit per source before the top-k cut, so the
+    // page holds k distinct sources — result diversification. The
+    // group key joins onto the aggregate-sized match set, never the
+    // corpus.
+    "q168_collapsed_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("collapse_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = Seq("query", "filter"), mustNot = Nil, k = 8,
+          "doc_id", collapse = Some((d, "source")))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // X2 — BATCHED IVF probe: a 3-query panel served by ONE index
+    // scan pruned to the union of probed cells; per-query results
+    // must be bit-identical to independent probes (the spec pins
+    // that), and the oracle replays each query's cell ranking,
+    // assignment, and top-k cut from the written centroid parquet.
+    "q169_batched_ann" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L)
+      val base = e.filter(!col("vec_id").isin(qids: _*))
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("bann_cents", dir))
+      val cents = s.read.parquet(scratchPath("bann_cents", dir))
+      val ipath = scratchPath("bann_index", dir)
+      Similarity.ivfWriteIndexCosine(base, cents, "vec_id",
+        "embedding", ipath)
+      val panel = e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"),
+          VectorFns.toDouble(col("embedding")).as("qvec"))
+      Similarity.ivfProbePrunedCosineMulti(s, ipath, cents, panel,
+          "vec_id", "embedding", k = 10, nProbe = 3)
+        .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+    }),
+
+    // X2 — RANGE SEARCH (FAISS range_search): every vector with
+    // similarity ≥ the radius, not a top-k cut — result size is
+    // data-dependent. Shares the partition-pruned read and the
+    // nProbe recall dial with the top-k probe; the threshold
+    // compares on the rounded similarity so the boundary replays.
+    "q170_range_search" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val base = e.filter(col("vec_id") =!= 0)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("range_cents", dir))
+      val cents = s.read.parquet(scratchPath("range_cents", dir))
+      val ipath = scratchPath("range_index", dir)
+      Similarity.ivfWriteIndexCosine(base, cents, "vec_id",
+        "embedding", ipath)
+      Similarity.ivfRangeSearchCosine(s, ipath, cents, qv, "vec_id",
+          "embedding", minSim = 0.15, nProbe = 4)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -6541,6 +6675,224 @@ object PipelineQueries {
         |SELECT seg, n_docs, sum_dl, n_terms, n_tombstones FROM
         |  (SELECT * FROM i0 UNION ALL SELECT * FROM i1)
         |ORDER BY seg""".stripMargin,
+
+    // synonym semantics replayed: member tfs summed into one pseudo-
+    // term per group, df the exact union cardinality, the identical
+    // fixed-point contribution arithmetic
+    "q165_synonym_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |gm AS (SELECT * FROM (VALUES
+        |    ('scan', 0, 1), ('seek', 0, 1), ('merge', 1, 1),
+        |    ('fast', 0, 2), ('quick', 0, 2), ('rapid', 0, 2))
+        |  AS v(term, grp, panel)),
+        |pseudo AS (SELECT panel, doc_id, dl, grp,
+        |    count(*) AS tf
+        |  FROM tc JOIN gm USING (term)
+        |  GROUP BY 1, 2, 3, 4),
+        |dfg AS (SELECT panel, grp, count(DISTINCT doc_id) AS df
+        |        FROM pseudo GROUP BY 1, 2),
+        |scored AS (SELECT panel, doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM pseudo JOIN dfg USING (panel, grp) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r1 AS (SELECT doc_id, score, 'syn(scan,seek) merge' AS q
+        |  FROM scored WHERE panel = 1
+        |  ORDER BY score DESC, doc_id LIMIT 15),
+        |r2 AS (SELECT doc_id, score, 'syn(fast,quick,rapid)' AS q
+        |  FROM scored WHERE panel = 2
+        |  ORDER BY score DESC, doc_id LIMIT 15)
+        |SELECT q, doc_id, score FROM
+        |  (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY q, score DESC, doc_id""".stripMargin,
+
+    // dismax semantics replayed: per-clause fixed-point BM25 sums,
+    // max + tiebreak × rest with the combine floored to a long once
+    "q166_dismax_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |cm AS (SELECT * FROM (VALUES
+        |    ('sort', 0, 1), ('merge', 0, 1),
+        |    ('scan', 1, 1), ('sort', 1, 1),
+        |    ('query', 0, 2), ('filter', 0, 2), ('window', 1, 2))
+        |  AS v(term, clause, panel)),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN (SELECT DISTINCT term FROM cm)
+        |        GROUP BY 1),
+        |percl AS (SELECT panel, doc_id, clause,
+        |    sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) AS cs
+        |  FROM tf JOIN dfq USING (term) JOIN cm USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2, 3),
+        |combined AS (SELECT panel, doc_id,
+        |    max(cs) AS mx, sum(cs) AS sm FROM percl GROUP BY 1, 2),
+        |r1 AS (SELECT doc_id,
+        |    round((mx + CAST(floor(0.3 * (sm - mx) + 0.5) AS BIGINT))
+        |      / 1e7, 4) AS score, 'dismax0.3' AS q
+        |  FROM combined WHERE panel = 1
+        |  ORDER BY score DESC, doc_id LIMIT 15),
+        |r2 AS (SELECT doc_id,
+        |    round((mx + CAST(floor(0.0 * (sm - mx) + 0.5) AS BIGINT))
+        |      / 1e7, 4) AS score, 'dismax0.0' AS q
+        |  FROM combined WHERE panel = 2
+        |  ORDER BY score DESC, doc_id LIMIT 15)
+        |SELECT q, doc_id, score FROM
+        |  (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY q, score DESC, doc_id""".stripMargin,
+
+    // BM25F replayed: the deterministic title/body split re-derived,
+    // per-field length-normalized weighted tfs combined into one
+    // pseudo-frequency before saturation, document-level df
+    "q167_bm25f" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |fields AS (
+        |  SELECT doc_id, 0 AS fld, CAST(2.0 AS DOUBLE) AS w,
+        |    CAST(0.4 AS DOUBLE) AS b,
+        |    string_split(array_to_string(list_slice(t, 1, 4), ' '),
+        |      ' ') AS ft
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS fld, CAST(1.0 AS DOUBLE) AS w,
+        |    CAST(0.75 AS DOUBLE) AS b,
+        |    string_split(array_to_string(list_slice(t, 5, len(t)),
+        |      ' '), ' ') AS ft
+        |  FROM base),
+        |ftf AS (SELECT doc_id, fld, w, b, len(ft) AS dl,
+        |    unnest(ft) AS term FROM fields),
+        |tf AS (SELECT doc_id, fld, w, b, dl, term, count(*) AS tf
+        |       FROM ftf GROUP BY 1, 2, 3, 4, 5, 6),
+        |fstats AS (SELECT fld, avg(dl) AS avgdl_f FROM
+        |    (SELECT DISTINCT fld, doc_id, dl FROM tf) GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |panel AS (SELECT * FROM (VALUES
+        |    (0, 'table'), (0, 'scan'),
+        |    (1, 'merge'), (1, 'sort'), (1, 'fast'))
+        |  AS v(qid, term)),
+        |ptf AS (SELECT doc_id, term,
+        |    sum(tf * w / (1.0 - b + b * dl / avgdl_f)) AS ptf
+        |  FROM tf JOIN fstats USING (fld)
+        |  WHERE term IN (SELECT DISTINCT term FROM panel)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM ptf GROUP BY 1),
+        |scored AS (SELECT qid, doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) * ptf / (ptf + 1.2))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM ptf JOIN panel USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN nd
+        |  GROUP BY 1, 2),
+        |topk AS (SELECT qid, doc_id, score FROM (
+        |    SELECT qid, doc_id, score, row_number() OVER (
+        |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |    FROM scored) WHERE rn <= 12)
+        |SELECT qid, doc_id, score FROM topk
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // field collapsing replayed: the should-panel ranking, one best
+    // hit per source (score DESC, id ASC), then the top-k cut
+    "q168_collapsed_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('query', 'filter') GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |ranked AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'filter')
+        |  GROUP BY 1),
+        |coll AS (SELECT doc_id, score, source FROM (
+        |    SELECT r.doc_id, r.score, d.source, row_number() OVER (
+        |      PARTITION BY d.source
+        |      ORDER BY r.score DESC, r.doc_id) AS rn
+        |    FROM ranked r JOIN documents d USING (doc_id))
+        |  WHERE rn = 1)
+        |SELECT doc_id, score, source FROM coll
+        |ORDER BY score DESC, doc_id LIMIT 8""".stripMargin,
+
+    // batched probe replayed: per-query cell ranking from the written
+    // centroids, shared assignment, per-query top-k — must equal N
+    // independent probes
+    "q169_batched_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/bann_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY 1 - list_cosine_similarity(c.cv, q.qv), c.cid)
+        |      AS rn
+        |    FROM cents c, q) WHERE rn <= 3),
+        |assign AS (
+        |  SELECT e.vec_id AS vid,
+        |    arg_min(c.cid,
+        |      1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv))
+        |      AS cid
+        |  FROM embeddings e, cents c WHERE e.vec_id NOT IN (0, 1, 2)
+        |  GROUP BY e.vec_id),
+        |cand AS (SELECT p.qid, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+        |      4) AS sim
+        |  FROM embeddings e
+        |  JOIN assign a ON e.vec_id = a.vid
+        |  JOIN probed p ON a.cid = p.cid
+        |  JOIN q ON p.qid = q.qid)
+        |SELECT qid, vec_id, sim FROM (
+        |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, vec_id) AS rn FROM cand)
+        |WHERE rn <= 10
+        |ORDER BY qid, sim DESC, vec_id""".stripMargin,
+
+    // range search replayed: same cell ranking and assignment, every
+    // candidate at rounded similarity ≥ the radius — no k cut
+    "q170_range_search" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/range_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 4),
+        |assign AS (
+        |  SELECT e.vec_id AS vid,
+        |    arg_min(c.cid,
+        |      1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv))
+        |      AS cid
+        |  FROM embeddings e, cents c WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id),
+        |cand AS (SELECT e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      (SELECT qv FROM q)), 4) AS sim
+        |  FROM embeddings e
+        |  JOIN assign a ON e.vec_id = a.vid
+        |  WHERE a.cid IN (SELECT cid FROM probed))
+        |SELECT vec_id, sim FROM cand WHERE sim >= 0.15
+        |ORDER BY sim DESC, vec_id""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,
