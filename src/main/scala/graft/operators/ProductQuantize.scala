@@ -433,6 +433,36 @@ object ProductQuantize {
     adcScore(codes, adcLut(cb, queryVec, m), idCol, k)
   }
 
+  /** EXACT-REFINE rung (FAISS's IndexRefineFlat): the ADC probe keeps
+    * the top `refine` candidates (refine ≥ k, typically 3–10×k), then
+    * those and ONLY those are re-ranked by exact cosine against the
+    * original float vectors, and the true top k of the candidate set
+    * is returned. Provably dominates the raw ADC cut on recall: any
+    * true top-k member inside the candidate set survives the exact
+    * re-rank by definition (at most k−1 candidates can outscore it in
+    * the true metric — each one is itself a true top-k-or-better),
+    * while ADC's quantized ranking can drop it; the spec pins the
+    * inequality on the recall panel. Cost shape: the ADC stage is the
+    * usual nProbe-pruned integer scan; the refine stage's candidate
+    * ids are a `refine`-bounded driver list (an intentional BOUNDED
+    * collect — that is what turns the re-read into a pushed `id IN`
+    * parquet filter instead of a corpus join), so the exact pass
+    * touches `refine` rows of `vectors` no matter the corpus size. */
+  def ivfPqProbeRefined(spark: SparkSession, path: String,
+                        cents: DataFrame, queryVec: DataFrame,
+                        vectors: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nProbe: Int,
+                        refine: Int): DataFrame = {
+    require(refine >= k, s"ivfPqProbeRefined: refine ($refine) < k ($k)")
+    val candIds = ivfPqProbe(spark, path, cents, queryVec, idCol,
+        k = refine, nProbe = nProbe)
+      .select(col(idCol)).collect().map(_.get(0))
+    Similarity.topK(
+      vectors.filter(col(idCol)
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(candIds): _*)),
+      queryVec, idCol, vecCol, k)
+  }
+
   /** Batch (multi-query) ADC: one broadcast |panel|·m·k lookup table,
     * per-query top-k via a qid-partitioned window. `queries` carries
     * (`qid`, `qvec`). The production shape for scoring a query PANEL

@@ -688,13 +688,14 @@ object TextAnalysis {
     * columns (tf, df, dl, n_docs, avgdl) — shared by every scoring
     * path ([[bm25Score]] and [[booleanSearch]]) so the arithmetic
     * the q97/q114/q115 gates pin can never fork. */
-  private def contribFp(k1: Double, b: Double): Column = floor(
+  private def contribFp(k1: Double, b: Double,
+                        boost: Column = lit(1.0)): Column = floor(
     (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
         (col("df") + 0.5)) *
       (col("tf") * (k1 + 1)) /
       (col("tf") +
         lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      * lit(1e7) + lit(0.5)).cast("long")
+      * boost * lit(1e7) + lit(0.5)).cast("long")
 
   /** THE one BM25 scoring definition — shared by the corpus-scan path
     * ([[bm25TopK]]) and the materialized-index probe
@@ -981,7 +982,14 @@ object TextAnalysis {
     * is a window over that same set — the cost class ranking already
     * paid; collapse composes with `after` (collapse first, then the
     * cursor, Lucene's order — the cursor walks the collapsed total
-    * order). */
+    * order).
+    *
+    * `boosts` is Lucene's per-term boost (`query^3`): the named
+    * positive term's whole contribution scales by the weight before
+    * the shared fixed-point floor — match semantics (must/mustNot/mm)
+    * are untouched, only ranking moves. Keys must be positive terms;
+    * weights must be > 0 (a 0 boost would silently delete a term —
+    * spell that as removing it from the query). */
   def booleanSearch(spark: org.apache.spark.sql.SparkSession,
                     path: String, must: Seq[String],
                     should: Seq[String], mustNot: Seq[String],
@@ -991,11 +999,16 @@ object TextAnalysis {
                     minShouldMatch: Int = 0,
                     after: Option[(Double, Long)] = None,
                     allowed: Option[DataFrame] = None,
-                    collapse: Option[(DataFrame, String)] = None)
+                    collapse: Option[(DataFrame, String)] = None,
+                    boosts: Map[String, Double] = Map.empty)
       : DataFrame = {
     val mustD = must.distinct
     val shouldD = should.distinct.filterNot(mustD.contains)
     val notD = mustNot.distinct
+    require(boosts.values.forall(_ > 0),
+      "booleanSearch: boosts must be > 0")
+    require(boosts.keySet.subsetOf((mustD ++ shouldD).toSet),
+      "booleanSearch: boost on a term outside the positive clauses")
     require(mustD.nonEmpty || shouldD.nonEmpty,
       "booleanSearch: no positive (must/should) terms")
     val clash = (mustD ++ shouldD).intersect(notD)
@@ -1007,7 +1020,7 @@ object TextAnalysis {
     val (live, stats) = liveScoring(spark, path, idCol,
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
-      excludeIds, minShouldMatch, after, allowed, collapse)
+      excludeIds, minShouldMatch, after, allowed, collapse, boosts)
   }
 
   /** [[booleanSearch]]'s scoring body over an already-read live
@@ -1023,13 +1036,21 @@ object TextAnalysis {
                           minShouldMatch: Int = 0,
                           after: Option[(Double, Long)] = None,
                           allowed: Option[DataFrame] = None,
-                          collapse: Option[(DataFrame, String)] = None)
+                          collapse: Option[(DataFrame, String)] = None,
+                          boosts: Map[String, Double] = Map.empty)
       : DataFrame = {
     val positive = mustD ++ shouldD
     def inSet(set: Seq[String]): Column =
       if (set.isEmpty) lit(false)
       else col("term").isin(scala.collection.immutable.ArraySeq
         .unsafeWrapArray(set.toArray): _*)
+    // Lucene's per-term boost: the whole term contribution scales
+    // before the ONE fixed-point floor, so boosted scoring stays
+    // addend-order-deterministic; a query-sized chained-when literal,
+    // never a join. Boost 1.0 (the default) is an exact IEEE no-op.
+    val boostCol = boosts.foldLeft(lit(1.0)) {
+      case (acc, (t, w)) => when(col("term") === t, lit(w)).otherwise(acc)
+    }
     val dfq = live.filter(inSet(positive))
       .groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
@@ -1039,7 +1060,7 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
       .agg(
-        sum(when(inSet(positive), contribFp(k1, b))
+        sum(when(inSet(positive), contribFp(k1, b, boostCol))
           .otherwise(lit(0L))).as("score_fp"),
         count_distinct(when(inSet(mustD), col("term"))).as("n_must"),
         // minimum-should-match=1: a doc must carry ≥1 POSITIVE term —

@@ -3701,6 +3701,54 @@ object PipelineQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // X2 — EXACT-REFINE after ADC (FAISS IndexRefineFlat): the IVF-PQ
+    // probe keeps top refine=50 by integer ADC, then exactly those 50
+    // re-rank by true cosine against the original floats (a pushed
+    // `id IN` scan — the candidate list is refine-bounded by
+    // construction). Provably ≥ raw ADC on recall; the oracle replays
+    // BOTH stages off the written artifacts: the fixed-point lookup
+    // sums, the 50-cut, and the exact re-rank.
+    "q171_pq_refine" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("refine_cents", dir))
+      val cents = s.read.parquet(scratchPath("refine_cents", dir))
+      val path = scratchPath("refine_index", dir)
+      ProductQuantize.ivfPqWriteIndex(base, cents, "vec_id",
+        "embedding", m = 8, k = 16, path)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      ProductQuantize.ivfPqProbeRefined(s, path, cents, qv, base,
+          "vec_id", "embedding", k = 10, nProbe = 3, refine = 50)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
+    // X3 — PER-TERM BOOSTS (Lucene's query^3 syntax): the boosted
+    // term's whole contribution scales before the shared fixed-point
+    // floor; match semantics untouched. Two panels: a should-only
+    // query with opposing boosts (3× vs 0.5×), and a must+should
+    // query boosting only the should term.
+    "q172_boosted_search" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("boost_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val r1 = TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = Seq("query", "filter"), mustNot = Nil, k = 15,
+          "doc_id", boosts = Map("query" -> 3.0, "filter" -> 0.5))
+        .withColumn("q", lit("query^3 filter^0.5"))
+      val r2 = TextAnalysis.booleanSearch(s, path,
+          must = Seq("sort"), should = Seq("merge"), mustNot = Nil,
+          k = 15, "doc_id", boosts = Map("merge" -> 2.0))
+        .withColumn("q", lit("+sort merge^2"))
+      r1.unionByName(r2)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -6893,6 +6941,89 @@ object PipelineQueries {
         |  WHERE a.cid IN (SELECT cid FROM probed))
         |SELECT vec_id, sim FROM cand WHERE sim >= 0.15
         |ORDER BY sim DESC, vec_id""".stripMargin,
+
+    // refine replayed end to end: q130's integer ADC arithmetic cut
+    // at 50, then the exact cosine re-rank of exactly those ids
+    "q171_pq_refine" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |  FROM read_parquet('{SCRATCH}/refine_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |cb AS (SELECT subspace, code, cvec
+        |  FROM read_parquet(
+        |    '{SCRATCH}/refine_index_{SFHASH}/codebooks/*.parquet')),
+        |ip AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb, q),
+        |cx AS (SELECT vec_id, subspace, codes[subspace + 1] AS code
+        |  FROM (SELECT vec_id, codes,
+        |          unnest(generate_series(0, 7)) AS subspace
+        |        FROM read_parquet(
+        |            '{SCRATCH}/refine_index_{SFHASH}/codes/*/*.parquet',
+        |            hive_partitioning = 1)
+        |        WHERE CAST(centroid_id AS BIGINT) IN
+        |          (SELECT cid FROM probed))),
+        |cand AS (SELECT vec_id FROM (
+        |    SELECT vec_id,
+        |      round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS adc_score
+        |    FROM cx JOIN ip USING (subspace, code)
+        |    GROUP BY vec_id ORDER BY adc_score DESC, vec_id
+        |    LIMIT 50))
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    (SELECT qv FROM q)), 4) AS sim
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // boosted scoring replayed: the same contribution arithmetic with
+    // the per-term weight multiplied before the fixed-point floor
+    "q172_boosted_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('query', 'filter', 'sort', 'merge')
+        |        GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |r1 AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * (CASE term WHEN 'query' THEN CAST(3.0 AS DOUBLE)
+        |         ELSE CAST(0.5 AS DOUBLE) END)
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    'query^3 filter^0.5' AS q
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'filter')
+        |  GROUP BY 1
+        |  ORDER BY score DESC, doc_id LIMIT 15),
+        |r2 AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * (CASE term WHEN 'merge' THEN CAST(2.0 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END)
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    '+sort merge^2' AS q
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('sort', 'merge')
+        |  GROUP BY 1
+        |  HAVING count(DISTINCT CASE WHEN term = 'sort'
+        |    THEN term END) = 1
+        |  ORDER BY score DESC, doc_id LIMIT 15)
+        |SELECT q, doc_id, score FROM
+        |  (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY q, score DESC, doc_id""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,

@@ -115,6 +115,54 @@ class ProductQuantizeSpec extends SparkSpec {
       s"ADC panel recall only $overlap/100 against exact top-10")
   }
 
+  test("exact-refine rung: equals brute force over its own candidate " +
+      "set, per-query recall dominates the raw ADC cut, refine<k " +
+      "guarded") {
+    val path = scratch("pq_refine").toString
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+    ProductQuantize.ivfPqWriteIndex(base, cents, "vec_id", "embedding",
+      m = 8, k = 16, path)
+    (0L until 6L).foreach { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val truth = Similarity.topK(base, qv, "vec_id", "embedding", 10)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val adcTop = ProductQuantize.ivfPqProbe(spark, path, cents, qv,
+          "vec_id", k = 10, nProbe = 3)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val candIds = ProductQuantize.ivfPqProbe(spark, path, cents, qv,
+          "vec_id", k = 50, nProbe = 3)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val refined = ProductQuantize.ivfPqProbeRefined(spark, path,
+          cents, qv, base, "vec_id", "embedding", k = 10, nProbe = 3,
+          refine = 50)
+        .as[(Long, Double)].collect().toSeq
+      // refine IS brute force restricted to the candidate set
+      val bruteOverCand = Similarity.topK(
+          base.filter(col("vec_id").isin(candIds.toSeq: _*)), qv,
+          "vec_id", "embedding", 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(refined == bruteOverCand,
+        s"q=$q: refine diverged from brute force over its candidates")
+      // the dominance proof, pinned per query: every true-top-10
+      // member the candidate set holds survives the exact re-rank, so
+      // refine hits ⊇ ADC hits
+      val adcHits = (adcTop & truth).size
+      val refHits = (refined.map(_._1).toSet & truth).size
+      assert(refHits >= adcHits,
+        s"q=$q: refine recall $refHits < ADC recall $adcHits")
+      assert((adcTop & truth).subsetOf(refined.map(_._1).toSet),
+        s"q=$q: an ADC hit was dropped by the exact re-rank")
+    }
+    val qv0 = emb.filter(col("vec_id") === 0)
+      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+    val err = intercept[IllegalArgumentException] {
+      ProductQuantize.ivfPqProbeRefined(spark, path, cents, qv0, base,
+        "vec_id", "embedding", k = 10, nProbe = 3, refine = 5)
+    }
+    assert(err.getMessage.contains("refine"))
+  }
+
   test("IVF-PQ probe prunes partitions and converges to the flat scan") {
     val flatPath = scratch("pq_spec3_flat").toString
     val ivfPath = scratch("pq_spec3_ivf").toString

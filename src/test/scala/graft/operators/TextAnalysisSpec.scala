@@ -1550,6 +1550,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe(dir, Some(99)) == probe(dir, None))
   }
 
+  test("boosted search: boost 1.0 is bit-identical to unboosted, a " +
+      "boost reorders equal-scored docs as the arithmetic says, match " +
+      "semantics untouched, guards") {
+    import spark.implicits._
+    // docs 1/2 symmetric in a/b (same dl, same df) — unboosted they
+    // tie; boosting b must put doc 2 first without changing the set
+    val docs = Seq(
+      (1L, "a x"), (2L, "b x"), (3L, "a b"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("boostidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(boosts: Map[String, Double]) = TextAnalysis
+      .booleanSearch(spark, dir, must = Nil, should = Seq("a", "b"),
+        mustNot = Nil, k = 10, "doc_id", boosts = boosts)
+      .as[(Long, Double)].collect().toSeq
+    val plain = run(Map.empty)
+    assert(run(Map("a" -> 1.0, "b" -> 1.0)) == plain,
+      "boost 1.0 changed scoring")
+    assert(plain.take(1).map(_._1) == Seq(3L) &&
+      plain.map(_._1).toSet == Set(1L, 2L, 3L))
+    // docs 1 and 2 tie unboosted (symmetric corpus)
+    assert(plain(1)._2 == plain(2)._2 &&
+      plain.slice(1, 3).map(_._1) == Seq(1L, 2L))
+    val boosted = run(Map("b" -> 3.0))
+    assert(boosted.map(_._1).toSet == Set(1L, 2L, 3L),
+      "boost changed the match set")
+    assert(boosted.indexWhere(_._1 == 2L) <
+      boosted.indexWhere(_._1 == 1L),
+      s"3x boost on b did not lift doc 2 over doc 1: $boosted")
+    // arithmetic: the boost scales the whole contribution before the
+    // one fixed-point floor, so doc 2's boosted score is 3x doc 1's
+    // unboosted score to within the two roundings' quantum
+    val raw = plain.find(_._1 == 1L).get._2
+    assert(math.abs(boosted.find(_._1 == 2L).get._2 - raw * 3.0) < 2e-4,
+      s"boosted score not ~3x the unboosted: $boosted")
+    // guards: non-positive boost, boost outside the positive clauses
+    intercept[IllegalArgumentException] {
+      TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"), Nil, 5,
+        "doc_id", boosts = Map("a" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"), Seq("b"),
+        5, "doc_id", boosts = Map("b" -> 2.0))
+    }
+  }
+
   test("synonymSearch: member tfs sum into one pseudo-term, union df " +
       "exact, singleton group equals plain probe, disjointness guard, " +
       "tombstones honored") {
