@@ -2169,6 +2169,91 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** COMPLETION suggest (Lucene's suggest module, relationally):
+    * dictionary terms extending `prefix`, ranked by LIVE document
+    * frequency (ties to the smaller term) — the autocomplete
+    * primitive. The prefix lands on the term-sorted dictionary as a
+    * pushed `StringStartsWith`, so the expansion reads a vocabulary-
+    * bounded band, and df flows through the tombstone kill rule
+    * exactly like [[spellSuggest]] — a fully-deleted term can never
+    * be suggested. Returns (term, df). */
+  def completionSuggest(spark: org.apache.spark.sql.SparkSession,
+                        path: String, prefix: String, k: Int,
+                        idCol: String,
+                        maxExpansion: Int = 1000): DataFrame = {
+    require(prefix.nonEmpty, "completionSuggest: empty prefix")
+    require(k > 0, s"completionSuggest: bad k $k")
+    requireQuiescent(spark, path)
+    val matched = termDict(spark, path)
+      .filter(col("term").startsWith(prefix))
+      .collect().map(_.getString(0)).sorted
+    require(matched.length <= maxExpansion,
+      s"completionSuggest: '$prefix*' expands to ${matched.length} " +
+        s"terms > maxExpansion $maxExpansion — lengthen the prefix " +
+        "or raise the bound")
+    val live = liveAfterTombstones(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("term").isin(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(matched): _*))
+        .select(col(idCol), col("term"), col("seg")),
+      readTombstones(spark, path, idCol), idCol)
+    live.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
+  /** PERCOLATION (Elasticsearch's percolate query, relationally):
+    * REVERSE search — a batch of incoming documents matched against a
+    * STORED table of boolean queries in one pass, the alerting /
+    * routing primitive ("which saved searches does this new doc
+    * trigger?"). `queries` carries (query_id, must: array<string>,
+    * must_not: array<string>); a doc matches a query iff it contains
+    * every must term and none of the must_not terms — the same
+    * set-semantics booleanSearch gates on (tf never enters: matching
+    * is membership, not ranking).
+    *
+    * Scale shape: the stored query table is broadcast-sized by
+    * contract (alerting rule sets are small next to a document
+    * stream); docs pay ONE tokenize + distinct pass, the term join
+    * fans a doc term out only to the queries that name it, and the
+    * (doc, query) aggregate is candidate-sized — never the
+    * |docs| × |queries| cross product. Output (query_id, idCol). */
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame): DataFrame = {
+    val norm = cached(queries.select(col("query_id"),
+      array_distinct(col("must")).as("must"),
+      array_distinct(coalesce(col("must_not"),
+        array().cast("array<string>"))).as("must_not")))
+    val bad = norm.filter(size(col("must")) === 0 ||
+        arrays_overlap(col("must"), col("must_not")))
+      .select(col("query_id")).limit(1).collect()
+    require(bad.isEmpty,
+      s"percolate: query ${bad.head.get(0)} has no must terms or a " +
+        "term both must and must_not")
+    val qterms = norm
+      .select(col("query_id"), explode(col("must")).as("term"),
+        lit(1).as("is_must"))
+      .unionByName(norm.select(col("query_id"),
+        explode(col("must_not")).as("term"), lit(0).as("is_must")))
+    val nmust = norm.select(col("query_id"),
+      size(col("must")).as("n_must"))
+    val dterms = docs.select(col(idCol),
+      explode(array_distinct(tokens(coalesce(col(textCol), lit("")))))
+        .as("term"))
+    dterms.join(broadcast(qterms), "term")
+      .groupBy(col(idCol), col("query_id"))
+      .agg(
+        count_distinct(when(col("is_must") === 1, col("term")))
+          .as("got_must"),
+        max(when(col("is_must") === 0, lit(1)).otherwise(lit(0)))
+          .as("has_not"))
+      .join(broadcast(nmust), "query_id")
+      .filter(col("has_not") === 0 &&
+        col("got_must") === col("n_must"))
+      .select(col("query_id"), col(idCol))
+  }
+
   /** The term DICTIONARY of a segmented index: the per-segment
     * `termdict` artifact when present (a vocabulary-sized read — the
     * production path, Lucene's terms file), else derived from the

@@ -3749,6 +3749,52 @@ object PipelineQueries {
         .orderBy(col("q"), col("score").desc, col("doc_id"))
     }),
 
+    // X3 — PERCOLATION (Elasticsearch's percolate query): REVERSE
+    // search — the corpus matched against a STORED table of boolean
+    // queries in one pass (alerting/routing: "which saved searches
+    // does this doc trigger?"). Set semantics only — membership, not
+    // ranking. Four stored queries spanning must-only, must+mustNot,
+    // and a conjunctive pair.
+    "q173_percolate" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val stored = Seq(
+        (1L, Seq("sort", "merge"), Seq("scan")),
+        (2L, Seq("query"), Seq.empty[String]),
+        (3L, Seq("slow", "fast"), Seq.empty[String]),
+        (4L, Seq("window", "stream"), Seq("batch")))
+        .toDF("query_id", "must", "must_not")
+      TextAnalysis.percolate(d, "doc_id", "text", stored)
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // X3 — COMPLETION SUGGEST (Lucene's suggest module): dictionary
+    // terms extending a prefix ranked by LIVE document frequency —
+    // the autocomplete primitive, df through the tombstone kill rule
+    // (a killed doc stops counting; a fully-deleted term can never be
+    // suggested). One segment + a tombstone wave killing every 7th
+    // doc; the oracle replays df over the surviving corpus.
+    "q174_completion_suggest" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("compl_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val kill = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
+      val c1 = TextAnalysis.completionSuggest(s, path, "s", k = 8,
+          "doc_id")
+        .withColumn("q", lit("s*"))
+      val c2 = TextAnalysis.completionSuggest(s, path, "fi", k = 5,
+          "doc_id")
+        .withColumn("q", lit("fi*"))
+      c1.unionByName(c2).orderBy(col("q"), col("df").desc, col("term"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7024,6 +7070,47 @@ object PipelineQueries {
         |SELECT q, doc_id, score FROM
         |  (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
         |ORDER BY q, score DESC, doc_id""".stripMargin,
+
+    // percolation replayed: per-doc distinct token sets, each stored
+    // query's must/mustNot membership spelled directly
+    "q173_percolate" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_distinct(string_split(coalesce(text, ''), ' ')) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT 1 AS query_id, doc_id FROM tok
+        |  WHERE list_contains(t, 'sort') AND list_contains(t, 'merge')
+        |    AND NOT list_contains(t, 'scan')
+        |  UNION ALL
+        |  SELECT 2 AS query_id, doc_id FROM tok
+        |  WHERE list_contains(t, 'query')
+        |  UNION ALL
+        |  SELECT 3 AS query_id, doc_id FROM tok
+        |  WHERE list_contains(t, 'slow') AND list_contains(t, 'fast')
+        |  UNION ALL
+        |  SELECT 4 AS query_id, doc_id FROM tok
+        |  WHERE list_contains(t, 'window')
+        |    AND list_contains(t, 'stream')
+        |    AND NOT list_contains(t, 'batch'))
+        |SELECT query_id, doc_id FROM m
+        |ORDER BY query_id, doc_id""".stripMargin,
+
+    // completion replayed: distinct-doc df over the LIVE corpus (the
+    // tombstoned every-7th docs removed), prefix bands, (df DESC,
+    // term) cut
+    "q174_completion_suggest" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(coalesce(text, ''),
+        |      ' '))) AS term
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |dfq AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+        |c1 AS (SELECT term, df, 's*' AS q FROM dfq
+        |  WHERE term LIKE 's%' ORDER BY df DESC, term LIMIT 8),
+        |c2 AS (SELECT term, df, 'fi*' AS q FROM dfq
+        |  WHERE term LIKE 'fi%' ORDER BY df DESC, term LIMIT 5)
+        |SELECT q, term, df FROM
+        |  (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+        |ORDER BY q, df DESC, term""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,

@@ -1550,6 +1550,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe(dir, Some(99)) == probe(dir, None))
   }
 
+  test("percolate: must/mustNot set semantics, tf never matters, " +
+      "null text matches nothing, fan-out only to queries naming the " +
+      "term, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),            // q1 (a+b, no c? has c → blocked), q2
+      (2L, "a a a b"),          // tf irrelevant: matches q1, q2
+      (3L, "a x"),              // q2 only
+      (4L, null.asInstanceOf[String]),
+      (5L, "c d"))              // q3
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (1L, Seq("a", "b"), Seq("c")),
+      (2L, Seq("a"), Seq.empty[String]),
+      (3L, Seq("c", "d"), Seq.empty[String]))
+      .toDF("query_id", "must", "must_not")
+    val got = TextAnalysis.percolate(docs, "doc_id", "text", queries)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 5L)),
+      s"percolate matches wrong: $got")
+    // guards: empty must; a term both must and must_not
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percolate(docs, "doc_id", "text",
+        Seq((9L, Seq.empty[String], Seq("a")))
+          .toDF("query_id", "must", "must_not")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percolate(docs, "doc_id", "text",
+        Seq((9L, Seq("a"), Seq("a")))
+          .toDF("query_id", "must", "must_not")).collect()
+    }
+  }
+
+  test("completionSuggest: live-df ranking under tombstones, a fully " +
+      "deleted term never suggested, prefix pushed to the dictionary " +
+      "scan, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sort sun"), (2L, "sort"), (3L, "sun moon"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("complidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def sugg(p: String) = TextAnalysis
+      .completionSuggest(spark, dir, p, 10, "doc_id")
+      .as[(String, Long)].collect().toSeq
+    assert(sugg("s") == Seq(("sort", 2L), ("sun", 2L), ("solo", 1L)),
+      s"pre-kill ranking wrong: ${sugg("s")}")
+    // kill doc 4 (solo's only holder) and doc 1 (one sort, one sun)
+    TextAnalysis.bm25Tombstone(
+      Seq((4L, 1L), (1L, 2L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    assert(sugg("s") == Seq(("sort", 1L), ("sun", 1L)),
+      s"live ranking wrong after kills: ${sugg("s")}")
+    assert(sugg("so") == Seq(("sort", 1L)),
+      "dead term 'solo' resurfaced or band wrong")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.completionSuggest(spark, dir, "", 5, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.completionSuggest(spark, dir, "s", 5, "doc_id",
+        maxExpansion = 1)
+    }
+  }
+
   test("boosted search: boost 1.0 is bit-identical to unboosted, a " +
       "boost reorders equal-scored docs as the arithmetic says, match " +
       "semantics untouched, guards") {
