@@ -50,6 +50,34 @@ object Similarity {
     panelTopK(scoredPanel(vectors, queries, vecCol), idCol, k)
       .select(col("qid"), col(idCol), col("sim"))
 
+  /** Exact re-rank of per-query CANDIDATE sets — the multi-query
+    * refine stage ([[ProductQuantize.ivfPqProbeRefined]]'s batch
+    * sibling): `candidates` is an aggregate-sized (qid, idCol)
+    * relation from any approximate stage; it broadcasts onto the
+    * corpus scan (one pass no matter the panel size), each surviving
+    * row scores by true cosine against its own query, and a per-qid
+    * window keeps k. Per query this returns the TRUE top-k of the
+    * candidate set, so its recall dominates any cut the same
+    * candidates' approximate scores produced. */
+  def refineTopKMulti(vectors: DataFrame, candidates: DataFrame,
+                      queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol))
+    vectors
+      .join(broadcast(candidates.select(col("qid"), col(idCol))),
+        Seq(idCol))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))),
+        Seq("qid"))
+      .withColumn("sim",
+        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
+          col("qvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
+  }
+
   /** One corpus scan scored against a BROADCAST (qid, qvec, …) panel —
     * the shared core of [[topKMulti]] and [[hardNegatives]]. Delegates
     * to [[scoreAgainst]] (the single-query scorer has the identical
