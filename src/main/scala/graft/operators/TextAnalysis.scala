@@ -2169,6 +2169,69 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** SIGNIFICANT TERMS (Elasticsearch's significant_terms
+    * aggregation, JLH heuristic): terms OVERREPRESENTED in the match
+    * set relative to the corpus background —
+    *
+    *   score(t) = (fg% − bg%) · (fg% / bg%),  kept iff fg% > bg%
+    *
+    * where fg% = fraction of foreground docs containing t (foreground
+    * = live docs matching ≥1 `query` term, should semantics) and bg%
+    * = the corpus fraction. The published JLH form: the absolute lift
+    * rewards common terms, the relative factor rewards rare ones.
+    * Scores derive from exact integer dfs in one expression, so both
+    * engines reproduce them bit-for-bit at the 1e-6 rounding.
+    *
+    * Scale shape — honest cost class: UNLIKE the probe family this
+    * cannot be posting-bounded (the foreground's full vocabulary is
+    * the object of study, exactly why ES pays a fielddata scan here):
+    * the foreground id set comes from one pushed `term IN` scan, then
+    * ONE further live-postings pass computes background AND foreground
+    * df together (the fg flag is a left join on the aggregate-sized id
+    * set — never a second corpus read), and everything after is
+    * vocabulary-sized. `minDf` is ES's min_doc_count noise gate.
+    * Returns (term, fg_df, bg_df, score), top `k` by (score DESC,
+    * term). */
+  def significantTerms(spark: org.apache.spark.sql.SparkSession,
+                       path: String, query: Seq[String], k: Int,
+                       idCol: String, minDf: Long = 1L): DataFrame = {
+    val qs = query.distinct
+    require(qs.nonEmpty, "significantTerms: no query terms")
+    require(k > 0 && minDf >= 1, s"significantTerms: bad k $k / minDf $minDf")
+    requireQuiescent(spark, path)
+    val tombs = readTombstones(spark, path, idCol)
+    val liveAll = cached(liveAfterTombstones(
+      spark.read.parquet(s"$path/postings")
+        .select(col(idCol), col("term"), col("seg")),
+      tombs, idCol)
+      .select(col(idCol), col("term")))
+    val fgIds = liveAll
+      .filter(col("term").isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(qs.toArray): _*))
+      .select(col(idCol)).distinct()
+    // two 1-row aggregates: foreground size and live corpus size
+    val nFg = fgIds.count()
+    require(nFg > 0, s"significantTerms: no documents match $qs")
+    val seg = spark.read.parquet(s"$path/segstats")
+      .agg(sum(col("n_docs")).as("n")).head().getLong(0)
+    val nBg = seg - tombs.count()
+    val dfs = liveAll
+      .join(fgIds.withColumn("_fg", lit(1)), Seq(idCol), "left")
+      .groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("bg_df"),
+        count_distinct(when(col("_fg") === 1, col(idCol))).as("fg_df"))
+      .filter(col("fg_df") >= minDf)
+    dfs
+      .withColumn("_fgp", col("fg_df").cast("double") / lit(nFg.toDouble))
+      .withColumn("_bgp", col("bg_df").cast("double") / lit(nBg.toDouble))
+      .filter(col("_fgp") > col("_bgp"))
+      .select(col("term"), col("fg_df"), col("bg_df"),
+        round((col("_fgp") - col("_bgp")) * (col("_fgp") / col("_bgp")),
+          6).as("score"))
+      .orderBy(col("score").desc, col("term"))
+      .limit(k)
+  }
+
   /** COMPLETION suggest (Lucene's suggest module, relationally):
     * dictionary terms extending `prefix`, ranked by LIVE document
     * frequency (ties to the smaller term) — the autocomplete

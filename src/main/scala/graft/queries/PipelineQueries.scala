@@ -3821,6 +3821,28 @@ object PipelineQueries {
       c1.unionByName(c2).orderBy(col("q"), col("df").desc, col("term"))
     }),
 
+    // X3 — SIGNIFICANT TERMS (Elasticsearch's significant_terms, JLH):
+    // terms overrepresented in the 'sort OR filter' match set vs the
+    // live corpus background — foreground/background dfs computed in
+    // ONE further postings pass, scores from exact integer dfs. Same
+    // tombstone wave as q174 so liveness enters both sides.
+    "q175_significant_terms" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("sig_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val kill = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
+      TextAnalysis.significantTerms(s, path, Seq("sort", "filter"),
+          k = 15, "doc_id", minDf = 2)
+        .orderBy(col("score").desc, col("term"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7137,6 +7159,34 @@ object PipelineQueries {
         |SELECT q, term, df FROM
         |  (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
         |ORDER BY q, df DESC, term""".stripMargin,
+
+    // significant terms replayed: live corpus (every-7th killed), fg =
+    // docs with ≥1 query term, exact integer dfs, the JLH formula
+    "q175_significant_terms" ->
+      """WITH live AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id % 7 <> 0),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(coalesce(text, ''),
+        |      ' '))) AS term
+        |  FROM live),
+        |fg AS (SELECT DISTINCT doc_id FROM tok
+        |       WHERE term IN ('sort', 'filter')),
+        |nn AS (SELECT (SELECT count(*) FROM fg) AS nfg,
+        |              (SELECT count(*) FROM live) AS nbg),
+        |dfs AS (SELECT t.term,
+        |    count(DISTINCT t.doc_id) AS bg_df,
+        |    count(DISTINCT CASE WHEN f.doc_id IS NOT NULL
+        |      THEN t.doc_id END) AS fg_df
+        |  FROM tok t LEFT JOIN fg f USING (doc_id)
+        |  GROUP BY 1),
+        |sc AS (SELECT term, fg_df, bg_df,
+        |    CAST(fg_df AS DOUBLE) / nfg AS fgp,
+        |    CAST(bg_df AS DOUBLE) / nbg AS bgp
+        |  FROM dfs CROSS JOIN nn WHERE fg_df >= 2)
+        |SELECT term, fg_df, bg_df,
+        |  round((fgp - bgp) * (fgp / bgp), 6) AS score
+        |FROM sc WHERE fgp > bgp
+        |ORDER BY score DESC, term LIMIT 15""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,

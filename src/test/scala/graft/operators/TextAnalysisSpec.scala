@@ -1550,6 +1550,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe(dir, Some(99)) == probe(dir, None))
   }
 
+  test("significantTerms: JLH ordering hand-checked, tombstoned docs " +
+      "leave both foreground and background, minDf gates, guards") {
+    import spark.implicits._
+    // fg = docs with 'q' = {1, 2}; 'sig' appears in both fg docs and
+    // nowhere else (max lift); 'com' is corpus-wide (no lift, fgp ==
+    // bgp → dropped); 'half' in one fg doc and one bg doc
+    val docs = Seq(
+      (1L, "q sig com half"),
+      (2L, "q sig com"),
+      (3L, "com half x"),
+      (4L, "com y"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sigidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(minDf: Long = 1L) = TextAnalysis
+      .significantTerms(spark, dir, Seq("q"), 10, "doc_id", minDf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val got = run()
+    // hand-computed JLH with nFg=2, nBg=4:
+    //   q/sig: fgp=1, bgp=.5  → (.5)·(2)   = 1.0
+    //   half:  fgp=.5, bgp=.5 → dropped (no lift)
+    //   com:   fgp=1, bgp=1   → dropped
+    assert(got == Seq(("q", 2L, 2L, 1.0), ("sig", 2L, 2L, 1.0)),
+      s"JLH panel wrong: $got")
+    assert(run(minDf = 3L).isEmpty, "minDf gate ignored")
+    // kill doc 2: fg = {1}, nBg = 3 — 'sig' now fgp=1 bgp=1/3 →
+    // (2/3)·3 = 2.0; 'half' fgp=.5→1 bgp=2/3 → (1/3)·1.5 = .5
+    TextAnalysis.bm25Tombstone(Seq((2L, 3L)).toDF("doc_id", "dl"),
+      "doc_id", "dl", dir, 1)
+    val after = run()
+    assert(after == Seq(("q", 1L, 1L, 2.0), ("sig", 1L, 1L, 2.0),
+      ("half", 1L, 2L, 0.5)),
+      s"post-kill JLH wrong: $after")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.significantTerms(spark, dir, Nil, 5, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.significantTerms(spark, dir, Seq("zzz_absent"), 5,
+        "doc_id")
+    }
+  }
+
   test("percolate: must/mustNot set semantics, tf never matters, " +
       "null text matches nothing, fan-out only to queries naming the " +
       "term, guards") {
