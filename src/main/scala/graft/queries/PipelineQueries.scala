@@ -3843,6 +3843,24 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("term"))
     }),
 
+    // A7 widening — PIVOT to wide format (month × event_type counts +
+    // integer-cents sums): the values list is EXPLICIT, which both
+    // fixes the output schema and skips the values-discovery job a
+    // bare pivot() runs — the scale-correct form (a discovery pass
+    // over 100 TB to learn 5 labels is a wasted scan). Cents are the
+    // established exact-decimal spelling, so every cell is an
+    // integer both engines reproduce bit-for-bit.
+    "q176_pivot" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      e.select(dayofmonth(col("ts")).as("dom"), col("event_type"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy(col("dom"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("dom"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7187,6 +7205,28 @@ object PipelineQueries {
         |  round((fgp - bgp) * (fgp / bgp), 6) AS score
         |FROM sc WHERE fgp > bgp
         |ORDER BY score DESC, term LIMIT 15""".stripMargin,
+
+    // pivot replayed as conditional aggregation with Spark's
+    // "<value>_<agg-alias>" column naming; empty cells are NULL for
+    // the sum and 0 for the count in BOTH engines
+    "q176_pivot" ->
+      """SELECT day(ts) AS dom,
+        |  count(*) FILTER (event_type = 'click') AS click_n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (event_type = 'click') AS BIGINT) AS click_cents,
+        |  count(*) FILTER (event_type = 'error') AS error_n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (event_type = 'error') AS BIGINT) AS error_cents,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase_n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (event_type = 'purchase') AS BIGINT) AS purchase_cents,
+        |  count(*) FILTER (event_type = 'signup') AS signup_n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (event_type = 'signup') AS BIGINT) AS signup_cents,
+        |  count(*) FILTER (event_type = 'view') AS view_n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (event_type = 'view') AS BIGINT) AS view_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,
