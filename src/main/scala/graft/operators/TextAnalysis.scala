@@ -989,7 +989,17 @@ object TextAnalysis {
     * the shared fixed-point floor — match semantics (must/mustNot/mm)
     * are untouched, only ranking moves. Keys must be positive terms;
     * weights must be > 0 (a 0 boost would silently delete a term —
-    * spell that as removing it from the query). */
+    * spell that as removing it from the query).
+    *
+    * `factor` is Elasticsearch's function_score with a doc-value
+    * factor (recency/popularity boost): pass (metadata relation,
+    * factor column) and every match's PUBLIC rounded score multiplies
+    * by its factor — re-rounded to the same 4 decimals — BEFORE the
+    * collapse/cursor/top-k chain, so the cut ranks the combined
+    * value, exactly ES's composition order. A doc absent from the
+    * relation (or with a null factor) keeps its query score (neutral
+    * 1.0 — ES's missing-value default). The join lands on the
+    * aggregate-sized match set, never the corpus. */
   def booleanSearch(spark: org.apache.spark.sql.SparkSession,
                     path: String, must: Seq[String],
                     should: Seq[String], mustNot: Seq[String],
@@ -1000,7 +1010,8 @@ object TextAnalysis {
                     after: Option[(Double, Long)] = None,
                     allowed: Option[DataFrame] = None,
                     collapse: Option[(DataFrame, String)] = None,
-                    boosts: Map[String, Double] = Map.empty)
+                    boosts: Map[String, Double] = Map.empty,
+                    factor: Option[(DataFrame, String)] = None)
       : DataFrame = {
     val mustD = must.distinct
     val shouldD = should.distinct.filterNot(mustD.contains)
@@ -1020,7 +1031,8 @@ object TextAnalysis {
     val (live, stats) = liveScoring(spark, path, idCol,
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
-      excludeIds, minShouldMatch, after, allowed, collapse, boosts)
+      excludeIds, minShouldMatch, after, allowed, collapse, boosts,
+      factor)
   }
 
   /** [[booleanSearch]]'s scoring body over an already-read live
@@ -1037,7 +1049,8 @@ object TextAnalysis {
                           after: Option[(Double, Long)] = None,
                           allowed: Option[DataFrame] = None,
                           collapse: Option[(DataFrame, String)] = None,
-                          boosts: Map[String, Double] = Map.empty)
+                          boosts: Map[String, Double] = Map.empty,
+                          factor: Option[(DataFrame, String)] = None)
       : DataFrame = {
     val positive = mustD ++ shouldD
     def inSet(set: Seq[String]): Column =
@@ -1091,9 +1104,24 @@ object TextAnalysis {
         rel.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       case None => excluded
     }
-    val ranked = gated
+    val ranked0 = gated
       .select(col(idCol),
         round(col("score_fp") / lit(1e7), 4).as("score"))
+    // function-score factor: the public rounded score multiplies by
+    // the doc-value factor and re-rounds BEFORE collapse/cursor/cut —
+    // ES's composition order; left join + coalesce(1.0) is the
+    // missing-value-neutral default, on the match set, not the corpus
+    val ranked = factor match {
+      case Some((meta, fcol)) =>
+        ranked0.join(
+            broadcast(meta.select(col(idCol),
+              col(fcol).cast("double").as("_factor")).distinct()),
+            Seq(idCol), "left")
+          .withColumn("score",
+            round(col("score") * coalesce(col("_factor"), lit(1.0)), 4))
+          .drop("_factor")
+      case None => ranked0
+    }
     // field collapse: best hit per group value — the key joins onto
     // the aggregate-sized match set, never the corpus; a left join so
     // an id absent from the metadata relation lands in the NULL group

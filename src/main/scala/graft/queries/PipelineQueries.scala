@@ -3861,6 +3861,26 @@ object PipelineQueries {
         .orderBy(col("dom"))
     }),
 
+    // X3 — FUNCTION SCORE (Elasticsearch's function_score, doc-value
+    // factor): each match's rounded query score multiplies by a
+    // popularity factor (ln(1 + n_chars)) and the TOP-K CUT RANKS THE
+    // COMBINED value — ES's composition order. The factor join lands
+    // on the aggregate-sized match set.
+    "q177_function_score" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("fscore_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val pop = d.select(col("doc_id"),
+        log(lit(1.0) + col("n_chars")).as("pop"))
+      TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = Seq("query", "filter"), mustNot = Nil, k = 12,
+          "doc_id", factor = Some((pop, "pop")))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7227,6 +7247,33 @@ object PipelineQueries {
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |    FILTER (event_type = 'view') AS BIGINT) AS view_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // function score replayed: the q168-shape ranking, the same
+    // rounded-times-factor-rounded composition, the cut on the
+    // combined value
+    "q177_function_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('query', 'filter') GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |ranked AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'filter')
+        |  GROUP BY 1)
+        |SELECT r.doc_id,
+        |  round(r.score * coalesce(ln(1 + d.n_chars), 1.0), 4) AS score
+        |FROM ranked r JOIN documents d USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,

@@ -1550,6 +1550,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe(dir, Some(99)) == probe(dir, None))
   }
 
+  test("function score: neutral factor is bit-identical, a missing " +
+      "doc keeps its query score, the cut ranks the combined value") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a x"), (2L, "a y"), (3L, "a z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("fscoreidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def run(factor: Option[(org.apache.spark.sql.DataFrame, String)],
+            k: Int = 10) = TextAnalysis
+      .booleanSearch(spark, dir, Nil, Seq("a"), Nil, k, "doc_id",
+        factor = factor)
+      .as[(Long, Double)].collect().toSeq
+    val plain = run(None)
+    assert(plain.map(_._1) == Seq(1L, 2L, 3L),
+      s"base ranking wrong: $plain")
+    val neutral = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0))
+      .toDF("doc_id", "f")
+    assert(run(Some((neutral, "f"))) == plain,
+      "neutral factor changed scoring")
+    // doc 3 gets 10x, doc 2 missing from the relation (neutral):
+    // final scores = round(base*10,4) for 3, base for 1 (1x) and 2
+    val f = Seq((1L, 1.0), (3L, 10.0)).toDF("doc_id", "f")
+    val boosted = run(Some((f, "f")))
+    val base = plain.toMap
+    assert(boosted.head._1 == 3L &&
+      boosted.head._2 ==
+        BigDecimal(base(3L) * 10.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"factored score wrong: $boosted vs base $base")
+    assert(boosted.toMap.get(2L).contains(base(2L)),
+      "missing-factor doc lost its query score")
+    // the CUT ranks the combined value: k=1 must return doc 3, which
+    // base ranking would never cut first
+    assert(run(Some((f, "f")), k = 1).map(_._1) == Seq(3L),
+      "top-k cut ran on the unfactored score")
+  }
+
   test("significantTerms: JLH ordering hand-checked, tombstoned docs " +
       "leave both foreground and background, minDf gates, guards") {
     import spark.implicits._
