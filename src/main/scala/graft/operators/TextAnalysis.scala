@@ -982,7 +982,9 @@ object TextAnalysis {
     * is a window over that same set — the cost class ranking already
     * paid; collapse composes with `after` (collapse first, then the
     * cursor, Lucene's order — the cursor walks the collapsed total
-    * order).
+    * order). `collapseTop` generalizes collapse to Solr grouping's
+    * group.limit: keep the best N hits per group value instead of 1
+    * (ignored when `collapse` is unset).
     *
     * `boosts` is Lucene's per-term boost (`query^3`): the named
     * positive term's whole contribution scales by the weight before
@@ -1011,8 +1013,11 @@ object TextAnalysis {
                     allowed: Option[DataFrame] = None,
                     collapse: Option[(DataFrame, String)] = None,
                     boosts: Map[String, Double] = Map.empty,
-                    factor: Option[(DataFrame, String)] = None)
+                    factor: Option[(DataFrame, String)] = None,
+                    collapseTop: Int = 1)
       : DataFrame = {
+    require(collapseTop >= 1,
+      s"booleanSearch: collapseTop $collapseTop < 1")
     val mustD = must.distinct
     val shouldD = should.distinct.filterNot(mustD.contains)
     val notD = mustNot.distinct
@@ -1032,7 +1037,7 @@ object TextAnalysis {
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
       excludeIds, minShouldMatch, after, allowed, collapse, boosts,
-      factor)
+      factor, collapseTop)
   }
 
   /** [[booleanSearch]]'s scoring body over an already-read live
@@ -1050,7 +1055,8 @@ object TextAnalysis {
                           allowed: Option[DataFrame] = None,
                           collapse: Option[(DataFrame, String)] = None,
                           boosts: Map[String, Double] = Map.empty,
-                          factor: Option[(DataFrame, String)] = None)
+                          factor: Option[(DataFrame, String)] = None,
+                          collapseTop: Int = 1)
       : DataFrame = {
     val positive = mustD ++ shouldD
     def inSet(set: Seq[String]): Column =
@@ -1136,7 +1142,7 @@ object TextAnalysis {
             meta.select(col(idCol), col(fcol)).distinct(),
             Seq(idCol), "left")
           .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
+          .filter(col("__rn") <= collapseTop)
           .drop("__rn")
       case None => ranked
     }

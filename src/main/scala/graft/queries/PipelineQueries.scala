@@ -3881,6 +3881,22 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // X3 — GROUPED TOP-N (Solr grouping's group.limit): the collapse
+    // generalized to the best 2 hits per source before the top-k cut
+    // — a page of k hits spanning ≥ k/2 distinct sources.
+    "q178_grouped_topn" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("grouptop_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = Seq("query", "filter"), mustNot = Nil, k = 12,
+          "doc_id", collapse = Some((d, "source")), collapseTop = 2)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7273,6 +7289,35 @@ object PipelineQueries {
         |SELECT r.doc_id,
         |  round(r.score * coalesce(ln(1 + d.n_chars), 1.0), 4) AS score
         |FROM ranked r JOIN documents d USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+
+    // grouped top-N replayed: the q168 collapse shape with rn <= 2
+    "q178_grouped_topn" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('query', 'filter') GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |ranked AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'filter')
+        |  GROUP BY 1),
+        |coll AS (SELECT doc_id, score, source FROM (
+        |    SELECT r.doc_id, r.score, d.source, row_number() OVER (
+        |      PARTITION BY d.source
+        |      ORDER BY r.score DESC, r.doc_id) AS rn
+        |    FROM ranked r JOIN documents d USING (doc_id))
+        |  WHERE rn <= 2)
+        |SELECT doc_id, score, source FROM coll
         |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the

@@ -1893,6 +1893,19 @@ class TextAnalysisSpec extends SparkSpec {
         Nil, 10, "doc_id")
     assert(plain.columns.toSeq == Seq("doc_id", "score"))
     assert(plain.count() == 5)
+    // group.limit: collapseTop = 2 keeps the best TWO per group —
+    // every doc here survives except none (each group has ≤ 2), so
+    // probe with a group of 2: g1 keeps both docs 1 and 2
+    val top2 = TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"),
+        Nil, 10, "doc_id", collapse = Some((meta, "source")),
+        collapseTop = 2)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(top2 == Set(1L, 2L, 3L, 4L, 5L),
+      s"collapseTop=2 wrong: $top2")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"), Nil, 10,
+        "doc_id", collapse = Some((meta, "source")), collapseTop = 0)
+    }
   }
 
   test("disMaxSearch: tiebreak=0 is the max of per-clause scores, " +
