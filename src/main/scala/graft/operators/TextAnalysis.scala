@@ -1158,6 +1158,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** RESCORE window (Elasticsearch's rescorer): re-rank only the top
+    * `windowN` hits of a cheap should-query with an expensive PHRASE
+    * test — the two-stage relevance economics: BM25 prunes the corpus
+    * to a window, the positional phrase probe is posting-bounded, and
+    * the final score combines as ES's
+    *
+    *   final = query_weight · score + rescore_weight · [phrase hit]
+    *
+    * re-rounded to the public 4 decimals, with the top-k cut on the
+    * COMBINED value. The phrase match set joins the window as a
+    * broadcast (both are aggregate-sized); a window doc without the
+    * phrase keeps query_weight · score. windowN ≥ k guarded — a
+    * window smaller than the page would silently truncate results ES
+    * would return. */
+  def rescoreWithPhrase(spark: org.apache.spark.sql.SparkSession,
+                        path: String, should: Seq[String],
+                        phrase: Seq[String], windowN: Int, k: Int,
+                        idCol: String, queryWeight: Double = 1.0,
+                        rescoreWeight: Double = 1.0): DataFrame = {
+    require(windowN >= k,
+      s"rescoreWithPhrase: windowN ($windowN) < k ($k)")
+    val window = booleanSearch(spark, path, Nil, should, Nil,
+      windowN, idCol)
+    val ph = phraseSearch(spark, path, phrase, idCol)
+      .select(col(idCol)).withColumn("_ph", lit(1))
+    window.join(broadcast(ph), Seq(idCol), "left")
+      .withColumn("score",
+        round(col("score") * lit(queryWeight) +
+          when(col("_ph") === 1, lit(rescoreWeight))
+            .otherwise(lit(0.0)), 4))
+      .drop("_ph")
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Lucene's SynonymQuery over a SEGMENTED index, relationally: each
     * `groups` entry is a synonym set scored AS IF ITS MEMBERS WERE ONE
     * TERM — per document the group's tf is the SUM of member tfs, and

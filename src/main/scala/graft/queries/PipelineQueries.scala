@@ -3897,6 +3897,25 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // X3 — RESCORE window (Elasticsearch's rescorer): the cheap
+    // 'sort merge' should-query prunes to a top-50 window, then the
+    // positional phrase probe boosts exact "sort merge" phrases by
+    // +0.5 — the final cut ranks the combined value. Two-stage
+    // relevance economics under one hash gate.
+    "q179_rescore_phrase" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("rescore_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      TextAnalysis.rescoreWithPhrase(s, path,
+          should = Seq("sort", "merge"),
+          phrase = Seq("sort", "merge"), windowN = 50, k = 12,
+          "doc_id", queryWeight = 1.0, rescoreWeight = 0.5)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7318,6 +7337,40 @@ object PipelineQueries {
         |    FROM ranked r JOIN documents d USING (doc_id))
         |  WHERE rn <= 2)
         |SELECT doc_id, score, source FROM coll
+        |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+
+    // rescore replayed: the should-ranking cut to its top-50 window,
+    // phrase membership from the position lists, the same weighted
+    // combine, the cut on the combined value
+    "q179_rescore_phrase" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('sort', 'merge') GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |win AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('sort', 'merge')
+        |  GROUP BY 1
+        |  ORDER BY score DESC, doc_id LIMIT 50),
+        |ph AS (SELECT doc_id FROM (
+        |    SELECT doc_id, list_filter(generate_series(1, len(t) - 1),
+        |      p -> t[p:p+1] = ['sort', 'merge']) AS starts
+        |    FROM tok WHERE len(t) >= 2)
+        |  WHERE len(starts) > 0)
+        |SELECT w.doc_id,
+        |  round(w.score * 1.0 + CASE WHEN p.doc_id IS NOT NULL
+        |    THEN 0.5 ELSE 0.0 END, 4) AS score
+        |FROM win w LEFT JOIN ph p USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the

@@ -1550,6 +1550,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe(dir, Some(99)) == probe(dir, None))
   }
 
+  test("rescoreWithPhrase: phrase hits jump by rescore weight inside " +
+      "the window, non-window docs never enter, window guard") {
+    import spark.implicits._
+    // doc 1 has both terms SCATTERED (higher tf → best base score);
+    // doc 2 has the exact phrase; doc 3 one term; doc 4 none
+    val docs = Seq(
+      (1L, "sort x sort y merge"), (2L, "a sort merge b"),
+      (3L, "sort z"), (4L, "w v"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("rescoreidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val base = TextAnalysis.booleanSearch(spark, dir, Nil,
+        Seq("sort", "merge"), Nil, 10, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(base.keySet == Set(1L, 2L, 3L))
+    val got = TextAnalysis.rescoreWithPhrase(spark, dir,
+        Seq("sort", "merge"), Seq("sort", "merge"), windowN = 10,
+        k = 10, "doc_id", queryWeight = 1.0, rescoreWeight = 5.0)
+      .as[(Long, Double)].collect().toSeq
+    // doc 2 (phrase) must now lead despite doc 1's better base score
+    assert(got.head._1 == 2L, s"phrase doc did not jump: $got")
+    assert(got.toMap.apply(2L) ==
+      BigDecimal(base(2L) * 1.0 + 5.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.toMap.apply(1L) == base(1L),
+      "non-phrase window doc moved")
+    // a window smaller than the match set truncates BEFORE rescore:
+    // windowN=1 keeps only doc 1 (best base), so doc 2 cannot appear
+    val narrow = TextAnalysis.rescoreWithPhrase(spark, dir,
+        Seq("sort", "merge"), Seq("sort", "merge"), windowN = 1,
+        k = 1, "doc_id", rescoreWeight = 5.0)
+      .as[(Long, Double)].collect().toSeq
+    assert(narrow.map(_._1) == Seq(1L),
+      s"window truncation semantics wrong: $narrow")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rescoreWithPhrase(spark, dir, Seq("sort"),
+        Seq("sort"), windowN = 5, k = 10, "doc_id")
+    }
+  }
+
   test("function score: neutral factor is bit-identical, a missing " +
       "doc keeps its query score, the cut ranks the combined value") {
     import spark.implicits._
