@@ -643,6 +643,73 @@ object TextAnalysis {
       .select(col("qid"), col(idCol), col("score"))
   }
 
+  /** BM25F over WRITTEN per-field indexes — [[bm25fTopK]]'s
+    * index-backed sibling: each field is one STANDARD segmented index
+    * (built by [[bm25AppendSegment]] on that field's text), so the
+    * whole maintenance family — append, tombstones, tiered merge, GC,
+    * recrawl, streaming — is inherited per field with zero new layout
+    * code; this probe reads the panel terms from every field index
+    * through the shared kill rule and combines them with the identical
+    * BM25F arithmetic (per-field length-norm + weight into one
+    * pseudo-frequency BEFORE saturation). Scores are REQUIRED to be
+    * bit-identical to the scan path on the same corpus — the layout-
+    * invisible contract (the q114/q115 precedent), gated.
+    *
+    * `fieldPaths` is (index path, w_f, b_f) per field. Document-level
+    * df derives from the union of the fields' live postings (a doc
+    * contains t in ANY field); n_docs comes from the FIRST field's
+    * stats — every doc reaches every field index under the tfFrame
+    * coalesce contract, so the counts agree by construction (all
+    * field indexes must cover the same corpus — the caller's
+    * contract, as in Lucene where fields live in one segment).
+    * Scale shape: one pushed `term IN` scan PER FIELD INDEX
+    * (posting-bounded), stats from partials, vocabulary-sized
+    * everything after. */
+  def bm25fProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                        fieldPaths: Seq[(String, Double, Double)],
+                        queries: DataFrame, k: Int, idCol: String,
+                        k1: Double = 1.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fieldPaths.nonEmpty, "bm25fProbeIndexed: no fields")
+    require(fieldPaths.forall { case (_, w, bf) =>
+      w > 0 && bf >= 0 && bf <= 1 },
+      "bm25fProbeIndexed: weights must be > 0 and b_f in [0, 1]")
+    val qterms = queries.select(col("qid"),
+      explode(array_distinct(tokens(col("qtext")))).as("term"))
+    // panel-sized collect: the pushed-IN literal for every field scan
+    val terms = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0))
+    val perField = fieldPaths.zipWithIndex.map {
+      case ((path, w, bf), fi) =>
+        val (live, stats) = liveScoring(spark, path, idCol, terms)
+        val f = live.crossJoin(broadcast(stats))
+          .withColumn("wtf", col("tf") * lit(w) /
+            (lit(1.0) - lit(bf) + lit(bf) * col("dl") / col("avgdl")))
+          .select(col(idCol), col("term"), col("wtf"))
+        (f, stats)
+    }
+    val ptf = perField.map(_._1).reduce(_ unionByName _)
+      .groupBy(col(idCol), col("term"))
+      .agg(sum(col("wtf")).as("ptf"))
+    val dfq = ptf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = perField.head._2.select(col("n_docs"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol))
+    ptf.join(broadcast(qterms), "term")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(nd))
+      .withColumn("contrib_fp", floor(
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          col("ptf") / (col("ptf") + lit(k1)))
+          * lit(1e7) + lit(0.5)).cast("long"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("contrib_fp")) / lit(1e7), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+  }
+
   /** THE per-(doc, term) frequency relation every BM25 surface builds
     * on — scan path, monolithic index write, segment append. One
     * definition: the tokenize/dl/tf derivation decides index≡scan

@@ -3663,6 +3663,40 @@ object PipelineQueries {
         .orderBy(col("qid"), col("score").desc, col("doc_id"))
     }),
 
+    // X3 — BM25F off WRITTEN per-field indexes (q167's index-backed
+    // sibling): one STANDARD segmented index per field — title and
+    // body each inherit the whole maintenance family with zero new
+    // layout code — probed through the shared kill rule and combined
+    // with the identical BM25F arithmetic. The oracle is q167's
+    // replay VERBATIM: the layout must be invisible to scoring (the
+    // q114/q115 index≡scan precedent, now multi-field).
+    "q180_bm25f_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val fielded = d.select(col("doc_id"),
+        array_join(slice(toks, 1, 4), " ").as("title"),
+        array_join(slice(toks, 5, 1000000), " ").as("body"))
+      val tPath = scratchPath("bm25f_title_idx", dir)
+      val bPath = scratchPath("bm25f_body_idx", dir)
+      val fs = new org.apache.hadoop.fs.Path(tPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(tPath, bPath).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      TextAnalysis.bm25AppendSegment(
+        fielded.select(col("doc_id"), col("title").as("text")),
+        "doc_id", "text", tPath, 0)
+      TextAnalysis.bm25AppendSegment(
+        fielded.select(col("doc_id"), col("body").as("text")),
+        "doc_id", "text", bPath, 0)
+      val panel = Seq((0L, "table scan"), (1L, "merge sort fast"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25fProbeIndexed(s,
+          Seq((tPath, 2.0, 0.4), (bPath, 1.0, 0.75)), panel, k = 12,
+          "doc_id")
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
     // X3 — FIELD COLLAPSING (Lucene CollapsingTopDocs / Solr
     // collapse): one best hit per source before the top-k cut, so the
     // page holds k distinct sources — result diversification. The
@@ -4273,7 +4307,7 @@ object PipelineQueries {
       |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 4) >= 0.5
       |ORDER BY id1, id2""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q13_cosine_topk" ->
       """SELECT vec_id,
         |  round(list_cosine_similarity(embedding::DOUBLE[],
@@ -8055,4 +8089,10 @@ object PipelineQueries {
         |FROM win w JOIN mts m ON w.doc_id = m.doc_id
         |ORDER BY w.doc_id""".stripMargin,
   )
+
+  // q180 shares q167's oracle VERBATIM: the per-field index layout
+  // must be invisible to BM25F scoring (the index≡scan contract) —
+  // one string, so the two gates can never drift
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q180_bm25f_indexed" -> oracleSqlBase("q167_bm25f"))
 }

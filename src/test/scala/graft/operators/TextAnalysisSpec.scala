@@ -1550,6 +1550,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe(dir, Some(99)) == probe(dir, None))
   }
 
+  test("bm25fProbeIndexed: bit-identical to the scan path, a kill in " +
+      "both field indexes equals scanning the reduced corpus, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark sort", "merge join hash sort"),
+      (2L, "table scan", "sort sort filter"),
+      (3L, "merge merge", "scan table value"),
+      (4L, "sort", ""),
+      (5L, "", "spark table"))
+      .toDF("doc_id", "title", "body")
+    val tDir = java.nio.file.Files
+      .createTempDirectory("bm25f_t").toString
+    val bDir = java.nio.file.Files
+      .createTempDirectory("bm25f_b").toString
+    TextAnalysis.bm25AppendSegment(
+      docs.select(col("doc_id"), col("title").as("text")),
+      "doc_id", "text", tDir, 0)
+    TextAnalysis.bm25AppendSegment(
+      docs.select(col("doc_id"), col("body").as("text")),
+      "doc_id", "text", bDir, 0)
+    val panel = Seq((0L, "sort table"), (1L, "merge spark"))
+      .toDF("qid", "qtext")
+    val fields = Seq(("title", 2.0, 0.4), ("body", 1.0, 0.75))
+    def scan(d: org.apache.spark.sql.DataFrame) = TextAnalysis
+      .bm25fTopK(d, "doc_id", fields, panel, 10)
+      .as[(Long, Long, Double)].collect().toSet
+    def probe() = TextAnalysis.bm25fProbeIndexed(spark,
+        Seq((tDir, 2.0, 0.4), (bDir, 1.0, 0.75)), panel, 10, "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probe() == scan(docs),
+      "index path diverged from the scan path")
+    // kill doc 2 in BOTH field indexes (Lucene's one-doc-everywhere
+    // delete): the probe must equal the scan of the reduced corpus —
+    // per-field dls from each field's own tokenization
+    def dlOf(c: String) = docs.filter(col("doc_id") === 2)
+      .select(size(TextAnalysis.tokens(coalesce(col(c), lit(""))))
+        .cast("long"))
+      .head().getLong(0)
+    TextAnalysis.bm25Tombstone(
+      Seq((2L, dlOf("title"))).toDF("doc_id", "dl"), "doc_id", "dl",
+      tDir, 1)
+    TextAnalysis.bm25Tombstone(
+      Seq((2L, dlOf("body"))).toDF("doc_id", "dl"), "doc_id", "dl",
+      bDir, 1)
+    assert(probe() == scan(docs.filter(col("doc_id") =!= 2)),
+      "post-kill index path diverged from the reduced-corpus scan")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25fProbeIndexed(spark, Nil, panel, 10, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25fProbeIndexed(spark, Seq((tDir, -1.0, 0.4)),
+        panel, 10, "doc_id")
+    }
+  }
+
   test("rescoreWithPhrase: phrase hits jump by rescore weight inside " +
       "the window, non-window docs never enter, window guard") {
     import spark.implicits._
