@@ -1225,6 +1225,59 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** HAS-CHILD search (Elasticsearch's has_child query): return
+    * PARENT entities whose children match a boolean query — the
+    * parent-child join primitive ("sources with ≥ minChildren
+    * matching documents"). The child match set comes from
+    * [[booleanSearch]]'s scoring body (uncut — the parent fold needs
+    * every matching child, so the per-child cut would be wrong);
+    * parents aggregate their children with `scoreMode` ∈ max | sum |
+    * avg (ES's score modes; sum folds the fixed-point longs so it
+    * stays addend-order-deterministic, avg divides that exact sum by
+    * the child count before one rounding). Children missing from the
+    * parent relation land in the NULL parent (kept — the caller
+    * filters if orphans are noise). Scale shape: the parent key joins
+    * the aggregate-sized match set, the fold is parents-sized.
+    * Returns (parent, n_children, score), top `k` by (score DESC,
+    * parent ASC NULLS LAST). */
+  def hasChildSearch(spark: org.apache.spark.sql.SparkSession,
+                     path: String, must: Seq[String],
+                     should: Seq[String], mustNot: Seq[String],
+                     parents: DataFrame, parentCol: String,
+                     minChildren: Int, scoreMode: String, k: Int,
+                     idCol: String, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    require(Seq("max", "sum", "avg").contains(scoreMode),
+      s"hasChildSearch: unknown scoreMode '$scoreMode'")
+    require(minChildren >= 1 && k > 0,
+      s"hasChildSearch: bad minChildren $minChildren / k $k")
+    // uncut child match set: booleanSearch semantics with k = all
+    // (the limit would drop children the parent fold must count);
+    // Int.MaxValue keeps the one shared scoring body authoritative
+    val children = booleanSearch(spark, path, must, should, mustNot,
+      Int.MaxValue, idCol, k1, b)
+    val joined = children.join(
+        broadcast(parents.select(col(idCol), col(parentCol)).distinct()),
+        Seq(idCol), "left")
+      .withColumn("_fp",
+        floor(col("score") * lit(1e7) + lit(0.5)).cast("long"))
+    val folded = joined.groupBy(col(parentCol))
+      .agg(count(lit(1)).as("n_children"),
+        max(col("_fp")).as("_mx"), sum(col("_fp")).as("_sm"))
+      .filter(col("n_children") >= minChildren)
+    val scoreCol = scoreMode match {
+      case "max" => col("_mx")
+      case "sum" => col("_sm")
+      case "avg" => floor(col("_sm").cast("double") /
+        col("n_children") + lit(0.5)).cast("long")
+    }
+    folded
+      .select(col(parentCol), col("n_children"),
+        round(scoreCol / lit(1e7), 4).as("score"))
+      .orderBy(col("score").desc, col(parentCol).asc_nulls_last)
+      .limit(k)
+  }
+
   /** RESCORE window (Elasticsearch's rescorer): re-rank only the top
     * `windowN` hits of a cheap should-query with an expensive PHRASE
     * test — the two-stage relevance economics: BM25 prunes the corpus

@@ -3950,6 +3950,32 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // X3 — HAS-CHILD (Elasticsearch's parent-child query): sources
+    // ranked by their matching documents — the uncut child match set
+    // folds per parent under two score modes (max and avg), gated
+    // with a ≥3-children floor so the fold semantics (count, mode
+    // arithmetic, threshold) all enter the hash.
+    "q181_has_child" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("haschild_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val h1 = TextAnalysis.hasChildSearch(s, path, must = Nil,
+          should = Seq("query", "filter"), mustNot = Nil,
+          parents = d, parentCol = "source", minChildren = 3,
+          scoreMode = "max", k = 10, "doc_id")
+        .withColumn("q", lit("max"))
+      val h2 = TextAnalysis.hasChildSearch(s, path, must = Nil,
+          should = Seq("query", "filter"), mustNot = Nil,
+          parents = d, parentCol = "source", minChildren = 3,
+          scoreMode = "avg", k = 10, "doc_id")
+        .withColumn("q", lit("avg"))
+      h1.unionByName(h2)
+        .orderBy(col("q"), col("score").desc, col("source"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7406,6 +7432,45 @@ object PipelineQueries {
         |    THEN 0.5 ELSE 0.0 END, 4) AS score
         |FROM win w LEFT JOIN ph p USING (doc_id)
         |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+
+    // has-child replayed: the uncut should-ranking, per-source fold
+    // under both score modes from the SAME reconstructed fixed-point
+    // longs, the ≥3 floor, the per-mode cut
+    "q181_has_child" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('query', 'filter') GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |ranked AS (SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'filter')
+        |  GROUP BY 1),
+        |fp AS (SELECT r.doc_id, d.source,
+        |    CAST(floor(r.score * 1e7 + 0.5) AS BIGINT) AS fpv
+        |  FROM ranked r JOIN documents d USING (doc_id)),
+        |fold AS (SELECT source, count(*) AS n_children,
+        |    max(fpv) AS mx, sum(fpv) AS sm
+        |  FROM fp GROUP BY 1 HAVING count(*) >= 3),
+        |h1 AS (SELECT source, n_children,
+        |    round(mx / 1e7, 4) AS score, 'max' AS q
+        |  FROM fold ORDER BY score DESC, source LIMIT 10),
+        |h2 AS (SELECT source, n_children,
+        |    round(CAST(floor(CAST(sm AS DOUBLE) / n_children + 0.5)
+        |      AS BIGINT) / 1e7, 4) AS score, 'avg' AS q
+        |  FROM fold ORDER BY score DESC, source LIMIT 10)
+        |SELECT q, source, n_children, score FROM
+        |  (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+        |ORDER BY q, score DESC, source""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,

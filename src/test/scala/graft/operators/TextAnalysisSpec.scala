@@ -1550,6 +1550,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe(dir, Some(99)) == probe(dir, None))
   }
 
+  test("hasChildSearch: per-parent fold under max/sum/avg from the " +
+      "reconstructed fixed point, minChildren floor, orphans in the " +
+      "NULL parent, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a"), (2L, "a x"), (3L, "a y"), (4L, "a a a"),
+      (5L, "a z"), (6L, "w"))
+      .toDF("doc_id", "text")
+    val meta = Seq(
+      (1L, Some("g1")), (2L, Some("g1")), (3L, Some("g2")),
+      (4L, Some("g2")), (6L, Some("g1")))  // doc 5 orphan
+      .toDF("doc_id", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("haschildidx").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val base = TextAnalysis.booleanSearch(spark, dir, Nil, Seq("a"),
+        Nil, 10, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    def fp(s: Double) = math.floor(s * 1e7 + 0.5).toLong
+    def run(mode: String, minC: Int = 1) = TextAnalysis
+      .hasChildSearch(spark, dir, Nil, Seq("a"), Nil, meta, "source",
+        minC, mode, 10, "doc_id")
+      .as[(Option[String], Long, Double)].collect().toSeq
+    val mx = run("max").map(r => (r._1, r._2, r._3)).toSet
+    def pub(l: Long) = math.rint(l / 1e7 * 1e4) / 1e4
+    assert(mx == Set(
+      (Some("g1"), 2L, pub(math.max(fp(base(1L)), fp(base(2L))))),
+      (Some("g2"), 2L, pub(math.max(fp(base(3L)), fp(base(4L))))),
+      (None, 1L, pub(fp(base(5L))))),
+      s"max fold wrong: $mx (base $base)")
+    val av = run("avg").map(r => (r._1, r._3)).toMap
+    val g1avg = pub(math.floor(
+      (fp(base(1L)) + fp(base(2L))).toDouble / 2 + 0.5).toLong)
+    assert(av(Some("g1")) == g1avg, s"avg fold wrong: $av")
+    // minChildren floor drops the orphan's singleton NULL parent
+    assert(run("sum", minC = 2).map(_._1).toSet ==
+      Set(Some("g1"), Some("g2")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hasChildSearch(spark, dir, Nil, Seq("a"), Nil,
+        meta, "source", 1, "median", 10, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hasChildSearch(spark, dir, Nil, Seq("a"), Nil,
+        meta, "source", 0, "max", 10, "doc_id")
+    }
+  }
+
   test("bm25fProbeIndexed: bit-identical to the scan path, a kill in " +
       "both field indexes equals scanning the reduced corpus, guards") {
     import spark.implicits._
