@@ -9,8 +9,57 @@ import graft.operators.TextAnalysis
 
 /** Continuous percolation: per-micro-batch alerts equal the batch
   * operator on each wave, and a replayed batch's partition-overwrite
-  * is a bit-identical no-op. */
+  * is a bit-identical no-op. Also the BM25F-over-streamed-field-
+  * indexes composition: the per-field layout q180 gates inherits the
+  * streaming maintenance loop with zero new code. */
 class StreamingPercolateSpec extends SparkSpec {
+
+  test("BM25F probes per-field indexes maintained by the streaming " +
+      "loop bit-identically to the scan of everything ingested") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val tDir = java.nio.file.Files
+      .createTempDirectory("sbm25f_t").toString
+    val bDir = java.nio.file.Files
+      .createTempDirectory("sbm25f_b").toString
+    // one streaming loop per field index — Lucene's one-doc-many-
+    // fields flush, composed from the standard per-field layouts
+    val srcT = MemoryStream[(Long, String)]
+    val srcB = MemoryStream[(Long, String)]
+    val qT = StreamingLexicalIndex.run(
+      srcT.toDF().toDF("doc_id", "text"), "doc_id", "text", tDir,
+      maxSegments = 3,
+      java.nio.file.Files.createTempDirectory("sbm25f_tc").toString)
+    val qB = StreamingLexicalIndex.run(
+      srcB.toDF().toDF("doc_id", "text"), "doc_id", "text", bDir,
+      maxSegments = 3,
+      java.nio.file.Files.createTempDirectory("sbm25f_bc").toString)
+    val waves = Seq(
+      Seq((1L, "spark sort", "merge join sort")),
+      Seq((2L, "table scan", "sort filter"),
+        (3L, "merge merge", "scan value")),
+      Seq((4L, "sort", ""), (5L, "", "spark table")))
+    try {
+      waves.foreach { w =>
+        srcT.addData(w.map { case (id, t, _) => (id, t) }: _*)
+        srcB.addData(w.map { case (id, _, b) => (id, b) }: _*)
+        qT.processAllAvailable(); qB.processAllAvailable()
+      }
+    } finally { qT.stop(); qB.stop() }
+    val panel = Seq((0L, "sort table"), (1L, "merge spark"))
+      .toDF("qid", "qtext")
+    val probed = TextAnalysis.bm25fProbeIndexed(spark,
+        Seq((tDir, 2.0, 0.4), (bDir, 1.0, 0.75)), panel, 10, "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    val all = waves.flatten.toDF("doc_id", "title", "body")
+    val scanned = TextAnalysis.bm25fTopK(all, "doc_id",
+        Seq(("title", 2.0, 0.4), ("body", 1.0, 0.75)), panel, 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed == scanned,
+      s"streamed field indexes diverged from the scan: $probed vs " +
+        s"$scanned")
+  }
 
   test("three waves alert exactly like per-wave batch percolation; " +
       "a replayed batch rewrite leaves the sink unchanged") {
