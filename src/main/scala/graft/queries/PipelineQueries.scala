@@ -3976,6 +3976,55 @@ object PipelineQueries {
         .orderBy(col("q"), col("score").desc, col("source"))
     }),
 
+    // X3 — SEARCH-SERVICE CAPSTONE (the q102 precedent, lexical):
+    // ONE maintained index (two generations — kills, a modify wave,
+    // fresh docs) serves a mixed panel — boolean ranking, positional
+    // phrase, completion suggest — in one hash, so the kill rule,
+    // stats correction, position shifts from modified text, and the
+    // dict superset invariant all interact under the gate. The
+    // oracle rebuilds the final corpus state and replays each probe.
+    "q182_search_capstone" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("capstone_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val even = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", path, 0)
+      val kill = even.filter(
+          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
+      val wave = even.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          concat(lit("extra "), coalesce(col("text"), lit("")))
+            .as("text"))
+        .unionByName(d.filter(
+            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+          .select(col("doc_id"), col("text")))
+      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 1)
+      val b = TextAnalysis.booleanSearch(s, path, must = Nil,
+          should = Seq("query", "filter"), mustNot = Nil, k = 10,
+          "doc_id")
+        .select(lit("bool").as("kind"),
+          col("doc_id").cast("string").as("key"),
+          col("score").cast("double").as("val"))
+      val p = TextAnalysis.phraseSearch(s, path, Seq("sort", "merge"),
+          "doc_id")
+        .select(lit("phrase").as("kind"),
+          col("doc_id").cast("string").as("key"),
+          col("n_matches").cast("double").as("val"))
+      val c = TextAnalysis.completionSuggest(s, path, "s", k = 5,
+          "doc_id")
+        .select(lit("compl").as("kind"), col("term").as("key"),
+          col("df").cast("double").as("val"))
+      b.unionByName(p).unionByName(c)
+        .orderBy(col("kind"), col("key"), col("val"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7471,6 +7520,57 @@ object PipelineQueries {
         |SELECT q, source, n_children, score FROM
         |  (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
         |ORDER BY q, score DESC, source""".stripMargin,
+
+    // capstone replayed: the final corpus state rebuilt from the raw
+    // table (survivors + modified re-adds + fresh odds), then each
+    // probe's semantics replayed on it
+    "q182_search_capstone" ->
+      """WITH fin AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 NOT IN (0, 2)
+        |  UNION ALL
+        |  SELECT doc_id, 'extra ' || coalesce(text, '') FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id, coalesce(text, '') FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 10 = 1),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('query', 'filter') GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |bool AS (SELECT 'bool' AS kind,
+        |    CAST(doc_id AS VARCHAR) AS key, score AS val FROM (
+        |  SELECT tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  WHERE term IN ('query', 'filter')
+        |  GROUP BY 1
+        |  ORDER BY score DESC, doc_id LIMIT 10)),
+        |ph AS (SELECT 'phrase' AS kind,
+        |    CAST(doc_id AS VARCHAR) AS key,
+        |    CAST(len(starts) AS DOUBLE) AS val FROM (
+        |  SELECT doc_id, list_filter(generate_series(1, len(t) - 1),
+        |      p -> t[p:p+1] = ['sort', 'merge']) AS starts
+        |  FROM tok WHERE len(t) >= 2)
+        |  WHERE len(starts) > 0),
+        |compl AS (SELECT 'compl' AS kind, term AS key,
+        |    CAST(df AS DOUBLE) AS val FROM (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(t)) AS term FROM tok)
+        |  WHERE term LIKE 's%' GROUP BY 1
+        |  ORDER BY df DESC, term LIMIT 5))
+        |SELECT kind, key, val FROM
+        |  (SELECT * FROM bool UNION ALL SELECT * FROM ph
+        |   UNION ALL SELECT * FROM compl)
+        |ORDER BY kind, key, val""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,
