@@ -1220,7 +1220,13 @@ object TextAnalysis {
         col("score") < s || (col("score") === s && col(idCol) > id))
       case None => collapsed
     }
-    paged
+    // k = Int.MaxValue is the UNCUT contract ([[hasChildSearch]]'s
+    // parent fold consumes every match): no cut means the total sort
+    // is pure waste — at 100 TB the match set can be millions of rows
+    // and the consumer aggregates it anyway. Unsorted by design there;
+    // every finite k keeps the public (score DESC, id) order.
+    if (k == Int.MaxValue) paged
+    else paged
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
