@@ -590,7 +590,9 @@ object TextAnalysis {
     // tagged per-field tf relation — every doc reaches every field's
     // frame (null coalesces to "", one empty token), so per-field
     // stats count the full corpus exactly like tfFrame's contract
-    val tfAll = cached(fields.zipWithIndex.map { case ((fcol, _, _), fi) =>
+    // corpus-sized (|fields| tf relations) → serialized persist, the
+    // big-heap first-touch rationale on Caching.cachedSer
+    val tfAll = cachedSer(fields.zipWithIndex.map { case ((fcol, _, _), fi) =>
       docs.select(col(idCol),
           tokens(coalesce(col(fcol), lit(""))).as("toks"))
         .select(col(idCol), size(col("toks")).as("dl"),
@@ -2395,7 +2397,9 @@ object TextAnalysis {
     require(k > 0 && minDf >= 1, s"significantTerms: bad k $k / minDf $minDf")
     requireQuiescent(spark, path)
     val tombs = readTombstones(spark, path, idCol)
-    val liveAll = cached(liveAfterTombstones(
+    // corpus-sized (EVERY live posting, by design) → serialized
+    // persist, the big-heap first-touch rationale on Caching.cachedSer
+    val liveAll = cachedSer(liveAfterTombstones(
       spark.read.parquet(s"$path/postings")
         .select(col(idCol), col("term"), col("seg")),
       tombs, idCol)
