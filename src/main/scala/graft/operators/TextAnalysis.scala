@@ -690,6 +690,12 @@ object TextAnalysis {
           .select(col(idCol), col("term"), col("wtf"))
         (f, stats)
     }
+    // the caller's same-corpus contract, checked loudly: every field
+    // index must hold the same live doc count (|stats| 1-row fetches)
+    val nDocs = perField.map(_._2.select(col("n_docs")).head().getLong(0))
+    require(nDocs.distinct.size == 1,
+      s"bm25fProbeIndexed: field indexes cover different corpora " +
+        s"(n_docs = ${nDocs.mkString(", ")})")
     val ptf = perField.map(_._1).reduce(_ unionByName _)
       .groupBy(col(idCol), col("term"))
       .agg(sum(col("wtf")).as("ptf"))

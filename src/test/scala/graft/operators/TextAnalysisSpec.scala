@@ -1650,6 +1650,17 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25fProbeIndexed(spark, Seq((tDir, -1.0, 0.4)),
         panel, 10, "doc_id")
     }
+    // same-corpus contract is loud: an extra doc in only one field
+    // index trips the n_docs equality guard (the kill above already
+    // desynced tDir 4 docs vs bDir 4 — append to bDir only)
+    TextAnalysis.bm25AppendSegment(
+      Seq((9L, "stray")).toDF("doc_id", "text"), "doc_id", "text",
+      bDir, 2)
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25fProbeIndexed(spark,
+        Seq((tDir, 2.0, 0.4), (bDir, 1.0, 0.75)), panel, 10, "doc_id")
+    }
+    assert(err.getMessage.contains("different corpora"))
   }
 
   test("rescoreWithPhrase: phrase hits jump by rescore weight inside " +
