@@ -1803,13 +1803,23 @@ object TextAnalysis {
     * under the same [[requireQuiescent]] single-writer guard. */
   private def livePositional(spark: org.apache.spark.sql.SparkSession,
                              path: String, idCol: String,
-                             termPred: Column): DataFrame = {
+                             termPred: Column,
+                             asOfSegment: Option[Int] = None)
+      : DataFrame = {
     requireQuiescent(spark, path)
+    // the q161 time-travel cut, positional flavor: the generation
+    // bound prunes seg DIRECTORIES on postings and tombstones alike,
+    // so an as-of phrase/proximity/prefix probe replays generation-g
+    // results bit-for-bit — valid back to the last compaction
+    def cut(df: DataFrame): DataFrame = asOfSegment match {
+      case Some(g) => df.filter(col("seg").cast("int") <= g)
+      case None => df
+    }
     liveAfterTombstones(
-      spark.read.parquet(s"$path/postings")
+      cut(spark.read.parquet(s"$path/postings"))
         .filter(termPred)
         .select(col(idCol), col("term"), col("positions"), col("seg")),
-      readTombstones(spark, path, idCol), idCol)
+      cut(readTombstones(spark, path, idCol)), idCol)
       .select(col(idCol), col("term"), col("positions"))
   }
 
@@ -1831,14 +1841,15 @@ object TextAnalysis {
     * phrase terms just read the same pruned list twice. */
   def phraseSearch(spark: org.apache.spark.sql.SparkSession,
                    path: String, phrase: Seq[String],
-                   idCol: String): DataFrame = {
+                   idCol: String,
+                   asOfSegment: Option[Int] = None): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
     // cached: the tombstone-filtered live set is re-filtered once per
     // phrase term below — left lazy, the kill-rule join re-runs per
     // term
     val posts = cached(livePositional(spark, path, idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
-        .unsafeWrapArray(phrase.distinct.toArray): _*)))
+        .unsafeWrapArray(phrase.distinct.toArray): _*), asOfSegment))
     val frames = phrase.zipWithIndex.map { case (t, i) =>
       posts.filter(col("term") === t)
         .select(col(idCol),
@@ -1871,13 +1882,14 @@ object TextAnalysis {
     * bounded exactly as [[phraseSearch]]. Returns (id, min_span). */
   def proximitySearch(spark: org.apache.spark.sql.SparkSession,
                       path: String, terms: Seq[String], maxSpan: Long,
-                      idCol: String): DataFrame = {
+                      idCol: String,
+                      asOfSegment: Option[Int] = None): DataFrame = {
     require(terms.size >= 2 && terms.distinct.size == terms.size,
       "proximitySearch needs >= 2 distinct terms")
     val k = terms.size
     val posts = livePositional(spark, path, idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
-        .unsafeWrapArray(terms.toArray): _*))
+        .unsafeWrapArray(terms.toArray): _*), asOfSegment)
     val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
       case (c, (t, i)) => when(col("term") === t, lit(i)).otherwise(c)
     }
@@ -1930,7 +1942,8 @@ object TextAnalysis {
     * posting-list-bounded. Returns (id, min_span). */
   def orderedNearSearch(spark: org.apache.spark.sql.SparkSession,
                         path: String, terms: Seq[String], maxSpan: Long,
-                        idCol: String): DataFrame = {
+                        idCol: String,
+                        asOfSegment: Option[Int] = None): DataFrame = {
     require(terms.size >= 2 && terms.distinct.size == terms.size,
       "orderedNearSearch needs >= 2 distinct terms")
     require(maxSpan >= terms.size - 1,
@@ -1939,7 +1952,7 @@ object TextAnalysis {
     val k = terms.size
     val posts = livePositional(spark, path, idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
-        .unsafeWrapArray(terms.toArray): _*))
+        .unsafeWrapArray(terms.toArray): _*), asOfSegment)
     val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
       case (c, (t, i)) => when(col("term") === t, lit(i)).otherwise(c)
     }
@@ -1996,7 +2009,8 @@ object TextAnalysis {
     * (id, n_matched, start_pos, end_pos). */
   def snippetSpans(spark: org.apache.spark.sql.SparkSession,
                    path: String, terms: Seq[String], minMatched: Int,
-                   idCol: String): DataFrame = {
+                   idCol: String,
+                   asOfSegment: Option[Int] = None): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size,
       "snippetSpans needs distinct, non-empty terms")
     require(minMatched >= 1 && minMatched <= terms.size,
@@ -2004,7 +2018,7 @@ object TextAnalysis {
     val k = terms.size
     val posts = livePositional(spark, path, idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
-        .unsafeWrapArray(terms.toArray): _*))
+        .unsafeWrapArray(terms.toArray): _*), asOfSegment)
     val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
       case (c, (t, i)) => when(col("term") === t, lit(i)).otherwise(c)
     }
@@ -2255,9 +2269,11 @@ object TextAnalysis {
     * matched terms and total occurrences. */
   def termPrefixSearch(spark: org.apache.spark.sql.SparkSession,
                        path: String, prefix: String,
-                       idCol: String): DataFrame = {
+                       idCol: String,
+                       asOfSegment: Option[Int] = None): DataFrame = {
     require(prefix.nonEmpty, "termPrefixSearch: empty prefix")
-    livePositional(spark, path, idCol, col("term").startsWith(prefix))
+    livePositional(spark, path, idCol, col("term").startsWith(prefix),
+        asOfSegment)
       .groupBy(col(idCol))
       .agg(count_distinct(col("term")).as("n_terms"),
         sum(size(col("positions")).cast("long")).as("n_occurrences"))

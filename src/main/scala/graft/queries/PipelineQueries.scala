@@ -4025,6 +4025,43 @@ object PipelineQueries {
         .orderBy(col("kind"), col("key"), col("val"))
     }),
 
+    // X3 — POSITIONAL TIME TRAVEL (q161's phrase sibling): the same
+    // two-generation wave, probed asOf=0 and live — the generation
+    // cut must replay generation-0 phrase matches bit-for-bit
+    // (positions shift in the modified docs, so a leaked gen-1
+    // posting moves first_pos and goes red).
+    "q183_phrase_time_travel" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("posttime_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val even = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", path, 0)
+      val kill = even.filter(
+          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
+      val wave = even.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          concat(lit("extra "), coalesce(col("text"), lit("")))
+            .as("text"))
+        .unionByName(d.filter(
+            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+          .select(col("doc_id"), col("text")))
+      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 1)
+      val asOf = TextAnalysis.phraseSearch(s, path,
+          Seq("sort", "merge"), "doc_id", asOfSegment = Some(0))
+        .withColumn("q", lit("asof0"))
+      val live = TextAnalysis.phraseSearch(s, path,
+          Seq("sort", "merge"), "doc_id")
+        .withColumn("q", lit("live"))
+      asOf.unionByName(live).orderBy(col("q"), col("doc_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -7571,6 +7608,36 @@ object PipelineQueries {
         |  (SELECT * FROM bool UNION ALL SELECT * FROM ph
         |   UNION ALL SELECT * FROM compl)
         |ORDER BY kind, key, val""".stripMargin,
+
+    // positional time travel replayed: phrase semantics over BOTH
+    // corpus states — generation 0 (evens original) and the final
+    // state (survivors + shifted modified re-adds + fresh odds)
+    "q183_phrase_time_travel" ->
+      """WITH g0 AS (SELECT doc_id,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |fin AS (SELECT doc_id, string_split(text, ' ') AS t FROM (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 NOT IN (0, 2)
+        |  UNION ALL
+        |  SELECT doc_id, 'extra ' || coalesce(text, '') FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id, coalesce(text, '') FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 10 = 1)),
+        |p0 AS (SELECT doc_id, 'asof0' AS q,
+        |    list_filter(generate_series(1, len(t) - 1),
+        |      p -> t[p:p+1] = ['sort', 'merge']) AS starts
+        |  FROM g0 WHERE len(t) >= 2),
+        |p1 AS (SELECT doc_id, 'live' AS q,
+        |    list_filter(generate_series(1, len(t) - 1),
+        |      p -> t[p:p+1] = ['sort', 'merge']) AS starts
+        |  FROM fin WHERE len(t) >= 2),
+        |u AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+        |SELECT q, doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+        |  CAST(starts[1] - 1 AS BIGINT) AS first_pos
+        |FROM u WHERE len(starts) > 0
+        |ORDER BY q, doc_id""".stripMargin,
 
     // spell suggestion replayed: per-term distinct-doc df from the
     // token stream, DuckDB's levenshtein, the same (dist, df DESC,

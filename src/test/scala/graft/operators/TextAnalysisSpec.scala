@@ -1550,6 +1550,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe(dir, Some(99)) == probe(dir, None))
   }
 
+  test("positional time travel: asOf=0 replays a fresh generation-0 " +
+      "index for phrase/proximity/prefix, live reads the final state") {
+    import spark.implicits._
+    val g0 = Seq((1L, "sort merge x"), (2L, "sort y merge"),
+      (3L, "stack z")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("postt").toString
+    TextAnalysis.bm25AppendSegment(g0, "doc_id", "text", dir, 0)
+    // wave: kill doc 1, modify doc 2 (phrase appears), add doc 4
+    TextAnalysis.bm25Tombstone(Seq((1L, 3L), (2L, 3L))
+      .toDF("doc_id", "dl"), "doc_id", "dl", dir, 1)
+    TextAnalysis.bm25AppendSegment(
+      Seq((2L, "w sort merge"), (4L, "stark sort merge"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, 1)
+    def phrase(asOf: Option[Int]) = TextAnalysis
+      .phraseSearch(spark, dir, Seq("sort", "merge"), "doc_id", asOf)
+      .as[(Long, Long, Long)].collect().toSet
+    // fresh gen-0-only index is the as-of ground truth
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("postt0").toString
+    TextAnalysis.bm25AppendSegment(g0, "doc_id", "text", dir0, 0)
+    assert(phrase(Some(0)) == TextAnalysis
+      .phraseSearch(spark, dir0, Seq("sort", "merge"), "doc_id")
+      .as[(Long, Long, Long)].collect().toSet,
+      "asOf=0 phrase diverged from a fresh generation-0 index")
+    assert(phrase(None) == Set((2L, 1L, 1L), (4L, 1L, 1L)),
+      s"live phrase wrong: ${phrase(None)}")
+    def prefix(asOf: Option[Int]) = TextAnalysis
+      .termPrefixSearch(spark, dir, "sta", "doc_id", asOf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prefix(Some(0)).map(_._1) == Set(3L) &&
+      prefix(None).map(_._1) == Set(3L, 4L),
+      s"prefix time travel wrong: ${prefix(Some(0))} / ${prefix(None)}")
+    val prox0 = TextAnalysis.proximitySearch(spark, dir,
+        Seq("sort", "merge"), 6L, "doc_id", Some(0))
+      .as[(Long, Long)].collect().toMap
+    assert(prox0 == Map(1L -> 1L, 2L -> 2L),
+      s"asOf proximity wrong: $prox0")
+  }
+
   test("hasChildSearch: per-parent fold under max/sum/avg from the " +
       "reconstructed fixed point, minChildren floor, orphans in the " +
       "NULL parent, guards") {
