@@ -2359,7 +2359,8 @@ object TextAnalysis {
   def spellSuggest(spark: org.apache.spark.sql.SparkSession,
                    path: String, term: String, maxDist: Int, k: Int,
                    idCol: String,
-                   maxExpansion: Int = 1000): DataFrame = {
+                   maxExpansion: Int = 1000,
+                   asOfSegment: Option[Int] = None): DataFrame = {
     require(term.nonEmpty, "spellSuggest: empty term")
     require(maxDist >= 0 && k > 0,
       s"spellSuggest: bad maxDist $maxDist / k $k")
@@ -2373,12 +2374,19 @@ object TextAnalysis {
       s"spellSuggest: '$term'~$maxDist expands to ${matched.length} " +
         s"terms > maxExpansion $maxExpansion — tighten the distance " +
         "or raise the bound")
+    // as-of cut (the q161/q183 generation rule): the dict is a
+    // SUPERSET, so a future-segment term expands into the IN list and
+    // its cut-away postings yield no df row — dropped, never surfaced
+    def cutSeg(df: DataFrame): DataFrame = asOfSegment match {
+      case Some(g) => df.filter(col("seg").cast("int") <= g)
+      case None => df
+    }
     val live = liveAfterTombstones(
-      spark.read.parquet(s"$path/postings")
+      cutSeg(spark.read.parquet(s"$path/postings"))
         .filter(col("term").isin(scala.collection.immutable.ArraySeq
           .unsafeWrapArray(matched): _*))
         .select(col(idCol), col("term"), col("seg")),
-      readTombstones(spark, path, idCol), idCol)
+      cutSeg(readTombstones(spark, path, idCol)), idCol)
     live.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
       .withColumn("dist",
@@ -2464,7 +2472,8 @@ object TextAnalysis {
   def completionSuggest(spark: org.apache.spark.sql.SparkSession,
                         path: String, prefix: String, k: Int,
                         idCol: String,
-                        maxExpansion: Int = 1000): DataFrame = {
+                        maxExpansion: Int = 1000,
+                        asOfSegment: Option[Int] = None): DataFrame = {
     require(prefix.nonEmpty, "completionSuggest: empty prefix")
     require(k > 0, s"completionSuggest: bad k $k")
     requireQuiescent(spark, path)
@@ -2475,12 +2484,19 @@ object TextAnalysis {
       s"completionSuggest: '$prefix*' expands to ${matched.length} " +
         s"terms > maxExpansion $maxExpansion — lengthen the prefix " +
         "or raise the bound")
+    // as-of cut (the q161/q183 generation rule): the dict is a
+    // SUPERSET, so a future-segment term expands into the IN list and
+    // its cut-away postings yield no df row — dropped, never surfaced
+    def cutSeg(df: DataFrame): DataFrame = asOfSegment match {
+      case Some(g) => df.filter(col("seg").cast("int") <= g)
+      case None => df
+    }
     val live = liveAfterTombstones(
-      spark.read.parquet(s"$path/postings")
+      cutSeg(spark.read.parquet(s"$path/postings"))
         .filter(col("term").isin(scala.collection.immutable.ArraySeq
           .unsafeWrapArray(matched): _*))
         .select(col(idCol), col("term"), col("seg")),
-      readTombstones(spark, path, idCol), idCol)
+      cutSeg(readTombstones(spark, path, idCol)), idCol)
     live.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
       .orderBy(col("df").desc, col("term"))

@@ -1883,6 +1883,20 @@ class TextAnalysisSpec extends SparkSpec {
       s"live ranking wrong after kills: ${sugg("s")}")
     assert(sugg("so") == Seq(("sort", 1L)),
       "dead term 'solo' resurfaced or band wrong")
+    // time travel: asOf=0 replays the pre-kill df ranking, and a term
+    // first appearing in a later segment never surfaces at asOf=0
+    TextAnalysis.bm25AppendSegment(
+      Seq((9L, "solar")).toDF("doc_id", "text"), "doc_id", "text",
+      dir, 2)
+    assert(TextAnalysis.completionSuggest(spark, dir, "s", 10,
+        "doc_id", asOfSegment = Some(0))
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("sort", 2L), ("sun", 2L), ("solo", 1L)),
+      "asOf=0 completion diverged from the pre-kill ranking")
+    assert(TextAnalysis.spellSuggest(spark, dir, "solar", 1, 5,
+        "doc_id", asOfSegment = Some(0))
+      .as[(String, Long, Long)].collect().isEmpty,
+      "a future-segment term surfaced at asOf=0")
     intercept[IllegalArgumentException] {
       TextAnalysis.completionSuggest(spark, dir, "", 5, "doc_id")
     }
