@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GENERATION MANIFESTS for the segmented lexical index — the
+  * Delta-log / Lucene-SegmentInfos commit protocol that turns the
+  * layout's single-writer read contract into true MVCC snapshot
+  * isolation (reference behavior: the ETL's monthly re-scrape
+  * replaces CSVs wholesale, `main.py` re-reads whatever is on disk —
+  * no isolation at all; this module is the engine's scale answer).
+  *
+  * The model (Delta Lake's insight, relationally):
+  *
+  *   - every physical segment directory is WRITE-ONCE: appends land
+  *     in the live hive tree (`postings/seg=N`, …), maintenance
+  *     REWRITES land under `_rev/g<gen>/…` — nothing is ever renamed
+  *     or deleted in place (until [[graft.operators.TextAnalysis
+  *     .bm25Vacuum]] reclaims unreferenced history);
+  *   - a MANIFEST file (`_gen/m<gen>`) lists, per layout
+  *     (postings / segstats / termdict / tombstones), the (seg, loc)
+  *     pairs composing that generation;
+  *   - sealing a manifest is ATOMIC (exclusive create): the new
+  *     generation becomes visible all-or-nothing, so there is no
+  *     swap window at all — the staging/marker recovery protocols
+  *     the pre-manifest layout needed are obsolete. A crash before
+  *     the seal leaves unreferenced garbage (invisible, vacuumed
+  *     later); a crash after it leaves a complete generation.
+  *
+  * Readers PIN the latest sealed generation once at entry and
+  * resolve every layout through it — a maintenance op sealing g+1
+  * mid-probe changes nothing the probe reads, because generation g's
+  * directories are still on disk, untouched. That is snapshot
+  * isolation; it also makes every sealed generation a TIME-TRAVEL
+  * target (`asOfGeneration`), valid back to the vacuum horizon —
+  * strictly wider than the segment-number cut (q161/q183), which a
+  * compaction invalidates.
+  *
+  * Concurrent WRITERS collide loudly on the exclusive seal: the
+  * second sealer of generation g+1 fails, its staged `_rev` output
+  * stays unreferenced, and the index is intact — the single-writer
+  * contract is now machine-checked at the only point that matters,
+  * instead of advisory.
+  *
+  * The manifest file format is a plain text header + entry lines
+  * (`layout<TAB>seg<TAB>loc`) — human-auditable, no JSON dependency,
+  * and small: one line per live segment per layout. */
+object SegmentManifest {
+
+  /** The four layouts of a segmented index, in serialization order. */
+  val Layouts: Seq[String] =
+    Seq("postings", "segstats", "termdict", "tombstones")
+
+  /** One layout member: logical segment number + directory location
+    * RELATIVE to the index root (stable until vacuum). */
+  final case class Entry(seg: Int, loc: String)
+
+  /** One sealed generation: the complete (seg, loc) composition of
+    * every layout. Immutable once sealed. */
+  final case class Manifest(gen: Int,
+                            layouts: Map[String, Seq[Entry]]) {
+    def entries(layout: String): Seq[Entry] =
+      layouts.getOrElse(layout, Nil).sortBy(_.seg)
+    def segs(layout: String): Seq[Int] = entries(layout).map(_.seg)
+    /** Next-generation composition: drop `drop` segments and add (or
+      * replace — append replay overwrites a segment in place) `add`
+      * in the given layout; other layouts unchanged. */
+    def replace(layout: String, drop: Set[Int],
+                add: Seq[Entry]): Manifest = {
+      val addSegs = add.map(_.seg).toSet
+      val kept = entries(layout)
+        .filterNot(e => drop.contains(e.seg) || addSegs.contains(e.seg))
+      copy(layouts = layouts.updated(layout, kept ++ add))
+    }
+  }
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genDir(path: String) = new Path(s"$path/_gen")
+
+  private def manifestPath(path: String, gen: Int) =
+    new Path(genDir(path), f"m$gen%09d")
+
+  /** Generation numbers with a sealed manifest, ascending; empty for
+    * pre-manifest (legacy) layouts. */
+  def generations(spark: SparkSession, path: String): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    val d = genDir(path)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).sorted.toSeq
+  }
+
+  def latestGen(spark: SparkSession, path: String): Option[Int] =
+    generations(spark, path).lastOption
+
+  /** Load a sealed manifest. Loud when the generation does not exist
+    * (never sealed, or reclaimed by vacuum — the time-travel floor). */
+  def load(spark: SparkSession, path: String, gen: Int): Manifest = {
+    val fs = fsOf(spark, path)
+    val p = manifestPath(path, gen)
+    require(fs.exists(p),
+      s"segmented index at $path has no sealed generation $gen — " +
+        "never sealed, or vacuumed past the time-travel floor")
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parse(txt)
+  }
+
+  def latest(spark: SparkSession, path: String): Option[Manifest] =
+    latestGen(spark, path).map(load(spark, path, _))
+
+  /** Seal `m` as generation `m.gen` — EXCLUSIVE create: a concurrent
+    * writer that sealed the same generation first makes this fail
+    * loudly, with the caller's staged `_rev` output left unreferenced
+    * and the index intact (the machine-checked single-writer rule). */
+  def seal(spark: SparkSession, path: String, m: Manifest): Unit = {
+    val fs = fsOf(spark, path)
+    fs.mkdirs(genDir(path))
+    val p = manifestPath(path, m.gen)
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"segmented index at $path: generation ${m.gen} was sealed " +
+            "by a concurrent writer — this op's output is abandoned " +
+            s"(unreferenced) and the index is intact: ${e.getMessage}")
+      }
+    try out.write(render(m).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Generation-0 composition of a PRE-MANIFEST layout, discovered
+    * from the live hive tree — the upgrade path: the first sealing
+    * writer on a legacy index folds the existing directories in. */
+  def bootstrap(spark: SparkSession, path: String): Manifest = {
+    val fs = fsOf(spark, path)
+    val layouts = Layouts.map { l =>
+      val d = new Path(s"$path/$l")
+      val entries =
+        if (!fs.exists(d)) Nil
+        else fs.listStatus(d)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+          .map { s =>
+            val seg = s.getPath.getName.stripPrefix("seg=").toInt
+            Entry(seg, s"$l/seg=$seg")
+          }.sortBy(_.seg).toSeq
+      l -> entries
+    }.toMap
+    Manifest(0, layouts)
+  }
+
+  /** A write-once directory for one maintenance REWRITE targeting
+    * `gen` (relative to the index root) — outside the live hive tree
+    * so directory discovery never double-reads it, and suffixed with
+    * a fresh token so two racing writers targeting the same
+    * generation can never overwrite each other's staged output (the
+    * loser's seal fails; its directory stays unreferenced until
+    * vacuum). */
+  def revDir(gen: Int): String =
+    s"_rev/g$gen-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Read one layout of a pinned generation: per-entry leaf reads
+    * with the segment number attached as a literal (the hive dir is
+    * not discovered, so the column is supplied — same schema as the
+    * legacy discovery read). None when the layout has no members
+    * (callers supply their empty-schema fallback). Pushed predicates
+    * (`term IN`, prefixes) reach every leaf scan unchanged; a filter
+    * on `seg` constant-folds per branch, pruning whole segments. */
+  def read(spark: SparkSession, path: String, m: Manifest,
+           layout: String): Option[DataFrame] = {
+    val es = m.entries(layout)
+    if (es.isEmpty) None
+    else Some(es.map { e =>
+      spark.read.parquet(s"$path/${e.loc}")
+        .withColumn("seg", lit(e.seg))
+    }.reduce(_ unionByName _))
+  }
+
+  /** VACUUM: reclaim physical directories referenced by none of the
+    * newest `keepGenerations` manifests, and drop the older manifest
+    * files — the Delta-vacuum analog that bounds the write-once
+    * layout's disk growth. Everything at or above the retention floor
+    * (including `asOfGeneration` reads) is untouched; a read pinned
+    * BELOW the floor fails loudly at [[load]] afterwards — retention
+    * is the operator's lever for how far history must reach, exactly
+    * Delta's retention-interval contract (do not vacuum below the
+    * oldest generation a long-running reader may still hold).
+    * Returns (directories deleted, directories kept). */
+  def vacuum(spark: SparkSession, path: String,
+             keepGenerations: Int): (Long, Long) = {
+    require(keepGenerations >= 1,
+      s"vacuum: keepGenerations must be >= 1, got $keepGenerations")
+    val fs = fsOf(spark, path)
+    val gens = generations(spark, path)
+    require(gens.nonEmpty,
+      s"vacuum: no sealed generations at $path — nothing to reclaim " +
+        "(write through the maintenance ops to seal one)")
+    val keep = gens.takeRight(keepGenerations)
+    val referenced: Set[String] = keep
+      .map(load(spark, path, _))
+      .flatMap(m => Layouts.flatMap(l => m.entries(l).map(_.loc)))
+      .toSet
+    var removed = 0L
+    var kept = 0L
+    def sweepSegDirs(parent: Path, locPrefix: String): Unit =
+      if (fs.exists(parent))
+        for (st <- fs.listStatus(parent)
+             if st.isDirectory && st.getPath.getName.startsWith("seg=")) {
+          val loc = s"$locPrefix/${st.getPath.getName}"
+          if (referenced.contains(loc)) kept += 1
+          else {
+            require(fs.delete(st.getPath, true),
+              s"vacuum: failed to delete $loc")
+            removed += 1
+          }
+        }
+    for (l <- Layouts) sweepSegDirs(new Path(s"$path/$l"), l)
+    val revRoot = new Path(s"$path/_rev")
+    if (fs.exists(revRoot))
+      for (g <- fs.listStatus(revRoot) if g.isDirectory) {
+        for (l <- Layouts)
+          sweepSegDirs(new Path(g.getPath, l),
+            s"_rev/${g.getPath.getName}/$l")
+        // a rev dir whose every layout emptied out is itself garbage
+        if (fs.listStatus(g.getPath).forall(st =>
+            !fs.exists(st.getPath) ||
+              fs.listStatus(st.getPath).isEmpty))
+          fs.delete(g.getPath, true)
+      }
+    for (g <- gens.dropRight(keepGenerations))
+      require(fs.delete(manifestPath(path, g), false),
+        s"vacuum: failed to drop manifest $g")
+    (removed, kept)
+  }
+
+  private def render(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb.append(s"gen=${m.gen}\n")
+    for (l <- Layouts; e <- m.entries(l))
+      sb.append(s"$l\t${e.seg}\t${e.loc}\n")
+    sb.toString
+  }
+
+  private def parse(txt: String): Manifest = {
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.startsWith("gen="),
+      s"malformed manifest: ${lines.headOption.getOrElse("<empty>")}")
+    val gen = lines.head.stripPrefix("gen=").toInt
+    val entries = lines.tail.map { ln =>
+      val parts = ln.split("\t")
+      require(parts.length == 3, s"malformed manifest line: $ln")
+      (parts(0), Entry(parts(1).toInt, parts(2)))
+    }
+    Manifest(gen,
+      entries.groupBy(_._1).map { case (l, es) =>
+        l -> es.map(_._2).toSeq }.toMap)
+  }
+}

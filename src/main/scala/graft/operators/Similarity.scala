@@ -601,6 +601,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** The quantized-probe SEMANTICS replayed against a corpus
+    * snapshot and a fixed centroid model, with no physical index:
+    * quantize the snapshot rows, assign cells, keep the query's
+    * nProbe ranked cells, score int8 codes — term-for-term the plan
+    * [[ivfProbePrunedQuantized]] runs over
+    * [[ivfWriteIndexQuantized]] output, so the two agree bit-for-bit
+    * (the refresh parity specs pin maintained ≡ rebuilt; int8 codes
+    * survive the parquet roundtrip exactly). This is the TIME-TRAVEL
+    * read path ([[graft.streaming.StreamingVectorIndex
+    * .probeAsOfQuantized]]): the physical index is maintained in
+    * place, so a historical probe pays a snapshot scan instead of
+    * the partition-pruned read — the Delta-time-travel cost class,
+    * borne only by as-of reads; live probes keep the pruned path. */
+  def ivfProbeSnapshotQuantized(snapshot: DataFrame, cents: DataFrame,
+                                queryVec: DataFrame, idCol: String,
+                                vecCol: String, k: Int,
+                                nProbe: Int): DataFrame = {
+    val probed = probedCellIds(cents, queryVec, nProbe)
+    val qCodes = queryVec.select(
+      Quantize.int8(col("qvec"), Quantize.scaleOf(col("qvec")))
+        .as("query_codes"))
+    Quantize.quantized(snapshot, vecCol, "codes")
+      .join(ivfAssignCosine(snapshot, cents, idCol, vecCol), Seq(idCol))
+      .filter(col("centroid_id").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+      .crossJoin(broadcast(qCodes))
+      .select(col(idCol),
+        round(Quantize.cosineCodes(col("codes"), col("query_codes")), 4)
+          .as("qsim"))
+      .orderBy(col("qsim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Probe a materialized L2 index. The probe list is nProbe centroid
     * ids — a driver-side scalar fetch of the (tiny, broadcast-sized)
     * centroid ranking, NOT a data-path collect — turned into a literal

@@ -683,7 +683,10 @@ object TextAnalysis {
       .collect().map(_.getString(0))
     val perField = fieldPaths.zipWithIndex.map {
       case ((path, w, bf), fi) =>
-        val (live, stats) = liveScoring(spark, path, idCol, terms)
+        // one pin PER FIELD INDEX — each field is its own segmented
+        // layout with its own generation clock
+        val (live, stats) =
+          liveScoring(spark, pinSeg(spark, path), idCol, terms)
         val f = live.crossJoin(broadcast(stats))
           .withColumn("wtf", col("tf") * lit(w) /
             (lit(1.0) - lit(bf) + lit(bf) * col("dl") / col("avgdl")))
@@ -851,10 +854,29 @@ object TextAnalysis {
     * away and parquet never reads its pages. */
   def bm25AppendSegment(docs: DataFrame, idCol: String, textCol: String,
                         path: String, segment: Int): Unit = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // write-once rule: a segment-number REUSE (a streaming replay's
+    // re-append, the post-full-merge clock restart) must never
+    // overwrite a directory an older sealed generation still
+    // references — route the rewrite to a fresh rev dir instead; the
+    // seal REPLACES the entry, so the latest generation reads the new
+    // rows and every pinned/as-of generation keeps its old ones
+    lazy val rev = SegmentManifest.revDir(
+      SegmentManifest.latestGen(spark, path).getOrElse(0) + 1)
+    def loc(l: String): String = {
+      val live = s"$l/seg=$segment"
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$live")))
+        s"$rev/$l/seg=$segment"
+      else live
+    }
+    val locs = Seq("postings", "termdict", "segstats")
+      .map(l => l -> loc(l)).toMap
     val tf = tfPosFrame(docs, idCol, textCol)
     tf.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol))
-      .write.mode("overwrite").parquet(s"$path/postings/seg=$segment")
+      .write.mode("overwrite").parquet(s"$path/${locs("postings")}")
     // per-segment TERM DICTIONARY (Lucene's terms file): the
     // dictionary-expansion queries (fuzzy/wildcard) read this
     // vocabulary-sized artifact instead of distinct-ing the
@@ -868,18 +890,41 @@ object TextAnalysis {
     tf.select(col("term")).distinct()
       .sort(col("term"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/termdict/seg=$segment")
+      .parquet(s"$path/${locs("termdict")}")
     tf.select(col(idCol), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/segstats/seg=$segment")
+      .parquet(s"$path/${locs("segstats")}")
+    // seal the append as the next generation — replacing any
+    // same-segment entry (a replayed segment supersedes its earlier
+    // attempt; the old attempt's directory stays pinned-readable)
+    sealNext(spark, path) { m =>
+      locs.foldLeft(m) { case (acc, (l, lc)) =>
+        acc.replace(l, Set.empty,
+          Seq(SegmentManifest.Entry(segment, lc)))
+      }
+    }
+    ()
   }
 
   /** Tombstone keys (with their OLD document length, so the corpus
     * stats can be corrected without re-reading the old segments). */
   def bm25Tombstone(keys: DataFrame, idCol: String, dlCol: String,
-                    path: String, segment: Int): Unit =
+                    path: String, segment: Int): Unit = {
+    val spark = keys.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same write-once reuse rule as [[bm25AppendSegment]]: a rewrite
+    // of an existing tombstone segment (a recrawl retry, a number
+    // reused after the full merge cleared the set) goes to a fresh
+    // rev dir; the seal replaces the entry
+    val live = s"tombstones/seg=$segment"
+    val loc =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$live")))
+        s"${SegmentManifest.revDir(
+          SegmentManifest.latestGen(spark, path).getOrElse(0) + 1)}/$live"
+      else live
     keys.select(col(idCol).cast("long").as(idCol),
         // null dl fails AT WRITE: the stats correction (probe and
         // tombstone GC) subtracts this value — a null would silently
@@ -890,22 +935,33 @@ object TextAnalysis {
             "correction requires the old document length"))
             .cast("long")).as("dl"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/tombstones/seg=$segment")
+      .parquet(s"$path/$loc")
+    sealNext(spark, path)(_.replace("tombstones", Set.empty,
+      Seq(SegmentManifest.Entry(segment, loc))))
+    ()
+  }
 
   /** The segmented layout's tombstone frame (idCol, dl, seg). A fresh
     * index has no tombstones directory — read as empty, not as an
     * error (schema supplied, same trick as the IVF staging). */
   private def readTombstones(spark: org.apache.spark.sql.SparkSession,
-                             path: String, idCol: String): DataFrame = {
+                             snap: SegSnapshot, idCol: String): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
     val tombSchema = new StructType()
       .add(idCol, LongType).add("dl", LongType).add("seg", IntegerType)
-    try spark.read.schema(tombSchema).parquet(s"$path/tombstones")
-      .select(col(idCol), col("dl"), col("seg"))
-    catch { case _: org.apache.spark.sql.AnalysisException =>
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        tombSchema)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+    snap.manifest match {
+      case Some(m) =>
+        SegmentManifest.read(spark, snap.path, m, "tombstones")
+          .map(_.select(col(idCol), col("dl"),
+            col("seg").cast("int").as("seg")))
+          .getOrElse(empty)
+      case None =>
+        try spark.read.schema(tombSchema)
+          .parquet(s"${snap.path}/tombstones")
+          .select(col(idCol), col("dl"), col("seg"))
+        catch { case _: org.apache.spark.sql.AnalysisException => empty }
     }
   }
 
@@ -945,13 +1001,14 @@ object TextAnalysis {
                          path: String, queries: DataFrame, k: Int,
                          idCol: String, k1: Double = 1.2,
                          b: Double = 0.75,
-                         asOfSegment: Option[Int] = None): DataFrame = {
+                         asOfSegment: Option[Int] = None,
+                         asOfGeneration: Option[Int] = None): DataFrame = {
     val qterms = queries.select(col("qid"),
       explode(array_distinct(tokens(col("qtext")))).as("term"))
     val terms = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0))
-    val (live, stats) = liveScoring(spark, path, idCol, terms,
-      asOfSegment)
+    val (live, stats) = liveScoring(spark,
+      pinSeg(spark, path, asOfGeneration), idCol, terms, asOfSegment)
     val dfq = live.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
     bm25Score(live.join(dfq, "term"), qterms, stats, idCol, k, k1, b)
@@ -967,28 +1024,28 @@ object TextAnalysis {
     * q115 contract). The live frame is cached: both callers
     * re-consume it (df derivation + scoring). */
   private def liveScoring(spark: org.apache.spark.sql.SparkSession,
-                          path: String, idCol: String,
+                          snap: SegSnapshot, idCol: String,
                           terms: Array[String],
                           asOfSegment: Option[Int] = None)
       : (DataFrame, DataFrame) = {
-    requireQuiescent(spark, path)
     // as-of: the generation cut applies uniformly to postings,
-    // tombstones, and stats partials — seg is the partition column on
-    // all three layouts, so the cut prunes DIRECTORIES
+    // tombstones, and stats partials — seg is the partition column
+    // (or the manifest entry's literal) on all three layouts, so the
+    // cut prunes whole segments
     def cut(df: DataFrame): DataFrame = asOfSegment match {
       case Some(g) => df.filter(col("seg").cast("int") <= g)
       case None => df
     }
-    val tombs = cut(readTombstones(spark, path, idCol))
+    val tombs = cut(readTombstones(spark, snap, idCol))
     val live = cached(liveAfterTombstones(
-      cut(spark.read.parquet(s"$path/postings"))
+      cut(readLayout(spark, snap, "postings"))
         .filter(col("term").isin(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(terms): _*))
         .select(col(idCol), col("dl"), col("term"), col("tf"),
           col("seg")),
       tombs, idCol)
       .select(col(idCol), col("dl"), col("term"), col("tf")))
-    val seg = cut(spark.read.parquet(s"$path/segstats"))
+    val seg = cut(readLayout(spark, snap, "segstats"))
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
     val tomb = tombs.agg(
       coalesce(count(lit(1)), lit(0L)).as("tn"),
@@ -1108,7 +1165,7 @@ object TextAnalysis {
     require(minShouldMatch >= 0 && minShouldMatch <= shouldD.size,
       s"booleanSearch: minShouldMatch $minShouldMatch outside " +
         s"[0, ${shouldD.size}] (distinct should terms not already must)")
-    val (live, stats) = liveScoring(spark, path, idCol,
+    val (live, stats) = liveScoring(spark, pinSeg(spark, path), idCol,
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
       excludeIds, minShouldMatch, after, allowed, collapse, boosts,
@@ -1192,11 +1249,15 @@ object TextAnalysis {
     // the doc-value factor and re-rounds BEFORE collapse/cursor/cut —
     // ES's composition order; left join + coalesce(1.0) is the
     // missing-value-neutral default, on the match set, not the corpus
+    // no broadcast hint: `meta` is corpus-sized in intended use (the
+    // factor is a doc value over ALL documents — q177 passes the full
+    // table) and would blow Spark's 8 GB broadcast ceiling at scale;
+    // AQE picks broadcast on its own when the relation is small
     val ranked = factor match {
       case Some((meta, fcol)) =>
         ranked0.join(
-            broadcast(meta.select(col(idCol),
-              col(fcol).cast("double").as("_factor")).distinct()),
+            meta.select(col(idCol),
+              col(fcol).cast("double").as("_factor")).distinct(),
             Seq(idCol), "left")
           .withColumn("score",
             round(col("score") * coalesce(col("_factor"), lit(1.0)), 4))
@@ -1270,8 +1331,12 @@ object TextAnalysis {
     // Int.MaxValue keeps the one shared scoring body authoritative
     val children = booleanSearch(spark, path, must, should, mustNot,
       Int.MaxValue, idCol, k1, b)
+    // no broadcast hint: the parents relation is one row per CHILD
+    // document (corpus-sized — q181 passes the full documents table),
+    // not the parents-sized fold output; a forced broadcast exceeds
+    // the 8 GB limit at scale. AQE broadcasts small inputs unaided.
     val joined = children.join(
-        broadcast(parents.select(col(idCol), col(parentCol)).distinct()),
+        parents.select(col(idCol), col(parentCol)).distinct(),
         Seq(idCol), "left")
       .withColumn("_fp",
         floor(col("score") * lit(1e7) + lit(0.5)).cast("long"))
@@ -1357,7 +1422,7 @@ object TextAnalysis {
       ms.map(t => (t, gi)) }
     require(flat.map(_._1).distinct.size == flat.size,
       "synonymSearch: groups must be pairwise disjoint")
-    val (live, stats) = liveScoring(spark, path, idCol,
+    val (live, stats) = liveScoring(spark, pinSeg(spark, path), idCol,
       flat.map(_._1).toArray)
     import spark.implicits._
     val gmap = flat.toDF("term", "grp")
@@ -1410,7 +1475,7 @@ object TextAnalysis {
       "disMaxSearch: tiebreak must be in [0, 1]")
     val flat = cs.zipWithIndex.flatMap { case (ts, ci) =>
       ts.map(t => (t, ci)) }
-    val (live, stats) = liveScoring(spark, path, idCol,
+    val (live, stats) = liveScoring(spark, pinSeg(spark, path), idCol,
       flat.map(_._1).distinct.toArray)
     import spark.implicits._
     val cmap = flat.toDF("term", "clause")
@@ -1460,7 +1525,8 @@ object TextAnalysis {
     require(docIds.nonEmpty && docIds.size <= maxDocs,
       s"bm25Explain: explain set size ${docIds.size} outside " +
         s"[1, $maxDocs] — the explanation is a bounded-panel primitive")
-    val (live, stats) = liveScoring(spark, path, idCol, termsD.toArray)
+    val (live, stats) =
+      liveScoring(spark, pinSeg(spark, path), idCol, termsD.toArray)
     val dfq = live.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
     live.filter(col(idCol).isin(scala.collection.immutable.ArraySeq
@@ -1504,7 +1570,8 @@ object TextAnalysis {
     require(seedTerms.length <= maxSeedTerms,
       s"moreLikeThis: seed has ${seedTerms.length} distinct terms > " +
         s"maxSeedTerms $maxSeedTerms — raise the bound or trim the text")
-    val (live, stats) = liveScoring(spark, path, idCol, seedTerms)
+    val (live, stats) =
+      liveScoring(spark, pinSeg(spark, path), idCol, seedTerms)
     def empty = live.groupBy(col(idCol))
       .agg(max(lit(0.0)).as("score")).limit(0)
     if (seedTerms.isEmpty) empty
@@ -1545,83 +1612,46 @@ object TextAnalysis {
     * generation clock above it (the re-append contract "segment ≥ its
     * tombstone's" is vacuously reset).
     *
-    * COMMIT (crash-recoverable, single-writer): the merged postings
-    * and segstats are fully STAGED under `.merge_staging` and sealed
-    * with a `_COMMIT_READY` marker before anything existing is
-    * touched; then each staged dir INDEPENDENTLY replaces its live
-    * counterpart (delete old + rename staged, skipped when the staged
-    * source is already gone — i.e. already committed by an earlier
-    * attempt), tombstones are dropped, and the staging dir is
-    * cleared. A crash inside the window leaves either (a) no marker —
-    * the half-staged merge is garbage, the live index untouched,
-    * re-run from scratch — or (b) the marker, after which probes may
-    * fail LOUDLY on a missing path (never serve a half-state) and
-    * re-running this method performs exactly the swap steps still
-    * missing: per-dir commits make the recovery idempotent at every
-    * crash point, including between the two renames and after both
-    * (where only the staging cleanup remains). Readers must not race
-    * a merge (the same single-writer contract as every scratch layout
-    * here).
+    * COMMIT ([[SegmentManifest]] — atomic seal, MVCC): the merged
+    * postings/termdict/segstats are written WRITE-ONCE under a fresh
+    * `_rev/` directory, then ONE exclusive manifest seal makes the
+    * new generation visible all-or-nothing. There is no swap window:
+    * a crash before the seal leaves unreferenced garbage (the old
+    * generation keeps serving, re-run from scratch); a racing reader
+    * pinned the previous generation and keeps reading its untouched
+    * directories; a racing WRITER loses the seal and fails loudly.
+    * Old directories are reclaimed by [[bm25Vacuum]], until which
+    * every sealed generation — including the pre-merge one — stays
+    * probe-able via `asOfGeneration`.
     *
     * Returns (segments folded, live docs in the merged segment). */
   def bm25MergeSegments(spark: org.apache.spark.sql.SparkSession,
                         path: String, idCol: String): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(s"$path/.merge_staging")
-    val marker = new Path(staging, "_COMMIT_READY")
-    def commit(): Unit = {
-      // per-dir: replace only targets whose staged source still exists
-      // — a re-run after a crash mid-swap must never delete a target
-      // that IS the already-renamed staged copy (the only copy left)
-      for (d <- Seq("postings", "segstats", "termdict")) {
-        val src = new Path(staging, d)
-        val dst = new Path(s"$path/$d")
-        if (fs.exists(src)) {
-          require(!fs.exists(dst) || fs.delete(dst, true),
-            s"bm25MergeSegments: failed to drop $dst")
-          require(fs.rename(src, dst),
-            s"bm25MergeSegments: failed to commit staged $d")
-        }
-      }
-      val tomb = new Path(s"$path/tombstones")
-      require(!fs.exists(tomb) || fs.delete(tomb, true),
-        s"bm25MergeSegments: failed to drop $tomb")
-      require(fs.delete(staging, true) || !fs.exists(staging),
-        s"bm25MergeSegments: failed to clear $staging")
-    }
-    // crash recovery: a sealed staging means the previous merge died
-    // mid-swap — perform the missing steps, then read the count from
-    // the COMMITTED segstats (the staged copy may already be renamed)
-    if (fs.exists(marker)) {
-      commit()
-      val merged = spark.read.parquet(s"$path/segstats")
-        .agg(sum(col("n_docs")).cast("long")).collect()(0).getLong(0)
-      return (0L, merged)
-    }
-    val segsBefore = fs.listStatus(new Path(s"$path/postings"))
-      .count(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-      .toLong
+    val snap = pinSeg(spark, path)
+    val base = snap.manifest
+      .getOrElse(SegmentManifest.bootstrap(spark, path))
+    val segsBefore = base.segs("postings").size.toLong
+    val gen = base.gen + 1
+    val rev = SegmentManifest.revDir(gen)
     // ONE live rule shared with the probe (q122's contract is that the
     // merge is invisible to scoring — a drifted copy of the kill rule
     // would break parity silently)
     val live = cached(liveAfterTombstones(
-      spark.read.parquet(s"$path/postings"),
-      readTombstones(spark, path, idCol), idCol)
+      readLayout(spark, snap, "postings"),
+      readTombstones(spark, snap, idCol), idCol)
       .select(col(idCol), col("dl"), col("term"), col("tf"),
         col("positions")))
     live.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite")
-      .parquet(s"${staging.toString}/postings/seg=0")
+      .parquet(s"$path/$rev/postings/seg=0")
     // the dict purge: rewrite the term dictionary from the LIVE rows —
     // the one maintenance op whose scope provably covers every dead
     // term the per-append dicts may still carry
     live.select(col("term")).distinct()
       .sort(col("term"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${staging.toString}/termdict/seg=0")
+      .parquet(s"$path/$rev/termdict/seg=0")
     // exact integer partials from the live postings' distinct (id, dl)
     // — the same numbers the probe's segstats-minus-tombstones
     // correction reconstructs, now stored directly
@@ -1629,11 +1659,18 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${staging.toString}/segstats/seg=0")
-    val nLive = spark.read.parquet(s"${staging.toString}/segstats")
+      .parquet(s"$path/$rev/segstats/seg=0")
+    val nLive = spark.read.parquet(s"$path/$rev/segstats")
       .agg(sum(col("n_docs")).cast("long")).collect()(0).getLong(0)
-    fs.create(marker, true).close() // seal: staging is complete
-    commit()
+    // the atomic commit: every layout points at the merged rev dir,
+    // the tombstone set clears (the merge's scope provably covers
+    // every segment a tombstone can reach)
+    SegmentManifest.seal(spark, path, SegmentManifest.Manifest(gen,
+      Map(
+        "postings" -> Seq(SegmentManifest.Entry(0, s"$rev/postings/seg=0")),
+        "termdict" -> Seq(SegmentManifest.Entry(0, s"$rev/termdict/seg=0")),
+        "segstats" -> Seq(SegmentManifest.Entry(0, s"$rev/segstats/seg=0")),
+        "tombstones" -> Nil)))
     (segsBefore, nLive)
   }
 
@@ -1664,12 +1701,17 @@ object TextAnalysis {
     * merge whose scope provably covers every segment a tombstone can
     * reach).
     *
-    * Commit protocol per fold: stage postings + summed stats under
-    * `.tier_staging`, seal with a marker RECORDING THE RANGE, then
-    * swap (drop the pair's two live dirs, rename the staged one in).
-    * A crash before the marker leaves the live index untouched; after
-    * it, re-running recovers by replaying exactly the missing swap
-    * steps (same idempotence argument as the full merge).
+    * Commit protocol per fold ([[SegmentManifest]] — atomic seal,
+    * MVCC): the folded postings + summed stats are written WRITE-ONCE
+    * under a fresh `_rev/` directory, then one exclusive manifest
+    * seal replaces the pair's entries all-or-nothing. No swap window:
+    * a crash before the seal leaves unreferenced garbage (re-run from
+    * the last sealed generation); racing readers keep their pinned
+    * generation's untouched directories; a racing writer loses the
+    * seal loudly. The pair's old directories — and the pre-fold
+    * generation they compose — stay probe-able via `asOfGeneration`
+    * until [[bm25Vacuum]]. The termdict entries are untouched by
+    * design (the superset invariant; only the full merge purges).
     *
     * `protectNewest` exempts that many of the HIGHEST-numbered
     * segments from folding — the replay-safety lever for streaming
@@ -1691,53 +1733,17 @@ object TextAnalysis {
       s"bm25MergeSegmentsTiered: maxSegments must be >= 1, got $maxSegments")
     require(protectNewest >= 0,
       s"bm25MergeSegmentsTiered: protectNewest must be >= 0, got $protectNewest")
-    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(s"$path/.tier_staging")
-    val marker = new Path(staging, "_COMMIT_READY")
-    def commitRange(a: Int, b: Int): Unit = {
-      for (d <- Seq("postings", "segstats")) {
-        val src = new Path(staging, s"$d/seg=$b")
-        val dst = new Path(s"$path/$d/seg=$b")
-        val old = new Path(s"$path/$d/seg=$a")
-        // when the staged source is gone this dir is already
-        // committed by an earlier attempt — only the seg=a leftover
-        // (if any) remains to drop; never touch dst then, it IS the
-        // renamed copy
-        require(!fs.exists(old) || fs.delete(old, true),
-          s"bm25MergeSegmentsTiered: failed to drop $old")
-        if (fs.exists(src)) {
-          require(!fs.exists(dst) || fs.delete(dst, true),
-            s"bm25MergeSegmentsTiered: failed to drop $dst")
-          require(fs.rename(src, dst),
-            s"bm25MergeSegmentsTiered: failed to commit staged $d")
-        }
-      }
-      require(fs.delete(staging, true) || !fs.exists(staging),
-        s"bm25MergeSegmentsTiered: failed to clear $staging")
-    }
-    // crash recovery: the marker records the in-flight range
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val txt = try scala.io.Source.fromInputStream(in).mkString
-        finally in.close()
-      val parts = txt.trim.split(" ")
-      commitRange(parts(0).toInt, parts(1).toInt)
-    } else if (fs.exists(staging)) {
-      // unsealed staging is garbage from a crash before the marker
-      require(fs.delete(staging, true),
-        s"bm25MergeSegmentsTiered: failed to clear stale $staging")
-    }
-    def segSizes(): Seq[(Int, Long, Long)] =
-      spark.read.parquet(s"$path/segstats")
-        .select(col("seg").cast("int"), col("n_docs").cast("long"),
+    var base = SegmentManifest.latest(spark, path)
+      .getOrElse(SegmentManifest.bootstrap(spark, path))
+    var segs = SegmentManifest
+      .read(spark, path, base, "segstats")
+      .map(_.select(col("seg").cast("int"), col("n_docs").cast("long"),
           col("sum_dl").cast("long"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        .toSeq.sortBy(_._1)
-    var segs = segSizes()
+        .toSeq.sortBy(_._1))
+      .getOrElse(Nil)
     var folds = 0L
     while (segs.length > maxSegments &&
         segs.length - protectNewest >= 2) {
@@ -1747,9 +1753,12 @@ object TextAnalysis {
         .minBy(j => (segs(j)._2 + segs(j + 1)._2, segs(j)._1))
       val (a, na, sa) = segs(i)
       val (b, nb, sb) = segs(i + 1)
-      val tombs = readTombstones(spark, path, idCol)
+      val snapNow = SegSnapshot(path, Some(base))
+      val gen = base.gen + 1
+      val rev = SegmentManifest.revDir(gen)
+      val tombs = readTombstones(spark, snapNow, idCol)
       val live = liveAfterTombstones(
-        spark.read.parquet(s"$path/postings")
+        readLayout(spark, snapNow, "postings")
           .filter(col("seg") === a || col("seg") === b),
         tombs, idCol)
         .select(col(idCol), col("dl"), col("term"), col("tf"),
@@ -1757,15 +1766,22 @@ object TextAnalysis {
       live.repartitionByRange(col("term"))
         .sortWithinPartitions(col("term"), col(idCol))
         .write.mode("overwrite")
-        .parquet(s"${staging.toString}/postings/seg=$b")
+        .parquet(s"$path/$rev/postings/seg=$b")
       // summed OLD partials, not live counts — retained tombstones
       // still subtract the dropped rows at probe time
       Seq((na + nb, sa + sb)).toDF("n_docs", "sum_dl")
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"${staging.toString}/segstats/seg=$b")
-      val out = fs.create(marker, true)
-      try out.write(s"$a $b".getBytes("UTF-8")) finally out.close()
-      commitRange(a, b)
+        .parquet(s"$path/$rev/segstats/seg=$b")
+      // atomic commit of this fold: drop the pair, point b at the
+      // folded rev dir — all-or-nothing, no swap window
+      val next = base
+        .replace("postings", Set(a),
+          Seq(SegmentManifest.Entry(b, s"$rev/postings/seg=$b")))
+        .replace("segstats", Set(a),
+          Seq(SegmentManifest.Entry(b, s"$rev/segstats/seg=$b")))
+        .copy(gen = gen)
+      SegmentManifest.seal(spark, path, next)
+      base = next
       folds += 1
       segs = (segs.take(i) :+ (b, na + nb, sa + sb)) ++
         segs.drop(i + 2)
@@ -1773,15 +1789,14 @@ object TextAnalysis {
     (folds, segs.length.toLong)
   }
 
-  /** LOUD single-writer guard for segmented-layout reads: any live
-    * maintenance staging directory (full merge, tiered fold,
-    * tombstone GC) means a maintenance op is mid-flight or died
-    * mid-commit — its swap windows can serve a missing path (the
-    * merges) or SILENTLY SHIFTED stats (the GC, whose window is the
-    * one non-loud failure mode in the family), so a racing probe must
-    * fail here instead of mis-scoring. Recovery: re-run the owning
-    * maintenance op — its sealed-marker protocol replays exactly the
-    * missing swap steps and clears the staging dir. */
+  /** LOUD single-writer guard for LEGACY (pre-manifest) segmented
+    * layouts only — manifest layouts read through a pinned sealed
+    * generation ([[pinSeg]]) and cannot race maintenance at all. On
+    * a legacy layout, any live maintenance staging directory left by
+    * pre-manifest code means a maintenance op died mid-commit — a
+    * racing probe must fail here instead of mis-scoring. Recovery:
+    * run any maintenance op (its first seal folds the hive tree into
+    * generation 0 and retires the staging protocol). */
   private def requireQuiescent(spark: org.apache.spark.sql.SparkSession,
                                path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1794,21 +1809,89 @@ object TextAnalysis {
           "re-run the owning maintenance op to recover")
   }
 
+  /** A PINNED read snapshot of a segmented index: the generation
+    * manifest every layout read of one probe resolves through, so a
+    * maintenance op sealing a new generation mid-probe changes
+    * nothing the probe sees ([[SegmentManifest]] — MVCC by default).
+    * `manifest = None` is the pre-manifest legacy layout, where
+    * reads fall back to hive-directory discovery under the advisory
+    * [[requireQuiescent]] single-writer guard. */
+  private final case class SegSnapshot(
+      path: String,
+      manifest: Option[SegmentManifest.Manifest])
+
+  /** Resolve the snapshot ONE probe reads through — called exactly
+    * once per probe entry (two resolutions in one probe could
+    * straddle a seal and mix generations). `asOfGeneration` replays
+    * the index state a historical seal pinned — valid back to the
+    * vacuum horizon, and, unlike the `asOfSegment` cut, valid ACROSS
+    * compactions (the fold's output is a different generation; the
+    * old one's directories are still on disk). */
+  private def pinSeg(spark: org.apache.spark.sql.SparkSession,
+                     path: String,
+                     asOfGeneration: Option[Int] = None): SegSnapshot =
+    SegmentManifest.latestGen(spark, path) match {
+      case Some(g) =>
+        val target = asOfGeneration.getOrElse(g)
+        SegSnapshot(path, Some(SegmentManifest.load(spark, path, target)))
+      case None =>
+        require(asOfGeneration.isEmpty,
+          s"segmented index at $path has no sealed generations — " +
+            "asOfGeneration needs a manifest history (write through " +
+            "the maintenance ops to seal one)")
+        requireQuiescent(spark, path)
+        SegSnapshot(path, None)
+    }
+
+  /** Seal the NEXT generation: load the latest manifest (or
+    * bootstrap generation 0 from the hive tree — the legacy-layout
+    * upgrade path), apply `f` to its composition, and seal it as
+    * gen+1 with [[SegmentManifest.seal]]'s exclusive create — the
+    * machine-checked single-writer rule: a concurrent maintenance op
+    * that sealed first makes this fail loudly with the index intact
+    * and this op's unreferenced output abandoned for the vacuum. */
+  private def sealNext(spark: org.apache.spark.sql.SparkSession,
+                       path: String)(
+      f: SegmentManifest.Manifest => SegmentManifest.Manifest)
+      : SegmentManifest.Manifest = {
+    val base = SegmentManifest.latest(spark, path)
+      .getOrElse(SegmentManifest.bootstrap(spark, path))
+    val next = f(base).copy(gen = base.gen + 1)
+    SegmentManifest.seal(spark, path, next)
+    next
+  }
+
+  /** One layout of a pinned snapshot, schema-identical between the
+    * manifest path (per-entry leaf reads, seg attached as a literal)
+    * and the legacy discovery path (seg inferred from the hive dirs).
+    * Layouts that can be legitimately EMPTY (tombstones, a legacy
+    * termdict) go through [[readTombstones]] / [[termDict]], which
+    * supply their fallbacks. */
+  private def readLayout(spark: org.apache.spark.sql.SparkSession,
+                         snap: SegSnapshot, layout: String): DataFrame =
+    snap.manifest match {
+      case Some(m) =>
+        SegmentManifest.read(spark, snap.path, m, layout).getOrElse(
+          throw new IllegalStateException(
+            s"segmented index at ${snap.path}: generation ${m.gen} " +
+              s"has no $layout members"))
+      case None => spark.read.parquet(s"${snap.path}/$layout")
+    }
+
   /** Live positional postings of a SEGMENTED index under a pushed
     * term predicate — the shared read path of the phrase, proximity
     * and prefix probes: scan-filtered postings ([[bm25AppendSegment]]
     * carries positions in every segment row) → the segment-scoped
     * tombstone kill rule → (id, term, positions). One definition so
     * all three probes see exactly the live set the BM25 probe scores,
-    * under the same [[requireQuiescent]] single-writer guard. */
+    * through the same pinned-generation snapshot ([[pinSeg]]). */
   private def livePositional(spark: org.apache.spark.sql.SparkSession,
-                             path: String, idCol: String,
+                             snap: SegSnapshot, idCol: String,
                              termPred: Column,
                              asOfSegment: Option[Int] = None)
       : DataFrame = {
-    requireQuiescent(spark, path)
     // the q161 time-travel cut, positional flavor: the generation
-    // bound prunes seg DIRECTORIES on postings and tombstones alike,
+    // bound prunes whole segments on postings and tombstones alike,
     // so an as-of phrase/proximity/prefix probe replays generation-g
     // results bit-for-bit — valid back to the last compaction
     def cut(df: DataFrame): DataFrame = asOfSegment match {
@@ -1816,10 +1899,10 @@ object TextAnalysis {
       case None => df
     }
     liveAfterTombstones(
-      cut(spark.read.parquet(s"$path/postings"))
+      cut(readLayout(spark, snap, "postings"))
         .filter(termPred)
         .select(col(idCol), col("term"), col("positions"), col("seg")),
-      cut(readTombstones(spark, path, idCol)), idCol)
+      cut(readTombstones(spark, snap, idCol)), idCol)
       .select(col(idCol), col("term"), col("positions"))
   }
 
@@ -1847,7 +1930,7 @@ object TextAnalysis {
     // cached: the tombstone-filtered live set is re-filtered once per
     // phrase term below — left lazy, the kill-rule join re-runs per
     // term
-    val posts = cached(livePositional(spark, path, idCol,
+    val posts = cached(livePositional(spark, pinSeg(spark, path), idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
         .unsafeWrapArray(phrase.distinct.toArray): _*), asOfSegment))
     val frames = phrase.zipWithIndex.map { case (t, i) =>
@@ -1887,7 +1970,7 @@ object TextAnalysis {
     require(terms.size >= 2 && terms.distinct.size == terms.size,
       "proximitySearch needs >= 2 distinct terms")
     val k = terms.size
-    val posts = livePositional(spark, path, idCol,
+    val posts = livePositional(spark, pinSeg(spark, path), idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
         .unsafeWrapArray(terms.toArray): _*), asOfSegment)
     val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
@@ -1950,7 +2033,7 @@ object TextAnalysis {
       s"orderedNearSearch: maxSpan $maxSpan can never cover " +
         s"${terms.size} ordered terms (min span ${terms.size - 1})")
     val k = terms.size
-    val posts = livePositional(spark, path, idCol,
+    val posts = livePositional(spark, pinSeg(spark, path), idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
         .unsafeWrapArray(terms.toArray): _*), asOfSegment)
     val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
@@ -2016,7 +2099,7 @@ object TextAnalysis {
     require(minMatched >= 1 && minMatched <= terms.size,
       s"snippetSpans: minMatched must be in [1, ${terms.size}]")
     val k = terms.size
-    val posts = livePositional(spark, path, idCol,
+    val posts = livePositional(spark, pinSeg(spark, path), idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
         .unsafeWrapArray(terms.toArray): _*), asOfSegment)
     val tidx = terms.zipWithIndex.foldLeft(lit(-1)) {
@@ -2067,59 +2150,36 @@ object TextAnalysis {
     * nothing) and the global (n_docs, sum_dl) sums are identical by
     * construction.
     *
-    * Commit: staged under `.tomb_staging` + marker, swap, clear —
-    * the tiered-merge protocol with its own directory so the two
-    * recoveries never misread each other's markers. The window
-    * between the two renames leaves stats and tombstones momentarily
-    * inconsistent — and unlike the merges' missing-path windows, a
-    * reader racing it would get silently shifted stats, which is why
-    * every probe entry point runs [[requireQuiescent]]: the live
-    * `.tomb_staging` directory turns the race into a loud failure
-    * for the whole window (including a crash mid-swap, until a
-    * re-run completes it idempotently). Single-writer, like every
-    * merge here.
+    * Commit ([[SegmentManifest]] — atomic seal, MVCC): eligibility
+    * is PER TOMBSTONE SEGMENT (every tombstone in a segment ≤ the
+    * lowest live posting segment is eligible together), so the drop
+    * is pure manifest surgery — remove those tombstone entries, point
+    * the lowest segment's stats at one corrected 1-row partial under
+    * a fresh `_rev/` dir, seal. The pre-manifest protocol's one
+    * silent failure mode (a reader racing the two-rename window got
+    * SHIFTED STATS) is structurally unreachable: readers hold the
+    * previous generation until the seal, and both generations sum to
+    * consistent totals. Cost: one tombstone-sized aggregate + a
+    * 1-row write — never a tombstone-tree rewrite.
     *
     * Returns (tombstones dropped, tombstones remaining). */
   def bm25CompactTombstones(spark: org.apache.spark.sql.SparkSession,
                             path: String, idCol: String): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(s"$path/.tomb_staging")
-    val marker = new Path(staging, "_COMMIT_READY")
-    def commit(minSeg: Int): Unit = {
-      for ((d, seg) <- Seq("segstats" -> Some(minSeg),
-          "tombstones" -> None)) {
-        val name = seg.map(sg => s"$d/seg=$sg").getOrElse(d)
-        val src = new Path(staging, name)
-        val dst = new Path(s"$path/$name")
-        if (fs.exists(src)) {
-          require(!fs.exists(dst) || fs.delete(dst, true),
-            s"bm25CompactTombstones: failed to drop $dst")
-          require(fs.rename(src, dst),
-            s"bm25CompactTombstones: failed to commit staged $name")
-        }
-      }
-      require(fs.delete(staging, true) || !fs.exists(staging),
-        s"bm25CompactTombstones: failed to clear $staging")
-    }
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val txt = try scala.io.Source.fromInputStream(in).mkString
-        finally in.close()
-      commit(txt.trim.toInt)
-    } else if (fs.exists(staging)) {
-      require(fs.delete(staging, true),
-        s"bm25CompactTombstones: failed to clear stale $staging")
-    }
-    val tombs = readTombstones(spark, path, idCol)
-    val minSeg = spark.read.parquet(s"$path/segstats")
-      .agg(min(col("seg").cast("int"))).head().getInt(0)
+    val base = SegmentManifest.latest(spark, path)
+      .getOrElse(SegmentManifest.bootstrap(spark, path))
+    val snap = SegSnapshot(path, Some(base))
+    val tombs = readTombstones(spark, snap, idCol)
+    val minSeg = base.segs("segstats").headOption.getOrElse(
+      throw new IllegalStateException(
+        s"bm25CompactTombstones: no segstats at $path"))
+    val dropSegs = base.segs("tombstones").filter(_ <= minSeg).toSet
     val eligible = tombs.filter(col("seg") <= minSeg)
     val nDrop = eligible.count()
     val nKeep = tombs.count() - nDrop
-    if (nDrop == 0L) return (0L, nKeep)
+    if (nDrop == 0L || dropSegs.isEmpty) return (0L, nKeep)
+    val gen = base.gen + 1
+    val rev = SegmentManifest.revDir(gen)
     // dl is non-null by the write-side guard ([[bm25Tombstone]]); the
     // coalesce is defense for layouts written by older code
     val corr = eligible
@@ -2127,25 +2187,33 @@ object TextAnalysis {
         coalesce(sum(col("dl")), lit(0L)).as("_s"))
       .head()
     val (cn, cs) = (corr.getLong(0), corr.getLong(1))
-    val st = spark.read.parquet(s"$path/segstats")
+    val st = readLayout(spark, snap, "segstats")
       .filter(col("seg").cast("int") === minSeg)
       .agg(sum(col("n_docs")).cast("long"),
         sum(col("sum_dl")).cast("long")).head()
     Seq((st.getLong(0) - cn, st.getLong(1) - cs))
       .toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${staging.toString}/segstats/seg=$minSeg")
-    // surviving tombstones re-staged WITHOUT the hive seg column in
-    // the file (seg returns as the partition dir, same as the writers)
-    tombs.filter(col("seg") > minSeg)
-      .repartition(col("seg"))
-      .write.mode("overwrite").partitionBy("seg")
-      .parquet(s"${staging.toString}/tombstones")
-    val out = fs.create(marker, true)
-    try out.write(minSeg.toString.getBytes("UTF-8")) finally out.close()
-    commit(minSeg)
+      .parquet(s"$path/$rev/segstats/seg=$minSeg")
+    SegmentManifest.seal(spark, path, base
+      .replace("segstats", Set(minSeg),
+        Seq(SegmentManifest.Entry(minSeg, s"$rev/segstats/seg=$minSeg")))
+      .replace("tombstones", dropSegs, Nil)
+      .copy(gen = gen))
     (nDrop, nKeep)
   }
+
+  /** VACUUM a segmented index's write-once history: reclaim every
+    * physical directory referenced by none of the newest
+    * `keepGenerations` manifests and drop the older manifests — the
+    * retention boundary of the MVCC story: reads pinned at or above
+    * the floor (every running probe, and `asOfGeneration` back to
+    * the floor) are untouched; older time travel fails loudly at the
+    * manifest load. See [[SegmentManifest.vacuum]]. Returns
+    * (directories deleted, directories kept). */
+  def bm25Vacuum(spark: org.apache.spark.sql.SparkSession,
+                 path: String, keepGenerations: Int = 1): (Long, Long) =
+    SegmentManifest.vacuum(spark, path, keepGenerations)
 
   /** ONE RECRAWL WAVE applied to a segmented BM25 index — the lexical
     * counterpart of the vector indexes' incremental refreshes
@@ -2198,19 +2266,19 @@ object TextAnalysis {
     * upserts, and tiered compaction back to `maxSegments` with the
     * streaming loop's `protectNewest = 1`.
     *
-    * REPLAY-safe via the tombstone commit marker: the old-dl
+    * REPLAY-safe via the sealed manifest entry: the old-dl
     * derivation is valid only against the PRE-wave layout — a
     * replayed wave cannot re-derive it (its own append and the folds
     * have changed the live set; a re-derived "old" dl would be the
     * NEW one, silently corrupting the stats correction) — so the
-    * wave SKIPS the tombstone step when
-    * `tombstones/seg=<segment>/_SUCCESS` already exists. Spark's
-    * file-output committer writes _SUCCESS only on job commit, so a
-    * half-written tombstone dir (crash mid-write) lacks it, is
-    * dropped, and re-derives safely — nothing else has run yet,
-    * because the append only starts after the tombstone commit. The
-    * append overwrite and the tiered merge then converge under
-    * replay by the streaming loop's protectNewest argument.
+    * wave SKIPS the tombstone step when the latest manifest already
+    * carries a tombstone entry for `segment`. [[bm25Tombstone]]
+    * seals only after its write completed, so a crash anywhere
+    * before the seal (including a half-written directory) leaves no
+    * entry and re-derives safely — nothing else has run yet, because
+    * the append only starts after the tombstone seal. The append
+    * re-seal and the tiered merge then converge under replay by the
+    * streaming loop's protectNewest argument.
     *
     * Generation contract, checked loudly: `segment` must exceed
     * every pre-existing segment (a tombstone at s kills only
@@ -2222,29 +2290,30 @@ object TextAnalysis {
                        deletes: DataFrame, idCol: String,
                        textCol: String, segment: Int,
                        maxSegments: Int): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tombDir = new Path(s"$path/tombstones/seg=$segment")
-    val committed = fs.exists(new Path(tombDir, "_SUCCESS"))
-    val maxSeg = fs.listStatus(new Path(s"$path/postings"))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-      .map(_.getPath.getName.stripPrefix("seg=").toInt)
+    val base = SegmentManifest.latest(spark, path)
+      .getOrElse(SegmentManifest.bootstrap(spark, path))
+    val snap = SegSnapshot(path, Some(base))
+    // the replay skip-signal is the SEALED manifest entry — the seal
+    // happens only after the tombstone write completed, so a crash
+    // anywhere before it re-derives safely (nothing else has run:
+    // the append only starts after the tombstone step), and a crash
+    // after it skips, never re-deriving against a layout its own
+    // append has already changed
+    val committed = base.segs("tombstones").contains(segment)
+    val maxSeg = base.segs("postings")
       .foldLeft(Int.MinValue)(math.max)
     require(committed || segment > maxSeg,
       s"bm25ApplyUpserts: segment $segment must exceed every live " +
         s"segment (max $maxSeg) — the generation rule")
     if (!committed) {
-      require(!fs.exists(tombDir) || fs.delete(tombDir, true),
-        s"bm25ApplyUpserts: failed to drop half-written $tombDir")
       val live = liveAfterTombstones(
-        spark.read.parquet(s"$path/postings")
+        readLayout(spark, snap, "postings")
           .select(col(idCol), col("dl"), col("seg")),
-        readTombstones(spark, path, idCol), idCol)
+        readTombstones(spark, snap, idCol), idCol)
       val allKeys = upserts.select(col(idCol))
         .unionByName(deletes.select(col(idCol))).distinct()
       // keys absent from the index (pure adds) simply produce no
-      // tombstone row; an empty tombstone file still commits, which
+      // tombstone row; an empty tombstone segment still seals, which
       // is what makes the replay skip-signal unambiguous
       bm25Tombstone(
         live.select(col(idCol), col("dl")).distinct()
@@ -2272,8 +2341,8 @@ object TextAnalysis {
                        idCol: String,
                        asOfSegment: Option[Int] = None): DataFrame = {
     require(prefix.nonEmpty, "termPrefixSearch: empty prefix")
-    livePositional(spark, path, idCol, col("term").startsWith(prefix),
-        asOfSegment)
+    livePositional(spark, pinSeg(spark, path), idCol,
+        col("term").startsWith(prefix), asOfSegment)
       .groupBy(col(idCol))
       .agg(count_distinct(col("term")).as("n_terms"),
         sum(size(col("positions")).cast("long")).as("n_occurrences"))
@@ -2298,16 +2367,16 @@ object TextAnalysis {
                       maxExpansion: Int = 1000): DataFrame = {
     require(term.nonEmpty, "fuzzyTermSearch: empty term")
     require(maxDist >= 0, s"fuzzyTermSearch: maxDist $maxDist < 0")
-    requireQuiescent(spark, path)
+    val snap = pinSeg(spark, path)
     // the length band |len(t) − len(q)| ≤ maxDist is implied by the
     // edit distance; pushing it lets parquet min/max stats prune term
     // pages before the per-term levenshtein runs
-    val matched = termDict(spark, path)
+    val matched = termDict(spark, snap)
       .filter(length(col("term"))
         .between(term.length - maxDist, term.length + maxDist))
       .filter(levenshtein(col("term"), lit(term)) <= maxDist)
       .collect().map(_.getString(0)).sorted
-    expandedTermOccurrences(spark, path, idCol, matched,
+    expandedTermOccurrences(spark, snap, idCol, matched,
       s"fuzzyTermSearch: '$term'~$maxDist", maxExpansion,
       "tighten the distance or raise the bound")
   }
@@ -2327,14 +2396,14 @@ object TextAnalysis {
     * [[bm25CompactTombstones]] bound. */
   def segmentInfos(spark: org.apache.spark.sql.SparkSession,
                    path: String, idCol: String): DataFrame = {
-    requireQuiescent(spark, path)
-    val stats = spark.read.parquet(s"$path/segstats")
+    val snap = pinSeg(spark, path)
+    val stats = readLayout(spark, snap, "segstats")
       .select(col("seg").cast("int").as("seg"), col("n_docs"),
         col("sum_dl"))
-    val dict = spark.read.parquet(s"$path/termdict")
+    val dict = readLayout(spark, snap, "termdict")
       .groupBy(col("seg").cast("int").as("seg"))
       .agg(count(lit(1)).as("n_terms"))
-    val tombs = readTombstones(spark, path, idCol)
+    val tombs = readTombstones(spark, snap, idCol)
       .groupBy(col("seg").cast("int").as("seg"))
       .agg(count(lit(1)).as("n_tombstones"))
     stats.join(dict, Seq("seg"), "left")
@@ -2364,8 +2433,8 @@ object TextAnalysis {
     require(term.nonEmpty, "spellSuggest: empty term")
     require(maxDist >= 0 && k > 0,
       s"spellSuggest: bad maxDist $maxDist / k $k")
-    requireQuiescent(spark, path)
-    val matched = termDict(spark, path)
+    val snap = pinSeg(spark, path)
+    val matched = termDict(spark, snap)
       .filter(length(col("term"))
         .between(term.length - maxDist, term.length + maxDist))
       .filter(levenshtein(col("term"), lit(term)) <= maxDist)
@@ -2382,11 +2451,11 @@ object TextAnalysis {
       case None => df
     }
     val live = liveAfterTombstones(
-      cutSeg(spark.read.parquet(s"$path/postings"))
+      cutSeg(readLayout(spark, snap, "postings"))
         .filter(col("term").isin(scala.collection.immutable.ArraySeq
           .unsafeWrapArray(matched): _*))
         .select(col(idCol), col("term"), col("seg")),
-      cutSeg(readTombstones(spark, path, idCol)), idCol)
+      cutSeg(readTombstones(spark, snap, idCol)), idCol)
     live.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
       .withColumn("dist",
@@ -2425,12 +2494,12 @@ object TextAnalysis {
     val qs = query.distinct
     require(qs.nonEmpty, "significantTerms: no query terms")
     require(k > 0 && minDf >= 1, s"significantTerms: bad k $k / minDf $minDf")
-    requireQuiescent(spark, path)
-    val tombs = readTombstones(spark, path, idCol)
+    val snap = pinSeg(spark, path)
+    val tombs = readTombstones(spark, snap, idCol)
     // corpus-sized (EVERY live posting, by design) → serialized
     // persist, the big-heap first-touch rationale on Caching.cachedSer
     val liveAll = cachedSer(liveAfterTombstones(
-      spark.read.parquet(s"$path/postings")
+      readLayout(spark, snap, "postings")
         .select(col(idCol), col("term"), col("seg")),
       tombs, idCol)
       .select(col(idCol), col("term")))
@@ -2441,7 +2510,7 @@ object TextAnalysis {
     // two 1-row aggregates: foreground size and live corpus size
     val nFg = fgIds.count()
     require(nFg > 0, s"significantTerms: no documents match $qs")
-    val seg = spark.read.parquet(s"$path/segstats")
+    val seg = readLayout(spark, snap, "segstats")
       .agg(sum(col("n_docs")).as("n")).head().getLong(0)
     val nBg = seg - tombs.count()
     val dfs = liveAll
@@ -2476,8 +2545,8 @@ object TextAnalysis {
                         asOfSegment: Option[Int] = None): DataFrame = {
     require(prefix.nonEmpty, "completionSuggest: empty prefix")
     require(k > 0, s"completionSuggest: bad k $k")
-    requireQuiescent(spark, path)
-    val matched = termDict(spark, path)
+    val snap = pinSeg(spark, path)
+    val matched = termDict(spark, snap)
       .filter(col("term").startsWith(prefix))
       .collect().map(_.getString(0)).sorted
     require(matched.length <= maxExpansion,
@@ -2492,11 +2561,11 @@ object TextAnalysis {
       case None => df
     }
     val live = liveAfterTombstones(
-      cutSeg(spark.read.parquet(s"$path/postings"))
+      cutSeg(readLayout(spark, snap, "postings"))
         .filter(col("term").isin(scala.collection.immutable.ArraySeq
           .unsafeWrapArray(matched): _*))
         .select(col(idCol), col("term"), col("seg")),
-      cutSeg(readTombstones(spark, path, idCol)), idCol)
+      cutSeg(readTombstones(spark, snap, idCol)), idCol)
     live.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
       .orderBy(col("df").desc, col("term"))
@@ -2522,7 +2591,8 @@ object TextAnalysis {
   def percolate(docs: DataFrame, idCol: String, textCol: String,
                 queries: DataFrame): DataFrame = {
     val norm = cached(queries.select(col("query_id"),
-      array_distinct(col("must")).as("must"),
+      array_distinct(coalesce(col("must"),
+        array().cast("array<string>"))).as("must"),
       array_distinct(coalesce(col("must_not"),
         array().cast("array<string>"))).as("must_not")))
     val bad = norm.filter(size(col("must")) === 0 ||
@@ -2564,15 +2634,15 @@ object TextAnalysis {
     * expansion through the posting probe, which IS the live filter,
     * so a dead term costs an unpruned IN entry and nothing else. */
   private def termDict(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/termdict")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.parquet(s"$path/termdict")
-        .select(col("term")).distinct()
-    else
-      spark.read.parquet(s"$path/postings")
-        .select(col("term")).distinct()
+                       snap: SegSnapshot): DataFrame = {
+    val hasDict = snap.manifest match {
+      case Some(m) => m.entries("termdict").nonEmpty
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"${snap.path}/termdict")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    readLayout(spark, snap, if (hasDict) "termdict" else "postings")
+      .select(col("term")).distinct()
   }
 
   /** Shared tail of the dictionary-expansion query family
@@ -2582,7 +2652,7 @@ object TextAnalysis {
     * the tombstone kill rule, returning per matching document the
     * distinct matched terms and total occurrences. */
   private def expandedTermOccurrences(
-      spark: org.apache.spark.sql.SparkSession, path: String,
+      spark: org.apache.spark.sql.SparkSession, snap: SegSnapshot,
       idCol: String, matched: Array[String], what: String,
       maxExpansion: Int, remedy: String): DataFrame = {
     require(matched.length <= maxExpansion,
@@ -2595,7 +2665,7 @@ object TextAnalysis {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
-      livePositional(spark, path, idCol,
+      livePositional(spark, snap, idCol,
         col("term").isin(scala.collection.immutable.ArraySeq
           .unsafeWrapArray(matched): _*))
         .groupBy(col(idCol))
@@ -2618,7 +2688,7 @@ object TextAnalysis {
                          path: String, pattern: String, idCol: String,
                          maxExpansion: Int = 1000): DataFrame = {
     require(pattern.nonEmpty, "wildcardTermSearch: empty pattern")
-    requireQuiescent(spark, path)
+    val snap = pinSeg(spark, path)
     val likePat = pattern.flatMap {
       case '*' => "%"
       case '?' => "_"
@@ -2627,13 +2697,13 @@ object TextAnalysis {
       case c => c.toString
     }
     val prefix = pattern.takeWhile(c => c != '*' && c != '?')
-    val dict = termDict(spark, path)
+    val dict = termDict(spark, snap)
     val banded =
       if (prefix.nonEmpty) dict.filter(col("term").startsWith(prefix))
       else dict
     val matched = banded.filter(col("term").like(likePat))
       .collect().map(_.getString(0)).sorted
-    expandedTermOccurrences(spark, path, idCol, matched,
+    expandedTermOccurrences(spark, snap, idCol, matched,
       s"wildcardTermSearch: '$pattern'", maxExpansion,
       "narrow the pattern or raise the bound")
   }
@@ -2657,13 +2727,13 @@ object TextAnalysis {
     val termsD = terms.distinct
     require(termsD.nonEmpty, "searchFacets: no terms")
     require(facetCols.nonEmpty, "searchFacets: no facet columns")
-    requireQuiescent(spark, path)
+    val snap = pinSeg(spark, path)
     val ids = liveAfterTombstones(
-      spark.read.parquet(s"$path/postings")
+      readLayout(spark, snap, "postings")
         .filter(col("term").isin(scala.collection.immutable.ArraySeq
           .unsafeWrapArray(termsD.toArray): _*))
         .select(col(idCol), col("seg")),
-      readTombstones(spark, path, idCol), idCol)
+      readTombstones(spark, snap, idCol), idCol)
       .select(col(idCol)).distinct()
     docs.join(ids, Seq(idCol))
       .select(explode(array(facetCols.map(c =>
@@ -2703,13 +2773,13 @@ object TextAnalysis {
     ranges.foreach { case (label, lo, hi) =>
       require(lo < hi, s"searchRangeFacets: empty range '$label' " +
         s"[$lo, $hi)") }
-    requireQuiescent(spark, path)
+    val snap = pinSeg(spark, path)
     val ids = liveAfterTombstones(
-      spark.read.parquet(s"$path/postings")
+      readLayout(spark, snap, "postings")
         .filter(col("term").isin(scala.collection.immutable.ArraySeq
           .unsafeWrapArray(termsD.toArray): _*))
         .select(col(idCol), col("seg")),
-      readTombstones(spark, path, idCol), idCol)
+      readTombstones(spark, snap, idCol), idCol)
       .select(col(idCol)).distinct()
     val v = docs.join(ids, Seq(idCol))
       .select(col(valueCol).cast("long").as("_v"))

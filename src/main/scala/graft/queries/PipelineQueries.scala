@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{GateChecks, Tables}
 import graft.functions.{TextFns, UrlFns, VectorFns}
-import graft.operators.{BpeTokenizer, Dedup, IsolationForest, Multimodal, Packing, ProductQuantize, QualityModel, Sampling, Similarity, TextAnalysis, Upsert}
+import graft.operators.{BpeTokenizer, Dedup, IsolationForest, Multimodal, Packing, ProductQuantize, QualityModel, Sampling, SegmentManifest, Similarity, TextAnalysis, Upsert}
 import graft.sources.CsvIngest
 
 /** North-star LLM-data-pipeline + streaming-dataflow query set
@@ -2347,12 +2347,13 @@ object PipelineQueries {
         "doc_id", "text", path, 1)
       val (folded, _) = TextAnalysis.bm25MergeSegments(s, path, "doc_id")
       require(folded == 2, s"q122: expected to fold 2 segments, got $folded")
-      val segDirs = fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$path/postings"))
-        .count(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
-      require(segDirs == 1 && !fs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/tombstones")),
-        s"q122: merge left $segDirs segments / stale tombstones")
+      // the committed composition is the MANIFEST's (pre-merge dirs
+      // stay on disk as as-of history until vacuum)
+      val m = SegmentManifest.latest(s, path).get
+      require(m.segs("postings") == Seq(0) &&
+          m.segs("tombstones").isEmpty,
+        s"q122: merge left ${m.segs("postings")} segments / " +
+          s"${m.segs("tombstones")} tombstone entries")
       val panel = Seq(
         (0L, "sort merge join upd"), (1L, "query filter scan"))
         .toDF("qid", "qtext")
@@ -2782,8 +2783,8 @@ object PipelineQueries {
         s, path, "doc_id", maxSegments = 2)
       require(folds == 2 && remaining == 2,
         s"q134: expected 2 folds down to 2 segments, got ($folds, $remaining)")
-      require(fs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      require(SegmentManifest.latest(s, path).get
+          .segs("tombstones").nonEmpty,
         "q134: tiered merge must retain tombstones")
       val panel = Seq(
         (0L, "sort merge join upd"), (1L, "query filter scan"))
@@ -4062,6 +4063,102 @@ object PipelineQueries {
       asOf.unionByName(live).orderBy(col("q"), col("doc_id"))
     }),
 
+    // X3 — MVCC SNAPSHOT ISOLATION (r13 verdict item 1): a probe
+    // PINS the latest sealed generation at entry, so a full
+    // upsert/delete/fold wave landing while the DataFrame is alive
+    // changes nothing it reads — the pinned probe, EXECUTED AFTER
+    // the wave, replays the pre-wave corpus; a fresh probe scores
+    // the final one. The oracle rebuilds both corpus states and
+    // replays the q115 arithmetic — the pinned row going red would
+    // mean the wave leaked into the snapshot.
+    "q184_snapshot_isolation" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("mvcc_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val even = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.bm25AppendSegment(
+        even.filter(col("doc_id") % 4 === 0), "doc_id", "text", path, 0)
+      TextAnalysis.bm25AppendSegment(
+        even.filter(col("doc_id") % 4 === 2), "doc_id", "text", path, 1)
+      val panel = Seq((0L, "merge sort window"),
+        (1L, "hash join table")).toDF("qid", "qtext")
+      // pinned BEFORE the wave — the whole point of the query
+      val pinned = TextAnalysis.bm25ProbeSegmented(s, path, panel,
+        k = 10, "doc_id")
+      val upserts = even.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          concat(lit("extra "), coalesce(col("text"), lit("")))
+            .as("text"))
+        .unionByName(d.filter(
+            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+          .select(col("doc_id"), col("text")))
+      val deletes = even.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"))
+      TextAnalysis.bm25ApplyUpserts(s, path, upserts, deletes,
+        "doc_id", "text", segment = 2, maxSegments = 1)
+      val live = TextAnalysis.bm25ProbeSegmented(s, path, panel,
+          k = 10, "doc_id")
+        .withColumn("gen", lit(1))
+      pinned.withColumn("gen", lit(0)).unionByName(live)
+        .orderBy(col("gen"), col("qid"), col("score").desc,
+          col("doc_id"))
+    }),
+
+    // X3 — GENERATION TIME TRAVEL (r13 verdict follow-through): the
+    // asOfSegment cut (q161) is only valid back to the last
+    // compaction — a tiered fold renumbers segments. The manifest
+    // generation axis survives it: this wave FOLDS the index to one
+    // segment, then probes asOfGeneration = the pre-wave seal and
+    // live. The as-of row must replay the pre-wave corpus through
+    // the retained write-once directories.
+    "q185_generation_travel" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val path = scratchPath("gentt_index", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.bm25AppendSegment(
+        base.filter(col("doc_id") % 6 === 0), "doc_id", "text", path, 0)
+      TextAnalysis.bm25AppendSegment(
+        base.filter(col("doc_id") % 6 === 3), "doc_id", "text", path, 1)
+      val gen0 = SegmentManifest.latestGen(s, path).get
+      val kill = base.filter(
+          col("doc_id") % 15 === 0 || col("doc_id") % 15 === 3)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 2)
+      val wave = base.filter(col("doc_id") % 15 === 3)
+        .select(col("doc_id"),
+          concat(lit("extra "), coalesce(col("text"), lit("")))
+            .as("text"))
+        .unionByName(d.filter(
+            col("doc_id") % 3 === 1 && col("doc_id") % 15 === 4)
+          .select(col("doc_id"), col("text")))
+      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 2)
+      // the compaction that invalidates the segment-number cut
+      TextAnalysis.bm25MergeSegmentsTiered(s, path, "doc_id",
+        maxSegments = 1)
+      val panel = Seq((0L, "scan table row"),
+        (1L, "query filter")).toDF("qid", "qtext")
+      val asOf = TextAnalysis.bm25ProbeSegmented(s, path, panel,
+          k = 10, "doc_id", asOfGeneration = Some(gen0))
+        .withColumn("gen", lit(0))
+      val live = TextAnalysis.bm25ProbeSegmented(s, path, panel,
+          k = 10, "doc_id")
+        .withColumn("gen", lit(1))
+      asOf.unionByName(live)
+        .orderBy(col("gen"), col("qid"), col("score").desc,
+          col("doc_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -4224,8 +4321,8 @@ object PipelineQueries {
         maxSegments = 2)
       require(folds == 1 && remaining == 2,
         s"q146: expected 1 fold down to 2 segments, got ($folds, $remaining)")
-      require(fs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      require(SegmentManifest.latest(s, path).get
+          .segs("tombstones").nonEmpty,
         "q146: upsert wave must leave its tombstones")
       val panel = Seq(
         (0L, "sort merge join upd"), (1L, "query filter scan"))
@@ -4272,8 +4369,8 @@ object PipelineQueries {
         maxSegments = 2)
       require(folds == 1 && remaining == 2,
         s"q142: expected 1 fold down to 2 segments, got ($folds, $remaining)")
-      require(fs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      require(SegmentManifest.latest(s, path).get
+          .segs("tombstones").nonEmpty,
         "q142: recrawl wave must leave its tombstones")
       val panel = Seq(
         (0L, "sort merge join upd"), (1L, "query filter scan"))
@@ -7686,6 +7783,141 @@ object PipelineQueries {
         |       WHERE doc_id % 2 = 1 AND doc_id % 10 = 1),
         |q AS (SELECT * FROM (VALUES (0, 'merge sort window'),
         |        (1, 'slow query filter')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |tok0 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')
+        |           AS t FROM s0),
+        |tf0 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |          SELECT doc_id, len(t) AS dl, unnest(t) AS term
+        |          FROM tok0) GROUP BY 1, 2, 3),
+        |df0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf0
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |st0 AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |        FROM tok0),
+        |b0 AS (
+        |  SELECT qt.qid, tf0.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf0 JOIN qt USING (term) JOIN df0 USING (term)
+        |  CROSS JOIN st0
+        |  GROUP BY 1, 2),
+        |k0 AS (SELECT 0 AS gen, qid, doc_id, score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |    FROM b0) WHERE rn <= 10),
+        |tok1 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')
+        |           AS t FROM s1),
+        |tf1 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |          SELECT doc_id, len(t) AS dl, unnest(t) AS term
+        |          FROM tok1) GROUP BY 1, 2, 3),
+        |df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf1
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |st1 AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |        FROM tok1),
+        |b1 AS (
+        |  SELECT qt.qid, tf1.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf1 JOIN qt USING (term) JOIN df1 USING (term)
+        |  CROSS JOIN st1
+        |  GROUP BY 1, 2),
+        |k1 AS (SELECT 1 AS gen, qid, doc_id, score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |    FROM b1) WHERE rn <= 10)
+        |SELECT gen, qid, doc_id, score FROM
+        |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
+        |ORDER BY gen, qid, score DESC, doc_id""".stripMargin,
+
+    // MVCC / generation-travel oracles: both corpus states rebuilt
+    // from the raw table and scored with the q115 fixed-point
+    // arithmetic — gen 0 is the PINNED/as-of replay, gen 1 the live
+    "q184_snapshot_isolation" ->
+      """WITH s0 AS (SELECT doc_id, text FROM documents
+        |            WHERE doc_id % 2 = 0),
+        |s1 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 2
+        |              THEN 'extra ' || coalesce(text, '')
+        |              ELSE text END AS text
+        |       FROM documents
+        |       WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+        |       UNION ALL
+        |       SELECT doc_id, text FROM documents
+        |       WHERE doc_id % 2 = 1 AND doc_id % 10 = 1),
+        |q AS (SELECT * FROM (VALUES (0, 'merge sort window'),
+        |        (1, 'hash join table')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |tok0 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')
+        |           AS t FROM s0),
+        |tf0 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |          SELECT doc_id, len(t) AS dl, unnest(t) AS term
+        |          FROM tok0) GROUP BY 1, 2, 3),
+        |df0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf0
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |st0 AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |        FROM tok0),
+        |b0 AS (
+        |  SELECT qt.qid, tf0.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf0 JOIN qt USING (term) JOIN df0 USING (term)
+        |  CROSS JOIN st0
+        |  GROUP BY 1, 2),
+        |k0 AS (SELECT 0 AS gen, qid, doc_id, score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |    FROM b0) WHERE rn <= 10),
+        |tok1 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')
+        |           AS t FROM s1),
+        |tf1 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |          SELECT doc_id, len(t) AS dl, unnest(t) AS term
+        |          FROM tok1) GROUP BY 1, 2, 3),
+        |df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf1
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |st1 AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |        FROM tok1),
+        |b1 AS (
+        |  SELECT qt.qid, tf1.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf1 JOIN qt USING (term) JOIN df1 USING (term)
+        |  CROSS JOIN st1
+        |  GROUP BY 1, 2),
+        |k1 AS (SELECT 1 AS gen, qid, doc_id, score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |    FROM b1) WHERE rn <= 10)
+        |SELECT gen, qid, doc_id, score FROM
+        |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
+        |ORDER BY gen, qid, score DESC, doc_id""".stripMargin,
+
+    "q185_generation_travel" ->
+      """WITH s0 AS (SELECT doc_id, text FROM documents
+        |            WHERE doc_id % 3 = 0),
+        |s1 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 15 = 3
+        |              THEN 'extra ' || coalesce(text, '')
+        |              ELSE text END AS text
+        |       FROM documents
+        |       WHERE doc_id % 3 = 0 AND doc_id % 15 <> 0
+        |       UNION ALL
+        |       SELECT doc_id, text FROM documents
+        |       WHERE doc_id % 3 = 1 AND doc_id % 15 = 4),
+        |q AS (SELECT * FROM (VALUES (0, 'scan table row'),
+        |        (1, 'query filter')) v(qid, qtext)),
         |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
         |         AS term FROM q),
         |tok0 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ')

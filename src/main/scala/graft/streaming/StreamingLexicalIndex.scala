@@ -25,14 +25,17 @@ import graft.operators.TextAnalysis
   * segment must never be absorbed by a fold within the same batch —
   * if it were, the replay's overwrite would destroy the absorbed
   * older docs. With the newest segment protected, append-then-merge
-  * is idempotent under replay (the re-append rewrites identical
-  * content, the re-merge is a no-op or folds exactly what the lost
-  * attempt folded), and a crash mid-fold recovers through the
-  * merge's own sealed-marker protocol on the next batch. The layout
-  * transiently holds up to maxSegments + 1 segments for one batch.
+  * is idempotent under replay (the re-append supersedes its earlier
+  * attempt through the manifest seal, the re-merge is a no-op or
+  * folds exactly what the lost attempt folded), and a crash mid-fold
+  * leaves only unreferenced `_rev` garbage — the last sealed
+  * generation keeps serving ([[graft.operators.SegmentManifest]]).
+  * The layout transiently holds up to maxSegments + 1 segments for
+  * one batch.
   *
-  * Probes against the index must not race the maintenance loop — the
-  * same single-writer contract as every segmented layout here. */
+  * Probes pin the latest sealed generation at entry (MVCC), so they
+  * may freely overlap the maintenance loop; only WRITERS stay
+  * single-writer, machine-checked by the exclusive seal. */
 object StreamingLexicalIndex {
 
   /** Full-CRUD variant of [[run]]: micro-batches carry
@@ -40,11 +43,11 @@ object StreamingLexicalIndex {
     * applies one [[TextAnalysis.bm25ApplyUpserts]] wave — tombstones
     * with old dl taken from the index's OWN live postings (no side
     * snapshot), fresh segment, tiered compaction. Replay safety is
-    * the wave's own: the tombstone step is skipped once its
-    * `_SUCCESS` marker exists (a replay cannot re-derive old dl from
+    * the wave's own: the tombstone step is skipped once its sealed
+    * manifest entry exists (a replay cannot re-derive old dl from
     * a layout its first attempt already changed), the re-append
-    * overwrites identical content, and `protectNewest = 1` keeps the
-    * wave's segment out of the folds. `firstSegment` (default 1)
+    * supersedes its earlier attempt through the seal, and
+    * `protectNewest = 1` keeps the wave's segment out of the folds. `firstSegment` (default 1)
     * offsets batchId into the generation clock and must exceed every
     * bootstrap segment — checked loudly by the wave. */
   def runUpserts(delta: DataFrame, idCol: String, textCol: String,

@@ -88,7 +88,13 @@ import graft.operators.{ProductQuantize, Similarity}
   *      re-running them is idempotent; the marker clears only after
   *      both are on storage.
   *
-  * Probes must not race the loop (single-writer, as everywhere). */
+  * LIVE probes must not race the loop — the physical index is
+  * maintained IN PLACE (dynamic partition overwrite), unlike the
+  * lexical layout's manifest MVCC. [[probeAsOfQuantized]] gives
+  * race-free HISTORICAL reads instead: the snapshot chain and the
+  * per-generation models are write-once, so an as-of probe replays
+  * generation g bit-for-bit regardless of what the loop is doing,
+  * back to the `historyRetention` floor. */
 object StreamingVectorIndex {
 
   /** The family-specific pieces: the int8 quantized IVF file and the
@@ -217,14 +223,20 @@ object StreamingVectorIndex {
 
   /** Materialize the fold at `gen` as a new full snapshot (staged +
     * renamed — a crash mid-write leaves only staging garbage, never a
-    * partial base), then GC every older full and every delta ≤ gen
-    * (the fold rule makes lingering ones harmless if the GC dies
-    * mid-way; the next compaction re-drops them). Skips the write
-    * when gen's full already exists — bootstrap wrote it, or a
-    * crashed attempt already committed the rename. */
+    * partial base), then GC the chain below the RETENTION floor: with
+    * `retain = R`, every generation in [gen − R, gen] stays
+    * reconstructable ([[probeAsOfQuantized]]'s time-travel horizon —
+    * Delta's retention-interval contract), so the GC keeps the
+    * largest full ≤ gen − R and everything above it, and drops only
+    * what no retained read can reach (the fold rule makes lingering
+    * leftovers harmless if the GC dies mid-way; the next compaction
+    * re-drops them). `retain = 0` is the history-free loop: only the
+    * fresh full survives. Skips the write when gen's full already
+    * exists — bootstrap wrote it, or a crashed attempt already
+    * committed the rename. */
   private def compactSnapshot(spark: SparkSession, root: String,
                               gen: Int, idCol: String,
-                              vecCol: String): Unit = {
+                              vecCol: String, retain: Int = 0): Unit = {
     val fs = fsOf(spark, root)
     val fullPath = new org.apache.hadoop.fs.Path(s"$root/snapfull/gen=$gen")
     if (!fs.exists(fullPath)) {
@@ -237,12 +249,20 @@ object StreamingVectorIndex {
       require(fs.rename(staging, fullPath),
         s"StreamingVectorIndex: failed to commit full snapshot gen=$gen")
     }
-    for (g <- gens(spark, root, "snapfull").filter(_ < gen)) {
+    // retention floor: the largest full at or below gen − retain;
+    // a read at any g ≥ floor finds its base (≥ floor) and its
+    // deltas (all > floor are kept)
+    val fulls = gens(spark, root, "snapfull")
+    val floor = fulls.filter(_ <= gen - retain) match {
+      case Nil => Int.MinValue
+      case xs => xs.max
+    }
+    for (g <- fulls.filter(_ < floor)) {
       val p = new org.apache.hadoop.fs.Path(s"$root/snapfull/gen=$g")
       require(fs.delete(p, true) || !fs.exists(p),
         s"StreamingVectorIndex: failed to GC full snapshot gen=$g")
     }
-    for (g <- gens(spark, root, "snapdelta").filter(_ <= gen)) {
+    for (g <- gens(spark, root, "snapdelta").filter(_ <= floor)) {
       val p = new org.apache.hadoop.fs.Path(s"$root/snapdelta/gen=$g")
       require(fs.delete(p, true) || !fs.exists(p),
         s"StreamingVectorIndex: failed to GC snapshot delta gen=$g")
@@ -260,8 +280,8 @@ object StreamingVectorIndex {
     * bootstrap body. */
   private def finishRecenter(spark: SparkSession, root: String,
                              gen: Int, idCol: String, vecCol: String,
-                             ops: IndexOps): Unit = {
-    compactSnapshot(spark, root, gen, idCol, vecCol)
+                             ops: IndexOps, retain: Int = 0): Unit = {
+    compactSnapshot(spark, root, gen, idCol, vecCol, retain)
     val snap = spark.read.parquet(s"$root/snapfull/gen=$gen")
       .select(col(idCol), col(vecCol))
     val cents2 = ops.fitCentroids(snap, vecCol)
@@ -280,14 +300,14 @@ object StreamingVectorIndex {
     * the decision was made once; recovery replays it. */
   private def recoverPending(spark: SparkSession, root: String,
                              idCol: String, vecCol: String,
-                             ops: IndexOps): Unit = {
+                             ops: IndexOps, retain: Int = 0): Unit = {
     val fs = fsOf(spark, root)
     val mp = markerPath(root)
     if (fs.exists(mp)) {
       val in = fs.open(mp)
       val gen = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
         finally in.close()
-      finishRecenter(spark, root, gen, idCol, vecCol, ops)
+      finishRecenter(spark, root, gen, idCol, vecCol, ops, retain)
     }
   }
 
@@ -300,16 +320,20 @@ object StreamingVectorIndex {
                                idCol: String, vecCol: String,
                                ops: IndexOps, cdFactorX100: Long,
                                skewFactorX100: Long,
-                               compactEvery: Int = 8): Unit = {
+                               compactEvery: Int = 8,
+                               historyRetention: Int = 0): Unit = {
     require(batchId >= 0 && batchId < Int.MaxValue,
       s"StreamingVectorIndex: batchId $batchId outside the generation " +
         "range")
     require(compactEvery >= 1,
       s"StreamingVectorIndex: compactEvery must be >= 1, got $compactEvery")
+    require(historyRetention >= 0,
+      s"StreamingVectorIndex: historyRetention must be >= 0, " +
+        s"got $historyRetention")
     val gen = batchId.toInt + 1
     // a crashed recenter (of ANY earlier wave) recovers before this
     // wave touches the index
-    recoverPending(spark, root, idCol, vecCol, ops)
+    recoverPending(spark, root, idCol, vecCol, ops, historyRetention)
     val fs = fsOf(spark, root)
     require(gens(spark, root, "snapfull").nonEmpty,
       s"StreamingVectorIndex: no snapshot store at $root — bootstrap " +
@@ -356,7 +380,8 @@ object StreamingVectorIndex {
         val out = fs.create(markerPath(root), true)
         try out.write(gen.toString.getBytes("UTF-8"))
         finally out.close()
-        finishRecenter(spark, root, gen, idCol, vecCol, ops)
+        finishRecenter(spark, root, gen, idCol, vecCol, ops,
+          historyRetention)
       } else {
         // 5. chain compaction: once `compactEvery` deltas sit above
         //    the full base, materialize the fold (staged + renamed)
@@ -365,7 +390,8 @@ object StreamingVectorIndex {
         val base = gens(spark, root, "snapfull").max
         if (gens(spark, root, "snapdelta").count(_ > base)
             >= compactEvery)
-          compactSnapshot(spark, root, gen, idCol, vecCol)
+          compactSnapshot(spark, root, gen, idCol, vecCol,
+            historyRetention)
       }
     } finally deltaC.unpersist()
   }
@@ -388,13 +414,47 @@ object StreamingVectorIndex {
     bootstrap(initial, root, idCol, vecCol, QuantizedOps(k, seed))
 
   /** Run the int8 quantized-IVF maintenance loop over a stream of
-    * delta rows (`idCol | vecCol | op`, op ∈ upsert/delete). */
+    * delta rows (`idCol | vecCol | op`, op ∈ upsert/delete).
+    * `historyRetention = R` keeps the last R generations
+    * reconstructable for [[probeAsOfQuantized]] (0 = no history). */
   def runQuantized(delta: DataFrame, root: String, idCol: String,
                    vecCol: String, k: Int, checkpoint: String,
                    seed: Long = 42L, cdFactorX100: Long = 115L,
-                   skewFactorX100: Long = 175L): StreamingQuery =
+                   skewFactorX100: Long = 175L,
+                   historyRetention: Int = 0): StreamingQuery =
     run(delta, root, idCol, vecCol, QuantizedOps(k, seed), checkpoint,
-      cdFactorX100, skewFactorX100)
+      cdFactorX100, skewFactorX100, historyRetention)
+
+  /** TIME-TRAVEL probe of the quantized loop (the lexical
+    * `asOfGeneration`'s vector symmetry): replay a quantized-IVF
+    * probe against the loop state AT generation `gen` — the corpus
+    * reconstructed from the delta chain ([[readSnapshot]]) and the
+    * centroid model in force at `gen` (the largest model generation
+    * ≤ gen — a recenter AT gen governs reads from gen on). The
+    * physical index is maintained in place, so the historical read
+    * pays a snapshot-scan probe
+    * ([[graft.operators.Similarity.ivfProbeSnapshotQuantized]], the
+    * Delta-time-travel cost class); live probes keep the pruned
+    * path. Valid back to the retention floor
+    * (`historyRetention` / [[compactSnapshot]]); past it, the
+    * snapshot read fails loudly. Loud too while a crashed recenter
+    * is pending — run any wave (or the recovery) first. */
+  def probeAsOfQuantized(spark: SparkSession, root: String, gen: Int,
+                         queryVec: DataFrame, idCol: String,
+                         vecCol: String, k: Int,
+                         nProbe: Int): DataFrame = {
+    require(!fsOf(spark, root).exists(markerPath(root)),
+      s"StreamingVectorIndex: unfinished recenter at $root — a " +
+        "historical model read would replay an unsealed decision; " +
+        "run a wave (or recovery) first")
+    val mGens = gens(spark, root, "cents").filter(_ <= gen)
+    require(mGens.nonEmpty,
+      s"StreamingVectorIndex: no model at or below gen=$gen at $root")
+    val cents = spark.read.parquet(s"$root/cents/gen=${mGens.max}")
+    val snap = readSnapshot(spark, root, gen, idCol, vecCol)
+    Similarity.ivfProbeSnapshotQuantized(snap, cents, queryVec,
+      idCol, vecCol, k, nProbe)
+  }
 
   /** Bootstrap the IVF-PQ loop state (codebooks + centroids fit at
     * gen=0, codes written cell-partitioned). */
@@ -410,21 +470,23 @@ object StreamingVectorIndex {
                vecCol: String, kCells: Int, m: Int, k: Int,
                checkpoint: String, seed: Long = 42L,
                cdFactorX100: Long = 115L,
-               skewFactorX100: Long = 175L): StreamingQuery =
+               skewFactorX100: Long = 175L,
+               historyRetention: Int = 0): StreamingQuery =
     run(delta, root, idCol, vecCol, IvfPqOps(kCells, m, k, seed),
-      checkpoint, cdFactorX100, skewFactorX100)
+      checkpoint, cdFactorX100, skewFactorX100, historyRetention)
 
   private def run(delta: DataFrame, root: String, idCol: String,
                   vecCol: String, ops: IndexOps, checkpoint: String,
-                  cdFactorX100: Long,
-                  skewFactorX100: Long): StreamingQuery =
+                  cdFactorX100: Long, skewFactorX100: Long,
+                  historyRetention: Int): StreamingQuery =
     delta.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty)
           applyWave(batch.sparkSession, root, batch.toDF(), batchId,
-            idCol, vecCol, ops, cdFactorX100, skewFactorX100)
+            idCol, vecCol, ops, cdFactorX100, skewFactorX100,
+            historyRetention = historyRetention)
       }
       .start()
 }

@@ -195,16 +195,24 @@ class TextAnalysisSpec extends SparkSpec {
     val (folded, nLive) = TextAnalysis.bm25MergeSegments(spark, dir,
       "doc_id")
     assert(folded == 2, s"folded $folded segments")
+    // the COMMITTED composition lives in the manifest now: one merged
+    // segment, tombstone set cleared; the old directories stay on
+    // disk as pinned/as-of history until vacuum
+    val m = SegmentManifest.latest(spark, dir).get
+    assert(m.segs("postings") == Seq(0), s"got ${m.segs("postings")}")
+    assert(m.segs("tombstones").isEmpty,
+      "tombstone entries survived the merge")
+    assert(probe() == before, "probe diverged across the merge")
+    // vacuum reclaims the pre-merge directories; the probe is
+    // unchanged (it reads the latest generation either way)
+    val (removed, kept) = TextAnalysis.bm25Vacuum(spark, dir, 1)
+    assert(removed > 0 && kept == 3, s"vacuum ($removed, $kept)")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segDirs = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/postings"))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
-      .map(_.getPath.getName).toSeq
-    assert(segDirs == Seq("seg=0"), s"got $segDirs")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
-      "tombstones survived the merge")
-    assert(probe() == before, "probe diverged across the merge")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/postings/seg=1")),
+      "vacuum left the unreferenced pre-merge segment")
+    assert(probe() == before, "probe diverged across the vacuum")
     // the final corpus has every doc exactly once (mods re-appended,
     // nothing removed in this scenario)
     assert(nLive == docs.count(), s"live docs $nLive")
@@ -234,9 +242,9 @@ class TextAnalysisSpec extends SparkSpec {
       "post-merge append/tombstone diverged from the direct scan")
   }
 
-  test("bm25MergeSegments: a crash BETWEEN the two renames (postings " +
-      "committed, segstats still staged) recovers without destroying " +
-      "the merged postings") {
+  test("bm25MergeSegments: a crashed merge's unsealed rev output is " +
+      "invisible to probes, a re-run merges cleanly, and vacuum " +
+      "reclaims the garbage") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b b")).toDF(
       "doc_id", "text")
@@ -247,77 +255,79 @@ class TextAnalysisSpec extends SparkSpec {
       .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mv(from: String, to: String) =
-      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$from"),
-        new org.apache.hadoop.fs.Path(s"$dir/$to")))
-    // the worst crash point the old commit destroyed data at: staged
-    // postings ALREADY renamed into place (the only copy), staged
-    // segstats not yet — simulated by staging only segstats + marker
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging"))
-    mv("segstats", ".merge_staging/segstats")
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$dir/.merge_staging/_COMMIT_READY"), true).close()
-    val (folded, nLive) = TextAnalysis.bm25MergeSegments(spark, dir,
-      "doc_id")
-    assert(folded == 0 && nLive == 3, s"recovery returned ($folded, $nLive)")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")),
-      "recovery destroyed the committed postings")
-    val after = TextAnalysis
-      .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    assert(after == expect, "recovered index diverged")
-    // crash AFTER both renames, before staging cleanup: staging holds
-    // only the marker — recovery must finish (clear staging) without
-    // touching the healthy live index
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging"))
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$dir/.merge_staging/_COMMIT_READY"), true).close()
-    val (f2, n2) = TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
-    assert(f2 == 0 && n2 == 3)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging")))
+    // simulate the crash: a half-written merge output under _rev with
+    // NO seal — poisoned content, so any read of it would be loud in
+    // the assertions below
+    val garbage = Seq((99L, 77L, "zzz", 9L)).toDF(
+      "doc_id", "dl", "term", "tf")
+    garbage.write.parquet(s"$dir/_rev/g9-deadbeef/postings/seg=0")
     assert(TextAnalysis
       .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet == expect, "marker-only recovery diverged")
-  }
-
-  test("bm25MergeSegments: a sealed-but-uncommitted merge (crash " +
-      "inside the swap window) completes on re-run") {
-    import spark.implicits._
-    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b b")).toDF(
-      "doc_id", "text")
-    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
-    val dir = java.nio.file.Files.createTempDirectory("bm25rcv").toString
-    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
-    val expect = TextAnalysis
-      .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    // simulate the crash: staging fully written + sealed, live index
-    // already gutted (the worst point of the documented window)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mv(from: String, to: String) =
-      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$from"),
-        new org.apache.hadoop.fs.Path(s"$dir/$to")))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging"))
-    mv("postings", ".merge_staging/postings")
-    mv("segstats", ".merge_staging/segstats")
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$dir/.merge_staging/_COMMIT_READY"), true).close()
+      .toSet == expect, "unsealed rev garbage leaked into a probe")
+    // a re-run merges from the last sealed generation as if the
+    // crashed attempt never happened
     val (folded, nLive) = TextAnalysis.bm25MergeSegments(spark, dir,
       "doc_id")
-    assert(folded == 0 && nLive == 3, s"recovery returned ($folded, $nLive)")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.merge_staging")))
-    val after = TextAnalysis
+    assert(folded == 1 && nLive == 3, s"re-run returned ($folded, $nLive)")
+    assert(TextAnalysis
       .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    assert(after == expect, "recovered index diverged")
+      .toSet == expect, "re-run merge diverged")
+    // vacuum reclaims the crashed attempt's unreferenced directory
+    TextAnalysis.bm25Vacuum(spark, dir, 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_rev/g9-deadbeef")), "vacuum left the crash garbage")
+    assert(TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 3, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == expect, "vacuum changed probe results")
   }
+
+  test("concurrent writers collide LOUDLY on the exclusive manifest " +
+      "seal: the second maintenance op fails, the index stays intact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b b"), (4L, "c c"))
+      .toDF("doc_id", "text")
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25seal").toString
+    TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", dir, 0)
+    TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") > 2), "doc_id", "text", dir, 1)
+    val expect = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 4, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // a concurrent writer seals the next generation between this
+    // op's pin and its own seal — simulated by pre-sealing it
+    val base = SegmentManifest.latest(spark, dir).get
+    SegmentManifest.seal(spark, dir, base.copy(gen = base.gen + 1))
+    val e = intercept[IllegalStateException] {
+      // the slower writer's own seal of the same generation — the
+      // exact commit step every maintenance op ends with — must lose
+      // loudly, leaving only unreferenced output
+      SegmentManifest.seal(spark, dir, base.copy(gen = base.gen + 1))
+    }
+    assert(e.getMessage.contains("concurrent writer"),
+      s"wrong collision message: $e")
+    // the index is intact through the collision: probes green, and
+    // the real maintenance op keeps working at the next generation
+    assert(TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 4, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == expect, "seal collision corrupted the index")
+    val (folded, nLive) = TextAnalysis.bm25MergeSegments(spark, dir,
+      "doc_id")
+    assert(folded == 2 && nLive == 4, s"got ($folded, $nLive)")
+    assert(TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 4, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == expect, "post-collision merge diverged")
+  }
+
 
   test("bm25MergeSegmentsTiered: folds smallest adjacent pairs, " +
       "retains tombstones, probe parity; full merge still works after") {
@@ -358,16 +368,12 @@ class TextAnalysisSpec extends SparkSpec {
     val (folds, remaining) = TextAnalysis.bm25MergeSegmentsTiered(
       spark, dir, "doc_id", maxSegments = 2)
     assert(folds == 2 && remaining == 2, s"got ($folds, $remaining)")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segDirs = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/postings"))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
-      .map(_.getPath.getName).toSeq.sorted
-    assert(segDirs.length == 2, s"got $segDirs")
+    val mTier = SegmentManifest.latest(spark, dir).get
+    assert(mTier.segs("postings").length == 2,
+      s"got ${mTier.segs("postings")}")
     // tombstones RETAINED — only the full merge's scope covers every
     // segment a tombstone can reach
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+    assert(mTier.segs("tombstones").nonEmpty,
       "tiered merge must not clear tombstones")
     assert(probe() == before, "probe diverged across the tiered merge")
     // parity against the from-scratch direct scan of the final state
@@ -388,72 +394,102 @@ class TextAnalysisSpec extends SparkSpec {
     // tombstones, parity still holds
     val (f3, _) = TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
     assert(f3 == 2, s"full merge folded $f3")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    assert(SegmentManifest.latest(spark, dir).get
+      .segs("tombstones").isEmpty)
     assert(probe() == before, "probe diverged across the full merge")
   }
 
-  test("bm25MergeSegmentsTiered: a sealed in-flight fold (crash " +
-      "inside the swap window) completes on the next call") {
+  test("MVCC snapshot isolation: probes pinned before a tiered fold, " +
+      "a tombstone GC and an upsert wave return the PRE-maintenance " +
+      "answer bit-identically; fresh probes track each generation; " +
+      "asOfGeneration replays history across the compaction") {
     import spark.implicits._
-    val a = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
-    val b = Seq((3L, "b b")).toDF("doc_id", "text")
-    val c = Seq((4L, "c a"), (5L, "b a"), (6L, "c c"), (7L, "a a"))
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+    val modified = old.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+    val panel = Seq((0L, "scan table row upd"), (1L, "query filter"))
+      .toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("mvcc").toString
+    TextAnalysis.bm25AppendSegment(
+      old.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, 0)
+    TextAnalysis.bm25AppendSegment(
+      old.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir, 1)
+    TextAnalysis.bm25Tombstone(
+      old.join(modified.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl")),
+      "doc_id", "dl", dir, 2)
+    TextAnalysis.bm25AppendSegment(modified, "doc_id", "text", dir, 2)
+    def probe(asOfGen: Option[Int] = None) = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 12, "doc_id",
+        asOfGeneration = asOfGen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    def phrase(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val expect0 = probe()
+    val gen0 = SegmentManifest.latestGen(spark, dir).get
+    // --- pin BEFORE the fold; the fold runs; the pinned probe then
+    // EXECUTES and must return the pre-fold answer bit-identically
+    // (its generation's directories are write-once and untouched)
+    val pinnedFold = TextAnalysis.bm25ProbeSegmented(
+      spark, dir, panel, k = 12, "doc_id")
+    val pinnedPhrase = TextAnalysis.phraseSearch(
+      spark, dir, Seq("scan", "table"), "doc_id")
+    val phraseExpect = phrase(TextAnalysis.phraseSearch(
+      spark, dir, Seq("scan", "table"), "doc_id"))
+    val (_, rem) = TextAnalysis.bm25MergeSegmentsTiered(spark, dir,
+      "doc_id", maxSegments = 1)
+    assert(rem == 1)
+    assert(pinnedFold.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == expect0, "fold raced the pinned probe")
+    // the fold is also INVISIBLE to a fresh probe (the q122 contract)
+    assert(probe() == expect0, "fold changed fresh-probe results")
+    // --- pin BEFORE the GC; GC drops the now-covered tombstones
+    val pinnedGc = TextAnalysis.bm25ProbeSegmented(
+      spark, dir, panel, k = 12, "doc_id")
+    val (dropped, _) = TextAnalysis.bm25CompactTombstones(spark, dir,
+      "doc_id")
+    assert(dropped > 0, "expected GC-able tombstones")
+    assert(pinnedGc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == expect0, "GC raced the pinned probe")
+    assert(phrase(pinnedPhrase) == phraseExpect,
+      "maintenance raced the pinned positional probe")
+    // --- pin BEFORE an upsert wave that ADDS a doc stuffed with
+    // panel terms: the pinned probe must NOT see it, a fresh one must
+    val pinnedWave = TextAnalysis.bm25ProbeSegmented(
+      spark, dir, panel, k = 12, "doc_id")
+    val intruder = Seq((999999L,
+      "scan table row upd scan table row upd query filter"))
       .toDF("doc_id", "text")
-    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
-    val dir = java.nio.file.Files.createTempDirectory("bm25tcr").toString
-    TextAnalysis.bm25AppendSegment(a, "doc_id", "text", dir, 0)
-    TextAnalysis.bm25AppendSegment(b, "doc_id", "text", dir, 1)
-    TextAnalysis.bm25AppendSegment(c, "doc_id", "text", dir, 2)
-    val expect = TextAnalysis
-      .bm25ProbeSegmented(spark, dir, panel, k = 7, "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    // the genuine staged content of fold (0,1): segments are disjoint
-    // and tombstone-free, so the merged segment is exactly an append
-    // of a∪b — build it in a scratch index and plant it as staging
-    val scratch = java.nio.file.Files
-      .createTempDirectory("bm25tcr_s").toString
-    TextAnalysis.bm25AppendSegment(a.unionByName(b), "doc_id", "text",
-      scratch, 1)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path) = {
-      fs.mkdirs(to.getParent); assert(fs.rename(from, to))
+    TextAnalysis.bm25ApplyUpserts(spark, dir, intruder,
+      intruder.limit(0), "doc_id", "text", segment = 3,
+      maxSegments = 2)
+    assert(pinnedWave.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == expect0, "the wave raced the pinned probe")
+    val fresh = probe()
+    assert(fresh != expect0 && fresh.exists(_._2 == 999999L),
+      "a fresh probe must see the upserted doc")
+    // --- generation time travel ACROSS the compaction: the fold
+    // renumbered segments (the asOfSegment cut's validity horizon),
+    // but the sealed generation's directories are still on disk
+    assert(probe(asOfGen = Some(gen0)) == expect0,
+      "asOfGeneration failed to replay the pre-fold generation")
+    // and below the vacuum floor it fails LOUDLY, not silently
+    TextAnalysis.bm25Vacuum(spark, dir, 1)
+    val e = intercept[IllegalArgumentException] {
+      probe(asOfGen = Some(gen0))
     }
-    mv(new org.apache.hadoop.fs.Path(s"$scratch/postings/seg=1"),
-      new org.apache.hadoop.fs.Path(s"$dir/.tier_staging/postings/seg=1"))
-    mv(new org.apache.hadoop.fs.Path(s"$scratch/segstats/seg=1"),
-      new org.apache.hadoop.fs.Path(s"$dir/.tier_staging/segstats/seg=1"))
-    // crash point: marker sealed, live pair already half-gutted
-    // (postings/seg=0 dropped, seg=1 still the stale original)
-    val out = fs.create(new org.apache.hadoop.fs.Path(
-      s"$dir/.tier_staging/_COMMIT_READY"), true)
-    out.write("0 1".getBytes("UTF-8")); out.close()
-    assert(fs.delete(
-      new org.apache.hadoop.fs.Path(s"$dir/postings/seg=0"), true))
-    val (folds, remaining) = TextAnalysis.bm25MergeSegmentsTiered(
-      spark, dir, "doc_id", maxSegments = 2)
-    assert(folds == 0 && remaining == 2, s"got ($folds, $remaining)")
-    assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$dir/.tier_staging")))
-    val after = TextAnalysis
-      .bm25ProbeSegmented(spark, dir, panel, k = 7, "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    assert(after == expect, "recovered tiered index diverged")
-    // an UNSEALED staging (crash before the marker) is garbage and
-    // must be cleared without touching the live index
-    fs.mkdirs(new org.apache.hadoop.fs.Path(
-      s"$dir/.tier_staging/postings/seg=9"))
-    val (f2, r2) = TextAnalysis.bm25MergeSegmentsTiered(spark, dir,
-      "doc_id", maxSegments = 2)
-    assert(f2 == 0 && r2 == 2)
-    assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$dir/.tier_staging")))
-    assert(TextAnalysis
-      .bm25ProbeSegmented(spark, dir, panel, k = 7, "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet == expect)
+    assert(e.getMessage.contains("vacuum"),
+      s"wrong floor message: $e")
+    assert(probe() == fresh, "vacuum changed the live answer")
   }
 
   test("phraseSearch: positional intersection matches consecutive-" +
@@ -728,7 +764,7 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     val phraseBefore = phrase()
-    val minSeg = spark.read.parquet(s"$dir/segstats")
+    val minSeg = TextAnalysis.segmentInfos(spark, dir, "doc_id")
       .agg(min(col("seg").cast("int"))).head().getInt(0)
     assert(minSeg == 2, s"fold did not land on seg=2: $minSeg")
     val (dropped, kept) = TextAnalysis.bm25CompactTombstones(spark,
@@ -894,7 +930,11 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.bm25AppendSegment(
       Seq((3L, "delta")).toDF("doc_id", "text"),
       "doc_id", "text", dir, 1)
-    def dictTerms() = spark.read.parquet(s"$dir/termdict")
+    // the dict through the sealed composition (discovery would see
+    // stale pre-compaction dirs retained for time travel)
+    def dictTerms() = SegmentManifest
+      .read(spark, dir, SegmentManifest.latest(spark, dir).get,
+        "termdict").get
       .select("term").distinct().as[String].collect().toSet
     assert(dictTerms() == Set("alpha", "beta", "gamma", "delta"))
     // tombstone doc 1 (the only alpha): dict keeps alpha (superset),
@@ -911,11 +951,12 @@ class TextAnalysisSpec extends SparkSpec {
     // the full merge purges dead-only terms from the dict
     TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
     assert(dictTerms() == Set("beta", "gamma", "delta"))
-    // fallback: with the artifact removed, expansion derives the
+    // fallback: with the artifact absent from the composition (a
+    // layout sealed before dicts existed), expansion derives the
     // dictionary from the postings and results are identical
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/termdict"), true)
+    val m = SegmentManifest.latest(spark, dir).get
+    SegmentManifest.seal(spark, dir, m.copy(gen = m.gen + 1,
+      layouts = m.layouts.updated("termdict", Nil)))
     assert(TextAnalysis.wildcardTermSearch(spark, dir, "*a", "doc_id")
       .orderBy(col("doc_id"))
       .as[(Long, Long, Long)].collect().toSeq ==
@@ -1101,15 +1142,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(prefix(dir) == prefix(fresh))
   }
 
-  test("probes fail loudly while a maintenance staging dir is live " +
-      "(the tombstone-GC silent-stats window made loud)") {
+  test("LEGACY layouts (no manifest) still fail loudly on a live " +
+      "maintenance staging dir; manifest layouts read through their " +
+      "pinned generation and ignore staging entirely") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val built = java.nio.file.Files
+      .createTempDirectory("quiesce_b").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", built, 0)
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    // a MANIFEST layout is immune: staging dirs are pre-manifest
+    // debris, probes resolve the sealed generation regardless
+    val junk = new java.io.File(s"$built/.tomb_staging")
+    assert(junk.mkdir())
+    assert(TextAnalysis.bm25ProbeSegmented(spark, built, panel, 5,
+      "doc_id").count() > 0)
+    assert(junk.delete())
+    // a LEGACY layout (same directories, no _gen) keeps the advisory
+    // guard: build it by cloning the hive trees without the manifest
     val dir = java.nio.file.Files
       .createTempDirectory("quiesce").toString
-    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
-    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
-    // sanity: probes work on the quiescent layout
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (l <- Seq("postings", "termdict", "segstats"))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$built/$l"),
+        new org.apache.hadoop.fs.Path(s"$dir/$l")))
+    // sanity: probes work on the quiescent legacy layout
     assert(TextAnalysis.bm25ProbeSegmented(spark, dir, panel, 5,
       "doc_id").count() > 0)
     for (st <- Seq(".merge_staging", ".tier_staging", ".tomb_staging")) {

@@ -41,14 +41,10 @@ class StreamingLexicalIndexSpec extends SparkSpec {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segDirs = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/postings"))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
-      .map(_.getPath.getName).toSeq.sorted
-    assert(segDirs.length <= 3,
-      s"tiered maintenance left ${segDirs.length} segments: $segDirs")
+    val segs = graft.operators.SegmentManifest.latest(spark, dir)
+      .get.segs("postings")
+    assert(segs.length <= 3,
+      s"tiered maintenance left ${segs.length} segments: $segs")
     // probe parity: the maintained layout answers exactly like a
     // direct scan over everything ingested
     val all = waves.flatten.toDF("doc_id", "text")

@@ -319,4 +319,83 @@ class StreamingVectorIndexSpec extends SparkSpec {
       pqContent(s"$rootB/index/codes"),
       "streaming IVF-PQ loop diverged from the batch refresh")
   }
+
+  test("generation time travel: probeAsOfQuantized replays every " +
+      "retained generation bit-identically to a written index of " +
+      "that state — across two refresh waves AND a recenter — and " +
+      "fails loudly below the retention floor") {
+    import spark.implicits._
+    val root = tmp("svi_asof")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    // wave 1 (benign): adds + deletes; wave 2 (benign): adds;
+    // wave 3: every vector wanders — the drift trigger recenters
+    val d1 = (corpus(40L until 48L).map { case (i, v) =>
+        (i, v, "upsert") } ++
+      (0L until 4L).map(i => (i, vec(i), "delete")))
+      .toDF("vec_id", "embedding", "op")
+    StreamingVectorIndex.applyWave(spark, root, d1, 0L,
+      "vec_id", "embedding", ops, 115L, 175L, historyRetention = 8)
+    val d2 = corpus(48L until 56L).map { case (i, v) =>
+        (i, v, "upsert") }.toDF("vec_id", "embedding", "op")
+    StreamingVectorIndex.applyWave(spark, root, d2, 1L,
+      "vec_id", "embedding", ops, 115L, 175L, historyRetention = 8)
+    val d3 = (4L until 56L).map(i =>
+        (i, vec(i, shift = 3.0 * (i % 5)), "upsert"))
+      .toDF("vec_id", "embedding", "op")
+    StreamingVectorIndex.applyWave(spark, root, d3, 2L,
+      "vec_id", "embedding", ops, 115L, 175L, historyRetention = 8)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/cents/gen=3")),
+      "the drift wave did not recenter")
+    def modelGens = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/cents")).toSeq
+      .map(_.getPath.getName.stripPrefix("gen=").toInt).sorted
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble)))
+      .toDF("qvec")
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // parity at EVERY retained generation: expected = a from-scratch
+    // written index of (snapshot at g, model in force at g), probed
+    // through the physical-layout path
+    for (g <- Seq(1, 2, 3)) {
+      val snapG = StreamingVectorIndex.readSnapshot(spark, root, g,
+        "vec_id", "embedding")
+      val mg = modelGens.filter(_ <= g).max
+      val cents = spark.read.parquet(s"$root/cents/gen=$mg")
+      val scratch = tmp(s"svi_asof_twin$g")
+      Similarity.ivfWriteIndexQuantized(snapG, cents, "vec_id",
+        "embedding", s"$scratch/index")
+      val expected = probeSet(Similarity.ivfProbePrunedQuantized(
+        spark, s"$scratch/index", cents, qv, "vec_id",
+        k = 10, nProbe = 2))
+      val got = probeSet(StreamingVectorIndex.probeAsOfQuantized(
+        spark, root, g, qv, "vec_id", "embedding", k = 10, nProbe = 2))
+      assert(got == expected, s"as-of probe diverged at gen $g")
+    }
+    // the latest generation's as-of equals a live probe of the
+    // actually-maintained physical index
+    val centsLive = spark.read.parquet(s"$root/cents/gen=3")
+    val live = probeSet(Similarity.ivfProbePrunedQuantized(spark,
+      s"$root/index", centsLive, qv, "vec_id", k = 10, nProbe = 2))
+    assert(probeSet(StreamingVectorIndex.probeAsOfQuantized(spark,
+      root, 3, qv, "vec_id", "embedding", k = 10, nProbe = 2)) == live,
+      "as-of at the live generation diverged from the live probe")
+    // retention floor: a history-free wave compacts the chain away
+    // and reads below the floor fail LOUDLY
+    val d4 = corpus(200L until 204L).map { case (i, v) =>
+        (i, v, "upsert") }.toDF("vec_id", "embedding", "op")
+    StreamingVectorIndex.applyWave(spark, root, d4, 3L,
+      "vec_id", "embedding", ops, 115L, 175L, compactEvery = 1,
+      historyRetention = 0)
+    val e = intercept[IllegalArgumentException] {
+      StreamingVectorIndex.probeAsOfQuantized(spark, root, 1, qv,
+        "vec_id", "embedding", k = 10, nProbe = 2).collect()
+    }
+    assert(e.getMessage.contains("no full snapshot"),
+      s"wrong floor message: $e")
+  }
 }
