@@ -9,6 +9,7 @@ import graft.engine.{GateChecks, Tables}
 import graft.functions.{TextFns, UrlFns, VectorFns}
 import graft.operators.{BpeTokenizer, Dedup, IsolationForest, Multimodal, Packing, ProductQuantize, QualityModel, Sampling, SegmentManifest, Similarity, TextAnalysis, Upsert}
 import graft.sources.CsvIngest
+import graft.streaming.StreamingVectorIndex
 
 /** North-star LLM-data-pipeline + streaming-dataflow query set
   * (SURVEY.md §2.8/§2.9, BASELINE.json): dedup (exact / LSH / SimHash /
@@ -4159,6 +4160,69 @@ object PipelineQueries {
           col("doc_id"))
     }),
 
+    // X2 — VECTOR GENERATION TIME TRAVEL (r13 verdict item 2 — the
+    // q161/q185 symmetry on the dense side): three maintenance waves
+    // of the streaming quantized-IVF loop (adds+deletes, float-exact
+    // modifications, then a hard-drift wave that RECENTERS the
+    // model), probed as-of generation 2 (pre-recenter corpus under
+    // the pre-recenter model, reconstructed from the write-once
+    // snapshot chain) and as-of generation 3 (≡ the live physical
+    // index — the spec pins that equality). The oracle rebuilds
+    // state 2 from the raw table and replays the quantized probe
+    // arithmetic; the live row replays q90-style off the written
+    // index + model artifacts.
+    "q186_vector_time_travel" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val root = scratchPath("vtt_root", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val all = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val base = all.filter(col("vec_id") % 5 =!= 4)
+      StreamingVectorIndex.bootstrapQuantized(base, root, "vec_id",
+        "embedding", k = 16)
+      def wave(df: DataFrame, op: String) =
+        df.select(col("vec_id"), col("embedding"), lit(op).as("op"))
+      val w1 = wave(all.filter(col("vec_id") % 5 === 4 &&
+          col("vec_id") % 2 === 0), "upsert")
+        .unionByName(
+          wave(base.filter(col("vec_id") % 7 === 1), "delete"))
+      StreamingVectorIndex.applyWaveQuantized(s, root, w1, 0L,
+        "vec_id", "embedding", k = 16, historyRetention = 8)
+      // +0.25f is an exact float shift — both engines land on the
+      // identical bit pattern, so the quantization boundaries agree
+      val w2 = wave(all.filter(col("vec_id") % 11 === 3)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.25f))
+            .as("embedding")), "upsert")
+      StreamingVectorIndex.applyWaveQuantized(s, root, w2, 1L,
+        "vec_id", "embedding", k = 16, historyRetention = 8)
+      val live2 = all.filter(col("vec_id") % 11 === 3 ||
+        (col("vec_id") % 5 =!= 4 && col("vec_id") % 7 =!= 1) ||
+        (col("vec_id") % 5 === 4 && col("vec_id") % 2 === 0))
+      val w3 = wave(live2.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("vec_id") % 5).cast("float") * lit(3.0f))
+          .as("embedding")), "upsert")
+      StreamingVectorIndex.applyWaveQuantized(s, root, w3, 2L,
+        "vec_id", "embedding", k = 16, historyRetention = 8)
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/cents/gen=3")),
+        "q186: the drift wave did not recenter — the scenario must " +
+          "cross a model generation")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val asOf = StreamingVectorIndex.probeAsOfQuantized(s, root, 2,
+          qv, "vec_id", "embedding", k = 10, nProbe = 3)
+        .withColumn("gen", lit(0))
+      val live = StreamingVectorIndex.probeAsOfQuantized(s, root, 3,
+          qv, "vec_id", "embedding", k = 10, nProbe = 3)
+        .withColumn("gen", lit(1))
+      asOf.unionByName(live)
+        .orderBy(col("gen"), col("qsim").desc, col("vec_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -4613,6 +4677,67 @@ object PipelineQueries {
         |  round(list_cosine_similarity(codes::DOUBLE[],
         |    (SELECT qc FROM qq)), 4) AS qsim
         |FROM idx ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // vector time travel: gen 0 = state-2 corpus rebuilt from the raw
+    // table, quantized/assigned/scored with the q90 arithmetic under
+    // the WRITTEN gen-0 model; gen 1 = the live physical index + the
+    // recentered gen-3 model, replayed q90-style
+    "q186_vector_time_travel" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qv, x -> 0.0)
+        |              ELSE list_transform(qv, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
+        |          AS s FROM q)),
+        |c0 AS (SELECT centroid_id AS cid, cvec AS cv
+        |       FROM read_parquet('{SCRATCH}/vtt_root_{SFHASH}/cents/gen=0/*.parquet')),
+        |p0 AS (SELECT cid FROM c0, q
+        |       ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |s2 AS (SELECT vec_id,
+        |         CASE WHEN vec_id % 11 = 3
+        |              THEN list_transform(embedding,
+        |                     x -> CAST(x + 0.25 AS FLOAT))
+        |              ELSE embedding END AS v
+        |       FROM embeddings
+        |       WHERE vec_id <> 0 AND (vec_id % 11 = 3
+        |          OR (vec_id % 5 <> 4 AND vec_id % 7 <> 1)
+        |          OR (vec_id % 5 = 4 AND vec_id % 2 = 0))),
+        |a2 AS (SELECT s2.vec_id AS vid,
+        |         arg_min(c0.cid,
+        |           1 - list_cosine_similarity(s2.v::DOUBLE[], c0.cv)) AS cid
+        |       FROM s2, c0 GROUP BY s2.vec_id),
+        |s2q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x))) / 127.0
+        |            AS s
+        |        FROM s2)),
+        |k0 AS (SELECT 0 AS gen, vec_id,
+        |         round(list_cosine_similarity(codes,
+        |           (SELECT qc FROM qq)), 4) AS qsim
+        |       FROM s2q JOIN a2 ON s2q.vec_id = a2.vid
+        |       WHERE a2.cid IN (SELECT cid FROM p0)
+        |       ORDER BY qsim DESC, vec_id LIMIT 10),
+        |c3 AS (SELECT centroid_id AS cid, cvec AS cv
+        |       FROM read_parquet('{SCRATCH}/vtt_root_{SFHASH}/cents/gen=3/*.parquet')),
+        |p3 AS (SELECT cid FROM c3, q
+        |       ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |idx AS (SELECT vec_id, codes
+        |        FROM read_parquet('{SCRATCH}/vtt_root_{SFHASH}/index/*/*.parquet',
+        |                          hive_partitioning = 1)
+        |        WHERE CAST(centroid_id AS BIGINT) IN (SELECT cid FROM p3)),
+        |k1 AS (SELECT 1 AS gen, vec_id,
+        |         round(list_cosine_similarity(codes::DOUBLE[],
+        |           (SELECT qc FROM qq)), 4) AS qsim
+        |       FROM idx ORDER BY qsim DESC, vec_id LIMIT 10)
+        |SELECT gen, vec_id, qsim FROM
+        |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
+        |ORDER BY gen, qsim DESC, vec_id""".stripMargin,
 
     // per-class report derived from the materialized predictions (the
     // fit is seeded Spark-ML — rows-only in q40; the REPORT arithmetic

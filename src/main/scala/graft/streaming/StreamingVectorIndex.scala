@@ -425,6 +425,22 @@ object StreamingVectorIndex {
     run(delta, root, idCol, vecCol, QuantizedOps(k, seed), checkpoint,
       cdFactorX100, skewFactorX100, historyRetention)
 
+  /** One BATCH maintenance wave of the quantized loop — the
+    * foreachBatch body exposed for deterministic orchestration
+    * without a stream (the gate's scenario rows); identical contract
+    * to [[runQuantized]]'s per-batch behavior, batchId supplying the
+    * generation number. */
+  def applyWaveQuantized(spark: SparkSession, root: String,
+                         delta: DataFrame, batchId: Long,
+                         idCol: String, vecCol: String, k: Int,
+                         seed: Long = 42L, cdFactorX100: Long = 115L,
+                         skewFactorX100: Long = 175L,
+                         compactEvery: Int = 8,
+                         historyRetention: Int = 0): Unit =
+    applyWave(spark, root, delta, batchId, idCol, vecCol,
+      QuantizedOps(k, seed), cdFactorX100, skewFactorX100,
+      compactEvery, historyRetention)
+
   /** TIME-TRAVEL probe of the quantized loop (the lexical
     * `asOfGeneration`'s vector symmetry): replay a quantized-IVF
     * probe against the loop state AT generation `gen` — the corpus
