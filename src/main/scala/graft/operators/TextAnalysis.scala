@@ -2624,6 +2624,132 @@ object TextAnalysis {
       .select(col("query_id"), col(idCol))
   }
 
+  /** Materialize the stored percolation queries as an INVERTED QUERY
+    * INDEX (Elasticsearch's percolator design): [[percolate]] holds
+    * the query table in a broadcast, which binds at alerting scale
+    * (10⁶ stored queries); this artifact turns candidate generation
+    * into a distributed term join against a layout. Under `path`:
+    *
+    *   - `qcover/`: (term, query_id) — ONE covering MUST term per
+    *     query (ES's minimum-term rule: a doc matches only if it
+    *     contains EVERY must term, so registering each query under a
+    *     single must term is sufficient and fans a doc out to far
+    *     fewer candidates than the all-clause join). The covering
+    *     term is the RAREST by the optional `termDf` relation
+    *     (term, df) — rarity minimizes candidates — ties and absent
+    *     stats to the lexicographically smallest.
+    *   - `qindex/`: (query_id, term, is_must) — the full clause
+    *     postings for candidate VERIFICATION, term-distinct per
+    *     clause.
+    *
+    * Both layouts are term-/id-sorted parquet. The write-time guard
+    * is [[percolate]]'s, made loud once per registration instead of
+    * per probe batch: every query needs ≥1 must term and no term in
+    * both clauses. */
+  def percolateWriteQueryIndex(queries: DataFrame, path: String,
+                               termDf: Option[DataFrame] = None): Unit = {
+    val norm = cached(queries.select(col("query_id"),
+      array_distinct(coalesce(col("must"),
+        array().cast("array<string>"))).as("must"),
+      array_distinct(coalesce(col("must_not"),
+        array().cast("array<string>"))).as("must_not")))
+    val bad = norm.filter(size(col("must")) === 0 ||
+        arrays_overlap(col("must"), col("must_not")))
+      .select(col("query_id")).limit(1).collect()
+    require(bad.isEmpty,
+      s"percolateWriteQueryIndex: query ${bad.headOption.map(_.get(0))
+        .getOrElse("?")} has no must terms or a term both must and " +
+        "must_not")
+    val qindex = norm
+      .select(col("query_id"), explode(col("must")).as("term"),
+        lit(1).as("is_must"))
+      .unionByName(norm.select(col("query_id"),
+        explode(col("must_not")).as("term"), lit(0).as("is_must")))
+    qindex.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("query_id"))
+      .write.mode("overwrite").parquet(s"$path/qindex")
+    val musts = norm.select(col("query_id"),
+      explode(col("must")).as("term"))
+    val ranked = termDf match {
+      case Some(dfRel) => musts
+        .join(dfRel.select(col("term"),
+          col("df").cast("long").as("_df")), Seq("term"), "left")
+        .withColumn("_rank",
+          struct(coalesce(col("_df"), lit(0L)).as("df"),
+            col("term").as("term")))
+      case None => musts
+        .withColumn("_rank", struct(lit(0L).as("df"),
+          col("term").as("term")))
+    }
+    ranked.groupBy(col("query_id"))
+      .agg(min_by(col("term"), col("_rank")).as("term"))
+      .select(col("term"), col("query_id"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("query_id"))
+      .write.mode("overwrite").parquet(s"$path/qcover")
+  }
+
+  /** PERCOLATION through the inverted query index — bit-identical
+    * match semantics to [[percolate]], scale-shaped for the alerting
+    * workload (a SMALL incoming doc batch against a stored query
+    * corpus far too large to broadcast):
+    *
+    *   1. the batch's distinct vocabulary is a bounded driver-side
+    *      fetch (micro-batches of documents, the same boundedness
+    *      contract as every probe panel here — guarded loud at
+    *      `maxBatchVocab`) and becomes a PUSHED `term IN` predicate
+    *      over the term-sorted `qcover` artifact: parquet min/max
+    *      stats prune every query posting the batch can't cover, so
+    *      candidate generation reads a batch-vocabulary-bounded
+    *      slice of the query corpus — never a broadcast, never a
+    *      full artifact scan;
+    *   2. candidates = batch terms ⋈ pruned cover (each (doc, query)
+    *      pair at most once — one covering must term per query);
+    *   3. verification: the candidate queries' full clause postings
+    *      (a semi-join-pruned read of `qindex`, candidate-bounded)
+    *      left-join the doc term sets and fold got_must / has_not /
+    *      n_must in ONE aggregate — exactly [[percolate]]'s gate
+    *      (a must term absent from the whole batch vocabulary counts
+    *      into n_must and never into got_must, correctly rejecting).
+    *
+    * Output (query_id, idCol), same as [[percolate]]. */
+  def percolateIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, docs: DataFrame, idCol: String,
+                       textCol: String,
+                       maxBatchVocab: Int = 200000): DataFrame = {
+    val dterms = cached(docs.select(col(idCol),
+      explode(array_distinct(tokens(coalesce(col(textCol), lit("")))))
+        .as("term")))
+    val vocab = dterms.select(col("term")).distinct()
+      .collect().map(_.getString(0))
+    require(vocab.length <= maxBatchVocab,
+      s"percolateIndexed: batch vocabulary ${vocab.length} > " +
+        s"maxBatchVocab $maxBatchVocab — percolate smaller doc " +
+        "batches (or raise the bound)")
+    val cover = spark.read.parquet(s"$path/qcover")
+      .filter(col("term").isin(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(vocab): _*))
+    val cand = cached(dterms.join(cover, "term")
+      .select(col(idCol), col("query_id")))
+    val qindex = spark.read.parquet(s"$path/qindex")
+      .join(cand.select(col("query_id")).distinct(),
+        Seq("query_id"), "left_semi")
+    cand.join(qindex, "query_id")
+      .join(dterms.withColumn("_has", lit(1)),
+        Seq(idCol, "term"), "left")
+      .groupBy(col(idCol), col("query_id"))
+      .agg(
+        count_distinct(when(col("is_must") === 1 &&
+          col("_has") === 1, col("term"))).as("got_must"),
+        count_distinct(when(col("is_must") === 1, col("term")))
+          .as("n_must"),
+        max(when(col("is_must") === 0 && col("_has") === 1, lit(1))
+          .otherwise(lit(0))).as("has_not"))
+      .filter(col("has_not") === 0 &&
+        col("got_must") === col("n_must"))
+      .select(col("query_id"), col(idCol))
+  }
+
   /** The term DICTIONARY of a segmented index: the per-segment
     * `termdict` artifact when present (a vocabulary-sized read — the
     * production path, Lucene's terms file), else derived from the

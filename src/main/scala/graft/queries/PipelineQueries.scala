@@ -3826,8 +3826,26 @@ object PipelineQueries {
         (3L, Seq("slow", "fast"), Seq.empty[String]),
         (4L, Seq("window", "stream"), Seq("batch")))
         .toDF("query_id", "must", "must_not")
-      TextAnalysis.percolate(d, "doc_id", "text", stored)
-        .orderBy(col("query_id"), col("doc_id"))
+      // the gated path is the INDEXED percolator (r13 verdict item
+      // 3): stored queries as an inverted terms→queries artifact with
+      // ES's minimum-term covering rule — candidate generation is a
+      // distributed term join, never a broadcast of the query table.
+      // The broadcast form stays the small-rule-set fast path; the
+      // in-builder require pins the two bit-identical on this corpus
+      val path = scratchPath("perc_qindex", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.percolateWriteQueryIndex(stored, path)
+      val indexed = TextAnalysis.percolateIndexed(s, path, d,
+        "doc_id", "text")
+      val direct = TextAnalysis.percolate(d, "doc_id", "text", stored)
+      val onlyI = indexed.exceptAll(direct).count()
+      val onlyD = direct.exceptAll(indexed).count()
+      require(onlyI == 0 && onlyD == 0,
+        s"q173: indexed percolation diverged from the broadcast " +
+          s"form (+$onlyI/-$onlyD pairs)")
+      indexed.orderBy(col("query_id"), col("doc_id"))
     }),
 
     // X3 — COMPLETION SUGGEST (Lucene's suggest module): dictionary

@@ -1916,6 +1916,72 @@ class TextAnalysisSpec extends SparkSpec {
         Seq((9L, Seq("a"), Seq("a")))
           .toDF("query_id", "must", "must_not")).collect()
     }
+    // a NULL must array must trip the same loud guard, never
+    // silently match nothing
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percolate(docs, "doc_id", "text",
+        Seq((9L, null.asInstanceOf[Seq[String]], Seq("a")))
+          .toDF("query_id", "must", "must_not")).collect()
+    }
+  }
+
+  test("percolateIndexed: bit-identical to the broadcast form, the " +
+      "covering term honors the df ranking, write-time guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a a a b"), (3L, "a x"),
+      (4L, null.asInstanceOf[String]), (5L, "c d"), (6L, "b d"))
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (1L, Seq("a", "b"), Seq("c")),
+      (2L, Seq("a"), Seq.empty[String]),
+      (3L, Seq("c", "d"), Seq.empty[String]),
+      (4L, Seq("b", "d"), Seq("x")))
+      .toDF("query_id", "must", "must_not")
+    val dir = java.nio.file.Files
+      .createTempDirectory("percidx").toString
+    TextAnalysis.percolateWriteQueryIndex(queries, s"$dir/q1")
+    val indexed = TextAnalysis
+      .percolateIndexed(spark, s"$dir/q1", docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val direct = TextAnalysis.percolate(docs, "doc_id", "text", queries)
+      .as[(Long, Long)].collect().toSet
+    assert(indexed == direct,
+      s"indexed percolation diverged: $indexed vs $direct")
+    // covering term: without stats, the lexicographically smallest
+    // must term; with a df relation, the RAREST (fewest docs) wins
+    def covers(p: String) = spark.read.parquet(s"$p/qcover")
+      .as[(String, Long)].collect()
+      .map { case (t, q) => q -> t }.toMap
+    assert(covers(s"$dir/q1")(1L) == "a", "default cover not lexical")
+    val dfRel = Seq(("a", 100L), ("b", 3L), ("c", 10L), ("d", 1L))
+      .toDF("term", "df")
+    TextAnalysis.percolateWriteQueryIndex(queries, s"$dir/q2",
+      Some(dfRel))
+    val c2 = covers(s"$dir/q2")
+    assert(c2(1L) == "b" && c2(3L) == "d" && c2(4L) == "d",
+      s"df-ranked cover wrong: $c2")
+    // results identical under either covering choice
+    assert(TextAnalysis
+      .percolateIndexed(spark, s"$dir/q2", docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet == direct,
+      "covering choice changed match results")
+    // guards moved to write time: null/empty must, must∩must_not
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percolateWriteQueryIndex(
+        Seq((9L, Seq.empty[String], Seq("a")))
+          .toDF("query_id", "must", "must_not"), s"$dir/q3")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percolateWriteQueryIndex(
+        Seq((9L, null.asInstanceOf[Seq[String]], Seq("a")))
+          .toDF("query_id", "must", "must_not"), s"$dir/q3")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percolateWriteQueryIndex(
+        Seq((9L, Seq("a"), Seq("a")))
+          .toDF("query_id", "must", "must_not"), s"$dir/q3")
+    }
   }
 
   test("completionSuggest: live-df ranking under tombstones, a fully " +
