@@ -52,6 +52,66 @@ object PipelineQueries {
   private def scratchPath(prefix: String, dir: String): String =
     s"$scratchRoot/${prefix}_${sfHash(dir)}"
 
+  /** Build-once SHARED index fixtures (r13 verdict item 6): ~20 gate
+    * rows probe byte-identical canonical artifacts (the full-corpus
+    * single-segment BM25 index; the cosine IVF index over the
+    * embeddings sans the query vector) — rebuilding them per row is
+    * the dominant cost of the search-family bench rows. A fixture
+    * builds on first touch of a run and commits with a versioned
+    * marker (bump [[fixtureVersion]] whenever a layout format
+    * changes, e.g. the generation-manifest migration), so every
+    * later row — and every later run in the same container — reuses
+    * it. Rows that MUTATE an index (merge/GC/upsert/recrawl/
+    * streaming lifecycles) keep private scratch paths and still
+    * exercise the full build, one designated row per index family. */
+  private val fixtureVersion = 1
+  private def fixture(s: SparkSession, name: String, dir: String)(
+      build: String => Unit): String = {
+    val path = scratchPath(s"fx_$name", dir)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ok = new org.apache.hadoop.fs.Path(
+      s"$path/_FIXTURE_OK_v$fixtureVersion")
+    if (!fs.exists(ok)) {
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      build(path)
+      fs.create(ok, true).close()
+    }
+    path
+  }
+
+  /** The canonical full-corpus lexical fixture: every document as
+    * ONE segment — the layout the read-only search probes share
+    * (boolean/fuzzy/wildcard/facets/MLT/snippets/…); q115/q122/q134/
+    * q146 keep exercising appends, tombstones, merges and waves on
+    * private layouts. */
+  private def fxDocsBm25(s: SparkSession, dir: String): String =
+    fixture(s, "docs_bm25", dir) { p =>
+      TextAnalysis.bm25AppendSegment(Tables(s, dir, "documents"),
+        "doc_id", "text", p, 0)
+    }
+
+  /** The canonical dense fixtures: learned k=16 centroids over the
+    * embeddings minus the query vector (vec_id 0), and the cosine
+    * IVF index written from them — shared by the filtered/covering/
+    * range probes (q157/q163/q170); q31/q90 and the
+    * refresh/drift/streaming lifecycles keep private layouts. */
+  private def fxEmbCents16(s: SparkSession, dir: String): String =
+    fixture(s, "emb_cents16", dir) { p =>
+      Similarity.learnedCentroids(
+          Tables(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+          "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+
+  private def fxEmbIvfCosine(s: SparkSession, dir: String): String =
+    fixture(s, "emb_ivfcos", dir) { p =>
+      val base = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") =!= 0)
+      Similarity.ivfWriteIndexCosine(base,
+        s.read.parquet(fxEmbCents16(s, dir)), "vec_id", "embedding", p)
+    }
+
   /** Stable singleton for the q35 aggregator (serializable object). */
   private[queries] object Dedup0 {
     val topK3 = graft.operators.TopK.topK(3)
@@ -2992,11 +3052,7 @@ object PipelineQueries {
     // term sets share one written index.
     "q139_proximity_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("prox_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val two = TextAnalysis.proximitySearch(s, path,
         Seq("sort", "merge"), maxSpan = 5L, "doc_id")
       val three = TextAnalysis.proximitySearch(s, path,
@@ -3014,11 +3070,7 @@ object PipelineQueries {
     // wildcard queries from the same artifact.
     "q140_prefix_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("prefix_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       TextAnalysis.termPrefixSearch(s, path, "st", "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -3156,11 +3208,7 @@ object PipelineQueries {
     // replays. Two term sets share one written index.
     "q147_snippets" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("snip_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val toks = d.select(col("doc_id"),
         TextAnalysis.tokens(coalesce(col("text"), lit(""))).as("t"))
       def withText(sn: org.apache.spark.sql.DataFrame,
@@ -3191,11 +3239,7 @@ object PipelineQueries {
     // edit-distance must agree term for term.
     "q148_fuzzy_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("fuzzy_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val f1 = TextAnalysis.fuzzyTermSearch(s, path, "sort",
           maxDist = 1, "doc_id")
         .withColumn("q", lit("sort~1"))
@@ -3215,11 +3259,7 @@ object PipelineQueries {
     // is a max(when) flag, never an anti-join.
     "q149_boolean_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("bool_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val b1 = TextAnalysis.booleanSearch(s, path,
           must = Seq("sort", "merge"), should = Nil,
           mustNot = Seq("scan"), k = 15, "doc_id")
@@ -3241,11 +3281,7 @@ object PipelineQueries {
     // seeds with different panel widths on one written segment.
     "q150_more_like_this" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("mlt_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       def seedText(id: Long): String = d
         .filter(col("doc_id") === id).select(col("text"))
         .collect()(0).getString(0)
@@ -3269,11 +3305,7 @@ object PipelineQueries {
     // on one segment: prefix-banded, leading-star, and ?-classes.
     "q151_wildcard_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("wild_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val w1 = TextAnalysis.wildcardTermSearch(s, path, "s*", "doc_id")
         .withColumn("q", lit("s*"))
       val w2 = TextAnalysis.wildcardTermSearch(s, path, "*er", "doc_id")
@@ -3292,11 +3324,7 @@ object PipelineQueries {
     // bucket).
     "q152_search_facets" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("facet_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       TextAnalysis.searchFacets(s, path, Seq("query", "scan"), d,
           "doc_id", Seq("lang", "source"))
         .orderBy(col("facet"), col("value"))
@@ -3313,11 +3341,7 @@ object PipelineQueries {
     // enumeration doc for doc.
     "q153_ordered_near" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("onear_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val o1 = TextAnalysis.orderedNearSearch(s, path,
           Seq("slow", "query"), maxSpan = 6L, "doc_id")
         .withColumn("q", lit("slow->query/6"))
@@ -3336,11 +3360,7 @@ object PipelineQueries {
     // explode — no per-range re-scan).
     "q154_range_facets" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("rfacet_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       TextAnalysis.searchRangeFacets(s, path, Seq("query", "scan"), d,
           "doc_id", "n_chars", Seq(
             ("short", 0L, 200L), ("mid", 200L, 350L),
@@ -3357,11 +3377,7 @@ object PipelineQueries {
     // accounting). Scoring stays the ONE shared contribFp arithmetic.
     "q155_min_should_match" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("msm_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val m1 = TextAnalysis.booleanSearch(s, path,
           must = Nil, should = Seq("sort", "merge", "hash", "join"),
           mustNot = Nil, k = 15, "doc_id", minShouldMatch = 2)
@@ -3389,11 +3405,7 @@ object PipelineQueries {
       import s.implicits._
       val d = Tables(s, dir, "documents")
       val e = Tables(s, dir, "embeddings")
-      val path = scratchPath("hyb_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       Similarity.learnedCentroids(e, "embedding", k = 16)
         .coalesce(1).write.mode("overwrite")
         .parquet(scratchPath("hyb_cents", dir))
@@ -3431,14 +3443,8 @@ object PipelineQueries {
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
         .select(VectorFns.toDouble(col("embedding")).as("qvec"))
-      val base = e.filter(col("vec_id") =!= 0)
-      Similarity.learnedCentroids(base, "embedding", k = 16)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(scratchPath("fann_cents", dir))
-      val cents = s.read.parquet(scratchPath("fann_cents", dir))
-      val ipath = scratchPath("fann_index", dir)
-      Similarity.ivfWriteIndexCosine(base, cents, "vec_id",
-        "embedding", ipath)
+      val cents = s.read.parquet(fxEmbCents16(s, dir))
+      val ipath = fxEmbIvfCosine(s, dir)
       val f1 = Similarity.ivfProbePrunedCosineFiltered(s, ipath,
           cents, qv, "vec_id", "embedding", k = 10, nProbe = 3,
           allowed = e.filter(col("label") % 3 === 0))
@@ -3459,11 +3465,7 @@ object PipelineQueries {
     // score. Unlike OFFSET, page n never re-ranks n·k rows.
     "q158_search_after" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("sa_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       def page(after: Option[(Double, Long)]) =
         TextAnalysis.booleanSearch(s, path, must = Nil,
           should = Seq("query", "filter"), mustNot = Nil, k = 8,
@@ -3487,11 +3489,7 @@ object PipelineQueries {
     // and the decomposition.
     "q159_score_explain" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("expl_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val terms = Seq("sort", "merge", "scan")
       val top = TextAnalysis.booleanSearch(s, path, must = Nil,
           should = terms, mustNot = Nil, k = 3, "doc_id")
@@ -3510,11 +3508,7 @@ object PipelineQueries {
     // Lucene.
     "q160_filtered_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("fsearch_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val f1 = TextAnalysis.booleanSearch(s, path, must = Nil,
           should = Seq("query", "scan"), mustNot = Nil, k = 12,
           "doc_id", allowed = Some(d.filter(col("lang") === "en")))
@@ -3540,16 +3534,10 @@ object PipelineQueries {
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
         .select(VectorFns.toDouble(col("embedding")).as("qvec"))
-      val base = e.filter(col("vec_id") =!= 0)
-      Similarity.learnedCentroids(base, "embedding", k = 16)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(scratchPath("cfann_cents", dir))
-      val cents = s.read.parquet(scratchPath("cfann_cents", dir))
-      val ipath = scratchPath("cfann_index", dir)
-      // base carries (vec_id, embedding, label) — label rides into
-      // the cells: the covering write
-      Similarity.ivfWriteIndexCosine(base, cents, "vec_id",
-        "embedding", ipath)
+      // the fixture's base carries (vec_id, embedding, label) —
+      // label rides into the cells: the covering write
+      val cents = s.read.parquet(fxEmbCents16(s, dir))
+      val ipath = fxEmbIvfCosine(s, dir)
       val f1 = Similarity.ivfProbePrunedCosinePredicate(s, ipath,
           cents, qv, "vec_id", "embedding", k = 10, nProbe = 3,
           pred = col("label") % 2 === 1)
@@ -3604,11 +3592,7 @@ object PipelineQueries {
     // beside a plain term, and a three-member synset alone.
     "q165_synonym_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("syn_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val r1 = TextAnalysis.synonymSearch(s, path,
           Seq(Seq("scan", "seek"), Seq("merge")), k = 15, "doc_id")
         .withColumn("q", lit("syn(scan,seek) merge"))
@@ -3627,11 +3611,7 @@ object PipelineQueries {
     // the best clause counts.
     "q166_dismax_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("dismax_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val r1 = TextAnalysis.disMaxSearch(s, path,
           Seq(Seq("sort", "merge"), Seq("scan", "sort")),
           tiebreak = 0.3, k = 15, "doc_id")
@@ -3706,11 +3686,7 @@ object PipelineQueries {
     // corpus.
     "q168_collapsed_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("collapse_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       TextAnalysis.booleanSearch(s, path, must = Nil,
           should = Seq("query", "filter"), mustNot = Nil, k = 8,
           "doc_id", collapse = Some((d, "source")))
@@ -3750,14 +3726,8 @@ object PipelineQueries {
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
         .select(VectorFns.toDouble(col("embedding")).as("qvec"))
-      val base = e.filter(col("vec_id") =!= 0)
-      Similarity.learnedCentroids(base, "embedding", k = 16)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(scratchPath("range_cents", dir))
-      val cents = s.read.parquet(scratchPath("range_cents", dir))
-      val ipath = scratchPath("range_index", dir)
-      Similarity.ivfWriteIndexCosine(base, cents, "vec_id",
-        "embedding", ipath)
+      val cents = s.read.parquet(fxEmbCents16(s, dir))
+      val ipath = fxEmbIvfCosine(s, dir)
       Similarity.ivfRangeSearchCosine(s, ipath, cents, qv, "vec_id",
           "embedding", minSim = 0.15, nProbe = 4)
         .orderBy(col("sim").desc, col("vec_id"))
@@ -3794,11 +3764,7 @@ object PipelineQueries {
     // query boosting only the should term.
     "q172_boosted_search" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("boost_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val r1 = TextAnalysis.booleanSearch(s, path, must = Nil,
           should = Seq("query", "filter"), mustNot = Nil, k = 15,
           "doc_id", boosts = Map("query" -> 3.0, "filter" -> 0.5))
@@ -3922,11 +3888,7 @@ object PipelineQueries {
     // on the aggregate-sized match set.
     "q177_function_score" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("fscore_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val pop = d.select(col("doc_id"),
         log(lit(1.0) + col("n_chars")).as("pop"))
       TextAnalysis.booleanSearch(s, path, must = Nil,
@@ -3940,11 +3902,7 @@ object PipelineQueries {
     // — a page of k hits spanning ≥ k/2 distinct sources.
     "q178_grouped_topn" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("grouptop_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       TextAnalysis.booleanSearch(s, path, must = Nil,
           should = Seq("query", "filter"), mustNot = Nil, k = 12,
           "doc_id", collapse = Some((d, "source")), collapseTop = 2)
@@ -3958,11 +3916,7 @@ object PipelineQueries {
     // relevance economics under one hash gate.
     "q179_rescore_phrase" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("rescore_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       TextAnalysis.rescoreWithPhrase(s, path,
           should = Seq("sort", "merge"),
           phrase = Seq("sort", "merge"), windowN = 50, k = 12,
@@ -3977,11 +3931,7 @@ object PipelineQueries {
     // arithmetic, threshold) all enter the hash.
     "q181_has_child" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("haschild_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val h1 = TextAnalysis.hasChildSearch(s, path, must = Nil,
           should = Seq("query", "filter"), mustNot = Nil,
           parents = d, parentCol = "source", minChildren = 3,
@@ -4249,11 +4199,7 @@ object PipelineQueries {
     // 2, and an exact term (ranks itself first at distance 0).
     "q162_spell_suggest" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val path = scratchPath("spell_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      val path = fxDocsBm25(s, dir)
       val s1 = TextAnalysis.spellSuggest(s, path, "tble",
           maxDist = 1, k = 5, "doc_id")
         .withColumn("q", lit("tble~1"))
@@ -7109,7 +7055,7 @@ object PipelineQueries {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |           WHERE vec_id = 0),
         |cents AS (SELECT centroid_id AS cid, cvec AS cv
-        |          FROM read_parquet('{SCRATCH}/fann_cents_{SFHASH}/*.parquet')),
+        |          FROM read_parquet('{SCRATCH}/fx_emb_cents16_{SFHASH}/*.parquet')),
         |probed AS (SELECT cid FROM cents, q
         |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
         |           LIMIT 3),
@@ -7215,7 +7161,7 @@ object PipelineQueries {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |           WHERE vec_id = 0),
         |cents AS (SELECT centroid_id AS cid, cvec AS cv
-        |          FROM read_parquet('{SCRATCH}/cfann_cents_{SFHASH}/*.parquet')),
+        |          FROM read_parquet('{SCRATCH}/fx_emb_cents16_{SFHASH}/*.parquet')),
         |probed AS (SELECT cid FROM cents, q
         |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
         |           LIMIT 3),
@@ -7475,7 +7421,7 @@ object PipelineQueries {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |           WHERE vec_id = 0),
         |cents AS (SELECT centroid_id AS cid, cvec AS cv
-        |          FROM read_parquet('{SCRATCH}/range_cents_{SFHASH}/*.parquet')),
+        |          FROM read_parquet('{SCRATCH}/fx_emb_cents16_{SFHASH}/*.parquet')),
         |probed AS (SELECT cid FROM cents, q
         |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
         |           LIMIT 4),
