@@ -433,6 +433,35 @@ object ProductQuantize {
     adcScore(codes, adcLut(cb, queryVec, m), idCol, k)
   }
 
+  /** The IVF-PQ probe SEMANTICS replayed against a corpus snapshot
+    * and FIXED model artifacts (centroids + codebooks), with no
+    * physical index: assign cells, keep the query's nProbe ranked
+    * cells, re-encode the survivors through the supplied codebooks
+    * (the one shared [[pqEncode]] derivation — exactly how the
+    * maintained index's codes were produced, whether at rebuild or
+    * by a cell-incremental refresh), then integer ADC. This is the
+    * TIME-TRAVEL read path ([[graft.streaming.StreamingVectorIndex
+    * .probeAsOfIvfPq]]): the physical cells are maintained in place,
+    * so a historical probe pays a snapshot scan + re-encode — the
+    * Delta-time-travel cost class, borne only by as-of reads; live
+    * probes keep the pruned [[ivfPqProbe]] path. */
+  def ivfPqProbeSnapshot(snapshot: DataFrame, cents: DataFrame,
+                         codebooks: DataFrame, queryVec: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nProbe: Int): DataFrame = {
+    val m = codebooks.agg(max(col("subspace"))).head()
+      .getLong(0).toInt + 1
+    val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
+    val members = snapshot.join(
+        Similarity.ivfAssignCosine(snapshot, cents, idCol, vecCol),
+        Seq(idCol))
+      .filter(col("centroid_id").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+      .select(col(idCol), col(vecCol))
+    adcScore(pqEncode(members, idCol, vecCol, codebooks, m),
+      adcLut(codebooks, queryVec, m), idCol, k)
+  }
+
   /** EXACT-REFINE rung (FAISS's IndexRefineFlat): the ADC probe keeps
     * the top `refine` candidates (refine ≥ k, typically 3–10×k), then
     * those and ONLY those are re-ranked by exact cosine against the

@@ -4195,6 +4195,69 @@ object PipelineQueries {
         .orderBy(col("gen"), col("qsim").desc, col("vec_id"))
     }),
 
+
+    // X2 — IVF-PQ GENERATION TIME TRAVEL (q186's sibling on the PQ
+    // layout — the last index family without an as-of probe): the
+    // same three-wave scenario on the streaming IVF-PQ loop, whose
+    // recenter refits BOTH centroids and codebooks; the books store
+    // snapshots the codebooks per model generation, so the as-of
+    // probe re-encodes the reconstructed corpus through the model
+    // that actually governed it. gen 0 = as-of generation 2
+    // (pre-recenter corpus + bootstrap model — the oracle re-derives
+    // state 2, re-normalizes, re-encodes via the argmin over the
+    // WRITTEN gen-0 codebooks, and replays the integer ADC); gen 1 =
+    // as-of the live generation (≡ the physical index — the parity
+    // spec pins it; the oracle replays q130-style off the live
+    // artifacts).
+    "q187_pq_time_travel" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val root = scratchPath("pqtt_root", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val all = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val base = all.filter(col("vec_id") % 5 =!= 4)
+      StreamingVectorIndex.bootstrapIvfPq(base, root, "vec_id",
+        "embedding", kCells = 16, m = 8, k = 16)
+      def wave(df: DataFrame, op: String) =
+        df.select(col("vec_id"), col("embedding"), lit(op).as("op"))
+      def apply(delta: DataFrame, id: Long): Unit =
+        StreamingVectorIndex.applyWaveIvfPq(s, root, delta, id,
+          "vec_id", "embedding", kCells = 16, m = 8, k = 16,
+          historyRetention = 8)
+      apply(wave(all.filter(col("vec_id") % 5 === 4 &&
+          col("vec_id") % 2 === 0), "upsert")
+        .unionByName(
+          wave(base.filter(col("vec_id") % 7 === 1), "delete")), 0L)
+      apply(wave(all.filter(col("vec_id") % 11 === 3)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.25f))
+            .as("embedding")), "upsert"), 1L)
+      val live2 = all.filter(col("vec_id") % 11 === 3 ||
+        (col("vec_id") % 5 =!= 4 && col("vec_id") % 7 =!= 1) ||
+        (col("vec_id") % 5 === 4 && col("vec_id") % 2 === 0))
+      apply(wave(live2.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("vec_id") % 5).cast("float") * lit(3.0f))
+          .as("embedding")), "upsert"), 2L)
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/cents/gen=3")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/books/gen=3")),
+        "q187: the drift wave did not recenter (or the books store " +
+          "missed the generation)")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val asOf = StreamingVectorIndex.probeAsOfIvfPq(s, root, 2,
+          qv, "vec_id", "embedding", k = 10, nProbe = 3)
+        .withColumn("gen", lit(0))
+      val live = StreamingVectorIndex.probeAsOfIvfPq(s, root, 3,
+          qv, "vec_id", "embedding", k = 10, nProbe = 3)
+        .withColumn("gen", lit(1))
+      asOf.unionByName(live)
+        .orderBy(col("gen"), col("adc_score").desc, col("vec_id"))
+    }),
+
     // X3 — SPELL SUGGESTION (Lucene's DirectSpellChecker): dictionary
     // candidates within Levenshtein maxDist ranked by (distance ASC,
     // LIVE df DESC, term ASC) — df through the tombstone kill rule,
@@ -4645,6 +4708,83 @@ object PipelineQueries {
         |  round(list_cosine_similarity(codes::DOUBLE[],
         |    (SELECT qc FROM qq)), 4) AS qsim
         |FROM idx ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
+
+
+    // PQ time travel: gen 0 = state-2 corpus rebuilt from the raw
+    // table, unit-normalized, RE-ENCODED via the per-subspace argmin
+    // over the written gen-0 codebooks, assigned/pruned under the
+    // gen-0 centroids, integer-ADC-scored; gen 1 = the live physical
+    // index replayed q130-style (the spec pins live ≡ as-of there)
+    "q187_pq_time_travel" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |c0 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/pqtt_root_{SFHASH}/cents/gen=0/*.parquet')),
+        |p0 AS (SELECT cid FROM c0, q
+        |       ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |cb0 AS (SELECT subspace, code, cvec FROM
+        |  read_parquet('{SCRATCH}/pqtt_root_{SFHASH}/books/gen=0/*.parquet')),
+        |ip0 AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb0, q),
+        |s2 AS (SELECT vec_id,
+        |         CASE WHEN vec_id % 11 = 3
+        |              THEN list_transform(embedding,
+        |                     x -> CAST(x + 0.25 AS FLOAT))
+        |              ELSE embedding END AS v
+        |       FROM embeddings
+        |       WHERE vec_id <> 0 AND (vec_id % 11 = 3
+        |          OR (vec_id % 5 <> 4 AND vec_id % 7 <> 1)
+        |          OR (vec_id % 5 = 4 AND vec_id % 2 = 0))),
+        |a2 AS (SELECT s2.vec_id AS vid,
+        |         arg_min(c0.cid,
+        |           1 - list_cosine_similarity(s2.v::DOUBLE[], c0.cv)) AS cid
+        |       FROM s2, c0 GROUP BY s2.vec_id),
+        |mem AS (SELECT s2.vec_id,
+        |    list_transform(s2.v::DOUBLE[],
+        |      x -> x / sqrt(list_inner_product(s2.v::DOUBLE[],
+        |                                       s2.v::DOUBLE[]))) AS uv
+        |  FROM s2 JOIN a2 ON s2.vec_id = a2.vid
+        |  WHERE a2.cid IN (SELECT cid FROM p0)),
+        |enc AS (SELECT vec_id, subspace, code FROM (
+        |    SELECT mem.vec_id, cb0.subspace, cb0.code,
+        |      row_number() OVER (PARTITION BY mem.vec_id, cb0.subspace
+        |        ORDER BY list_distance(cb0.cvec,
+        |          uv[(cb0.subspace * 8 + 1):(cb0.subspace * 8 + 8)]),
+        |          cb0.code) AS rn
+        |    FROM mem, cb0) WHERE rn = 1),
+        |k0 AS (SELECT 0 AS gen, vec_id,
+        |    round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS adc_score
+        |  FROM enc JOIN ip0 USING (subspace, code)
+        |  GROUP BY vec_id ORDER BY adc_score DESC, vec_id LIMIT 10),
+        |c3 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/pqtt_root_{SFHASH}/cents/gen=3/*.parquet')),
+        |p3 AS (SELECT cid FROM c3, q
+        |       ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |cb3 AS (SELECT subspace, code, cvec FROM
+        |  read_parquet('{SCRATCH}/pqtt_root_{SFHASH}/books/gen=3/*.parquet')),
+        |ip3 AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb3, q),
+        |cx AS (SELECT vec_id, subspace, codes[subspace + 1] AS code
+        |  FROM (SELECT vec_id, codes,
+        |          unnest(generate_series(0, 7)) AS subspace
+        |        FROM read_parquet(
+        |            '{SCRATCH}/pqtt_root_{SFHASH}/index/codes/*/*.parquet',
+        |            hive_partitioning = 1)
+        |        WHERE CAST(centroid_id AS BIGINT) IN
+        |          (SELECT cid FROM p3))),
+        |k1 AS (SELECT 1 AS gen, vec_id,
+        |    round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS adc_score
+        |  FROM cx JOIN ip3 USING (subspace, code)
+        |  GROUP BY vec_id ORDER BY adc_score DESC, vec_id LIMIT 10)
+        |SELECT gen, vec_id, adc_score FROM
+        |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
+        |ORDER BY gen, adc_score DESC, vec_id""".stripMargin,
 
     // vector time travel: gen 0 = state-2 corpus rebuilt from the raw
     // table, quantized/assigned/scored with the q90 arithmetic under

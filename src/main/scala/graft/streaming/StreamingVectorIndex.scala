@@ -108,6 +108,13 @@ object StreamingVectorIndex {
     def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
                 vecCol: String, root: String): Unit
     def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame
+    /** Generation-keyed copy of any model artifact the rebuild wrote
+      * IN PLACE (the IVF-PQ codebooks) — called right after
+      * [[rebuild]], so [[probeAsOfIvfPq]] can resolve the model that
+      * governed generation g after later recenters overwrote the
+      * live copy. Tiny (m·k rows); idempotent overwrite. */
+    def snapshotModel(spark: SparkSession, root: String,
+                      gen: Int): Unit = ()
   }
 
   private[graft] final case class QuantizedOps(k: Int, seed: Long)
@@ -153,6 +160,11 @@ object StreamingVectorIndex {
         m, k, s"$root/index", seed)
     def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame =
       Similarity.learnedCentroids(snapshot, vecCol, kCells, seed)
+    override def snapshotModel(spark: SparkSession, root: String,
+                               gen: Int): Unit =
+      spark.read.parquet(s"$root/index/codebooks")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/books/gen=$gen")
   }
 
   // ---- state-store helpers ------------------------------------------
@@ -287,6 +299,7 @@ object StreamingVectorIndex {
     val cents2 = ops.fitCentroids(snap, vecCol)
       .localCheckpoint() // pin the fit: consumers re-plan it otherwise
     ops.rebuild(snap, cents2, idCol, vecCol, root)
+    ops.snapshotModel(spark, root, gen)
     val bl2 = ops.gauges(spark, root, cents2, idCol)
     writeModel(spark, root, gen, cents2, bl2)
     val fs = fsOf(spark, root)
@@ -469,6 +482,56 @@ object StreamingVectorIndex {
     val cents = spark.read.parquet(s"$root/cents/gen=${mGens.max}")
     val snap = readSnapshot(spark, root, gen, idCol, vecCol)
     Similarity.ivfProbeSnapshotQuantized(snap, cents, queryVec,
+      idCol, vecCol, k, nProbe)
+  }
+
+  /** One BATCH maintenance wave of the IVF-PQ loop — the foreachBatch
+    * body exposed for deterministic orchestration without a stream;
+    * identical contract to [[runIvfPq]]'s per-batch behavior. */
+  def applyWaveIvfPq(spark: SparkSession, root: String,
+                     delta: DataFrame, batchId: Long,
+                     idCol: String, vecCol: String, kCells: Int,
+                     m: Int, k: Int, seed: Long = 42L,
+                     cdFactorX100: Long = 115L,
+                     skewFactorX100: Long = 175L,
+                     compactEvery: Int = 8,
+                     historyRetention: Int = 0): Unit =
+    applyWave(spark, root, delta, batchId, idCol, vecCol,
+      IvfPqOps(kCells, m, k, seed), cdFactorX100, skewFactorX100,
+      compactEvery, historyRetention)
+
+  /** TIME-TRAVEL probe of the IVF-PQ loop — [[probeAsOfQuantized]]'s
+    * sibling: the corpus at generation `gen` from the delta chain,
+    * the model in force at `gen` (centroids from `cents/gen=`,
+    * codebooks from the generation-keyed `books/gen=` copy the
+    * recenter snapshots — the live `index/codebooks` is overwritten
+    * in place by later recenters), replayed through
+    * [[graft.operators.ProductQuantize.ivfPqProbeSnapshot]] (the one
+    * shared encode + ADC arithmetic). Snapshot-scan + re-encode cost
+    * class, historical reads only; valid back to the retention
+    * floor, loud past it and loud on layouts bootstrapped before the
+    * books store existed. */
+  def probeAsOfIvfPq(spark: SparkSession, root: String, gen: Int,
+                     queryVec: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(!fsOf(spark, root).exists(markerPath(root)),
+      s"StreamingVectorIndex: unfinished recenter at $root — a " +
+        "historical model read would replay an unsealed decision; " +
+        "run a wave (or recovery) first")
+    val mGens = gens(spark, root, "cents").filter(_ <= gen)
+    require(mGens.nonEmpty,
+      s"StreamingVectorIndex: no model at or below gen=$gen at $root")
+    val mg = mGens.max
+    val booksPath = s"$root/books/gen=$mg"
+    require(fsOf(spark, root).exists(
+        new org.apache.hadoop.fs.Path(booksPath)),
+      s"StreamingVectorIndex: no generation-keyed codebooks at " +
+        s"$booksPath — the layout predates the books store " +
+        "(re-bootstrap, or recenter once, to start snapshotting them)")
+    val cents = spark.read.parquet(s"$root/cents/gen=$mg")
+    val books = spark.read.parquet(booksPath)
+    val snap = readSnapshot(spark, root, gen, idCol, vecCol)
+    ProductQuantize.ivfPqProbeSnapshot(snap, cents, books, queryVec,
       idCol, vecCol, k, nProbe)
   }
 

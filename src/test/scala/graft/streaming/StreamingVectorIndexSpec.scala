@@ -398,4 +398,72 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("no full snapshot"),
       s"wrong floor message: $e")
   }
+
+  test("IVF-PQ generation time travel: probeAsOfIvfPq replays every " +
+      "retained generation bit-identically to a physical index of " +
+      "that state under the generation's own codebooks, across two " +
+      "refresh waves and a recenter") {
+    import spark.implicits._
+    val root = tmp("svi_pq_asof")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapIvfPq(initial, root,
+      "vec_id", "embedding", kCells = 4, m = 4, k = 8)
+    def wave(rows: Seq[(Long, Seq[Float], String)], id: Long): Unit =
+      StreamingVectorIndex.applyWaveIvfPq(spark, root,
+        rows.toDF("vec_id", "embedding", "op"), id,
+        "vec_id", "embedding", kCells = 4, m = 4, k = 8,
+        historyRetention = 8)
+    wave(corpus(40L until 48L).map { case (i, v) => (i, v, "upsert") }
+      ++ (0L until 4L).map(i => (i, vec(i), "delete")), 0L)
+    wave(corpus(48L until 56L).map { case (i, v) =>
+      (i, v, "upsert") }, 1L)
+    wave((4L until 56L).map(i =>
+      (i, vec(i, shift = 3.0 * (i % 5)), "upsert")).toSeq, 2L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/cents/gen=3")),
+      "the drift wave did not recenter")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/books/gen=3")),
+      "the recenter did not snapshot its codebooks")
+    def modelGens = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/cents")).toSeq
+      .map(_.getPath.getName.stripPrefix("gen=").toInt).sorted
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble))).toDF("qvec")
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // parity per retained generation: a TWIN physical index written
+    // from (snapshot at g, the generation's centroids + codebooks) —
+    // codes through the one shared pqEncode derivation — probed
+    // through the physical ivfPqProbe path
+    for (g <- Seq(1, 2, 3)) {
+      val snapG = StreamingVectorIndex.readSnapshot(spark, root, g,
+        "vec_id", "embedding")
+      val mg = modelGens.filter(_ <= g).max
+      val cents = spark.read.parquet(s"$root/cents/gen=$mg")
+      val books = spark.read.parquet(s"$root/books/gen=$mg")
+      val twin = tmp(s"svi_pq_twin$g")
+      books.coalesce(1).write.mode("overwrite")
+        .parquet(s"$twin/codebooks")
+      ProductQuantize.pqEncode(snapG, "vec_id", "embedding",
+          books, m = 4)
+        .join(Similarity.ivfAssignCosine(snapG, cents, "vec_id",
+          "embedding"), Seq("vec_id"))
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$twin/codes")
+      val expected = probeSet(ProductQuantize.ivfPqProbe(spark, twin,
+        cents, qv, "vec_id", k = 10, nProbe = 2))
+      val got = probeSet(StreamingVectorIndex.probeAsOfIvfPq(spark,
+        root, g, qv, "vec_id", "embedding", k = 10, nProbe = 2))
+      assert(got == expected, s"PQ as-of probe diverged at gen $g")
+    }
+    // the live generation's as-of equals a probe of the actually
+    // maintained physical index under the live model
+    val centsLive = spark.read.parquet(s"$root/cents/gen=3")
+    val live = probeSet(ProductQuantize.ivfPqProbe(spark,
+      s"$root/index", centsLive, qv, "vec_id", k = 10, nProbe = 2))
+    assert(probeSet(StreamingVectorIndex.probeAsOfIvfPq(spark, root,
+      3, qv, "vec_id", "embedding", k = 10, nProbe = 2)) == live,
+      "PQ as-of at the live generation diverged from the live probe")
+  }
 }
