@@ -52,6 +52,23 @@ object SegmentManifest {
   val Layouts: Seq[String] =
     Seq("postings", "segstats", "termdict", "tombstones")
 
+  /** Physical shape of one layout: where its member directories live
+    * (`sub`, "" = the index root), their hive prefix, and the key
+    * column a manifest read attaches. The lexical index has four
+    * `<layout>/seg=N` layouts; the cell-partitioned vector index has
+    * one root-level `centroid_id=N` layout. */
+  final case class LayoutSpec(name: String, sub: String,
+                              prefix: String, keyCol: String) {
+    def dirOf(key: Int): String =
+      if (sub.isEmpty) s"$prefix$key" else s"$sub/$prefix$key"
+  }
+
+  val LexicalLayouts: Seq[LayoutSpec] =
+    Layouts.map(l => LayoutSpec(l, l, "seg=", "seg"))
+
+  val CellLayout: LayoutSpec =
+    LayoutSpec("cells", "", "centroid_id=", "centroid_id")
+
   /** One layout member: logical segment number + directory location
     * RELATIVE to the index root (stable until vacuum). */
   final case class Entry(seg: Int, loc: String)
@@ -137,19 +154,21 @@ object SegmentManifest {
   /** Generation-0 composition of a PRE-MANIFEST layout, discovered
     * from the live hive tree — the upgrade path: the first sealing
     * writer on a legacy index folds the existing directories in. */
-  def bootstrap(spark: SparkSession, path: String): Manifest = {
+  def bootstrap(spark: SparkSession, path: String,
+                specs: Seq[LayoutSpec] = LexicalLayouts): Manifest = {
     val fs = fsOf(spark, path)
-    val layouts = Layouts.map { l =>
-      val d = new Path(s"$path/$l")
+    val layouts = specs.map { sp =>
+      val d = new Path(if (sp.sub.isEmpty) path else s"$path/${sp.sub}")
       val entries =
         if (!fs.exists(d)) Nil
         else fs.listStatus(d)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(sp.prefix))
           .map { s =>
-            val seg = s.getPath.getName.stripPrefix("seg=").toInt
-            Entry(seg, s"$l/seg=$seg")
+            val key = s.getPath.getName.stripPrefix(sp.prefix).toInt
+            Entry(key, sp.dirOf(key))
           }.sortBy(_.seg).toSeq
-      l -> entries
+      sp.name -> entries
     }.toMap
     Manifest(0, layouts)
   }
@@ -172,12 +191,12 @@ object SegmentManifest {
     * (`term IN`, prefixes) reach every leaf scan unchanged; a filter
     * on `seg` constant-folds per branch, pruning whole segments. */
   def read(spark: SparkSession, path: String, m: Manifest,
-           layout: String): Option[DataFrame] = {
+           layout: String, keyCol: String = "seg"): Option[DataFrame] = {
     val es = m.entries(layout)
     if (es.isEmpty) None
     else Some(es.map { e =>
       spark.read.parquet(s"$path/${e.loc}")
-        .withColumn("seg", lit(e.seg))
+        .withColumn(keyCol, lit(e.seg))
     }.reduce(_ unionByName _))
   }
 
@@ -192,7 +211,8 @@ object SegmentManifest {
     * oldest generation a long-running reader may still hold).
     * Returns (directories deleted, directories kept). */
   def vacuum(spark: SparkSession, path: String,
-             keepGenerations: Int): (Long, Long) = {
+             keepGenerations: Int,
+             specs: Seq[LayoutSpec] = LexicalLayouts): (Long, Long) = {
     require(keepGenerations >= 1,
       s"vacuum: keepGenerations must be >= 1, got $keepGenerations")
     val fs = fsOf(spark, path)
@@ -203,15 +223,18 @@ object SegmentManifest {
     val keep = gens.takeRight(keepGenerations)
     val referenced: Set[String] = keep
       .map(load(spark, path, _))
-      .flatMap(m => Layouts.flatMap(l => m.entries(l).map(_.loc)))
+      .flatMap(m => specs.flatMap(sp => m.entries(sp.name).map(_.loc)))
       .toSet
     var removed = 0L
     var kept = 0L
-    def sweepSegDirs(parent: Path, locPrefix: String): Unit =
+    def sweepDirs(parent: Path, locPrefix: String,
+                  prefix: String): Unit =
       if (fs.exists(parent))
         for (st <- fs.listStatus(parent)
-             if st.isDirectory && st.getPath.getName.startsWith("seg=")) {
-          val loc = s"$locPrefix/${st.getPath.getName}"
+             if st.isDirectory && st.getPath.getName.startsWith(prefix)) {
+          val loc =
+            if (locPrefix.isEmpty) st.getPath.getName
+            else s"$locPrefix/${st.getPath.getName}"
           if (referenced.contains(loc)) kept += 1
           else {
             require(fs.delete(st.getPath, true),
@@ -219,16 +242,23 @@ object SegmentManifest {
             removed += 1
           }
         }
-    for (l <- Layouts) sweepSegDirs(new Path(s"$path/$l"), l)
+    for (sp <- specs)
+      sweepDirs(new Path(if (sp.sub.isEmpty) path else s"$path/${sp.sub}"),
+        sp.sub, sp.prefix)
     val revRoot = new Path(s"$path/_rev")
     if (fs.exists(revRoot))
       for (g <- fs.listStatus(revRoot) if g.isDirectory) {
-        for (l <- Layouts)
-          sweepSegDirs(new Path(g.getPath, l),
-            s"_rev/${g.getPath.getName}/$l")
+        for (sp <- specs) {
+          val base = if (sp.sub.isEmpty) g.getPath
+            else new Path(g.getPath, sp.sub)
+          val pfx = if (sp.sub.isEmpty)
+              s"_rev/${g.getPath.getName}"
+            else s"_rev/${g.getPath.getName}/${sp.sub}"
+          sweepDirs(base, pfx, sp.prefix)
+        }
         // a rev dir whose every layout emptied out is itself garbage
         if (fs.listStatus(g.getPath).forall(st =>
-            !fs.exists(st.getPath) ||
+            !fs.exists(st.getPath) || !st.isDirectory ||
               fs.listStatus(st.getPath).isEmpty))
           fs.delete(g.getPath, true)
       }
@@ -241,7 +271,7 @@ object SegmentManifest {
   private def render(m: Manifest): String = {
     val sb = new StringBuilder
     sb.append(s"gen=${m.gen}\n")
-    for (l <- Layouts; e <- m.entries(l))
+    for (l <- m.layouts.keys.toSeq.sorted; e <- m.entries(l))
       sb.append(s"$l\t${e.seg}\t${e.loc}\n")
     sb.toString
   }

@@ -578,10 +578,36 @@ object Similarity {
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Pin-aware read of a cell-partitioned QUANTIZED index: a layout
+    * carrying generation manifests (the streaming loop's MVCC mode —
+    * [[ivfRefreshQuantizedIncremental]] with `mvcc = true`) resolves
+    * the LATEST SEALED composition, so a probe planned here never
+    * races a refresh wave's commit; legacy layouts (every
+    * [[ivfWriteIndexQuantized]] scratch index) keep hive discovery
+    * and its `PartitionFilters` pruning. Under a manifest, a probe's
+    * `centroid_id IN` filter constant-folds per union branch — whole
+    * cells prune at optimization, the same IO class. */
+  private[graft] def readQuantizedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    SegmentManifest.latest(spark, indexPath) match {
+      case Some(m) =>
+        SegmentManifest.read(spark, indexPath, m, "cells",
+            "centroid_id")
+          .map(_.withColumn("centroid_id",
+            col("centroid_id").cast("long")))
+          .getOrElse(throw new IllegalStateException(
+            s"quantized index at $indexPath: generation ${m.gen} " +
+              "has no cells"))
+      case None => spark.read.parquet(indexPath)
+        .withColumn("centroid_id", col("centroid_id").cast("long"))
+    }
+
   /** Probe a quantized index: centroid ranking and partition pruning
     * as in [[ivfProbePrunedCosine]], then top-k by cosine DIRECTLY on
     * the int8 codes (the query is quantized with the same rule, so
-    * both sides of the dot are small exact integers). */
+    * both sides of the dot are small exact integers). Reads through
+    * [[readQuantizedIndex]] — pinned under MVCC layouts. */
   def ivfProbePrunedQuantized(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, cents: DataFrame,
                               queryVec: DataFrame, idCol: String,
@@ -590,7 +616,7 @@ object Similarity {
     val qCodes = queryVec.select(
       Quantize.int8(col("qvec"), Quantize.scaleOf(col("qvec")))
         .as("query_codes"))
-    spark.read.parquet(indexPath)
+    readQuantizedIndex(spark, indexPath)
       .filter(col("centroid_id")
         .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
       .crossJoin(broadcast(qCodes))
@@ -705,7 +731,8 @@ object Similarity {
   def ivfRefreshQuantizedIncremental(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       cents: DataFrame, newSnap: DataFrame, changes: DataFrame,
-      idCol: String, vecCol: String, stagingPath: String): Seq[Long] = {
+      idCol: String, vecCol: String, stagingPath: String,
+      mvcc: Boolean = false): Seq[Long] = {
     // cached: `gone` feeds the dirty-cell lookup AND the survivor
     // anti-join, `freshKeys` both the quantize and the assign pass —
     // left lazy, the upstream diff (a corpus-sized full-outer join
@@ -717,10 +744,10 @@ object Similarity {
       .select(col(idCol))
     val freshKeys = changed.filter(col("status").isin("added", "modified"))
       .select(col(idCol))
-    // hive partition-column inference reads `centroid_id=` back as
-    // INT — normalize to long everywhere (assignment emits long)
-    val idx = spark.read.parquet(indexPath)
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    // pin-aware: under MVCC the live hive tree is stale for cells a
+    // prior wave rewrote — the manifest composition is the truth
+    // (readQuantizedIndex also normalizes the hive INT back to long)
+    val idx = readQuantizedIndex(spark, indexPath)
     val freshRows = newSnap.join(freshKeys, Seq(idCol))
     // cached: consumed by the dirty-cell union AND the staging write —
     // delta-sized, but each lazy re-evaluation rescans the corpus-sized
@@ -749,10 +776,59 @@ object Similarity {
         col("centroid_id"))
     val unioned = survivors.unionByName(freshAssigned)
       .repartition(col("centroid_id")) // cell compaction, as the writers
-    commitCellRefresh(spark, indexPath, stagingPath, unioned, dirty)
+    if (mvcc) commitCellRefreshMvcc(spark, indexPath, unioned, dirty)
+    else commitCellRefresh(spark, indexPath, stagingPath, unioned, dirty)
     freshAssigned.unpersist(); changed.unpersist()
     dirty
   }
+
+  /** The MVCC commit of a cell refresh (the streaming loop's mode):
+    * the dirty cells' new content lands WRITE-ONCE under a fresh
+    * `_rev/` dir, and ONE exclusive manifest seal replaces their
+    * entries all-or-nothing — a probe pinned before the seal keeps
+    * reading the previous generation's untouched directories, so
+    * LIVE probes never race a refresh wave. The legacy dynamic-
+    * partition-overwrite path's two hazards disappear structurally:
+    * there is no overwrite window, and a fully-emptied cell simply
+    * loses its entry (no loud directory delete needed — the stale
+    * dir is unreferenced and reclaimed by [[ivfVacuumQuantized]]).
+    * A RECENTER still rewrites the layout wholesale (the rebuild
+    * clears manifests with the directory) — refresh-wave MVCC, with
+    * recenters as the rare maintenance window and the snapshot-chain
+    * as-of probes covering history across them. */
+  private[operators] def commitCellRefreshMvcc(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      unioned: DataFrame, dirty: Seq[Long]): Unit = {
+    val base = SegmentManifest.latest(spark, indexPath)
+      .getOrElse(SegmentManifest.bootstrap(spark, indexPath,
+        Seq(SegmentManifest.CellLayout)))
+    val gen = base.gen + 1
+    val rev = SegmentManifest.revDir(gen)
+    unioned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexPath/$rev")
+    // explicit schema: a shrink-only delta stages zero rows (see the
+    // legacy commit's rationale)
+    val stagedCells = spark.read.schema(unioned.schema)
+      .parquet(s"$indexPath/$rev")
+      .select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    stagedCells.foreach(c => require(c >= 0 && c <= Int.MaxValue,
+      s"commitCellRefreshMvcc: cell id $c outside the manifest range"))
+    val entries = stagedCells.map(c =>
+      SegmentManifest.Entry(c.toInt, s"$rev/centroid_id=$c")).toSeq
+    SegmentManifest.seal(spark, indexPath, base
+      .replace("cells", dirty.map(_.toInt).toSet, entries)
+      .copy(gen = gen))
+  }
+
+  /** Vacuum an MVCC quantized index's write-once history —
+    * [[SegmentManifest.vacuum]] with the cell layout; see
+    * [[TextAnalysis.bm25Vacuum]] for the retention contract. */
+  def ivfVacuumQuantized(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String,
+                         keepGenerations: Int = 1): (Long, Long) =
+    SegmentManifest.vacuum(spark, indexPath, keepGenerations,
+      Seq(SegmentManifest.CellLayout))
 
   /** THE cell-refresh commit tail, shared by the int8 and the PQ
     * refreshes (a second hand-copy of the empty-cell-drop rule would
@@ -810,8 +886,7 @@ object Similarity {
     * external engine reproduces it from the same parquet). */
   def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, cents: DataFrame): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val idx = readQuantizedIndex(spark, indexPath)
     idx.join(broadcast(cents), Seq("centroid_id"))
       .withColumn("cd_fp", floor(
         (lit(1.0) - VectorFns.cosine(VectorFns.toDouble(col("codes")),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{ProductQuantize, Similarity}
+import graft.operators.{ProductQuantize, SegmentManifest, Similarity}
 
 /** X2 × W — CONTINUOUS vector-index maintenance: the streaming
   * counterpart of the batch drift loops
@@ -60,15 +60,18 @@ import graft.operators.{ProductQuantize, Similarity}
   *      added is simply "modified" on replay: its cell is dirtied and
   *      the identical row re-staged — the refresh never sees
   *      "unchanged" for a row the index might hold only half of.
-  *   3. REFRESH COMMIT (the dynamic-partition-overwrite window): with
-  *      (1) and (2) the replayed refresh runs with bit-identical
-  *      (snapshot, changes) inputs, which is precisely the
-  *      precondition of [[Similarity.ivfRefreshQuantizedIncremental]]'s
-  *      documented idempotent recovery — the same dirty cells re-stage
-  *      the same content, the dynamic overwrite replaces only those
-  *      cell directories again, and the emptied-cell drops re-run. A
-  *      half-committed refresh never loses live rows; it over-serves
-  *      removed ones only until the replay completes.
+  *   3. REFRESH COMMIT: with (1) and (2) the replayed refresh runs
+  *      with bit-identical (snapshot, changes) inputs. Quantized
+  *      (MVCC) mode: a crash before the seal leaves unreferenced rev
+  *      garbage and the replay re-stages + seals from the last
+  *      sealed generation; a crash AFTER the seal makes the replay's
+  *      wave a logical no-op (its gone keys are already absent, its
+  *      fresh rows re-stage identical content into one more
+  *      generation) — either way the composition converges. PQ
+  *      (dynamic-overwrite) mode keeps the documented idempotent
+  *      recovery: the same dirty cells re-stage the same content and
+  *      the emptied-cell drops re-run; a half-committed refresh
+  *      never loses live rows.
   *   4. RECENTER: the breach decision is made ONCE, sealed by the
   *      `_RECENTER_PENDING` marker BEFORE the rebuild. Recovery (the
   *      next wave, or a replay) sees the marker and REPLAYS THE
@@ -88,13 +91,20 @@ import graft.operators.{ProductQuantize, Similarity}
   *      re-running them is idempotent; the marker clears only after
   *      both are on storage.
   *
-  * LIVE probes must not race the loop — the physical index is
-  * maintained IN PLACE (dynamic partition overwrite), unlike the
-  * lexical layout's manifest MVCC. [[probeAsOfQuantized]] gives
-  * race-free HISTORICAL reads instead: the snapshot chain and the
-  * per-generation models are write-once, so an as-of probe replays
-  * generation g bit-for-bit regardless of what the loop is doing,
-  * back to the `historyRetention` floor. */
+  * Read/write concurrency, per family:
+  *
+  *   - QUANTIZED loop: refresh waves commit by MVCC (write-once cell
+  *     revs + one exclusive manifest seal —
+  *     [[Similarity.commitCellRefreshMvcc]]), so LIVE probes pinned
+  *     at plan time never race a wave; `historyRetention` bounds the
+  *     cell-rev history a pinned reader may still hold. A RECENTER
+  *     (rare full rebuild) still resets the layout wholesale — the
+  *     one remaining maintenance window — with
+  *     [[probeAsOfQuantized]] covering history ACROSS it off the
+  *     write-once snapshot chain + per-generation models.
+  *   - IVF-PQ loop: the physical cells stay dynamic-overwrite
+  *     in place (single-writer live reads, as before);
+  *     [[probeAsOfIvfPq]] gives race-free historical reads. */
 object StreamingVectorIndex {
 
   /** The family-specific pieces: the int8 quantized IVF file and the
@@ -108,6 +118,10 @@ object StreamingVectorIndex {
     def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
                 vecCol: String, root: String): Unit
     def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame
+    /** Reclaim index history a maintenance mode accumulates (the
+      * quantized MVCC cell revs); no-op for in-place layouts. */
+    def vacuumIndex(spark: SparkSession, root: String,
+                    keep: Int): Unit = ()
     /** Generation-keyed copy of any model artifact the rebuild wrote
       * IN PLACE (the IVF-PQ codebooks) — called right after
       * [[rebuild]], so [[probeAsOfIvfPq]] can resolve the model that
@@ -122,10 +136,24 @@ object StreamingVectorIndex {
     def refresh(spark: SparkSession, root: String, cents: DataFrame,
                 upserts: DataFrame, changes: DataFrame, idCol: String,
                 vecCol: String): Unit = {
+      // MVCC commit: the wave's dirty cells land write-once + one
+      // exclusive seal, so LIVE probes pinned before the seal never
+      // race this refresh (the dynamic-overwrite window is gone);
+      // the rebuild at recenter still resets the layout wholesale
       Similarity.ivfRefreshQuantizedIncremental(spark, s"$root/index",
-        cents, upserts, changes, idCol, vecCol, s"$root/staging")
+        cents, upserts, changes, idCol, vecCol, s"$root/staging",
+        mvcc = true)
       ()
     }
+    /** Bound the write-once cell history: keep enough generations
+      * for in-flight pinned probes (the retention dial), reclaim the
+      * rest — a per-wave driver-side sweep. */
+    override def vacuumIndex(spark: SparkSession, root: String,
+                             keep: Int): Unit =
+      if (SegmentManifest.generations(spark, s"$root/index").nonEmpty) {
+        Similarity.ivfVacuumQuantized(spark, s"$root/index", keep)
+        ()
+      }
     def gauges(spark: SparkSession, root: String, cents: DataFrame,
                idCol: String): (Long, Long) =
       Similarity.ivfDriftGauges(
@@ -405,6 +433,9 @@ object StreamingVectorIndex {
             >= compactEvery)
           compactSnapshot(spark, root, gen, idCol, vecCol,
             historyRetention)
+        // index-history retention rides the same dial: keep enough
+        // sealed cell generations for pinned readers, reclaim the rest
+        ops.vacuumIndex(spark, root, historyRetention + 1)
       }
     } finally deltaC.unpersist()
   }

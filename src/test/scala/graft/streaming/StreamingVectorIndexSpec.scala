@@ -27,7 +27,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory(prefix).toString
 
   private def indexContent(path: String): Set[(Long, Seq[Byte], Long)] =
-    spark.read.parquet(path)
+    Similarity.readQuantizedIndex(spark, path)
       .select(col("vec_id"), col("codes"),
         col("centroid_id").cast("long"))
       .collect()
@@ -465,5 +465,70 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(probeSet(StreamingVectorIndex.probeAsOfIvfPq(spark, root,
       3, qv, "vec_id", "embedding", k = 10, nProbe = 2)) == live,
       "PQ as-of at the live generation diverged from the live probe")
+  }
+
+  test("refresh-wave MVCC: a LIVE probe pinned before an upsert wave " +
+      "returns the pre-wave answer after the wave seals; fresh probes " +
+      "see the wave; the per-wave vacuum honors the retention dial") {
+    import spark.implicits._
+    val root = tmp("svi_livemvcc")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    def runWave(rows: Seq[(Long, Seq[Float], String)], id: Long,
+                retention: Int): Unit =
+      StreamingVectorIndex.applyWave(spark, root,
+        rows.toDF("vec_id", "embedding", "op"), id,
+        "vec_id", "embedding", ops, 115L, 175L,
+        historyRetention = retention)
+    // wave 0 establishes the manifest mode (bootstrap wrote plain hive)
+    runWave(corpus(40L until 44L).map { case (i, v) =>
+      (i, v, "upsert") }, 0L, retention = 1)
+    val cents = spark.read.parquet(s"$root/cents/gen=0")
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble))).toDF("qvec")
+    def probe() = Similarity.ivfProbePrunedQuantized(spark,
+      s"$root/index", cents, qv, "vec_id", k = 10, nProbe = 2)
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect1 = probeSet(probe())
+    // --- PIN a live probe, then land a wave that deletes some of its
+    // results and upserts a vector RIGHT AT the query point: the
+    // pinned plan must keep answering the pre-wave generation
+    val pinned = probe()
+    runWave(Seq((999L, vec(7L), "upsert")) ++
+      expect1.take(2).map { case (id, _) => (id, vec(id), "delete") },
+      1L, retention = 1)
+    assert(probeSet(pinned) == expect1,
+      "the refresh wave raced the pinned live probe")
+    val fresh = probeSet(probe())
+    assert(fresh != expect1 && fresh.exists(_._1 == 999L),
+      "a fresh probe must see the wave")
+    // --- retention: a history-free wave vacuums the old cell revs;
+    // the fresh composition keeps serving
+    val revRoot = new org.apache.hadoop.fs.Path(s"$root/index/_rev")
+    val fs = revRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val revsBefore = fs.listStatus(revRoot).length
+    runWave(corpus(200L until 204L).map { case (i, v) =>
+      (i, v, "upsert") }, 2L, retention = 0)
+    assert(graft.operators.SegmentManifest
+      .generations(spark, s"$root/index").length == 1,
+      "retention-0 vacuum must keep exactly the latest generation")
+    assert(fs.listStatus(revRoot).length < revsBefore + 1,
+      "vacuum reclaimed no cell revs")
+    assert(probeSet(probe()).exists(_._1 == 999L),
+      "the live composition broke across the vacuum")
+    // --- a recenter resets the layout wholesale (manifests cleared
+    // with the directory): probes fall back to hive discovery and
+    // the as-of story continues on the snapshot chain
+    runWave((4L until 44L).map(i =>
+      (i, vec(i, shift = 3.0 * (i % 5)), "upsert")).toSeq, 3L,
+      retention = 1)
+    assert(graft.operators.SegmentManifest
+      .generations(spark, s"$root/index").isEmpty,
+      "the rebuild must reset the manifest mode")
+    val centsLive = spark.read.parquet(s"$root/cents/gen=4")
+    assert(Similarity.ivfProbePrunedQuantized(spark, s"$root/index",
+      centsLive, qv, "vec_id", k = 10, nProbe = 2).count() > 0)
   }
 }
