@@ -427,7 +427,7 @@ object ProductQuantize {
     val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Similarity.readQuantizedIndex(spark, s"$path/codes")
       .filter(col("centroid_id")
         .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
     adcScore(codes, adcLut(cb, queryVec, m), idCol, k)
@@ -516,7 +516,7 @@ object ProductQuantize {
                       idCol: String, k: Int, nProbe: Int): DataFrame = {
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Similarity.readQuantizedIndex(spark, s"$path/codes")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     ivfPqScoreCodesMulti(codes, cb, cents, queries, idCol, k, nProbe, m)
   }
@@ -571,9 +571,10 @@ object ProductQuantize {
   def ivfPqRefreshIncremental(
       spark: SparkSession, path: String, cents: DataFrame,
       newSnap: DataFrame, changes: DataFrame, idCol: String,
-      vecCol: String, stagingPath: String): Seq[Long] =
+      vecCol: String, stagingPath: String,
+      mvcc: Boolean = false): Seq[Long] =
     ivfPqRefresh(spark, path, cents, newSnap, changes, idCol, vecCol,
-      stagingPath, residual = false)
+      stagingPath, residual = false, mvcc = mvcc)
 
   /** [[ivfPqRefreshIncremental]] for a RESIDUAL layout
     * ([[ivfPqWriteIndexResidual]]): identical dirty-cell mechanics —
@@ -595,7 +596,7 @@ object ProductQuantize {
       spark: SparkSession, path: String, cents: DataFrame,
       newSnap: DataFrame, changes: DataFrame, idCol: String,
       vecCol: String, stagingPath: String,
-      residual: Boolean): Seq[Long] = {
+      residual: Boolean, mvcc: Boolean = false): Seq[Long] = {
     val indexPath = s"$path/codes"
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
@@ -606,8 +607,7 @@ object ProductQuantize {
     val freshKeys = changed
       .filter(col("status").isin("added", "modified"))
       .select(col(idCol))
-    val idx = spark.read.parquet(indexPath)
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val idx = Similarity.readQuantizedIndex(spark, indexPath)
     val freshRows = newSnap.join(freshKeys, Seq(idCol))
     val freshAssigned = cached(
       if (!residual)
@@ -631,8 +631,11 @@ object ProductQuantize {
       .select(col(idCol), col("codes"), col("centroid_id"))
     val unioned = survivors.unionByName(freshAssigned)
       .repartition(col("centroid_id"))
-    Similarity.commitCellRefresh(spark, indexPath, stagingPath,
-      unioned, dirty)
+    if (mvcc)
+      Similarity.commitCellRefreshMvcc(spark, indexPath, unioned, dirty)
+    else
+      Similarity.commitCellRefresh(spark, indexPath, stagingPath,
+        unioned, dirty)
     freshAssigned.unpersist(); changed.unpersist()
     dirty
   }
@@ -671,7 +674,7 @@ object ProductQuantize {
           .cast("long").as("nn_fp"))
     val cnorm = cents.select(col("centroid_id"),
       VectorFns.norm(col("cvec")).as("_cnorm"))
-    spark.read.parquet(s"$path/codes")
+    Similarity.readQuantizedIndex(spark, s"$path/codes")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
       .select(col(idCol), col("centroid_id"),
         posexplode(col("codes")).as(Seq("_pos", "code")))
@@ -800,7 +803,7 @@ object ProductQuantize {
       .select(col("centroid_id"),
         floor(VectorFns.dot(col("cvec"), col("qvec")) * 1e7 + 0.5)
           .cast("long").as("cell_fp"))
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Similarity.readQuantizedIndex(spark, s"$path/codes")
       .filter(col("centroid_id").isin(probedSeq: _*))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     codes
@@ -837,7 +840,7 @@ object ProductQuantize {
       .select(col("qid"), col("centroid_id"),
         floor(VectorFns.dot(col("cvec"), col("qvec")) * 1e7 + 0.5)
           .cast("long").as("cell_fp"))
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Similarity.readQuantizedIndex(spark, s"$path/codes")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
       .join(broadcast(probed), Seq("centroid_id"))
     val w = Window.partitionBy(col("qid"))

@@ -171,10 +171,20 @@ object StreamingVectorIndex {
     def refresh(spark: SparkSession, root: String, cents: DataFrame,
                 upserts: DataFrame, changes: DataFrame, idCol: String,
                 vecCol: String): Unit = {
+      // same refresh-wave MVCC as the quantized loop: write-once
+      // cell revs under codes/_rev + one exclusive seal
       ProductQuantize.ivfPqRefreshIncremental(spark, s"$root/index",
-        cents, upserts, changes, idCol, vecCol, s"$root/staging")
+        cents, upserts, changes, idCol, vecCol, s"$root/staging",
+        mvcc = true)
       ()
     }
+    override def vacuumIndex(spark: SparkSession, root: String,
+                             keep: Int): Unit =
+      if (SegmentManifest.generations(spark,
+          s"$root/index/codes").nonEmpty) {
+        Similarity.ivfVacuumQuantized(spark, s"$root/index/codes", keep)
+        ()
+      }
     def gauges(spark: SparkSession, root: String, cents: DataFrame,
                idCol: String): (Long, Long) =
       Similarity.ivfDriftGauges(

@@ -308,7 +308,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
           .otherwise(lit("removed")).as("status")),
       "vec_id", "embedding", s"$rootB/staging")
     def pqContent(path: String): Set[(Long, Seq[Long], Long)] =
-      spark.read.parquet(path)
+      Similarity.readQuantizedIndex(spark, path)
         .select(col("vec_id"), col("codes"),
           col("centroid_id").cast("long"))
         .collect()
