@@ -458,8 +458,16 @@ object ProductQuantize {
       .filter(col("centroid_id").isin(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
       .select(col(idCol), col(vecCol))
-    adcScore(pqEncode(members, idCol, vecCol, codebooks, m),
-      adcLut(codebooks, queryVec, m), idCol, k)
+    // materialize the re-encode before the ADC explode: the encode is
+    // one giant per-row expression (the typedlit codebook argmin), and
+    // composing it under posexplode + the lookup join makes Catalyst
+    // re-plan/duplicate it per generated column — measured 180 s vs
+    // sub-second at sf0.1 (5k vectors). The frame is members-sized
+    // (nProbe cells' worth of (id, m codes) rows), so the eager local
+    // checkpoint is tiny and pins the derivation exactly once.
+    val encoded = pqEncode(members, idCol, vecCol, codebooks, m)
+      .localCheckpoint()
+    adcScore(encoded, adcLut(codebooks, queryVec, m), idCol, k)
   }
 
   /** EXACT-REFINE rung (FAISS's IndexRefineFlat): the ADC probe keeps
