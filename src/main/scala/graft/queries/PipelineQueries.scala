@@ -91,6 +91,48 @@ object PipelineQueries {
         "doc_id", "text", p, 0)
     }
 
+
+  /** The canonical TWO-GENERATION lexical fixture (the q161 wave):
+    * even docs as generation 0, then a remove/modify/add wave at
+    * generation 1 — shared by the read-only probes of a maintained
+    * two-generation index (time travel, segment infos, the search
+    * capstone). The wave IS the build; everything after is probes. */
+  private def fxDocsTwoGen(s: SparkSession, dir: String): String =
+    fixture(s, "docs_twogen", dir) { p =>
+      val d = Tables(s, dir, "documents")
+      val even = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", p, 0)
+      val kill = even.filter(
+          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", p, 1)
+      val wave = even.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          concat(lit("extra "), coalesce(col("text"), lit("")))
+            .as("text"))
+        .unionByName(d.filter(
+            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+          .select(col("doc_id"), col("text")))
+      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", p, 1)
+    }
+
+  /** Full corpus + a %7 tombstone wave at generation 1 — the
+    * liveness-under-tombstones fixture (suggest df, significant
+    * terms' live background). */
+  private def fxDocsTombstoned(s: SparkSession, dir: String): String =
+    fixture(s, "docs_tombstoned", dir) { p =>
+      val d = Tables(s, dir, "documents")
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", p, 0)
+      val kill = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("dl"))
+      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", p, 1)
+    }
+
   /** The canonical dense fixtures: learned k=16 centroids over the
     * embeddings minus the query vector (vec_id 0), and the cosine
     * IVF index written from them — shared by the filtered/covering/
@@ -3557,28 +3599,7 @@ object PipelineQueries {
     // from the raw table: the oracle re-derives each generation's
     // exact partials from the corpus slices and the wave's kill set.
     "q164_segment_infos" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val path = scratchPath("si_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val even = d.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"))
-      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", path, 0)
-      val kill = even.filter(
-          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
-            .cast("long").as("dl"))
-      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
-      val wave = even.filter(col("doc_id") % 10 === 2)
-        .select(col("doc_id"),
-          concat(lit("extra "), coalesce(col("text"), lit("")))
-            .as("text"))
-        .unionByName(d.filter(
-            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
-          .select(col("doc_id"), col("text")))
-      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 1)
+      val path = fxDocsTwoGen(s, dir)
       TextAnalysis.segmentInfos(s, path, "doc_id")
         .orderBy(col("seg"))
     }),
@@ -3825,17 +3846,7 @@ object PipelineQueries {
     // suggested). One segment + a tombstone wave killing every 7th
     // doc; the oracle replays df over the surviving corpus.
     "q174_completion_suggest" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val path = scratchPath("compl_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
-      val kill = d.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
-            .cast("long").as("dl"))
-      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
+      val path = fxDocsTombstoned(s, dir)
       val c1 = TextAnalysis.completionSuggest(s, path, "s", k = 8,
           "doc_id")
         .withColumn("q", lit("s*"))
@@ -3851,17 +3862,7 @@ object PipelineQueries {
     // ONE further postings pass, scores from exact integer dfs. Same
     // tombstone wave as q174 so liveness enters both sides.
     "q175_significant_terms" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val path = scratchPath("sig_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
-      val kill = d.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
-            .cast("long").as("dl"))
-      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
+      val path = fxDocsTombstoned(s, dir)
       TextAnalysis.significantTerms(s, path, Seq("sort", "filter"),
           k = 15, "doc_id", minDf = 2)
         .orderBy(col("score").desc, col("term"))
@@ -3958,28 +3959,7 @@ object PipelineQueries {
     // dict superset invariant all interact under the gate. The
     // oracle rebuilds the final corpus state and replays each probe.
     "q182_search_capstone" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val path = scratchPath("capstone_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val even = d.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"))
-      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", path, 0)
-      val kill = even.filter(
-          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
-            .cast("long").as("dl"))
-      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
-      val wave = even.filter(col("doc_id") % 10 === 2)
-        .select(col("doc_id"),
-          concat(lit("extra "), coalesce(col("text"), lit("")))
-            .as("text"))
-        .unionByName(d.filter(
-            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
-          .select(col("doc_id"), col("text")))
-      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 1)
+      val path = fxDocsTwoGen(s, dir)
       val b = TextAnalysis.booleanSearch(s, path, must = Nil,
           should = Seq("query", "filter"), mustNot = Nil, k = 10,
           "doc_id")
@@ -4005,28 +3985,7 @@ object PipelineQueries {
     // (positions shift in the modified docs, so a leaked gen-1
     // posting moves first_pos and goes red).
     "q183_phrase_time_travel" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val path = scratchPath("posttime_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val even = d.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"))
-      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", path, 0)
-      val kill = even.filter(
-          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
-            .cast("long").as("dl"))
-      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
-      val wave = even.filter(col("doc_id") % 10 === 2)
-        .select(col("doc_id"),
-          concat(lit("extra "), coalesce(col("text"), lit("")))
-            .as("text"))
-        .unionByName(d.filter(
-            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
-          .select(col("doc_id"), col("text")))
-      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 1)
+      val path = fxDocsTwoGen(s, dir)
       val asOf = TextAnalysis.phraseSearch(s, path,
           Seq("sort", "merge"), "doc_id", asOfSegment = Some(0))
         .withColumn("q", lit("asof0"))
@@ -4291,29 +4250,7 @@ object PipelineQueries {
     // table and replays the q115 arithmetic on each.
     "q161_index_time_travel" -> ((s, dir) => {
       import s.implicits._
-      val d = Tables(s, dir, "documents")
-      val path = scratchPath("tt_index", dir)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val even = d.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"))
-      TextAnalysis.bm25AppendSegment(even, "doc_id", "text", path, 0)
-      // the wave: %10==0 removed, %10==2 modified, odd %10==1 added
-      val kill = even.filter(
-          col("doc_id") % 10 === 0 || col("doc_id") % 10 === 2)
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
-            .cast("long").as("dl"))
-      TextAnalysis.bm25Tombstone(kill, "doc_id", "dl", path, 1)
-      val wave = even.filter(col("doc_id") % 10 === 2)
-        .select(col("doc_id"),
-          concat(lit("extra "), coalesce(col("text"), lit("")))
-            .as("text"))
-        .unionByName(d.filter(
-            col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
-          .select(col("doc_id"), col("text")))
-      TextAnalysis.bm25AppendSegment(wave, "doc_id", "text", path, 1)
+      val path = fxDocsTwoGen(s, dir)
       val panel = Seq((0L, "merge sort window"),
         (1L, "slow query filter")).toDF("qid", "qtext")
       val asOf0 = TextAnalysis.bm25ProbeSegmented(s, path, panel,
