@@ -132,23 +132,60 @@ object SegmentManifest {
   def latest(spark: SparkSession, path: String): Option[Manifest] =
     latestGen(spark, path).map(load(spark, path, _))
 
-  /** Seal `m` as generation `m.gen` — EXCLUSIVE create: a concurrent
-    * writer that sealed the same generation first makes this fail
-    * loudly, with the caller's staged `_rev` output left unreferenced
-    * and the index intact (the machine-checked single-writer rule). */
+  /** Seal `m` as generation `m.gen` — EXCLUSIVE publish of a fully
+    * written file: a concurrent writer that sealed the same generation
+    * first makes this fail loudly, with the caller's staged `_rev`
+    * output left unreferenced and the index intact (the machine-checked
+    * single-writer rule).
+    *
+    * Crash safety (write-temp-then-publish, Delta's LogStore rule): the
+    * rendered manifest is first written COMPLETELY to a dot-prefixed
+    * temp file that [[generations]] never matches, then published into
+    * `_gen/m<gen>` in one atomic step — a crash or disk-full mid-write
+    * can only ever leave an ignored temp file, never a torn manifest
+    * occupying the newest generation number (which would poison every
+    * subsequent `latest()` with a parse failure no re-run recovers
+    * from).
+    *
+    * Exclusivity by storage class: on POSIX local filesystems the
+    * publish is a hard link (`link(2)` — atomic, fails if the target
+    * exists); on HDFS-like stores it is `rename` (atomic, does not
+    * replace an existing file). Plain object stores without atomic
+    * rename-if-absent (raw S3) get check-then-publish only — running
+    * concurrent sealers there needs an external lock or a LogStore-
+    * style atomic-put shim, exactly Delta Lake's documented storage
+    * requirement. */
   def seal(spark: SparkSession, path: String, m: Manifest): Unit = {
     val fs = fsOf(spark, path)
     fs.mkdirs(genDir(path))
     val p = manifestPath(path, m.gen)
-    val out =
-      try fs.create(p, false)
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"segmented index at $path: generation ${m.gen} was sealed " +
-            "by a concurrent writer — this op's output is abandoned " +
-            s"(unreferenced) and the index is intact: ${e.getMessage}")
-      }
+    def lost(detail: String) = new IllegalStateException(
+      s"segmented index at $path: generation ${m.gen} was sealed " +
+        "by a concurrent writer — this op's output is abandoned " +
+        s"(unreferenced) and the index is intact: $detail")
+    val tmp = new Path(genDir(path),
+      s".m${m.gen}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(render(m).getBytes("UTF-8")) finally out.close()
+    try {
+      if (fs.getScheme == "file") {
+        // POSIX: hard-link the complete temp file into place — one
+        // atomic syscall that FAILS when the target exists (true
+        // exclusive create + publish in a single step)
+        val dst = java.nio.file.Paths.get(p.toUri.getPath)
+        val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try java.nio.file.Files.createLink(dst, src)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw lost(e.toString)
+        }
+      } else {
+        // HDFS-like: rename is atomic and does not replace an existing
+        // destination; the pre-check only sharpens the error message
+        if (fs.exists(p)) throw lost(s"$p already sealed")
+        if (!fs.rename(tmp, p)) throw lost(s"rename to $p refused")
+      }
+    } finally fs.delete(tmp, false)
   }
 
   /** Generation-0 composition of a PRE-MANIFEST layout, discovered

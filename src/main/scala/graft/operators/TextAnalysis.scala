@@ -1654,14 +1654,20 @@ object TextAnalysis {
       .parquet(s"$path/$rev/termdict/seg=0")
     // exact integer partials from the live postings' distinct (id, dl)
     // — the same numbers the probe's segstats-minus-tombstones
-    // correction reconstructs, now stored directly
-    live.select(col(idCol), col("dl")).distinct()
+    // correction reconstructs, now stored directly. Collected ONCE
+    // (one row) and written from the driver: the return value reuses
+    // the collected numbers instead of re-reading the written parquet
+    // (one fewer job in the full fold's serial tail).
+    val statsRow = live.select(col(idCol), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/$rev/segstats/seg=0")
-    val nLive = spark.read.parquet(s"$path/$rev/segstats")
-      .agg(sum(col("n_docs")).cast("long")).collect()(0).getLong(0)
+      .collect()(0)
+    val nLive = statsRow.getLong(0)
+    val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    locally { import spark.implicits._
+      Seq((nLive, sumDl)).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/$rev/segstats/seg=0") }
     // the atomic commit: every layout points at the merged rev dir,
     // the tombstone set clears (the merge's scope provably covers
     // every segment a tombstone can reach)

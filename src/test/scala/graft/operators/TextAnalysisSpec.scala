@@ -328,6 +328,49 @@ class TextAnalysisSpec extends SparkSpec {
       .toSet == expect, "post-collision merge diverged")
   }
 
+  test("a seal that crashes mid-write can never poison the newest " +
+      "generation: only an ignored temp file is left, probes and " +
+      "later seals keep working") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b b"))
+      .toDF("doc_id", "text")
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25torn").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    val expect = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 4, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // simulate the crash/disk-full the seal protects against: a
+    // half-written manifest for the NEXT generation, parked where a
+    // pre-publish temp file lives. The old create-then-write protocol
+    // would have had this torn content OCCUPY the generation number
+    // and fail every subsequent latest() parse permanently.
+    val g1 = SegmentManifest.latestGen(spark, dir).get
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_gen/.m${g1 + 1}.dead0000.tmp"),
+      s"gen=${g1 + 1}\npostings\ttru".getBytes("UTF-8"))
+    // the torn temp is invisible: latest() still reads the sealed
+    // generation, probes are unchanged
+    assert(SegmentManifest.latestGen(spark, dir).contains(g1),
+      "torn temp file occupied a generation number")
+    assert(TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 4, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == expect, "torn seal changed probe results")
+    // the re-run (any maintenance op) seals the SAME next generation
+    // the crashed attempt was writing — recovery is a plain re-run
+    val (folded, nLive) = TextAnalysis.bm25MergeSegments(spark, dir,
+      "doc_id")
+    assert(folded == 1 && nLive == 3, s"got ($folded, $nLive)")
+    assert(SegmentManifest.latestGen(spark, dir).contains(g1 + 1),
+      "re-run did not seal the crashed generation")
+    assert(TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 4, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == expect, "post-recovery probe diverged")
+  }
+
 
   test("bm25MergeSegmentsTiered: folds smallest adjacent pairs, " +
       "retains tombstones, probe parity; full merge still works after") {
