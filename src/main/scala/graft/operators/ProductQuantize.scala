@@ -416,21 +416,116 @@ object ProductQuantize {
       .parquet(s"$path/codes")
   }
 
+  /** MVCC rebuild of an IVF-PQ layout — the streaming recenter's
+    * commit protocol ([[Similarity.ivfRebuildQuantizedMvcc]]'s PQ
+    * sibling), with one extra atom: the retrained CODEBOOKS land as a
+    * write-once `books_<gen>-<token>` directory sealed in the SAME
+    * manifest as the cells ([[SegmentManifest.BooksLayout]]), because
+    * PQ codes are meaningless without the codebooks that produced
+    * them — a pinned probe must decode a generation's cells through
+    * that generation's own books, never the live copy a later
+    * recenter overwrote. The [[SegmentManifest.ModelMarker]] records
+    * the governing centroid generation the same way. The live
+    * `codebooks` file is still refreshed for the wave-internal
+    * single-writer consumers (refresh encode, drift stats, the
+    * per-generation model snapshot). */
+  def ivfPqRebuildMvcc(spark: SparkSession, path: String,
+                       vectors: DataFrame, cents: DataFrame,
+                       idCol: String, vecCol: String, m: Int, k: Int,
+                       modelGen: Int, seed: Long = 42L): Unit = {
+    val indexPath = s"$path/codes"
+    val base = SegmentManifest.latest(spark, indexPath)
+      .getOrElse(SegmentManifest.bootstrap(spark, indexPath,
+        Seq(SegmentManifest.CellLayout, SegmentManifest.BooksLayout)))
+    val gen = base.gen + 1
+    val booksLoc = s"books_$gen-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    pqTrain(vectors, vecCol, m, k, seed)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/$booksLoc")
+    // encode through the WRITTEN books (fit determinism is per
+    // physical layout — the write path's own rule)
+    val cbRead = spark.read.parquet(s"$indexPath/$booksLoc")
+    cbRead.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+    val rows = pqEncode(vectors, idCol, vecCol, cbRead, m)
+      .join(Similarity.ivfAssignCosine(vectors, cents, idCol, vecCol),
+        Seq(idCol))
+      .repartition(col("centroid_id"))
+    val (gen2, entries) = Similarity.stageCellRev(spark, indexPath,
+      rows, base)
+    SegmentManifest.seal(spark, indexPath, SegmentManifest
+      .Manifest(gen2, base.layouts
+        .updated("cells", entries)
+        .updated("books",
+          Seq(SegmentManifest.Entry(gen2, booksLoc)))
+        .updated(SegmentManifest.ModelMarker, Seq(SegmentManifest
+          .Entry(modelGen, s"model=g$modelGen")))))
+  }
+
+  /** Pin-once read of an IVF-PQ layout's codes AND codebooks: under a
+    * sealed manifest both resolve through the SAME generation (a
+    * recenter sealing mid-probe changes neither — the codes/books
+    * pairing is atomic); legacy layouts read the live hive tree and
+    * the live `codebooks` copy. */
+  private def pinnedCodesAndBooks(spark: SparkSession,
+                                  path: String): (DataFrame, DataFrame) =
+    resolveCodesAndBooks(spark, path,
+      SegmentManifest.latest(spark, s"$path/codes"))
+
+  /** [[pinnedCodesAndBooks]] against a manifest the CALLER already
+    * pinned — the one-resolution entry for readers that also derive
+    * the centroid model from the same manifest
+    * ([[graft.streaming.StreamingVectorIndex.probeLiveIvfPq]]). */
+  private[graft] def resolveCodesAndBooks(
+      spark: SparkSession, path: String,
+      mfOpt: Option[SegmentManifest.Manifest])
+      : (DataFrame, DataFrame) = {
+    val indexPath = s"$path/codes"
+    mfOpt match {
+      case Some(mf) if mf.entries("books").nonEmpty =>
+        val codes = SegmentManifest
+          .read(spark, indexPath, mf, "cells", "centroid_id")
+          .map(_.withColumn("centroid_id",
+            col("centroid_id").cast("long")))
+          .getOrElse(throw new IllegalStateException(
+            s"IVF-PQ index at $indexPath: generation ${mf.gen} has " +
+              "no cells"))
+        val books = spark.read
+          .parquet(s"$indexPath/${mf.entries("books").last.loc}")
+        (codes, books)
+      case _ =>
+        (Similarity.readQuantizedIndex(spark, indexPath),
+          spark.read.parquet(s"$path/codebooks"))
+    }
+  }
+
+  /** ADC probe over an already-resolved (codes, codebooks) pair — the
+    * second half of [[ivfPqProbe]], exposed so pin-once callers reuse
+    * the identical cell restriction + scoring. */
+  private[graft] def ivfPqProbeResolved(codes: DataFrame,
+                                        cb: DataFrame, cents: DataFrame,
+                                        queryVec: DataFrame,
+                                        idCol: String, k: Int,
+                                        nProbe: Int): DataFrame = {
+    val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
+    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    adcScore(codes.filter(col("centroid_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*)),
+      adcLut(cb, queryVec, m), idCol, k)
+  }
+
   /** Probe an IVF-PQ index: cell ranking + literal-`isin` partition
     * pruning exactly as the cosine-IVF family (one shared
     * [[Similarity.probedCellIds]]), then integer ADC on the surviving
     * cells' codes. IO per probe = nProbe cell directories × m bytes
-    * per vector. */
+    * per vector. Codes and codebooks resolve through ONE pinned
+    * manifest on MVCC layouts ([[pinnedCodesAndBooks]]). */
   def ivfPqProbe(spark: SparkSession, path: String, cents: DataFrame,
                  queryVec: DataFrame, idCol: String, k: Int,
                  nProbe: Int): DataFrame = {
-    val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
-    val cb = spark.read.parquet(s"$path/codebooks")
-    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
-    val codes = Similarity.readQuantizedIndex(spark, s"$path/codes")
-      .filter(col("centroid_id")
-        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
-    adcScore(codes, adcLut(cb, queryVec, m), idCol, k)
+    val (allCodes, cb) = pinnedCodesAndBooks(spark, path)
+    ivfPqProbeResolved(allCodes, cb, cents, queryVec, idCol, k, nProbe)
   }
 
   /** The IVF-PQ probe SEMANTICS replayed against a corpus snapshot
@@ -508,10 +603,9 @@ object ProductQuantize {
   def pqProbeADCMulti(spark: SparkSession, path: String,
                       queries: DataFrame, idCol: String,
                       k: Int): DataFrame = {
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val (codes, cb) = pinnedCodesAndBooks(spark, path)
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
-    adcScoreMulti(spark.read.parquet(s"$path/codes"),
-      adcLutMulti(cb, queries, m), idCol, k)
+    adcScoreMulti(codes, adcLutMulti(cb, queries, m), idCol, k)
   }
 
   /** Batch IVF-PQ probe, relational cell restriction: per-query top
@@ -522,9 +616,9 @@ object ProductQuantize {
   def ivfPqProbeMulti(spark: SparkSession, path: String,
                       cents: DataFrame, queries: DataFrame,
                       idCol: String, k: Int, nProbe: Int): DataFrame = {
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val (codesRaw, cb) = pinnedCodesAndBooks(spark, path)
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
-    val codes = Similarity.readQuantizedIndex(spark, s"$path/codes")
+    val codes = codesRaw
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     ivfPqScoreCodesMulti(codes, cb, cents, queries, idCol, k, nProbe, m)
   }

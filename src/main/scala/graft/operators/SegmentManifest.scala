@@ -69,6 +69,24 @@ object SegmentManifest {
   val CellLayout: LayoutSpec =
     LayoutSpec("cells", "", "centroid_id=", "centroid_id")
 
+  /** The IVF-PQ codes root's second layout: per-rebuild write-once
+    * codebook directories (`books_<gen>-<token>`), sealed in the SAME
+    * manifest as the cells so a pinned probe decodes the generation's
+    * codes through the generation's own codebooks — the codes/books
+    * pairing is atomic exactly like the lexical postings/termdict
+    * pairing. */
+  val BooksLayout: LayoutSpec =
+    LayoutSpec("books", "", "books_", "bookgen")
+
+  /** Marker layout name for the centroid-model generation in force
+    * when a cell layout was sealed (`Entry(modelGen, loc)` — the loc
+    * is documentation only, never read). Readers resolve the model
+    * through the SAME pinned manifest as the cells, so a probe can
+    * never pair one generation's cells with another's centroids.
+    * Deliberately absent from every vacuum spec list: models live
+    * outside the index root and are retained by their own store. */
+  val ModelMarker: String = "model"
+
   /** One layout member: logical segment number + directory location
     * RELATIVE to the index root (stable until vacuum). */
   final case class Entry(seg: Int, loc: String)

@@ -611,12 +611,26 @@ object Similarity {
   def ivfProbePrunedQuantized(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, cents: DataFrame,
                               queryVec: DataFrame, idCol: String,
-                              k: Int, nProbe: Int): DataFrame = {
+                              k: Int, nProbe: Int): DataFrame =
+    ivfProbeCodesQuantized(readQuantizedIndex(spark, indexPath), cents,
+      queryVec, idCol, k, nProbe)
+
+  /** [[ivfProbePrunedQuantized]] over a caller-supplied codes frame —
+    * the pin-once entry for readers that must resolve cells AND model
+    * through one manifest ([[graft.streaming.StreamingVectorIndex
+    * .probeLiveQuantized]]): the cell restriction still prunes whole
+    * union branches / partitions, the scoring is the same int8
+    * arithmetic. */
+  private[graft] def ivfProbeCodesQuantized(codes: DataFrame,
+                                            cents: DataFrame,
+                                            queryVec: DataFrame,
+                                            idCol: String, k: Int,
+                                            nProbe: Int): DataFrame = {
     val probed = probedCellIds(cents, queryVec, nProbe)
     val qCodes = queryVec.select(
       Quantize.int8(col("qvec"), Quantize.scaleOf(col("qvec")))
         .as("query_codes"))
-    readQuantizedIndex(spark, indexPath)
+    codes
       .filter(col("centroid_id")
         .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
       .crossJoin(broadcast(qCodes))
@@ -792,33 +806,83 @@ object Similarity {
     * there is no overwrite window, and a fully-emptied cell simply
     * loses its entry (no loud directory delete needed — the stale
     * dir is unreferenced and reclaimed by [[ivfVacuumQuantized]]).
-    * A RECENTER still rewrites the layout wholesale (the rebuild
-    * clears manifests with the directory) — refresh-wave MVCC, with
-    * recenters as the rare maintenance window and the snapshot-chain
-    * as-of probes covering history across them. */
+    * A RECENTER rides the same recipe via [[ivfRebuildQuantizedMvcc]]
+    * (a full-replacement seal instead of a dirty-cell replace), so
+    * EVERY maintenance op of an MVCC layout — refresh wave and
+    * rebuild alike — is snapshot-isolated from live readers. */
   private[operators] def commitCellRefreshMvcc(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       unioned: DataFrame, dirty: Seq[Long]): Unit = {
-    val base = SegmentManifest.latest(spark, indexPath)
+    val base = pinCellBase(spark, indexPath)
+    val (gen, entries) = stageCellRev(spark, indexPath, unioned, base)
+    SegmentManifest.seal(spark, indexPath, base
+      .replace("cells", dirty.map(_.toInt).toSet, entries)
+      .copy(gen = gen))
+  }
+
+  /** The manifest a maintenance op builds AGAINST — the latest sealed
+    * generation, or the legacy hive tree folded in as generation 0
+    * (the upgrade path). Resolved ONCE per op. */
+  private[operators] def pinCellBase(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): SegmentManifest.Manifest =
+    SegmentManifest.latest(spark, indexPath)
       .getOrElse(SegmentManifest.bootstrap(spark, indexPath,
         Seq(SegmentManifest.CellLayout)))
+
+  /** Stage one write-once cell revision against the generation AFTER
+    * `base`: write `rows` cell-partitioned under a fresh `_rev/` dir
+    * and return (next gen, the staged cells' entries) for the
+    * caller's seal — the shared first half of the refresh commit and
+    * the MVCC rebuilds (int8 and IVF-PQ). */
+  private[operators] def stageCellRev(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      rows: DataFrame, base: SegmentManifest.Manifest)
+      : (Int, Seq[SegmentManifest.Entry]) = {
     val gen = base.gen + 1
     val rev = SegmentManifest.revDir(gen)
-    unioned.write.mode("overwrite").partitionBy("centroid_id")
+    rows.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexPath/$rev")
     // explicit schema: a shrink-only delta stages zero rows (see the
     // legacy commit's rationale)
-    val stagedCells = spark.read.schema(unioned.schema)
+    val stagedCells = spark.read.schema(rows.schema)
       .parquet(s"$indexPath/$rev")
       .select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     stagedCells.foreach(c => require(c >= 0 && c <= Int.MaxValue,
-      s"commitCellRefreshMvcc: cell id $c outside the manifest range"))
-    val entries = stagedCells.map(c =>
-      SegmentManifest.Entry(c.toInt, s"$rev/centroid_id=$c")).toSeq
-    SegmentManifest.seal(spark, indexPath, base
-      .replace("cells", dirty.map(_.toInt).toSet, entries)
-      .copy(gen = gen))
+      s"stageCellRev: cell id $c outside the manifest range"))
+    (gen, stagedCells.map(c =>
+      SegmentManifest.Entry(c.toInt, s"$rev/centroid_id=$c")).toSeq)
+  }
+
+  /** The MVCC REBUILD — the recenter's commit protocol, closing the
+    * one maintenance window refresh-wave MVCC left open (the old
+    * rebuild overwrote the index directory wholesale, clearing the
+    * manifests a pinned live probe was reading through): the full new
+    * cell layout lands write-once under `_rev/`, and ONE exclusive
+    * seal replaces the ENTIRE cells composition — plus the
+    * [[SegmentManifest.ModelMarker]] recording which centroid-model
+    * generation governs these cells, so a probe pinned on this
+    * manifest pairs cells and centroids atomically. Probes pinned
+    * before the seal keep the previous generation's untouched
+    * directories (and its own model marker); [[ivfVacuumQuantized]]
+    * reclaims history by the retention dial. */
+  def ivfRebuildQuantizedMvcc(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      vectors: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, modelGen: Int): Unit = {
+    val rows = Quantize.quantized(vectors, vecCol, "codes")
+      .join(ivfAssignCosine(vectors, cents, idCol, vecCol), Seq(idCol))
+      .select(col(idCol), col("codes"), col("codes_scale"),
+        col("centroid_id"))
+      .repartition(col("centroid_id"))
+    val base = pinCellBase(spark, indexPath)
+    val (gen, entries) = stageCellRev(spark, indexPath, rows, base)
+    SegmentManifest.seal(spark, indexPath, SegmentManifest.Manifest(gen,
+      base.layouts
+        .updated("cells", entries)
+        .updated(SegmentManifest.ModelMarker, Seq(SegmentManifest
+          .Entry(modelGen, s"model=g$modelGen")))))
   }
 
   /** Vacuum an MVCC quantized index's write-once history —
@@ -826,9 +890,11 @@ object Similarity {
     * [[TextAnalysis.bm25Vacuum]] for the retention contract. */
   def ivfVacuumQuantized(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String,
-                         keepGenerations: Int = 1): (Long, Long) =
-    SegmentManifest.vacuum(spark, indexPath, keepGenerations,
-      Seq(SegmentManifest.CellLayout))
+                         keepGenerations: Int = 1,
+                         specs: Seq[SegmentManifest.LayoutSpec] =
+                           Seq(SegmentManifest.CellLayout))
+      : (Long, Long) =
+    SegmentManifest.vacuum(spark, indexPath, keepGenerations, specs)
 
   /** THE cell-refresh commit tail, shared by the int8 and the PQ
     * refreshes (a second hand-copy of the empty-cell-drop rule would

@@ -4165,9 +4165,11 @@ object PipelineQueries {
     // (pre-recenter corpus + bootstrap model — the oracle re-derives
     // state 2, re-normalizes, re-encodes via the argmin over the
     // WRITTEN gen-0 codebooks, and replays the integer ADC); gen 1 =
-    // as-of the live generation (≡ the physical index — the parity
-    // spec pins it; the oracle replays q130-style off the live
-    // artifacts).
+    // as-of the live generation, re-derived the same way under the
+    // WRITTEN gen-3 centroids + codebooks (the physical codes stopped
+    // being glob-readable when the recenter went MVCC; physical ≡
+    // snapshot parity is pinned by the recenter-MVCC spec, and the
+    // from-raw oracle is the stronger check).
     "q187_pq_time_travel" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val root = scratchPath("pqtt_root", dir)
@@ -4707,26 +4709,46 @@ object PipelineQueries {
         |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
         |      AS BIGINT) AS ip_fp
         |  FROM cb3, q),
-        |cx AS (SELECT vec_id, subspace, codes[subspace + 1] AS code
-        |  FROM (SELECT vec_id, codes,
-        |          unnest(generate_series(0, 7)) AS subspace
-        |        FROM read_parquet(
-        |            '{SCRATCH}/pqtt_root_{SFHASH}/index/codes/*/*.parquet',
-        |            hive_partitioning = 1)
-        |        WHERE CAST(centroid_id AS BIGINT) IN
-        |          (SELECT cid FROM p3))),
+        |s3 AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(x + (vec_id % 5) * 3.0 AS FLOAT)) AS v
+        |       FROM embeddings
+        |       WHERE vec_id <> 0 AND (vec_id % 11 = 3
+        |          OR (vec_id % 5 <> 4 AND vec_id % 7 <> 1)
+        |          OR (vec_id % 5 = 4 AND vec_id % 2 = 0))),
+        |a3 AS (SELECT s3.vec_id AS vid,
+        |         arg_min(c3.cid,
+        |           1 - list_cosine_similarity(s3.v::DOUBLE[], c3.cv)) AS cid
+        |       FROM s3, c3 GROUP BY s3.vec_id),
+        |mem3 AS (SELECT s3.vec_id,
+        |    list_transform(s3.v::DOUBLE[],
+        |      x -> x / sqrt(list_inner_product(s3.v::DOUBLE[],
+        |                                       s3.v::DOUBLE[]))) AS uv
+        |  FROM s3 JOIN a3 ON s3.vec_id = a3.vid
+        |  WHERE a3.cid IN (SELECT cid FROM p3)),
+        |enc3 AS (SELECT vec_id, subspace, code FROM (
+        |    SELECT mem3.vec_id, cb3.subspace, cb3.code,
+        |      row_number() OVER (PARTITION BY mem3.vec_id, cb3.subspace
+        |        ORDER BY list_distance(cb3.cvec,
+        |          uv[(cb3.subspace * 8 + 1):(cb3.subspace * 8 + 8)]),
+        |          cb3.code) AS rn
+        |    FROM mem3, cb3) WHERE rn = 1),
         |k1 AS (SELECT 1 AS gen, vec_id,
         |    round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS adc_score
-        |  FROM cx JOIN ip3 USING (subspace, code)
+        |  FROM enc3 JOIN ip3 USING (subspace, code)
         |  GROUP BY vec_id ORDER BY adc_score DESC, vec_id LIMIT 10)
         |SELECT gen, vec_id, adc_score FROM
         |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
         |ORDER BY gen, adc_score DESC, vec_id""".stripMargin,
 
-    // vector time travel: gen 0 = state-2 corpus rebuilt from the raw
-    // table, quantized/assigned/scored with the q90 arithmetic under
-    // the WRITTEN gen-0 model; gen 1 = the live physical index + the
-    // recentered gen-3 model, replayed q90-style
+    // vector time travel: BOTH generations re-derived from the raw
+    // table under the WRITTEN models — gen 0 = state-2 corpus under
+    // the gen-0 model, gen 1 = state-3 corpus under the recentered
+    // gen-3 model, each quantized/assigned/scored with the q90
+    // arithmetic. (The physical index stopped being glob-readable
+    // when the recenter went MVCC — cells live under sealed _rev
+    // dirs; physical ≡ snapshot parity is pinned by the recenter-MVCC
+    // spec instead, and the from-raw oracle is the stronger check.)
     "q186_vector_time_travel" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |           WHERE vec_id = 0),
@@ -4772,14 +4794,32 @@ object PipelineQueries {
         |       FROM read_parquet('{SCRATCH}/vtt_root_{SFHASH}/cents/gen=3/*.parquet')),
         |p3 AS (SELECT cid FROM c3, q
         |       ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
-        |idx AS (SELECT vec_id, codes
-        |        FROM read_parquet('{SCRATCH}/vtt_root_{SFHASH}/index/*/*.parquet',
-        |                          hive_partitioning = 1)
-        |        WHERE CAST(centroid_id AS BIGINT) IN (SELECT cid FROM p3)),
+        |s3 AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(x + (vec_id % 5) * 3.0 AS FLOAT)) AS v
+        |       FROM embeddings
+        |       WHERE vec_id <> 0 AND (vec_id % 11 = 3
+        |          OR (vec_id % 5 <> 4 AND vec_id % 7 <> 1)
+        |          OR (vec_id % 5 = 4 AND vec_id % 2 = 0))),
+        |a3 AS (SELECT s3.vec_id AS vid,
+        |         arg_min(c3.cid,
+        |           1 - list_cosine_similarity(s3.v::DOUBLE[], c3.cv)) AS cid
+        |       FROM s3, c3 GROUP BY s3.vec_id),
+        |s3q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x))) / 127.0
+        |            AS s
+        |        FROM s3)),
         |k1 AS (SELECT 1 AS gen, vec_id,
-        |         round(list_cosine_similarity(codes::DOUBLE[],
+        |         round(list_cosine_similarity(codes,
         |           (SELECT qc FROM qq)), 4) AS qsim
-        |       FROM idx ORDER BY qsim DESC, vec_id LIMIT 10)
+        |       FROM s3q JOIN a3 ON s3q.vec_id = a3.vid
+        |       WHERE a3.cid IN (SELECT cid FROM p3)
+        |       ORDER BY qsim DESC, vec_id LIMIT 10)
         |SELECT gen, vec_id, qsim FROM
         |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
         |ORDER BY gen, qsim DESC, vec_id""".stripMargin,

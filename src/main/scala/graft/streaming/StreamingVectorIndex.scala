@@ -91,20 +91,24 @@ import graft.operators.{ProductQuantize, SegmentManifest, Similarity}
   *      re-running them is idempotent; the marker clears only after
   *      both are on storage.
   *
-  * Read/write concurrency, per family:
+  * Read/write concurrency, per family — EVERY maintenance op of both
+  * loops now commits by MVCC (write-once revs + one exclusive seal),
+  * so live probes pinned at plan time never race maintenance at all:
   *
-  *   - QUANTIZED loop: refresh waves commit by MVCC (write-once cell
-  *     revs + one exclusive manifest seal —
-  *     [[Similarity.commitCellRefreshMvcc]]), so LIVE probes pinned
-  *     at plan time never race a wave; `historyRetention` bounds the
-  *     cell-rev history a pinned reader may still hold. A RECENTER
-  *     (rare full rebuild) still resets the layout wholesale — the
-  *     one remaining maintenance window — with
-  *     [[probeAsOfQuantized]] covering history ACROSS it off the
-  *     write-once snapshot chain + per-generation models.
-  *   - IVF-PQ loop: the physical cells stay dynamic-overwrite
-  *     in place (single-writer live reads, as before);
-  *     [[probeAsOfIvfPq]] gives race-free historical reads. */
+  *   - QUANTIZED loop: refresh waves commit via
+  *     [[Similarity.commitCellRefreshMvcc]]; a RECENTER commits via
+  *     [[Similarity.ivfRebuildQuantizedMvcc]] (full-replacement seal
+  *     carrying the [[graft.operators.SegmentManifest.ModelMarker]]),
+  *     closing the wholesale-reset window round 14 left open.
+  *     [[probeLiveQuantized]] pins cells + model through ONE
+  *     manifest; `historyRetention` bounds the cell-rev history a
+  *     pinned reader may still hold (vacuum floored at 2 generations
+  *     so a probe pinned one wave back always survives).
+  *   - IVF-PQ loop: refresh waves commit under `codes/_rev` + seal;
+  *     a recenter commits via [[ProductQuantize.ivfPqRebuildMvcc]],
+  *     sealing the retrained CODEBOOKS in the same manifest as the
+  *     re-encoded cells — [[probeLiveIvfPq]] pairs codes, books and
+  *     model atomically. [[probeAsOfIvfPq]] gives historical reads. */
 object StreamingVectorIndex {
 
   /** The family-specific pieces: the int8 quantized IVF file and the
@@ -115,8 +119,12 @@ object StreamingVectorIndex {
                 vecCol: String): Unit
     def gauges(spark: SparkSession, root: String, cents: DataFrame,
                idCol: String): (Long, Long)
+    /** Full rebuild under the generation-`gen` model — MVCC-committed
+      * (write-once `_rev` cells + one exclusive seal), so a live
+      * probe pinned before a recenter keeps its generation's
+      * directories; the old wholesale-overwrite window is gone. */
     def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
-                vecCol: String, root: String): Unit
+                vecCol: String, root: String, gen: Int): Unit
     def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame
     /** Reclaim index history a maintenance mode accumulates (the
       * quantized MVCC cell revs); no-op for in-place layouts. */
@@ -138,8 +146,8 @@ object StreamingVectorIndex {
                 vecCol: String): Unit = {
       // MVCC commit: the wave's dirty cells land write-once + one
       // exclusive seal, so LIVE probes pinned before the seal never
-      // race this refresh (the dynamic-overwrite window is gone);
-      // the rebuild at recenter still resets the layout wholesale
+      // race this refresh (the dynamic-overwrite window is gone); the
+      // recenter's rebuild seals the same way (ivfRebuildQuantizedMvcc)
       Similarity.ivfRefreshQuantizedIncremental(spark, s"$root/index",
         cents, upserts, changes, idCol, vecCol, s"$root/staging",
         mvcc = true)
@@ -159,9 +167,9 @@ object StreamingVectorIndex {
       Similarity.ivfDriftGauges(
         Similarity.ivfDriftStats(spark, s"$root/index", cents))
     def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
-                vecCol: String, root: String): Unit =
-      Similarity.ivfWriteIndexQuantized(snapshot, cents, idCol, vecCol,
-        s"$root/index")
+                vecCol: String, root: String, gen: Int): Unit =
+      Similarity.ivfRebuildQuantizedMvcc(snapshot.sparkSession,
+        s"$root/index", snapshot, cents, idCol, vecCol, modelGen = gen)
     def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame =
       Similarity.learnedCentroids(snapshot, vecCol, k, seed)
   }
@@ -182,7 +190,8 @@ object StreamingVectorIndex {
                              keep: Int): Unit =
       if (SegmentManifest.generations(spark,
           s"$root/index/codes").nonEmpty) {
-        Similarity.ivfVacuumQuantized(spark, s"$root/index/codes", keep)
+        Similarity.ivfVacuumQuantized(spark, s"$root/index/codes", keep,
+          Seq(SegmentManifest.CellLayout, SegmentManifest.BooksLayout))
         ()
       }
     def gauges(spark: SparkSession, root: String, cents: DataFrame,
@@ -191,11 +200,13 @@ object StreamingVectorIndex {
         ProductQuantize.ivfPqDriftStats(spark, s"$root/index", cents,
           idCol))
     // a recenter retrains BOTH artifacts (centroids and codebooks) —
-    // the ivfPqRefreshOrRecenter contract
+    // the ivfPqRefreshOrRecenter contract; the retrained books seal
+    // in the SAME manifest as the re-encoded cells
     def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
-                vecCol: String, root: String): Unit =
-      ProductQuantize.ivfPqWriteIndex(snapshot, cents, idCol, vecCol,
-        m, k, s"$root/index", seed)
+                vecCol: String, root: String, gen: Int): Unit =
+      ProductQuantize.ivfPqRebuildMvcc(snapshot.sparkSession,
+        s"$root/index", snapshot, cents, idCol, vecCol, m, k,
+        modelGen = gen, seed = seed)
     def fitCentroids(snapshot: DataFrame, vecCol: String): DataFrame =
       Similarity.learnedCentroids(snapshot, vecCol, kCells, seed)
     override def snapshotModel(spark: SparkSession, root: String,
@@ -239,6 +250,23 @@ object StreamingVectorIndex {
 
   private def markerPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")
+
+  /** An as-of `gen` must name a generation some wave actually sealed:
+    * the newest state on storage is the max across the snapshot chain
+    * and the model store — a gen ABOVE it never existed, and silently
+    * serving the live state labeled as it would violate the fail-loud
+    * time-travel contract (reads BELOW the retention floor already
+    * fail in [[readSnapshot]]). */
+  private def requireSealedGen(spark: SparkSession, root: String,
+                               gen: Int): Unit = {
+    val newest = (gens(spark, root, "snapfull") ++
+      gens(spark, root, "snapdelta") ++
+      gens(spark, root, "cents")).maxOption.getOrElse(-1)
+    require(gen <= newest,
+      s"StreamingVectorIndex: generation $gen was never sealed at " +
+        s"$root (newest is $newest) — an as-of read above the newest " +
+        "generation would silently serve the live state")
+  }
 
   /** The corpus snapshot AT generation `gen`, reconstructed from the
     * delta chain: the largest full snapshot with generation ≤ gen,
@@ -336,7 +364,7 @@ object StreamingVectorIndex {
       .select(col(idCol), col(vecCol))
     val cents2 = ops.fitCentroids(snap, vecCol)
       .localCheckpoint() // pin the fit: consumers re-plan it otherwise
-    ops.rebuild(snap, cents2, idCol, vecCol, root)
+    ops.rebuild(snap, cents2, idCol, vecCol, root, gen)
     ops.snapshotModel(spark, root, gen)
     val bl2 = ops.gauges(spark, root, cents2, idCol)
     writeModel(spark, root, gen, cents2, bl2)
@@ -344,6 +372,11 @@ object StreamingVectorIndex {
     require(fs.delete(markerPath(root), false) ||
         !fs.exists(markerPath(root)),
       s"StreamingVectorIndex: failed to clear recenter marker at $root")
+    // the rebuild's seal left the pre-recenter cell generations on
+    // disk for pinned readers — reclaim by the same retention dial as
+    // the refresh waves (never below 2: a probe pinned one wave back
+    // must always survive the vacuum that follows)
+    ops.vacuumIndex(spark, root, math.max(retain + 1, 2))
   }
 
   /** Replay a sealed-but-unfinished recenter decision (crash between
@@ -444,8 +477,12 @@ object StreamingVectorIndex {
           compactSnapshot(spark, root, gen, idCol, vecCol,
             historyRetention)
         // index-history retention rides the same dial: keep enough
-        // sealed cell generations for pinned readers, reclaim the rest
-        ops.vacuumIndex(spark, root, historyRetention + 1)
+        // sealed cell generations for pinned readers, reclaim the
+        // rest — floored at 2 so the DEFAULT (historyRetention = 0)
+        // never deletes the one generation a probe pinned just before
+        // this wave may still be reading (the advertised "live probes
+        // never race a wave" must hold without raising the dial)
+        ops.vacuumIndex(spark, root, math.max(historyRetention + 1, 2))
       }
     } finally deltaC.unpersist()
   }
@@ -517,6 +554,7 @@ object StreamingVectorIndex {
       s"StreamingVectorIndex: unfinished recenter at $root — a " +
         "historical model read would replay an unsealed decision; " +
         "run a wave (or recovery) first")
+    requireSealedGen(spark, root, gen)
     val mGens = gens(spark, root, "cents").filter(_ <= gen)
     require(mGens.nonEmpty,
       s"StreamingVectorIndex: no model at or below gen=$gen at $root")
@@ -524,6 +562,62 @@ object StreamingVectorIndex {
     val snap = readSnapshot(spark, root, gen, idCol, vecCol)
     Similarity.ivfProbeSnapshotQuantized(snap, cents, queryVec,
       idCol, vecCol, k, nProbe)
+  }
+
+  /** LIVE probe of the quantized loop with the cells AND the centroid
+    * model resolved through ONE pinned manifest — the pin-once entry
+    * the MVCC layout deserves: a caller reading the model store and
+    * the index in two separate steps can straddle a recenter (new
+    * centroids paired with the previous generation's cells, or vice
+    * versa); here the sealed manifest's [[SegmentManifest.ModelMarker]]
+    * names the governing model, so cells and centroids are paired
+    * atomically no matter what maintenance lands mid-call. The
+    * returned plan is pinned: collect it any time before the vacuum
+    * floor passes and it answers the pinned generation. */
+  def probeLiveQuantized(spark: SparkSession, root: String,
+                         queryVec: DataFrame, idCol: String, k: Int,
+                         nProbe: Int): DataFrame = {
+    val indexPath = s"$root/index"
+    val mf = SegmentManifest.latest(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"StreamingVectorIndex: no sealed index generations at " +
+          s"$indexPath — bootstrap the loop first"))
+    val modelGen = mf.entries(SegmentManifest.ModelMarker).lastOption
+      .map(_.seg)
+      .getOrElse(gens(spark, root, "cents").max) // pre-marker layout
+    val cents = spark.read.parquet(s"$root/cents/gen=$modelGen")
+    val codes = SegmentManifest
+      .read(spark, indexPath, mf, "cells", "centroid_id")
+      .map(_.withColumn("centroid_id", col("centroid_id").cast("long")))
+      .getOrElse(throw new IllegalStateException(
+        s"StreamingVectorIndex: generation ${mf.gen} at $indexPath " +
+          "has no cells"))
+    Similarity.ivfProbeCodesQuantized(codes, cents, queryVec, idCol,
+      k, nProbe)
+  }
+
+  /** [[probeLiveQuantized]]'s IVF-PQ sibling: cells, CODEBOOKS and
+    * the centroid model all resolve through the one pinned manifest
+    * (the books entry seals with the cells —
+    * [[graft.operators.ProductQuantize.ivfPqRebuildMvcc]]), so a
+    * recenter landing mid-call can never pair one generation's codes
+    * with another's books. */
+  def probeLiveIvfPq(spark: SparkSession, root: String,
+                     queryVec: DataFrame, idCol: String, k: Int,
+                     nProbe: Int): DataFrame = {
+    val path = s"$root/index"
+    val mfOpt = SegmentManifest.latest(spark, s"$path/codes")
+    require(mfOpt.nonEmpty,
+      s"StreamingVectorIndex: no sealed index generations at " +
+        s"$path/codes — bootstrap the loop first")
+    val modelGen = mfOpt.get.entries(SegmentManifest.ModelMarker)
+      .lastOption.map(_.seg)
+      .getOrElse(gens(spark, root, "cents").max) // pre-marker layout
+    val cents = spark.read.parquet(s"$root/cents/gen=$modelGen")
+    val (codes, books) = ProductQuantize.resolveCodesAndBooks(spark,
+      path, mfOpt)
+    ProductQuantize.ivfPqProbeResolved(codes, books, cents, queryVec,
+      idCol, k, nProbe)
   }
 
   /** One BATCH maintenance wave of the IVF-PQ loop — the foreachBatch
@@ -559,6 +653,7 @@ object StreamingVectorIndex {
       s"StreamingVectorIndex: unfinished recenter at $root — a " +
         "historical model read would replay an unsealed decision; " +
         "run a wave (or recovery) first")
+    requireSealedGen(spark, root, gen)
     val mGens = gens(spark, root, "cents").filter(_ <= gen)
     require(mGens.nonEmpty,
       s"StreamingVectorIndex: no model at or below gen=$gen at $root")

@@ -504,31 +504,162 @@ class StreamingVectorIndexSpec extends SparkSpec {
     val fresh = probeSet(probe())
     assert(fresh != expect1 && fresh.exists(_._1 == 999L),
       "a fresh probe must see the wave")
-    // --- retention: a history-free wave vacuums the old cell revs;
-    // the fresh composition keeps serving
+    // --- retention: a history-free wave vacuums the old cell revs —
+    // floored at TWO kept generations, so the probe pinned just
+    // before the wave always survives; the fresh composition serves
     val revRoot = new org.apache.hadoop.fs.Path(s"$root/index/_rev")
     val fs = revRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val revsBefore = fs.listStatus(revRoot).length
+    val pinnedPreVacuum = probe()
+    val preVacuumSet = probeSet(probe())
     runWave(corpus(200L until 204L).map { case (i, v) =>
       (i, v, "upsert") }, 2L, retention = 0)
     assert(graft.operators.SegmentManifest
-      .generations(spark, s"$root/index").length == 1,
-      "retention-0 vacuum must keep exactly the latest generation")
-    assert(fs.listStatus(revRoot).length < revsBefore + 1,
-      "vacuum reclaimed no cell revs")
+      .generations(spark, s"$root/index").length == 2,
+      "retention-0 vacuum must keep the latest generation AND the " +
+        "one a just-pinned probe may still hold")
+    assert(probeSet(pinnedPreVacuum) == preVacuumSet,
+      "the retention-0 vacuum deleted a generation a probe pinned " +
+        "one wave earlier was still reading")
     assert(probeSet(probe()).exists(_._1 == 999L),
       "the live composition broke across the vacuum")
-    // --- a recenter resets the layout wholesale (manifests cleared
-    // with the directory): probes fall back to hive discovery and
-    // the as-of story continues on the snapshot chain
+    // --- a RECENTER commits by the same MVCC recipe (write-once rev
+    // + full-replacement seal): the manifest mode SURVIVES the
+    // rebuild, and a probe pinned before the recenter still answers
+    // its own generation afterwards
+    val pinnedPreRecenter = probe()
+    val preRecenterSet = probeSet(probe())
     runWave((4L until 44L).map(i =>
       (i, vec(i, shift = 3.0 * (i % 5)), "upsert")).toSeq, 3L,
-      retention = 1)
+      retention = 2)
     assert(graft.operators.SegmentManifest
-      .generations(spark, s"$root/index").isEmpty,
-      "the rebuild must reset the manifest mode")
+      .generations(spark, s"$root/index").nonEmpty,
+      "the MVCC rebuild must keep the manifest mode")
+    assert(probeSet(pinnedPreRecenter) == preRecenterSet,
+      "the recenter raced a pinned live probe")
     val centsLive = spark.read.parquet(s"$root/cents/gen=4")
     assert(Similarity.ivfProbePrunedQuantized(spark, s"$root/index",
       centsLive, qv, "vec_id", k = 10, nProbe = 2).count() > 0)
+  }
+
+  test("recenter MVCC, quantized: a live probe pinned before a " +
+      "drift-breach wave replays bit-identically after the rebuild; " +
+      "a fresh pin-once probe tracks the new model atomically and " +
+      "equals the from-scratch twin") {
+    import spark.implicits._
+    val root = tmp("svi_rc_mvcc")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble))).toDF("qvec")
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // a benign wave first, so the pinned probe spans a refresh AND
+    // the later recenter
+    StreamingVectorIndex.applyWave(spark, root,
+      corpus(40L until 44L).map { case (i, v) => (i, v, "upsert") }
+        .toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", ops, 115L, 175L, historyRetention = 4)
+    // PIN through the pin-once entry (model + cells off one manifest)
+    val pinned = StreamingVectorIndex.probeLiveQuantized(spark, root,
+      qv, "vec_id", k = 10, nProbe = 2)
+    val expectPinned = probeSet(StreamingVectorIndex
+      .probeLiveQuantized(spark, root, qv, "vec_id", k = 10,
+        nProbe = 2))
+    // the drift wave: every vector wanders — the loop recenters
+    StreamingVectorIndex.applyWave(spark, root,
+      (4L until 44L).map(i =>
+          (i, vec(i, shift = 3.0 * (i % 5)), "upsert"))
+        .toDF("vec_id", "embedding", "op"),
+      1L, "vec_id", "embedding", ops, 115L, 175L, historyRetention = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/cents/gen=2")),
+      "the drift wave did not recenter")
+    // 1. the pinned plan replays its own generation bit-identically
+    assert(probeSet(pinned) == expectPinned,
+      "the MVCC recenter raced the pinned live probe")
+    // 2. a fresh pin-once probe pairs the NEW cells with the NEW
+    //    model and equals a from-scratch twin of the final state
+    val snap2 = spark.read.parquet(s"$root/snapfull/gen=2")
+      .select(col("vec_id"), col("embedding"))
+    val cents2 = spark.read.parquet(s"$root/cents/gen=2")
+    val twin = tmp("svi_rc_twin")
+    Similarity.ivfWriteIndexQuantized(snap2, cents2, "vec_id",
+      "embedding", s"$twin/index")
+    assert(probeSet(StreamingVectorIndex.probeLiveQuantized(spark,
+        root, qv, "vec_id", k = 10, nProbe = 2)) ==
+      probeSet(Similarity.ivfProbePrunedQuantized(spark, s"$twin/index",
+        cents2, qv, "vec_id", k = 10, nProbe = 2)),
+      "the fresh pin-once probe diverged from the from-scratch twin")
+  }
+
+  test("recenter MVCC, IVF-PQ: the retrained codebooks seal with the " +
+      "re-encoded cells — a live probe pinned before the recenter " +
+      "replays bit-identically, a fresh one decodes through the new " +
+      "books and equals the from-scratch twin") {
+    import spark.implicits._
+    val root = tmp("svi_pqrc_mvcc")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapIvfPq(initial, root,
+      "vec_id", "embedding", kCells = 4, m = 4, k = 8)
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble))).toDF("qvec")
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def wave(rows: Seq[(Long, Seq[Float], String)], id: Long): Unit =
+      StreamingVectorIndex.applyWaveIvfPq(spark, root,
+        rows.toDF("vec_id", "embedding", "op"), id,
+        "vec_id", "embedding", kCells = 4, m = 4, k = 8,
+        historyRetention = 4)
+    wave(corpus(40L until 44L).map { case (i, v) => (i, v, "upsert") },
+      0L)
+    val pinned = StreamingVectorIndex.probeLiveIvfPq(spark, root, qv,
+      "vec_id", k = 10, nProbe = 2)
+    val expectPinned = probeSet(StreamingVectorIndex.probeLiveIvfPq(
+      spark, root, qv, "vec_id", k = 10, nProbe = 2))
+    wave((4L until 44L).map(i =>
+      (i, vec(i, shift = 3.0 * (i % 5)), "upsert")).toSeq, 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/cents/gen=2")),
+      "the drift wave did not recenter")
+    // the pinned plan decodes its generation's cells through that
+    // generation's OWN books — the retrained live copy must not leak
+    assert(probeSet(pinned) == expectPinned,
+      "the PQ recenter raced the pinned live probe (stale books or " +
+        "swapped cells)")
+    // fresh pin-once probe ≡ from-scratch twin of the final state
+    val snap2 = spark.read.parquet(s"$root/snapfull/gen=2")
+      .select(col("vec_id"), col("embedding"))
+    val cents2 = spark.read.parquet(s"$root/cents/gen=2")
+    val twin = tmp("svi_pqrc_twin")
+    ProductQuantize.ivfPqWriteIndex(snap2, cents2, "vec_id",
+      "embedding", m = 4, k = 8, s"$twin/index")
+    assert(probeSet(StreamingVectorIndex.probeLiveIvfPq(spark, root,
+        qv, "vec_id", k = 10, nProbe = 2)) ==
+      probeSet(ProductQuantize.ivfPqProbe(spark, s"$twin/index",
+        cents2, qv, "vec_id", k = 10, nProbe = 2)),
+      "the fresh PQ pin-once probe diverged from the twin")
+  }
+
+  test("an as-of generation ABOVE the newest sealed one fails loudly " +
+      "instead of silently serving the live state") {
+    import spark.implicits._
+    val root = tmp("svi_upper")
+    StreamingVectorIndex.bootstrapQuantized(
+      corpus(0L until 20L).toDF("vec_id", "embedding"), root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((20L, vec(20L), "upsert")).toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", ops, 115L, 175L, historyRetention = 4)
+    val qv = Seq(Tuple1(vec(3L).map(_.toDouble))).toDF("qvec")
+    // newest sealed generation is 1 — gen 7 never existed
+    val e = intercept[IllegalArgumentException] {
+      StreamingVectorIndex.probeAsOfQuantized(spark, root, 7, qv,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+    }
+    assert(e.getMessage.contains("never sealed"),
+      s"wrong upper-bound message: $e")
   }
 }
