@@ -951,18 +951,10 @@ object TextAnalysis {
       .add(idCol, LongType).add("dl", LongType).add("seg", IntegerType)
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-    snap.manifest match {
-      case Some(m) =>
-        SegmentManifest.read(spark, snap.path, m, "tombstones")
-          .map(_.select(col(idCol), col("dl"),
-            col("seg").cast("int").as("seg")))
-          .getOrElse(empty)
-      case None =>
-        try spark.read.schema(tombSchema)
-          .parquet(s"${snap.path}/tombstones")
-          .select(col(idCol), col("dl"), col("seg"))
-        catch { case _: org.apache.spark.sql.AnalysisException => empty }
-    }
+    SegmentManifest.read(spark, snap.path, snap.manifest, "tombstones")
+      .map(_.select(col(idCol), col("dl"),
+        col("seg").cast("int").as("seg")))
+      .getOrElse(empty)
   }
 
   /** THE segment-scoped kill rule, shared by [[bm25ProbeSegmented]]
@@ -1629,7 +1621,6 @@ object TextAnalysis {
                         path: String, idCol: String): (Long, Long) = {
     val snap = pinSeg(spark, path)
     val base = snap.manifest
-      .getOrElse(SegmentManifest.bootstrap(spark, path))
     val segsBefore = base.segs("postings").size.toLong
     val gen = base.gen + 1
     val rev = SegmentManifest.revDir(gen)
@@ -1759,7 +1750,7 @@ object TextAnalysis {
         .minBy(j => (segs(j)._2 + segs(j + 1)._2, segs(j)._1))
       val (a, na, sa) = segs(i)
       val (b, nb, sb) = segs(i + 1)
-      val snapNow = SegSnapshot(path, Some(base))
+      val snapNow = SegSnapshot(path, base)
       val gen = base.gen + 1
       val rev = SegmentManifest.revDir(gen)
       val tombs = readTombstones(spark, snapNow, idCol)
@@ -1795,14 +1786,14 @@ object TextAnalysis {
     (folds, segs.length.toLong)
   }
 
-  /** LOUD single-writer guard for LEGACY (pre-manifest) segmented
-    * layouts only — manifest layouts read through a pinned sealed
-    * generation ([[pinSeg]]) and cannot race maintenance at all. On
-    * a legacy layout, any live maintenance staging directory left by
-    * pre-manifest code means a maintenance op died mid-commit — a
-    * racing probe must fail here instead of mis-scoring. Recovery:
-    * run any maintenance op (its first seal folds the hive tree into
-    * generation 0 and retires the staging protocol). */
+  /** Crash-debris screen for LEGACY (pre-manifest) segmented layouts:
+    * probes on such layouts pin an IN-MEMORY generation-0 manifest
+    * ([[pinSeg]]) and are snapshot-isolated from every post-manifest
+    * maintenance op — the one state a pin cannot make consistent is a
+    * hive tree left HALF-SWAPPED by pre-manifest staging code, which
+    * this guard detects by its staging directory. Recovery: run any
+    * maintenance op (its first seal folds the hive tree into a real
+    * generation and retires the staging protocol). */
   private def requireQuiescent(spark: org.apache.spark.sql.SparkSession,
                                path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1818,13 +1809,13 @@ object TextAnalysis {
   /** A PINNED read snapshot of a segmented index: the generation
     * manifest every layout read of one probe resolves through, so a
     * maintenance op sealing a new generation mid-probe changes
-    * nothing the probe sees ([[SegmentManifest]] — MVCC by default).
-    * `manifest = None` is the pre-manifest legacy layout, where
-    * reads fall back to hive-directory discovery under the advisory
-    * [[requireQuiescent]] single-writer guard. */
+    * nothing the probe sees ([[SegmentManifest]] — MVCC, the
+    * UNIVERSAL read contract: manifest-less legacy layouts pin an
+    * in-memory generation-0 manifest of their hive tree instead of
+    * riding live directory discovery, see [[pinSeg]]). */
   private final case class SegSnapshot(
       path: String,
-      manifest: Option[SegmentManifest.Manifest])
+      manifest: SegmentManifest.Manifest)
 
   /** Resolve the snapshot ONE probe reads through — called exactly
     * once per probe entry (two resolutions in one probe could
@@ -1839,14 +1830,26 @@ object TextAnalysis {
     SegmentManifest.latestGen(spark, path) match {
       case Some(g) =>
         val target = asOfGeneration.getOrElse(g)
-        SegSnapshot(path, Some(SegmentManifest.load(spark, path, target)))
+        SegSnapshot(path, SegmentManifest.load(spark, path, target))
       case None =>
         require(asOfGeneration.isEmpty,
           s"segmented index at $path has no sealed generations — " +
             "asOfGeneration needs a manifest history (write through " +
             "the maintenance ops to seal one)")
         requireQuiescent(spark, path)
-        SegSnapshot(path, None)
+        // UNIVERSAL snapshot reads (r14 verdict item 4): a manifest-less
+        // legacy layout pins an IN-MEMORY generation-0 manifest of its
+        // hive tree instead of riding live directory discovery. Sound
+        // because every post-manifest maintenance op is write-once (new
+        // segments are new dirs, rewrites go under _rev/, commits are
+        // seals) — the pinned dirs can only disappear at vacuum, which
+        // is the same retention contract every pinned reader has. No
+        // seal is written: probes are readers; two concurrent probes
+        // pin two identical in-memory snapshots. The quiescence check
+        // above still screens PRE-manifest crash debris (a half-swapped
+        // hive tree from r13-era staging protocols), the one state an
+        // in-memory pin cannot make consistent.
+        SegSnapshot(path, SegmentManifest.bootstrap(spark, path))
     }
 
   /** Seal the NEXT generation: load the latest manifest (or
@@ -1867,22 +1870,18 @@ object TextAnalysis {
     next
   }
 
-  /** One layout of a pinned snapshot, schema-identical between the
-    * manifest path (per-entry leaf reads, seg attached as a literal)
-    * and the legacy discovery path (seg inferred from the hive dirs).
-    * Layouts that can be legitimately EMPTY (tombstones, a legacy
-    * termdict) go through [[readTombstones]] / [[termDict]], which
-    * supply their fallbacks. */
+  /** One layout of a pinned snapshot: per-entry leaf reads with the
+    * segment number attached as a literal — one read shape for sealed
+    * and in-memory (legacy bootstrap) manifests alike. Layouts that
+    * can be legitimately EMPTY (tombstones, a legacy termdict) go
+    * through [[readTombstones]] / [[termDict]], which supply their
+    * fallbacks. */
   private def readLayout(spark: org.apache.spark.sql.SparkSession,
                          snap: SegSnapshot, layout: String): DataFrame =
-    snap.manifest match {
-      case Some(m) =>
-        SegmentManifest.read(spark, snap.path, m, layout).getOrElse(
-          throw new IllegalStateException(
-            s"segmented index at ${snap.path}: generation ${m.gen} " +
-              s"has no $layout members"))
-      case None => spark.read.parquet(s"${snap.path}/$layout")
-    }
+    SegmentManifest.read(spark, snap.path, snap.manifest, layout)
+      .getOrElse(throw new IllegalStateException(
+        s"segmented index at ${snap.path}: generation " +
+          s"${snap.manifest.gen} has no $layout members"))
 
   /** Live positional postings of a SEGMENTED index under a pushed
     * term predicate — the shared read path of the phrase, proximity
@@ -2174,7 +2173,7 @@ object TextAnalysis {
     import spark.implicits._
     val base = SegmentManifest.latest(spark, path)
       .getOrElse(SegmentManifest.bootstrap(spark, path))
-    val snap = SegSnapshot(path, Some(base))
+    val snap = SegSnapshot(path, base)
     val tombs = readTombstones(spark, snap, idCol)
     val minSeg = base.segs("segstats").headOption.getOrElse(
       throw new IllegalStateException(
@@ -2296,26 +2295,46 @@ object TextAnalysis {
                        deletes: DataFrame, idCol: String,
                        textCol: String, segment: Int,
                        maxSegments: Int): (Long, Long) = {
-    val base = SegmentManifest.latest(spark, path)
+    val sealedBase = SegmentManifest.latest(spark, path)
+    val base = sealedBase
       .getOrElse(SegmentManifest.bootstrap(spark, path))
-    val snap = SegSnapshot(path, Some(base))
+    val snap = SegSnapshot(path, base)
     // the replay skip-signal is the SEALED manifest entry — the seal
     // happens only after the tombstone write completed, so a crash
     // anywhere before it re-derives safely (nothing else has run:
     // the append only starts after the tombstone step), and a crash
     // after it skips, never re-deriving against a layout its own
-    // append has already changed
-    val committed = base.segs("tombstones").contains(segment)
+    // append has already changed. On the LEGACY-UPGRADE path the
+    // entry came from bootstrap's directory fold, which carries no
+    // completion evidence — there the live dir must also hold its
+    // _SUCCESS marker, or a half-written tombstone dir from a
+    // pre-manifest crash would masquerade as committed and silently
+    // truncate the wave's kill set / stats correction
+    val committed = base.segs("tombstones").contains(segment) &&
+      (sealedBase.nonEmpty || {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/tombstones/seg=$segment/_SUCCESS"))
+      })
     val maxSeg = base.segs("postings")
       .foldLeft(Int.MinValue)(math.max)
     require(committed || segment > maxSeg,
       s"bm25ApplyUpserts: segment $segment must exceed every live " +
         s"segment (max $maxSeg) — the generation rule")
     if (!committed) {
+      // a torn (no-_SUCCESS) tombstone dir the bootstrap folded in is
+      // crash garbage, not state: it must not participate in the
+      // re-derive either — its partial kill set would hide its
+      // victims from `live` and truncate the re-derived old-dl join
+      val derive =
+        if (base.segs("tombstones").contains(segment))
+          SegSnapshot(path, base.replace("tombstones", Set(segment), Nil))
+        else snap
       val live = liveAfterTombstones(
-        readLayout(spark, snap, "postings")
+        readLayout(spark, derive, "postings")
           .select(col(idCol), col("dl"), col("seg")),
-        readTombstones(spark, snap, idCol), idCol)
+        readTombstones(spark, derive, idCol), idCol)
       val allKeys = upserts.select(col(idCol))
         .unionByName(deletes.select(col(idCol))).distinct()
       // keys absent from the index (pure adds) simply produce no
@@ -2767,12 +2786,7 @@ object TextAnalysis {
     * so a dead term costs an unpruned IN entry and nothing else. */
   private def termDict(spark: org.apache.spark.sql.SparkSession,
                        snap: SegSnapshot): DataFrame = {
-    val hasDict = snap.manifest match {
-      case Some(m) => m.entries("termdict").nonEmpty
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(s"${snap.path}/termdict")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    val hasDict = snap.manifest.entries("termdict").nonEmpty
     readLayout(spark, snap, if (hasDict) "termdict" else "postings")
       .select(col("term")).distinct()
   }

@@ -755,6 +755,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probe() == direct, "replayed wave shifted the scores")
   }
 
+  test("bm25ApplyUpserts, legacy-upgrade path: a half-written " +
+      "tombstone dir without _SUCCESS is NOT a commit — the wave " +
+      "re-derives the kill set instead of silently truncating it") {
+    import spark.implicits._
+    val old = Seq((1L, "a b c"), (2L, "b c d e"), (3L, "c d"),
+      (4L, "a a b")).toDF("doc_id", "text")
+    val built = java.nio.file.Files
+      .createTempDirectory("upsucc_b").toString
+    TextAnalysis.bm25AppendSegment(old, "doc_id", "text", built, 0)
+    // clone into a LEGACY layout (hive tree, no _gen) — a pre-manifest
+    // index the upgrade path must handle
+    val dir = java.nio.file.Files
+      .createTempDirectory("upsucc").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (l <- Seq("postings", "termdict", "segstats"))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$built/$l"),
+        new org.apache.hadoop.fs.Path(s"$dir/$l")))
+    // the pre-manifest crash: a tombstone dir for the wave's segment
+    // holding only PART of the kill set (doc 2's row; doc 3's is
+    // missing) and NO _SUCCESS — treating it as committed would skip
+    // the re-derive and silently truncate the kill set
+    Seq((2L, 4L)).toDF("doc_id", "dl")
+      .coalesce(1).write.parquet(s"$dir/tombstones/seg=2")
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/tombstones/seg=2/_SUCCESS"), false))
+    val upserts = Seq((2L, "b c"), (5L, "e f g"))
+      .toDF("doc_id", "text")                  // modify 2, add 5
+    val deletes = Seq(Tuple1(3L)).toDF("doc_id")
+    TextAnalysis.bm25ApplyUpserts(spark, dir, upserts, deletes,
+      "doc_id", "text", segment = 2, maxSegments = 2)
+    val finalCorpus = Seq((1L, "a b c"), (2L, "b c"), (4L, "a a b"),
+      (5L, "e f g")).toDF("doc_id", "text")
+    val panel = Seq((0L, "b c"), (1L, "a e")).toDF("qid", "qtext")
+    val got = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = TextAnalysis.bm25TopK(finalCorpus, "doc_id", "text",
+        panel, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == direct,
+      "the torn pre-manifest tombstone dir was treated as committed " +
+        "— kill set truncated")
+  }
+
   test("bm25CompactTombstones: generations below every live segment " +
       "are dropped with the stats correction baked in; probe parity " +
       "holds and later generations survive") {
@@ -1183,6 +1230,58 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.bm25MergeSegments(spark, dir, "doc_id")
     assert(phrase(dir) == expectPhrase)
     assert(prefix(dir) == prefix(fresh))
+  }
+
+  test("snapshot isolation is the UNIVERSAL read contract: a probe " +
+      "pinned on a freshly appended index — and one pinned on a " +
+      "manifest-less LEGACY layout — both survive a concurrent first " +
+      "maintenance wave bit-identically") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a c"), (3L, "b b d"),
+      (4L, "c d")).toDF("doc_id", "text")
+    val panel = Seq((0L, "a b")).toDF("qid", "qtext")
+    def probeSet(dir: String) = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 4, "doc_id")
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    // --- fresh index: manifests from the first append
+    val fresh = java.nio.file.Files
+      .createTempDirectory("univ_fresh").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", fresh, 0)
+    val pinnedFresh = probeSet(fresh)
+    val expectFresh = collectSet(probeSet(fresh))
+    // the concurrent first maintenance wave: tombstone one of the
+    // pinned answers + merge (both seal new generations)
+    TextAnalysis.bm25Tombstone(
+      Seq((1L, 3L)).toDF("doc_id", "dl"), "doc_id", "dl", fresh, 1)
+    TextAnalysis.bm25MergeSegments(spark, fresh, "doc_id")
+    assert(collectSet(pinnedFresh) == expectFresh,
+      "maintenance raced a probe pinned on a freshly appended index")
+    assert(collectSet(probeSet(fresh)) != expectFresh,
+      "a fresh probe must see the tombstone wave")
+    // --- legacy layout (hive tree, no _gen): the probe pins an
+    // in-memory generation-0 manifest; the first maintenance op's
+    // write-once rewrites + seal leave the pinned dirs untouched
+    val legacy = java.nio.file.Files
+      .createTempDirectory("univ_legacy").toString
+    val built = java.nio.file.Files
+      .createTempDirectory("univ_built").toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", built, 0)
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (l <- Seq("postings", "termdict", "segstats"))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$built/$l"),
+        new org.apache.hadoop.fs.Path(s"$legacy/$l")))
+    val pinnedLegacy = probeSet(legacy)
+    val expectLegacy = collectSet(probeSet(legacy))
+    TextAnalysis.bm25Tombstone(
+      Seq((1L, 3L)).toDF("doc_id", "dl"), "doc_id", "dl", legacy, 1)
+    TextAnalysis.bm25MergeSegments(spark, legacy, "doc_id")
+    assert(collectSet(pinnedLegacy) == expectLegacy,
+      "maintenance raced a probe pinned on a legacy layout")
+    assert(collectSet(probeSet(legacy)) != expectLegacy,
+      "a fresh probe on the upgraded layout must see the wave")
   }
 
   test("LEGACY layouts (no manifest) still fail loudly on a live " +
