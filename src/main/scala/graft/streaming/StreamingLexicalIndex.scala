@@ -35,8 +35,38 @@ import graft.operators.TextAnalysis
   *
   * Probes pin the latest sealed generation at entry (MVCC), so they
   * may freely overlap the maintenance loop; only WRITERS stay
-  * single-writer, machine-checked by the exclusive seal. */
+  * single-writer, machine-checked by the exclusive seal.
+  *
+  * MANIFEST RETENTION: every wave seals 2–4 generations (tombstone,
+  * append, folds), and each probe entry / seal pays one `_gen/`
+  * listing that grows LINEARLY with accumulated generations —
+  * measured 3.3 ms at 10², 16.6 ms at 10³, 136 ms at 10⁴ sealed
+  * generations, while a vacuum walk is sub-second even at 10⁴
+  * (ManifestScaleProbe; PLANS.md round-15 table). Left unvacuumed, a
+  * streaming loop reaches 10⁴ generations in ~3k waves and every
+  * probe pays the 136 ms listing tax forever. So both loops vacuum
+  * every `vacuumEvery` waves, keeping `keepGenerations` (the
+  * time-travel horizon — `asOfGeneration` reads below the floor fail
+  * loudly; raise it if historical replay must reach further). The
+  * defaults (64 waves × ~3 seals ≈ 200 accumulated generations →
+  * ~5 ms listing worst case, ~0.2 s vacuum amortized over 64 waves)
+  * come from the probe table. */
 object StreamingLexicalIndex {
+
+  private def maybeVacuum(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batchId: Long,
+                          vacuumEvery: Int,
+                          keepGenerations: Int): Unit = {
+    require(vacuumEvery >= 1,
+      s"StreamingLexicalIndex: vacuumEvery must be >= 1, got $vacuumEvery")
+    require(keepGenerations >= 2,
+      "StreamingLexicalIndex: keepGenerations must be >= 2 — a probe " +
+        s"pinned one wave back must survive, got $keepGenerations")
+    if ((batchId + 1) % vacuumEvery == 0) {
+      TextAnalysis.bm25Vacuum(spark, path, keepGenerations)
+      ()
+    }
+  }
 
   /** Full-CRUD variant of [[run]]: micro-batches carry
     * `idCol | textCol | op` with op ∈ upsert/delete, and every batch
@@ -52,7 +82,8 @@ object StreamingLexicalIndex {
     * bootstrap segment — checked loudly by the wave. */
   def runUpserts(delta: DataFrame, idCol: String, textCol: String,
                  path: String, maxSegments: Int, checkpoint: String,
-                 firstSegment: Int = 1): StreamingQuery =
+                 firstSegment: Int = 1, vacuumEvery: Int = 64,
+                 keepGenerations: Int = 8): StreamingQuery =
     delta.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -71,14 +102,16 @@ object StreamingLexicalIndex {
             b.filter(org.apache.spark.sql.functions.col("op") === "delete")
               .select(idCol),
             idCol, textCol, (batchId + firstSegment).toInt, maxSegments)
-          ()
+          maybeVacuum(batch.sparkSession, path, batchId, vacuumEvery,
+            keepGenerations)
         }
       }
       .start()
 
   def run(docs: DataFrame, idCol: String, textCol: String,
-          path: String, maxSegments: Int,
-          checkpoint: String): StreamingQuery =
+          path: String, maxSegments: Int, checkpoint: String,
+          vacuumEvery: Int = 64,
+          keepGenerations: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -95,7 +128,8 @@ object StreamingLexicalIndex {
             path, batchId.toInt)
           TextAnalysis.bm25MergeSegmentsTiered(batch.sparkSession,
             path, idCol, maxSegments, protectNewest = 1)
-          ()
+          maybeVacuum(batch.sparkSession, path, batchId, vacuumEvery,
+            keepGenerations)
         }
       }
       .start()

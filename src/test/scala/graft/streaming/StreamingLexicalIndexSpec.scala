@@ -82,6 +82,62 @@ class StreamingLexicalIndexSpec extends SparkSpec {
     assert(phrase.nonEmpty)
   }
 
+  test("the loop's periodic vacuum bounds the manifest axis: " +
+      "generations stay at the retention cap, probes keep answering, " +
+      "and as-of below the floor fails loudly") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val dir = java.nio.file.Files
+      .createTempDirectory("streamlex_vac").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("streamlex_vac_ck").toString
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingLexicalIndex.run(
+      source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, maxSegments = 3, ckpt,
+      vacuumEvery = 2, keepGenerations = 2)
+    val waves = Seq(
+      Seq((1L, "spark sort merge join"), (2L, "hash join scan")),
+      Seq((3L, "merge sort window"), (4L, "table scan filter")),
+      Seq((5L, "query filter merge")),
+      Seq((6L, "sort sort sort"), (7L, "join merge hash")),
+      Seq((8L, "window table query")),
+      Seq((9L, "scan merge table"), (10L, "filter hash sort")))
+    try {
+      waves.foreach { w =>
+        source.addData(w: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // wave 6 (batchId 5) vacuumed last: exactly keepGenerations remain
+    val gens = graft.operators.SegmentManifest.generations(spark, dir)
+    assert(gens.length == 2,
+      s"vacuum cadence left ${gens.length} generations: $gens")
+    // probe parity is untouched by the manifest GC
+    val all = waves.flatten.toDF("doc_id", "text")
+    val panel = Seq((0L, "sort merge"), (1L, "table scan"))
+      .toDF("qid", "qtext")
+    val probed = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = TextAnalysis
+      .bm25TopK(all, "doc_id", "text", panel, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(probed == direct && probed.nonEmpty,
+      "vacuumed streaming index diverged from the direct scan")
+    // the time-travel floor moved with the vacuum: a generation below
+    // it is gone, loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25ProbeSegmented(spark, dir, panel, k = 10,
+        "doc_id", asOfGeneration = Some(1))
+    }
+    assert(e.getMessage.contains("no sealed generation"),
+      s"wrong floor message: $e")
+  }
+
   test("full-CRUD streaming loop: upsert and delete waves maintain " +
       "the index snapshot-free; probe equals a direct scan of the " +
       "final corpus") {
