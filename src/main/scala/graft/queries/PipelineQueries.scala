@@ -3818,25 +3818,16 @@ object PipelineQueries {
       // ES's minimum-term covering rule — candidate generation is a
       // distributed term join, never a broadcast of the query table.
       // The broadcast form stays the small-rule-set fast path; the
-      // in-builder require pins the two bit-identical on this corpus
+      // two are pinned bit-identical in the percolateIndexed spec
+      // (running BOTH forms in the benched row tripled its wall for
+      // a parity the spec already owns — r14 verdict item 5)
       val path = scratchPath("perc_qindex", dir)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       TextAnalysis.percolateWriteQueryIndex(stored, path)
-      val indexed = TextAnalysis.percolateIndexed(s, path, d,
-        "doc_id", "text")
-      val direct = TextAnalysis.percolate(d, "doc_id", "text", stored)
-      // set equality via one containment + cardinality: both sides
-      // are groupBy outputs (duplicate-free), so |ind| = |dir| and
-      // ind ∖ dir = ∅ imply equality — half the exceptAll cost
-      val nI = indexed.count()
-      val nD = direct.count()
-      val onlyI = indexed.exceptAll(direct).count()
-      require(nI == nD && onlyI == 0,
-        s"q173: indexed percolation diverged from the broadcast " +
-          s"form ($nI vs $nD pairs, $onlyI indexed-only)")
-      indexed.orderBy(col("query_id"), col("doc_id"))
+      TextAnalysis.percolateIndexed(s, path, d, "doc_id", "text")
+        .orderBy(col("query_id"), col("doc_id"))
     }),
 
     // X3 — COMPLETION SUGGEST (Lucene's suggest module): dictionary
