@@ -760,7 +760,8 @@ object ProductQuantize {
     * cd_fp_sum) — [[Similarity.ivfDriftGauges]] consumes it
     * unchanged. */
   def ivfPqDriftStats(spark: SparkSession, path: String,
-                      cents: DataFrame, idCol: String): DataFrame = {
+                      cents: DataFrame, idCol: String,
+                      cells: Option[Seq[Long]] = None): DataFrame = {
     val cb = spark.read.parquet(s"$path/codebooks")
       .select(col("subspace"), col("code"), col("cvec").as("bvec"))
     val lut = cb.crossJoin(broadcast(
@@ -776,8 +777,19 @@ object ProductQuantize {
           .cast("long").as("nn_fp"))
     val cnorm = cents.select(col("centroid_id"),
       VectorFns.norm(col("cvec")).as("_cnorm"))
-    Similarity.readQuantizedIndex(spark, s"$path/codes")
+    // `cells` restricts to the named cells (pruned scan) — the
+    // incremental-gauge read, same rule as Similarity.ivfDriftStats:
+    // per-cell stats are pure functions of the cell's codes under
+    // fixed centroids + codebooks
+    val allCodes = Similarity.readQuantizedIndex(spark, s"$path/codes")
       .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val codes = cells match {
+      case Some(cs) => allCodes.filter(col("centroid_id").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          cs.toArray): _*))
+      case None => allCodes
+    }
+    codes
       .select(col(idCol), col("centroid_id"),
         posexplode(col("codes")).as(Seq("_pos", "code")))
       .withColumn("subspace", col("_pos").cast("long"))

@@ -951,8 +951,21 @@ object Similarity {
     * convention — the statistic is addend-order-independent and an
     * external engine reproduces it from the same parquet). */
   def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
-                    indexPath: String, cents: DataFrame): DataFrame = {
-    val idx = readQuantizedIndex(spark, indexPath)
+                    indexPath: String, cents: DataFrame,
+                    cells: Option[Seq[Long]] = None): DataFrame = {
+    // `cells` restricts the scan to the named cells (partition /
+    // union-branch pruned) — the incremental-gauge read: a cell's
+    // (n, cd_fp_sum) is a pure function of its codes under FIXED
+    // centroids, so a maintenance wave recomputes only its dirty
+    // cells and carries the rest ([[graft.streaming
+    // .StreamingVectorIndex]]'s driftstats store)
+    val all = readQuantizedIndex(spark, indexPath)
+    val idx = cells match {
+      case Some(cs) => all.filter(col("centroid_id").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          cs.toArray): _*))
+      case None => all
+    }
     idx.join(broadcast(cents), Seq("centroid_id"))
       .withColumn("cd_fp", floor(
         (lit(1.0) - VectorFns.cosine(VectorFns.toDouble(col("codes")),

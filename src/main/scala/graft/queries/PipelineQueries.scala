@@ -4216,6 +4216,227 @@ object PipelineQueries {
     // so a dead term can never be suggested. Three probes on one
     // segment: a misspelling at distance 1, a worse one at distance
     // 2, and an exact term (ranks itself first at distance 0).
+    // X1/X3 × MVCC — CONCURRENT reader/writer TORTURE (r14 verdict
+    // stretch 7): snapshot isolation proven in anger instead of in
+    // sequenced specs. One corpus index; a WRITER THREAD drives four
+    // full CRUD waves (tombstones + appends + tiered folds — each
+    // sealing generations) while the main thread HAMMERS a probe plan
+    // pinned before the writer started: every racing collect must
+    // return the pinned generation's answer bit-identically, no
+    // matter which seal lands mid-collect. Output: the pinned answers
+    // (phase 0) + a fresh probe of the final state (phase 1); the
+    // oracle replays both corpus states from the raw table. Each id
+    // has at most one modifying wave (id % 17) and one deleting wave
+    // (id % 19), so the final state is a closed-form rule: alive iff
+    // modified-or-added at w ≥ its delete wave, or an untouched
+    // original (id % 3 ≠ 2).
+    "q188_mvcc_torture" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val path = scratchPath("mvcc_torture", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(
+        d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", path, 0)
+      val panel = Seq(
+        (0L, "sort merge join"), (1L, "query filter scan"))
+        .toDF("qid", "qtext")
+      // the PIN: planned (and its generation resolved) before the
+      // writer exists
+      val pinned = TextAnalysis.bm25ProbeSegmented(s, path, panel,
+        k = 10, "doc_id")
+      def rowSet(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expect = rowSet(pinned.collect())
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writer = Future {
+        // the writer thread's operator-internal caches get their own
+        // scope (the stack is thread-local)
+        graft.engine.Caching.scoped {
+          for (w <- 1 to 2) {
+            TextAnalysis.bm25ApplyUpserts(s, path,
+              d.filter(col("doc_id") % 17 === w)
+                .select(col("doc_id"),
+                  concat(col("text"), lit(s" w$w")).as("text")),
+              d.filter(col("doc_id") % 19 === w).select(col("doc_id")),
+              "doc_id", "text", segment = w, maxSegments = 2)
+          }
+        }
+      }
+      // hammer the pinned plan while the writer seals away; every
+      // answer must be the pinned generation's, bit for bit
+      var checks = 0
+      var racing = 0
+      while ({
+        val mid = writer.isCompleted
+        require(rowSet(pinned.collect()) == expect,
+          s"q188: maintenance raced the pinned probe (check $checks)")
+        checks += 1
+        if (!mid) racing += 1
+        !writer.isCompleted
+      }) ()
+      Await.result(writer, scala.concurrent.duration.Duration.Inf)
+      require(checks >= 1, "q188: the pinned probe never ran")
+      // the pinned answers, materialized driver-side (k-bounded) so
+      // the returned frame is independent of any later vacuum
+      val phase0 = expect.toSeq.sorted
+        .toDF("qid", "doc_id", "score").withColumn("phase", lit(0))
+      val phase1 = TextAnalysis.bm25ProbeSegmented(s, path, panel,
+          k = 10, "doc_id")
+        .withColumn("phase", lit(1))
+      phase0.unionByName(phase1)
+        .select(col("phase"), col("qid"), col("doc_id"), col("score"))
+        .orderBy(col("phase"), col("qid"), col("score").desc,
+          col("doc_id"))
+    }),
+
+    // X1/X2/X3 × MVCC — CROSS-FAMILY GENERATION TRAVEL (r14 verdict
+    // stretch 8): ONE corpus evolution over the SHARED id domain
+    // (documents.doc_id ≡ embeddings.vec_id) drives all three index
+    // families — the segmented lexical index, the streaming quantized
+    // IVF loop, and the streaming IVF-PQ loop — then the SAME
+    // historical state is replayed across all three time-travel axes
+    // (lexical asOfGeneration across a later full compaction; vector
+    // probeAsOfQuantized; probeAsOfIvfPq) and the oracle re-derives
+    // that one state ONCE and feeds all three scoring replays from
+    // it: if any family replayed a different corpus state, its rows
+    // hash-red. Evolution (disjoint by construction): base = id%4≠3;
+    // wave A adds id%4=3, modifies id%7=1 of base (text+' v2' /
+    // emb+0.25f), deletes id%9=2 of the untouched base — the REPLAYED
+    // state; wave B (noise the replay must see through — one
+    // single-doc upsert, enough to advance every family's live
+    // generation past the replayed one) and the lexical side then
+    // folds EVERYTHING (the as-of-generation axis survives the
+    // compaction that kills the segment-number cut). id 0 is the
+    // query vector, excluded. The
+    // row runs on the ODD-id half of the corpus: the capstone pins
+    // cross-family composition semantics — per-family scale is owned
+    // by q186/q187 and the probe tables — and three full index
+    // lifecycles on the full corpus priced it at 2x the heaviest
+    // bench row for no additional coverage.
+    "q189_crossfamily_travel" -> ((s, dir) => {
+      import s.implicits._
+      val isBase = col("id") % 4 =!= 3
+      val isMod = isBase && col("id") % 7 === 1
+      val isDel = isBase && col("id") % 7 =!= 1 && col("id") % 9 === 2
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .filter(col("id") % 2 === 1)
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+        .filter(col("id") % 2 === 1)
+      val qv = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      def scratch(n: String) = {
+        val p = scratchPath(n, dir)
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        p
+      }
+      // --- lexical: base segment, wave A (the replayed state),
+      // wave B, then the FULL fold the as-of must cross
+      val lex = scratch("xft_lex")
+      TextAnalysis.bm25AppendSegment(docs.filter(isBase)
+        .select(col("id").as("doc_id"), col("text")),
+        "doc_id", "text", lex, 0)
+      TextAnalysis.bm25ApplyUpserts(s, lex,
+        docs.filter(col("id") % 4 === 3)
+          .unionByName(docs.filter(isMod)
+            .select(col("id"), concat(col("text"), lit(" v2"))
+              .as("text")))
+          .select(col("id").as("doc_id"), col("text")),
+        docs.filter(isDel).select(col("id").as("doc_id")),
+        "doc_id", "text", segment = 1, maxSegments = 8)
+      val gMid = SegmentManifest.latestGen(s, lex).get
+      TextAnalysis.bm25ApplyUpserts(s, lex,
+        docs.filter(col("id") === 5)
+          .select(col("id").as("doc_id"),
+            concat(col("text"), lit(" v3")).as("text")),
+        docs.limit(0).select(col("id").as("doc_id")),
+        "doc_id", "text", segment = 2, maxSegments = 8)
+      TextAnalysis.bm25MergeSegments(spark = s, path = lex,
+        idCol = "doc_id")
+      // --- the two vector loops, same evolution
+      def wave(ups: DataFrame, dels: DataFrame) = ups
+        .select(col("id").as("vec_id"), col("embedding"),
+          lit("upsert").as("op"))
+        .unionByName(dels.select(col("id").as("vec_id"),
+          col("embedding"), lit("delete").as("op")))
+      def shift(df: DataFrame, by: Float) = df.select(col("id"),
+        transform(col("embedding"), x => x + lit(by)).as("embedding"))
+      val waveA = wave(
+        emb.filter(col("id") % 4 === 3)
+          .unionByName(shift(emb.filter(isMod), 0.25f)),
+        emb.filter(isDel))
+      val waveB = wave(shift(emb.filter(col("id") === 5), 0.5f),
+        emb.limit(0))
+      val vq = scratch("xft_vq")
+      val vp = scratch("xft_vp")
+      StreamingVectorIndex.bootstrapQuantized(emb.filter(isBase)
+        .select(col("id").as("vec_id"), col("embedding")),
+        vq, "vec_id", "embedding", k = 8)
+      StreamingVectorIndex.bootstrapIvfPq(emb.filter(isBase)
+        .select(col("id").as("vec_id"), col("embedding")),
+        vp, "vec_id", "embedding", kCells = 8, m = 8, k = 16)
+      // drift triggers OFF by contract (factors no corpus can breach):
+      // this scenario replays under the bootstrap model — recenters
+      // are q186/q187's territory; the guard below keeps this honest
+      for (root <- Seq(vq, vp); (w, b) <- Seq((waveA, 0L), (waveB, 1L)))
+        if (root == vq)
+          StreamingVectorIndex.applyWaveQuantized(s, root, w, b,
+            "vec_id", "embedding", k = 8,
+            cdFactorX100 = 1000000L, skewFactorX100 = 1000000L,
+            historyRetention = 8)
+        else
+          StreamingVectorIndex.applyWaveIvfPq(s, root, w, b,
+            "vec_id", "embedding", kCells = 8, m = 8, k = 16,
+            cdFactorX100 = 1000000L, skewFactorX100 = 1000000L,
+            historyRetention = 8)
+      // the oracle replays under the gen-0 models: the benign waves
+      // must not have recentered (a breach would be a scenario bug)
+      val fsv = new org.apache.hadoop.fs.Path(vq)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (root <- Seq(vq, vp); g <- Seq(1, 2))
+        require(!fsv.exists(new org.apache.hadoop.fs.Path(
+            s"$root/cents/gen=$g")),
+          s"q189: unexpected recenter at $root gen $g — the oracle " +
+            "assumes the bootstrap model governs the replayed state")
+      // cross-family corpus pin, in-row: the two vector chains
+      // reconstruct the SAME id set at the replayed generation (the
+      // lexical side's set is pinned by the shared oracle corpus CTE)
+      def snapIds(root: String) = StreamingVectorIndex
+        .readSnapshot(s, root, 1, "vec_id", "embedding")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val (idsQ, idsP) = (snapIds(vq), snapIds(vp))
+      require(idsQ == idsP,
+        s"q189: the two vector chains replayed different corpora at " +
+          s"gen 1 (${idsQ.size} vs ${idsP.size} ids)")
+      // --- the three replays of the ONE mid state
+      val panel = Seq((0L, "sort merge join"), (1L, "query filter v2"))
+        .toDF("qid", "qtext")
+      val lexDf = TextAnalysis.bm25ProbeSegmented(s, lex, panel,
+          k = 10, "doc_id", asOfGeneration = Some(gMid))
+        .select(lit("lexical").as("family"), col("qid"),
+          col("doc_id").as("id"), col("score"))
+      val vqDf = StreamingVectorIndex.probeAsOfQuantized(s, vq, 1,
+          qv, "vec_id", "embedding", k = 10, nProbe = 3)
+        .select(lit("ivf_q").as("family"), lit(0L).as("qid"),
+          col("vec_id").as("id"), col("qsim").as("score"))
+      val vpDf = StreamingVectorIndex.probeAsOfIvfPq(s, vp, 1,
+          qv, "vec_id", "embedding", k = 10, nProbe = 3)
+        .select(lit("ivf_pq").as("family"), lit(0L).as("qid"),
+          col("vec_id").as("id"), col("adc_score").as("score"))
+      lexDf.unionByName(vqDf).unionByName(vpDf)
+        .orderBy(col("family"), col("qid"), col("score").desc,
+          col("id"))
+    }),
+
     "q162_spell_suggest" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = fxDocsBm25(s, dir)
@@ -6460,6 +6681,196 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // the torture row's two corpus states, each scored by the one
+    // BM25 arithmetic: phase 0 = the pinned pre-writer corpus
+    // (originals, id % 3 <> 2); phase 1 = the closed-form final state
+    // (each id has at most one modifying wave — id % 17 in 1..2 —
+    // and one deleting wave — id % 19 in 1..2; alive iff modified at
+    // w >= its delete wave, or untouched original)
+    "q188_mvcc_torture" ->
+      """WITH ini AS (SELECT doc_id, coalesce(text, '') AS text
+        |  FROM documents WHERE doc_id % 3 <> 2),
+        |fin AS (SELECT doc_id,
+        |    CASE WHEN mod_w IS NOT NULL
+        |         THEN c || ' w' || CAST(mod_w AS VARCHAR)
+        |         ELSE c END AS text
+        |  FROM (SELECT doc_id, coalesce(text, '') AS c,
+        |          CASE WHEN doc_id % 17 BETWEEN 1 AND 2
+        |               THEN doc_id % 17 END AS mod_w,
+        |          CASE WHEN doc_id % 19 BETWEEN 1 AND 2
+        |               THEN doc_id % 19 END AS del_w
+        |        FROM documents)
+        |  WHERE (mod_w IS NOT NULL AND (del_w IS NULL OR mod_w >= del_w))
+        |     OR (doc_id % 3 <> 2 AND mod_w IS NULL AND del_w IS NULL)),
+        |q AS (SELECT * FROM (VALUES (0, 'sort merge join'),
+        |        (1, 'query filter scan')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |ti AS (SELECT doc_id, string_split(text, ' ') AS t FROM ini),
+        |tci AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM ti),
+        |tfi AS (SELECT doc_id, dl, term, count(*) AS tf
+        |        FROM tci GROUP BY 1, 2, 3),
+        |dfi AS (SELECT term, count(*) AS df FROM tfi GROUP BY 1),
+        |sti AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM ti),
+        |k0 AS (SELECT 0 AS phase, qid, doc_id, score FROM (
+        |  SELECT qt.qid, tfi.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    row_number() OVER (PARTITION BY qt.qid ORDER BY
+        |      round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |          (df + 0.5)) *
+        |        (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |        * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) DESC, tfi.doc_id)
+        |      AS rn
+        |  FROM tfi JOIN qt USING (term) JOIN dfi USING (term)
+        |  CROSS JOIN sti GROUP BY qt.qid, tfi.doc_id, n_docs, avgdl)
+        |  WHERE rn <= 10),
+        |tn AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+        |tcn AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tn),
+        |tfn AS (SELECT doc_id, dl, term, count(*) AS tf
+        |        FROM tcn GROUP BY 1, 2, 3),
+        |dfn AS (SELECT term, count(*) AS df FROM tfn GROUP BY 1),
+        |stn AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM tn),
+        |k1 AS (SELECT 1 AS phase, qid, doc_id, score FROM (
+        |  SELECT qt.qid, tfn.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    row_number() OVER (PARTITION BY qt.qid ORDER BY
+        |      round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |          (df + 0.5)) *
+        |        (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |        * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) DESC, tfn.doc_id)
+        |      AS rn
+        |  FROM tfn JOIN qt USING (term) JOIN dfn USING (term)
+        |  CROSS JOIN stn GROUP BY qt.qid, tfn.doc_id, n_docs, avgdl)
+        |  WHERE rn <= 10)
+        |SELECT phase, qid, doc_id, score FROM
+        |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1)
+        |ORDER BY phase, qid, score DESC, doc_id""".stripMargin,
+
+    // the cross-family capstone: ONE alive-rule CTE derives the
+    // replayed mid state (wave A applied, wave B and the fold unseen),
+    // and all three engines' as-of answers must score off exactly
+    // that corpus — lexical BM25 (q122 arithmetic), quantized cosine
+    // (q186 arithmetic, gen-0 model), PQ integer ADC (q187
+    // arithmetic, gen-0 centroids + books)
+    "q189_crossfamily_travel" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id % 2 = 1 AND (doc_id % 4 = 3
+        |     OR (doc_id % 4 <> 3 AND doc_id % 7 = 1)
+        |     OR (doc_id % 4 <> 3 AND doc_id % 7 <> 1
+        |         AND doc_id % 9 <> 2))),
+        |txt AS (SELECT id,
+        |    CASE WHEN id % 4 <> 3 AND id % 7 = 1 THEN c || ' v2'
+        |         ELSE c END AS text
+        |  FROM (SELECT ids.id, coalesce(d.text, '') AS c
+        |        FROM ids JOIN documents d ON d.doc_id = ids.id)),
+        |vecs AS (SELECT id,
+        |    CASE WHEN id % 4 <> 3 AND id % 7 = 1
+        |         THEN list_transform(e.embedding,
+        |                x -> CAST(x + 0.25 AS FLOAT))
+        |         ELSE e.embedding END AS v
+        |  FROM ids JOIN embeddings e ON e.vec_id = ids.id),
+        |q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+        |      WHERE vec_id = 0),
+        |pq AS (SELECT * FROM (VALUES (0, 'sort merge join'),
+        |        (1, 'query filter v2')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM pq),
+        |tl AS (SELECT id, string_split(text, ' ') AS t FROM txt),
+        |tc AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM tl),
+        |tf AS (SELECT id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM tl),
+        |lex AS (SELECT 'lexical' AS family, qid, id, score FROM (
+        |  SELECT qt.qid, tf.id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score,
+        |    row_number() OVER (PARTITION BY qt.qid ORDER BY
+        |      round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |          (df + 0.5)) *
+        |        (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |        * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) DESC, tf.id) AS rn
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN st GROUP BY qt.qid, tf.id, n_docs, avgdl)
+        |  WHERE rn <= 10),
+        |cq AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/xft_vq_{SFHASH}/cents/gen=0/*.parquet')),
+        |pqq AS (SELECT cid FROM cq, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qvec), cid
+        |        LIMIT 3),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qvec, x -> 0.0)
+        |              ELSE list_transform(qvec, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qvec, list_max(list_transform(qvec,
+        |          x -> abs(x))) / 127.0 AS s FROM q)),
+        |aq AS (SELECT vecs.id AS vid,
+        |         arg_min(cq.cid,
+        |           1 - list_cosine_similarity(vecs.v::DOUBLE[], cq.cv))
+        |           AS cid
+        |       FROM vecs, cq GROUP BY vecs.id),
+        |vq AS (
+        |  SELECT id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x)))
+        |            / 127.0 AS s
+        |        FROM vecs)),
+        |kq AS (SELECT 'ivf_q' AS family, 0 AS qid, id,
+        |         round(list_cosine_similarity(codes,
+        |           (SELECT qc FROM qq)), 4) AS score
+        |       FROM vq JOIN aq ON vq.id = aq.vid
+        |       WHERE aq.cid IN (SELECT cid FROM pqq)
+        |       ORDER BY score DESC, id LIMIT 10),
+        |cp AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/xft_vp_{SFHASH}/cents/gen=0/*.parquet')),
+        |ppp AS (SELECT cid FROM cp, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qvec), cid
+        |        LIMIT 3),
+        |cb AS (SELECT subspace, code, cvec FROM
+        |  read_parquet('{SCRATCH}/xft_vp_{SFHASH}/books/gen=0/*.parquet')),
+        |ip AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qvec[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb, q),
+        |ap AS (SELECT vecs.id AS vid,
+        |         arg_min(cp.cid,
+        |           1 - list_cosine_similarity(vecs.v::DOUBLE[], cp.cv))
+        |           AS cid
+        |       FROM vecs, cp GROUP BY vecs.id),
+        |mem AS (SELECT vecs.id,
+        |    list_transform(vecs.v::DOUBLE[],
+        |      x -> x / sqrt(list_inner_product(vecs.v::DOUBLE[],
+        |                                       vecs.v::DOUBLE[]))) AS uv
+        |  FROM vecs JOIN ap ON vecs.id = ap.vid
+        |  WHERE ap.cid IN (SELECT cid FROM ppp)),
+        |enc AS (SELECT id, subspace, code FROM (
+        |    SELECT mem.id, cb.subspace, cb.code,
+        |      row_number() OVER (PARTITION BY mem.id, cb.subspace
+        |        ORDER BY list_distance(cb.cvec,
+        |          uv[(cb.subspace * 8 + 1):(cb.subspace * 8 + 8)]),
+        |          cb.code) AS rn
+        |    FROM mem, cb) WHERE rn = 1),
+        |kp AS (SELECT 'ivf_pq' AS family, 0 AS qid, id,
+        |    round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS score
+        |  FROM enc JOIN ip USING (subspace, code)
+        |  GROUP BY id ORDER BY score DESC, id LIMIT 10)
+        |SELECT family, qid, id, score FROM
+        |  (SELECT * FROM lex UNION ALL SELECT * FROM kq
+        |   UNION ALL SELECT * FROM kp)
+        |ORDER BY family, qid, score DESC, id""".stripMargin,
 
     // q115's oracle verbatim again: the TIERED merge — folds, pair
     // renumbering, retained tombstones, summed stats partials — must

@@ -114,11 +114,18 @@ object StreamingVectorIndex {
   /** The family-specific pieces: the int8 quantized IVF file and the
     * IVF-PQ layout run the identical wave protocol. */
   private[graft] sealed trait IndexOps {
+    /** Cell-incremental refresh; returns the DIRTY cell ids (the
+      * ≤|cells| driver-side list the underlying refresh already
+      * produces) so the wave's drift-stat update can stay
+      * delta-bounded. */
     def refresh(spark: SparkSession, root: String, cents: DataFrame,
                 upserts: DataFrame, changes: DataFrame, idCol: String,
-                vecCol: String): Unit
-    def gauges(spark: SparkSession, root: String, cents: DataFrame,
-               idCol: String): (Long, Long)
+                vecCol: String): Seq[Long]
+    /** Per-cell drift stats (centroid_id, n, mean_cd, cd_fp_sum) of
+      * the index under `cents` — restricted to `cells` when given
+      * (the pruned incremental read; None = full scan). */
+    def driftStats(spark: SparkSession, root: String, cents: DataFrame,
+                   idCol: String, cells: Option[Seq[Long]]): DataFrame
     /** Full rebuild under the generation-`gen` model — MVCC-committed
       * (write-once `_rev` cells + one exclusive seal), so a live
       * probe pinned before a recenter keeps its generation's
@@ -143,7 +150,7 @@ object StreamingVectorIndex {
       extends IndexOps {
     def refresh(spark: SparkSession, root: String, cents: DataFrame,
                 upserts: DataFrame, changes: DataFrame, idCol: String,
-                vecCol: String): Unit = {
+                vecCol: String): Seq[Long] =
       // MVCC commit: the wave's dirty cells land write-once + one
       // exclusive seal, so LIVE probes pinned before the seal never
       // race this refresh (the dynamic-overwrite window is gone); the
@@ -151,8 +158,6 @@ object StreamingVectorIndex {
       Similarity.ivfRefreshQuantizedIncremental(spark, s"$root/index",
         cents, upserts, changes, idCol, vecCol, s"$root/staging",
         mvcc = true)
-      ()
-    }
     /** Bound the write-once cell history: keep enough generations
       * for in-flight pinned probes (the retention dial), reclaim the
       * rest — a per-wave driver-side sweep. */
@@ -162,10 +167,9 @@ object StreamingVectorIndex {
         Similarity.ivfVacuumQuantized(spark, s"$root/index", keep)
         ()
       }
-    def gauges(spark: SparkSession, root: String, cents: DataFrame,
-               idCol: String): (Long, Long) =
-      Similarity.ivfDriftGauges(
-        Similarity.ivfDriftStats(spark, s"$root/index", cents))
+    def driftStats(spark: SparkSession, root: String, cents: DataFrame,
+                   idCol: String, cells: Option[Seq[Long]]): DataFrame =
+      Similarity.ivfDriftStats(spark, s"$root/index", cents, cells)
     def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
                 vecCol: String, root: String, gen: Int): Unit =
       Similarity.ivfRebuildQuantizedMvcc(snapshot.sparkSession,
@@ -178,14 +182,12 @@ object StreamingVectorIndex {
                                     seed: Long) extends IndexOps {
     def refresh(spark: SparkSession, root: String, cents: DataFrame,
                 upserts: DataFrame, changes: DataFrame, idCol: String,
-                vecCol: String): Unit = {
+                vecCol: String): Seq[Long] =
       // same refresh-wave MVCC as the quantized loop: write-once
       // cell revs under codes/_rev + one exclusive seal
       ProductQuantize.ivfPqRefreshIncremental(spark, s"$root/index",
         cents, upserts, changes, idCol, vecCol, s"$root/staging",
         mvcc = true)
-      ()
-    }
     override def vacuumIndex(spark: SparkSession, root: String,
                              keep: Int): Unit =
       if (SegmentManifest.generations(spark,
@@ -194,11 +196,10 @@ object StreamingVectorIndex {
           Seq(SegmentManifest.CellLayout, SegmentManifest.BooksLayout))
         ()
       }
-    def gauges(spark: SparkSession, root: String, cents: DataFrame,
-               idCol: String): (Long, Long) =
-      Similarity.ivfDriftGauges(
-        ProductQuantize.ivfPqDriftStats(spark, s"$root/index", cents,
-          idCol))
+    def driftStats(spark: SparkSession, root: String, cents: DataFrame,
+                   idCol: String, cells: Option[Seq[Long]]): DataFrame =
+      ProductQuantize.ivfPqDriftStats(spark, s"$root/index", cents,
+        idCol, cells)
     // a recenter retrains BOTH artifacts (centroids and codebooks) —
     // the ivfPqRefreshOrRecenter contract; the retrained books seal
     // in the SAME manifest as the re-encoded cells
@@ -237,6 +238,61 @@ object StreamingVectorIndex {
                            gen: Int): (Long, Long) = {
     val r = spark.read.parquet(s"$root/baseline/gen=$gen").head()
     (r.getAs[Long]("skew_x100"), r.getAs[Long]("mean_cd_fp"))
+  }
+
+  /** Write generation `gen`'s per-cell drift stats (≤|cells| rows,
+    * one coalesced file) and return the GAUGES folded from the
+    * WRITTEN file — the artifact is the wave's decision input AND the
+    * next wave's carried baseline, so the fold must read what was
+    * stored, not what was planned. Prunes stats generations below the
+    * keep floor (only the newest is ever read; the floor keeps the
+    * previous one for the replay of the current wave). */
+  private def commitDriftStats(spark: SparkSession, root: String,
+                               gen: Int, stats: DataFrame,
+                               keepBelow: Int): (Long, Long) = {
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/driftstats/gen=$gen")
+    val fs = fsOf(spark, root)
+    for (g <- gens(spark, root, "driftstats")
+        if g < gen - math.max(keepBelow, 1)) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/driftstats/gen=$g")
+      require(fs.delete(p, true) || !fs.exists(p),
+        s"StreamingVectorIndex: failed to GC drift stats gen=$g")
+    }
+    Similarity.ivfDriftGauges(
+      spark.read.parquet(s"$root/driftstats/gen=$gen"))
+  }
+
+  /** The wave's post-refresh drift stats, DELTA-BOUNDED (the scale
+    * fix the per-wave full-index gauge needed): a cell's
+    * (n, cd_fp_sum) is a pure function of its codes under FIXED
+    * centroids, so only the wave's DIRTY cells are rescanned (a
+    * pruned read) and every clean cell's row is carried verbatim
+    * from the previous generation's stats artifact. Falls back to
+    * one full scan when no artifact exists yet (bootstrap of the
+    * store, or a legacy root). Bit-identical to the full scan by
+    * construction — the parity spec pins it, emptied cells
+    * included (a cell whose rows all died simply has no recomputed
+    * row). */
+  private def waveDriftStats(spark: SparkSession, root: String,
+                             ops: IndexOps, cents: DataFrame,
+                             idCol: String, gen: Int,
+                             dirty: Seq[Long]): DataFrame = {
+    val prevGens = gens(spark, root, "driftstats").filter(_ < gen)
+    prevGens.maxOption match {
+      case Some(pg) =>
+        val prev = spark.read.parquet(s"$root/driftstats/gen=$pg")
+          .select(col("centroid_id"), col("n"), col("mean_cd"),
+            col("cd_fp_sum"))
+        if (dirty.isEmpty) prev
+        else prev.filter(!col("centroid_id").isin(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              dirty.toArray): _*))
+          .unionByName(
+            ops.driftStats(spark, root, cents, idCol, Some(dirty)))
+      case None =>
+        ops.driftStats(spark, root, cents, idCol, None)
+    }
   }
 
   private def writeModel(spark: SparkSession, root: String, gen: Int,
@@ -366,7 +422,11 @@ object StreamingVectorIndex {
       .localCheckpoint() // pin the fit: consumers re-plan it otherwise
     ops.rebuild(snap, cents2, idCol, vecCol, root, gen)
     ops.snapshotModel(spark, root, gen)
-    val bl2 = ops.gauges(spark, root, cents2, idCol)
+    // the rebuild re-encoded everything, so the stats artifact resets
+    // with one full scan (the recenter pays the corpus read anyway);
+    // subsequent waves go back to dirty-cell increments
+    val bl2 = commitDriftStats(spark, root, gen,
+      ops.driftStats(spark, root, cents2, idCol, None), retain)
     writeModel(spark, root, gen, cents2, bl2)
     val fs = fsOf(spark, root)
     require(fs.delete(markerPath(root), false) ||
@@ -452,14 +512,21 @@ object StreamingVectorIndex {
       val mGen = gens(spark, root, "cents").max
       val cents = spark.read.parquet(s"$root/cents/gen=$mGen")
       val baseline = readBaseline(spark, root, mGen)
-      ops.refresh(spark, root, cents, upserts, changes, idCol, vecCol)
-      // 4. drift decision — sealed BEFORE the rebuild (replay-safety
-      //    step 4), then executed by the same deterministic path the
-      //    recovery replays (which also materializes the fold as the
-      //    new full snapshot — the recenter pays the corpus read
-      //    anyway, so it doubles as a chain compaction)
-      if (Similarity.driftBreached(
-          ops.gauges(spark, root, cents, idCol), baseline,
+      val dirty = ops.refresh(spark, root, cents, upserts, changes,
+        idCol, vecCol)
+      // 4. drift decision — DELTA-BOUNDED: the gauges fold the stats
+      //    artifact, whose dirty cells were just rescanned (pruned)
+      //    and whose clean cells carried over; bit-identical to the
+      //    old full-index scan (parity spec) at delta cost. Sealed
+      //    BEFORE the rebuild (replay-safety step 4), then executed
+      //    by the same deterministic path the recovery replays (which
+      //    also materializes the fold as the new full snapshot — the
+      //    recenter pays the corpus read anyway, so it doubles as a
+      //    chain compaction)
+      val gauges = commitDriftStats(spark, root, gen,
+        waveDriftStats(spark, root, ops, cents, idCol, gen, dirty),
+        historyRetention)
+      if (Similarity.driftBreached(gauges, baseline,
           cdFactorX100, skewFactorX100)) {
         val out = fs.create(markerPath(root), true)
         try out.write(gen.toString.getBytes("UTF-8"))

@@ -642,6 +642,70 @@ class StreamingVectorIndexSpec extends SparkSpec {
       "the fresh PQ pin-once probe diverged from the twin")
   }
 
+  test("delta-bounded drift gauges: the carried stats artifact " +
+      "equals a full-index rescan bit-for-bit across waves — " +
+      "including a wave that empties a whole cell — for both loops") {
+    import spark.implicits._
+    def statsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("centroid_id"), col("n"), col("cd_fp_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // --- quantized loop
+    val root = tmp("svi_incstats")
+    StreamingVectorIndex.bootstrapQuantized(
+      corpus(0L until 40L).toDF("vec_id", "embedding"), root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    val cents0 = spark.read.parquet(s"$root/cents/gen=0")
+      .localCheckpoint()
+    StreamingVectorIndex.applyWave(spark, root,
+      (Seq((40L, vec(40L), "upsert"), (3L, vec(3L, 0.01), "upsert"),
+        (7L, vec(7L), "delete")))
+        .toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", ops, 1000000L, 1000000L,
+      historyRetention = 4)
+    assert(statsSet(spark.read.parquet(s"$root/driftstats/gen=1")) ==
+      statsSet(Similarity.ivfDriftStats(spark, s"$root/index", cents0)),
+      "carried stats diverged from the full rescan after wave 0")
+    // empty out one whole cell: delete every member of the smallest
+    val members = Similarity.readQuantizedIndex(spark, s"$root/index")
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val victimCell = members.groupBy(_._2).minBy(_._2.length)._1
+    val victims = members.filter(_._2 == victimCell).map(_._1)
+    // triggers OFF: emptying a cell spikes the skew gauge by design —
+    // this spec pins stats parity under a FIXED model (a recenter
+    // resets the artifact with its own full scan anyway)
+    StreamingVectorIndex.applyWave(spark, root,
+      victims.toSeq.map(i => (i, vec(i), "delete"))
+        .toDF("vec_id", "embedding", "op"),
+      1L, "vec_id", "embedding", ops, 1000000L, 1000000L,
+      historyRetention = 4)
+    val carried = statsSet(
+      spark.read.parquet(s"$root/driftstats/gen=2"))
+    assert(carried ==
+      statsSet(Similarity.ivfDriftStats(spark, s"$root/index", cents0)),
+      "carried stats diverged after the cell-emptying wave")
+    assert(!carried.exists(_._1 == victimCell),
+      "the emptied cell kept a stats row")
+    // --- IVF-PQ loop, same parity
+    val rootP = tmp("svi_incstats_pq")
+    StreamingVectorIndex.bootstrapIvfPq(
+      corpus(0L until 40L).toDF("vec_id", "embedding"), rootP,
+      "vec_id", "embedding", kCells = 4, m = 4, k = 8)
+    val centsP = spark.read.parquet(s"$rootP/cents/gen=0")
+      .localCheckpoint()
+    StreamingVectorIndex.applyWaveIvfPq(spark, rootP,
+      Seq((41L, vec(41L), "upsert"), (5L, vec(5L, 0.01), "upsert"),
+        (9L, vec(9L), "delete")).toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", kCells = 4, m = 4, k = 8,
+      historyRetention = 4)
+    assert(statsSet(spark.read.parquet(s"$rootP/driftstats/gen=1")) ==
+      statsSet(ProductQuantize.ivfPqDriftStats(spark, s"$rootP/index",
+        centsP, "vec_id")),
+      "PQ carried stats diverged from the full rescan")
+  }
+
   test("an as-of generation ABOVE the newest sealed one fails loudly " +
       "instead of silently serving the live state") {
     import spark.implicits._
