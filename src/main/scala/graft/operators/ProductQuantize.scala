@@ -495,7 +495,11 @@ object ProductQuantize {
           .parquet(s"$indexPath/${mf.entries("books").last.loc}")
         (codes, books)
       case _ =>
-        (Similarity.readQuantizedIndex(spark, indexPath),
+        // legacy/manifest-less: plain reads — NOT readQuantizedIndex,
+        // whose centroid normalization would break the FLAT (cell-less)
+        // PQ store pqProbeADCMulti also serves; hive layouts keep
+        // their centroid_id partition column as discovered
+        (spark.read.parquet(indexPath),
           spark.read.parquet(s"$path/codebooks"))
     }
   }
