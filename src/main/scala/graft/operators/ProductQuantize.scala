@@ -825,23 +825,38 @@ object ProductQuantize {
       newSnap: DataFrame, changes: DataFrame, idCol: String,
       vecCol: String, stagingPath: String, baseline: (Long, Long),
       kCells: Int, m: Int, k: Int, seed: Long = 42L,
-      cdFactorX100: Long = 115L, skewFactorX100: Long = 175L)
-      : (DataFrame, (Long, Long), Boolean) = {
-    ivfPqRefreshIncremental(spark, path, cents, newSnap, changes,
-      idCol, vecCol, stagingPath)
+      cdFactorX100: Long = 115L, skewFactorX100: Long = 175L,
+      prevStats: Option[DataFrame] = None)
+      : (DataFrame, (Long, Long), Boolean, DataFrame) = {
+    val dirty = ivfPqRefreshIncremental(spark, path, cents, newSnap,
+      changes, idCol, vecCol, stagingPath)
+    // delta-bounded gauges under a carried stats frame — the
+    // [[Similarity.ivfRefreshOrRecenter]] discipline, PQ flavor
+    // (stats from the codes alone, so the dirty-cell rescan is the
+    // pruned LUT fold); eagerly pinned for the same reason (a lazy
+    // carry would re-read rewritten cells next wave)
+    val stats = (prevStats match {
+      case Some(prev) if dirty.nonEmpty =>
+        prev.filter(!col("centroid_id").isin(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              dirty.toArray): _*))
+          .unionByName(ivfPqDriftStats(spark, path, cents, idCol,
+            Some(dirty)))
+      case Some(prev) => prev
+      case None => ivfPqDriftStats(spark, path, cents, idCol)
+    }).localCheckpoint()
     val drifted = Similarity.driftBreached(
-      Similarity.ivfDriftGauges(
-        ivfPqDriftStats(spark, path, cents, idCol)),
+      Similarity.ivfDriftGauges(stats),
       baseline, cdFactorX100, skewFactorX100)
-    if (!drifted) (cents, baseline, false)
+    if (!drifted) (cents, baseline, false, stats)
     else {
       val cents2 = Similarity
         .learnedCentroids(newSnap, vecCol, kCells, seed)
         .localCheckpoint()
       ivfPqWriteIndex(newSnap, cents2, idCol, vecCol, m, k, path, seed)
-      val baseline2 = Similarity.ivfDriftGauges(
-        ivfPqDriftStats(spark, path, cents2, idCol))
-      (cents2, baseline2, true)
+      val stats2 = ivfPqDriftStats(spark, path, cents2, idCol)
+        .localCheckpoint()
+      (cents2, Similarity.ivfDriftGauges(stats2), true, stats2)
     }
   }
 

@@ -1034,21 +1034,40 @@ object Similarity {
       cents: DataFrame, newSnap: DataFrame, changes: DataFrame,
       idCol: String, vecCol: String, stagingPath: String,
       baseline: (Long, Long), k: Int, seed: Long = 42L,
-      cdFactorX100: Long = 115L, skewFactorX100: Long = 175L)
-      : (DataFrame, (Long, Long), Boolean) = {
-    ivfRefreshQuantizedIncremental(spark, indexPath, cents, newSnap,
-      changes, idCol, vecCol, stagingPath)
-    val drifted = driftBreached(
-      ivfDriftGauges(ivfDriftStats(spark, indexPath, cents)),
+      cdFactorX100: Long = 115L, skewFactorX100: Long = 175L,
+      prevStats: Option[DataFrame] = None)
+      : (DataFrame, (Long, Long), Boolean, DataFrame) = {
+    val dirty = ivfRefreshQuantizedIncremental(spark, indexPath, cents,
+      newSnap, changes, idCol, vecCol, stagingPath)
+    // DELTA-BOUNDED gauges when the caller carries the previous
+    // wave's per-cell stats: a cell's (n, cd_fp_sum) is a pure
+    // function of its codes under FIXED centroids, so only the dirty
+    // cells rescan (pruned read) and clean rows carry over — the
+    // streaming loop's driftstats discipline, threaded functionally.
+    // Eagerly pinned (tiny, ≤|cells| rows): a lazily carried frame
+    // would re-read cells the NEXT wave has already rewritten.
+    val stats = (prevStats match {
+      case Some(prev) if dirty.nonEmpty =>
+        prev.filter(!col("centroid_id").isin(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              dirty.toArray): _*))
+          .unionByName(ivfDriftStats(spark, indexPath, cents,
+            Some(dirty)))
+      case Some(prev) => prev
+      case None => ivfDriftStats(spark, indexPath, cents)
+    }).localCheckpoint()
+    val drifted = driftBreached(ivfDriftGauges(stats),
       baseline, cdFactorX100, skewFactorX100)
-    if (!drifted) (cents, baseline, false)
+    if (!drifted) (cents, baseline, false, stats)
     else {
       val cents2 = learnedCentroids(newSnap, vecCol, k, seed)
         .localCheckpoint() // pin the fit: consumers re-plan it otherwise
       ivfWriteIndexQuantized(newSnap, cents2, idCol, vecCol, indexPath)
-      val baseline2 =
-        ivfDriftGauges(ivfDriftStats(spark, indexPath, cents2))
-      (cents2, baseline2, true)
+      // the rebuild re-encoded everything: stats reset with the full
+      // scan the recenter pays anyway
+      val stats2 = ivfDriftStats(spark, indexPath, cents2)
+        .localCheckpoint()
+      (cents2, ivfDriftGauges(stats2), true, stats2)
     }
   }
 

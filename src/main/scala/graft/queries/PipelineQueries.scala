@@ -2959,9 +2959,9 @@ object PipelineQueries {
       val changes1 = base.select(col("vec_id"),
         when(col("vec_id") % 97 === 1, lit("modified"))
           .otherwise(lit("unchanged")).as("status"))
-      val (c1, b1, rec1) = Similarity.ivfRefreshOrRecenter(s, idxPath,
-        cents0, snap1, changes1, "vec_id", "embedding", stagePath,
-        baseline, k)
+      val (c1, b1, rec1, st1) = Similarity.ivfRefreshOrRecenter(s,
+        idxPath, cents0, snap1, changes1, "vec_id", "embedding",
+        stagePath, baseline, k)
       require(!rec1, "q136: benign wave must not recenter")
       // wave 2 — a third of the corpus drifts hard (the IvfDriftProbe
       // direction at full magnitude): displacement gauge breaches
@@ -2974,8 +2974,9 @@ object PipelineQueries {
       val changes2 = base.select(col("vec_id"),
         when(col("vec_id") % 3 === 0, lit("modified"))
           .otherwise(lit("unchanged")).as("status"))
-      val (c2, _, rec2) = Similarity.ivfRefreshOrRecenter(s, idxPath,
-        c1, snap2, changes2, "vec_id", "embedding", stagePath, b1, k)
+      val (c2, _, rec2, _) = Similarity.ivfRefreshOrRecenter(s, idxPath,
+        c1, snap2, changes2, "vec_id", "embedding", stagePath, b1, k,
+        prevStats = Some(st1))
       require(rec2, "q136: hard-drift wave must recenter")
       // probe parity on the rebuilt index: all cells probed ⇒ the only
       // loss is int8 quantization; exact brute force is the truth
@@ -4655,8 +4656,8 @@ object PipelineQueries {
       val changes1 = base.select(col("vec_id"),
         when(col("vec_id") % 97 === 1, lit("modified"))
           .otherwise(lit("unchanged")).as("status"))
-      val (c1, b1, rec1) = ProductQuantize.ivfPqRefreshOrRecenter(s,
-        path, cents0, snap1, changes1, "vec_id", "embedding",
+      val (c1, b1, rec1, st1) = ProductQuantize.ivfPqRefreshOrRecenter(
+        s, path, cents0, snap1, changes1, "vec_id", "embedding",
         stagePath, baseline, kCells, m = 8, k = 16)
       require(!rec1, "q143: benign wave must not recenter")
       val snap2 = snap1.select(col("vec_id"),
@@ -4668,9 +4669,9 @@ object PipelineQueries {
       val changes2 = base.select(col("vec_id"),
         when(col("vec_id") % 3 === 0, lit("modified"))
           .otherwise(lit("unchanged")).as("status"))
-      val (c2, _, rec2) = ProductQuantize.ivfPqRefreshOrRecenter(s,
+      val (c2, _, rec2, _) = ProductQuantize.ivfPqRefreshOrRecenter(s,
         path, c1, snap2, changes2, "vec_id", "embedding", stagePath,
-        b1, kCells, m = 8, k = 16)
+        b1, kCells, m = 8, k = 16, prevStats = Some(st1))
       require(rec2, "q143: hard-drift wave must recenter")
       c2.coalesce(1).write.mode("overwrite").parquet(centsPath)
       val centsR = s.read.parquet(centsPath)

@@ -93,16 +93,17 @@ object IvfDriftProbe {
       Similarity.ivfDriftStats(spark, idxFixed, cents0))
     println(s"PROBE wave=0 baseline(skew,cdFp)=$baseline")
     var centsG = cents0
+    var statsG: Option[org.apache.spark.sql.DataFrame] = None
     var prev = s0
     for (t <- 1 to waves) {
       val cur = snap(t)
       val changes = Upsert.diffByKey(sig(prev), sig(cur), "vec_id", "sig")
       Similarity.ivfRefreshQuantizedIncremental(spark, idxFixed, cents0,
         cur, changes, "vec_id", "embedding", s"$scratch/stage_f")
-      val (cg, b2, rec) = Similarity.ivfRefreshOrRecenter(spark, idxGuard,
-        centsG, cur, changes, "vec_id", "embedding", s"$scratch/stage_g",
-        baseline, k)
-      centsG = cg; baseline = b2
+      val (cg, b2, rec, stG) = Similarity.ivfRefreshOrRecenter(spark,
+        idxGuard, centsG, cur, changes, "vec_id", "embedding",
+        s"$scratch/stage_g", baseline, k, prevStats = statsG)
+      centsG = cg; baseline = b2; statsG = Some(stG)
       val exact = graft.engine.Caching.cached(exactOf(cur))
       exact.count()
       val (skewF, cdF) = Similarity.ivfDriftGauges(

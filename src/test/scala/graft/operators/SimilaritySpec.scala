@@ -477,11 +477,19 @@ class SimilaritySpec extends SparkSpec {
     // wave 1: a tiny benign delta (one removed key) — no recenter
     val snap1 = snap.filter(col("vec_id") =!= snap
       .select(min(col("vec_id"))).collect()(0).getLong(0))
-    val (c1, b1, r1) = Similarity.ivfRefreshOrRecenter(spark, dir,
+    val (c1, b1, r1, st1) = Similarity.ivfRefreshOrRecenter(spark, dir,
       cents0, snap1, Upsert.diffByKey(sig(snap), sig(snap1),
         "vec_id", "sig"),
       "vec_id", "embedding", stage, baseline, k)
     assert(!r1, "benign delta triggered a recenter")
+    // the carried frame equals a full rescan (the delta-bounded
+    // gauge contract, batch flavor)
+    assert(st1.select(col("centroid_id"), col("n"), col("cd_fp_sum"))
+        .collect().map(_.toString).sorted.toSeq ==
+      Similarity.ivfDriftStats(spark, dir, cents0)
+        .select(col("centroid_id"), col("n"), col("cd_fp_sum"))
+        .collect().map(_.toString).sorted.toSeq,
+      "carried batch stats diverged from the full rescan")
     assert(b1 == baseline && (c1 eq cents0))
     // wave 2: hard drift on a third of the corpus — must recenter,
     // and the post-recenter displacement must sit BELOW the drifted
@@ -493,8 +501,9 @@ class SimilaritySpec extends SparkSpec {
         .otherwise(col("embedding")).as("embedding"))
     val changes2 = Upsert.diffByKey(sig(snap1), sig(snap2),
       "vec_id", "sig")
-    val (c2, b2, r2) = Similarity.ivfRefreshOrRecenter(spark, dir,
-      cents0, snap2, changes2, "vec_id", "embedding", stage, baseline, k)
+    val (c2, b2, r2, _) = Similarity.ivfRefreshOrRecenter(spark, dir,
+      cents0, snap2, changes2, "vec_id", "embedding", stage, baseline,
+      k, prevStats = Some(st1))
     assert(r2, "hard drift did not trigger a recenter")
     val after = Similarity.ivfDriftGauges(
       Similarity.ivfDriftStats(spark, dir, c2))
