@@ -843,12 +843,19 @@ object Similarity {
     val rev = SegmentManifest.revDir(gen)
     rows.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexPath/$rev")
-    // explicit schema: a shrink-only delta stages zero rows (see the
-    // legacy commit's rationale)
-    val stagedCells = spark.read.schema(rows.schema)
-      .parquet(s"$indexPath/$rev")
-      .select(col("centroid_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // staged-cell discovery is a DRIVER-SIDE directory listing, not a
+    // re-scan of the just-written rev: the partitioned write creates
+    // exactly one `centroid_id=` dir per cell with output rows (a
+    // shrink-only delta stages zero dirs — handled as zero entries),
+    // so the listing IS the staged cell set, at zero job cost
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedCells = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$indexPath/$rev"))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+      .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
+      .sorted
     stagedCells.foreach(c => require(c >= 0 && c <= Int.MaxValue,
       s"stageCellRev: cell id $c outside the manifest range"))
     (gen, stagedCells.map(c =>

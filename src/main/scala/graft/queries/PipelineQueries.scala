@@ -4313,7 +4313,7 @@ object PipelineQueries {
     // folds EVERYTHING (the as-of-generation axis survives the
     // compaction that kills the segment-number cut). id 0 is the
     // query vector, excluded. The
-    // row runs on the ODD-id half of the corpus: the capstone pins
+    // row runs on the id%3=1 THIRD of the corpus: the capstone pins
     // cross-family composition semantics — per-family scale is owned
     // by q186/q187 and the probe tables — and three full index
     // lifecycles on the full corpus priced it at 2x the heaviest
@@ -4326,10 +4326,10 @@ object PipelineQueries {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id").as("id"),
           coalesce(col("text"), lit("")).as("text"))
-        .filter(col("id") % 2 === 1)
+        .filter(col("id") % 3 === 1)
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
-        .filter(col("id") % 2 === 1)
+        .filter(col("id") % 3 === 1)
       val qv = Tables(s, dir, "embeddings")
         .filter(col("vec_id") === 0)
         .select(VectorFns.toDouble(col("embedding")).as("qvec"))
@@ -4356,7 +4356,7 @@ object PipelineQueries {
         "doc_id", "text", segment = 1, maxSegments = 8)
       val gMid = SegmentManifest.latestGen(s, lex).get
       TextAnalysis.bm25ApplyUpserts(s, lex,
-        docs.filter(col("id") === 5)
+        docs.filter(col("id") === 7)
           .select(col("id").as("doc_id"),
             concat(col("text"), lit(" v3")).as("text")),
         docs.limit(0).select(col("id").as("doc_id")),
@@ -4375,7 +4375,7 @@ object PipelineQueries {
         emb.filter(col("id") % 4 === 3)
           .unionByName(shift(emb.filter(isMod), 0.25f)),
         emb.filter(isDel))
-      val waveB = wave(shift(emb.filter(col("id") === 5), 0.5f),
+      val waveB = wave(shift(emb.filter(col("id") === 7), 0.5f),
         emb.limit(0))
       val vq = scratch("xft_vq")
       val vp = scratch("xft_vp")
@@ -6762,7 +6762,7 @@ object PipelineQueries {
     // arithmetic, gen-0 centroids + books)
     "q189_crossfamily_travel" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents
-        |  WHERE doc_id % 2 = 1 AND (doc_id % 4 = 3
+        |  WHERE doc_id % 3 = 1 AND (doc_id % 4 = 3
         |     OR (doc_id % 4 <> 3 AND doc_id % 7 = 1)
         |     OR (doc_id % 4 <> 3 AND doc_id % 7 <> 1
         |         AND doc_id % 9 <> 2))),
