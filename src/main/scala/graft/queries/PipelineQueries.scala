@@ -2948,8 +2948,11 @@ object PipelineQueries {
         .localCheckpoint()
       Similarity.ivfWriteIndexQuantized(base, cents0, "vec_id",
         "embedding", idxPath)
-      val baseline = Similarity.ivfDriftGauges(
-        Similarity.ivfDriftStats(s, idxPath, cents0))
+      // the baseline's full stats scan seeds wave 1's carry — the
+      // delta-bounded contract from the very first wave
+      val stats0 = Similarity.ivfDriftStats(s, idxPath, cents0)
+        .localCheckpoint()
+      val baseline = Similarity.ivfDriftGauges(stats0)
       // wave 1 — benign recrawl: ~1% of keys nudged by 1e-3; neither
       // gauge can move past its relative trigger
       val snap1 = base.select(col("vec_id"),
@@ -2961,7 +2964,7 @@ object PipelineQueries {
           .otherwise(lit("unchanged")).as("status"))
       val (c1, b1, rec1, st1) = Similarity.ivfRefreshOrRecenter(s,
         idxPath, cents0, snap1, changes1, "vec_id", "embedding",
-        stagePath, baseline, k)
+        stagePath, baseline, k, prevStats = Some(stats0))
       require(!rec1, "q136: benign wave must not recenter")
       // wave 2 — a third of the corpus drifts hard (the IvfDriftProbe
       // direction at full magnitude): displacement gauge breaches
@@ -4647,8 +4650,10 @@ object PipelineQueries {
         kCells).localCheckpoint()
       ProductQuantize.ivfPqWriteIndex(base, cents0, "vec_id",
         "embedding", m = 8, k = 16, path)
-      val baseline = Similarity.ivfDriftGauges(
-        ProductQuantize.ivfPqDriftStats(s, path, cents0, "vec_id"))
+      // seed wave 1's carry with the baseline's own stats scan
+      val stats0 = ProductQuantize.ivfPqDriftStats(s, path, cents0,
+        "vec_id").localCheckpoint()
+      val baseline = Similarity.ivfDriftGauges(stats0)
       val snap1 = base.select(col("vec_id"),
         when(col("vec_id") % 97 === 1,
           transform(col("embedding"), x => (x + lit(0.001f))))
@@ -4658,7 +4663,8 @@ object PipelineQueries {
           .otherwise(lit("unchanged")).as("status"))
       val (c1, b1, rec1, st1) = ProductQuantize.ivfPqRefreshOrRecenter(
         s, path, cents0, snap1, changes1, "vec_id", "embedding",
-        stagePath, baseline, kCells, m = 8, k = 16)
+        stagePath, baseline, kCells, m = 8, k = 16,
+        prevStats = Some(stats0))
       require(!rec1, "q143: benign wave must not recenter")
       val snap2 = snap1.select(col("vec_id"),
         when(col("vec_id") % 3 === 0,

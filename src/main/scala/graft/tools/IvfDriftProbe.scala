@@ -89,11 +89,13 @@ object IvfDriftProbe {
       idxFixed)
     Similarity.ivfWriteIndexQuantized(s0, cents0, "vec_id", "embedding",
       idxGuard)
+    val statsG0 = Similarity.ivfDriftStats(spark, idxGuard, cents0)
+      .localCheckpoint()
     var baseline = Similarity.ivfDriftGauges(
       Similarity.ivfDriftStats(spark, idxFixed, cents0))
     println(s"PROBE wave=0 baseline(skew,cdFp)=$baseline")
     var centsG = cents0
-    var statsG: Option[org.apache.spark.sql.DataFrame] = None
+    var statsG: Option[org.apache.spark.sql.DataFrame] = Some(statsG0)
     var prev = s0
     for (t <- 1 to waves) {
       val cur = snap(t)
