@@ -446,8 +446,6 @@ object ProductQuantize {
     // encode through the WRITTEN books (fit determinism is per
     // physical layout — the write path's own rule)
     val cbRead = spark.read.parquet(s"$indexPath/$booksLoc")
-    cbRead.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/codebooks")
     val rows = pqEncode(vectors, idCol, vecCol, cbRead, m)
       .join(Similarity.ivfAssignCosine(vectors, cents, idCol, vecCol),
         Seq(idCol))
@@ -461,6 +459,16 @@ object ProductQuantize {
           Seq(SegmentManifest.Entry(gen2, booksLoc)))
         .updated(SegmentManifest.ModelMarker, Seq(SegmentManifest
           .Entry(modelGen, s"model=g$modelGen")))))
+    // refresh the live `codebooks` copy ONLY after the exclusive seal
+    // succeeded: the copy serves the wave-internal single-writer
+    // consumers (refresh encode, drift stats, the per-generation
+    // model snapshot), which must keep decoding through the books
+    // that match the CURRENT sealed cells — overwriting it before the
+    // seal would, on a lost seal or a crash, leave fresh-row encodes
+    // running through books the surviving cells were never encoded
+    // with ("index intact" must hold for the live-copy consumers too)
+    cbRead.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
   }
 
   /** Pin-once read of an IVF-PQ layout's codes AND codebooks: under a
@@ -483,7 +491,17 @@ object ProductQuantize {
       : (DataFrame, DataFrame) = {
     val indexPath = s"$path/codes"
     mfOpt match {
-      case Some(mf) if mf.entries("books").nonEmpty =>
+      case Some(mf) =>
+        // ANY sealed manifest makes the manifest composition the
+        // truth for the CELLS: MVCC refreshes rewrite dirty cells
+        // write-once under `_rev/` (invisible to a plain parquet
+        // read), so a layout whose manifests predate the books entry
+        // (a cells-only refresh history) must still resolve cells
+        // through the manifest — the plain read would serve stale
+        // pre-refresh cells, deleted ids included. Books come from
+        // the manifest when a rebuild sealed them, else from the
+        // live `codebooks` copy (refreshes never retrain books, so
+        // the live copy is exact for a pre-books manifest).
         val codes = SegmentManifest
           .read(spark, indexPath, mf, "cells", "centroid_id")
           .map(_.withColumn("centroid_id",
@@ -491,14 +509,18 @@ object ProductQuantize {
           .getOrElse(throw new IllegalStateException(
             s"IVF-PQ index at $indexPath: generation ${mf.gen} has " +
               "no cells"))
-        val books = spark.read
-          .parquet(s"$indexPath/${mf.entries("books").last.loc}")
+        val books =
+          if (mf.entries("books").nonEmpty)
+            spark.read
+              .parquet(s"$indexPath/${mf.entries("books").last.loc}")
+          else spark.read.parquet(s"$path/codebooks")
         (codes, books)
-      case _ =>
-        // legacy/manifest-less: plain reads — NOT readQuantizedIndex,
-        // whose centroid normalization would break the FLAT (cell-less)
-        // PQ store pqProbeADCMulti also serves; hive layouts keep
-        // their centroid_id partition column as discovered
+      case None =>
+        // true legacy/manifest-less: plain reads — NOT
+        // readQuantizedIndex, whose centroid normalization would
+        // break the FLAT (cell-less) PQ store pqProbeADCMulti also
+        // serves; hive layouts keep their centroid_id partition
+        // column as discovered
         (spark.read.parquet(indexPath),
           spark.read.parquet(s"$path/codebooks"))
     }

@@ -219,9 +219,17 @@ object SegmentManifest {
         else fs.listStatus(d)
           .filter(s => s.isDirectory &&
             s.getPath.getName.startsWith(sp.prefix))
-          .map { s =>
-            val key = s.getPath.getName.stripPrefix(sp.prefix).toInt
-            Entry(key, sp.dirOf(key))
+          .flatMap { s =>
+            // only pure-integer keys fold into generation 0: a
+            // token-suffixed dir (`books_<gen>-<token>` crash debris
+            // from a rebuild that died before its first seal) is
+            // unreferenced garbage, not a legacy member — parsing it
+            // would throw and permanently wedge every retry's
+            // bootstrap where the debris is supposed to be invisible
+            val key = s.getPath.getName.stripPrefix(sp.prefix)
+            if (key.nonEmpty && key.forall(_.isDigit))
+              Some(Entry(key.toInt, sp.dirOf(key.toInt)))
+            else None
           }.sortBy(_.seg).toSeq
       sp.name -> entries
     }.toMap
@@ -244,13 +252,20 @@ object SegmentManifest {
     * legacy discovery read). None when the layout has no members
     * (callers supply their empty-schema fallback). Pushed predicates
     * (`term IN`, prefixes) reach every leaf scan unchanged; a filter
-    * on `seg` constant-folds per branch, pruning whole segments. */
+    * on `seg` constant-folds per branch, pruning whole segments.
+    * `schema` (when given) makes each leaf read explicit-schema: a
+    * member directory holding no parquet files (empty crash debris a
+    * legacy bootstrap folded in) then reads as zero rows instead of
+    * failing schema inference. */
   def read(spark: SparkSession, path: String, m: Manifest,
-           layout: String, keyCol: String = "seg"): Option[DataFrame] = {
+           layout: String, keyCol: String = "seg",
+           schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
     val es = m.entries(layout)
     if (es.isEmpty) None
     else Some(es.map { e =>
-      spark.read.parquet(s"$path/${e.loc}")
+      schema.fold(spark.read)(spark.read.schema(_))
+        .parquet(s"$path/${e.loc}")
         .withColumn(keyCol, lit(e.seg))
     }.reduce(_ unionByName _))
   }

@@ -951,7 +951,13 @@ object TextAnalysis {
       .add(idCol, LongType).add("dl", LongType).add("seg", IntegerType)
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-    SegmentManifest.read(spark, snap.path, snap.manifest, "tombstones")
+    // explicit per-entry schema: a legacy layout whose bootstrap
+    // folded in an EMPTY tombstones/seg=N dir (crash debris with no
+    // parquet files) must read as zero rows, not fail inference
+    val entrySchema = new StructType()
+      .add(idCol, LongType).add("dl", LongType)
+    SegmentManifest.read(spark, snap.path, snap.manifest, "tombstones",
+        schema = Some(entrySchema))
       .map(_.select(col(idCol), col("dl"),
         col("seg").cast("int").as("seg")))
       .getOrElse(empty)

@@ -112,8 +112,9 @@ import graft.operators.{ProductQuantize, SegmentManifest, Similarity}
 object StreamingVectorIndex {
 
   /** The family-specific pieces: the int8 quantized IVF file and the
-    * IVF-PQ layout run the identical wave protocol. */
-  private[graft] sealed trait IndexOps {
+    * IVF-PQ layout run the identical wave protocol. (Unsealed so the
+    * crash-point specs can wrap an ops with fault injection.) */
+  private[graft] trait IndexOps {
     /** Cell-incremental refresh; returns the DIRTY cell ids (the
       * ≤|cells| driver-side list the underlying refresh already
       * produces) so the wave's drift-stat update can stay
@@ -295,11 +296,14 @@ object StreamingVectorIndex {
     }
   }
 
-  private def writeModel(spark: SparkSession, root: String, gen: Int,
-                         cents: DataFrame, bl: (Long, Long)): Unit = {
-    import spark.implicits._
+  private def writeCents(spark: SparkSession, root: String, gen: Int,
+                         cents: DataFrame): Unit =
     cents.coalesce(1).write.mode("overwrite")
       .parquet(s"$root/cents/gen=$gen")
+
+  private def writeBaseline(spark: SparkSession, root: String,
+                            gen: Int, bl: (Long, Long)): Unit = {
+    import spark.implicits._
     Seq(bl).toDF("skew_x100", "mean_cd_fp").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/baseline/gen=$gen")
   }
@@ -418,8 +422,20 @@ object StreamingVectorIndex {
     compactSnapshot(spark, root, gen, idCol, vecCol, retain)
     val snap = spark.read.parquet(s"$root/snapfull/gen=$gen")
       .select(col(idCol), col(vecCol))
-    val cents2 = ops.fitCentroids(snap, vecCol)
+    val fitted = ops.fitCentroids(snap, vecCol)
       .localCheckpoint() // pin the fit: consumers re-plan it otherwise
+    // publish `cents/gen=<gen>` BEFORE the rebuild seals a manifest
+    // whose ModelMarker names generation `gen`: probeLive* resolves
+    // the model gen from the sealed manifest and reads this path —
+    // sealing first would open a window where the marked cents dir is
+    // missing (AnalysisException) or mid-write (silently empty probe),
+    // breaking the "cells and model paired atomically" contract. The
+    // write is generation-keyed and a pure function of the WRITTEN
+    // full snapshot + seed, so a recovery replay overwrites it with
+    // identical content; reading the fit back from the published file
+    // keeps the rebuild + gauges on the exact stored values.
+    writeCents(spark, root, gen, fitted)
+    val cents2 = spark.read.parquet(s"$root/cents/gen=$gen")
     ops.rebuild(snap, cents2, idCol, vecCol, root, gen)
     ops.snapshotModel(spark, root, gen)
     // the rebuild re-encoded everything, so the stats artifact resets
@@ -427,7 +443,7 @@ object StreamingVectorIndex {
     // subsequent waves go back to dirty-cell increments
     val bl2 = commitDriftStats(spark, root, gen,
       ops.driftStats(spark, root, cents2, idCol, None), retain)
-    writeModel(spark, root, gen, cents2, bl2)
+    writeBaseline(spark, root, gen, bl2)
     val fs = fsOf(spark, root)
     require(fs.delete(markerPath(root), false) ||
         !fs.exists(markerPath(root)),

@@ -494,4 +494,79 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(residual < direct,
       f"residual MSE $residual%.5f not below direct $direct%.5f")
   }
+
+  test("a cells-only MVCC manifest (refresh history, no books entry) " +
+      "resolves cells through the manifest in EVERY probe path — " +
+      "deleted ids never resurrect from the stale hive tree") {
+    import spark.implicits._
+    val snapA = base.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(snapA, "embedding", k = 8)
+      .localCheckpoint()
+    val path = scratch("pq_mvcc_cellsonly").toString
+    ProductQuantize.ivfPqWriteIndex(snapA, cents, "vec_id",
+      "embedding", m = 8, k = 16, path)
+    // one MVCC refresh wave removes a key and modifies another: the
+    // rewritten cells land write-once under codes/_rev (invisible to
+    // a plain parquet read of the codes root), and the sealed
+    // manifest carries cells but NO books entries — exactly the
+    // layout that used to fall back to the stale legacy read
+    val ids = snapA.select(col("vec_id")).as[Long].collect().sorted
+    val removedId = ids.head
+    val modifiedId = ids(1)
+    val status = when(col("vec_id") === removedId, lit("removed"))
+      .when(col("vec_id") === modifiedId, lit("modified"))
+      .otherwise(lit("unchanged"))
+    val changes = snapA.select(col("vec_id"), status.as("status"))
+    val snapB = snapA.filter(col("vec_id") =!= removedId)
+      .select(col("vec_id"),
+        when(col("vec_id") === modifiedId,
+          transform(col("embedding"), x => (x + lit(0.05f))))
+          .otherwise(col("embedding")).as("embedding"))
+    val dirty = ProductQuantize.ivfPqRefreshIncremental(spark, path,
+      cents, snapB, changes, "vec_id", "embedding",
+      scratch("pq_mvcc_cellsonly_stage").toString, mvcc = true)
+    assert(dirty.nonEmpty, "fixture wave touched no cells")
+    val mf = SegmentManifest.latest(spark, s"$path/codes").get
+    assert(mf.entries("books").isEmpty,
+      "fixture drifted: a refresh wave sealed a books entry")
+    // query with the removed vector itself: the stale path would rank
+    // it first; the manifest path must not return it at all
+    val qv = emb.filter(col("vec_id") === removedId)
+      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+    val single = ProductQuantize.ivfPqProbe(spark, path, cents, qv,
+        "vec_id", k = ids.length, nProbe = 8)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(!single.contains(removedId),
+      "ivfPqProbe served the deleted id from the stale hive tree")
+    assert(single.contains(modifiedId))
+    val panel = emb.filter(col("vec_id") === removedId)
+      .select(lit(0L).as("qid"),
+        VectorFns.toDouble(col("embedding")).as("qvec"))
+    val multi = ProductQuantize.ivfPqProbeMulti(spark, path, cents,
+        panel, "vec_id", k = ids.length, nProbe = 8)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(!multi.contains(removedId),
+      "ivfPqProbeMulti served the deleted id")
+    val adc = ProductQuantize.pqProbeADCMulti(spark, path, panel,
+        "vec_id", k = ids.length)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(!adc.contains(removedId),
+      "pqProbeADCMulti served the deleted id")
+    // and the modified key scores through its NEW codes: the probe
+    // content equals a from-scratch re-encode of the final snapshot
+    // through the same (live) codebooks
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val expect = ProductQuantize.pqEncode(snapB, "vec_id", "embedding",
+        cb, m = 8)
+      .join(Similarity.ivfAssignCosine(snapB, cents, "vec_id",
+        "embedding"), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("centroid_id"))
+    val got = SegmentManifest.read(spark, s"$path/codes", mf, "cells",
+        "centroid_id").get
+      .select(col("vec_id"), col("codes"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0,
+      "manifest-resolved cells diverged from the from-scratch encode")
+  }
 }

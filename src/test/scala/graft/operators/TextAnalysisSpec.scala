@@ -164,6 +164,34 @@ class TextAnalysisSpec extends SparkSpec {
       "fresh segmented probe diverged from the direct scan")
   }
 
+  test("a manifest-less legacy layout with an EMPTY tombstones " +
+      "crash-debris dir probes as zero tombstones instead of failing " +
+      "schema inference") {
+    import spark.implicits._
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val panel = Seq((0L, "scan table row")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25emptyt")
+      .toString
+    TextAnalysis.bm25AppendSegment(docs, "doc_id", "text", dir, 0)
+    def probe() = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val before = probe()
+    // degrade to a pre-manifest legacy layout (drop the sealed
+    // generations) and fold in tombstone crash debris: a seg dir
+    // with NO parquet files, which the in-memory gen-0 bootstrap
+    // will list as a member — the explicit-schema read must serve
+    // it as zero rows
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_gen"), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/tombstones/seg=0"))
+    assert(probe() == before,
+      "empty tombstone debris changed (or broke) the legacy probe")
+  }
+
   test("bm25MergeSegments: probe parity across the merge, folded " +
       "layout, and the generation clock restarts for later appends") {
     import spark.implicits._

@@ -726,4 +726,166 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("never sealed"),
       s"wrong upper-bound message: $e")
   }
+
+  /** Fault injection: delegate every op, die right after [[rebuild]]
+    * returns — i.e. right after the recenter's full-replacement seal
+    * published a manifest whose ModelMarker names generation `gen`,
+    * but before the wave's remaining steps (model snapshot, drift
+    * stats, baseline, marker clear). The crash point the
+    * publish-model-before-seal ordering exists for. */
+  private def crashAfterRebuild(inner: StreamingVectorIndex.IndexOps)
+      : StreamingVectorIndex.IndexOps =
+    new StreamingVectorIndex.IndexOps {
+      def refresh(spark: org.apache.spark.sql.SparkSession,
+                  root: String, cents: org.apache.spark.sql.DataFrame,
+                  upserts: org.apache.spark.sql.DataFrame,
+                  changes: org.apache.spark.sql.DataFrame,
+                  idCol: String, vecCol: String): Seq[Long] =
+        inner.refresh(spark, root, cents, upserts, changes, idCol,
+          vecCol)
+      def driftStats(spark: org.apache.spark.sql.SparkSession,
+                     root: String,
+                     cents: org.apache.spark.sql.DataFrame,
+                     idCol: String, cells: Option[Seq[Long]])
+          : org.apache.spark.sql.DataFrame =
+        inner.driftStats(spark, root, cents, idCol, cells)
+      def rebuild(snapshot: org.apache.spark.sql.DataFrame,
+                  cents: org.apache.spark.sql.DataFrame, idCol: String,
+                  vecCol: String, root: String, gen: Int): Unit = {
+        inner.rebuild(snapshot, cents, idCol, vecCol, root, gen)
+        throw new RuntimeException("injected crash after seal")
+      }
+      def fitCentroids(snapshot: org.apache.spark.sql.DataFrame,
+                       vecCol: String): org.apache.spark.sql.DataFrame =
+        inner.fitCentroids(snapshot, vecCol)
+      override def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                               root: String, keep: Int): Unit =
+        inner.vacuumIndex(spark, root, keep)
+      override def snapshotModel(
+          spark: org.apache.spark.sql.SparkSession,
+          root: String, gen: Int): Unit =
+        inner.snapshotModel(spark, root, gen)
+    }
+
+  test("mid-recenter crash window, quantized: the model publishes " +
+      "BEFORE the rebuild's seal, so a live probe landing between " +
+      "the seal and the wave's remaining steps pairs cells and " +
+      "centroids; recovery then completes the decision") {
+    import spark.implicits._
+    val root = tmp("svi_sealwin")
+    StreamingVectorIndex.bootstrapQuantized(
+      corpus(0L until 40L).toDF("vec_id", "embedding"), root,
+      "vec_id", "embedding", k = 4)
+    val inner = StreamingVectorIndex.QuantizedOps(4, 42L)
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble))).toDF("qvec")
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the drift wave every vector wanders on — the loop recenters;
+    // the injected fault dies right after the rebuild's seal
+    val boom = intercept[RuntimeException] {
+      StreamingVectorIndex.applyWave(spark, root,
+        (4L until 44L).map(i =>
+            (i, vec(i, shift = 3.0 * (i % 5)), "upsert"))
+          .toDF("vec_id", "embedding", "op"),
+        0L, "vec_id", "embedding", crashAfterRebuild(inner),
+        115L, 175L, historyRetention = 4)
+    }
+    assert(boom.getMessage.contains("injected crash"), s"wrong: $boom")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")),
+      "fixture drifted: the crash left no pending marker")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/baseline/gen=1")),
+      "fixture drifted: the crash point is supposed to precede the " +
+        "baseline write")
+    // IN the window: the sealed manifest's ModelMarker names gen 1,
+    // and cents/gen=1 must already be on storage — the probe pairs
+    // the rebuilt cells with their own model and equals the
+    // from-scratch twin of the recentered state
+    val got = StreamingVectorIndex.probeLiveQuantized(spark, root, qv,
+      "vec_id", k = 10, nProbe = 2)
+    val snap1 = spark.read.parquet(s"$root/snapfull/gen=1")
+      .select(col("vec_id"), col("embedding"))
+    val cents1 = spark.read.parquet(s"$root/cents/gen=1")
+    val twin = tmp("svi_sealwin_twin")
+    Similarity.ivfWriteIndexQuantized(snap1, cents1, "vec_id",
+      "embedding", s"$twin/index")
+    assert(probeSet(got) ==
+      probeSet(Similarity.ivfProbePrunedQuantized(spark,
+        s"$twin/index", cents1, qv, "vec_id", k = 10, nProbe = 2)),
+      "mid-window live probe diverged from the recentered twin — " +
+        "cells and model were not paired")
+    // recovery: the next wave replays the sealed decision first,
+    // finishes the bookkeeping, clears the marker, and proceeds
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((999L, vec(999L), "upsert")).toDF("vec_id", "embedding", "op"),
+      1L, "vec_id", "embedding", inner, 115L, 175L,
+      historyRetention = 4)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")),
+      "recovery did not clear the marker")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/baseline/gen=1")),
+      "recovery did not finish the model bookkeeping")
+    assert(probeSet(StreamingVectorIndex.probeLiveQuantized(spark,
+      root, qv, "vec_id", k = 44, nProbe = 4))
+      .exists(_._1 == 999L),
+      "the post-recovery wave's upsert is not live")
+  }
+
+  test("mid-recenter crash window, IVF-PQ: a live probe in the window " +
+      "resolves cells, books and model through the one sealed " +
+      "manifest (books sealed with the cells, cents published before " +
+      "the seal)") {
+    import spark.implicits._
+    val root = tmp("svi_pqsealwin")
+    StreamingVectorIndex.bootstrapIvfPq(
+      corpus(0L until 40L).toDF("vec_id", "embedding"), root,
+      "vec_id", "embedding", kCells = 4, m = 4, k = 8)
+    val inner = StreamingVectorIndex.IvfPqOps(4, 4, 8, 42L)
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble))).toDF("qvec")
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val boom = intercept[RuntimeException] {
+      StreamingVectorIndex.applyWave(spark, root,
+        (4L until 44L).map(i =>
+            (i, vec(i, shift = 3.0 * (i % 5)), "upsert"))
+          .toDF("vec_id", "embedding", "op"),
+        0L, "vec_id", "embedding", crashAfterRebuild(inner),
+        115L, 175L, historyRetention = 4)
+    }
+    assert(boom.getMessage.contains("injected crash"), s"wrong: $boom")
+    // IN the window (marker pending, books/gen=1 snapshot and the
+    // baseline both unwritten): the live probe must pair the
+    // re-encoded cells with the retrained books AND the new model,
+    // all off the one sealed manifest — equal to the from-scratch
+    // twin of the recentered state
+    val got = StreamingVectorIndex.probeLiveIvfPq(spark, root, qv,
+      "vec_id", k = 10, nProbe = 2)
+    val snap1 = spark.read.parquet(s"$root/snapfull/gen=1")
+      .select(col("vec_id"), col("embedding"))
+    val cents1 = spark.read.parquet(s"$root/cents/gen=1")
+    val twin = tmp("svi_pqsealwin_twin")
+    ProductQuantize.ivfPqWriteIndex(snap1, cents1, "vec_id",
+      "embedding", m = 4, k = 8, s"$twin/index")
+    assert(probeSet(got) ==
+      probeSet(ProductQuantize.ivfPqProbe(spark, s"$twin/index",
+        cents1, qv, "vec_id", k = 10, nProbe = 2)),
+      "mid-window PQ live probe diverged from the recentered twin")
+    // recovery completes the decision and the loop proceeds
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((999L, vec(999L), "upsert")).toDF("vec_id", "embedding", "op"),
+      1L, "vec_id", "embedding", inner, 115L, 175L,
+      historyRetention = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")),
+      "recovery did not clear the marker")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/books/gen=1")),
+      "recovery did not snapshot the generation-keyed books")
+  }
 }
