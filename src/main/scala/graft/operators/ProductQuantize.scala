@@ -690,8 +690,9 @@ object ProductQuantize {
     * re-optimization path (the [[Similarity.ivfRefreshOrRecenter]]
     * drift loop, which composes unchanged because the layouts share
     * the `centroid_id=` cell scheme). Commit via the shared
-    * [[Similarity.commitCellRefresh]] tail — same staging, same
-    * dynamic partition overwrite, same loud empty-cell drop.
+    * [[Similarity.commitCellRefreshMvcc]] tail — the engine's ONE
+    * maintenance commit protocol: write-once rev + exclusive seal,
+    * no reader window, history reclaimed by vacuum.
     *
     * `changes` is [[Upsert.diffByKey]] output (key, status). Returns
     * the dirty cell ids (≤|cells|, driver-side — the probe's own
@@ -699,10 +700,9 @@ object ProductQuantize {
   def ivfPqRefreshIncremental(
       spark: SparkSession, path: String, cents: DataFrame,
       newSnap: DataFrame, changes: DataFrame, idCol: String,
-      vecCol: String, stagingPath: String,
-      mvcc: Boolean = false): Seq[Long] =
+      vecCol: String): Seq[Long] =
     ivfPqRefresh(spark, path, cents, newSnap, changes, idCol, vecCol,
-      stagingPath, residual = false, mvcc = mvcc)
+      residual = false)
 
   /** [[ivfPqRefreshIncremental]] for a RESIDUAL layout
     * ([[ivfPqWriteIndexResidual]]): identical dirty-cell mechanics —
@@ -716,15 +716,14 @@ object ProductQuantize {
   def ivfPqRefreshIncrementalResidual(
       spark: SparkSession, path: String, cents: DataFrame,
       newSnap: DataFrame, changes: DataFrame, idCol: String,
-      vecCol: String, stagingPath: String): Seq[Long] =
+      vecCol: String): Seq[Long] =
     ivfPqRefresh(spark, path, cents, newSnap, changes, idCol, vecCol,
-      stagingPath, residual = true)
+      residual = true)
 
   private def ivfPqRefresh(
       spark: SparkSession, path: String, cents: DataFrame,
       newSnap: DataFrame, changes: DataFrame, idCol: String,
-      vecCol: String, stagingPath: String,
-      residual: Boolean, mvcc: Boolean = false): Seq[Long] = {
+      vecCol: String, residual: Boolean): Seq[Long] = {
     val indexPath = s"$path/codes"
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
@@ -759,11 +758,7 @@ object ProductQuantize {
       .select(col(idCol), col("codes"), col("centroid_id"))
     val unioned = survivors.unionByName(freshAssigned)
       .repartition(col("centroid_id"))
-    if (mvcc)
-      Similarity.commitCellRefreshMvcc(spark, indexPath, unioned, dirty)
-    else
-      Similarity.commitCellRefresh(spark, indexPath, stagingPath,
-        unioned, dirty)
+    Similarity.commitCellRefreshMvcc(spark, indexPath, unioned, dirty)
     freshAssigned.unpersist(); changed.unpersist()
     dirty
   }
@@ -790,6 +785,11 @@ object ProductQuantize {
                       cells: Option[Seq[Long]] = None): DataFrame = {
     val cb = spark.read.parquet(s"$path/codebooks")
       .select(col("subspace"), col("code"), col("cvec").as("bvec"))
+    // the PQ rows are valid under BOTH model artifacts — seal the
+    // pair (a recenter retrains the books too, so the carried-stats
+    // check must see that as a model change)
+    val modelFp = Similarity.centroidFingerprint(cents) ^
+      Similarity.modelFingerprint(cb, Seq("subspace", "code"), "bvec")
     val lut = cb.crossJoin(broadcast(
         cents.select(col("centroid_id"), col("cvec"))))
       .withColumn("_sublen", size(col("bvec")))
@@ -831,7 +831,7 @@ object ProductQuantize {
       .agg(count(lit(1)).as("n"), sum(col("cd_fp")).as("cd_fp_sum"))
       .select(col("centroid_id"), col("n"),
         round(col("cd_fp_sum") / col("n") / 1e7, 4).as("mean_cd"),
-        col("cd_fp_sum"))
+        col("cd_fp_sum"), lit(modelFp).as("model_fp"))
   }
 
   /** The PQ layout's drift-guarded maintenance loop — the
@@ -840,24 +840,38 @@ object ProductQuantize {
     * (codebooks + centroids fixed), gauge drift from the codes alone
     * ([[ivfPqDriftStats]]), and when a gauge breaches its fit-time
     * baseline (same relative triggers), refit centroids AND codebooks
-    * on the current snapshot and rebuild. Returns (centroids to use
-    * from here on, baseline gauges for the next wave, recentered?). */
+    * on the current snapshot and rebuild via [[ivfPqRebuildMvcc]]
+    * (retrained books sealed in the SAME manifest as the re-encoded
+    * cells — the one commit protocol). Returns (centroids to use
+    * from here on, baseline gauges for the next wave, recentered?).
+    * Each wave ends with a vacuum at `historyRetention` (floored at
+    * 2 kept generations). The carried `prevStats` frame is
+    * MODEL-SEALED over BOTH artifacts (centroids ⊕ codebooks —
+    * [[ivfPqDriftStats]] stamps `model_fp`); a carry across either
+    * retrain fails loudly ([[Similarity.requireSameModel]]). */
   def ivfPqRefreshOrRecenter(
       spark: SparkSession, path: String, cents: DataFrame,
       newSnap: DataFrame, changes: DataFrame, idCol: String,
-      vecCol: String, stagingPath: String, baseline: (Long, Long),
+      vecCol: String, baseline: (Long, Long),
       kCells: Int, m: Int, k: Int, seed: Long = 42L,
       cdFactorX100: Long = 115L, skewFactorX100: Long = 175L,
-      prevStats: Option[DataFrame] = None)
+      prevStats: Option[DataFrame] = None,
+      historyRetention: Int = 0)
       : (DataFrame, (Long, Long), Boolean, DataFrame) = {
     val dirty = ivfPqRefreshIncremental(spark, path, cents, newSnap,
-      changes, idCol, vecCol, stagingPath)
+      changes, idCol, vecCol)
+    val fpNow = Similarity.centroidFingerprint(cents) ^
+      Similarity.modelFingerprint(
+        spark.read.parquet(s"$path/codebooks")
+          .select(col("subspace"), col("code"), col("cvec").as("bvec")),
+        Seq("subspace", "code"), "bvec")
     // delta-bounded gauges under a carried stats frame — the
     // [[Similarity.ivfRefreshOrRecenter]] discipline, PQ flavor
     // (stats from the codes alone, so the dirty-cell rescan is the
     // pruned LUT fold); eagerly pinned for the same reason (a lazy
     // carry would re-read rewritten cells next wave)
-    val stats = (prevStats match {
+    val stats = (prevStats.map(Similarity.requireSameModel(_, fpNow,
+        "ivfPqRefreshOrRecenter")) match {
       case Some(prev) if dirty.nonEmpty =>
         prev.filter(!col("centroid_id").isin(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(
@@ -870,16 +884,25 @@ object ProductQuantize {
     val drifted = Similarity.driftBreached(
       Similarity.ivfDriftGauges(stats),
       baseline, cdFactorX100, skewFactorX100)
-    if (!drifted) (cents, baseline, false, stats)
-    else {
-      val cents2 = Similarity
-        .learnedCentroids(newSnap, vecCol, kCells, seed)
-        .localCheckpoint()
-      ivfPqWriteIndex(newSnap, cents2, idCol, vecCol, m, k, path, seed)
-      val stats2 = ivfPqDriftStats(spark, path, cents2, idCol)
-        .localCheckpoint()
-      (cents2, Similarity.ivfDriftGauges(stats2), true, stats2)
-    }
+    val out =
+      if (!drifted) (cents, baseline, false, stats)
+      else {
+        val cents2 = Similarity
+          .learnedCentroids(newSnap, vecCol, kCells, seed)
+          .localCheckpoint()
+        ivfPqRebuildMvcc(spark, path, newSnap, cents2, idCol, vecCol,
+          m, k, modelGen = 0, seed = seed)
+        val stats2 = ivfPqDriftStats(spark, path, cents2, idCol)
+          .localCheckpoint()
+        (cents2, Similarity.ivfDriftGauges(stats2), true, stats2)
+      }
+    // an all-unchanged diff on a legacy layout seals nothing — only
+    // vacuum once a manifest exists
+    if (SegmentManifest.generations(spark, s"$path/codes").nonEmpty)
+      Similarity.ivfVacuumQuantized(spark, s"$path/codes",
+        math.max(historyRetention + 1, 2),
+        Seq(SegmentManifest.CellLayout, SegmentManifest.BooksLayout))
+    out
   }
 
   /** Residual-encodes vectors through FIXED written artifacts

@@ -579,8 +579,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
   /** Pin-aware read of a cell-partitioned QUANTIZED index: a layout
-    * carrying generation manifests (the streaming loop's MVCC mode —
-    * [[ivfRefreshQuantizedIncremental]] with `mvcc = true`) resolves
+    * carrying generation manifests (every maintained layout — any
+    * [[ivfRefreshQuantizedIncremental]] wave seals one) resolves
     * the LATEST SEALED composition, so a probe planned here never
     * races a refresh wave's commit; legacy layouts (every
     * [[ivfWriteIndexQuantized]] scratch index) keep hive discovery
@@ -714,39 +714,30 @@ object Similarity {
     *      snapshot rows against the broadcast centroid table;
     *   3. survivors: partition-pruned read of the dirty cells minus
     *      the removed/modified keys — reused codes, no re-quantization;
-    *   4. stage survivors ∪ freshly-quantized rows partitioned by cell
-    *      (a separate directory: Spark refuses to overwrite a path
-    *      that is also an input, and the staging write is over the
-    *      dirty fraction only);
-    *   5. commit staged cells into the index with DYNAMIC partition
-    *      overwrite (only staged `centroid_id=` directories are
-    *      replaced), then drop the directories of dirty cells that
-    *      ended up empty (dynamic overwrite never touches a partition
-    *      with no output rows — without the explicit drop a fully-
-    *      removed cell would serve stale vectors forever).
+    *   4. COMMIT by MVCC ([[commitCellRefreshMvcc]], the engine's ONE
+    *      maintenance commit protocol): survivors ∪ freshly-quantized
+    *      rows land write-once under `_rev/` (cell-partitioned, dirty
+    *      fraction only) and one exclusive manifest seal replaces the
+    *      dirty cells' entries all-or-nothing. A reader pinned before
+    *      the seal keeps its generation's untouched directories —
+    *      there is no commit window at all; a legacy hive layout
+    *      upgrades by folding in as generation 0 on its first wave
+    *      ([[pinCellBase]]). History is reclaimed by
+    *      [[ivfVacuumQuantized]] on the caller's retention dial.
     *
     * `changes` is [[graft.operators.Upsert.diffByKey]] output (key,
     * status ∈ added/removed/modified/unchanged) — the diff is the
     * trigger, so refresh cost scales with the recrawl delta, not the
     * corpus. Returns the dirty cell ids (a ≤|cells| driver-side list —
     * the same boundedness as the probe's centroid ranking), so callers
-    * and specs can audit what was touched.
-    *
-    * COMMIT WINDOW (non-atomic, retry-safe): step 5's dynamic partition
-    * overwrite and the emptied-cell directory drops are separate
-    * filesystem operations — a failure between them (or a reader racing
-    * the commit) can observe stale removed vectors in a cell that ended
-    * up empty, until a retry completes. Every step is idempotent (the
-    * staging write, the dynamic overwrite, and the guarded delete all
-    * converge on re-run with the same inputs), so the documented
-    * recovery is: re-run the refresh with the same snapshot + diff; a
-    * half-committed index never loses LIVE rows, only over-serves
-    * removed ones inside the window. */
+    * and specs can audit what was touched. Crash recovery: a failure
+    * before the seal leaves unreferenced `_rev` garbage (invisible,
+    * vacuumed later); re-running the refresh with the same snapshot +
+    * diff stages the same content and seals the next generation. */
   def ivfRefreshQuantizedIncremental(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       cents: DataFrame, newSnap: DataFrame, changes: DataFrame,
-      idCol: String, vecCol: String, stagingPath: String,
-      mvcc: Boolean = false): Seq[Long] = {
+      idCol: String, vecCol: String): Seq[Long] = {
     // cached: `gone` feeds the dirty-cell lookup AND the survivor
     // anti-join, `freshKeys` both the quantize and the assign pass —
     // left lazy, the upstream diff (a corpus-sized full-outer join
@@ -790,8 +781,7 @@ object Similarity {
         col("centroid_id"))
     val unioned = survivors.unionByName(freshAssigned)
       .repartition(col("centroid_id")) // cell compaction, as the writers
-    if (mvcc) commitCellRefreshMvcc(spark, indexPath, unioned, dirty)
-    else commitCellRefresh(spark, indexPath, stagingPath, unioned, dirty)
+    commitCellRefreshMvcc(spark, indexPath, unioned, dirty)
     freshAssigned.unpersist(); changed.unpersist()
     dirty
   }
@@ -903,43 +893,32 @@ object Similarity {
       : (Long, Long) =
     SegmentManifest.vacuum(spark, indexPath, keepGenerations, specs)
 
-  /** THE cell-refresh commit tail, shared by the int8 and the PQ
-    * refreshes (a second hand-copy of the empty-cell-drop rule would
-    * drift silently): stage the dirty cells' new content, dynamic-
-    * partition-overwrite only the staged `centroid_id=` directories,
-    * then LOUDLY drop the dirty cells that ended up with no staged
-    * rows (dynamic overwrite never touches a partition with no output
-    * rows — without the explicit drop a fully-removed cell would
-    * serve stale vectors forever). */
-  private[operators] def commitCellRefresh(
-      spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      stagingPath: String, unioned: DataFrame,
-      dirty: Seq[Long]): Unit = {
-    unioned.write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(stagingPath)
-    // explicit schema: a SHRINK-ONLY delta stages zero rows, and a
-    // zero-row partitioned write leaves no parquet files to infer a
-    // schema from — schema-less read-back would throw and abort the
-    // refresh exactly when every dirty cell must be dropped
-    val staged = spark.read.schema(unioned.schema).parquet(stagingPath)
-    staged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("centroid_id").parquet(indexPath)
-    val stagedCells = staged
-      .select(col("centroid_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dirty.filterNot(stagedCells).foreach { c =>
-      val p = new org.apache.hadoop.fs.Path(s"$indexPath/centroid_id=$c")
-      // a false return (object-store hiccup, permissions) with the
-      // directory still present would serve the removed vectors
-      // forever — the one failure this step exists to prevent, so it
-      // must be loud, not a swallowed boolean
-      require(fs.delete(p, true) || !fs.exists(p),
-        s"failed to drop emptied index cell $p")
-    }
-  }
+  /** Deterministic, order-independent FINGERPRINT of a centroid (or
+    * codebook) table — the model identity sealed into every drift-
+    * stats artifact: per-cell (n, cd_fp_sum) rows are pure functions
+    * of the codes UNDER A MODEL, so a stats frame carried across a
+    * model change is silently wrong; the fingerprint makes the reuse
+    * contract machine-checked instead of documented. One driver-side
+    * fold over a broadcast-sized table (k or m·k rows); exact-bits
+    * hashing (doubleToLongBits), XOR-combined so row order and
+    * partitioning never matter. */
+  def modelFingerprint(model: DataFrame, keyCols: Seq[String],
+                       vecCol: String): Long =
+    model.select((keyCols.map(col) :+ col(vecCol)): _*).collect()
+      .map { r =>
+        var h = 0x9E3779B97F4A7C15L
+        for (i <- keyCols.indices)
+          h = java.lang.Long.rotateLeft(h ^ r.getLong(i) * 0xC2B2AE3D27D4EB4FL, 31)
+        val v = r.getAs[scala.collection.Seq[Double]](keyCols.length)
+        for (x <- v)
+          h = java.lang.Long.rotateLeft(
+            h ^ java.lang.Double.doubleToLongBits(x) * 0xC2B2AE3D27D4EB4FL, 27)
+        h * 0x165667B19E3779F9L
+      }.foldLeft(0L)(_ ^ _)
+
+  /** [[modelFingerprint]] of an IVF centroid table. */
+  def centroidFingerprint(cents: DataFrame): Long =
+    modelFingerprint(cents, Seq("centroid_id"), "cvec")
 
   /** Per-cell DRIFT statistics of a quantized cosine inverted file —
     * the monitoring read that closes the loop
@@ -981,7 +960,11 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("cd_fp")).as("cd_fp_sum"))
       .select(col("centroid_id"), col("n"),
         round(col("cd_fp_sum") / col("n") / lit(1e7), 4).as("mean_cd"),
-        col("cd_fp_sum"))
+        col("cd_fp_sum"),
+        // the model identity these rows are valid under — carried
+        // with the artifact so a delta-bounded reuse can verify the
+        // centroids never moved ([[modelFingerprint]])
+        lit(centroidFingerprint(cents)).as("model_fp"))
   }
 
   /** THE drift-trigger comparison — ONE definition shared by the two
@@ -1033,19 +1016,32 @@ object Similarity {
     * change, and the baselines reset at each refit.
     *
     * The rebuild is the periodic re-optimization
-    * [[ivfRefreshQuantizedIncremental]]'s scaladoc promises — full
-    * [[ivfWriteIndexQuantized]] from the snapshot, so the staged
-    * refresh layout and the rebuilt layout stay the same format. */
+    * [[ivfRefreshQuantizedIncremental]]'s scaladoc promises —
+    * committed by [[ivfRebuildQuantizedMvcc]] (the ONE maintenance
+    * commit protocol: write-once rev + full-replacement seal), so a
+    * reader pinned before the recenter keeps its generation exactly
+    * as across a refresh wave. Every wave ends with a vacuum at
+    * `historyRetention` (floored at 2 kept generations, the streaming
+    * loop's dial: a probe pinned one wave back always survives).
+    *
+    * The carried `prevStats` frame is MODEL-SEALED: its rows are pure
+    * functions of the codes under the centroids that produced them
+    * ([[ivfDriftStats]] stamps a `model_fp` column), so this loop
+    * REQUIRES the carried fingerprint to match `cents` before reuse —
+    * a caller that recentered out-of-band and kept carrying stats
+    * fails loudly instead of making silently wrong drift decisions,
+    * and a frame without the seal is rejected the same way. */
   def ivfRefreshOrRecenter(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       cents: DataFrame, newSnap: DataFrame, changes: DataFrame,
-      idCol: String, vecCol: String, stagingPath: String,
+      idCol: String, vecCol: String,
       baseline: (Long, Long), k: Int, seed: Long = 42L,
       cdFactorX100: Long = 115L, skewFactorX100: Long = 175L,
-      prevStats: Option[DataFrame] = None)
+      prevStats: Option[DataFrame] = None,
+      historyRetention: Int = 0)
       : (DataFrame, (Long, Long), Boolean, DataFrame) = {
     val dirty = ivfRefreshQuantizedIncremental(spark, indexPath, cents,
-      newSnap, changes, idCol, vecCol, stagingPath)
+      newSnap, changes, idCol, vecCol)
     // DELTA-BOUNDED gauges when the caller carries the previous
     // wave's per-cell stats: a cell's (n, cd_fp_sum) is a pure
     // function of its codes under FIXED centroids, so only the dirty
@@ -1053,7 +1049,8 @@ object Similarity {
     // streaming loop's driftstats discipline, threaded functionally.
     // Eagerly pinned (tiny, ≤|cells| rows): a lazily carried frame
     // would re-read cells the NEXT wave has already rewritten.
-    val stats = (prevStats match {
+    val stats = (prevStats.map(requireSameModel(_,
+        centroidFingerprint(cents), "ivfRefreshOrRecenter")) match {
       case Some(prev) if dirty.nonEmpty =>
         prev.filter(!col("centroid_id").isin(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(
@@ -1065,17 +1062,45 @@ object Similarity {
     }).localCheckpoint()
     val drifted = driftBreached(ivfDriftGauges(stats),
       baseline, cdFactorX100, skewFactorX100)
-    if (!drifted) (cents, baseline, false, stats)
-    else {
-      val cents2 = learnedCentroids(newSnap, vecCol, k, seed)
-        .localCheckpoint() // pin the fit: consumers re-plan it otherwise
-      ivfWriteIndexQuantized(newSnap, cents2, idCol, vecCol, indexPath)
-      // the rebuild re-encoded everything: stats reset with the full
-      // scan the recenter pays anyway
-      val stats2 = ivfDriftStats(spark, indexPath, cents2)
-        .localCheckpoint()
-      (cents2, ivfDriftGauges(stats2), true, stats2)
-    }
+    val out =
+      if (!drifted) (cents, baseline, false, stats)
+      else {
+        val cents2 = learnedCentroids(newSnap, vecCol, k, seed)
+          .localCheckpoint() // pin the fit: consumers re-plan it otherwise
+        ivfRebuildQuantizedMvcc(spark, indexPath, newSnap, cents2,
+          idCol, vecCol, modelGen = 0)
+        // the rebuild re-encoded everything: stats reset with the full
+        // scan the recenter pays anyway
+        val stats2 = ivfDriftStats(spark, indexPath, cents2)
+          .localCheckpoint()
+        (cents2, ivfDriftGauges(stats2), true, stats2)
+      }
+    // an all-unchanged diff on a legacy layout seals nothing — only
+    // vacuum once a manifest exists
+    if (SegmentManifest.generations(spark, indexPath).nonEmpty)
+      ivfVacuumQuantized(spark, indexPath,
+        math.max(historyRetention + 1, 2))
+    out
+  }
+
+  /** The carried-stats model check ([[ivfRefreshOrRecenter]]'s
+    * contract, shared with the PQ loop): the frame's sealed
+    * `model_fp` must equal the current model's fingerprint — loud on
+    * mismatch (the caller is carrying stats across a model change);
+    * None (legacy frame without the column) resets to a full scan. */
+  private[operators] def requireSameModel(prev: DataFrame, fp: Long,
+                                          who: String): DataFrame = {
+    require(prev.columns.contains("model_fp"),
+      s"$who: carried drift stats have no model_fp seal — recompute " +
+        "them with the current ivfDriftStats/ivfPqDriftStats")
+    val fps = prev.select(col("model_fp")).distinct()
+      .collect().map(_.getLong(0))
+    require(fps.length == 1 && fps.head == fp,
+      s"$who: carried drift stats were computed under a different " +
+        s"model (sealed fp ${fps.mkString(",")}, current $fp) — " +
+        "their per-cell rows are invalid under the current " +
+        "centroids/codebooks; recompute instead of carrying")
+    prev
   }
 
   /** IVF probe: query's nProbe nearest centroids → candidate vectors

@@ -2144,11 +2144,11 @@ object PipelineQueries {
     // (adds, sign-flip modifications, removals) is applied to the
     // embedding corpus; the index built from the OLD snapshot is
     // refreshed cell-incrementally (centroids fixed); the probe then
-    // runs against the refreshed index. The oracle replays the probe
-    // off the refreshed index's own parquet (q90's mechanism), so the
-    // gate pins the refreshed LAYOUT — membership, codes, partition
-    // column — not just the top-k list; SimilaritySpec separately
-    // asserts refreshed ≡ full rebuild row-for-row.
+    // runs against the refreshed index. The oracle re-derives the
+    // refreshed state FROM RAW under the written centroids (the q186
+    // mechanism — the refresh commits by MVCC, so the live cells sit
+    // under sealed _rev dirs a plain glob cannot compose); physical
+    // refreshed ≡ full-rebuild parity is pinned by SimilaritySpec.
     "q109_ivf_incremental" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
@@ -2178,8 +2178,10 @@ object PipelineQueries {
       val changes = Upsert.diffByKey(sig(oldSnap), sig(newSnap),
         "vec_id", "sig")
       Similarity.ivfRefreshQuantizedIncremental(s, idxPath, cents,
-        newSnap, changes, "vec_id", "embedding",
-        scratchPath("ivfinc_stage", dir))
+        newSnap, changes, "vec_id", "embedding")
+      // the wave sealed generation 1; vacuum by the retention dial
+      // (keep 2: the pre-wave generation stays for pinned readers)
+      Similarity.ivfVacuumQuantized(s, idxPath, keepGenerations = 2)
       Similarity.ivfProbePrunedQuantized(s, idxPath, cents, qv,
         "vec_id", k = 10, nProbe = 3)
     }),
@@ -2936,7 +2938,6 @@ object PipelineQueries {
       val base = e.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
       val idxPath = scratchPath("ivfloop_index", dir)
-      val stagePath = scratchPath("ivfloop_stage", dir)
       val centsPath = scratchPath("ivfloop_cents", dir)
       // k=8 cells: the loop's semantics (relative gauges, breach,
       // rebuild) are cell-count-independent, and this row already
@@ -2964,7 +2965,7 @@ object PipelineQueries {
           .otherwise(lit("unchanged")).as("status"))
       val (c1, b1, rec1, st1) = Similarity.ivfRefreshOrRecenter(s,
         idxPath, cents0, snap1, changes1, "vec_id", "embedding",
-        stagePath, baseline, k, prevStats = Some(stats0))
+        baseline, k, prevStats = Some(stats0))
       require(!rec1, "q136: benign wave must not recenter")
       // wave 2 — a third of the corpus drifts hard (the IvfDriftProbe
       // direction at full magnitude): displacement gauge breaches
@@ -2978,7 +2979,7 @@ object PipelineQueries {
         when(col("vec_id") % 3 === 0, lit("modified"))
           .otherwise(lit("unchanged")).as("status"))
       val (c2, _, rec2, _) = Similarity.ivfRefreshOrRecenter(s, idxPath,
-        c1, snap2, changes2, "vec_id", "embedding", stagePath, b1, k,
+        c1, snap2, changes2, "vec_id", "embedding", b1, k,
         prevStats = Some(st1))
       require(rec2, "q136: hard-drift wave must recenter")
       // probe parity on the rebuilt index: all cells probed ⇒ the only
@@ -3216,11 +3217,16 @@ object PipelineQueries {
       ProductQuantize.ivfPqWriteIndex(snapA, cents, "vec_id",
         "embedding", m = 8, k = 16, path)
       val dirty = ProductQuantize.ivfPqRefreshIncremental(s, path,
-        cents, snapB, changes, "vec_id", "embedding",
-        scratchPath("ivfpqf_stage", dir))
+        cents, snapB, changes, "vec_id", "embedding")
       require(dirty.nonEmpty, "q141: recrawl wave touched no cells")
+      // the wave sealed generation 1; vacuum by the retention dial
+      Similarity.ivfVacuumQuantized(s, s"$path/codes",
+        keepGenerations = 2, Seq(SegmentManifest.CellLayout,
+          SegmentManifest.BooksLayout))
       // membership parity: refreshed content == from-scratch encode of
       // the final snapshot against the SAME codebooks + centroids
+      // (manifest-aware read — the MVCC wave's cells live under the
+      // sealed composition, not the plain hive glob)
       val cb = s.read.parquet(s"$path/codebooks")
       val expect = ProductQuantize.pqEncode(snapB, "vec_id",
           "embedding", cb, m = 8)
@@ -3228,7 +3234,7 @@ object PipelineQueries {
           "embedding"), Seq("vec_id"))
         .select(col("vec_id"), col("codes"), col("centroid_id"))
       val got = graft.engine.Caching.cached(
-        s.read.parquet(s"$path/codes")
+        Similarity.readQuantizedIndex(s, s"$path/codes")
           .select(col("vec_id"), col("codes"),
             col("centroid_id").cast("long").as("centroid_id")))
       // equal row counts + one empty set-difference ⟺ equal multisets
@@ -4515,15 +4521,19 @@ object PipelineQueries {
       ProductQuantize.ivfPqWriteIndexResidual(snapA, cents, "vec_id",
         "embedding", m = 8, k = 16, path)
       val dirty = ProductQuantize.ivfPqRefreshIncrementalResidual(s,
-        path, cents, snapB, changes, "vec_id", "embedding",
-        scratchPath("ivfpqrf_stage", dir))
+        path, cents, snapB, changes, "vec_id", "embedding")
       require(dirty.nonEmpty, "q145: recrawl wave touched no cells")
+      Similarity.ivfVacuumQuantized(s, s"$path/codes",
+        keepGenerations = 2, Seq(SegmentManifest.CellLayout,
+          SegmentManifest.BooksLayout))
       // membership parity through the SHARED residual derivation
+      // (manifest-aware read — the MVCC wave's cells live under the
+      // sealed composition, not the plain hive glob)
       val cb = s.read.parquet(s"$path/codebooks")
       val expect = ProductQuantize.encodeResidual(snapB, cents,
         "vec_id", "embedding", cb, m = 8)
       val got = graft.engine.Caching.cached(
-        s.read.parquet(s"$path/codes")
+        Similarity.readQuantizedIndex(s, s"$path/codes")
           .select(col("vec_id"), col("codes"),
             col("centroid_id").cast("long").as("centroid_id")))
       require(got.count() == expect.count() &&
@@ -4643,7 +4653,6 @@ object PipelineQueries {
       val base = e.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
       val path = scratchPath("ivfpqd_index", dir)
-      val stagePath = scratchPath("ivfpqd_stage", dir)
       val centsPath = scratchPath("ivfpqd_cents", dir)
       val kCells = 8
       val cents0 = Similarity.learnedCentroids(base, "embedding",
@@ -4663,7 +4672,7 @@ object PipelineQueries {
           .otherwise(lit("unchanged")).as("status"))
       val (c1, b1, rec1, st1) = ProductQuantize.ivfPqRefreshOrRecenter(
         s, path, cents0, snap1, changes1, "vec_id", "embedding",
-        stagePath, baseline, kCells, m = 8, k = 16,
+        baseline, kCells, m = 8, k = 16,
         prevStats = Some(stats0))
       require(!rec1, "q143: benign wave must not recenter")
       val snap2 = snap1.select(col("vec_id"),
@@ -4676,7 +4685,7 @@ object PipelineQueries {
         when(col("vec_id") % 3 === 0, lit("modified"))
           .otherwise(lit("unchanged")).as("status"))
       val (c2, _, rec2, _) = ProductQuantize.ivfPqRefreshOrRecenter(s,
-        path, c1, snap2, changes2, "vec_id", "embedding", stagePath,
+        path, c1, snap2, changes2, "vec_id", "embedding",
         b1, kCells, m = 8, k = 16, prevStats = Some(st1))
       require(rec2, "q143: hard-drift wave must recenter")
       c2.coalesce(1).write.mode("overwrite").parquet(centsPath)
@@ -6344,6 +6353,12 @@ object PipelineQueries {
     // oracle reads the post-refresh parquet (codes + hive partition
     // column), so a stale cell, a lingering removed key, or a
     // mis-assigned fresh row all flip the hash
+    // the refreshed state re-derived FROM RAW under the written
+    // centroids (the q186 mechanism): final corpus = adds back
+    // %7==3, drops %13==5, sign-flips %11==0; quantize + assign +
+    // probe with the q90 arithmetic. (The physical cells stopped
+    // being glob-readable when the refresh went MVCC; physical ≡
+    // from-scratch parity is pinned by SimilaritySpec instead.)
     "q109_ivf_incremental" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |           WHERE vec_id = 0),
@@ -6358,15 +6373,31 @@ object PipelineQueries {
         |         END AS qc
         |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
         |          AS s FROM q)),
-        |idx AS (
-        |  SELECT vec_id, codes
-        |  FROM read_parquet('{SCRATCH}/ivfinc_index_{SFHASH}/*/*.parquet',
-        |                    hive_partitioning = 1)
-        |  WHERE CAST(centroid_id AS BIGINT) IN (SELECT cid FROM probed))
+        |snap AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 11 = 0
+        |         THEN list_transform(embedding, x -> -x)
+        |         ELSE embedding END AS v
+        |  FROM embeddings WHERE vec_id <> 0 AND vec_id % 13 <> 5),
+        |asn AS (SELECT snap.vec_id AS vid,
+        |    arg_min(cents.cid,
+        |      1 - list_cosine_similarity(snap.v::DOUBLE[], cents.cv))
+        |      AS cid
+        |  FROM snap, cents GROUP BY snap.vec_id),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x)))
+        |            / 127.0 AS s
+        |        FROM snap))
         |SELECT vec_id,
-        |  round(list_cosine_similarity(codes::DOUBLE[],
+        |  round(list_cosine_similarity(codes,
         |    (SELECT qc FROM qq)), 4) AS qsim
-        |FROM idx ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
+        |FROM codes JOIN asn ON codes.vec_id = asn.vid
+        |WHERE asn.cid IN (SELECT cid FROM probed)
+        |ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
 
     // q91's report SQL over rule-derived 3-way labels / predictions —
     // the never-predicted (class 2) and never-labeled (class 3)
@@ -6951,16 +6982,46 @@ object PipelineQueries {
     // q123's replay on the POST-LOOP artifacts: the builder's
     // refresh → breach → recenter → rebuild must leave an index +
     // centroid pair whose per-cell stats DuckDB reproduces bit-for-bit
+    // the recentered index re-derived FROM RAW under the WRITTEN
+    // recentered centroids (the q186 mechanism — every wave of the
+    // loop now commits by MVCC, so the live cells sit under sealed
+    // _rev dirs a plain glob cannot compose): final corpus = wave-1
+    // nudge (+0.001f on %97==1) then wave-2 drift (+cos(j) on %3==0),
+    // int8-quantized and cell-assigned, then the same per-cell
+    // fixed-point drift-stat algebra as before.
     "q136_ivf_drift_loop" ->
       """WITH cents AS (SELECT centroid_id AS cid, cvec AS cv
         |  FROM read_parquet('{SCRATCH}/ivfloop_cents_{SFHASH}/*.parquet')),
-        |idx AS (SELECT CAST(centroid_id AS BIGINT) AS cid, codes
-        |  FROM read_parquet('{SCRATCH}/ivfloop_index_{SFHASH}/*/*.parquet',
-        |                    hive_partitioning = 1)),
-        |cd AS (SELECT idx.cid,
-        |    CAST(floor((1 - list_cosine_similarity(codes::DOUBLE[], cv))
+        |snap AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 3 = 0
+        |         THEN list_transform(v1, (x, i) ->
+        |                CAST(x + cos(CAST(i - 1 AS DOUBLE)) AS FLOAT))
+        |         ELSE v1 END AS v
+        |  FROM (SELECT vec_id,
+        |          CASE WHEN vec_id % 97 = 1
+        |               THEN list_transform(embedding,
+        |                      x -> x + 0.001::FLOAT)
+        |               ELSE embedding END AS v1
+        |        FROM embeddings WHERE vec_id <> 0)),
+        |asn AS (SELECT snap.vec_id AS vid,
+        |    arg_min(cents.cid,
+        |      1 - list_cosine_similarity(snap.v::DOUBLE[], cents.cv))
+        |      AS cid
+        |  FROM snap, cents GROUP BY snap.vec_id),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x)))
+        |            / 127.0 AS s
+        |        FROM snap)),
+        |cd AS (SELECT asn.cid,
+        |    CAST(floor((1 - list_cosine_similarity(codes.codes, cv))
         |         * 1e7 + 0.5) AS BIGINT) AS cd_fp
-        |  FROM idx JOIN cents ON idx.cid = cents.cid),
+        |  FROM codes JOIN asn ON codes.vec_id = asn.vid
+        |  JOIN cents ON asn.cid = cents.cid),
         |cells AS (SELECT cid AS centroid_id, count(*) AS n,
         |    CAST(sum(cd_fp) AS BIGINT) AS cd_fp_sum
         |  FROM cd GROUP BY 1),
@@ -8765,6 +8826,14 @@ object PipelineQueries {
     // codebook entry's inner product with the centroid slice and its
     // squared norm, integer-summed per stored vector, then the
     // IDENTICALLY-parenthesized cosine-displacement float expression
+    // the recentered IVF-PQ index re-derived FROM RAW under BOTH
+    // written models (the q187 mechanism — the loop commits by MVCC,
+    // so the cells are not glob-readable; the live codebooks copy is
+    // refreshed only after a successful seal, so it IS the retrained
+    // generation): final corpus = the q136 transforms, unit-
+    // normalized and PQ-encoded through the retrained codebooks,
+    // cell-assigned under the recentered centroids, then the same
+    // per-(cell, subspace, code) fixed-point LUT algebra.
     "q143_ivfpq_drift_loop" ->
       """WITH cents AS (SELECT centroid_id AS cid, cvec AS cv
         |  FROM read_parquet('{SCRATCH}/ivfpqd_cents_{SFHASH}/*.parquet')),
@@ -8778,13 +8847,34 @@ object PipelineQueries {
         |    CAST(floor(list_inner_product(bvec, bvec) * 1e7 + 0.5)
         |      AS BIGINT) AS nn_fp
         |  FROM cb, cents),
-        |cx AS (SELECT vec_id, CAST(centroid_id AS BIGINT) AS cid,
-        |    subspace, codes[subspace + 1] AS code
-        |  FROM (SELECT vec_id, codes, centroid_id,
-        |          unnest(generate_series(0, 7)) AS subspace
-        |        FROM read_parquet(
-        |            '{SCRATCH}/ivfpqd_index_{SFHASH}/codes/*/*.parquet',
-        |            hive_partitioning = 1))),
+        |snap AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 3 = 0
+        |         THEN list_transform(v1, (x, i) ->
+        |                CAST(x + cos(CAST(i - 1 AS DOUBLE)) AS FLOAT))
+        |         ELSE v1 END AS v
+        |  FROM (SELECT vec_id,
+        |          CASE WHEN vec_id % 97 = 1
+        |               THEN list_transform(embedding,
+        |                      x -> x + 0.001::FLOAT)
+        |               ELSE embedding END AS v1
+        |        FROM embeddings WHERE vec_id <> 0)),
+        |asn AS (SELECT snap.vec_id AS vid,
+        |    arg_min(cents.cid,
+        |      1 - list_cosine_similarity(snap.v::DOUBLE[], cents.cv))
+        |      AS cid
+        |  FROM snap, cents GROUP BY snap.vec_id),
+        |mem AS (SELECT snap.vec_id, asn.cid,
+        |    list_transform(snap.v::DOUBLE[],
+        |      x -> x / sqrt(list_inner_product(snap.v::DOUBLE[],
+        |                                       snap.v::DOUBLE[]))) AS uv
+        |  FROM snap JOIN asn ON snap.vec_id = asn.vid),
+        |cx AS (SELECT vec_id, cid, subspace, code FROM (
+        |    SELECT mem.vec_id, mem.cid, cb.subspace, cb.code,
+        |      row_number() OVER (PARTITION BY mem.vec_id, cb.subspace
+        |        ORDER BY list_distance(cb.bvec,
+        |          uv[(cb.subspace * 8 + 1):(cb.subspace * 8 + 8)]),
+        |          cb.code) AS rn
+        |    FROM mem, cb) WHERE rn = 1),
         |rowsum AS (SELECT vec_id, cid,
         |    CAST(sum(ip_fp) AS BIGINT) AS ips,
         |    CAST(sum(nn_fp) AS BIGINT) AS nns
@@ -8812,6 +8902,13 @@ object PipelineQueries {
     // q130's replay pointed at the REFRESHED layout: the probe over
     // the cell-incrementally maintained index must be reproducible
     // off its own written artifacts exactly like a fresh build's
+    // the refreshed state re-derived FROM RAW under the WRITTEN
+    // models (the q187 mechanism — the refresh commits by MVCC, so
+    // the cells are not glob-readable): final corpus = keep added
+    // (%11==5) and the rest minus removed (%13==2, unless added/
+    // modified), +0.05f on modified (%7==1, unless added); then
+    // unit-normalize, PQ-encode through the written codebooks,
+    // assign via the written centroids, ADC-score the probed cells.
     "q141_ivfpq_refresh" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |           WHERE vec_id = 0),
@@ -8828,17 +8925,35 @@ object PipelineQueries {
         |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
         |      AS BIGINT) AS ip_fp
         |  FROM cb, q),
-        |cx AS (SELECT vec_id, subspace, codes[subspace + 1] AS code
-        |  FROM (SELECT vec_id, codes,
-        |          unnest(generate_series(0, 7)) AS subspace
-        |        FROM read_parquet(
-        |            '{SCRATCH}/ivfpqf_index_{SFHASH}/codes/*/*.parquet',
-        |            hive_partitioning = 1)
-        |        WHERE CAST(centroid_id AS BIGINT) IN
-        |          (SELECT cid FROM probed)))
+        |snap AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 11 <> 5 AND vec_id % 7 = 1
+        |         THEN list_transform(embedding,
+        |                x -> CAST(x + 0.05::FLOAT AS FLOAT))
+        |         ELSE embedding END AS v
+        |  FROM embeddings
+        |  WHERE vec_id <> 0 AND (vec_id % 11 = 5 OR vec_id % 7 = 1
+        |        OR vec_id % 13 <> 2)),
+        |asn AS (SELECT snap.vec_id AS vid,
+        |    arg_min(cents.cid,
+        |      1 - list_cosine_similarity(snap.v::DOUBLE[], cents.cv))
+        |      AS cid
+        |  FROM snap, cents GROUP BY snap.vec_id),
+        |mem AS (SELECT snap.vec_id,
+        |    list_transform(snap.v::DOUBLE[],
+        |      x -> x / sqrt(list_inner_product(snap.v::DOUBLE[],
+        |                                       snap.v::DOUBLE[]))) AS uv
+        |  FROM snap JOIN asn ON snap.vec_id = asn.vid
+        |  WHERE asn.cid IN (SELECT cid FROM probed)),
+        |enc AS (SELECT vec_id, subspace, code FROM (
+        |    SELECT mem.vec_id, cb.subspace, cb.code,
+        |      row_number() OVER (PARTITION BY mem.vec_id, cb.subspace
+        |        ORDER BY list_distance(cb.cvec,
+        |          uv[(cb.subspace * 8 + 1):(cb.subspace * 8 + 8)]),
+        |          cb.code) AS rn
+        |    FROM mem, cb) WHERE rn = 1)
         |SELECT vec_id,
         |  round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS adc_score
-        |FROM cx JOIN ip USING (subspace, code)
+        |FROM enc JOIN ip USING (subspace, code)
         |GROUP BY vec_id ORDER BY adc_score DESC, vec_id
         |LIMIT 10""".stripMargin,
 
@@ -8885,6 +9000,10 @@ object PipelineQueries {
     // q131's residual replay off the REFRESHED artifacts: the
     // cell-incremental wave must leave a layout the same two-term
     // fixed-point algebra scores identically
+    // q141's from-raw treatment on the RESIDUAL layout: the final
+    // corpus re-derived from raw, residual-encoded (unit vector −
+    // assigned centroid) through the written codebooks, then the
+    // two-term fixed-point replay (res ADC + q·centroid constant).
     "q145_ivfpq_residual_refresh" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |           WHERE vec_id = 0),
@@ -8905,14 +9024,34 @@ object PipelineQueries {
         |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
         |      AS BIGINT) AS ip_fp
         |  FROM cb, q),
-        |cx AS (SELECT vec_id, cid, subspace, codes[subspace + 1] AS code
-        |  FROM (SELECT vec_id, CAST(centroid_id AS BIGINT) AS cid,
-        |          codes, unnest(generate_series(0, 7)) AS subspace
-        |        FROM read_parquet(
-        |            '{SCRATCH}/ivfpqrf_index_{SFHASH}/codes/*/*.parquet',
-        |            hive_partitioning = 1)
-        |        WHERE CAST(centroid_id AS BIGINT) IN
-        |          (SELECT cid FROM probed))),
+        |snap AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 11 <> 5 AND vec_id % 7 = 1
+        |         THEN list_transform(embedding,
+        |                x -> CAST(x + 0.05::FLOAT AS FLOAT))
+        |         ELSE embedding END AS v
+        |  FROM embeddings
+        |  WHERE vec_id <> 0 AND (vec_id % 11 = 5 OR vec_id % 7 = 1
+        |        OR vec_id % 13 <> 2)),
+        |asn AS (SELECT snap.vec_id AS vid,
+        |    arg_min(cents.cid,
+        |      1 - list_cosine_similarity(snap.v::DOUBLE[], cents.cv))
+        |      AS cid
+        |  FROM snap, cents GROUP BY snap.vec_id),
+        |mem AS (SELECT snap.vec_id, asn.cid,
+        |    list_transform(snap.v::DOUBLE[],
+        |      (x, i) -> x / sqrt(list_inner_product(snap.v::DOUBLE[],
+        |                                            snap.v::DOUBLE[]))
+        |                - cv[i]) AS rv
+        |  FROM snap JOIN asn ON snap.vec_id = asn.vid
+        |  JOIN cents ON asn.cid = cents.cid
+        |  WHERE asn.cid IN (SELECT cid FROM probed)),
+        |cx AS (SELECT vec_id, cid, subspace, code FROM (
+        |    SELECT mem.vec_id, mem.cid, cb.subspace, cb.code,
+        |      row_number() OVER (PARTITION BY mem.vec_id, cb.subspace
+        |        ORDER BY list_distance(cb.cvec,
+        |          rv[(cb.subspace * 8 + 1):(cb.subspace * 8 + 8)]),
+        |          cb.code) AS rn
+        |    FROM mem, cb) WHERE rn = 1),
         |r AS (SELECT vec_id, cid,
         |        CAST(sum(ip_fp) AS BIGINT) AS res_fp
         |      FROM cx JOIN ip USING (subspace, code)

@@ -38,7 +38,6 @@ import graft.operators.{ProductQuantize, SegmentManifest, Similarity}
   *     recenter; the CURRENT model is the largest generation.
   *   - `index/`: the cell-partitioned index (int8 codes, or the
   *     IVF-PQ codebooks+codes root), maintained in place.
-  *   - `staging/`: the refresh's cell staging.
   *   - `_RECENTER_PENDING`: sealed marker carrying the generation of
   *     an in-flight recenter (see the replay argument).
   *
@@ -61,17 +60,13 @@ import graft.operators.{ProductQuantize, SegmentManifest, Similarity}
   *      the identical row re-staged — the refresh never sees
   *      "unchanged" for a row the index might hold only half of.
   *   3. REFRESH COMMIT: with (1) and (2) the replayed refresh runs
-  *      with bit-identical (snapshot, changes) inputs. Quantized
-  *      (MVCC) mode: a crash before the seal leaves unreferenced rev
-  *      garbage and the replay re-stages + seals from the last
+  *      with bit-identical (snapshot, changes) inputs. Both loops
+  *      commit by MVCC: a crash before the seal leaves unreferenced
+  *      rev garbage and the replay re-stages + seals from the last
   *      sealed generation; a crash AFTER the seal makes the replay's
   *      wave a logical no-op (its gone keys are already absent, its
   *      fresh rows re-stage identical content into one more
-  *      generation) — either way the composition converges. PQ
-  *      (dynamic-overwrite) mode keeps the documented idempotent
-  *      recovery: the same dirty cells re-stage the same content and
-  *      the emptied-cell drops re-run; a half-committed refresh
-  *      never loses live rows.
+  *      generation) — either way the composition converges.
   *   4. RECENTER: the breach decision is made ONCE, sealed by the
   *      `_RECENTER_PENDING` marker BEFORE the rebuild. Recovery (the
   *      next wave, or a replay) sees the marker and REPLAYS THE
@@ -122,11 +117,18 @@ object StreamingVectorIndex {
     def refresh(spark: SparkSession, root: String, cents: DataFrame,
                 upserts: DataFrame, changes: DataFrame, idCol: String,
                 vecCol: String): Seq[Long]
-    /** Per-cell drift stats (centroid_id, n, mean_cd, cd_fp_sum) of
-      * the index under `cents` — restricted to `cells` when given
-      * (the pruned incremental read; None = full scan). */
+    /** Per-cell drift stats (centroid_id, n, mean_cd, cd_fp_sum,
+      * model_fp) of the index under `cents` — restricted to `cells`
+      * when given (the pruned incremental read; None = full scan). */
     def driftStats(spark: SparkSession, root: String, cents: DataFrame,
                    idCol: String, cells: Option[Seq[Long]]): DataFrame
+    /** Fingerprint of the model artifacts the family's stats rows are
+      * valid under ([[graft.operators.Similarity.modelFingerprint]]) —
+      * centroids alone for the int8 file, centroids ⊕ codebooks for
+      * IVF-PQ. The wave's carried-stats check compares this against
+      * the seal in the previous generation's artifact. */
+    def modelFp(spark: SparkSession, root: String,
+                cents: DataFrame): Long
     /** Full rebuild under the generation-`gen` model — MVCC-committed
       * (write-once `_rev` cells + one exclusive seal), so a live
       * probe pinned before a recenter keeps its generation's
@@ -154,11 +156,10 @@ object StreamingVectorIndex {
                 vecCol: String): Seq[Long] =
       // MVCC commit: the wave's dirty cells land write-once + one
       // exclusive seal, so LIVE probes pinned before the seal never
-      // race this refresh (the dynamic-overwrite window is gone); the
-      // recenter's rebuild seals the same way (ivfRebuildQuantizedMvcc)
+      // race this refresh; the recenter's rebuild seals the same way
+      // (ivfRebuildQuantizedMvcc)
       Similarity.ivfRefreshQuantizedIncremental(spark, s"$root/index",
-        cents, upserts, changes, idCol, vecCol, s"$root/staging",
-        mvcc = true)
+        cents, upserts, changes, idCol, vecCol)
     /** Bound the write-once cell history: keep enough generations
       * for in-flight pinned probes (the retention dial), reclaim the
       * rest — a per-wave driver-side sweep. */
@@ -171,6 +172,9 @@ object StreamingVectorIndex {
     def driftStats(spark: SparkSession, root: String, cents: DataFrame,
                    idCol: String, cells: Option[Seq[Long]]): DataFrame =
       Similarity.ivfDriftStats(spark, s"$root/index", cents, cells)
+    def modelFp(spark: SparkSession, root: String,
+                cents: DataFrame): Long =
+      Similarity.centroidFingerprint(cents)
     def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
                 vecCol: String, root: String, gen: Int): Unit =
       Similarity.ivfRebuildQuantizedMvcc(snapshot.sparkSession,
@@ -187,8 +191,7 @@ object StreamingVectorIndex {
       // same refresh-wave MVCC as the quantized loop: write-once
       // cell revs under codes/_rev + one exclusive seal
       ProductQuantize.ivfPqRefreshIncremental(spark, s"$root/index",
-        cents, upserts, changes, idCol, vecCol, s"$root/staging",
-        mvcc = true)
+        cents, upserts, changes, idCol, vecCol)
     override def vacuumIndex(spark: SparkSession, root: String,
                              keep: Int): Unit =
       if (SegmentManifest.generations(spark,
@@ -201,6 +204,14 @@ object StreamingVectorIndex {
                    idCol: String, cells: Option[Seq[Long]]): DataFrame =
       ProductQuantize.ivfPqDriftStats(spark, s"$root/index", cents,
         idCol, cells)
+    def modelFp(spark: SparkSession, root: String,
+                cents: DataFrame): Long =
+      Similarity.centroidFingerprint(cents) ^
+        Similarity.modelFingerprint(
+          spark.read.parquet(s"$root/index/codebooks")
+            .select(col("subspace"), col("code"),
+              col("cvec").as("bvec")),
+          Seq("subspace", "code"), "bvec")
     // a recenter retrains BOTH artifacts (centroids and codebooks) —
     // the ivfPqRefreshOrRecenter contract; the retrained books seal
     // in the SAME manifest as the re-encoded cells
@@ -281,17 +292,29 @@ object StreamingVectorIndex {
                              dirty: Seq[Long]): DataFrame = {
     val prevGens = gens(spark, root, "driftstats").filter(_ < gen)
     prevGens.maxOption match {
-      case Some(pg) =>
+      // the carried artifact is MODEL-SEALED: its per-cell rows are
+      // valid only under the model that produced them, so the carry
+      // verifies the seal against the CURRENT model's fingerprint —
+      // a legacy artifact (no seal) or one written under another
+      // model (out-of-band recenter) self-heals with one full scan
+      // instead of silently wrong gauges
+      case Some(pg) if {
+        val prev = spark.read.parquet(s"$root/driftstats/gen=$pg")
+        prev.columns.contains("model_fp") &&
+          prev.select(col("model_fp")).limit(1).collect()
+            .headOption.exists(_.getLong(0) ==
+              ops.modelFp(spark, root, cents))
+      } =>
         val prev = spark.read.parquet(s"$root/driftstats/gen=$pg")
           .select(col("centroid_id"), col("n"), col("mean_cd"),
-            col("cd_fp_sum"))
+            col("cd_fp_sum"), col("model_fp"))
         if (dirty.isEmpty) prev
         else prev.filter(!col("centroid_id").isin(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(
               dirty.toArray): _*))
           .unionByName(
             ops.driftStats(spark, root, cents, idCol, Some(dirty)))
-      case None =>
+      case _ =>
         ops.driftStats(spark, root, cents, idCol, None)
     }
   }

@@ -101,10 +101,10 @@ object IvfDriftProbe {
       val cur = snap(t)
       val changes = Upsert.diffByKey(sig(prev), sig(cur), "vec_id", "sig")
       Similarity.ivfRefreshQuantizedIncremental(spark, idxFixed, cents0,
-        cur, changes, "vec_id", "embedding", s"$scratch/stage_f")
+        cur, changes, "vec_id", "embedding")
       val (cg, b2, rec, stG) = Similarity.ivfRefreshOrRecenter(spark,
         idxGuard, centsG, cur, changes, "vec_id", "embedding",
-        s"$scratch/stage_g", baseline, k, prevStats = statsG)
+        baseline, k, prevStats = statsG)
       centsG = cg; baseline = b2; statsG = Some(stG)
       val exact = graft.engine.Caching.cached(exactOf(cur))
       exact.count()

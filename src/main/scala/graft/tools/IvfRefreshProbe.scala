@@ -115,13 +115,13 @@ object IvfRefreshProbe {
           oldSnap.select(col("vec_id"), col("sig")),
           newSnap.select(col("vec_id"), col("sig")), "vec_id", "sig")
         Similarity.ivfRefreshQuantizedIncremental(spark,
-          s"$base/inc", cents, newSnap, changes, "vec_id", "embedding",
-          s"$base/stage")
+          s"$base/inc", cents, newSnap, changes, "vec_id", "embedding")
       }
       println(f"x$m incr_refresh: ${(System.nanoTime - t0) / 1e9}%.2f s" +
         s" (dirty cells: ${dirty.size}/64)")
-      // parity at every m
-      def key(dir: String) = spark.read.parquet(dir)
+      // parity at every m (manifest-aware read: the refresh commits
+      // by MVCC, so the live composition resolves through the seal)
+      def key(dir: String) = Similarity.readQuantizedIndex(spark, dir)
         .select(col("vec_id"), col("centroid_id").cast("long"),
           xxhash64(col("codes")).as("h"))
       val diff = key(s"$base/inc").exceptAll(key(s"$base/full"))

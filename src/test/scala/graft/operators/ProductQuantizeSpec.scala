@@ -349,8 +349,7 @@ class ProductQuantizeSpec extends SparkSpec {
       .toMap
     val before = cellMtimes()
     val dirty = ProductQuantize.ivfPqRefreshIncremental(spark, path,
-      cents, snapB, changes, "vec_id", "embedding",
-      scratch("pqrefresh_stage").toString)
+      cents, snapB, changes, "vec_id", "embedding")
     assert(dirty.nonEmpty)
     // untouched cells: every pre-refresh file survives bit-unmoved
     val after = cellMtimes()
@@ -370,7 +369,7 @@ class ProductQuantizeSpec extends SparkSpec {
       .join(Similarity.ivfAssignCosine(snapB, cents, "vec_id",
         "embedding"), Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("centroid_id"))
-    val got = spark.read.parquet(s"$path/codes")
+    val got = Similarity.readQuantizedIndex(spark, s"$path/codes")
       .select(col("vec_id"), col("codes"),
         col("centroid_id").cast("long").as("centroid_id"))
     assert(got.exceptAll(expect).count() == 0 &&
@@ -401,8 +400,7 @@ class ProductQuantizeSpec extends SparkSpec {
     ProductQuantize.ivfPqWriteIndexResidual(snapA, cents, "vec_id",
       "embedding", m = 8, k = 16, path)
     val dirty = ProductQuantize.ivfPqRefreshIncrementalResidual(spark,
-      path, cents, snapB, changes, "vec_id", "embedding",
-      scratch("pqrefresh_res_stage").toString)
+      path, cents, snapB, changes, "vec_id", "embedding")
     assert(dirty.nonEmpty)
     // the refreshed layout equals encodeResidual(snapB) through the
     // WRITTEN codebooks + the fixed centroids — survivors' residuals
@@ -411,7 +409,7 @@ class ProductQuantizeSpec extends SparkSpec {
     val cb = spark.read.parquet(s"$path/codebooks")
     val expect = ProductQuantize.encodeResidual(snapB, cents, "vec_id",
       "embedding", cb, m = 8)
-    val got = spark.read.parquet(s"$path/codes")
+    val got = Similarity.readQuantizedIndex(spark, s"$path/codes")
       .select(col("vec_id"), col("codes"),
         col("centroid_id").cast("long").as("centroid_id"))
     assert(got.exceptAll(expect).count() == 0 &&
@@ -523,8 +521,7 @@ class ProductQuantizeSpec extends SparkSpec {
           transform(col("embedding"), x => (x + lit(0.05f))))
           .otherwise(col("embedding")).as("embedding"))
     val dirty = ProductQuantize.ivfPqRefreshIncremental(spark, path,
-      cents, snapB, changes, "vec_id", "embedding",
-      scratch("pq_mvcc_cellsonly_stage").toString, mvcc = true)
+      cents, snapB, changes, "vec_id", "embedding")
     assert(dirty.nonEmpty, "fixture wave touched no cells")
     val mf = SegmentManifest.latest(spark, s"$path/codes").get
     assert(mf.entries("books").isEmpty,

@@ -365,31 +365,45 @@ class SimilaritySpec extends SparkSpec {
     val cents = Similarity.learnedCentroids(oldSnap, "embedding", k = 8)
     val incDir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
     val fullDir = java.nio.file.Files.createTempDirectory("ivf_full").toString
-    val stage = java.nio.file.Files.createTempDirectory("ivf_stage").toString
     Similarity.ivfWriteIndexQuantized(oldSnap, cents, "vec_id",
       "embedding", incDir)
     val sig = (s: org.apache.spark.sql.DataFrame) =>
       s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
     val changes = Upsert.diffByKey(sig(oldSnap), sig(newSnap),
       "vec_id", "sig")
+    // PIN a probe before the wave: the MVCC commit must leave its
+    // generation's directories untouched (snapshot isolation is the
+    // batch refresh's contract now, not just the streaming loop's)
+    val qv = base.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorFns.toDouble(col("embedding"))
+        .as("qvec"))
+    val pinned = Similarity.ivfProbePrunedQuantized(spark, incDir,
+      cents, qv, "vec_id", k = 10, nProbe = 3)
+    val expectPinned = pinned.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val dirty = Similarity.ivfRefreshQuantizedIncremental(spark, incDir,
-      cents, newSnap, changes, "vec_id", "embedding", stage)
+      cents, newSnap, changes, "vec_id", "embedding")
+    assert(pinned.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == expectPinned,
+      "the MVCC batch refresh raced the pinned probe")
     // parity: refreshed index content == full rebuild with same cents
+    // (manifest-aware read on the refreshed side)
     Similarity.ivfWriteIndexQuantized(newSnap, cents, "vec_id",
       "embedding", fullDir)
-    def snap(dir: String) = spark.read.parquet(dir)
-      .select(col("vec_id"), col("centroid_id"),
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("centroid_id").cast("long"),
         col("codes").cast("string").as("c"),
         col("codes_scale"))
       .collect().map(_.toSeq).toSet
-    assert(snap(incDir) == snap(fullDir),
+    assert(snap(Similarity.readQuantizedIndex(spark, incDir)) ==
+      snap(spark.read.parquet(fullDir)),
       "incremental refresh diverged from the full rebuild")
     assert(dirty.nonEmpty && dirty.toSet.subsetOf((0L until 8L).toSet),
       s"dirty cells out of range: $dirty")
     // removed keys are really gone from the refreshed index
     val removed = changes.filter(col("status") === "removed")
       .select(col("vec_id"))
-    assert(spark.read.parquet(incDir)
+    assert(Similarity.readQuantizedIndex(spark, incDir)
       .join(removed, Seq("vec_id")).count() == 0,
       "a removed key survived the refresh")
   }
@@ -400,7 +414,6 @@ class SimilaritySpec extends SparkSpec {
     val oldSnap = base.select(col("vec_id"), col("embedding"))
     val cents = Similarity.learnedCentroids(oldSnap, "embedding", k = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf_shrink").toString
-    val stage = java.nio.file.Files.createTempDirectory("ivf_sstage").toString
     Similarity.ivfWriteIndexQuantized(oldSnap, cents, "vec_id",
       "embedding", dir)
     // drop EVERY member of one cell (and nothing else)
@@ -416,17 +429,20 @@ class SimilaritySpec extends SparkSpec {
     val changes = Upsert.diffByKey(sig(oldSnap), sig(newSnap),
       "vec_id", "sig")
     val dirty = Similarity.ivfRefreshQuantizedIncremental(spark, dir,
-      cents, newSnap, changes, "vec_id", "embedding", stage)
+      cents, newSnap, changes, "vec_id", "embedding")
     assert(dirty == Seq(someCell),
       s"expected only cell $someCell dirty, got $dirty")
+    // the emptied cell simply loses its manifest entry (zero staged
+    // rows, zero entries) — the live composition serves nothing from
+    // it, and the stale directory is reclaimed by vacuum
+    assert(Similarity.readQuantizedIndex(spark, dir)
+      .filter(col("centroid_id") === someCell).count() == 0)
+    assert(Similarity.readQuantizedIndex(spark, dir).count() ==
+      idxDf.filter(col("centroid_id").cast("long") =!= someCell).count())
+    Similarity.ivfVacuumQuantized(spark, dir, keepGenerations = 1)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"$dir/centroid_id=$someCell")),
-      "emptied cell directory survived the refresh")
-    // remaining index is exactly the other cells' old content
-    assert(spark.read.parquet(dir)
-      .filter(col("centroid_id").cast("long") === someCell).count() == 0)
-    assert(spark.read.parquet(dir).count() ==
-      idxDf.filter(col("centroid_id").cast("long") =!= someCell).count())
+      "emptied cell directory survived refresh + vacuum")
   }
 
   test("ivfDriftStats: drifting the corpus away from its fit raises " +
@@ -467,7 +483,6 @@ class SimilaritySpec extends SparkSpec {
     val cents0 = Similarity.learnedCentroids(snap, "embedding", k)
       .localCheckpoint()
     val dir = java.nio.file.Files.createTempDirectory("drift_g").toString
-    val stage = java.nio.file.Files.createTempDirectory("drift_gs").toString
     Similarity.ivfWriteIndexQuantized(snap, cents0, "vec_id",
       "embedding", dir)
     val baseline = Similarity.ivfDriftGauges(
@@ -480,7 +495,7 @@ class SimilaritySpec extends SparkSpec {
     val (c1, b1, r1, st1) = Similarity.ivfRefreshOrRecenter(spark, dir,
       cents0, snap1, Upsert.diffByKey(sig(snap), sig(snap1),
         "vec_id", "sig"),
-      "vec_id", "embedding", stage, baseline, k)
+      "vec_id", "embedding", baseline, k)
     assert(!r1, "benign delta triggered a recenter")
     // the carried frame equals a full rescan (the delta-bounded
     // gauge contract, batch flavor)
@@ -502,7 +517,7 @@ class SimilaritySpec extends SparkSpec {
     val changes2 = Upsert.diffByKey(sig(snap1), sig(snap2),
       "vec_id", "sig")
     val (c2, b2, r2, _) = Similarity.ivfRefreshOrRecenter(spark, dir,
-      cents0, snap2, changes2, "vec_id", "embedding", stage, baseline,
+      cents0, snap2, changes2, "vec_id", "embedding", baseline,
       k, prevStats = Some(st1))
     assert(r2, "hard drift did not trigger a recenter")
     val after = Similarity.ivfDriftGauges(
@@ -521,6 +536,51 @@ class SimilaritySpec extends SparkSpec {
     assert(b2._2 < cdFixed,
       s"recentered displacement ${b2._2} not below the drifted " +
         s"fixed-centroid gauge $cdFixed")
+  }
+
+  test("model-sealed drift stats: a carry across an out-of-band " +
+      "recenter fails loudly instead of deciding from invalid rows; " +
+      "an unsealed frame is rejected the same way") {
+    val (_, _, base) = setup()
+    val snap = base.select(col("vec_id"), col("embedding"))
+    val cents0 = Similarity.learnedCentroids(snap, "embedding", k = 8)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("drift_fp").toString
+    Similarity.ivfWriteIndexQuantized(snap, cents0, "vec_id",
+      "embedding", dir)
+    val stats0 = Similarity.ivfDriftStats(spark, dir, cents0)
+      .localCheckpoint()
+    val baseline = Similarity.ivfDriftGauges(stats0)
+    // the out-of-band recenter: a DIFFERENT model now governs, but
+    // the caller keeps carrying the old stats — per-cell rows are
+    // pure functions of the codes UNDER A MODEL, so this carry is
+    // silently wrong arithmetic; the seal makes it loud
+    val cents1 = Similarity.learnedCentroids(
+        snap.filter(col("vec_id") % 2 === 0), "embedding", k = 8)
+      .localCheckpoint()
+    val sig = (s: org.apache.spark.sql.DataFrame) =>
+      s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+    val benign = Upsert.diffByKey(sig(snap), sig(snap), "vec_id", "sig")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfRefreshOrRecenter(spark, dir, cents1, snap, benign,
+        "vec_id", "embedding", baseline, 8, prevStats = Some(stats0))
+    }
+    assert(e.getMessage.contains("different model"), s"wrong: $e")
+    // an unsealed frame (model_fp dropped) is rejected too
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfRefreshOrRecenter(spark, dir, cents0, snap, benign,
+        "vec_id", "embedding", baseline, 8,
+        prevStats = Some(stats0.drop("model_fp")))
+    }
+    assert(e2.getMessage.contains("no model_fp"), s"wrong: $e2")
+    // the matching carry still works, and the fingerprint is a pure
+    // function of the model values (not the frame identity)
+    val cents0again = Similarity.learnedCentroids(snap, "embedding",
+      k = 8).localCheckpoint()
+    val (_, _, r, _) = Similarity.ivfRefreshOrRecenter(spark, dir,
+      cents0again, snap, benign, "vec_id", "embedding", baseline, 8,
+      prevStats = Some(stats0))
+    assert(!r, "benign carry under the same model must not recenter")
   }
 
   test("cosine of a vector with itself is 1") {

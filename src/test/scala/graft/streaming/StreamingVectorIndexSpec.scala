@@ -81,7 +81,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
         delta.select(col("vec_id"),
           when(col("op") === "upsert", lit("modified"))
             .otherwise(lit("removed")).as("status")),
-        "vec_id", "embedding", s"$rootB/staging")
+        "vec_id", "embedding")
     }
     assert(indexContent(s"$rootS/index") == indexContent(s"$rootB/index"),
       "streaming loop diverged from the batch refresh calls")
@@ -179,7 +179,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
       delta.filter(col("op") === "upsert")
         .select(col("vec_id"), col("embedding")),
       delta.select(col("vec_id"), lit("modified").as("status")),
-      "vec_id", "embedding", s"$expectRoot/staging")
+      "vec_id", "embedding")
     assert(indexContent(s"$root/index") ==
       indexContent(s"$expectRoot/index"),
       "recovered index diverged from the deterministic replay")
@@ -306,7 +306,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
       delta.select(col("vec_id"),
         when(col("op") === "upsert", lit("modified"))
           .otherwise(lit("removed")).as("status")),
-      "vec_id", "embedding", s"$rootB/staging")
+      "vec_id", "embedding")
     def pqContent(path: String): Set[(Long, Seq[Long], Long)] =
       Similarity.readQuantizedIndex(spark, path)
         .select(col("vec_id"), col("codes"),
@@ -749,6 +749,10 @@ class StreamingVectorIndexSpec extends SparkSpec {
                      idCol: String, cells: Option[Seq[Long]])
           : org.apache.spark.sql.DataFrame =
         inner.driftStats(spark, root, cents, idCol, cells)
+      def modelFp(spark: org.apache.spark.sql.SparkSession,
+                  root: String,
+                  cents: org.apache.spark.sql.DataFrame): Long =
+        inner.modelFp(spark, root, cents)
       def rebuild(snapshot: org.apache.spark.sql.DataFrame,
                   cents: org.apache.spark.sql.DataFrame, idCol: String,
                   vecCol: String, root: String, gen: Int): Unit = {
