@@ -39,6 +39,15 @@ import graft.functions.VectorFns
   */
 object ProductQuantize {
 
+  /** Explicit-schema read of a written codebooks file — the books
+    * store has one fixed shape ([[pqTrain]]'s output), and schema
+    * inference on it was a hidden footer-read job on every consumer
+    * (one per maintenance wave in the IVF-PQ loop, WaveJobProbe). */
+  private[graft] def readBooks(spark: SparkSession,
+                               loc: String): DataFrame =
+    spark.read.schema("subspace BIGINT, code BIGINT, cvec ARRAY<DOUBLE>")
+      .parquet(loc)
+
   /** Fits the m per-subspace codebooks on corpus vectors
     * (unit-normalized first, so ADC inner products approximate
     * cosine). Returns `subspace | code | cvec` (m·k rows —
@@ -343,7 +352,7 @@ object ProductQuantize {
     val cb = pqTrain(vectors, vecCol, m, k, seed)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     val spark = vectors.sparkSession
-    val cbRead = spark.read.parquet(s"$path/codebooks")
+    val cbRead = readBooks(spark, s"$path/codebooks")
     pqEncode(vectors, idCol, vecCol, cbRead, m)
       .write.mode("overwrite").parquet(s"$path/codes")
   }
@@ -384,7 +393,7 @@ object ProductQuantize {
   def pqProbeADC(spark: SparkSession, path: String,
                  queryVec: DataFrame, idCol: String,
                  k: Int): DataFrame = {
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val cb = readBooks(spark, s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
     adcScore(spark.read.parquet(s"$path/codes"),
       adcLut(cb, queryVec, m), idCol, k)
@@ -407,7 +416,7 @@ object ProductQuantize {
     val spark = vectors.sparkSession
     pqTrain(vectors, vecCol, m, k, seed)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    val cbRead = spark.read.parquet(s"$path/codebooks")
+    val cbRead = readBooks(spark, s"$path/codebooks")
     pqEncode(vectors, idCol, vecCol, cbRead, m)
       .join(Similarity.ivfAssignCosine(vectors, cents, idCol, vecCol),
         Seq(idCol))
@@ -445,7 +454,7 @@ object ProductQuantize {
       .parquet(s"$indexPath/$booksLoc")
     // encode through the WRITTEN books (fit determinism is per
     // physical layout — the write path's own rule)
-    val cbRead = spark.read.parquet(s"$indexPath/$booksLoc")
+    val cbRead = readBooks(spark, s"$indexPath/$booksLoc")
     val rows = pqEncode(vectors, idCol, vecCol, cbRead, m)
       .join(Similarity.ivfAssignCosine(vectors, cents, idCol, vecCol),
         Seq(idCol))
@@ -511,9 +520,9 @@ object ProductQuantize {
               "no cells"))
         val books =
           if (mf.entries("books").nonEmpty)
-            spark.read
-              .parquet(s"$indexPath/${mf.entries("books").last.loc}")
-          else spark.read.parquet(s"$path/codebooks")
+            readBooks(spark,
+              s"$indexPath/${mf.entries("books").last.loc}")
+          else readBooks(spark, s"$path/codebooks")
         (codes, books)
       case None =>
         // true legacy/manifest-less: plain reads — NOT
@@ -522,7 +531,7 @@ object ProductQuantize {
         // serves; hive layouts keep their centroid_id partition
         // column as discovered
         (spark.read.parquet(indexPath),
-          spark.read.parquet(s"$path/codebooks"))
+          readBooks(spark, s"$path/codebooks"))
     }
   }
 
@@ -725,7 +734,7 @@ object ProductQuantize {
       newSnap: DataFrame, changes: DataFrame, idCol: String,
       vecCol: String, residual: Boolean): Seq[Long] = {
     val indexPath = s"$path/codes"
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val cb = readBooks(spark, s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
     val changed = cached(
       changes.filter(col("status") =!= "unchanged"))
@@ -743,9 +752,11 @@ object ProductQuantize {
             vecCol), Seq(idCol))
           .select(col(idCol), col("codes"), col("centroid_id"))
       else encodeResidual(freshRows, cents, idCol, vecCol, cb, m))
+    // driver-side dedupe of a delta-bounded row set — the same
+    // shuffle-elision as the int8 refresh (WaveJobProbe)
     val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
       .union(freshAssigned.select(col("centroid_id")))
-      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      .collect().map(_.getLong(0)).toSet.toSeq.sorted
     if (dirty.isEmpty) {
       freshAssigned.unpersist(); changed.unpersist()
       return dirty
@@ -783,7 +794,7 @@ object ProductQuantize {
   def ivfPqDriftStats(spark: SparkSession, path: String,
                       cents: DataFrame, idCol: String,
                       cells: Option[Seq[Long]] = None): DataFrame = {
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val cb = readBooks(spark, s"$path/codebooks")
       .select(col("subspace"), col("code"), col("cvec").as("bvec"))
     // the PQ rows are valid under BOTH model artifacts — seal the
     // pair (a recenter retrains the books too, so the carried-stats
@@ -862,7 +873,7 @@ object ProductQuantize {
       changes, idCol, vecCol)
     val fpNow = Similarity.centroidFingerprint(cents) ^
       Similarity.modelFingerprint(
-        spark.read.parquet(s"$path/codebooks")
+        readBooks(spark, s"$path/codebooks")
           .select(col("subspace"), col("code"), col("cvec").as("bvec")),
         Seq("subspace", "code"), "bvec")
     // delta-bounded gauges under a carried stats frame — the
@@ -955,7 +966,7 @@ object ProductQuantize {
         zip_with(col("_uv"), col("cvec"), (a, b) => a - b).as("_res")))
     pqTrainRaw(res, "_res", m, k, seed)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    val cbRead = spark.read.parquet(s"$path/codebooks")
+    val cbRead = readBooks(spark, s"$path/codebooks")
     pqEncodeRaw(res, idCol, "_res", cbRead, m)
       .join(res.select(col(idCol), col("centroid_id")), Seq(idCol))
       .repartition(col("centroid_id"))
@@ -974,7 +985,7 @@ object ProductQuantize {
     val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
     val probedSeq =
       scala.collection.immutable.ArraySeq.unsafeWrapArray(probed)
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val cb = readBooks(spark, s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
     val cellConst = cents.filter(col("centroid_id").isin(probedSeq: _*))
       .crossJoin(broadcast(queryVec))
@@ -1006,7 +1017,7 @@ object ProductQuantize {
                               idCol: String, k: Int,
                               nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val cb = readBooks(spark, s"$path/codebooks")
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("_cd"), col("centroid_id"))

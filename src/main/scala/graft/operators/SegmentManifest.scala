@@ -150,6 +150,65 @@ object SegmentManifest {
   def latest(spark: SparkSession, path: String): Option[Manifest] =
     latestGen(spark, path).map(load(spark, path, _))
 
+  /** The PUBLISH seam of [[seal]] — Delta Lake's LogStore boundary,
+    * as a contract instead of a scaladoc caveat: implementations MUST
+    * publish the fully written `tmp` as `dst` atomically AND
+    * exclusively (fail with `lost` when `dst` already exists, never
+    * leave a torn `dst`). Everything the manifest protocol guarantees
+    * — the machine-checked single-writer rule, torn-seal invisibility
+    * — reduces to this one method; the seam spec proves it by racing
+    * two sealers through a deliberately NON-atomic fake publisher and
+    * watching the lost-update the real ones make impossible. */
+  private[graft] trait SealPublisher {
+    def publish(fs: FileSystem, tmp: Path, dst: Path,
+                lost: String => Exception): Unit
+  }
+
+  /** POSIX local filesystems: hard-link the complete temp file into
+    * place — one atomic `link(2)` syscall that FAILS when the target
+    * exists (true exclusive create + publish in a single step). */
+  private[graft] object PosixLinkPublisher extends SealPublisher {
+    def publish(fs: FileSystem, tmp: Path, dst: Path,
+                lost: String => Exception): Unit = {
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      val s = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try java.nio.file.Files.createLink(d, s)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw lost(e.toString)
+      }
+    }
+  }
+
+  /** HDFS-class stores: `rename` is atomic and does not replace an
+    * existing destination; the pre-check only sharpens the error. */
+  private[graft] object HdfsRenamePublisher extends SealPublisher {
+    def publish(fs: FileSystem, tmp: Path, dst: Path,
+                lost: String => Exception): Unit = {
+      if (fs.exists(dst)) throw lost(s"$dst already sealed")
+      if (!fs.rename(tmp, dst)) throw lost(s"rename to $dst refused")
+    }
+  }
+
+  /** Resolve the publisher by storage class — and FAIL FAST on stores
+    * with no atomic rename-if-absent (raw S3 and friends): running
+    * the seal there through a best-effort check-then-publish would
+    * silently void the single-writer guarantee, so the raw scheme is
+    * rejected until the operator supplies a LogStore-style atomic-put
+    * publisher (exactly Delta Lake's documented storage requirement). */
+  private[graft] def publisherFor(fs: FileSystem): SealPublisher =
+    fs.getScheme match {
+      case "file" => PosixLinkPublisher
+      case "hdfs" | "viewfs" | "webhdfs" | "ofs" | "o3fs" =>
+        HdfsRenamePublisher
+      case other => throw new UnsupportedOperationException(
+        s"segmented-index seal on storage scheme '$other': the store " +
+          "offers no atomic rename-if-absent, so the exclusive seal " +
+          "cannot be guaranteed — supply a LogStore-style " +
+          "SealPublisher for this store (Delta Lake's documented " +
+          "storage requirement for S3-class object stores)")
+    }
+
   /** Seal `m` as generation `m.gen` — EXCLUSIVE publish of a fully
     * written file: a concurrent writer that sealed the same generation
     * first makes this fail loudly, with the caller's staged `_rev`
@@ -159,25 +218,20 @@ object SegmentManifest {
     * Crash safety (write-temp-then-publish, Delta's LogStore rule): the
     * rendered manifest is first written COMPLETELY to a dot-prefixed
     * temp file that [[generations]] never matches, then published into
-    * `_gen/m<gen>` in one atomic step — a crash or disk-full mid-write
-    * can only ever leave an ignored temp file, never a torn manifest
-    * occupying the newest generation number (which would poison every
-    * subsequent `latest()` with a parse failure no re-run recovers
-    * from).
-    *
-    * Exclusivity by storage class: on POSIX local filesystems the
-    * publish is a hard link (`link(2)` — atomic, fails if the target
-    * exists); on HDFS-like stores it is `rename` (atomic, does not
-    * replace an existing file). Plain object stores without atomic
-    * rename-if-absent (raw S3) get check-then-publish only — running
-    * concurrent sealers there needs an external lock or a LogStore-
-    * style atomic-put shim, exactly Delta Lake's documented storage
-    * requirement. */
-  def seal(spark: SparkSession, path: String, m: Manifest): Unit = {
+    * `_gen/m<gen>` by a [[SealPublisher]] — a crash or disk-full
+    * mid-write can only ever leave an ignored temp file, never a torn
+    * manifest occupying the newest generation number (which would
+    * poison every subsequent `latest()` with a parse failure no re-run
+    * recovers from). The publisher resolves by storage class
+    * ([[publisherFor]]: POSIX hard-link / HDFS rename / fail-fast on
+    * raw object stores); `publisher` overrides it for stores with
+    * their own atomic-put primitive. */
+  def seal(spark: SparkSession, path: String, m: Manifest,
+           publisher: Option[SealPublisher] = None): Unit = {
     val fs = fsOf(spark, path)
     fs.mkdirs(genDir(path))
     val p = manifestPath(path, m.gen)
-    def lost(detail: String) = new IllegalStateException(
+    def lost(detail: String): Exception = new IllegalStateException(
       s"segmented index at $path: generation ${m.gen} was sealed " +
         "by a concurrent writer — this op's output is abandoned " +
         s"(unreferenced) and the index is intact: $detail")
@@ -185,25 +239,8 @@ object SegmentManifest {
       s".m${m.gen}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(render(m).getBytes("UTF-8")) finally out.close()
-    try {
-      if (fs.getScheme == "file") {
-        // POSIX: hard-link the complete temp file into place — one
-        // atomic syscall that FAILS when the target exists (true
-        // exclusive create + publish in a single step)
-        val dst = java.nio.file.Paths.get(p.toUri.getPath)
-        val src = java.nio.file.Paths.get(tmp.toUri.getPath)
-        try java.nio.file.Files.createLink(dst, src)
-        catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            throw lost(e.toString)
-        }
-      } else {
-        // HDFS-like: rename is atomic and does not replace an existing
-        // destination; the pre-check only sharpens the error message
-        if (fs.exists(p)) throw lost(s"$p already sealed")
-        if (!fs.rename(tmp, p)) throw lost(s"rename to $p refused")
-      }
-    } finally fs.delete(tmp, false)
+    try publisher.getOrElse(publisherFor(fs)).publish(fs, tmp, p, lost)
+    finally fs.delete(tmp, false)
   }
 
   /** Generation-0 composition of a PRE-MANIFEST layout, discovered
@@ -256,18 +293,25 @@ object SegmentManifest {
     * `schema` (when given) makes each leaf read explicit-schema: a
     * member directory holding no parquet files (empty crash debris a
     * legacy bootstrap folded in) then reads as zero rows instead of
-    * failing schema inference. */
+    * failing schema inference. Without it, the schema is inferred
+    * ONCE from the first entry and supplied explicitly to the rest —
+    * a layout's members share one schema by construction, and
+    * per-entry inference was a hidden footer-read job per member
+    * (measured 16 of a maintenance wave's 48 jobs, WaveJobProbe). */
   def read(spark: SparkSession, path: String, m: Manifest,
            layout: String, keyCol: String = "seg",
            schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Option[DataFrame] = {
     val es = m.entries(layout)
     if (es.isEmpty) None
-    else Some(es.map { e =>
-      schema.fold(spark.read)(spark.read.schema(_))
-        .parquet(s"$path/${e.loc}")
-        .withColumn(keyCol, lit(e.seg))
-    }.reduce(_ unionByName _))
+    else {
+      val sch = schema.getOrElse(
+        spark.read.parquet(s"$path/${es.head.loc}").schema)
+      Some(es.map { e =>
+        spark.read.schema(sch).parquet(s"$path/${e.loc}")
+          .withColumn(keyCol, lit(e.seg))
+      }.reduce(_ unionByName _))
+    }
   }
 
   /** VACUUM: reclaim physical directories referenced by none of the

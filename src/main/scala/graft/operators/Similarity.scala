@@ -762,9 +762,13 @@ object Similarity {
         .join(ivfAssignCosine(freshRows, cents, idCol, vecCol), Seq(idCol))
         .select(col(idCol), col("codes"), col("codes_scale"),
           col("centroid_id")))
+    // dedupe DRIVER-side: the collected rows are delta-bounded (one
+    // per changed key), and the relational distinct's shuffle cost
+    // the wave several AQE stage jobs for a handful of rows
+    // (WaveJobProbe) — the collect is the same boundedness either way
     val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
       .union(freshAssigned.select(col("centroid_id")))
-      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      .collect().map(_.getLong(0)).toSet.toSeq.sorted
     // unpersist on BOTH exits: a long-running caller (the streaming
     // maintenance loop) refreshes every micro-batch, and leaked
     // per-wave caches accumulate in the BlockManager
@@ -985,13 +989,19 @@ object Similarity {
   /** Scalar drift gauges off an [[ivfDriftStats]] frame (a ≤|cells|-row
     * driver-side fold): (occupancy skew ×100 = largest cell ÷ mean
     * cell, corpus-weighted mean displacement in 1e-7 fixed point). */
-  def ivfDriftGauges(stats: DataFrame): (Long, Long) = {
-    val rows = stats.select(col("n"), col("cd_fp_sum")).collect()
+  def ivfDriftGauges(stats: DataFrame): (Long, Long) =
+    ivfDriftGaugesOf(stats.select(col("n"), col("cd_fp_sum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+
+  /** [[ivfDriftGauges]] over already-collected (n, cd_fp_sum) pairs —
+    * the zero-job fold for callers that hold the stats rows driver-
+    * side (the streaming wave's collect-once stats phase). */
+  def ivfDriftGaugesOf(rows: Seq[(Long, Long)]): (Long, Long) = {
     require(rows.nonEmpty, "ivfDriftGauges: empty index")
-    val total = rows.map(_.getLong(0)).sum
-    val maxN = rows.map(_.getLong(0)).max
+    val total = rows.map(_._1).sum
+    val maxN = rows.map(_._1).max
     val skewX100 = maxN * rows.length * 100L / total
-    val meanCdFp = rows.map(_.getLong(1)).sum / total
+    val meanCdFp = rows.map(_._2).sum / total
     (skewX100, meanCdFp)
   }
 

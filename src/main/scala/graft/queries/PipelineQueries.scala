@@ -4447,6 +4447,124 @@ object PipelineQueries {
           col("id"))
     }),
 
+    // X2 × MVCC — VECTOR concurrent reader/writer TORTURE (q188 for
+    // the vector loops; r15 verdict stretch 7): one writer THREAD
+    // drives BOTH streaming vector loops through a benign CRUD wave
+    // and a hard-drift wave whose breach RECENTERS — the MVCC
+    // rebuild (and the IVF-PQ books reseal) racing a reader in
+    // anger, not in sequenced specs — while the main thread HAMMERS
+    // the two live probe plans pinned before the writer started:
+    // every racing collect must return the pinned bootstrap
+    // generation's answer bit-identically, no matter which seal
+    // (refresh or full-replacement recenter) lands mid-collect.
+    // Output: the pinned answers (phases 0/2) + fresh pin-once
+    // probes of the final recentered state (phases 1/3); the oracle
+    // re-derives all four from raw under the written generation-0
+    // and generation-2 models (the q186/q187 mechanism). id%3=1
+    // corpus third (the q189 pricing rule: this row pins RACE
+    // semantics; per-family scale is owned by q186/q187).
+    "q190_vector_mvcc_torture" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val all = e.filter(col("vec_id") =!= 0 && col("vec_id") % 3 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val base = all.filter(col("vec_id") % 5 =!= 4)
+      val vq = scratchPath("vmvcc_q", dir)
+      val vp = scratchPath("vmvcc_p", dir)
+      val fs = new org.apache.hadoop.fs.Path(vq)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(vq, vp).foreach(r =>
+        fs.delete(new org.apache.hadoop.fs.Path(r), true))
+      StreamingVectorIndex.bootstrapQuantized(base, vq, "vec_id",
+        "embedding", k = 8)
+      StreamingVectorIndex.bootstrapIvfPq(base, vp, "vec_id",
+        "embedding", kCells = 8, m = 8, k = 16)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      // the PINS: planned (and their manifests resolved) before the
+      // writer exists
+      val pinQ = StreamingVectorIndex.probeLiveQuantized(s, vq, qv,
+        "vec_id", k = 10, nProbe = 3)
+      val pinP = StreamingVectorIndex.probeLiveIvfPq(s, vp, qv,
+        "vec_id", k = 10, nProbe = 3)
+      def rowSet(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val expQ = rowSet(pinQ.collect())
+      val expP = rowSet(pinP.collect())
+      def wave(df: DataFrame, op: String) =
+        df.select(col("vec_id"), col("embedding"), lit(op).as("op"))
+      // wave 0 (benign CRUD): add %5==4 ∧ %2==0, delete %7==1 of the
+      // base; wave 1 (hard drift): every live vector wanders by
+      // (id%5)·3.0f — the q186 breach transform, so the recenter
+      // fires mid-hammer
+      val w0 = wave(all.filter(col("vec_id") % 5 === 4 &&
+          col("vec_id") % 2 === 0), "upsert")
+        .unionByName(
+          wave(base.filter(col("vec_id") % 7 === 1), "delete"))
+      val live = all.filter(
+        (col("vec_id") % 5 =!= 4 && col("vec_id") % 7 =!= 1) ||
+          (col("vec_id") % 5 === 4 && col("vec_id") % 2 === 0))
+      val w1 = wave(live.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("vec_id") % 5).cast("float") * lit(3.0f))
+          .as("embedding")), "upsert")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writer = Future {
+        // the writer thread's operator-internal caches get their own
+        // scope (the stack is thread-local)
+        graft.engine.Caching.scoped {
+          for ((w, b) <- Seq((w0, 0L), (w1, 1L))) {
+            StreamingVectorIndex.applyWaveQuantized(s, vq, w, b,
+              "vec_id", "embedding", k = 8, historyRetention = 6)
+            StreamingVectorIndex.applyWaveIvfPq(s, vp, w, b,
+              "vec_id", "embedding", kCells = 8, m = 8, k = 16,
+              historyRetention = 6)
+          }
+        }
+      }
+      // hammer both pinned plans while the writer seals away; every
+      // answer must be the pinned generation's, bit for bit
+      var checks = 0
+      while ({
+        require(rowSet(pinQ.collect()) == expQ,
+          s"q190: maintenance raced the pinned quantized probe " +
+            s"(check $checks)")
+        require(rowSet(pinP.collect()) == expP,
+          s"q190: maintenance raced the pinned IVF-PQ probe " +
+            s"(check $checks)")
+        checks += 1
+        !writer.isCompleted
+      }) ()
+      Await.result(writer, scala.concurrent.duration.Duration.Inf)
+      require(checks >= 1, "q190: the pinned probes never ran")
+      // the drift wave must have recentered BOTH loops (wave batch 1
+      // → generation 2) — otherwise the race never crossed a
+      // full-replacement seal and the row proves less than it claims
+      for (root <- Seq(vq, vp))
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+            s"$root/cents/gen=2")),
+          s"q190: the drift wave did not recenter $root")
+      // pinned answers materialized driver-side (k-bounded), so the
+      // returned frame is independent of any later vacuum
+      val phase0 = expQ.toSeq.sorted.toDF("vec_id", "score")
+        .withColumn("phase", lit(0))
+      val phase1 = StreamingVectorIndex.probeLiveQuantized(s, vq, qv,
+          "vec_id", k = 10, nProbe = 3)
+        .select(col("vec_id"), col("qsim").as("score"))
+        .withColumn("phase", lit(1))
+      val phase2 = expP.toSeq.sorted.toDF("vec_id", "score")
+        .withColumn("phase", lit(2))
+      val phase3 = StreamingVectorIndex.probeLiveIvfPq(s, vp, qv,
+          "vec_id", k = 10, nProbe = 3)
+        .select(col("vec_id"), col("adc_score").as("score"))
+        .withColumn("phase", lit(3))
+      phase0.unionByName(phase1).unionByName(phase2)
+        .unionByName(phase3)
+        .select(col("phase"), col("vec_id"), col("score"))
+        .orderBy(col("phase"), col("score").desc, col("vec_id"))
+    }),
+
     "q162_spell_suggest" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = fxDocsBm25(s, dir)
@@ -6909,6 +7027,147 @@ object PipelineQueries {
         |  (SELECT * FROM lex UNION ALL SELECT * FROM kq
         |   UNION ALL SELECT * FROM kp)
         |ORDER BY family, qid, score DESC, id""".stripMargin,
+
+    // all four torture phases re-derived from raw under the WRITTEN
+    // models: phases 0/2 = the bootstrap corpus (%3==1 third, %5≠4)
+    // under the generation-0 models (the pinned answers the hammered
+    // probes must have returned), phases 1/3 = the post-CRUD drifted
+    // corpus under the recentered generation-2 models — q186's int8
+    // arithmetic for 0/1, q187's unit-normalize + codebook argmin +
+    // integer ADC for 2/3. If any racing collect had served a mixed
+    // or mid-seal state, phase 0/2 would hash-red.
+    "q190_vector_mvcc_torture" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qv, x -> 0.0)
+        |              ELSE list_transform(qv, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
+        |          AS s FROM q)),
+        |base0 AS (SELECT vec_id, embedding AS v FROM embeddings
+        |  WHERE vec_id <> 0 AND vec_id % 3 = 1 AND vec_id % 5 <> 4),
+        |live AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x + (vec_id % 5) * 3.0 AS FLOAT)) AS v
+        |  FROM embeddings
+        |  WHERE vec_id <> 0 AND vec_id % 3 = 1
+        |    AND ((vec_id % 5 <> 4 AND vec_id % 7 <> 1)
+        |         OR (vec_id % 5 = 4 AND vec_id % 2 = 0))),
+        |cq0 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/vmvcc_q_{SFHASH}/cents/gen=0/*.parquet')),
+        |cq2 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/vmvcc_q_{SFHASH}/cents/gen=2/*.parquet')),
+        |pq0 AS (SELECT cid FROM cq0, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |pq2 AS (SELECT cid FROM cq2, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |a0 AS (SELECT base0.vec_id AS vid,
+        |    arg_min(cq0.cid,
+        |      1 - list_cosine_similarity(base0.v::DOUBLE[], cq0.cv)) AS cid
+        |  FROM base0, cq0 GROUP BY base0.vec_id),
+        |a1 AS (SELECT live.vec_id AS vid,
+        |    arg_min(cq2.cid,
+        |      1 - list_cosine_similarity(live.v::DOUBLE[], cq2.cv)) AS cid
+        |  FROM live, cq2 GROUP BY live.vec_id),
+        |z0 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x)))
+        |            / 127.0 AS s
+        |        FROM base0)),
+        |z1 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x)))
+        |            / 127.0 AS s
+        |        FROM live)),
+        |k0 AS (SELECT 0 AS phase, vec_id,
+        |    round(list_cosine_similarity(codes,
+        |      (SELECT qc FROM qq)), 4) AS score
+        |  FROM z0 JOIN a0 ON z0.vec_id = a0.vid
+        |  WHERE a0.cid IN (SELECT cid FROM pq0)
+        |  ORDER BY score DESC, vec_id LIMIT 10),
+        |k1 AS (SELECT 1 AS phase, vec_id,
+        |    round(list_cosine_similarity(codes,
+        |      (SELECT qc FROM qq)), 4) AS score
+        |  FROM z1 JOIN a1 ON z1.vec_id = a1.vid
+        |  WHERE a1.cid IN (SELECT cid FROM pq2)
+        |  ORDER BY score DESC, vec_id LIMIT 10),
+        |cp0 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/vmvcc_p_{SFHASH}/cents/gen=0/*.parquet')),
+        |cp2 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/vmvcc_p_{SFHASH}/cents/gen=2/*.parquet')),
+        |pp0 AS (SELECT cid FROM cp0, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |pp2 AS (SELECT cid FROM cp2, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |cb0 AS (SELECT subspace, code, cvec FROM
+        |  read_parquet('{SCRATCH}/vmvcc_p_{SFHASH}/books/gen=0/*.parquet')),
+        |cb2 AS (SELECT subspace, code, cvec FROM
+        |  read_parquet('{SCRATCH}/vmvcc_p_{SFHASH}/books/gen=2/*.parquet')),
+        |ip0 AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb0, q),
+        |ip2 AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb2, q),
+        |b0 AS (SELECT base0.vec_id AS vid,
+        |    arg_min(cp0.cid,
+        |      1 - list_cosine_similarity(base0.v::DOUBLE[], cp0.cv)) AS cid
+        |  FROM base0, cp0 GROUP BY base0.vec_id),
+        |b1 AS (SELECT live.vec_id AS vid,
+        |    arg_min(cp2.cid,
+        |      1 - list_cosine_similarity(live.v::DOUBLE[], cp2.cv)) AS cid
+        |  FROM live, cp2 GROUP BY live.vec_id),
+        |m0 AS (SELECT base0.vec_id,
+        |    list_transform(base0.v::DOUBLE[],
+        |      x -> x / sqrt(list_inner_product(base0.v::DOUBLE[],
+        |                                       base0.v::DOUBLE[]))) AS uv
+        |  FROM base0 JOIN b0 ON base0.vec_id = b0.vid
+        |  WHERE b0.cid IN (SELECT cid FROM pp0)),
+        |m1 AS (SELECT live.vec_id,
+        |    list_transform(live.v::DOUBLE[],
+        |      x -> x / sqrt(list_inner_product(live.v::DOUBLE[],
+        |                                       live.v::DOUBLE[]))) AS uv
+        |  FROM live JOIN b1 ON live.vec_id = b1.vid
+        |  WHERE b1.cid IN (SELECT cid FROM pp2)),
+        |e0 AS (SELECT vec_id, subspace, code FROM (
+        |    SELECT m0.vec_id, cb0.subspace, cb0.code,
+        |      row_number() OVER (PARTITION BY m0.vec_id, cb0.subspace
+        |        ORDER BY list_distance(cb0.cvec,
+        |          uv[(cb0.subspace * 8 + 1):(cb0.subspace * 8 + 8)]),
+        |          cb0.code) AS rn
+        |    FROM m0, cb0) WHERE rn = 1),
+        |e1 AS (SELECT vec_id, subspace, code FROM (
+        |    SELECT m1.vec_id, cb2.subspace, cb2.code,
+        |      row_number() OVER (PARTITION BY m1.vec_id, cb2.subspace
+        |        ORDER BY list_distance(cb2.cvec,
+        |          uv[(cb2.subspace * 8 + 1):(cb2.subspace * 8 + 8)]),
+        |          cb2.code) AS rn
+        |    FROM m1, cb2) WHERE rn = 1),
+        |k2 AS (SELECT 2 AS phase, vec_id,
+        |    round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS score
+        |  FROM e0 JOIN ip0 USING (subspace, code)
+        |  GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10),
+        |k3 AS (SELECT 3 AS phase, vec_id,
+        |    round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS score
+        |  FROM e1 JOIN ip2 USING (subspace, code)
+        |  GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10)
+        |SELECT phase, vec_id, score FROM
+        |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |   UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
+        |ORDER BY phase, score DESC, vec_id""".stripMargin,
 
     // q115's oracle verbatim again: the TIERED merge — folds, pair
     // renumbering, retained tombstones, summed stats partials — must

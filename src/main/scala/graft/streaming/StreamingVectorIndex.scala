@@ -208,7 +208,7 @@ object StreamingVectorIndex {
                 cents: DataFrame): Long =
       Similarity.centroidFingerprint(cents) ^
         Similarity.modelFingerprint(
-          spark.read.parquet(s"$root/index/codebooks")
+          ProductQuantize.readBooks(spark, s"$root/index/codebooks")
             .select(col("subspace"), col("code"),
               col("cvec").as("bvec")),
           Seq("subspace", "code"), "bvec")
@@ -224,7 +224,7 @@ object StreamingVectorIndex {
       Similarity.learnedCentroids(snapshot, vecCol, kCells, seed)
     override def snapshotModel(spark: SparkSession, root: String,
                                gen: Int): Unit =
-      spark.read.parquet(s"$root/index/codebooks")
+      ProductQuantize.readBooks(spark, s"$root/index/codebooks")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$root/books/gen=$gen")
   }
@@ -246,23 +246,60 @@ object StreamingVectorIndex {
       .sorted
   }
 
+  // baseline/gen=N is written once per recenter (replay rewrites are
+  // bit-identical), so the two-long read memoizes per (root, gen,
+  // file mtime) — one less per-wave Spark job; the mtime key keeps a
+  // rewritten store (tests, replays) from serving stale values. One
+  // tiny entry per live root × model generation.
+  private val baselineCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long),
+      (Long, Long)]()
+
   private def readBaseline(spark: SparkSession, root: String,
                            gen: Int): (Long, Long) = {
-    val r = spark.read.parquet(s"$root/baseline/gen=$gen").head()
-    (r.getAs[Long]("skew_x100"), r.getAs[Long]("mean_cd_fp"))
+    val p = new org.apache.hadoop.fs.Path(s"$root/baseline/gen=$gen")
+    val mtime = fsOf(spark, root).getFileStatus(p).getModificationTime
+    baselineCache.computeIfAbsent((root, gen, mtime), _ => {
+      val r = spark.read.parquet(p.toString).head()
+      (r.getAs[Long]("skew_x100"), r.getAs[Long]("mean_cd_fp"))
+    })
   }
 
+  /** One driftstats-artifact row, held driver-side through the wave's
+    * COLLECT-ONCE stats phase: the previous generation's rows are
+    * collected once and reused for the model-seal check, the
+    * clean-cell carry, the gauge fold, AND the commit write — where
+    * the frame-shaped pipeline paid a Spark job per step (seal probe,
+    * stats write, gauge re-read of the written file), the row array
+    * pays two (prev collect + dirty-cell rescan). ≤|cells| rows by
+    * construction. */
+  private[graft] final case class StatRow(centroid_id: Long, n: Long,
+                                          mean_cd: Double,
+                                          cd_fp_sum: Long,
+                                          model_fp: Long)
+
+  private def collectStats(df: DataFrame): Array[StatRow] =
+    df.select(col("centroid_id").cast("long"), col("n"),
+        col("mean_cd"), col("cd_fp_sum"), col("model_fp"))
+      .collect()
+      .map(r => StatRow(r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+
   /** Write generation `gen`'s per-cell drift stats (≤|cells| rows,
-    * one coalesced file) and return the GAUGES folded from the
-    * WRITTEN file — the artifact is the wave's decision input AND the
-    * next wave's carried baseline, so the fold must read what was
-    * stored, not what was planned. Prunes stats generations below the
-    * keep floor (only the newest is ever read; the floor keeps the
-    * previous one for the replay of the current wave). */
+    * one coalesced file) and return the GAUGES folded from the SAME
+    * driver-side rows the file is written from — the artifact is the
+    * wave's decision input AND the next wave's carried baseline, and
+    * because the rows ARE the storage payload the fold and the file
+    * cannot diverge (the old frame-shaped pipeline re-read the
+    * written file to guarantee this, one extra job per wave). Prunes
+    * stats generations below the keep floor (only the newest is ever
+    * read; the floor keeps the previous one for the replay of the
+    * current wave). */
   private def commitDriftStats(spark: SparkSession, root: String,
-                               gen: Int, stats: DataFrame,
+                               gen: Int, rows: Seq[StatRow],
                                keepBelow: Int): (Long, Long) = {
-    stats.coalesce(1).write.mode("overwrite")
+    import spark.implicits._
+    rows.toDF().coalesce(1).write.mode("overwrite")
       .parquet(s"$root/driftstats/gen=$gen")
     val fs = fsOf(spark, root)
     for (g <- gens(spark, root, "driftstats")
@@ -271,8 +308,7 @@ object StreamingVectorIndex {
       require(fs.delete(p, true) || !fs.exists(p),
         s"StreamingVectorIndex: failed to GC drift stats gen=$g")
     }
-    Similarity.ivfDriftGauges(
-      spark.read.parquet(s"$root/driftstats/gen=$gen"))
+    Similarity.ivfDriftGaugesOf(rows.map(r => (r.n, r.cd_fp_sum)))
   }
 
   /** The wave's post-refresh drift stats, DELTA-BOUNDED (the scale
@@ -289,39 +325,58 @@ object StreamingVectorIndex {
   private def waveDriftStats(spark: SparkSession, root: String,
                              ops: IndexOps, cents: DataFrame,
                              idCol: String, gen: Int,
-                             dirty: Seq[Long]): DataFrame = {
+                             dirty: Seq[Long]): Array[StatRow] = {
     val prevGens = gens(spark, root, "driftstats").filter(_ < gen)
+    def full = collectStats(ops.driftStats(spark, root, cents, idCol,
+      None))
     prevGens.maxOption match {
-      // the carried artifact is MODEL-SEALED: its per-cell rows are
-      // valid only under the model that produced them, so the carry
-      // verifies the seal against the CURRENT model's fingerprint —
-      // a legacy artifact (no seal) or one written under another
-      // model (out-of-band recenter) self-heals with one full scan
-      // instead of silently wrong gauges
-      case Some(pg) if {
-        val prev = spark.read.parquet(s"$root/driftstats/gen=$pg")
-        prev.columns.contains("model_fp") &&
-          prev.select(col("model_fp")).limit(1).collect()
-            .headOption.exists(_.getLong(0) ==
-              ops.modelFp(spark, root, cents))
-      } =>
-        val prev = spark.read.parquet(s"$root/driftstats/gen=$pg")
-          .select(col("centroid_id"), col("n"), col("mean_cd"),
-            col("cd_fp_sum"), col("model_fp"))
-        if (dirty.isEmpty) prev
-        else prev.filter(!col("centroid_id").isin(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(
-              dirty.toArray): _*))
-          .unionByName(
-            ops.driftStats(spark, root, cents, idCol, Some(dirty)))
-      case _ =>
-        ops.driftStats(spark, root, cents, idCol, None)
+      case Some(pg) =>
+        val prevDf = spark.read.parquet(s"$root/driftstats/gen=$pg")
+        // the carried artifact is MODEL-SEALED: its per-cell rows are
+        // valid only under the model that produced them. A legacy
+        // artifact (no seal) or one written under another model
+        // (out-of-band recenter) self-heals with one full scan
+        // instead of silently wrong gauges. The check is zero extra
+        // jobs on the common path: the freshly rescanned dirty rows
+        // already carry the CURRENT model's fingerprint, and the
+        // previous rows were collected anyway for the carry.
+        if (!prevDf.columns.contains("model_fp")) full
+        else {
+          val prev = collectStats(prevDf)
+          if (dirty.isEmpty) {
+            // nothing rescanned this wave — the rare path that still
+            // pays a fingerprint job to verify the seal
+            if (prev.headOption.exists(
+                _.model_fp == ops.modelFp(spark, root, cents))) prev
+            else full
+          } else {
+            val fresh = collectStats(
+              ops.driftStats(spark, root, cents, idCol, Some(dirty)))
+            val fpNow = fresh.headOption.map(_.model_fp)
+              .getOrElse(ops.modelFp(spark, root, cents))
+            if (!prev.headOption.exists(_.model_fp == fpNow)) full
+            else {
+              val dirtySet = dirty.toSet
+              prev.filterNot(r =>
+                dirtySet.contains(r.centroid_id)) ++ fresh
+            }
+          }
+        }
+      case None => full
     }
   }
 
   private def writeCents(spark: SparkSession, root: String, gen: Int,
                          cents: DataFrame): Unit =
     cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/cents/gen=$gen")
+
+  /** Explicit-schema read of a model generation — the centroid store
+    * has one fixed shape, and schema inference on it was a hidden
+    * footer-read job every wave (WaveJobProbe). */
+  private def readCents(spark: SparkSession, root: String,
+                        gen: Int): DataFrame =
+    spark.read.schema("centroid_id BIGINT, cvec ARRAY<DOUBLE>")
       .parquet(s"$root/cents/gen=$gen")
 
   private def writeBaseline(spark: SparkSession, root: String,
@@ -458,14 +513,15 @@ object StreamingVectorIndex {
     // identical content; reading the fit back from the published file
     // keeps the rebuild + gauges on the exact stored values.
     writeCents(spark, root, gen, fitted)
-    val cents2 = spark.read.parquet(s"$root/cents/gen=$gen")
+    val cents2 = readCents(spark, root, gen)
     ops.rebuild(snap, cents2, idCol, vecCol, root, gen)
     ops.snapshotModel(spark, root, gen)
     // the rebuild re-encoded everything, so the stats artifact resets
     // with one full scan (the recenter pays the corpus read anyway);
     // subsequent waves go back to dirty-cell increments
     val bl2 = commitDriftStats(spark, root, gen,
-      ops.driftStats(spark, root, cents2, idCol, None), retain)
+      collectStats(ops.driftStats(spark, root, cents2, idCol, None)),
+      retain)
     writeBaseline(spark, root, gen, bl2)
     val fs = fsOf(spark, root)
     require(fs.delete(markerPath(root), false) ||
@@ -549,7 +605,7 @@ object StreamingVectorIndex {
       //    (freshRows = newSnap ⋈ freshKeys ⊆ upserts), so the wave
       //    never rescans the corpus
       val mGen = gens(spark, root, "cents").max
-      val cents = spark.read.parquet(s"$root/cents/gen=$mGen")
+      val cents = readCents(spark, root, mGen)
       val baseline = readBaseline(spark, root, mGen)
       val dirty = ops.refresh(spark, root, cents, upserts, changes,
         idCol, vecCol)
@@ -563,7 +619,8 @@ object StreamingVectorIndex {
       //    recenter pays the corpus read anyway, so it doubles as a
       //    chain compaction)
       val gauges = commitDriftStats(spark, root, gen,
-        waveDriftStats(spark, root, ops, cents, idCol, gen, dirty),
+        waveDriftStats(spark, root, ops, cents, idCol, gen, dirty)
+          .toSeq,
         historyRetention)
       if (Similarity.driftBreached(gauges, baseline,
           cdFactorX100, skewFactorX100)) {

@@ -17,6 +17,7 @@ class SegmentManifestSpec extends SparkSpec {
       "first seal must not wedge the upgrade path") {
     val dir = scratch("smf_debris").toString
     val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/centroid_id=3"))
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/centroid_id=11"))
     // the debris: a write-once books dir staged by ivfPqRebuildMvcc
@@ -31,5 +32,78 @@ class SegmentManifestSpec extends SparkSpec {
       s"got ${m.entries("cells")}")
     assert(m.entries("books").isEmpty,
       "unreferenced books debris folded into generation 0")
+  }
+
+  test("the seal-publisher seam is load-bearing: through a " +
+      "deliberately NON-atomic publisher two racing sealers BOTH win " +
+      "(the lost-update), through the real one the loser fails " +
+      "loudly and the winner's manifest survives bit-intact") {
+    val dir = scratch("smf_seam").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val mA = SegmentManifest.Manifest(1,
+      Map("cells" -> Seq(SegmentManifest.Entry(0, "centroid_id=0"))))
+    val mB = SegmentManifest.Manifest(1,
+      Map("cells" -> Seq(SegmentManifest.Entry(7, "centroid_id=7"))))
+    // the fake: check-then-copy with no exclusivity — what a raw
+    // object store's best-effort publish actually is. Both sealers
+    // "succeed"; the second silently clobbers the first. This is the
+    // exact failure the scheme-resolved publishers exist to prevent,
+    // and why raw object-store schemes are rejected outright.
+    object NonAtomic extends SegmentManifest.SealPublisher {
+      def publish(hfs: org.apache.hadoop.fs.FileSystem,
+                  tmp: org.apache.hadoop.fs.Path,
+                  dst: org.apache.hadoop.fs.Path,
+                  lost: String => Exception): Unit = {
+        val in = hfs.open(tmp)
+        val bytes =
+          try {
+            val b = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
+            b.toByteArray
+          } finally in.close()
+        val out = hfs.create(dst, true) // overwrite: no exclusivity
+        try out.write(bytes) finally out.close()
+      }
+    }
+    SegmentManifest.seal(spark, dir, mA, Some(NonAtomic))
+    SegmentManifest.seal(spark, dir, mB, Some(NonAtomic)) // no error!
+    assert(SegmentManifest.latest(spark, dir).get
+        .entries("cells").map(_.seg) == Seq(7),
+      "expected the non-atomic publisher to demonstrate the lost " +
+        "update (writer A's sealed generation silently replaced)")
+    // the real protocol on the same store: the loser collides loudly
+    // and the winner's composition survives untouched
+    val dir2 = scratch("smf_seam2").toString
+    f.delete(new org.apache.hadoop.fs.Path(dir2), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir2))
+    SegmentManifest.seal(spark, dir2, mA)
+    val e = intercept[IllegalStateException] {
+      SegmentManifest.seal(spark, dir2, mB)
+    }
+    assert(e.getMessage.contains("concurrent writer"), s"wrong: $e")
+    assert(SegmentManifest.latest(spark, dir2).get
+      .entries("cells").map(_.seg) == Seq(0))
+  }
+
+  test("raw object-store schemes fail fast at publisher resolution " +
+      "instead of sealing best-effort") {
+    // a LocalFileSystem masquerading as raw S3 — only the scheme
+    // matters to the resolution rule
+    val fake = new org.apache.hadoop.fs.LocalFileSystem() {
+      override def getScheme: String = "s3a"
+    }
+    val e = intercept[UnsupportedOperationException] {
+      SegmentManifest.publisherFor(fake)
+    }
+    assert(e.getMessage.contains("atomic rename-if-absent") &&
+      e.getMessage.contains("s3a"), s"wrong: $e")
+    // and the HDFS class resolves to the rename publisher
+    val hdfsLike = new org.apache.hadoop.fs.LocalFileSystem() {
+      override def getScheme: String = "hdfs"
+    }
+    assert(SegmentManifest.publisherFor(hdfsLike) eq
+      SegmentManifest.HdfsRenamePublisher)
   }
 }
