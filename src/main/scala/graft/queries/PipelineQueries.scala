@@ -4565,6 +4565,76 @@ object PipelineQueries {
         .orderBy(col("phase"), col("score").desc, col("vec_id"))
     }),
 
+    // W × X3 — the EVENT-TIME CRUD front under the hash gate (r15
+    // verdict stretch 8, the gate row behind
+    // [[graft.streaming.StreamingLexicalIndex.runUpsertsEventTime]]):
+    // a waved stream of TIMESTAMPED document versions — re-deliveries,
+    // out-of-order versions, a LATE wave that carries DELETES, some
+    // of them inadmissible under the wave watermark — settles to one
+    // winner per key by the q92 watermark rules
+    // ([[Upsert.latestByKeyWavedReplay]], the relational restate the
+    // streaming operator is spec-tied to), and ONLY the settled,
+    // EVICTED winners drive one bm25ApplyUpserts wave: upsert winners
+    // re-index, delete winners tombstone, open keys touch nothing.
+    // The oracle replays admission + winner + eviction AND the BM25
+    // arithmetic over the settled corpus — a wrong watermark rule, a
+    // leaked unsettled version, or a dropped delete all hash-red.
+    "q191_lexical_eventtime_crud" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val path = scratchPath("bm25_etcrud", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.bm25AppendSegment(d, "doc_id", "text", path, 0)
+      // q92's waved version stream with an op column: wave 1 modifies
+      // every %10 key, wave 2 modifies %20 keys (event times that
+      // STRADDLE wave 2's watermark — early ids drop as late), and
+      // the late slice of wave 2 DELETES %50 keys (v3 — a delete that
+      // is itself subject to admission); wave 3 is a far-future
+      // advancer that closes every key but its own
+      val base = lit(1700000000000L)
+      val w1 = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" w1")).as("text"),
+          lit(1L).as("v"), (base + col("doc_id") * 1000).as("tsms"),
+          lit(1).as("wave"), lit("upsert").as("op"))
+      val w2 = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" w2")).as("text"),
+          lit(2L).as("v"),
+          (base + col("doc_id") * 1000 + 600000).as("tsms"),
+          lit(2).as("wave"), lit("upsert").as("op"))
+      val w2del = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), lit("").as("text"), lit(3L).as("v"),
+          (base + col("doc_id") * 1000 + 350000).as("tsms"),
+          lit(2).as("wave"), lit("delete").as("op"))
+      val adv = s.range(1).select(lit(999999L).as("doc_id"),
+        lit("wm-advance").as("text"), lit(1L).as("v"),
+        (base + lit(1000000000L)).as("tsms"), lit(3).as("wave"),
+        lit("upsert").as("op"))
+      val winners = graft.engine.Caching.cached(
+        Upsert.latestByKeyWavedReplay(
+            w1.unionByName(w2).unionByName(w2del).unionByName(adv),
+            "doc_id", "v", "text", "tsms", delayMs = 60000L, "wave")
+          .filter(col("evicted")))
+      require(winners.filter(col("op") === "delete").count() > 0,
+        "q191: no admitted delete settled — the late slice must " +
+          "reach past wave 2's watermark")
+      require(winners.filter(col("op") === "upsert").count() > 0,
+        "q191: no settled upsert winners")
+      TextAnalysis.bm25ApplyUpserts(s, path,
+        winners.filter(col("op") === "upsert")
+          .select(col("doc_id"), col("text")),
+        winners.filter(col("op") === "delete").select(col("doc_id")),
+        "doc_id", "text", segment = 1, maxSegments = 2)
+      winners.unpersist()
+      val panel = Seq(
+        (0L, "sort merge join w1"), (1L, "query filter scan"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25ProbeSegmented(s, path, panel, k = 12, "doc_id")
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
     "q162_spell_suggest" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = fxDocsBm25(s, dir)
@@ -7168,6 +7238,81 @@ object PipelineQueries {
         |  (SELECT * FROM k0 UNION ALL SELECT * FROM k1
         |   UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
         |ORDER BY phase, score DESC, vec_id""".stripMargin,
+
+    // the q92 watermark algebra (admission by per-wave watermark,
+    // winner by max version + min-text tiebreak, eviction by final
+    // watermark) composed with the q115 BM25 arithmetic: the settled
+    // corpus = bootstrap docs, minus evicted delete-winners, with
+    // evicted upsert-winners' text — then the identical scoring replay
+    "q191_lexical_eventtime_crud" ->
+      """WITH w1 AS (SELECT doc_id, coalesce(text, '') || ' w1' AS text,
+        |              CAST(1 AS BIGINT) AS v,
+        |              1700000000000 + doc_id * 1000 AS tsms, 1 AS wave,
+        |              'upsert' AS op
+        |            FROM documents WHERE doc_id % 10 = 0),
+        |w2 AS (SELECT doc_id, coalesce(text, '') || ' w2' AS text,
+        |         CAST(2 AS BIGINT) AS v,
+        |         1700000000000 + doc_id * 1000 + 600000 AS tsms, 2 AS wave,
+        |         'upsert' AS op
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |w2d AS (SELECT doc_id, '' AS text, CAST(3 AS BIGINT) AS v,
+        |          1700000000000 + doc_id * 1000 + 350000 AS tsms, 2 AS wave,
+        |          'delete' AS op
+        |        FROM documents WHERE doc_id % 50 = 0),
+        |adv AS (SELECT CAST(999999 AS BIGINT) AS doc_id,
+        |          'wm-advance' AS text, CAST(1 AS BIGINT) AS v,
+        |          CAST(1700000000000 + 1000000000 AS BIGINT) AS tsms,
+        |          3 AS wave, 'upsert' AS op),
+        |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv),
+        |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
+        |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 60000 AS wm
+        |        FROM wavemax),
+        |adm AS (SELECT u.* FROM u JOIN wmk ON u.wave = wmk.wave
+        |        WHERE wmk.wm IS NULL OR u.tsms >= wmk.wm),
+        |fwm AS (SELECT max(tsms) - 60000 AS f FROM u),
+        |mts AS (SELECT doc_id, max(tsms) AS maxts FROM adm GROUP BY 1),
+        |best AS (SELECT doc_id, max(v) AS bv FROM adm GROUP BY 1),
+        |win0 AS (SELECT DISTINCT adm.doc_id, adm.text, adm.v, adm.op
+        |         FROM adm JOIN best ON adm.doc_id = best.doc_id
+        |                           AND adm.v = best.bv),
+        |tb AS (SELECT doc_id, min(text) AS mt FROM win0 GROUP BY 1),
+        |winev AS (SELECT w.doc_id, w.text, w.op FROM win0 w
+        |          JOIN tb ON w.doc_id = tb.doc_id AND w.text = tb.mt
+        |          JOIN mts m ON w.doc_id = m.doc_id
+        |          WHERE (m.maxts + 60000 + 1) < (SELECT f FROM fwm)),
+        |boot AS (SELECT doc_id, coalesce(text, '') AS text
+        |         FROM documents),
+        |fin AS (SELECT b.doc_id, coalesce(we.text, b.text) AS text
+        |        FROM boot b LEFT JOIN winev we USING (doc_id)
+        |        WHERE we.op IS NULL OR we.op = 'upsert'),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
+        |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM tc GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl
+        |          FROM toks),
+        |q AS (SELECT * FROM (VALUES (0, 'sort merge join w1'),
+        |        (1, 'query filter scan')) v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' '))
+        |         AS term FROM q),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(CAST(floor((ln(1 + (n_docs - df + 0.5) /
+        |        (df + 0.5)) *
+        |      (tf * CAST(1.2 + 1 AS DOUBLE)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1e7 + 0.5) AS BIGINT)) / 1e7, 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT qid, doc_id, score FROM r WHERE rn <= 12
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
 
     // q115's oracle verbatim again: the TIERED merge — folds, pair
     // renumbering, retained tombstones, summed stats partials — must

@@ -108,6 +108,40 @@ object StreamingLexicalIndex {
       }
       .start()
 
+  /** EVENT-TIME front for [[runUpserts]] — the W-family watermark
+    * semantics unified with the index maintenance loop: the CRUD
+    * delta arrives as TIMESTAMPED DOCUMENT VERSIONS
+    * (`idCol | textCol | op | versionCol | tsCol`) with
+    * re-deliveries, out-of-order versions and late arrivals, and each
+    * key's winning version is decided by the batch latestByKey rule
+    * and RELEASED only when the watermark closes the key
+    * ([[StreamingUpsert.latestByKeyWithinWatermark]] — highest
+    * version wins, NULL versions lose, equal versions tie to the min
+    * tiebreak). The index therefore ingests one SETTLED winner per
+    * key: an out-of-order older version can never transiently surface
+    * in probes between waves, a re-delivered row can never fan out
+    * into two index generations, and a straggler arriving after the
+    * watermark is dropped instead of silently rewinding a live
+    * document. Winners feed the same [[TextAnalysis.bm25ApplyUpserts]]
+    * wave as [[runUpserts]] (op = upsert → fresh segment row,
+    * delete → tombstone), so the commit protocol, replay safety and
+    * vacuum cadence are the CRUD loop's own. The cost of the settled
+    * semantics is watermark latency: a document becomes searchable
+    * `delay` after its key's newest admissible version, which is the
+    * Structured Streaming late-data contract, chosen here per stream. */
+  def runUpsertsEventTime(updates: DataFrame, idCol: String,
+                          textCol: String, versionCol: String,
+                          tsCol: String, delay: String, path: String,
+                          maxSegments: Int, checkpoint: String,
+                          firstSegment: Int = 1, vacuumEvery: Int = 64,
+                          keepGenerations: Int = 8): StreamingQuery =
+    runUpserts(
+      StreamingUpsert.latestByKeyWithinWatermark(updates, key = idCol,
+        ordCol = versionCol, rowTieBreak = textCol, tsCol = tsCol,
+        delay = delay),
+      idCol, textCol, path, maxSegments, checkpoint, firstSegment,
+      vacuumEvery, keepGenerations)
+
   def run(docs: DataFrame, idCol: String, textCol: String,
           path: String, maxSegments: Int, checkpoint: String,
           vacuumEvery: Int = 64,

@@ -186,4 +186,101 @@ class StreamingLexicalIndexSpec extends SparkSpec {
       "CRUD streaming loop diverged from the direct scan")
     assert(probed.nonEmpty)
   }
+
+  test("event-time CRUD front: out-of-order versions settle to the " +
+      "batch winner BEFORE touching the index, a delete-as-winner " +
+      "kills the doc, nothing ingests before the watermark closes a " +
+      "key, and a post-watermark straggler is dropped") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files
+      .createTempDirectory("streamcrud_et").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("streamcrud_et_ck").toString
+    val initial = Seq((1L, "spark sort merge join"),
+      (2L, "hash join scan"), (3L, "table scan filter"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25AppendSegment(initial, "doc_id", "text", dir, 0)
+    val panel = Seq((0L, "sort merge upd"), (1L, "table scan"))
+      .toDF("qid", "qtext")
+    def probe() = TextAnalysis
+      .bm25ProbeSegmented(spark, dir, panel, k = 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val bootstrapAnswer = probe()
+    val source = MemoryStream[
+      (java.sql.Timestamp, Long, String, Long, String)]
+    val q = StreamingLexicalIndex.runUpsertsEventTime(
+      source.toDF().toDF("ts", "doc_id", "text", "v", "op"),
+      "doc_id", "text", versionCol = "v", tsCol = "ts",
+      delay = "10 minutes", dir, maxSegments = 3, ckpt)
+    try {
+      // key 1: v1 then an OUT-OF-ORDER higher version (earlier event
+      // time) — only the settled v2 text may ever reach a segment;
+      // key 2: upsert v1 then delete v2 — the winner is the delete;
+      // key 4: a new doc, re-delivered exactly (must not fan out)
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "spark sort merge join v1", 1L,
+          "upsert"),
+        (ts("2024-01-01 10:00:10"), 2L, "hash join scan v1", 1L,
+          "upsert"),
+        (ts("2024-01-01 10:00:20"), 4L, "merge sort window upd", 1L,
+          "upsert"))
+      q.processAllAvailable()
+      source.addData(
+        (ts("2024-01-01 09:59:00"), 1L,
+          "spark sort merge join upd", 2L, "upsert"),
+        (ts("2024-01-01 10:00:30"), 2L, "", 2L, "delete"),
+        (ts("2024-01-01 10:00:20"), 4L, "merge sort window upd", 1L,
+          "upsert"))
+      q.processAllAvailable()
+      // nothing may have been ingested: every key is still open
+      // under the 10-minute watermark
+      assert(probe() == bootstrapAnswer,
+        "a version reached the index before its key settled")
+      // advance the watermark far past every key's newest ts + delay
+      source.addData(
+        (ts("2024-01-01 11:00:00"), 99L, "wm pusher", 1L, "upsert"))
+      q.processAllAvailable()
+      val settled = probe()
+      val finalCorpus = Seq(
+        (1L, "spark sort merge join upd"),   // v2 won, v1 never indexed
+        (3L, "table scan filter"),           // untouched bootstrap doc
+        (4L, "merge sort window upd"))       // re-delivery collapsed
+        .toDF("doc_id", "text")              // doc 2: deleted (v2 won)
+      val direct = TextAnalysis
+        .bm25TopK(finalCorpus, "doc_id", "text", panel, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(settled == direct,
+        "event-time CRUD loop diverged from the settled corpus scan")
+      assert(settled.exists(_._2 == 1L) && !settled.exists(_._2 == 2L),
+        "winner/delete semantics leaked into the index")
+      // a straggler BELOW the watermark (an old higher-version claim
+      // for doc 1) must be dropped, not rewind the document. The
+      // second pusher closes key 99, so the final corpus gains the
+      // first pusher doc (stats shift honestly) — the direct-scan
+      // comparison proves doc 1 kept its settled text while the
+      // rewound v9 never entered
+      source.addData(
+        (ts("2024-01-01 10:01:00"), 1L, "rewound text", 9L, "upsert"))
+      q.processAllAvailable()
+      source.addData(
+        (ts("2024-01-01 12:00:00"), 98L, "wm pusher 2", 1L, "upsert"))
+      q.processAllAvailable()
+      val finalCorpus2 = Seq(
+        (1L, "spark sort merge join upd"),
+        (3L, "table scan filter"),
+        (4L, "merge sort window upd"),
+        (99L, "wm pusher")).toDF("doc_id", "text")
+      val direct2 = TextAnalysis
+        .bm25TopK(finalCorpus2, "doc_id", "text", panel, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(probe() == direct2,
+        "a post-watermark straggler rewound a settled document")
+    } finally q.stop()
+  }
 }
