@@ -754,7 +754,7 @@ object Similarity {
     // (readQuantizedIndex also normalizes the hive INT back to long)
     val idx = readQuantizedIndex(spark, indexPath)
     val freshRows = newSnap.join(freshKeys, Seq(idCol))
-    // cached: consumed by the dirty-cell union AND the staging write —
+    // cached: consumed by the dirty-cell union AND the rev write —
     // delta-sized, but each lazy re-evaluation rescans the corpus-sized
     // newSnap for the semi-join
     val freshAssigned = graft.engine.Caching.cached(
