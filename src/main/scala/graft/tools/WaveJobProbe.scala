@@ -81,6 +81,33 @@ object WaveJobProbe {
       val wall = (System.nanoTime - t0) / 1e9
       drain(f"wave $b (wall $wall%.2f s)")
     }
+
+    // ---- the LEXICAL CRUD wave (bm25ApplyUpserts) -------------------
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      .filter(col("doc_id") % 3 === 1)
+    val lex = java.nio.file.Files.createTempDirectory("wavejob_lex")
+      .toString
+    graft.engine.Caching.scoped {
+      graft.operators.TextAnalysis.bm25AppendSegment(docs, "doc_id",
+        "text", lex, 0)
+    }
+    drain("lex bootstrap")
+    for (b <- 1 to 3) {
+      val ups = docs.filter(col("doc_id") % 17 === b)
+        .select(col("doc_id"),
+          concat(col("text"), lit(s" w$b")).as("text"))
+      val dels = docs.filter(col("doc_id") % 19 === b)
+        .select(col("doc_id"))
+      val t0 = System.nanoTime()
+      graft.engine.Caching.scoped {
+        graft.operators.TextAnalysis.bm25ApplyUpserts(spark, lex, ups,
+          dels, "doc_id", "text", segment = b, maxSegments = 2)
+      }
+      val wall = (System.nanoTime - t0) / 1e9
+      drain(f"lex wave $b (wall $wall%.2f s)")
+    }
     spark.stop()
   }
 }
