@@ -704,8 +704,9 @@ object Similarity {
     * never re-quantized, never re-committed. Centroids stay FIXED — an
     * unchanged key therefore keeps its assignment and its codes, so
     * its index row is reused verbatim rather than recomputed; re-train
-    * + full [[ivfWriteIndexQuantized]] rebuild remains the periodic
-    * re-optimization path when drift accumulates.
+    * + MVCC rebuild ([[ivfRebuildQuantizedMvcc]], via
+    * [[ivfRefreshOrRecenter]]) remains the periodic re-optimization
+    * path when drift accumulates.
     *
     * Mechanics:
     *   1. dirty-out cells: index rows of removed/modified keys (a

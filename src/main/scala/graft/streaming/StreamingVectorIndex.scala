@@ -73,8 +73,9 @@ import graft.operators.{ProductQuantize, SegmentManifest, Similarity}
   *      DECISION, not the gauge: materialize the fold at the sealed
   *      generation as the full snapshot (skip-if-exists), refit from
   *      those WRITTEN files (a pure seeded function of them), rebuild
-  *      (a full overwrite — idempotent), re-gauge, write the model,
-  *      clear the marker. Without the marker, a crash between the
+  *      (an MVCC full-replacement seal — a replay stages identical
+  *      content into one more generation, converging), re-gauge,
+  *      write the model, clear the marker. Without the marker, a crash between the
   *      rebuild and the model write would leave a cents2-shaped index
   *      governed by cents1 — and a replayed refresh under stale
   *      centroids could double-place rows; the marker makes that
