@@ -706,6 +706,55 @@ class StreamingVectorIndexSpec extends SparkSpec {
       "PQ carried stats diverged from the full rescan")
   }
 
+  test("model-sealed carried stats SELF-HEAL in the streaming loop: " +
+      "an out-of-band model change makes the next wave reset with a " +
+      "full rescan under the new model instead of carrying rows " +
+      "computed under the old one") {
+    import spark.implicits._
+    def statsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("centroid_id"), col("n"), col("cd_fp_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val root = tmp("svi_selfheal")
+    StreamingVectorIndex.bootstrapQuantized(
+      corpus(0L until 40L).toDF("vec_id", "embedding"), root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((40L, vec(40L), "upsert")).toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", ops, 1000000L, 1000000L,
+      historyRetention = 4)
+    // the OUT-OF-BAND model change the seal exists for: someone
+    // overwrites the live model store without resetting the stats
+    // artifact (centroids fit on a different slice — same k, new
+    // values). The index still holds codes assigned under the OLD
+    // model, so carrying gen-1's rows for clean cells would compute
+    // gauges under arithmetic that matches neither model.
+    val tampered = Similarity.learnedCentroids(
+        corpus(0L until 20L).toDF("vec_id", "embedding"), "embedding",
+        k = 4).localCheckpoint()
+    tampered.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/cents/gen=0")
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((41L, vec(41L), "upsert")).toDF("vec_id", "embedding", "op"),
+      1L, "vec_id", "embedding", ops, 1000000L, 1000000L,
+      historyRetention = 4)
+    // the wave must have RESET: its committed artifact equals a full
+    // rescan of the (whole) index under the tampered model — not a
+    // carry of gen-1 rows (which were sealed under the original fit)
+    val centsT = spark.read.parquet(s"$root/cents/gen=0")
+    assert(statsSet(spark.read.parquet(s"$root/driftstats/gen=2")) ==
+      statsSet(Similarity.ivfDriftStats(spark, s"$root/index", centsT)),
+      "the self-heal rescan diverged from the full scan under the " +
+        "tampered model")
+    // and the seal now matches the tampered model, so the NEXT wave
+    // goes back to delta-bounded carries
+    assert(spark.read.parquet(s"$root/driftstats/gen=2")
+        .select(col("model_fp")).head().getLong(0) ==
+      Similarity.centroidFingerprint(centsT),
+      "the reset artifact was not re-sealed under the live model")
+  }
+
   test("an as-of generation ABOVE the newest sealed one fails loudly " +
       "instead of silently serving the live state") {
     import spark.implicits._
