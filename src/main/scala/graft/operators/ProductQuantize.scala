@@ -535,6 +535,27 @@ object ProductQuantize {
     }
   }
 
+  /** The codebooks GOVERNING encoding at an IVF-PQ root — resolved
+    * through the latest sealed manifest's books entry when one exists,
+    * else the live `codebooks` copy (legacy layouts, and cells-only
+    * refresh histories where the live copy is exact because refreshes
+    * never retrain books). This makes the live file a PURE CACHE that
+    * can never govern encoding: a crash between a rebuild's exclusive
+    * seal and its live-copy refresh ([[ivfPqRebuildMvcc]]'s last step)
+    * would otherwise leave the copy one model behind the sealed cells,
+    * and — since the stale copy and the carried stats share the old
+    * model_fp — the next refresh would silently encode fresh rows
+    * through books the sealed cells were not encoded with. Every
+    * encoding/stats consumer (refresh, drift stats, the drift loop's
+    * fingerprint, the streaming loop's model snapshot) resolves here. */
+  private[graft] def governingBooks(spark: SparkSession,
+                                    path: String): DataFrame =
+    SegmentManifest.latest(spark, s"$path/codes") match {
+      case Some(mf) if mf.entries("books").nonEmpty =>
+        readBooks(spark, s"$path/codes/${mf.entries("books").last.loc}")
+      case _ => readBooks(spark, s"$path/codebooks")
+    }
+
   /** ADC probe over an already-resolved (codes, codebooks) pair — the
     * second half of [[ivfPqProbe]], exposed so pin-once callers reuse
     * the identical cell restriction + scoring. */
@@ -734,7 +755,8 @@ object ProductQuantize {
       newSnap: DataFrame, changes: DataFrame, idCol: String,
       vecCol: String, residual: Boolean): Seq[Long] = {
     val indexPath = s"$path/codes"
-    val cb = readBooks(spark, s"$path/codebooks")
+    // the GOVERNING books, manifest-resolved — never the live cache
+    val cb = governingBooks(spark, path)
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
     val changed = cached(
       changes.filter(col("status") =!= "unchanged"))
@@ -752,11 +774,14 @@ object ProductQuantize {
             vecCol), Seq(idCol))
           .select(col(idCol), col("codes"), col("centroid_id"))
       else encodeResidual(freshRows, cents, idCol, vecCol, cb, m))
-    // driver-side dedupe of a delta-bounded row set — the same
-    // shuffle-elision as the int8 refresh (WaveJobProbe)
+    // dedupe via one global collect_set aggregate — map-side partial
+    // sets bound shuffle and driver read at ≤|cells| ids no matter
+    // the delta size, without the relational distinct's AQE re-plan
+    // stages (the int8 refresh's rule; WaveJobProbe)
     val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
       .union(freshAssigned.select(col("centroid_id")))
-      .collect().map(_.getLong(0)).toSet.toSeq.sorted
+      .agg(collect_set(col("centroid_id")))
+      .head().getSeq[Long](0).sorted
     if (dirty.isEmpty) {
       freshAssigned.unpersist(); changed.unpersist()
       return dirty
@@ -794,7 +819,10 @@ object ProductQuantize {
   def ivfPqDriftStats(spark: SparkSession, path: String,
                       cents: DataFrame, idCol: String,
                       cells: Option[Seq[Long]] = None): DataFrame = {
-    val cb = readBooks(spark, s"$path/codebooks")
+    // manifest-resolved governing books: the stats LUT and the sealed
+    // model_fp must describe the books the sealed cells were encoded
+    // with, not a possibly-stale live cache
+    val cb = governingBooks(spark, path)
       .select(col("subspace"), col("code"), col("cvec").as("bvec"))
     // the PQ rows are valid under BOTH model artifacts — seal the
     // pair (a recenter retrains the books too, so the carried-stats
@@ -873,7 +901,7 @@ object ProductQuantize {
       changes, idCol, vecCol)
     val fpNow = Similarity.centroidFingerprint(cents) ^
       Similarity.modelFingerprint(
-        readBooks(spark, s"$path/codebooks")
+        governingBooks(spark, path)
           .select(col("subspace"), col("code"), col("cvec").as("bvec")),
         Seq("subspace", "code"), "bvec")
     // delta-bounded gauges under a carried stats frame — the

@@ -190,23 +190,81 @@ object SegmentManifest {
     }
   }
 
+  /** Hadoop conf key opting a raw object-store scheme into
+    * [[SingleDriverPublisher]] — the documented migration path for
+    * single-driver deployments on stores with no atomic
+    * rename-if-absent (Delta's S3SingleDriverLogStore contract: set
+    * it ONLY when every sealer of the index runs in one driver JVM). */
+  val SingleDriverConfKey = "graft.seal.singledriver"
+
+  /** OPT-IN reference publisher for raw object stores (S3-class, no
+    * atomic rename-if-absent) — Delta Lake's S3SingleDriverLogStore
+    * recipe: mutual exclusion comes from a PROCESS-WIDE lock per
+    * destination path around check-then-put, so two sealers in the
+    * SAME driver JVM (the Structured-Streaming foreachBatch world,
+    * and any single-driver deployment) collide loudly exactly like
+    * the atomic publishers. What the store must still provide is
+    * all-or-nothing object PUT (S3/GCS/Azure all do — an upload
+    * either fully materializes or doesn't exist), which keeps a
+    * crash mid-publish from leaving a torn manifest. What this
+    * publisher does NOT provide is cross-JVM exclusion: a sealer in
+    * ANOTHER driver is not locked out, which is why it is opt-in
+    * ([[SingleDriverConfKey]]) rather than the scheme default —
+    * multi-driver object-store deployments need a store-side
+    * conditional put (the DynamoDB-style LogStore). */
+  private[graft] object SingleDriverPublisher extends SealPublisher {
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    def publish(fs: FileSystem, tmp: Path, dst: Path,
+                lost: String => Exception): Unit = {
+      val lock = locks.computeIfAbsent(dst.toString, _ => new Object)
+      lock.synchronized {
+        if (fs.exists(dst)) throw lost(s"$dst already sealed")
+        // create(overwrite = false) sharpens the in-JVM guarantee on
+        // stores that honor it; the object-store PUT itself commits
+        // all-or-nothing on close
+        val out = fs.create(dst, false)
+        try {
+          val in = fs.open(tmp)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536,
+            false)
+          finally in.close()
+        } finally out.close()
+      }
+    }
+  }
+
   /** Resolve the publisher by storage class — and FAIL FAST on stores
     * with no atomic rename-if-absent (raw S3 and friends): running
     * the seal there through a best-effort check-then-publish would
     * silently void the single-writer guarantee, so the raw scheme is
-    * rejected until the operator supplies a LogStore-style atomic-put
-    * publisher (exactly Delta Lake's documented storage requirement). */
+    * rejected until the operator either supplies a LogStore-style
+    * atomic-put publisher (exactly Delta Lake's documented storage
+    * requirement) or opts into the single-driver recipe via
+    * [[SingleDriverConfKey]]. ADLS Gen2 (`abfs`/`abfss`) is
+    * allowlisted onto the rename publisher: with a hierarchical
+    * namespace — the configuration the abfs connector exists for —
+    * its rename is atomic and refuses an existing destination (the
+    * HDFS contract); a non-HNS blob account must opt into
+    * [[SingleDriverPublisher]] instead. */
   private[graft] def publisherFor(fs: FileSystem): SealPublisher =
     fs.getScheme match {
       case "file" => PosixLinkPublisher
-      case "hdfs" | "viewfs" | "webhdfs" | "ofs" | "o3fs" =>
+      case "hdfs" | "viewfs" | "webhdfs" | "ofs" | "o3fs" |
+           "abfs" | "abfss" =>
         HdfsRenamePublisher
-      case other => throw new UnsupportedOperationException(
-        s"segmented-index seal on storage scheme '$other': the store " +
-          "offers no atomic rename-if-absent, so the exclusive seal " +
-          "cannot be guaranteed — supply a LogStore-style " +
-          "SealPublisher for this store (Delta Lake's documented " +
-          "storage requirement for S3-class object stores)")
+      case other =>
+        if (fs.getConf != null &&
+            fs.getConf.getBoolean(SingleDriverConfKey, false))
+          SingleDriverPublisher
+        else throw new UnsupportedOperationException(
+          s"segmented-index seal on storage scheme '$other': the store " +
+            "offers no atomic rename-if-absent, so the exclusive seal " +
+            "cannot be guaranteed — supply a LogStore-style " +
+            "SealPublisher for this store (Delta Lake's documented " +
+            "storage requirement for S3-class object stores), or set " +
+            s"$SingleDriverConfKey=true if every sealer runs in this " +
+            "one driver JVM (the S3SingleDriverLogStore contract)")
     }
 
   /** Seal `m` as generation `m.gen` — EXCLUSIVE publish of a fully
@@ -305,8 +363,23 @@ object SegmentManifest {
     val es = m.entries(layout)
     if (es.isEmpty) None
     else {
-      val sch = schema.getOrElse(
-        spark.read.parquet(s"$path/${es.head.loc}").schema)
+      val sch = schema.getOrElse {
+        // infer from the first member whose directory actually holds
+        // data files: an empty member dir (crash debris a legacy
+        // bootstrap folded in, the exact case the schema parameter
+        // was added for) would otherwise fail inference for the
+        // WHOLE layout even though its own read is well-defined
+        // (zero rows). All-empty layouts still fail loudly on the
+        // head entry — there is no schema to read them under.
+        val fs = fsOf(spark, path)
+        val withData = es.find { e =>
+          val d = new Path(s"$path/${e.loc}")
+          fs.exists(d) && fs.listStatus(d).exists(st =>
+            st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+        }.getOrElse(es.head)
+        spark.read.parquet(s"$path/${withData.loc}").schema
+      }
       Some(es.map { e =>
         spark.read.schema(sch).parquet(s"$path/${e.loc}")
           .withColumn(keyCol, lit(e.seg))

@@ -763,13 +763,16 @@ object Similarity {
         .join(ivfAssignCosine(freshRows, cents, idCol, vecCol), Seq(idCol))
         .select(col(idCol), col("codes"), col("codes_scale"),
           col("centroid_id")))
-    // dedupe DRIVER-side: the collected rows are delta-bounded (one
-    // per changed key), and the relational distinct's shuffle cost
-    // the wave several AQE stage jobs for a handful of rows
-    // (WaveJobProbe) — the collect is the same boundedness either way
+    // dedupe via one global collect_set aggregate: the map-side
+    // partial sets bound the shuffle AND the driver read at ≤|cells|
+    // ids regardless of delta size (a raw collect materializes one
+    // row per changed key — millions at recrawl scale), while still
+    // skipping the relational distinct's AQE re-plan stages that cost
+    // the wave several jobs for a handful of rows (WaveJobProbe)
     val dirty = idx.join(gone, Seq(idCol)).select(col("centroid_id"))
       .union(freshAssigned.select(col("centroid_id")))
-      .collect().map(_.getLong(0)).toSet.toSeq.sorted
+      .agg(collect_set(col("centroid_id")))
+      .head().getSeq[Long](0).sorted
     // unpersist on BOTH exits: a long-running caller (the streaming
     // maintenance loop) refreshes every micro-batch, and leaked
     // per-wave caches accumulate in the BlockManager

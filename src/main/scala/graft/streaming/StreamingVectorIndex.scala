@@ -209,7 +209,7 @@ object StreamingVectorIndex {
                 cents: DataFrame): Long =
       Similarity.centroidFingerprint(cents) ^
         Similarity.modelFingerprint(
-          ProductQuantize.readBooks(spark, s"$root/index/codebooks")
+          ProductQuantize.governingBooks(spark, s"$root/index")
             .select(col("subspace"), col("code"),
               col("cvec").as("bvec")),
           Seq("subspace", "code"), "bvec")
@@ -225,7 +225,10 @@ object StreamingVectorIndex {
       Similarity.learnedCentroids(snapshot, vecCol, kCells, seed)
     override def snapshotModel(spark: SparkSession, root: String,
                                gen: Int): Unit =
-      ProductQuantize.readBooks(spark, s"$root/index/codebooks")
+      // governing books, manifest-resolved: the generation-keyed copy
+      // must snapshot the books the rebuild just SEALED, not the live
+      // cache (stale across a crash window)
+      ProductQuantize.governingBooks(spark, s"$root/index")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$root/books/gen=$gen")
   }
@@ -344,18 +347,24 @@ object StreamingVectorIndex {
         if (!prevDf.columns.contains("model_fp")) full
         else {
           val prev = collectStats(prevDf)
+          // EVERY carried row must be sealed under the current model
+          // — Similarity.requireSameModel's rule: a partially-written
+          // or mixed-fp artifact (two models' rows interleaved) is as
+          // invalid as a wrong head row, and would otherwise carry
+          // rows sealed under another model into the gauge fold
+          def sealedBy(fp: Long): Boolean =
+            prev.nonEmpty && prev.forall(_.model_fp == fp)
           if (dirty.isEmpty) {
             // nothing rescanned this wave — the rare path that still
             // pays a fingerprint job to verify the seal
-            if (prev.headOption.exists(
-                _.model_fp == ops.modelFp(spark, root, cents))) prev
+            if (sealedBy(ops.modelFp(spark, root, cents))) prev
             else full
           } else {
             val fresh = collectStats(
               ops.driftStats(spark, root, cents, idCol, Some(dirty)))
             val fpNow = fresh.headOption.map(_.model_fp)
               .getOrElse(ops.modelFp(spark, root, cents))
-            if (!prev.headOption.exists(_.model_fp == fpNow)) full
+            if (!sealedBy(fpNow)) full
             else {
               val dirtySet = dirty.toSet
               prev.filterNot(r =>
@@ -678,6 +687,67 @@ object StreamingVectorIndex {
                    skewFactorX100: Long = 175L,
                    historyRetention: Int = 0): StreamingQuery =
     run(delta, root, idCol, vecCol, QuantizedOps(k, seed), checkpoint,
+      cdFactorX100, skewFactorX100, historyRetention)
+
+  /** The SETTLE stage both event-time fronts share (the q191 recipe,
+    * [[StreamingLexicalIndex.runUpsertsEventTime]]'s vector sibling):
+    * timestamped vector versions collapse to ONE winner per key by
+    * the batch latestByKey rule — highest version wins, NULL versions
+    * lose, and an exact (key, version) collision breaks to the MIN
+    * `op` string, so a colliding delete beats the upsert
+    * deterministically (`op` is the only string-classed column of the
+    * CRUD schema, and the rule is trivially replayable by an external
+    * engine) — RELEASED only when the watermark closes the key
+    * ([[StreamingUpsert.latestByKeyWithinWatermark]]), then projected
+    * back to the wave schema (`idCol | vecCol | op`). */
+  private def settled(updates: DataFrame, idCol: String,
+                      vecCol: String, versionCol: String, tsCol: String,
+                      delay: String): DataFrame =
+    StreamingUpsert.latestByKeyWithinWatermark(updates, key = idCol,
+        ordCol = versionCol, rowTieBreak = "op", tsCol = tsCol,
+        delay = delay)
+      .select(col(idCol), col(vecCol), col("op"))
+
+  /** EVENT-TIME front for [[runQuantized]]: the CRUD delta arrives as
+    * TIMESTAMPED VECTOR VERSIONS (`idCol | vecCol | op | versionCol |
+    * tsCol`) with re-deliveries, out-of-order versions and late
+    * arrivals, and every maintenance wave ingests only SETTLED,
+    * EVICTED winners ([[settled]]). That closes the q191 hazards for
+    * the dense side: an out-of-order OLDER vector version can never
+    * transiently surface in [[probeLiveQuantized]] between waves, a
+    * re-delivered row can never fan into two index generations, and a
+    * straggler arriving past the watermark is DROPPED instead of
+    * silently rewinding a live vector. The wave protocol, commit
+    * MVCC, drift loop and vacuum cadence are [[runQuantized]]'s own —
+    * the settle stage is purely upstream. The cost of the settled
+    * semantics is watermark latency: a vector becomes probe-visible
+    * `delay` after its key's newest admissible version (the
+    * Structured Streaming late-data contract, chosen per stream). */
+  def runQuantizedEventTime(updates: DataFrame, root: String,
+                            idCol: String, vecCol: String,
+                            versionCol: String, tsCol: String,
+                            delay: String, k: Int, checkpoint: String,
+                            seed: Long = 42L,
+                            cdFactorX100: Long = 115L,
+                            skewFactorX100: Long = 175L,
+                            historyRetention: Int = 0): StreamingQuery =
+    run(settled(updates, idCol, vecCol, versionCol, tsCol, delay),
+      root, idCol, vecCol, QuantizedOps(k, seed), checkpoint,
+      cdFactorX100, skewFactorX100, historyRetention)
+
+  /** [[runQuantizedEventTime]]'s IVF-PQ sibling: the identical settle
+    * stage in front of [[runIvfPq]]'s wave loop — both index families
+    * share ONE watermark-settle semantics by construction. */
+  def runIvfPqEventTime(updates: DataFrame, root: String,
+                        idCol: String, vecCol: String,
+                        versionCol: String, tsCol: String,
+                        delay: String, kCells: Int, m: Int, k: Int,
+                        checkpoint: String, seed: Long = 42L,
+                        cdFactorX100: Long = 115L,
+                        skewFactorX100: Long = 175L,
+                        historyRetention: Int = 0): StreamingQuery =
+    run(settled(updates, idCol, vecCol, versionCol, tsCol, delay),
+      root, idCol, vecCol, IvfPqOps(kCells, m, k, seed), checkpoint,
       cdFactorX100, skewFactorX100, historyRetention)
 
   /** One BATCH maintenance wave of the quantized loop — the

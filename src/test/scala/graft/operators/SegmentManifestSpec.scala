@@ -106,4 +106,93 @@ class SegmentManifestSpec extends SparkSpec {
     assert(SegmentManifest.publisherFor(hdfsLike) eq
       SegmentManifest.HdfsRenamePublisher)
   }
+
+  test("publisher resolution migration paths: abfs rides the rename " +
+      "publisher (HNS atomic rename), and the single-driver conf key " +
+      "opts a raw scheme into SingleDriverPublisher") {
+    val abfsLike = new org.apache.hadoop.fs.LocalFileSystem() {
+      override def getScheme: String = "abfss"
+    }
+    assert(SegmentManifest.publisherFor(abfsLike) eq
+      SegmentManifest.HdfsRenamePublisher)
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.setBoolean(SegmentManifest.SingleDriverConfKey, true)
+    // RawLocalFileSystem, not LocalFileSystem: the Filter wrapper
+    // delegates getConf to the WRAPPED fs, so setConf on the wrapper
+    // never reaches what publisherFor reads
+    val optedIn = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "s3a"
+    }
+    optedIn.setConf(conf)
+    assert(SegmentManifest.publisherFor(optedIn) eq
+      SegmentManifest.SingleDriverPublisher)
+  }
+
+  test("SingleDriverPublisher: two sealers racing in one JVM — " +
+      "exactly one wins, the loser collides loudly, the winner's " +
+      "manifest survives parseable") {
+    val dir = scratch("smf_sdrv").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val mA = SegmentManifest.Manifest(1,
+      Map("cells" -> Seq(SegmentManifest.Entry(0, "centroid_id=0"))))
+    val mB = SegmentManifest.Manifest(1,
+      Map("cells" -> Seq(SegmentManifest.Entry(7, "centroid_id=7"))))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val ts = Seq(mA -> 0, mB -> 7).map { case (m, tag) =>
+      new Thread(() => {
+        gate.await()
+        try {
+          SegmentManifest.seal(spark, dir, m,
+            Some(SegmentManifest.SingleDriverPublisher))
+          outcomes.add(Right(tag)); ()
+        } catch { case t: Throwable => outcomes.add(Left(t)); () }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    val (losers, winners) =
+      (scala.jdk.CollectionConverters
+        .CollectionHasAsScala(outcomes).asScala.toSeq
+        .partition(_.isLeft))
+    assert(winners.size == 1 && losers.size == 1,
+      s"expected exactly one winner, got $winners / $losers")
+    val loser = losers.head.left.toOption.get
+    assert(loser.getMessage.contains("concurrent writer"),
+      s"wrong loser error: $loser")
+    val sealedSeg = SegmentManifest.latest(spark, dir).get
+      .entries("cells").map(_.seg)
+    assert(sealedSeg == Seq(winners.head.toOption.get),
+      s"sealed composition $sealedSeg is not the winner's")
+    // and a later sequential re-seal of the same generation still
+    // collides (the exists check, not just the in-flight lock)
+    val e = intercept[IllegalStateException] {
+      SegmentManifest.seal(spark, dir, mB,
+        Some(SegmentManifest.SingleDriverPublisher))
+    }
+    assert(e.getMessage.contains("concurrent writer"), s"wrong: $e")
+  }
+
+  test("read() infers the layout schema from the first member that " +
+      "actually holds data files — an empty leading member (crash " +
+      "debris a legacy bootstrap folded in) reads as zero rows " +
+      "instead of failing inference for the whole layout") {
+    import spark.implicits._
+    val dir = scratch("smf_emptyhead").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // seg=1: an empty directory (the debris); seg=2: real rows
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cells/seg=1"))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/cells/seg=2")
+    val m = SegmentManifest.Manifest(0, Map("cells" -> Seq(
+      SegmentManifest.Entry(1, "cells/seg=1"),
+      SegmentManifest.Entry(2, "cells/seg=2"))))
+    val out = SegmentManifest.read(spark, dir, m, "cells").get
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSeq == Seq((1L, "a", 2), (2L, "b", 2)), out.mkString(","))
+  }
 }

@@ -941,4 +941,153 @@ class StreamingVectorIndexSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$root/books/gen=1")),
       "recovery did not snapshot the generation-keyed books")
   }
+
+  test("event-time front, quantized: an out-of-order OLDER vector " +
+      "version never surfaces in probeLiveQuantized — waves ingest " +
+      "only settled, evicted winners; re-deliveries collapse; a " +
+      "post-watermark straggler never rewinds a settled vector") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rootS = tmp("svi_et")
+    val rootB = tmp("svi_et_twin")
+    val ckpt = tmp("svi_et_ck")
+    val initial = corpus(0L until 30L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, rootS,
+      "vec_id", "embedding", k = 4)
+    // batch twin off the bootstrap's own written artifacts (fit
+    // determinism is per physical layout — share the fit, don't
+    // repeat it)
+    val cents0 = spark.read.parquet(s"$rootS/cents/gen=0")
+      .localCheckpoint()
+    Similarity.ivfWriteIndexQuantized(
+      spark.read.parquet(s"$rootS/snapfull/gen=0"), cents0, "vec_id",
+      "embedding", s"$rootB/index")
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble))).toDF("qvec")
+    def probe() = StreamingVectorIndex
+      .probeLiveQuantized(spark, rootS, qv, "vec_id", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val bootstrapAnswer = probe()
+    val source = MemoryStream[
+      (java.sql.Timestamp, Long, Seq[Float], Long, String)]
+    val q = StreamingVectorIndex.runQuantizedEventTime(
+      source.toDF().toDF("ts", "vec_id", "embedding", "v", "op"),
+      rootS, "vec_id", "embedding", versionCol = "v", tsCol = "ts",
+      delay = "10 minutes", k = 4, checkpoint = ckpt)
+    try {
+      // key 1: v2 FIRST, then an out-of-order OLDER v1 — a raw-delta
+      // loop would ingest v2 then let v1 rewind it; key 2: upsert v1
+      // then delete v2 (the winner is the delete); key 30: a new
+      // vector, re-delivered exactly (must not fan out)
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, vec(1L, 0.02), 2L, "upsert"),
+        (ts("2024-01-01 10:00:10"), 2L, vec(2L), 1L, "upsert"),
+        (ts("2024-01-01 10:00:20"), 30L, vec(30L), 1L, "upsert"))
+      q.processAllAvailable()
+      source.addData(
+        (ts("2024-01-01 09:59:00"), 1L, vec(1L, 0.01), 1L, "upsert"),
+        (ts("2024-01-01 10:00:30"), 2L, vec(2L), 2L, "delete"),
+        (ts("2024-01-01 10:00:20"), 30L, vec(30L), 1L, "upsert"))
+      q.processAllAvailable()
+      // nothing may have been ingested: every key is still open
+      // under the 10-minute watermark — in particular neither
+      // version of key 1 ever transiently surfaced
+      assert(probe() == bootstrapAnswer,
+        "a vector version reached the index before its key settled")
+      // advance the watermark far past every key's newest ts + delay
+      source.addData(
+        (ts("2024-01-01 11:00:00"), 99L, vec(99L), 1L, "upsert"))
+      q.processAllAvailable()
+      // the settled index equals the batch twin refreshed with the
+      // three WINNERS only: key 1 → v2's vector (v1 lost), key 2 →
+      // removed (the delete won), key 30 → added once
+      Similarity.ivfRefreshQuantizedIncremental(spark, s"$rootB/index",
+        cents0,
+        Seq((1L, vec(1L, 0.02)), (30L, vec(30L)))
+          .toDF("vec_id", "embedding"),
+        Seq((1L, "modified"), (30L, "modified"), (2L, "removed"))
+          .toDF("vec_id", "status"),
+        "vec_id", "embedding")
+      assert(indexContent(s"$rootS/index") ==
+          indexContent(s"$rootB/index"),
+        "settled event-time loop diverged from the winner-only twin")
+      // a straggler BELOW the watermark claiming a HIGHER version for
+      // key 1 must be dropped, not rewind the settled vector; the
+      // second pusher closes key 99, so the index honestly gains it
+      source.addData(
+        (ts("2024-01-01 10:01:00"), 1L, vec(1L, 0.05), 9L, "upsert"))
+      q.processAllAvailable()
+      source.addData(
+        (ts("2024-01-01 12:00:00"), 98L, vec(98L), 1L, "upsert"))
+      q.processAllAvailable()
+      Similarity.ivfRefreshQuantizedIncremental(spark, s"$rootB/index",
+        cents0,
+        Seq((99L, vec(99L))).toDF("vec_id", "embedding"),
+        Seq((99L, "modified")).toDF("vec_id", "status"),
+        "vec_id", "embedding")
+      assert(indexContent(s"$rootS/index") ==
+          indexContent(s"$rootB/index"),
+        "a post-watermark straggler rewound a settled vector")
+    } finally q.stop()
+  }
+
+  test("event-time front, IVF-PQ: the shared settle stage drives the " +
+      "PQ wave loop — settled winners only, equal to the batch twin") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rootS = tmp("svi_etpq")
+    val rootB = tmp("svi_etpq_twin")
+    val ckpt = tmp("svi_etpq_ck")
+    val initial = corpus(0L until 40L).toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapIvfPq(initial, rootS,
+      "vec_id", "embedding", kCells = 4, m = 4, k = 8)
+    def pqContent(path: String): Set[(Long, Seq[Byte], Long)] =
+      Similarity.readQuantizedIndex(spark, s"$path/codes")
+        .select(col("vec_id"), col("codes"),
+          col("centroid_id").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Byte]](1).toSeq, r.getLong(2)))
+        .toSet
+    // twin: COPY the bootstrap layout before any wave touches it
+    // (artifact sharing, not a refit — and taken now because a wave's
+    // vacuum reclaims the pre-refresh cells a rollback would need)
+    val fs = new org.apache.hadoop.fs.Path(rootS)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$rootS/index"),
+      fs, new org.apache.hadoop.fs.Path(s"$rootB/index"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val source = MemoryStream[
+      (java.sql.Timestamp, Long, Seq[Float], Long, String)]
+    val q = StreamingVectorIndex.runIvfPqEventTime(
+      source.toDF().toDF("ts", "vec_id", "embedding", "v", "op"),
+      rootS, "vec_id", "embedding", versionCol = "v", tsCol = "ts",
+      delay = "5 minutes", kCells = 4, m = 4, k = 8,
+      checkpoint = ckpt)
+    try {
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 3L, vec(3L, 0.02), 2L, "upsert"),
+        (ts("2024-01-01 09:59:30"), 3L, vec(3L, 0.01), 1L, "upsert"),
+        (ts("2024-01-01 10:00:10"), 11L, vec(11L), 1L, "delete"))
+      q.processAllAvailable()
+      source.addData(
+        (ts("2024-01-01 11:00:00"), 99L, vec(99L), 1L, "upsert"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cents0 = spark.read.parquet(s"$rootS/cents/gen=0")
+      .localCheckpoint()
+    ProductQuantize.ivfPqRefreshIncremental(spark, s"$rootB/index",
+      cents0,
+      Seq((3L, vec(3L, 0.02))).toDF("vec_id", "embedding"),
+      Seq((3L, "modified"), (11L, "removed"))
+        .toDF("vec_id", "status"),
+      "vec_id", "embedding")
+    assert(pqContent(s"$rootS/index") == pqContent(s"$rootB/index"),
+      "settled IVF-PQ event-time loop diverged from the winner-only " +
+        "twin")
+  }
 }
