@@ -4504,10 +4504,11 @@ object PipelineQueries {
       val live = all.filter(
         (col("vec_id") % 5 =!= 4 && col("vec_id") % 7 =!= 1) ||
           (col("vec_id") % 5 === 4 && col("vec_id") % 2 === 0))
-      val w1 = wave(live.select(col("vec_id"),
+      val drifted = live.select(col("vec_id"),
         transform(col("embedding"),
           x => x + (col("vec_id") % 5).cast("float") * lit(3.0f))
-          .as("embedding")), "upsert")
+          .as("embedding"))
+      val w1 = wave(drifted, "upsert")
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val writer = Future {
@@ -4545,6 +4546,25 @@ object PipelineQueries {
         require(fs.exists(new org.apache.hadoop.fs.Path(
             s"$root/cents/gen=2")),
           s"q190: the drift wave did not recenter $root")
+      // r16 verdict item 3: the recentered indexes must still
+      // RETRIEVE, not just satisfy content/hash parity — ALL-cells
+      // probes (quantization the only loss) vs exact brute force over
+      // the drifted corpus. Collapse alarms, not targets: the int8
+      // floor is q136's overlap rule; the IVF-PQ floor sits under the
+      // q75 flat-ADC band for the m=8·k=16 geometry.
+      val exactLive = Similarity.topK(drifted, qv, "vec_id",
+          "embedding", 10)
+        .select(col("vec_id")).localCheckpoint()
+      val recQ = StreamingVectorIndex.probeLiveQuantized(s, vq, qv,
+          "vec_id", k = 10, nProbe = 8)
+        .select(col("vec_id")).join(exactLive, Seq("vec_id")).count()
+      require(recQ >= 6,
+        s"q190: post-recenter quantized recall collapsed ($recQ/10)")
+      val recP = StreamingVectorIndex.probeLiveIvfPq(s, vp, qv,
+          "vec_id", k = 10, nProbe = 8)
+        .select(col("vec_id")).join(exactLive, Seq("vec_id")).count()
+      require(recP >= 1,
+        s"q190: post-recenter IVF-PQ recall collapsed ($recP/10)")
       // pinned answers materialized driver-side (k-bounded), so the
       // returned frame is independent of any later vacuum
       val phase0 = expQ.toSeq.sorted.toDF("vec_id", "score")
@@ -4633,6 +4653,89 @@ object PipelineQueries {
         .toDF("qid", "qtext")
       TextAnalysis.bm25ProbeSegmented(s, path, panel, k = 12, "doc_id")
         .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
+    // W × X2 — q191's DENSE sibling (r16 verdict item 2, the gate row
+    // behind [[graft.streaming.StreamingVectorIndex
+    // .runQuantizedEventTime]]): a waved stream of TIMESTAMPED VECTOR
+    // VERSIONS — out-of-order versions, a LATE wave carrying DELETES,
+    // some inadmissible under the wave watermark — settles to one
+    // winner per key by the q92 rules ([[Upsert
+    // .latestByKeyWavedReplay]], the relational restate the streaming
+    // settle stage is spec-tied to; version ties break to MIN op),
+    // and ONLY the settled, EVICTED winners drive one quantized-IVF
+    // maintenance wave: upsert winners re-quantize, delete winners
+    // leave their cells. Recenter suppressed (breach thresholds
+    // maxed), so the probe replays under the BOOTSTRAP model — the
+    // row pins the SETTLE semantics; recenter racing is q190's. The
+    // oracle replays admission + winner + eviction AND the q186 int8
+    // arithmetic over the settled corpus under the written gen-0
+    // centroids — a leaked unsettled version, a dropped delete, or a
+    // wrong watermark rule all hash-red. id%3=2 corpus third (the
+    // q189 pricing rule).
+    "q192_vector_eventtime_crud" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val all = e.filter(col("vec_id") =!= 0 && col("vec_id") % 3 === 2)
+        .select(col("vec_id"), col("embedding"))
+      val root = scratchPath("veq_etcrud", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      StreamingVectorIndex.bootstrapQuantized(all, root, "vec_id",
+        "embedding", k = 8)
+      val base = lit(1700000000000L)
+      // wave 1: v1 of every %10 key, vector wandered +0.5f; wave 2:
+      // v2 of %20 keys, +1.5f, event times STRADDLING wave 2's
+      // watermark (early ids drop as late); the late slice of wave 2
+      // DELETES %50 keys at v3 — a delete itself subject to
+      // admission; wave 3 is the far-future advancer that closes
+      // every key but its own
+      val w1 = all.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.5f))
+            .as("embedding"),
+          lit(1L).as("v"), (base + col("vec_id") * 1000).as("tsms"),
+          lit(1).as("wave"), lit("upsert").as("op"))
+      val w2 = all.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.5f))
+            .as("embedding"),
+          lit(2L).as("v"),
+          (base + col("vec_id") * 1000 + 600000).as("tsms"),
+          lit(2).as("wave"), lit("upsert").as("op"))
+      val w2del = all.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"), lit(3L).as("v"),
+          (base + col("vec_id") * 1000 + 350000).as("tsms"),
+          lit(2).as("wave"), lit("delete").as("op"))
+      val adv = e.filter(col("vec_id") === 0)
+        .select(lit(999999999L).as("vec_id"), col("embedding"),
+          lit(1L).as("v"), (base + lit(1000000000L)).as("tsms"),
+          lit(3).as("wave"), lit("upsert").as("op"))
+      val winners = graft.engine.Caching.cached(
+        Upsert.latestByKeyWavedReplay(
+            w1.unionByName(w2).unionByName(w2del).unionByName(adv),
+            "vec_id", "v", "op", "tsms", delayMs = 60000L, "wave")
+          .filter(col("evicted")))
+      require(winners.filter(col("op") === "delete").count() > 0,
+        "q192: no admitted delete settled — the late slice must " +
+          "reach past wave 2's watermark")
+      require(winners.filter(col("op") === "upsert").count() > 0,
+        "q192: no settled upsert winners")
+      StreamingVectorIndex.applyWaveQuantized(s, root,
+        winners.select(col("vec_id"), col("embedding"), col("op")),
+        0L, "vec_id", "embedding", k = 8,
+        cdFactorX100 = 100000L, skewFactorX100 = 100000L)
+      winners.unpersist()
+      require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/cents/gen=1")),
+        "q192: the settled wave recentered despite suppressed " +
+          "thresholds — the oracle's gen-0 replay would be wrong")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      StreamingVectorIndex.probeLiveQuantized(s, root, qv, "vec_id",
+          k = 10, nProbe = 3)
+        .select(col("vec_id"), col("qsim").as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
     }),
 
     "q162_spell_suggest" -> ((s, dir) => {
@@ -4876,6 +4979,29 @@ object PipelineQueries {
         path, c1, snap2, changes2, "vec_id", "embedding",
         b1, kCells, m = 8, k = 16, prevStats = Some(st1))
       require(rec2, "q143: hard-drift wave must recenter")
+      // r16 verdict item 3: the recentered layout must still
+      // RETRIEVE, not just satisfy content parity — a multi-query
+      // panel probed through the maintained index (ALL cells, so the
+      // only loss is PQ quantization under the RETRAINED books)
+      // against exact brute force over the drifted corpus. The floor
+      // is a collapse alarm (a rebuild sealing garbage codes reads
+      // ~0), sitting under the q75 flat-ADC band for this geometry.
+      val panel = graft.engine.Caching.cached(
+        e.filter(col("vec_id") % 29 === 1)
+          .select(col("vec_id").as("qid"),
+            VectorFns.toDouble(col("embedding")).as("qvec")))
+      val nPanel = panel.count()
+      val panelHits = ProductQuantize.ivfPqProbeMulti(s, path, c2,
+          panel, "vec_id", k = 10, nProbe = kCells)
+        .select(col("qid"), col("vec_id"))
+        .join(Similarity.topKMulti(snap2, panel, "vec_id",
+            "embedding", 10)
+          .select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+        .count()
+      panel.unpersist()
+      require(panelHits * 100 >= nPanel * 10 * 8,
+        s"q143: post-recenter recall collapsed — " +
+          s"$panelHits/${nPanel * 10} < 8%")
       c2.coalesce(1).write.mode("overwrite").parquet(centsPath)
       val centsR = s.read.parquet(centsPath)
       val stats = graft.engine.Caching.cached(
@@ -7313,6 +7439,91 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // the q92 watermark algebra over VECTOR versions (admission by
+    // per-wave watermark, winner by max version + min-op tiebreak,
+    // eviction by final watermark) composed with the q186 int8 probe
+    // arithmetic: the settled corpus = bootstrap third, minus evicted
+    // delete-winners, with evicted upsert-winners' wandered vectors —
+    // quantized, assigned and scored under the WRITTEN gen-0 model
+    "q192_vector_eventtime_crud" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qv, x -> 0.0)
+        |              ELSE list_transform(qv, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
+        |          AS s FROM q)),
+        |boot AS (SELECT vec_id, embedding AS v FROM embeddings
+        |         WHERE vec_id <> 0 AND vec_id % 3 = 2),
+        |w1 AS (SELECT vec_id,
+        |         list_transform(v, x -> CAST(x + 0.5 AS FLOAT)) AS emb,
+        |         CAST(1 AS BIGINT) AS vv,
+        |         1700000000000 + vec_id * 1000 AS tsms, 1 AS wave,
+        |         'upsert' AS op
+        |       FROM boot WHERE vec_id % 10 = 0),
+        |w2 AS (SELECT vec_id,
+        |         list_transform(v, x -> CAST(x + 1.5 AS FLOAT)) AS emb,
+        |         CAST(2 AS BIGINT) AS vv,
+        |         1700000000000 + vec_id * 1000 + 600000 AS tsms, 2 AS wave,
+        |         'upsert' AS op
+        |       FROM boot WHERE vec_id % 20 = 0),
+        |w2d AS (SELECT vec_id, v AS emb, CAST(3 AS BIGINT) AS vv,
+        |          1700000000000 + vec_id * 1000 + 350000 AS tsms, 2 AS wave,
+        |          'delete' AS op
+        |        FROM boot WHERE vec_id % 50 = 0),
+        |adv AS (SELECT CAST(999999999 AS BIGINT) AS vec_id,
+        |          (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |            AS emb,
+        |          CAST(1 AS BIGINT) AS vv,
+        |          CAST(1700000000000 + 1000000000 AS BIGINT) AS tsms,
+        |          3 AS wave, 'upsert' AS op),
+        |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv),
+        |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
+        |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 60000 AS wm
+        |        FROM wavemax),
+        |adm AS (SELECT u.* FROM u JOIN wmk ON u.wave = wmk.wave
+        |        WHERE wmk.wm IS NULL OR u.tsms >= wmk.wm),
+        |fwm AS (SELECT max(tsms) - 60000 AS f FROM u),
+        |mts AS (SELECT vec_id, max(tsms) AS maxts FROM adm GROUP BY 1),
+        |best AS (SELECT vec_id, max(vv) AS bv FROM adm GROUP BY 1),
+        |win0 AS (SELECT DISTINCT adm.vec_id, adm.emb, adm.vv, adm.op
+        |         FROM adm JOIN best ON adm.vec_id = best.vec_id
+        |                           AND adm.vv = best.bv),
+        |tb AS (SELECT vec_id, min(op) AS mo FROM win0 GROUP BY 1),
+        |winev AS (SELECT w.vec_id, w.emb, w.op FROM win0 w
+        |          JOIN tb ON w.vec_id = tb.vec_id AND w.op = tb.mo
+        |          JOIN mts m ON w.vec_id = m.vec_id
+        |          WHERE (m.maxts + 60000 + 1) < (SELECT f FROM fwm)),
+        |fin AS (SELECT b.vec_id, coalesce(we.emb, b.v) AS v
+        |        FROM boot b LEFT JOIN winev we USING (vec_id)
+        |        WHERE we.op IS NULL OR we.op = 'upsert'),
+        |cq0 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/veq_etcrud_{SFHASH}/cents/gen=0/*.parquet')),
+        |pq0 AS (SELECT cid FROM cq0, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |a0 AS (SELECT fin.vec_id AS vid,
+        |    arg_min(cq0.cid,
+        |      1 - list_cosine_similarity(fin.v::DOUBLE[], cq0.cv)) AS cid
+        |  FROM fin, cq0 GROUP BY fin.vec_id),
+        |z0 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x)))
+        |            / 127.0 AS s
+        |        FROM fin))
+        |SELECT vec_id, round(list_cosine_similarity(codes,
+        |    (SELECT qc FROM qq)), 4) AS score
+        |FROM z0 JOIN a0 ON z0.vec_id = a0.vid
+        |WHERE a0.cid IN (SELECT cid FROM pq0)
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     // q115's oracle verbatim again: the TIERED merge — folds, pair
     // renumbering, retained tombstones, summed stats partials — must
