@@ -4738,6 +4738,81 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // X2 × MVCC — RECENTER CRASH RECOVERY under the hash gate (r16
+    // verdict stretch 6, promoting the ScalaTest-only crash-injection
+    // proof to an oracle row): a hard-drift wave's recenter is KILLED
+    // right after the rebuild's full-replacement seal — marker
+    // pending, cells + published model on storage, model snapshot /
+    // stats reset / baseline / marker clear all unfinished (the
+    // shared [[graft.streaming.StreamingVectorIndex
+    // .crashAfterRebuild]] injection, the crash point the recovery
+    // protocol exists for). The NEXT wave recovers first — replays
+    // the sealed DECISION, not the gauge — then applies its own
+    // benign delta, and the final live probe must equal the from-raw
+    // replay under the WRITTEN generation-1 model: a recovery that
+    // half-applied the decision (stale model, lost delta, dangling
+    // marker) hash-reds. id%3=0 corpus third (the q189 pricing rule).
+    "q193_recenter_crash_recovery" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val all = e.filter(col("vec_id") =!= 0 && col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val root = scratchPath("vcrash_q", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      StreamingVectorIndex.bootstrapQuantized(all, root, "vec_id",
+        "embedding", k = 8)
+      // wave 0: the q186 breach transform on the whole third — the
+      // gauge breaches, the recenter seals its decision and rebuild,
+      // and the injected crash kills everything after the seal
+      val drifted = all.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("vec_id") % 5).cast("float") * lit(3.0f))
+          .as("embedding"))
+      val boom =
+        try {
+          StreamingVectorIndex.applyWave(s, root,
+            drifted.select(col("vec_id"), col("embedding"),
+              lit("upsert").as("op")),
+            0L, "vec_id", "embedding",
+            StreamingVectorIndex.crashAfterRebuild(
+              StreamingVectorIndex.QuantizedOps(8, 42L)),
+            115L, 175L)
+          false
+        } catch {
+          case ex: RuntimeException
+            if ex.getMessage.contains("injected crash") => true
+        }
+      require(boom, "q193: the drift wave did not reach the crash " +
+        "point — no recenter fired")
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/_RECENTER_PENDING")),
+        "q193: the crash left no pending marker to recover")
+      // the NEXT wave recovers the sealed decision, then applies a
+      // benign delete delta of its own
+      StreamingVectorIndex.applyWaveQuantized(s, root,
+        all.filter(col("vec_id") % 41 === 3)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("op")),
+        1L, "vec_id", "embedding", k = 8)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/_RECENTER_PENDING")),
+        "q193: recovery did not clear the marker")
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/cents/gen=1")),
+        "q193: recovery did not complete the generation-1 model")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/cents/gen=2")),
+        "q193: the benign recovery wave recentered again — the " +
+          "oracle's gen-1 replay would be wrong")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      StreamingVectorIndex.probeLiveQuantized(s, root, qv, "vec_id",
+          k = 10, nProbe = 3)
+        .select(col("vec_id"), col("qsim").as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "q162_spell_suggest" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = fxDocsBm25(s, dir)
@@ -7523,6 +7598,47 @@ object PipelineQueries {
         |    (SELECT qc FROM qq)), 4) AS score
         |FROM z0 JOIN a0 ON z0.vec_id = a0.vid
         |WHERE a0.cid IN (SELECT cid FROM pq0)
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the crash-recovered state from raw: the drifted third minus the
+    // recovery wave's deletes, quantized/assigned/scored under the
+    // WRITTEN generation-1 centroids — the model the recovered
+    // decision produced; a half-applied recovery diverges
+    "q193_recenter_crash_recovery" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qv, x -> 0.0)
+        |              ELSE list_transform(qv, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
+        |          AS s FROM q)),
+        |fin AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x + (vec_id % 5) * 3.0 AS FLOAT)) AS v
+        |  FROM embeddings
+        |  WHERE vec_id <> 0 AND vec_id % 3 = 0 AND vec_id % 41 <> 3),
+        |c1 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/vcrash_q_{SFHASH}/cents/gen=1/*.parquet')),
+        |pq1 AS (SELECT cid FROM c1, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |a1 AS (SELECT fin.vec_id AS vid,
+        |    arg_min(c1.cid,
+        |      1 - list_cosine_similarity(fin.v::DOUBLE[], c1.cv)) AS cid
+        |  FROM fin, c1 GROUP BY fin.vec_id),
+        |z1 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5))
+        |    END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x)))
+        |            / 127.0 AS s
+        |        FROM fin))
+        |SELECT vec_id, round(list_cosine_similarity(codes,
+        |    (SELECT qc FROM qq)), 4) AS score
+        |FROM z1 JOIN a1 ON z1.vec_id = a1.vid
+        |WHERE a1.cid IN (SELECT cid FROM pq1)
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     // q115's oracle verbatim again: the TIERED merge — folds, pair

@@ -233,6 +233,43 @@ object StreamingVectorIndex {
         .parquet(s"$root/books/gen=$gen")
   }
 
+  /** `ops` wrapper that dies right AFTER [[IndexOps.rebuild]] returns
+    * — the recenter crash point the recovery protocol exists for: the
+    * `_RECENTER_PENDING` marker is sealed, the rebuilt cells and the
+    * published model are on storage, but the model snapshot, stats
+    * reset, baseline write and marker clear are all unfinished.
+    * Shared by the crash-point specs and the crash-recovery gate row
+    * so the injected failure can never drift from the spec'd one. */
+  private[graft] def crashAfterRebuild(inner: IndexOps): IndexOps =
+    new IndexOps {
+      def refresh(spark: SparkSession, root: String, cents: DataFrame,
+                  upserts: DataFrame, changes: DataFrame, idCol: String,
+                  vecCol: String): Seq[Long] =
+        inner.refresh(spark, root, cents, upserts, changes, idCol,
+          vecCol)
+      def driftStats(spark: SparkSession, root: String,
+                     cents: DataFrame, idCol: String,
+                     cells: Option[Seq[Long]]): DataFrame =
+        inner.driftStats(spark, root, cents, idCol, cells)
+      def modelFp(spark: SparkSession, root: String,
+                  cents: DataFrame): Long =
+        inner.modelFp(spark, root, cents)
+      def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
+                  vecCol: String, root: String, gen: Int): Unit = {
+        inner.rebuild(snapshot, cents, idCol, vecCol, root, gen)
+        throw new RuntimeException("injected crash after seal")
+      }
+      def fitCentroids(snapshot: DataFrame,
+                       vecCol: String): DataFrame =
+        inner.fitCentroids(snapshot, vecCol)
+      override def vacuumIndex(spark: SparkSession, root: String,
+                               keep: Int): Unit =
+        inner.vacuumIndex(spark, root, keep)
+      override def snapshotModel(spark: SparkSession, root: String,
+                                 gen: Int): Unit =
+        inner.snapshotModel(spark, root, gen)
+    }
+
   // ---- state-store helpers ------------------------------------------
 
   private def fsOf(spark: SparkSession, root: String) =

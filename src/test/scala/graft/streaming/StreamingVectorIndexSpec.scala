@@ -784,41 +784,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
     * publish-model-before-seal ordering exists for. */
   private def crashAfterRebuild(inner: StreamingVectorIndex.IndexOps)
       : StreamingVectorIndex.IndexOps =
-    new StreamingVectorIndex.IndexOps {
-      def refresh(spark: org.apache.spark.sql.SparkSession,
-                  root: String, cents: org.apache.spark.sql.DataFrame,
-                  upserts: org.apache.spark.sql.DataFrame,
-                  changes: org.apache.spark.sql.DataFrame,
-                  idCol: String, vecCol: String): Seq[Long] =
-        inner.refresh(spark, root, cents, upserts, changes, idCol,
-          vecCol)
-      def driftStats(spark: org.apache.spark.sql.SparkSession,
-                     root: String,
-                     cents: org.apache.spark.sql.DataFrame,
-                     idCol: String, cells: Option[Seq[Long]])
-          : org.apache.spark.sql.DataFrame =
-        inner.driftStats(spark, root, cents, idCol, cells)
-      def modelFp(spark: org.apache.spark.sql.SparkSession,
-                  root: String,
-                  cents: org.apache.spark.sql.DataFrame): Long =
-        inner.modelFp(spark, root, cents)
-      def rebuild(snapshot: org.apache.spark.sql.DataFrame,
-                  cents: org.apache.spark.sql.DataFrame, idCol: String,
-                  vecCol: String, root: String, gen: Int): Unit = {
-        inner.rebuild(snapshot, cents, idCol, vecCol, root, gen)
-        throw new RuntimeException("injected crash after seal")
-      }
-      def fitCentroids(snapshot: org.apache.spark.sql.DataFrame,
-                       vecCol: String): org.apache.spark.sql.DataFrame =
-        inner.fitCentroids(snapshot, vecCol)
-      override def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
-                               root: String, keep: Int): Unit =
-        inner.vacuumIndex(spark, root, keep)
-      override def snapshotModel(
-          spark: org.apache.spark.sql.SparkSession,
-          root: String, gen: Int): Unit =
-        inner.snapshotModel(spark, root, gen)
-    }
+    StreamingVectorIndex.crashAfterRebuild(inner)
 
   test("mid-recenter crash window, quantized: the model publishes " +
       "BEFORE the rebuild's seal, so a live probe landing between " +
