@@ -566,4 +566,75 @@ class ProductQuantizeSpec extends SparkSpec {
       expect.exceptAll(got).count() == 0,
       "manifest-resolved cells diverged from the from-scratch encode")
   }
+
+  test("a STALE live codebooks copy can never govern encoding: after " +
+      "a rebuild's seal, refresh and drift stats resolve books " +
+      "through the manifest even when the live-copy refresh was lost " +
+      "(the crash window between the seal and the cache write)") {
+    val path = scratch("pq_stalebooks").toString
+    val vectors = base.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(vectors, "embedding",
+      k = 4).localCheckpoint()
+    ProductQuantize.ivfPqWriteIndex(vectors, cents, "vec_id",
+      "embedding", m = 4, k = 8, path)
+    // snapshot the ORIGINAL (seed-42) books — the stale copy the
+    // crash window leaves behind
+    val staleRows = ProductQuantize
+      .readBooks(spark, s"$path/codebooks").collect()
+    // a recenter-class rebuild retrains the books under another seed
+    // and seals them in the manifest, then refreshes the live copy
+    ProductQuantize.ivfPqRebuildMvcc(spark, path, vectors, cents,
+      "vec_id", "embedding", m = 4, k = 8, modelGen = 0, seed = 43L)
+    val mf = SegmentManifest.latest(spark, s"$path/codes").get
+    val sealedBooks = ProductQuantize.readBooks(spark,
+      s"$path/codes/${mf.entries("books").last.loc}").localCheckpoint()
+    def fpOf(b: org.apache.spark.sql.DataFrame) =
+      Similarity.modelFingerprint(
+        b.select(col("subspace"), col("code"), col("cvec").as("bvec")),
+        Seq("subspace", "code"), "bvec")
+    import spark.implicits._
+    val staleDf = staleRows.map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Double]](2).toSeq))
+      .toSeq.toDF("subspace", "code", "cvec")
+    assert(fpOf(staleDf) != fpOf(sealedBooks),
+      "fixture drifted: seed-43 retrain produced the seed-42 books — " +
+        "the stale-copy scenario is vacuous")
+    // CRASH WINDOW: the live-copy refresh is lost — the stale seed-42
+    // books sit in the cache position while the sealed cells were
+    // encoded under seed 43
+    staleDf.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+    // a fresh-row refresh must encode through the SEALED books
+    val freshKey = 100000L
+    val freshVec = emb.filter(col("vec_id") === 1)
+      .select(lit(freshKey).as("vec_id"), col("embedding"))
+    val snap = vectors.unionByName(freshVec)
+    val dirty = ProductQuantize.ivfPqRefreshIncremental(spark, path,
+      cents, snap,
+      snap.select(col("vec_id"),
+        when(col("vec_id") === freshKey, lit("added"))
+          .otherwise(lit("unchanged")).as("status")),
+      "vec_id", "embedding")
+    assert(dirty.nonEmpty)
+    val gotCodes = Similarity.readQuantizedIndex(spark, s"$path/codes")
+      .filter(col("vec_id") === freshKey)
+      .select(col("codes")).head()
+      .getAs[scala.collection.Seq[Long]](0).toSeq
+    val expectSealed = ProductQuantize.pqEncode(freshVec, "vec_id",
+        "embedding", sealedBooks, m = 4)
+      .select(col("codes")).head()
+      .getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(gotCodes == expectSealed,
+      "fresh row encoded through the stale live copy, not the " +
+        "sealed books")
+    // and the stats seal names the SEALED model pair — a carried
+    // stats frame from before the rebuild correctly reads as a model
+    // change (requireSameModel), instead of the stale copy's
+    // fingerprint masking it
+    val statsFp = ProductQuantize.ivfPqDriftStats(spark, path, cents,
+        "vec_id").select(col("model_fp")).head().getLong(0)
+    assert(statsFp ==
+        (Similarity.centroidFingerprint(cents) ^ fpOf(sealedBooks)),
+      "drift stats fingerprinted the stale live copy")
+  }
 }

@@ -755,6 +755,67 @@ class StreamingVectorIndexSpec extends SparkSpec {
       "the reset artifact was not re-sealed under the live model")
   }
 
+  test("a MIXED-fingerprint carried stats artifact falls back to the " +
+      "full rescan: a correct head row cannot vouch for rows sealed " +
+      "under another model (partial write / interleaved artifact)") {
+    import spark.implicits._
+    def statsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("centroid_id"), col("n"), col("cd_fp_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val root = tmp("svi_mixedfp")
+    StreamingVectorIndex.bootstrapQuantized(
+      corpus(0L until 40L).toDF("vec_id", "embedding"), root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((40L, vec(40L), "upsert")).toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", ops, 1000000L, 1000000L,
+      historyRetention = 4)
+    // wave 2 will DELETE key 0, dirtying exactly key 0's cell — the
+    // corruption below targets a DIFFERENT cell, so only the carry
+    // path (never the dirty rescan) could serve the poisoned row
+    val c0 = Similarity.readQuantizedIndex(spark, s"$root/index")
+      .filter(col("vec_id") === 0L)
+      .select(col("centroid_id").cast("long")).head().getLong(0)
+    val g1 = spark.read.parquet(s"$root/driftstats/gen=1")
+      .orderBy(col("centroid_id")).collect()
+    require(g1.length >= 3, s"fixture drifted: ${g1.length} cells")
+    val poisonId = g1.map(_.getLong(0)).filter(_ != c0).max
+    require(poisonId != g1.head.getLong(0),
+      "fixture drifted: the poisoned row would be the head row, " +
+        "which even the old head-only check caught")
+    // the corruption: ONE row carries poisoned values under a flipped
+    // fingerprint; every other row (the head included) keeps the
+    // correct seal. A head-only check carries the poison into the
+    // gauges; the all-rows rule must reset with a full rescan.
+    g1.map { r =>
+      if (r.getLong(0) == poisonId)
+        (r.getLong(0), r.getLong(1) + 9999L, r.getDouble(2),
+          r.getLong(3) + 1234567L, r.getLong(4) ^ 1L)
+      else (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))
+    }.toSeq
+      .toDF("centroid_id", "n", "mean_cd", "cd_fp_sum", "model_fp")
+      .coalesce(1).sortWithinPartitions("centroid_id")
+      .write.mode("overwrite").parquet(s"$root/driftstats/gen=1")
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((0L, vec(0L), "delete")).toDF("vec_id", "embedding", "op"),
+      1L, "vec_id", "embedding", ops, 1000000L, 1000000L,
+      historyRetention = 4)
+    val cents0 = spark.read.parquet(s"$root/cents/gen=0")
+    assert(statsSet(spark.read.parquet(s"$root/driftstats/gen=2")) ==
+      statsSet(Similarity.ivfDriftStats(spark, s"$root/index", cents0)),
+      "the poisoned clean-cell row was carried — a mixed-fp artifact " +
+        "must reset with a full rescan")
+    // and the reset artifact is uniformly re-sealed
+    assert(spark.read.parquet(s"$root/driftstats/gen=2")
+        .select(col("model_fp")).distinct().collect()
+        .map(_.getLong(0)).toSeq ==
+      Seq(Similarity.centroidFingerprint(cents0)),
+      "the reset artifact is not uniformly sealed under the live model")
+  }
+
   test("an as-of generation ABOVE the newest sealed one fails loudly " +
       "instead of silently serving the live state") {
     import spark.implicits._
