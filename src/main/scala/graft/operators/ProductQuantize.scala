@@ -518,12 +518,7 @@ object ProductQuantize {
           .getOrElse(throw new IllegalStateException(
             s"IVF-PQ index at $indexPath: generation ${mf.gen} has " +
               "no cells"))
-        val books =
-          if (mf.entries("books").nonEmpty)
-            readBooks(spark,
-              s"$indexPath/${mf.entries("books").last.loc}")
-          else readBooks(spark, s"$path/codebooks")
-        (codes, books)
+        (codes, booksFor(spark, path, Some(mf)))
       case None =>
         // true legacy/manifest-less: plain reads — NOT
         // readQuantizedIndex, whose centroid normalization would
@@ -550,9 +545,19 @@ object ProductQuantize {
     * fingerprint, the streaming loop's model snapshot) resolves here. */
   private[graft] def governingBooks(spark: SparkSession,
                                     path: String): DataFrame =
-    SegmentManifest.latest(spark, s"$path/codes") match {
-      case Some(mf) if mf.entries("books").nonEmpty =>
-        readBooks(spark, s"$path/codes/${mf.entries("books").last.loc}")
+    booksFor(spark, path, SegmentManifest.latest(spark, s"$path/codes"))
+
+  /** The ONE "which books govern" rule, shared by the pinned probe
+    * reads ([[resolveCodesAndBooks]]) and the write-side consumers
+    * ([[governingBooks]]) so probe-side decoding and write-side
+    * encoding can never desynchronize on it: the manifest's books
+    * entry when a rebuild sealed one, else the live `codebooks` copy
+    * (exact for books-less histories — refreshes never retrain). */
+  private def booksFor(spark: SparkSession, path: String,
+                       mf: Option[SegmentManifest.Manifest]): DataFrame =
+    mf match {
+      case Some(m) if m.entries("books").nonEmpty =>
+        readBooks(spark, s"$path/codes/${m.entries("books").last.loc}")
       case _ => readBooks(spark, s"$path/codebooks")
     }
 

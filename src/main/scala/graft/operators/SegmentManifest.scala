@@ -213,23 +213,41 @@ object SegmentManifest {
     * multi-driver object-store deployments need a store-side
     * conditional put (the DynamoDB-style LogStore). */
   private[graft] object SingleDriverPublisher extends SealPublisher {
+    // ONE lock per index (`_gen` parent), not per destination file:
+    // bounded by live indexes instead of growing one entry per sealed
+    // generation forever (a streaming loop seals one+ per
+    // micro-batch), and serializing all of an index's seals is the
+    // single-writer model anyway
     private val locks =
       new java.util.concurrent.ConcurrentHashMap[String, Object]()
     def publish(fs: FileSystem, tmp: Path, dst: Path,
                 lost: String => Exception): Unit = {
-      val lock = locks.computeIfAbsent(dst.toString, _ => new Object)
+      val lock = locks.computeIfAbsent(
+        String.valueOf(dst.getParent), _ => new Object)
       lock.synchronized {
         if (fs.exists(dst)) throw lost(s"$dst already sealed")
         // create(overwrite = false) sharpens the in-JVM guarantee on
         // stores that honor it; the object-store PUT itself commits
         // all-or-nothing on close
-        val out = fs.create(dst, false)
         try {
-          val in = fs.open(tmp)
-          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536,
-            false)
-          finally in.close()
-        } finally out.close()
+          val out = fs.create(dst, false)
+          try {
+            val in = fs.open(tmp)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536,
+              false)
+            finally in.close()
+          } finally out.close()
+        } catch {
+          case t: Throwable =>
+            // a failed copy must not leave a torn dst occupying the
+            // generation (the close() in the unwinding path completes
+            // whatever partial PUT the store buffered) — delete it
+            // under the held lock so every retry finds a clean slot,
+            // never a poisoned newest generation
+            try fs.delete(dst, false)
+            catch { case _: Throwable => () }
+            throw t
+        }
       }
     }
   }
@@ -247,16 +265,25 @@ object SegmentManifest {
     * its rename is atomic and refuses an existing destination (the
     * HDFS contract); a non-HNS blob account must opt into
     * [[SingleDriverPublisher]] instead. */
-  private[graft] def publisherFor(fs: FileSystem): SealPublisher =
+  private[graft] def publisherFor(fs: FileSystem): SealPublisher = {
+    def singleDriverOptIn =
+      fs.getConf != null &&
+        fs.getConf.getBoolean(SingleDriverConfKey, false)
     fs.getScheme match {
       case "file" => PosixLinkPublisher
-      case "hdfs" | "viewfs" | "webhdfs" | "ofs" | "o3fs" |
-           "abfs" | "abfss" =>
+      case "hdfs" | "viewfs" | "webhdfs" | "ofs" | "o3fs" =>
         HdfsRenamePublisher
+      case "abfs" | "abfss" =>
+        // the allowlist presumes a hierarchical-namespace account
+        // (atomic rename, the configuration the abfs connector exists
+        // for); a NON-HNS blob account's rename is not atomic, so the
+        // single-driver opt-in stays reachable for this scheme —
+        // without it the old fail-fast's protection would be silently
+        // lost for exactly the ambiguous configuration
+        if (singleDriverOptIn) SingleDriverPublisher
+        else HdfsRenamePublisher
       case other =>
-        if (fs.getConf != null &&
-            fs.getConf.getBoolean(SingleDriverConfKey, false))
-          SingleDriverPublisher
+        if (singleDriverOptIn) SingleDriverPublisher
         else throw new UnsupportedOperationException(
           s"segmented-index seal on storage scheme '$other': the store " +
             "offers no atomic rename-if-absent, so the exclusive seal " +
@@ -266,6 +293,7 @@ object SegmentManifest {
             s"$SingleDriverConfKey=true if every sealer runs in this " +
             "one driver JVM (the S3SingleDriverLogStore contract)")
     }
+  }
 
   /** Seal `m` as generation `m.gen` — EXCLUSIVE publish of a fully
     * written file: a concurrent writer that sealed the same generation

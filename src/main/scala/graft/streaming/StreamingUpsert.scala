@@ -98,12 +98,25 @@ object StreamingUpsert {
             state.remove()
             Iterator(winner)
           } else {
-            val incoming = rows.reduce(better)
-            val incomingTs = incoming.getLong(iTs)
+            // ONE pass over the batch's rows for BOTH the pairwise
+            // winner and the max event time: the timeout must key on
+            // the key's LATEST admitted event time, not the winner's
+            // own (a winner older than a losing sibling would
+            // otherwise evict early, and an admissible re-delivery of
+            // the loser would re-open the key and emit a SECOND
+            // winner — the fan-out the operator exists to prevent).
+            // Matches the batch replay's `max(ts) over admitted`
+            // eviction rule exactly.
+            var incoming: Row = null
+            var batchMaxTs = Long.MinValue
+            rows.foreach { r =>
+              batchMaxTs = math.max(batchMaxTs, r.getLong(iTs))
+              incoming = if (incoming == null) r else better(incoming, r)
+            }
             val (winner, maxTs) = state.getOption match {
               case Some((prev, prevTs)) =>
-                (better(prev, incoming), math.max(prevTs, incomingTs))
-              case None => (incoming, incomingTs)
+                (better(prev, incoming), math.max(prevTs, batchMaxTs))
+              case None => (incoming, batchMaxTs)
             }
             state.update((winner, maxTs))
             // emit when the watermark passes the key's newest event

@@ -39,6 +39,9 @@ object UpsertStateProbe {
     val keys = args.lift(0).map(_.toInt).getOrElse(20000)
     val rowsPerBatch = args.lift(1).map(_.toInt).getOrElse(200000)
     val batches = args.lift(2).map(_.toInt).getOrElse(6)
+    require(keys >= 2 && rowsPerBatch >= 2 && batches >= 1,
+      s"UpsertStateProbe: need keys >= 2 (hot + cold), rowsPerBatch " +
+        s">= 2, batches >= 1 — got $keys/$rowsPerBatch/$batches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

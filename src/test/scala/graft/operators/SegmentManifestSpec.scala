@@ -126,6 +126,41 @@ class SegmentManifestSpec extends SparkSpec {
     optedIn.setConf(conf)
     assert(SegmentManifest.publisherFor(optedIn) eq
       SegmentManifest.SingleDriverPublisher)
+    // the opt-in stays reachable for abfs too — a NON-HNS blob
+    // account's rename is not atomic, and the allowlist must not
+    // silently strand that configuration without the escape hatch
+    val abfsOptedIn = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "abfs"
+    }
+    abfsOptedIn.setConf(conf)
+    assert(SegmentManifest.publisherFor(abfsOptedIn) eq
+      SegmentManifest.SingleDriverPublisher)
+  }
+
+  test("SingleDriverPublisher cleans a torn dst when the copy fails " +
+      "mid-publish: the generation slot stays clean and a retry " +
+      "seals it — never a torn manifest poisoning latest()") {
+    val dir = scratch("smf_torn").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_gen"))
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/_gen/m000000001")
+    val missingTmp =
+      new org.apache.hadoop.fs.Path(s"$dir/_gen/.m1.nosuch.tmp")
+    def lost(d: String) = new IllegalStateException(d)
+    intercept[java.io.IOException] {
+      SegmentManifest.SingleDriverPublisher.publish(f, missingTmp,
+        dst, lost)
+    }
+    assert(!f.exists(dst),
+      "a failed copy left a torn dst occupying the generation slot")
+    // the retry finds a clean slot and the sealed manifest parses
+    val m = SegmentManifest.Manifest(1,
+      Map("cells" -> Seq(SegmentManifest.Entry(4, "centroid_id=4"))))
+    SegmentManifest.seal(spark, dir, m,
+      Some(SegmentManifest.SingleDriverPublisher))
+    assert(SegmentManifest.latest(spark, dir).get
+      .entries("cells").map(_.seg) == Seq(4))
   }
 
   test("SingleDriverPublisher: two sealers racing in one JVM — " +

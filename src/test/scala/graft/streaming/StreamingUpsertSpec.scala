@@ -76,6 +76,59 @@ class StreamingUpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the timeout keys on the key's LATEST event time, not the " +
+      "winner's own: a winner older than a losing sibling must not " +
+      "evict early — an admissible re-delivery of the loser would " +
+      "re-open the key and fan out a second winner") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val source = MemoryStream[(java.sql.Timestamp, Long, String, Option[Long])]
+    val latest = StreamingUpsert.latestByKeyWithinWatermark(
+      source.toDF().toDF("ts", "id", "text", "v"),
+      key = "id", ordCol = "v", rowTieBreak = "text",
+      tsCol = "ts", delay = "10 minutes")
+    val q = latest.writeStream
+      .format("memory").queryName("stream_upsert_ts")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // ONE batch: the WINNER (v2) carries the OLDER event time; the
+      // losing v1 sibling carries the newer one. The key's admission
+      // horizon is the v1 row's 10:20 — evicting at 10:00 + delay
+      // would release the winner while v1 re-deliveries are still
+      // admissible.
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "one-v2", Some(2L)),
+        (ts("2024-01-01 10:20:00"), 1L, "one-v1", Some(1L)))
+      q.processAllAvailable()
+      // watermark to 10:15: past the WINNER's ts + delay, but not
+      // past the key's latest (10:20) + delay — the key must stay
+      // open (the old winner-ts timeout emitted here)
+      source.addData(
+        (ts("2024-01-01 10:25:00"), 98L, "wm-pusher-1", Some(1L)))
+      q.processAllAvailable()
+      assert(spark.table("stream_upsert_ts").count() == 0,
+        "key evicted on the winner's event time while a losing " +
+          "sibling's horizon was still open")
+      // the loser's re-delivery is admissible (10:20 >= wm 10:15) —
+      // with the key still open it merges into the winner's state
+      source.addData(
+        (ts("2024-01-01 10:20:00"), 1L, "one-v1", Some(1L)))
+      q.processAllAvailable()
+      // close everything: exactly ONE winner for key 1, the v2 row
+      source.addData(
+        (ts("2024-01-01 11:00:00"), 99L, "wm-pusher-2", Some(1L)))
+      q.processAllAvailable()
+      val key1 = spark.table("stream_upsert_ts")
+        .filter($"id" === 1L).collect()
+        .map(r => (r.getAs[String]("text"),
+          r.getAs[java.lang.Long]("v").toLong))
+      assert(key1.toSeq == Seq(("one-v2", 2L)),
+        s"expected exactly one settled v2 winner, got ${key1.toSeq}")
+    } finally q.stop()
+  }
+
   test("waved batch replay reproduces the streaming operator exactly: " +
       "admission, winner rule, and eviction (the q92 gate-row bridge)") {
     val sql = spark.sqlContext
