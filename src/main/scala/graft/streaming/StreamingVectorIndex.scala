@@ -436,6 +436,30 @@ object StreamingVectorIndex {
   private def markerPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")
 
+  /** Seal the recenter decision: the marker appears ATOMICALLY via
+    * write-temp-then-rename (the manifest seal's own rule). A plain
+    * create-write-close could crash mid-write and leave a TORN marker
+    * — empty or partial generation text — which recoverPending can
+    * never parse, permanently wedging every subsequent wave on a
+    * decision that was never actually sealed. With the rename, a
+    * crash leaves only dot-prefixed temp debris (ignored by every
+    * reader) and the wave replay re-decides from the gauge. The
+    * delete-before-rename handles this wave's OWN replayed attempt
+    * (same generation — the single-writer contract makes it safe). */
+  private def sealMarker(spark: SparkSession, root: String,
+                         gen: Int): Unit = {
+    val fs = fsOf(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/._RECENTER_PENDING." +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(markerPath(root), false)
+    require(fs.rename(tmp, markerPath(root)),
+      s"StreamingVectorIndex: failed to seal the recenter marker at " +
+        s"$root")
+  }
+
   /** An as-of `gen` must name a generation some wave actually sealed:
     * the newest state on storage is the max across the snapshot chain
     * and the model store — a gen ABOVE it never existed, and silently
@@ -671,9 +695,7 @@ object StreamingVectorIndex {
         historyRetention)
       if (Similarity.driftBreached(gauges, baseline,
           cdFactorX100, skewFactorX100)) {
-        val out = fs.create(markerPath(root), true)
-        try out.write(gen.toString.getBytes("UTF-8"))
-        finally out.close()
+        sealMarker(spark, root, gen)
         finishRecenter(spark, root, gen, idCol, vecCol, ops,
           historyRetention)
       } else {

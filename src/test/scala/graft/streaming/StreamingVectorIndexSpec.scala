@@ -816,6 +816,55 @@ class StreamingVectorIndexSpec extends SparkSpec {
       "the reset artifact is not uniformly sealed under the live model")
   }
 
+  test("the recenter marker seals atomically: crash debris from a " +
+      "marker write that never completed (the dot-prefixed temp) is " +
+      "invisible to recovery and waves — only a RENAMED marker " +
+      "replays a decision") {
+    import spark.implicits._
+    val root = tmp("svi_markertmp")
+    StreamingVectorIndex.bootstrapQuantized(
+      corpus(0L until 30L).toDF("vec_id", "embedding"), root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the debris: a marker-write attempt that died before its rename
+    // — under the old plain create-write-close this would have been
+    // a TORN `_RECENTER_PENDING` (empty or partial generation text)
+    // that recoverPending's parse wedges on forever
+    val debris = new org.apache.hadoop.fs.Path(
+      s"$root/._RECENTER_PENDING.deadbeef.tmp")
+    val out = fs.create(debris, true)
+    out.close() // empty — the worst torn content
+    // a benign wave must proceed: no marker was sealed, no decision
+    // exists to replay
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((30L, vec(30L), "upsert")).toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", ops, 1000000L, 1000000L,
+      historyRetention = 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_RECENTER_PENDING")),
+      "a benign wave sealed a marker")
+    // and a REAL breach still seals a parseable marker through the
+    // rename (the crash-injection path reads it back)
+    val boom = intercept[RuntimeException] {
+      StreamingVectorIndex.applyWave(spark, root,
+        (0L until 31L).map(i =>
+            (i, vec(i, shift = 3.0 * (i % 5)), "upsert"))
+          .toDF("vec_id", "embedding", "op"),
+        1L, "vec_id", "embedding", crashAfterRebuild(ops), 115L, 175L,
+        historyRetention = 4)
+    }
+    assert(boom.getMessage.contains("injected crash"), s"wrong: $boom")
+    val mp = new org.apache.hadoop.fs.Path(s"$root/_RECENTER_PENDING")
+    assert(fs.exists(mp), "the breach did not seal a marker")
+    val in = fs.open(mp)
+    val content =
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(content.trim == "2",
+      s"marker content '$content' is not the sealed generation")
+  }
+
   test("an as-of generation ABOVE the newest sealed one fails loudly " +
       "instead of silently serving the live state") {
     import spark.implicits._
