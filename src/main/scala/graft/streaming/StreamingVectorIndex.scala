@@ -658,15 +658,37 @@ object StreamingVectorIndex {
         .select(col(idCol), col(vecCol))
       // 1. snapshot: append THIS wave's delta to the chain — a
       //    delta-sized write, never a corpus rewrite (replay-safety
-      //    step 1: the overwrite is idempotent, and a delta re-written
+      //    step 1: the rewrite is idempotent, and a delta re-written
       //    after its compaction is excluded by the fold rule). The
       //    derived status column rides INTO the delta file — it
       //    forces the unknown-op raise_error before any state
       //    changes (a dropped column would be pruned out of the
       //    plan), and makes the stored delta self-describing.
+      //    STAGED + RENAMED like the full snapshots: the delta chain
+      //    is the one store read WITHOUT a manifest (the fold rule is
+      //    the isolation), and Spark's job commit renames task
+      //    outputs one by one — a crash mid-commit would leave a
+      //    PARTIAL yet READABLE gen=N that a concurrent as-of fold
+      //    silently folds as the whole delta. The dot-staging dir is
+      //    invisible to the gens listing, so the delta appears
+      //    all-or-nothing; in a replay's delete→rename window the
+      //    generation is briefly ABSENT, which as-of readers reject
+      //    loudly (requireSealedGen) — crash windows may be loud,
+      //    never silently partial.
+      val deltaDir =
+        new org.apache.hadoop.fs.Path(s"$root/snapdelta/gen=$gen")
+      val deltaStaging = new org.apache.hadoop.fs.Path(
+        s"$root/snapdelta/.staging_$gen-" +
+          java.util.UUID.randomUUID().toString.take(8))
       deltaC.select(col(idCol), col(vecCol), col("op"),
           opStatus.as("status"))
-        .write.mode("overwrite").parquet(s"$root/snapdelta/gen=$gen")
+        .write.mode("overwrite").parquet(deltaStaging.toString)
+      require(fs.delete(deltaDir, true) || !fs.exists(deltaDir),
+        s"StreamingVectorIndex: failed to clear a replayed delta at " +
+          s"$deltaDir")
+      require(fs.rename(deltaStaging, deltaDir),
+        s"StreamingVectorIndex: failed to commit snapshot delta " +
+          s"gen=$gen")
       // 2. changes from the DELTA alone (replay-safety step 2): every
       //    upsert is "modified" — an actually-new key just dirties no
       //    outgoing cell — and every delete is "removed"

@@ -865,6 +865,31 @@ class StreamingVectorIndexSpec extends SparkSpec {
       s"marker content '$content' is not the sealed generation")
   }
 
+  test("snapdelta staging debris is invisible: a delta write that " +
+      "died before its rename never folds into a snapshot read — the " +
+      "chain serves only renamed, all-or-nothing generations") {
+    import spark.implicits._
+    val root = tmp("svi_deltastage")
+    StreamingVectorIndex.bootstrapQuantized(
+      corpus(0L until 20L).toDF("vec_id", "embedding"), root,
+      "vec_id", "embedding", k = 4)
+    val ops = StreamingVectorIndex.QuantizedOps(4, 42L)
+    StreamingVectorIndex.applyWave(spark, root,
+      Seq((20L, vec(20L), "upsert")).toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", ops, 1000000L, 1000000L,
+      historyRetention = 4)
+    // the debris: a delta write whose rename never happened — real
+    // parquet rows (a delete of every key!) that MUST NOT fold
+    Seq((0L, vec(0L), "delete", "removed"))
+      .toDF("vec_id", "embedding", "op", "status")
+      .write.parquet(s"$root/snapdelta/.staging_2-dead")
+    val ids = StreamingVectorIndex
+      .readSnapshot(spark, root, 1, "vec_id", "embedding")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids == (0L to 20L).toSet,
+      "staging debris folded into the snapshot read")
+  }
+
   test("an as-of generation ABOVE the newest sealed one fails loudly " +
       "instead of silently serving the live state") {
     import spark.implicits._
