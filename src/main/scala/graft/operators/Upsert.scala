@@ -118,8 +118,11 @@ object Upsert {
     *     wave w processes is max(event time over waves < w) − delay
     *     (Spark advances the watermark at batch END from all observed
     *     event times), NULL (no filtering) for the first wave.
-    *   - admission: a row is DROPPED iff its event time is below that
-    *     watermark — the stateful operator's late-row filter.
+    *   - admission: a row is DROPPED iff its event time is AT OR
+    *     below that watermark (strict `>` keeps) — Spark's late-row
+    *     filter drops watermark-EQUAL rows, pinned empirically by the
+    *     boundary spec; a `>=` here silently diverged on exactly that
+    *     hairline.
     *   - winner per key among admitted rows: exactly [[latestByKey]]
     *     (the streaming `better` fold agrees with it by construction;
     *     event-time and wave columns are excluded from the payload
@@ -156,7 +159,7 @@ object Upsert {
           .rowsBetween(Window.unboundedPreceding, -1)) - delayMs)
     val admitted = cached(u
       .join(wm.select(col("_w"), col("_wm")), col(waveCol) === col("_w"))
-      .filter(col("_wm").isNull || col(tsMsCol) >= col("_wm")))
+      .filter(col("_wm").isNull || col(tsMsCol) > col("_wm")))
     // watermark tracking observes every row (even ones later dropped
     // as late), so the final watermark derives from ALL of u
     val finalWm = u.agg((max(col(tsMsCol)) - delayMs).as("_finwm"))

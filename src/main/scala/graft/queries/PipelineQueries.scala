@@ -7472,7 +7472,7 @@ object PipelineQueries {
         |          - 60000 AS wm
         |        FROM wavemax),
         |adm AS (SELECT u.* FROM u JOIN wmk ON u.wave = wmk.wave
-        |        WHERE wmk.wm IS NULL OR u.tsms >= wmk.wm),
+        |        WHERE wmk.wm IS NULL OR u.tsms > wmk.wm),
         |fwm AS (SELECT max(tsms) - 60000 AS f FROM u),
         |mts AS (SELECT doc_id, max(tsms) AS maxts FROM adm GROUP BY 1),
         |best AS (SELECT doc_id, max(v) AS bv FROM adm GROUP BY 1),
@@ -7562,7 +7562,7 @@ object PipelineQueries {
         |          - 60000 AS wm
         |        FROM wavemax),
         |adm AS (SELECT u.* FROM u JOIN wmk ON u.wave = wmk.wave
-        |        WHERE wmk.wm IS NULL OR u.tsms >= wmk.wm),
+        |        WHERE wmk.wm IS NULL OR u.tsms > wmk.wm),
         |fwm AS (SELECT max(tsms) - 60000 AS f FROM u),
         |mts AS (SELECT vec_id, max(tsms) AS maxts FROM adm GROUP BY 1),
         |best AS (SELECT vec_id, max(vv) AS bv FROM adm GROUP BY 1),
@@ -10025,7 +10025,7 @@ object PipelineQueries {
         |          - 60000 AS wm
         |        FROM wavemax),
         |adm AS (SELECT u.* FROM u JOIN wmk ON u.wave = wmk.wave
-        |        WHERE wmk.wm IS NULL OR u.tsms >= wmk.wm),
+        |        WHERE wmk.wm IS NULL OR u.tsms > wmk.wm),
         |fin AS (SELECT max(tsms) - 60000 AS f FROM u),
         |mts AS (SELECT doc_id, max(tsms) AS maxts FROM adm GROUP BY 1),
         |best AS (SELECT doc_id, max(v) AS bv FROM adm GROUP BY 1),

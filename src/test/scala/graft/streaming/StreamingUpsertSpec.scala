@@ -129,6 +129,92 @@ class StreamingUpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admission boundary: a row with event time EXACTLY equal to " +
+      "the watermark lands the same way in the operator and the " +
+      "batch replay (the >= admission rule, pinned on the boundary)") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val source = MemoryStream[(java.sql.Timestamp, Long, String, Option[Long])]
+    val latest = StreamingUpsert.latestByKeyWithinWatermark(
+      source.toDF().toDF("ts", "id", "text", "v"),
+      key = "id", ordCol = "v", rowTieBreak = "text",
+      tsCol = "ts", delay = "1 minutes")
+    val q = latest.writeStream
+      .format("memory").queryName("stream_upsert_bd")
+      .outputMode(OutputMode.Append())
+      .start()
+    val waves: Seq[Seq[(java.sql.Timestamp, Long, String, Option[Long])]] =
+      Seq(
+        // wave 1 drives the watermark to 10:05 − 1 min = 10:04:00
+        Seq((ts("2024-01-01 10:00:00"), 1L, "a-v1", Some(1L)),
+          (ts("2024-01-01 10:05:00"), 2L, "b-v1", Some(1L))),
+        // wave 2's v2 claim for key 1 sits EXACTLY on the watermark
+        Seq((ts("2024-01-01 10:04:00"), 1L, "a-v2-boundary", Some(2L))),
+        Seq((ts("2024-01-01 11:00:00"), 9L, "wm-adv", Some(1L))))
+    try {
+      waves.foreach { w => source.addData(w: _*); q.processAllAvailable() }
+      val got = spark.table("stream_upsert_bd")
+        .filter($"id" === 1L).collect()
+        .map(r => (r.getAs[String]("text"),
+          r.getAs[java.lang.Long]("v").toLong)).toSeq
+      val replay = graft.operators.Upsert.latestByKeyWavedReplay(
+          waves.zipWithIndex.flatMap { case (w, i) =>
+            w.map(r => (r._1.getTime, r._2, r._3, r._4, i + 1))
+          }.toDF("tsms", "id", "text", "v", "wave"),
+          "id", "v", "text", "tsms", delayMs = 60000L, "wave")
+        .filter($"evicted" && $"id" === 1L)
+        .collect().map(r => (r.getAs[String]("text"),
+          r.getAs[java.lang.Long]("v").toLong)).toSeq
+      assert(got == replay,
+        s"boundary admission diverged: operator=$got replay=$replay")
+      // Spark DROPS a watermark-equal row (strict > admission) — the
+      // empirical pin that moved the replay (and the q92/q191/q192
+      // oracle algebra) off the >= rule it used to encode
+      assert(got == Seq(("a-v1", 1L)),
+        s"expected the boundary row dropped (strict > rule), got $got")
+    } finally q.stop()
+  }
+
+  test("eviction boundary: a key whose timeout timestamp EQUALS the " +
+      "final watermark lands the same way in the operator and the " +
+      "batch replay") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    val source = MemoryStream[(java.sql.Timestamp, Long, String, Option[Long])]
+    val latest = StreamingUpsert.latestByKeyWithinWatermark(
+      source.toDF().toDF("ts", "id", "text", "v"),
+      key = "id", ordCol = "v", rowTieBreak = "text",
+      tsCol = "ts", delay = "1 minutes")
+    val q = latest.writeStream
+      .format("memory").queryName("stream_upsert_ev")
+      .outputMode(OutputMode.Append())
+      .start()
+    // key 1's timeout = 10:00:00 + 1 min + 1 ms = 10:01:00.001; the
+    // pusher drives the watermark to EXACTLY that value
+    val waves: Seq[Seq[(java.sql.Timestamp, Long, String, Option[Long])]] =
+      Seq(
+        Seq((ts("2024-01-01 10:00:00"), 1L, "a-v1", Some(1L))),
+        Seq((java.sql.Timestamp.valueOf("2024-01-01 10:02:00.001"),
+          9L, "wm-adv", Some(1L))))
+    try {
+      waves.foreach { w => source.addData(w: _*); q.processAllAvailable() }
+      val emitted = spark.table("stream_upsert_ev")
+        .filter($"id" === 1L).count() == 1
+      val replayEvicted = graft.operators.Upsert.latestByKeyWavedReplay(
+          waves.zipWithIndex.flatMap { case (w, i) =>
+            w.map(r => (r._1.getTime, r._2, r._3, r._4, i + 1))
+          }.toDF("tsms", "id", "text", "v", "wave"),
+          "id", "v", "text", "tsms", delayMs = 60000L, "wave")
+        .filter($"id" === 1L)
+        .select($"evicted").head().getBoolean(0)
+      assert(emitted == replayEvicted,
+        s"eviction boundary diverged: operator emitted=$emitted " +
+          s"replay evicted=$replayEvicted")
+    } finally q.stop()
+  }
+
   test("waved batch replay reproduces the streaming operator exactly: " +
       "admission, winner rule, and eviction (the q92 gate-row bridge)") {
     val sql = spark.sqlContext
