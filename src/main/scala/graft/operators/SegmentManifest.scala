@@ -242,10 +242,19 @@ object SegmentManifest {
             // a failed copy must not leave a torn dst occupying the
             // generation (the close() in the unwinding path completes
             // whatever partial PUT the store buffered) — delete it
-            // under the held lock so every retry finds a clean slot,
-            // never a poisoned newest generation
-            try fs.delete(dst, false)
-            catch { case _: Throwable => () }
+            // under the held lock so every retry finds a clean slot.
+            // A FAILED cleanup must be loud, not swallowed: a torn
+            // dst that survives here passes every retry's exists
+            // check as "already sealed" and poisons latest() — the
+            // exact permanent wedge this cleanup exists to prevent.
+            val cleaned =
+              try fs.delete(dst, false) || !fs.exists(dst)
+              catch {
+                case c: Throwable => t.addSuppressed(c); false
+              }
+            if (!cleaned) t.addSuppressed(new IllegalStateException(
+              s"cleanup of torn $dst FAILED — the slot is poisoned; " +
+                "remove the file manually before retrying the seal"))
             throw t
         }
       }

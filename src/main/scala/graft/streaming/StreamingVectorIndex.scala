@@ -449,9 +449,12 @@ object StreamingVectorIndex {
   private def sealMarker(spark: SparkSession, root: String,
                          gen: Int): Unit = {
     val fs = fsOf(spark, root)
+    // DETERMINISTIC temp name + clear-before-write (compactSnapshot's
+    // rule): a replay reuses — and thereby cleans — its crashed
+    // attempt's debris instead of orphaning one temp per crash (the
+    // single-writer contract makes the fixed name race-free)
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$root/._RECENTER_PENDING." +
-        s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      s"$root/._RECENTER_PENDING.tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(markerPath(root), false)
@@ -677,9 +680,15 @@ object StreamingVectorIndex {
       //    never silently partial.
       val deltaDir =
         new org.apache.hadoop.fs.Path(s"$root/snapdelta/gen=$gen")
+      // deterministic staging name + clear-before-write
+      // (compactSnapshot's rule): a replay reuses its crashed
+      // attempt's staging dir instead of orphaning one delta-sized
+      // parquet dir per crash — no GC path ever sweeps snapdelta's
+      // dot-dirs, so debris here would accumulate unbounded
       val deltaStaging = new org.apache.hadoop.fs.Path(
-        s"$root/snapdelta/.staging_$gen-" +
-          java.util.UUID.randomUUID().toString.take(8))
+        s"$root/snapdelta/.staging_$gen")
+      require(fs.delete(deltaStaging, true) || !fs.exists(deltaStaging),
+        s"StreamingVectorIndex: failed to clear stale $deltaStaging")
       deltaC.select(col(idCol), col(vecCol), col("op"),
           opStatus.as("status"))
         .write.mode("overwrite").parquet(deltaStaging.toString)

@@ -131,7 +131,7 @@ class StreamingUpsertSpec extends SparkSpec {
 
   test("admission boundary: a row with event time EXACTLY equal to " +
       "the watermark lands the same way in the operator and the " +
-      "batch replay (the >= admission rule, pinned on the boundary)") {
+      "batch replay (Spark's STRICT > admission, pinned empirically)") {
     val sql = spark.sqlContext
     import spark.implicits._
     implicit val sqlCtx = sql
