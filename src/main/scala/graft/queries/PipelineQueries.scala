@@ -4738,6 +4738,75 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // W × X2 — q192's IVF-PQ TWIN: the IDENTICAL settle scenario
+    // (same corpus third, same waves, same watermark algebra) driving
+    // the OTHER index family's maintenance wave — the "both families
+    // share one watermark-settle semantics" claim gate-proven
+    // end-to-end instead of spec-tied: settled winners feed
+    // applyWaveIvfPq, and the oracle replays the settle algebra PLUS
+    // the full PQ derivation (unit-normalize, codebook argmin encode
+    // through the WRITTEN gen-0 books, integer ADC) over the settled
+    // corpus. A family-specific leak — a raw delta reaching the PQ
+    // wave, codes encoded through the wrong books — hash-reds here
+    // even if q192 stays green.
+    "q194_vector_eventtime_crud_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val all = e.filter(col("vec_id") =!= 0 && col("vec_id") % 3 === 2)
+        .select(col("vec_id"), col("embedding"))
+      val root = scratchPath("veq_etcrud_pq", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      StreamingVectorIndex.bootstrapIvfPq(all, root, "vec_id",
+        "embedding", kCells = 8, m = 8, k = 16)
+      val base = lit(1700000000000L)
+      val w1 = all.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.5f))
+            .as("embedding"),
+          lit(1L).as("v"), (base + col("vec_id") * 1000).as("tsms"),
+          lit(1).as("wave"), lit("upsert").as("op"))
+      val w2 = all.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.5f))
+            .as("embedding"),
+          lit(2L).as("v"),
+          (base + col("vec_id") * 1000 + 600000).as("tsms"),
+          lit(2).as("wave"), lit("upsert").as("op"))
+      val w2del = all.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"), lit(3L).as("v"),
+          (base + col("vec_id") * 1000 + 350000).as("tsms"),
+          lit(2).as("wave"), lit("delete").as("op"))
+      val adv = e.filter(col("vec_id") === 0)
+        .select(lit(999999999L).as("vec_id"), col("embedding"),
+          lit(1L).as("v"), (base + lit(1000000000L)).as("tsms"),
+          lit(3).as("wave"), lit("upsert").as("op"))
+      val winners = graft.engine.Caching.cached(
+        Upsert.latestByKeyWavedReplay(
+            w1.unionByName(w2).unionByName(w2del).unionByName(adv),
+            "vec_id", "v", "op", "tsms", delayMs = 60000L, "wave")
+          .filter(col("evicted")))
+      require(winners.filter(col("op") === "delete").count() > 0,
+        "q194: no admitted delete settled")
+      require(winners.filter(col("op") === "upsert").count() > 0,
+        "q194: no settled upsert winners")
+      StreamingVectorIndex.applyWaveIvfPq(s, root,
+        winners.select(col("vec_id"), col("embedding"), col("op")),
+        0L, "vec_id", "embedding", kCells = 8, m = 8, k = 16,
+        cdFactorX100 = 100000L, skewFactorX100 = 100000L)
+      winners.unpersist()
+      require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/cents/gen=1")),
+        "q194: the settled wave recentered despite suppressed " +
+          "thresholds — the oracle's gen-0 replay would be wrong")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      StreamingVectorIndex.probeLiveIvfPq(s, root, qv, "vec_id",
+          k = 10, nProbe = 3)
+        .select(col("vec_id"), col("adc_score").as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // X2 × MVCC — RECENTER CRASH RECOVERY under the hash gate (r16
     // verdict stretch 6, promoting the ScalaTest-only crash-injection
     // proof to an oracle row): a hard-drift wave's recenter is KILLED
@@ -7599,6 +7668,94 @@ object PipelineQueries {
         |FROM z0 JOIN a0 ON z0.vec_id = a0.vid
         |WHERE a0.cid IN (SELECT cid FROM pq0)
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // q192's settle algebra composed with the q187/q190 PQ replay:
+    // the settled corpus re-derived (admission > watermark, max-v
+    // winner, min-op tiebreak, eviction), then unit-normalized,
+    // argmin-encoded through the WRITTEN gen-0 codebooks, and
+    // integer-ADC scored in the gen-0 cells' probed slice
+    "q194_vector_eventtime_crud_pq" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |boot AS (SELECT vec_id, embedding AS v FROM embeddings
+        |         WHERE vec_id <> 0 AND vec_id % 3 = 2),
+        |w1 AS (SELECT vec_id,
+        |         list_transform(v, x -> CAST(x + 0.5 AS FLOAT)) AS emb,
+        |         CAST(1 AS BIGINT) AS vv,
+        |         1700000000000 + vec_id * 1000 AS tsms, 1 AS wave,
+        |         'upsert' AS op
+        |       FROM boot WHERE vec_id % 10 = 0),
+        |w2 AS (SELECT vec_id,
+        |         list_transform(v, x -> CAST(x + 1.5 AS FLOAT)) AS emb,
+        |         CAST(2 AS BIGINT) AS vv,
+        |         1700000000000 + vec_id * 1000 + 600000 AS tsms, 2 AS wave,
+        |         'upsert' AS op
+        |       FROM boot WHERE vec_id % 20 = 0),
+        |w2d AS (SELECT vec_id, v AS emb, CAST(3 AS BIGINT) AS vv,
+        |          1700000000000 + vec_id * 1000 + 350000 AS tsms, 2 AS wave,
+        |          'delete' AS op
+        |        FROM boot WHERE vec_id % 50 = 0),
+        |adv AS (SELECT CAST(999999999 AS BIGINT) AS vec_id,
+        |          (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |            AS emb,
+        |          CAST(1 AS BIGINT) AS vv,
+        |          CAST(1700000000000 + 1000000000 AS BIGINT) AS tsms,
+        |          3 AS wave, 'upsert' AS op),
+        |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv),
+        |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
+        |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 60000 AS wm
+        |        FROM wavemax),
+        |adm AS (SELECT u.* FROM u JOIN wmk ON u.wave = wmk.wave
+        |        WHERE wmk.wm IS NULL OR u.tsms > wmk.wm),
+        |fwm AS (SELECT max(tsms) - 60000 AS f FROM u),
+        |mts AS (SELECT vec_id, max(tsms) AS maxts FROM adm GROUP BY 1),
+        |best AS (SELECT vec_id, max(vv) AS bv FROM adm GROUP BY 1),
+        |win0 AS (SELECT DISTINCT adm.vec_id, adm.emb, adm.vv, adm.op
+        |         FROM adm JOIN best ON adm.vec_id = best.vec_id
+        |                           AND adm.vv = best.bv),
+        |tb AS (SELECT vec_id, min(op) AS mo FROM win0 GROUP BY 1),
+        |winev AS (SELECT w.vec_id, w.emb, w.op FROM win0 w
+        |          JOIN tb ON w.vec_id = tb.vec_id AND w.op = tb.mo
+        |          JOIN mts m ON w.vec_id = m.vec_id
+        |          WHERE (m.maxts + 60000 + 1) < (SELECT f FROM fwm)),
+        |fin AS (SELECT b.vec_id, coalesce(we.emb, b.v) AS v
+        |        FROM boot b LEFT JOIN winev we USING (vec_id)
+        |        WHERE we.op IS NULL OR we.op = 'upsert'),
+        |cp0 AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/veq_etcrud_pq_{SFHASH}/cents/gen=0/*.parquet')),
+        |pp0 AS (SELECT cid FROM cp0, q
+        |        ORDER BY 1 - list_cosine_similarity(cv, qv), cid LIMIT 3),
+        |cb0 AS (SELECT subspace, code, cvec FROM
+        |  read_parquet('{SCRATCH}/veq_etcrud_pq_{SFHASH}/books/gen=0/*.parquet')),
+        |ip0 AS (SELECT subspace, code,
+        |    CAST(floor(list_inner_product(cvec,
+        |      qv[(subspace * 8 + 1):(subspace * 8 + 8)]) * 1e7 + 0.5)
+        |      AS BIGINT) AS ip_fp
+        |  FROM cb0, q),
+        |b0 AS (SELECT fin.vec_id AS vid,
+        |    arg_min(cp0.cid,
+        |      1 - list_cosine_similarity(fin.v::DOUBLE[], cp0.cv)) AS cid
+        |  FROM fin, cp0 GROUP BY fin.vec_id),
+        |m0 AS (SELECT fin.vec_id,
+        |    list_transform(fin.v::DOUBLE[],
+        |      x -> x / sqrt(list_inner_product(fin.v::DOUBLE[],
+        |                                       fin.v::DOUBLE[]))) AS uv
+        |  FROM fin JOIN b0 ON fin.vec_id = b0.vid
+        |  WHERE b0.cid IN (SELECT cid FROM pp0)),
+        |e0 AS (SELECT vec_id, subspace, code FROM (
+        |    SELECT m0.vec_id, cb0.subspace, cb0.code,
+        |      row_number() OVER (PARTITION BY m0.vec_id, cb0.subspace
+        |        ORDER BY list_distance(cb0.cvec,
+        |          uv[(cb0.subspace * 8 + 1):(cb0.subspace * 8 + 8)]),
+        |          cb0.code) AS rn
+        |    FROM m0, cb0) WHERE rn = 1)
+        |SELECT vec_id,
+        |  round(CAST(sum(ip_fp) AS BIGINT) / 1e7, 4) AS score
+        |FROM e0 JOIN ip0 USING (subspace, code)
+        |GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     // the crash-recovered state from raw: the drifted third minus the
     // recovery wave's deletes, quantized/assigned/scored under the
