@@ -228,9 +228,25 @@ object SegmentManifest {
         if (fs.exists(dst)) throw lost(s"$dst already sealed")
         // create(overwrite = false) sharpens the in-JVM guarantee on
         // stores that honor it; the object-store PUT itself commits
-        // all-or-nothing on close
+        // all-or-nothing on close.
+        //
+        // An exclusive-create REFUSAL means a contract-violating
+        // cross-JVM sealer won between the exists check and the
+        // create: dst is the OTHER writer's validly sealed manifest.
+        // It must surface as a lost seal, NOT fall into the torn-dst
+        // cleanup below — deleting it would convert the loud
+        // collision into a silent lost update (a retry would reseal
+        // the emptied slot), exactly the failure the publisher
+        // contract exists to prevent.
+        val out =
+          try fs.create(dst, false)
+          catch {
+            case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException
+                    | _: java.nio.file.FileAlreadyExistsException) =>
+              throw lost(s"$dst sealed by a concurrent writer " +
+                s"outside this JVM's lock: $e")
+          }
         try {
-          val out = fs.create(dst, false)
           try {
             val in = fs.open(tmp)
             try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536,
@@ -290,7 +306,33 @@ object SegmentManifest {
         // without it the old fail-fast's protection would be silently
         // lost for exactly the ambiguous configuration
         if (singleDriverOptIn) SingleDriverPublisher
-        else HdfsRenamePublisher
+        else {
+          // best-effort probe: where the connector exposes namespace
+          // support (AzureBlobFileSystem#getIsNamespaceEnabled in
+          // hadoop-azure builds with a zero-arg overload), a non-HNS
+          // account fails FAST here instead of silently running a
+          // non-atomic rename as if it were exclusive; connectors
+          // without the probe get a one-line warning naming the
+          // presumption instead of nothing
+          abfsNamespaceEnabled(fs) match {
+            case Some(false) => throw new UnsupportedOperationException(
+              s"segmented-index seal on ${fs.getUri}: the abfs account " +
+                "has NO hierarchical namespace, so rename is not " +
+                "atomic and the exclusive seal cannot be guaranteed — " +
+                "use an HNS (Data Lake Gen2) account, or set " +
+                s"$SingleDriverConfKey=true if every sealer runs in " +
+                "this one driver JVM")
+            case Some(true) => ()
+            case None => org.slf4j.LoggerFactory
+              .getLogger(getClass)
+              .warn("segmented-index seal on {}: presuming a " +
+                "hierarchical-namespace (atomic-rename) account — the " +
+                "connector exposes no namespace probe; on a non-HNS " +
+                "blob account set {}=true instead", fs.getUri,
+                SingleDriverConfKey)
+          }
+          HdfsRenamePublisher
+        }
       case other =>
         if (singleDriverOptIn) SingleDriverPublisher
         else throw new UnsupportedOperationException(
@@ -303,6 +345,23 @@ object SegmentManifest {
             "one driver JVM (the S3SingleDriverLogStore contract)")
     }
   }
+
+  /** Reflective namespace probe for the abfs connector: Some(flag)
+    * when the FileSystem exposes a zero-arg `getIsNamespaceEnabled`
+    * (older hadoop-azure builds), None when the method is absent,
+    * takes arguments (newer builds thread a TracingContext), or
+    * throws — the caller then falls back to a named presumption
+    * rather than guessing. Kept reflective so the engine compiles
+    * without hadoop-azure on the classpath. */
+  private[graft] def abfsNamespaceEnabled(fs: FileSystem)
+      : Option[Boolean] =
+    try {
+      val m = fs.getClass.getMethod("getIsNamespaceEnabled")
+      m.invoke(fs) match {
+        case b: java.lang.Boolean => Some(b.booleanValue())
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
 
   /** Seal `m` as generation `m.gen` — EXCLUSIVE publish of a fully
     * written file: a concurrent writer that sealed the same generation
@@ -409,12 +468,23 @@ object SegmentManifest {
         // (zero rows). All-empty layouts still fail loudly on the
         // head entry — there is no schema to read them under.
         val fs = fsOf(spark, path)
-        val withData = es.find { e =>
-          val d = new Path(s"$path/${e.loc}")
-          fs.exists(d) && fs.listStatus(d).exists(st =>
-            st.isFile && !st.getPath.getName.startsWith("_") &&
-              !st.getPath.getName.startsWith("."))
-        }.getOrElse(es.head)
+        def isData(st: org.apache.hadoop.fs.FileStatus) =
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        // a member's data may sit one level down (a partitioned
+        // member dir) — recurse one level before classifying the
+        // member as empty, so inference doesn't skip a member that
+        // actually holds data (or fail on the head when it does)
+        def holdsData(d: Path): Boolean =
+          fs.exists(d) && {
+            val ls = fs.listStatus(d)
+            ls.exists(isData) || ls.exists(st =>
+              st.isDirectory && !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith(".") &&
+                fs.listStatus(st.getPath).exists(isData))
+          }
+        val withData = es.find(e => holdsData(new Path(s"$path/${e.loc}")))
+          .getOrElse(es.head)
         spark.read.parquet(s"$path/${withData.loc}").schema
       }
       Some(es.map { e =>

@@ -73,9 +73,14 @@ object RecallFloorProbe {
             .select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
           .count()
         panel.unpersist()
-        println(f"[$dir] q143 post-recenter panel recall@10: " +
-          f"$hits/${nPanel * 10} = ${hits * 100.0 / (nPanel * 10)}%.1f%% " +
-          "(floor 8%)")
+        if (nPanel == 0)
+          println(s"[$dir] q143 post-recenter panel recall@10: " +
+            "panel EMPTY (%29 filter selects no rows at this SF) — " +
+            "no margin to report")
+        else
+          println(f"[$dir] q143 post-recenter panel recall@10: " +
+            f"$hits/${nPanel * 10} = " +
+            f"${hits * 100.0 / (nPanel * 10)}%.1f%% (floor 8%%)")
       }
       // ---- q190's scenario: raced recenters, then the all-cells
       // floors ------------------------------------------------------

@@ -210,6 +210,114 @@ class SegmentManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent writer"), s"wrong: $e")
   }
 
+  test("SingleDriverPublisher: an exclusive-create refusal (a " +
+      "contract-violating cross-JVM sealer won between the exists " +
+      "check and the create) surfaces as a LOST seal and never " +
+      "deletes the other writer's validly sealed manifest") {
+    val dir = scratch("smf_xjvm").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_gen"))
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/_gen/m000000001")
+    // the OTHER JVM's sealed manifest, already on disk
+    val theirs = "gen=1\ncells\t9\tcentroid_id=9\n"
+    val o = f.create(dst, true)
+    try o.write(theirs.getBytes("UTF-8")) finally o.close()
+    // ours, fully staged
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_gen/.m1.ours.tmp")
+    val t = f.create(tmp, true)
+    try t.write("gen=1\ncells\t0\tcentroid_id=0\n".getBytes("UTF-8"))
+    finally t.close()
+    // an fs whose exists() lies about dst (the cross-JVM race window
+    // where the other sealer lands between our check and our create)
+    // and whose exclusive create then refuses like a real store would
+    val racing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def exists(p: org.apache.hadoop.fs.Path): Boolean =
+        if (p.getName == dst.getName) false else super.exists(p)
+      override def create(p: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        if (!overwrite && p.getName == dst.getName)
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"File already exists: $p")
+        else super.create(p, overwrite)
+    }
+    racing.setConf(spark.sparkContext.hadoopConfiguration)
+    racing.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    def lost(d: String) =
+      new IllegalStateException(s"concurrent writer: $d")
+    val e = intercept[IllegalStateException] {
+      SegmentManifest.SingleDriverPublisher.publish(racing, tmp, dst,
+        lost)
+    }
+    assert(e.getMessage.contains("concurrent writer"), s"wrong: $e")
+    // the collision stayed loud AND the other writer's manifest is
+    // bit-intact — the old catch-all cleanup deleted it here,
+    // converting the collision into a silent lost update
+    val in = f.open(dst)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(txt == theirs,
+      s"the other writer's sealed manifest was damaged: <$txt>")
+  }
+
+  test("abfs namespace probe: a connector exposing " +
+      "getIsNamespaceEnabled=false fails fast (non-HNS rename is not " +
+      "atomic), true rides the rename publisher, and an absent probe " +
+      "falls back to the named presumption") {
+    class AbfsLike extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "abfs"
+    }
+    val nonHns = new AbfsLike {
+      def getIsNamespaceEnabled: Boolean = false
+    }
+    val e = intercept[UnsupportedOperationException] {
+      SegmentManifest.publisherFor(nonHns)
+    }
+    assert(e.getMessage.contains("hierarchical namespace"), s"got $e")
+    val hns = new AbfsLike {
+      def getIsNamespaceEnabled: Boolean = true
+    }
+    assert(SegmentManifest.publisherFor(hns) eq
+      SegmentManifest.HdfsRenamePublisher)
+    // no probe method at all → warning path, rename publisher
+    assert(SegmentManifest.publisherFor(new AbfsLike) eq
+      SegmentManifest.HdfsRenamePublisher)
+    // and the single-driver opt-in still bypasses the probe entirely
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.setBoolean(SegmentManifest.SingleDriverConfKey, true)
+    val optedIn = new AbfsLike {
+      def getIsNamespaceEnabled: Boolean = false
+    }
+    optedIn.setConf(conf)
+    assert(SegmentManifest.publisherFor(optedIn) eq
+      SegmentManifest.SingleDriverPublisher)
+  }
+
+  test("read() schema inference recurses one level: a member whose " +
+      "parquet sits in a partitioned subdirectory is NOT classified " +
+      "as empty, so an empty head member no longer fails inference " +
+      "when the data exists one level down") {
+    import spark.implicits._
+    val dir = scratch("smf_nested").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // seg=1: empty (crash debris); seg=2: data one level down in a
+    // hive-partitioned subdir — the old top-level-only scan saw both
+    // as empty and fell back to the head, failing inference
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cells/seg=1"))
+    Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "p")
+      .write.partitionBy("p").parquet(s"$dir/cells/seg=2")
+    val m = SegmentManifest.Manifest(0, Map("cells" -> Seq(
+      SegmentManifest.Entry(1, "cells/seg=1"),
+      SegmentManifest.Entry(2, "cells/seg=2"))))
+    val out = SegmentManifest.read(spark, dir, m, "cells").get
+      .select("id", "v", "seg").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSeq == Seq((1L, "a", 2), (2L, "b", 2)), out.mkString(","))
+  }
+
   test("read() infers the layout schema from the first member that " +
       "actually holds data files — an empty leading member (crash " +
       "debris a legacy bootstrap folded in) reads as zero rows " +
