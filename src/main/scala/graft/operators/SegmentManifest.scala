@@ -277,13 +277,93 @@ object SegmentManifest {
     }
   }
 
+  /** The store primitive a MULTI-DRIVER object-store deployment must
+    * supply: atomically create `dst` with exactly `bytes` IFF no
+    * object exists there, returning whether THIS call created it.
+    * This is the DynamoDB-style LogStore recipe Delta Lake documents
+    * for S3, reduced to its one load-bearing call — and since S3
+    * itself now offers conditional writes (`If-None-Match: *` on
+    * PUT), an adapter can be a one-liner against the store's own API
+    * with no side table at all.
+    *
+    * Contract (everything the seal protocol guarantees reduces to
+    * these three clauses):
+    *   - EXCLUSIVE: across all drivers, at most one concurrent
+    *     `putIfAbsent(dst, _)` returns true;
+    *   - ALL-OR-NOTHING: after a true return, `dst` is readable
+    *     through the FileSystem with exactly `bytes` — a false return
+    *     or a crash leaves whatever was there before, never a torn
+    *     object;
+    *   - a thrown exception means UNKNOWN outcome and propagates
+    *     as-is (never as a lost-seal) so the operator investigates
+    *     instead of resealing over an undetermined slot. */
+  trait PutIfAbsentStore {
+    def putIfAbsent(dst: Path, bytes: Array[Byte]): Boolean
+  }
+
+  /** Hadoop conf key naming a [[PutIfAbsentStore]] adapter class
+    * (zero-arg constructor; `org.apache.hadoop.conf.Configurable`
+    * adapters receive the FileSystem's conf) — the MULTI-DRIVER
+    * migration path for raw object stores: unlike
+    * [[SingleDriverConfKey]]'s process-wide lock, exclusion here
+    * comes from the store itself, so sealers in different driver
+    * JVMs collide loudly too. */
+  val CondPutConfKey = "graft.seal.condput.store"
+
+  /** Seal publisher over a [[PutIfAbsentStore]]: publish IS the
+    * store's conditional put — no check-then-put window, no JVM
+    * lock, no shared state between publisher instances (two driver
+    * JVMs each build their own; the STORE is the arbiter, which is
+    * exactly what the race spec proves). */
+  private[graft] final class ConditionalPutPublisher(
+      store: PutIfAbsentStore) extends SealPublisher {
+    def publish(fs: FileSystem, tmp: Path, dst: Path,
+                lost: String => Exception): Unit = {
+      val in = fs.open(tmp)
+      val bytes =
+        try {
+          val b = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, b, 65536, false)
+          b.toByteArray
+        } finally in.close()
+      if (!store.putIfAbsent(dst, bytes))
+        throw lost(s"$dst already sealed (conditional put refused)")
+    }
+  }
+
+  /** Instantiate the [[CondPutConfKey]]-named adapter, if configured.
+    * Loud on a class that exists but is not a [[PutIfAbsentStore]] —
+    * silently falling through would strand the operator on the very
+    * fail-fast the key exists to replace. */
+  private[graft] def condPutPublisher(fs: FileSystem)
+      : Option[SealPublisher] =
+    Option(fs.getConf).flatMap(c => Option(c.getTrimmed(CondPutConfKey)))
+      .filter(_.nonEmpty).map { cls =>
+        val inst = Class.forName(cls).getDeclaredConstructor()
+          .newInstance()
+        val store = inst match {
+          case s: PutIfAbsentStore => s
+          case other => throw new IllegalArgumentException(
+            s"$CondPutConfKey=$cls does not implement " +
+              s"${classOf[PutIfAbsentStore].getName} " +
+              s"(got ${other.getClass.getName})")
+        }
+        store match {
+          case c: org.apache.hadoop.conf.Configurable =>
+            c.setConf(fs.getConf)
+          case _ => ()
+        }
+        new ConditionalPutPublisher(store)
+      }
+
   /** Resolve the publisher by storage class — and FAIL FAST on stores
     * with no atomic rename-if-absent (raw S3 and friends): running
     * the seal there through a best-effort check-then-publish would
     * silently void the single-writer guarantee, so the raw scheme is
-    * rejected until the operator either supplies a LogStore-style
-    * atomic-put publisher (exactly Delta Lake's documented storage
-    * requirement) or opts into the single-driver recipe via
+    * rejected until the operator either names a conditional-put store
+    * adapter via [[CondPutConfKey]] (the multi-driver path: exclusion
+    * arbitrated by the store itself, exactly Delta Lake's documented
+    * storage requirement) or opts into the single-driver recipe via
     * [[SingleDriverConfKey]]. ADLS Gen2 (`abfs`/`abfss`) is
     * allowlisted onto the rename publisher: with a hierarchical
     * namespace — the configuration the abfs connector exists for —
@@ -302,11 +382,13 @@ object SegmentManifest {
         // the allowlist presumes a hierarchical-namespace account
         // (atomic rename, the configuration the abfs connector exists
         // for); a NON-HNS blob account's rename is not atomic, so the
-        // single-driver opt-in stays reachable for this scheme —
-        // without it the old fail-fast's protection would be silently
-        // lost for exactly the ambiguous configuration
-        if (singleDriverOptIn) SingleDriverPublisher
-        else {
+        // conditional-put and single-driver migration paths stay
+        // reachable for this scheme — without them the old
+        // fail-fast's protection would be silently lost for exactly
+        // the ambiguous configuration
+        condPutPublisher(fs).getOrElse {
+          if (singleDriverOptIn) SingleDriverPublisher
+          else {
           // best-effort probe: where the connector exposes namespace
           // support (AzureBlobFileSystem#getIsNamespaceEnabled in
           // hadoop-azure builds with a zero-arg overload), a non-HNS
@@ -319,9 +401,10 @@ object SegmentManifest {
               s"segmented-index seal on ${fs.getUri}: the abfs account " +
                 "has NO hierarchical namespace, so rename is not " +
                 "atomic and the exclusive seal cannot be guaranteed — " +
-                "use an HNS (Data Lake Gen2) account, or set " +
-                s"$SingleDriverConfKey=true if every sealer runs in " +
-                "this one driver JVM")
+                "use an HNS (Data Lake Gen2) account, set " +
+                s"$CondPutConfKey to a conditional-put store adapter " +
+                s"(multi-driver), or set $SingleDriverConfKey=true if " +
+                "every sealer runs in this one driver JVM")
             case Some(true) => ()
             case None => org.slf4j.LoggerFactory
               .getLogger(getClass)
@@ -332,17 +415,27 @@ object SegmentManifest {
                 SingleDriverConfKey)
           }
           HdfsRenamePublisher
+          }
         }
       case other =>
-        if (singleDriverOptIn) SingleDriverPublisher
-        else throw new UnsupportedOperationException(
-          s"segmented-index seal on storage scheme '$other': the store " +
-            "offers no atomic rename-if-absent, so the exclusive seal " +
-            "cannot be guaranteed — supply a LogStore-style " +
-            "SealPublisher for this store (Delta Lake's documented " +
-            "storage requirement for S3-class object stores), or set " +
-            s"$SingleDriverConfKey=true if every sealer runs in this " +
-            "one driver JVM (the S3SingleDriverLogStore contract)")
+        // migration-path precedence on stores with no atomic
+        // rename-if-absent: a configured conditional-put adapter is
+        // the strongest guarantee (store-arbitrated, multi-driver),
+        // then the single-driver recipe, then fail fast
+        condPutPublisher(fs).getOrElse {
+          if (singleDriverOptIn) SingleDriverPublisher
+          else throw new UnsupportedOperationException(
+            s"segmented-index seal on storage scheme '$other': the " +
+              "store offers no atomic rename-if-absent, so the " +
+              "exclusive seal cannot be guaranteed — set " +
+              s"$CondPutConfKey to a PutIfAbsentStore adapter backed " +
+              "by the store's conditional put (the DynamoDB-style " +
+              "LogStore recipe Delta Lake documents; S3's own " +
+              "If-None-Match PUT also satisfies it), or set " +
+              s"$SingleDriverConfKey=true if every sealer runs in " +
+              "this one driver JVM (the S3SingleDriverLogStore " +
+              "contract)")
+        }
     }
   }
 

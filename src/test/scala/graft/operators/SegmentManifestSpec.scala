@@ -2,6 +2,40 @@ package graft.operators
 
 import graft.SparkSpec
 
+/** Conditional-put test adapter — TOP-LEVEL with a zero-arg
+  * constructor so `Class.forName` can instantiate it through the
+  * [[SegmentManifest.CondPutConfKey]] wiring. The arbiter is a
+  * process-wide atomic map (the "DynamoDB table"); a winning put also
+  * materializes the object on the local filesystem so sealed
+  * manifests read back through the normal fs path (the recipe's
+  * marker-in-table / object-in-store split, collapsed for the spec). */
+class MemCondPutStore extends SegmentManifest.PutIfAbsentStore
+    with org.apache.hadoop.conf.Configurable {
+  private var conf: org.apache.hadoop.conf.Configuration = _
+  override def setConf(c: org.apache.hadoop.conf.Configuration): Unit = {
+    conf = c
+    MemCondPutStore.lastConf = c
+  }
+  override def getConf: org.apache.hadoop.conf.Configuration = conf
+  def putIfAbsent(dst: org.apache.hadoop.fs.Path,
+                  bytes: Array[Byte]): Boolean = {
+    val won =
+      MemCondPutStore.arbiter.putIfAbsent(dst.toString, bytes) == null
+    if (won) java.nio.file.Files.write(
+      java.nio.file.Paths.get(dst.toUri.getPath), bytes)
+    won
+  }
+}
+object MemCondPutStore {
+  val arbiter =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  @volatile var lastConf: org.apache.hadoop.conf.Configuration = _
+}
+
+/** A class that exists but is NOT a PutIfAbsentStore — the loud-wiring
+  * negative case. */
+class NotACondPutStore
+
 /** Commit-protocol unit coverage for [[SegmentManifest]] that the
   * index-level specs don't reach: the legacy-upgrade bootstrap must
   * treat write-once crash debris as invisible, exactly like the
@@ -293,6 +327,146 @@ class SegmentManifestSpec extends SparkSpec {
     optedIn.setConf(conf)
     assert(SegmentManifest.publisherFor(optedIn) eq
       SegmentManifest.SingleDriverPublisher)
+  }
+
+  test("ConditionalPutPublisher: TWO publisher instances (two driver " +
+      "JVMs — no shared lock) racing through an atomic store — " +
+      "exactly one wins, the loser collides loudly, the winner's " +
+      "manifest reads back; through a deliberately NON-atomic " +
+      "check-then-put store BOTH win (the cross-driver lost update " +
+      "the store's conditional put exists to prevent)") {
+    val dir = scratch("smf_condput").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    MemCondPutStore.arbiter.clear()
+    val mA = SegmentManifest.Manifest(1,
+      Map("cells" -> Seq(SegmentManifest.Entry(0, "centroid_id=0"))))
+    val mB = SegmentManifest.Manifest(1,
+      Map("cells" -> Seq(SegmentManifest.Entry(7, "centroid_id=7"))))
+    // two INSTANCES — unlike SingleDriverPublisher there is no JVM
+    // lock to share; exclusion must come from the store alone
+    val pubA = new SegmentManifest.ConditionalPutPublisher(
+      new MemCondPutStore)
+    val pubB = new SegmentManifest.ConditionalPutPublisher(
+      new MemCondPutStore)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent
+      .ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val ts = Seq((mA, pubA, 0), (mB, pubB, 7)).map { case (m, p, tag) =>
+      new Thread(() => {
+        gate.await()
+        try {
+          SegmentManifest.seal(spark, dir, m, Some(p))
+          outcomes.add(Right(tag)); ()
+        } catch { case t: Throwable => outcomes.add(Left(t)); () }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    val (losers, winners) = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(outcomes).asScala.toSeq.partition(_.isLeft)
+    assert(winners.size == 1 && losers.size == 1,
+      s"expected exactly one winner, got $winners / $losers")
+    assert(losers.head.left.toOption.get.getMessage
+      .contains("concurrent writer"))
+    assert(SegmentManifest.latest(spark, dir).get
+      .entries("cells").map(_.seg) ==
+        Seq(winners.head.toOption.get))
+    // and a later re-seal of the same generation from a THIRD
+    // "driver" still collides — the arbiter remembers
+    val e = intercept[IllegalStateException] {
+      SegmentManifest.seal(spark, dir, mB,
+        Some(new SegmentManifest.ConditionalPutPublisher(
+          new MemCondPutStore)))
+    }
+    assert(e.getMessage.contains("concurrent writer"), s"wrong: $e")
+
+    // the NON-atomic fake: check-then-put with a barrier holding both
+    // drivers inside the window between the check and the put — what
+    // a best-effort exists()+PUT against a raw object store actually
+    // is. BOTH sealers "win": the lost update, deterministically.
+    val dir2 = scratch("smf_condput2").toString
+    f.delete(new org.apache.hadoop.fs.Path(dir2), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir2))
+    val window = new java.util.concurrent.CyclicBarrier(2)
+    class NonAtomicStore extends SegmentManifest.PutIfAbsentStore {
+      def putIfAbsent(dst: org.apache.hadoop.fs.Path,
+                      bytes: Array[Byte]): Boolean = {
+        val p = java.nio.file.Paths.get(dst.toUri.getPath)
+        if (java.nio.file.Files.exists(p)) false
+        else {
+          window.await(5, java.util.concurrent.TimeUnit.SECONDS)
+          java.nio.file.Files.write(p, bytes) // plain PUT, no condition
+          true
+        }
+      }
+    }
+    val outcomes2 = new java.util.concurrent
+      .ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val gate2 = new java.util.concurrent.CountDownLatch(1)
+    val ts2 = Seq((mA, 0), (mB, 7)).map { case (m, tag) =>
+      new Thread(() => {
+        gate2.await()
+        try {
+          SegmentManifest.seal(spark, dir2, m,
+            Some(new SegmentManifest.ConditionalPutPublisher(
+              new NonAtomicStore)))
+          outcomes2.add(Right(tag)); ()
+        } catch { case t: Throwable => outcomes2.add(Left(t)); () }
+      })
+    }
+    ts2.foreach(_.start()); gate2.countDown(); ts2.foreach(_.join())
+    val bothWon = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(outcomes2).asScala.toSeq
+    assert(bothWon.count(_.isRight) == 2,
+      s"expected the non-atomic store to demonstrate the lost " +
+        s"update (both sealers succeed), got $bothWon")
+  }
+
+  test("conditional-put conf-key wiring: the named adapter resolves " +
+      "for raw object-store schemes (taking precedence over the " +
+      "single-driver opt-in and the non-HNS abfs fail-fast), receives " +
+      "the fs conf when Configurable, and a non-adapter class fails " +
+      "loudly") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set(SegmentManifest.CondPutConfKey,
+      classOf[MemCondPutStore].getName)
+    conf.setBoolean(SegmentManifest.SingleDriverConfKey, true)
+    val s3 = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "s3a"
+    }
+    s3.setConf(conf)
+    val resolved = SegmentManifest.publisherFor(s3)
+    assert(resolved.isInstanceOf[SegmentManifest.ConditionalPutPublisher],
+      s"expected the conditional-put adapter to win precedence, " +
+        s"got $resolved")
+    // Configurable adapters get the fs conf (how a real adapter finds
+    // its table name / endpoint)
+    MemCondPutStore.lastConf = null
+    assert(SegmentManifest.condPutPublisher(s3).isDefined)
+    assert(MemCondPutStore.lastConf eq s3.getConf,
+      "Configurable adapter did not receive the FileSystem's conf")
+    // the non-HNS abfs account reaches it too
+    val abfsNonHns = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "abfs"
+      def getIsNamespaceEnabled: Boolean = false
+    }
+    abfsNonHns.setConf(conf)
+    assert(SegmentManifest.publisherFor(abfsNonHns)
+      .isInstanceOf[SegmentManifest.ConditionalPutPublisher])
+    // a class that is not a PutIfAbsentStore is a loud config error,
+    // not a silent fall-through to fail-fast
+    val bad = new org.apache.hadoop.conf.Configuration(false)
+    bad.set(SegmentManifest.CondPutConfKey,
+      classOf[NotACondPutStore].getName)
+    val s3bad = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "s3a"
+    }
+    s3bad.setConf(bad)
+    val e = intercept[IllegalArgumentException] {
+      SegmentManifest.publisherFor(s3bad)
+    }
+    assert(e.getMessage.contains("does not implement"), s"wrong: $e")
   }
 
   test("read() schema inference recurses one level: a member whose " +
