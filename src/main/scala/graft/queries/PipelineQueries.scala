@@ -4560,11 +4560,29 @@ object PipelineQueries {
         .select(col("vec_id")).join(exactLive, Seq("vec_id")).count()
       require(recQ >= 6,
         s"q190: post-recenter quantized recall collapsed ($recQ/10)")
-      val recP = StreamingVectorIndex.probeLiveIvfPq(s, vp, qv,
-          "vec_id", k = 10, nProbe = 8)
-        .select(col("vec_id")).join(exactLive, Seq("vec_id")).count()
-      require(recP >= 1,
-        s"q190: post-recenter IVF-PQ recall collapsed ($recP/10)")
+      // the IVF-PQ floor rides a PANEL (q143's treatment, r17 verdict
+      // item 2): the single query's 2–9/10 across SFs sat ON the
+      // measurement at the sf0.1 hard end, so the floor could only be
+      // the 1/10 collapse alarm; aggregating the same all-cells
+      // measurement over the %29 panel shrinks the variance and lifts
+      // the floor to a measured-band alarm (margins on record in
+      // RecallFloorProbe / PLANS.md).
+      val panel = graft.engine.Caching.cached(
+        e.filter(col("vec_id") % 29 === 1)
+          .select(col("vec_id").as("qid"),
+            VectorFns.toDouble(col("embedding")).as("qvec")))
+      val nPanel = panel.count()
+      val panelHits = StreamingVectorIndex.probeLiveIvfPqMulti(s, vp,
+          panel, "vec_id", k = 10, nProbe = 8)
+        .select(col("qid"), col("vec_id"))
+        .join(Similarity.topKMulti(drifted, panel, "vec_id",
+            "embedding", 10)
+          .select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+        .count()
+      panel.unpersist()
+      require(panelHits * 100 >= nPanel * 10 * 8,
+        s"q190: post-recenter IVF-PQ panel recall collapsed — " +
+          s"$panelHits/${nPanel * 10} < 8%")
       // pinned answers materialized driver-side (k-bounded), so the
       // returned frame is independent of any later vacuum
       val phase0 = expQ.toSeq.sorted.toDF("vec_id", "score")
@@ -4711,11 +4729,29 @@ object PipelineQueries {
         .select(lit(999999999L).as("vec_id"), col("embedding"),
           lit(1L).as("v"), (base + lit(1000000000L)).as("tsms"),
           lit(3).as("wave"), lit("upsert").as("op"))
+      // the HAIRLINE pin (r17 verdict item 3): one deliberate row
+      // whose event time EXACTLY equals wave 2's watermark (max of
+      // wave 1's event times − delay). Admission is strict `>` —
+      // Spark drops ts == wm, empirically pinned r17 — so both the
+      // replay and the oracle drop it and the hash is unchanged; but
+      // the row carries the QUERY VECTOR itself, so whichever side
+      // regresses to `>=` admits a guaranteed top-1 hit and goes
+      // hash-red. Before this row no gate data sat on the boundary.
+      val hairline = e.filter(col("vec_id") === 0)
+        .crossJoin(w1.agg(max(col("tsms")).as("_w1max")))
+        .select(lit(999999998L).as("vec_id"), col("embedding"),
+          lit(1L).as("v"), (col("_w1max") - 60000L).as("tsms"),
+          lit(2).as("wave"), lit("upsert").as("op"))
       val winners = graft.engine.Caching.cached(
         Upsert.latestByKeyWavedReplay(
-            w1.unionByName(w2).unionByName(w2del).unionByName(adv),
+            w1.unionByName(w2).unionByName(w2del).unionByName(adv)
+              .unionByName(hairline),
             "vec_id", "v", "op", "tsms", delayMs = 60000L, "wave")
           .filter(col("evicted")))
+      require(winners.filter(col("vec_id") === 999999998L)
+          .count() == 0,
+        "q192: the hairline row (ts == wave-2 watermark) was " +
+          "admitted — the strict-> admission boundary regressed")
       require(winners.filter(col("op") === "delete").count() > 0,
         "q192: no admitted delete settled — the late slice must " +
           "reach past wave 2's watermark")
@@ -4781,11 +4817,25 @@ object PipelineQueries {
         .select(lit(999999999L).as("vec_id"), col("embedding"),
           lit(1L).as("v"), (base + lit(1000000000L)).as("tsms"),
           lit(3).as("wave"), lit("upsert").as("op"))
+      // the twin carries q192's HAIRLINE pin too (ts == wave-2
+      // watermark, dropped by strict `>` on both sides, top-1 on
+      // whichever side regresses to `>=`) — the scenarios stay
+      // IDENTICAL and the boundary is gate-pinned per family
+      val hairline = e.filter(col("vec_id") === 0)
+        .crossJoin(w1.agg(max(col("tsms")).as("_w1max")))
+        .select(lit(999999998L).as("vec_id"), col("embedding"),
+          lit(1L).as("v"), (col("_w1max") - 60000L).as("tsms"),
+          lit(2).as("wave"), lit("upsert").as("op"))
       val winners = graft.engine.Caching.cached(
         Upsert.latestByKeyWavedReplay(
-            w1.unionByName(w2).unionByName(w2del).unionByName(adv),
+            w1.unionByName(w2).unionByName(w2del).unionByName(adv)
+              .unionByName(hairline),
             "vec_id", "v", "op", "tsms", delayMs = 60000L, "wave")
           .filter(col("evicted")))
+      require(winners.filter(col("vec_id") === 999999998L)
+          .count() == 0,
+        "q194: the hairline row (ts == wave-2 watermark) was " +
+          "admitted — the strict-> admission boundary regressed")
       require(winners.filter(col("op") === "delete").count() > 0,
         "q194: no admitted delete settled")
       require(winners.filter(col("op") === "upsert").count() > 0,
@@ -7623,8 +7673,15 @@ object PipelineQueries {
         |          CAST(1 AS BIGINT) AS vv,
         |          CAST(1700000000000 + 1000000000 AS BIGINT) AS tsms,
         |          3 AS wave, 'upsert' AS op),
+        |hl AS (SELECT CAST(999999998 AS BIGINT) AS vec_id,
+        |         (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |           AS emb,
+        |         CAST(1 AS BIGINT) AS vv,
+        |         (SELECT max(tsms) FROM w1) - 60000 AS tsms,
+        |         2 AS wave, 'upsert' AS op),
         |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
-        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv),
+        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv
+        |      UNION ALL SELECT * FROM hl),
         |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
         |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -7645,7 +7702,11 @@ object PipelineQueries {
         |          WHERE (m.maxts + 60000 + 1) < (SELECT f FROM fwm)),
         |fin AS (SELECT b.vec_id, coalesce(we.emb, b.v) AS v
         |        FROM boot b LEFT JOIN winev we USING (vec_id)
-        |        WHERE we.op IS NULL OR we.op = 'upsert'),
+        |        WHERE we.op IS NULL OR we.op = 'upsert'
+        |        UNION ALL
+        |        SELECT w.vec_id, w.emb AS v FROM winev w
+        |        WHERE w.op = 'upsert'
+        |          AND w.vec_id NOT IN (SELECT vec_id FROM boot)),
         |cq0 AS (SELECT centroid_id AS cid, cvec AS cv FROM
         |  read_parquet('{SCRATCH}/veq_etcrud_{SFHASH}/cents/gen=0/*.parquet')),
         |pq0 AS (SELECT cid FROM cq0, q
@@ -7701,8 +7762,15 @@ object PipelineQueries {
         |          CAST(1 AS BIGINT) AS vv,
         |          CAST(1700000000000 + 1000000000 AS BIGINT) AS tsms,
         |          3 AS wave, 'upsert' AS op),
+        |hl AS (SELECT CAST(999999998 AS BIGINT) AS vec_id,
+        |         (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |           AS emb,
+        |         CAST(1 AS BIGINT) AS vv,
+        |         (SELECT max(tsms) FROM w1) - 60000 AS tsms,
+        |         2 AS wave, 'upsert' AS op),
         |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
-        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv),
+        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv
+        |      UNION ALL SELECT * FROM hl),
         |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
         |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -7723,7 +7791,11 @@ object PipelineQueries {
         |          WHERE (m.maxts + 60000 + 1) < (SELECT f FROM fwm)),
         |fin AS (SELECT b.vec_id, coalesce(we.emb, b.v) AS v
         |        FROM boot b LEFT JOIN winev we USING (vec_id)
-        |        WHERE we.op IS NULL OR we.op = 'upsert'),
+        |        WHERE we.op IS NULL OR we.op = 'upsert'
+        |        UNION ALL
+        |        SELECT w.vec_id, w.emb AS v FROM winev w
+        |        WHERE w.op = 'upsert'
+        |          AND w.vec_id NOT IN (SELECT vec_id FROM boot)),
         |cp0 AS (SELECT centroid_id AS cid, cvec AS cv FROM
         |  read_parquet('{SCRATCH}/veq_etcrud_pq_{SFHASH}/cents/gen=0/*.parquet')),
         |pp0 AS (SELECT cid FROM cp0, q

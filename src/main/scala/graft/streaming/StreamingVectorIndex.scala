@@ -929,6 +929,16 @@ object StreamingVectorIndex {
   def probeLiveIvfPq(spark: SparkSession, root: String,
                      queryVec: DataFrame, idCol: String, k: Int,
                      nProbe: Int): DataFrame = {
+    val (codes, books, cents) = resolveLiveIvfPq(spark, root)
+    ProductQuantize.ivfPqProbeResolved(codes, books, cents, queryVec,
+      idCol, k, nProbe)
+  }
+
+  /** The one pinned (codes, books, centroids) resolution both live
+    * IVF-PQ probes share — single-query and panel paths can never
+    * desynchronize on which generation answers. */
+  private def resolveLiveIvfPq(spark: SparkSession, root: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val path = s"$root/index"
     val mfOpt = SegmentManifest.latest(spark, s"$path/codes")
     require(mfOpt.nonEmpty,
@@ -940,8 +950,23 @@ object StreamingVectorIndex {
     val cents = spark.read.parquet(s"$root/cents/gen=$modelGen")
     val (codes, books) = ProductQuantize.resolveCodesAndBooks(spark,
       path, mfOpt)
-    ProductQuantize.ivfPqProbeResolved(codes, books, cents, queryVec,
-      idCol, k, nProbe)
+    (codes, books, cents)
+  }
+
+  /** [[probeLiveIvfPq]] for a query PANEL (`queries` carries
+    * `qid`, `qvec`): identical pinned resolution, scored in one
+    * relational pass ([[graft.operators.ProductQuantize
+    * .ivfPqScoreCodesMulti]]) — the recall-panel instrument for the
+    * streaming loop (q190's post-recenter floor rides it). */
+  def probeLiveIvfPqMulti(spark: SparkSession, root: String,
+                          queries: DataFrame, idCol: String, k: Int,
+                          nProbe: Int): DataFrame = {
+    val (codesRaw, books, cents) = resolveLiveIvfPq(spark, root)
+    val codes = codesRaw
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val m = books.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    ProductQuantize.ivfPqScoreCodesMulti(codes, books, cents, queries,
+      idCol, k, nProbe, m)
   }
 
   /** One BATCH maintenance wave of the IVF-PQ loop — the foreachBatch

@@ -113,7 +113,29 @@ object RecallFloorProbe {
             s"$scratch/vmvcc_p_$h", qv, "vec_id", k = 10, nProbe = 8)
           .select(col("vec_id")).join(exact, Seq("vec_id")).count()
         println(f"[$dir] q190 post-recenter all-cells recall@10: " +
-          f"int8 $recQ/10 (floor 6), ivfpq $recP/10 (floor 1)")
+          f"int8 $recQ/10 (floor 6), ivfpq single-query $recP/10")
+        // the gate's actual IVF-PQ floor (r17 verdict item 2): the
+        // %29 panel through the streaming loop's pinned resolution
+        val panel = graft.engine.Caching.cached(
+          e.filter(col("vec_id") % 29 === 1)
+            .select(col("vec_id").as("qid"),
+              VectorFns.toDouble(col("embedding")).as("qvec")))
+        val nPanel = panel.count()
+        val pHits = StreamingVectorIndex.probeLiveIvfPqMulti(spark,
+            s"$scratch/vmvcc_p_$h", panel, "vec_id", k = 10,
+            nProbe = 8)
+          .select(col("qid"), col("vec_id"))
+          .join(Similarity.topKMulti(drifted, panel, "vec_id",
+              "embedding", 10)
+            .select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+          .count()
+        panel.unpersist()
+        if (nPanel == 0)
+          println(s"[$dir] q190 ivfpq panel: EMPTY at this SF")
+        else
+          println(f"[$dir] q190 post-recenter ivfpq panel recall@10: " +
+            f"$pHits/${nPanel * 10} = " +
+            f"${pHits * 100.0 / (nPanel * 10)}%.1f%% (floor 8%%)")
       }
     }
     spark.stop()
