@@ -27,6 +27,33 @@ import graft.operators.TextAnalysis
   * offered. */
 object StreamingPercolate {
 
+  /** EVENT-TIME front for [[run]] (the r17 audit's one REAL hazard in
+    * this module): raw percolation alerts once per DELIVERY, so a
+    * re-delivered document fires its saved searches twice (two
+    * batch_id partitions — the alert-stream form of the fan-out the
+    * index loops closed), and an out-of-order OLDER version arriving
+    * after a newer one fires STALE alerts for content the corpus no
+    * longer holds. This front reuses the index loops' shared settle
+    * stage ([[StreamingUpsert.latestByKeyWithinWatermark]] — one
+    * watermark-settle semantics across the engine): a key's versions
+    * settle to ONE winner under the q92 rules, and only settled,
+    * EVICTED winners percolate — each key alerts exactly once per
+    * settle window, on its winning version only; a straggler past the
+    * watermark is dropped instead of alerting on rewound content. The
+    * cost is the same watermark latency the index fronts pay: alerts
+    * fire `delay` past the key's newest admissible version.
+    * Dedup, by contrast, needs no front: suppression is MONOTONE
+    * (append-only, no state ever rewinds), proven by spec instead. */
+  def runEventTime(docs: DataFrame, idCol: String, textCol: String,
+                   versionCol: String, tsCol: String, delay: String,
+                   queries: DataFrame, alertsPath: String,
+                   checkpoint: String): StreamingQuery =
+    run(StreamingUpsert.latestByKeyWithinWatermark(docs, key = idCol,
+        ordCol = versionCol, rowTieBreak = textCol, tsCol = tsCol,
+        delay = delay)
+        .select(col(idCol), col(textCol)),
+      idCol, textCol, queries, alertsPath, checkpoint)
+
   def run(docs: DataFrame, idCol: String, textCol: String,
           queries: DataFrame, alertsPath: String,
           checkpoint: String): StreamingQuery =

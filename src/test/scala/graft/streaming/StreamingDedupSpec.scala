@@ -47,6 +47,50 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("r17 out-of-order audit: dedup suppression is MONOTONE " +
+      "(append-only) — an out-of-order duplicate with an OLDER event " +
+      "time arriving in a later batch is suppressed, an exact " +
+      "re-delivery cannot fan out, and no emitted row is ever " +
+      "revised — the q191 version-rewind hazards cannot occur here " +
+      "because there are no versions and no state rewind path") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+
+    val source = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StreamingDedup.exactWithinWatermark(
+      source.toDF().toDF("ts", "doc_id", "text"),
+      textCol = "text", tsCol = "ts", delay = "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup_ooo")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def emitted() = spark.table("stream_dedup_ooo")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      source.addData((ts("2024-01-01 10:05:00"), 1L, "alpha beta"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L))
+      // out-of-order: the SAME content with an EARLIER event time,
+      // arriving later (the straggler shape that rewound a raw index
+      // loop) — suppression is by signature, arrival/event order
+      // cannot resurrect it; and an exact re-delivery cannot fan out
+      source.addData(
+        (ts("2024-01-01 10:01:00"), 2L, "beta alpha"),
+        (ts("2024-01-01 10:05:00"), 1L, "alpha beta"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L),
+        "an out-of-order or re-delivered duplicate fanned out")
+      // monotone: new distinct content APPENDS; the earlier emission
+      // is untouched (append mode has no revision path by
+      // construction — this pins it observably)
+      source.addData((ts("2024-01-01 10:06:00"), 3L, "gamma delta"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("chunk-level dedup suppresses repeated chunks across batches, " +
       "first arrival wins") {
     val sql = spark.sqlContext

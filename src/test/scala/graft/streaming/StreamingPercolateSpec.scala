@@ -61,6 +61,90 @@ class StreamingPercolateSpec extends SparkSpec {
         s"$scanned")
   }
 
+  test("the event-time front closes percolation's delivery hazards: " +
+      "through the RAW loop a re-delivered doc alerts twice and an " +
+      "out-of-order OLDER version fires a stale alert; through the " +
+      "settle front each key alerts once, on its winning version " +
+      "only, and a straggler past the watermark never alerts") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val sqlCtx = sql
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stored = Seq(
+      (1L, Seq("stale"), Seq.empty[String]),
+      (2L, Seq("fresh"), Seq.empty[String]))
+      .toDF("query_id", "must", "must_not")
+    // --- the hazard, demonstrated on the RAW loop ------------------
+    val rawAlerts = java.nio.file.Files
+      .createTempDirectory("sp_raw").toString
+    val rawSrc = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val rawQ = StreamingPercolate.run(
+      rawSrc.toDF().toDF("ts", "doc_id", "text", "v"),
+      "doc_id", "text", stored, rawAlerts,
+      java.nio.file.Files.createTempDirectory("sp_rawck").toString)
+    try {
+      // v2 (fresh) arrives first; the out-of-order v1 (stale) lands
+      // in a LATER batch; doc 7 is re-delivered across batches
+      rawSrc.addData((ts("2024-01-01 10:00:00"), 5L, "fresh copy", 2L),
+        (ts("2024-01-01 10:00:00"), 7L, "fresh too", 1L))
+      rawQ.processAllAvailable()
+      rawSrc.addData((ts("2024-01-01 09:55:00"), 5L, "stale copy", 1L),
+        (ts("2024-01-01 10:00:00"), 7L, "fresh too", 1L))
+      rawQ.processAllAvailable()
+    } finally rawQ.stop()
+    val raw = spark.read.parquet(rawAlerts)
+      .select(col("query_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(raw.contains((1L, 5L)),
+      "expected the raw loop to demonstrate the stale alert " +
+        "(out-of-order v1 firing after v2)")
+    assert(raw.count(_ == ((2L, 7L))) == 2,
+      "expected the raw loop to demonstrate the re-delivery fan-out")
+    // --- the front -------------------------------------------------
+    val alerts = java.nio.file.Files
+      .createTempDirectory("sp_front").toString
+    val src = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val q = StreamingPercolate.runEventTime(
+      src.toDF().toDF("ts", "doc_id", "text", "v"),
+      "doc_id", "text", versionCol = "v", tsCol = "ts",
+      delay = "10 minutes", stored, alerts,
+      java.nio.file.Files.createTempDirectory("sp_frontck").toString)
+    try {
+      src.addData((ts("2024-01-01 10:00:00"), 5L, "fresh copy", 2L),
+        (ts("2024-01-01 10:00:00"), 7L, "fresh too", 1L))
+      q.processAllAvailable()
+      src.addData((ts("2024-01-01 09:55:00"), 5L, "stale copy", 1L),
+        (ts("2024-01-01 10:00:00"), 7L, "fresh too", 1L))
+      q.processAllAvailable()
+      // nothing settled yet: both keys still open under the watermark
+      // — in particular no stale alert transiently fired (the sink
+      // dir holds no partition: empty settle batches skip the write)
+      assert(Option(new java.io.File(alerts).listFiles()).toSeq.flatten
+        .forall(f => f.getName.startsWith("_") ||
+          f.getName.startsWith(".")),
+        "an alert fired before its key settled")
+      // advance the watermark far past every key's newest ts + delay
+      src.addData((ts("2024-01-01 12:00:00"), 99L, "other", 1L))
+      q.processAllAvailable()
+      // a straggler PAST the watermark (11:50 now): dropped at
+      // admission, never alerts — no rewound content reaches the
+      // saved searches
+      src.addData((ts("2024-01-01 10:30:00"), 8L, "fresh late", 1L),
+        (ts("2024-01-01 13:00:00"), 98L, "other", 1L))
+      q.processAllAvailable()
+      src.addData((ts("2024-01-01 15:00:00"), 97L, "other", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val settledAlerts = spark.read.parquet(alerts)
+      .select(col("query_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+    // each key alerted exactly ONCE, on its WINNING version: doc 5 →
+    // v2 "fresh copy" (query 2, never query 1's stale), doc 7 → once
+    // despite the re-delivery
+    assert(settledAlerts.sorted == Seq((2L, 5L), (2L, 7L)),
+      s"settled alerts wrong: $settledAlerts")
+  }
+
   test("three waves alert exactly like per-wave batch percolation; " +
       "a replayed batch rewrite leaves the sink unchanged") {
     val sql = spark.sqlContext
