@@ -641,6 +641,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[ivfProbeCodesQuantized]] for a query PANEL (`queries` carries
+    * `qid`, `qvec`) — relational cell restriction: per-query top
+    * nProbe cells ranked exactly as [[rankedCellsCosine]] (cosine
+    * distance, centroid-id tiebreak — one shared ranking definition
+    * with the whole IVF family), codes joined to their query's probed
+    * cells, then the same int8 scoring with a per-query window top-k.
+    * The batch sibling of the single-query probe, in one pass for the
+    * whole panel — the int8 recall-panel scorer
+    * ([[graft.streaming.StreamingVectorIndex
+    * .probeLiveQuantizedMulti]] resolves through it). */
+  private[graft] def ivfProbeCodesQuantizedMulti(codes: DataFrame,
+                                                 cents: DataFrame,
+                                                 queries: DataFrame,
+                                                 idCol: String, k: Int,
+                                                 nProbe: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("_cd"), col("centroid_id"))
+    val probed = cents.crossJoin(broadcast(queries))
+      .withColumn("_cd",
+        lit(1.0) - VectorFns.cosine(col("cvec"), col("qvec")))
+      .withColumn("_rn", row_number().over(wc))
+      .filter(col("_rn") <= nProbe)
+      .select(col("qid"), col("centroid_id"))
+    val qCodes = queries.select(col("qid"),
+      Quantize.int8(col("qvec"), Quantize.scaleOf(col("qvec")))
+        .as("query_codes"))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("qsim").desc, col(idCol))
+    codes.join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(qCodes), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        round(Quantize.cosineCodes(col("codes"), col("query_codes")), 4)
+          .as("qsim"))
+      .withColumn("_rn", row_number().over(wk))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col(idCol), col("qsim"))
+  }
+
   /** The quantized-probe SEMANTICS replayed against a corpus
     * snapshot and a fixed centroid model, with no physical index:
     * quantize the snapshot rows, assign cells, keep the query's

@@ -4737,10 +4737,14 @@ object PipelineQueries {
       // the row carries the QUERY VECTOR itself, so whichever side
       // regresses to `>=` admits a guaranteed top-1 hit and goes
       // hash-red. Before this row no gate data sat on the boundary.
+      // The wave-1 max is a DRIVER-SIDE scalar fetch (one 1-row agg,
+      // the probedCellIds pattern): embedding it as a crossJoin'd
+      // aggregate inside the replay's cached union measured +15 s at
+      // sf0.1 on this row; the scalar reads +1-2 s
+      val w1maxTs = w1.agg(max(col("tsms"))).head().getLong(0)
       val hairline = e.filter(col("vec_id") === 0)
-        .crossJoin(w1.agg(max(col("tsms")).as("_w1max")))
         .select(lit(999999998L).as("vec_id"), col("embedding"),
-          lit(1L).as("v"), (col("_w1max") - 60000L).as("tsms"),
+          lit(1L).as("v"), lit(w1maxTs - 60000L).as("tsms"),
           lit(2).as("wave"), lit("upsert").as("op"))
       val winners = graft.engine.Caching.cached(
         Upsert.latestByKeyWavedReplay(
@@ -4820,11 +4824,12 @@ object PipelineQueries {
       // the twin carries q192's HAIRLINE pin too (ts == wave-2
       // watermark, dropped by strict `>` on both sides, top-1 on
       // whichever side regresses to `>=`) — the scenarios stay
-      // IDENTICAL and the boundary is gate-pinned per family
+      // IDENTICAL and the boundary is gate-pinned per family.
+      // Driver-side scalar fetch for the wave-1 max, as in q192
+      val w1maxTs = w1.agg(max(col("tsms"))).head().getLong(0)
       val hairline = e.filter(col("vec_id") === 0)
-        .crossJoin(w1.agg(max(col("tsms")).as("_w1max")))
         .select(lit(999999998L).as("vec_id"), col("embedding"),
-          lit(1L).as("v"), (col("_w1max") - 60000L).as("tsms"),
+          lit(1L).as("v"), lit(w1maxTs - 60000L).as("tsms"),
           lit(2).as("wave"), lit("upsert").as("op"))
       val winners = graft.engine.Caching.cached(
         Upsert.latestByKeyWavedReplay(

@@ -901,6 +901,16 @@ object StreamingVectorIndex {
   def probeLiveQuantized(spark: SparkSession, root: String,
                          queryVec: DataFrame, idCol: String, k: Int,
                          nProbe: Int): DataFrame = {
+    val (codes, cents) = resolveLiveQuantized(spark, root)
+    Similarity.ivfProbeCodesQuantized(codes, cents, queryVec, idCol,
+      k, nProbe)
+  }
+
+  /** The one pinned (codes, centroids) resolution both live quantized
+    * probes share — single-query and panel paths can never
+    * desynchronize on which generation answers. */
+  private def resolveLiveQuantized(spark: SparkSession, root: String)
+      : (DataFrame, DataFrame) = {
     val indexPath = s"$root/index"
     val mf = SegmentManifest.latest(spark, indexPath).getOrElse(
       throw new IllegalStateException(
@@ -916,8 +926,20 @@ object StreamingVectorIndex {
       .getOrElse(throw new IllegalStateException(
         s"StreamingVectorIndex: generation ${mf.gen} at $indexPath " +
           "has no cells"))
-    Similarity.ivfProbeCodesQuantized(codes, cents, queryVec, idCol,
-      k, nProbe)
+    (codes, cents)
+  }
+
+  /** [[probeLiveQuantized]] for a query PANEL (`qid`, `qvec`):
+    * identical pinned resolution, scored in one relational pass
+    * ([[graft.operators.Similarity.ivfProbeCodesQuantizedMulti]]) —
+    * [[probeLiveIvfPqMulti]]'s int8 sibling, completing the
+    * recall-panel instrument for both live families. */
+  def probeLiveQuantizedMulti(spark: SparkSession, root: String,
+                              queries: DataFrame, idCol: String,
+                              k: Int, nProbe: Int): DataFrame = {
+    val (codes, cents) = resolveLiveQuantized(spark, root)
+    Similarity.ivfProbeCodesQuantizedMulti(codes, cents, queries,
+      idCol, k, nProbe)
   }
 
   /** [[probeLiveQuantized]]'s IVF-PQ sibling: cells, CODEBOOKS and

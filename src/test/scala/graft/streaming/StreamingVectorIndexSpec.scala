@@ -1191,4 +1191,52 @@ class StreamingVectorIndexSpec extends SparkSpec {
       "settled IVF-PQ event-time loop diverged from the winner-only " +
         "twin")
   }
+
+  test("the panel probes answer EXACTLY what the single-query probes " +
+      "answer, per query, for both live families — the multi paths " +
+      "share the single paths' pinned resolution and ranking by " +
+      "construction, pinned here observably") {
+    import spark.implicits._
+    val ids = (1L to 60L)
+    val base = corpus(ids).toDF("vec_id", "embedding")
+    val rootQ = tmp("multiparity_q")
+    val rootP = tmp("multiparity_p")
+    StreamingVectorIndex.bootstrapQuantized(base, rootQ, "vec_id",
+      "embedding", k = 4)
+    StreamingVectorIndex.bootstrapIvfPq(base, rootP, "vec_id",
+      "embedding", kCells = 4, m = 4, k = 8)
+    val panelIds = Seq(3L, 20L, 41L)
+    val panel = panelIds.map(i =>
+        (i, vec(i, 0.003).map(_.toDouble)))
+      .toDF("qid", "qvec")
+    def single(one: Long, f: (org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame) =
+      f(Seq(vec(one, 0.003).map(_.toDouble)).toDF("qvec"))
+        .collect().map(r => (one, r.getLong(0), r.getDouble(1))).toSet
+    // quantized family
+    val multiQ = StreamingVectorIndex.probeLiveQuantizedMulti(spark,
+        rootQ, panel, "vec_id", k = 5, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singlesQ = panelIds.flatMap(i => single(i,
+      q => StreamingVectorIndex.probeLiveQuantized(spark, rootQ, q,
+        "vec_id", k = 5, nProbe = 2))).toSet
+    assert(multiQ == singlesQ,
+      s"quantized panel diverged: $multiQ vs $singlesQ")
+    // IVF-PQ family
+    val multiP = StreamingVectorIndex.probeLiveIvfPqMulti(spark,
+        rootP, panel, "vec_id", k = 5, nProbe = 2)
+      .select(col("qid"), col("vec_id"), col("adc_score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singlesP = panelIds.flatMap { i =>
+      StreamingVectorIndex.probeLiveIvfPq(spark, rootP,
+          Seq(vec(i, 0.003).map(_.toDouble)).toDF("qvec"),
+          "vec_id", k = 5, nProbe = 2)
+        .select(col("vec_id"), col("adc_score"))
+        .collect().map(r => (i, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(multiP == singlesP,
+      s"IVF-PQ panel diverged: $multiP vs $singlesP")
+  }
 }
