@@ -129,13 +129,28 @@ object RecallFloorProbe {
               "embedding", 10)
             .select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
           .count()
+        // int8 sibling through the same pinned resolution (not a gate
+        // floor — the single-query int8 alarm at 6/10 reads 10/10
+        // everywhere — but the instrument is symmetric on record)
+        val qHits = StreamingVectorIndex.probeLiveQuantizedMulti(spark,
+            s"$scratch/vmvcc_q_$h", panel, "vec_id", k = 10,
+            nProbe = 8)
+          .select(col("qid"), col("vec_id"))
+          .join(Similarity.topKMulti(drifted, panel, "vec_id",
+              "embedding", 10)
+            .select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+          .count()
         panel.unpersist()
         if (nPanel == 0)
-          println(s"[$dir] q190 ivfpq panel: EMPTY at this SF")
-        else
+          println(s"[$dir] q190 panels: EMPTY at this SF")
+        else {
           println(f"[$dir] q190 post-recenter ivfpq panel recall@10: " +
             f"$pHits/${nPanel * 10} = " +
             f"${pHits * 100.0 / (nPanel * 10)}%.1f%% (floor 8%%)")
+          println(f"[$dir] q190 post-recenter int8 panel recall@10: " +
+            f"$qHits/${nPanel * 10} = " +
+            f"${qHits * 100.0 / (nPanel * 10)}%.1f%% (no gate floor)")
+        }
       }
     }
     spark.stop()
