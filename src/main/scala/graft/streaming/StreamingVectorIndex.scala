@@ -319,12 +319,13 @@ object StreamingVectorIndex {
                                           cd_fp_sum: Long,
                                           model_fp: Long)
 
-  private def collectStats(df: DataFrame): Array[StatRow] =
-    df.select(col("centroid_id").cast("long"), col("n"),
-        col("mean_cd"), col("cd_fp_sum"), col("model_fp"))
-      .collect()
-      .map(r => StatRow(r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getLong(3), r.getLong(4)))
+  private def collectStats(df: DataFrame): Seq[StatRow] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      df.select(col("centroid_id").cast("long"), col("n"),
+          col("mean_cd"), col("cd_fp_sum"), col("model_fp"))
+        .collect()
+        .map(r => StatRow(r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))))
 
   /** Write generation `gen`'s per-cell drift stats (≤|cells| rows,
     * one coalesced file) and return the GAUGES folded from the SAME
@@ -366,7 +367,7 @@ object StreamingVectorIndex {
   private def waveDriftStats(spark: SparkSession, root: String,
                              ops: IndexOps, cents: DataFrame,
                              idCol: String, gen: Int,
-                             dirty: Seq[Long]): Array[StatRow] = {
+                             dirty: Seq[Long]): Seq[StatRow] = {
     val prevGens = gens(spark, root, "driftstats").filter(_ < gen)
     def full = collectStats(ops.driftStats(spark, root, cents, idCol,
       None))
