@@ -4862,6 +4862,74 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // X3 × W — q191's PERCOLATION sibling (round 18, gating the
+    // [[graft.streaming.StreamingPercolate.runEventTime]] front's
+    // semantics): the same waved version stream settles by the q92
+    // watermark algebra, and the saved searches fire on the SETTLED
+    // WINNERS ONLY — the front's per-batch body restated relationally
+    // exactly as q191 restates the lexical front. Rules 3/4 witness
+    // the settle decisions directly (must "w2" + must_not "w1" fires
+    // only where the admitted v2 won; must "w1" only where v1
+    // survived both the v2 wave and the emptying late slice), so a
+    // stale alert from an out-of-order older version, a double alert
+    // from a re-delivery, or an alert from an unsettled/emptied key
+    // all hash-red. The alert set is computed by the INDEXED
+    // percolator (q173's gated path) over the winners.
+    "q195_percolate_eventtime" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val stored = Seq(
+        (1L, Seq("sort", "merge"), Seq("scan")),
+        (2L, Seq("query"), Seq.empty[String]),
+        (3L, Seq("w2"), Seq("w1")),
+        (4L, Seq("w1"), Seq.empty[String]))
+        .toDF("query_id", "must", "must_not")
+      val base = lit(1700000000000L)
+      val w1 = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" w1")).as("text"),
+          lit(1L).as("v"), (base + col("doc_id") * 1000).as("tsms"),
+          lit(1).as("wave"))
+      val w2 = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" w2")).as("text"),
+          lit(2L).as("v"),
+          (base + col("doc_id") * 1000 + 600000).as("tsms"),
+          lit(2).as("wave"))
+      // the late slice EMPTIES %50 keys at v3 — the delete-shaped
+      // version: an emptied winner alerts nothing, and the emptying
+      // is itself subject to admission
+      val w2del = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), lit("").as("text"), lit(3L).as("v"),
+          (base + col("doc_id") * 1000 + 350000).as("tsms"),
+          lit(2).as("wave"))
+      val adv = s.range(1).select(lit(999999L).as("doc_id"),
+        lit("wm-advance").as("text"), lit(1L).as("v"),
+        (base + lit(1000000000L)).as("tsms"), lit(3).as("wave"))
+      val winners = graft.engine.Caching.cached(
+        Upsert.latestByKeyWavedReplay(
+            w1.unionByName(w2).unionByName(w2del).unionByName(adv),
+            "doc_id", "v", "text", "tsms", delayMs = 60000L, "wave")
+          .filter(col("evicted"))
+          .select(col("doc_id"), col("text")))
+      require(winners.filter(col("text") === "").count() > 0,
+        "q195: no emptied version settled — the late slice must " +
+          "reach past wave 2's watermark")
+      val path = scratchPath("perc_et_qindex", dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TextAnalysis.percolateWriteQueryIndex(stored, path)
+      val alerts = TextAnalysis.percolateIndexed(s, path, winners,
+        "doc_id", "text")
+      val byRule = alerts.groupBy(col("query_id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      require(byRule.getOrElse(3L, 0L) > 0 &&
+          byRule.getOrElse(4L, 0L) > 0,
+        s"q195: the settle-witnessing rules are vacuous ($byRule) — " +
+          "rule 3 needs an admitted v2 winner, rule 4 a surviving v1")
+      alerts.orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // X2 × MVCC — RECENTER CRASH RECOVERY under the hash gate (r16
     // verdict stretch 6, promoting the ScalaTest-only crash-injection
     // proof to an oracle row): a hard-drift wave's recenter is KILLED
@@ -7638,6 +7706,64 @@ object PipelineQueries {
         |      FROM scored)
         |SELECT qid, doc_id, score FROM r WHERE rn <= 12
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
+    // q191's settle algebra (no op column — the late slice EMPTIES
+    // instead of deleting) composed with q173's match semantics over
+    // the EVICTED WINNERS only: the percolate event-time front's
+    // alert set, from raw
+    "q195_percolate_eventtime" ->
+      """WITH w1 AS (SELECT doc_id, coalesce(text, '') || ' w1' AS text,
+        |              CAST(1 AS BIGINT) AS v,
+        |              1700000000000 + doc_id * 1000 AS tsms, 1 AS wave
+        |            FROM documents WHERE doc_id % 10 = 0),
+        |w2 AS (SELECT doc_id, coalesce(text, '') || ' w2' AS text,
+        |         CAST(2 AS BIGINT) AS v,
+        |         1700000000000 + doc_id * 1000 + 600000 AS tsms, 2 AS wave
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |w2d AS (SELECT doc_id, '' AS text, CAST(3 AS BIGINT) AS v,
+        |          1700000000000 + doc_id * 1000 + 350000 AS tsms, 2 AS wave
+        |        FROM documents WHERE doc_id % 50 = 0),
+        |adv AS (SELECT CAST(999999 AS BIGINT) AS doc_id,
+        |          'wm-advance' AS text, CAST(1 AS BIGINT) AS v,
+        |          CAST(1700000000000 + 1000000000 AS BIGINT) AS tsms,
+        |          3 AS wave),
+        |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv),
+        |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
+        |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 60000 AS wm
+        |        FROM wavemax),
+        |adm AS (SELECT u.* FROM u JOIN wmk ON u.wave = wmk.wave
+        |        WHERE wmk.wm IS NULL OR u.tsms > wmk.wm),
+        |fwm AS (SELECT max(tsms) - 60000 AS f FROM u),
+        |mts AS (SELECT doc_id, max(tsms) AS maxts FROM adm GROUP BY 1),
+        |best AS (SELECT doc_id, max(v) AS bv FROM adm GROUP BY 1),
+        |win0 AS (SELECT DISTINCT adm.doc_id, adm.text, adm.v
+        |         FROM adm JOIN best ON adm.doc_id = best.doc_id
+        |                           AND adm.v = best.bv),
+        |tb AS (SELECT doc_id, min(text) AS mt FROM win0 GROUP BY 1),
+        |winev AS (SELECT w.doc_id, w.text FROM win0 w
+        |          JOIN tb ON w.doc_id = tb.doc_id AND w.text = tb.mt
+        |          JOIN mts m ON w.doc_id = m.doc_id
+        |          WHERE (m.maxts + 60000 + 1) < (SELECT f FROM fwm)),
+        |tok AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS t FROM winev),
+        |m AS (
+        |  SELECT 1 AS query_id, doc_id FROM tok
+        |  WHERE list_contains(t, 'sort') AND list_contains(t, 'merge')
+        |    AND NOT list_contains(t, 'scan')
+        |  UNION ALL
+        |  SELECT 2 AS query_id, doc_id FROM tok
+        |  WHERE list_contains(t, 'query')
+        |  UNION ALL
+        |  SELECT 3 AS query_id, doc_id FROM tok
+        |  WHERE list_contains(t, 'w2') AND NOT list_contains(t, 'w1')
+        |  UNION ALL
+        |  SELECT 4 AS query_id, doc_id FROM tok
+        |  WHERE list_contains(t, 'w1'))
+        |SELECT query_id, doc_id FROM m
+        |ORDER BY query_id, doc_id""".stripMargin,
 
     // the q92 watermark algebra over VECTOR versions (admission by
     // per-wave watermark, winner by max version + min-op tiebreak,
