@@ -331,29 +331,44 @@ object SegmentManifest {
     }
   }
 
-  /** Instantiate the [[CondPutConfKey]]-named adapter, if configured.
+  /** Resolve the [[CondPutConfKey]]-named adapter, if configured.
     * Loud on a class that exists but is not a [[PutIfAbsentStore]] —
     * silently falling through would strand the operator on the very
-    * fail-fast the key exists to replace. */
+    * fail-fast the key exists to replace. ONE adapter instance per
+    * class name per JVM: publisherFor resolves on EVERY seal (one+
+    * per micro-batch on the streaming loops), and a real adapter
+    * holds a store client that must not be rebuilt per seal; the
+    * instance is configured from the first resolving FileSystem's
+    * conf (one Hadoop conf per driver is the deployment this key
+    * targets). */
+  private val condPutInstances =
+    new java.util.concurrent.ConcurrentHashMap[String, SealPublisher]()
+
+  /** Test hook: drop cached adapter instances (specs exercise the
+    * creation path repeatedly in one JVM). */
+  private[graft] def condPutReset(): Unit = condPutInstances.clear()
+
   private[graft] def condPutPublisher(fs: FileSystem)
       : Option[SealPublisher] =
     Option(fs.getConf).flatMap(c => Option(c.getTrimmed(CondPutConfKey)))
       .filter(_.nonEmpty).map { cls =>
-        val inst = Class.forName(cls).getDeclaredConstructor()
-          .newInstance()
-        val store = inst match {
-          case s: PutIfAbsentStore => s
-          case other => throw new IllegalArgumentException(
-            s"$CondPutConfKey=$cls does not implement " +
-              s"${classOf[PutIfAbsentStore].getName} " +
-              s"(got ${other.getClass.getName})")
-        }
-        store match {
-          case c: org.apache.hadoop.conf.Configurable =>
-            c.setConf(fs.getConf)
-          case _ => ()
-        }
-        new ConditionalPutPublisher(store)
+        condPutInstances.computeIfAbsent(cls, _ => {
+          val inst = Class.forName(cls).getDeclaredConstructor()
+            .newInstance()
+          val store = inst match {
+            case s: PutIfAbsentStore => s
+            case other => throw new IllegalArgumentException(
+              s"$CondPutConfKey=$cls does not implement " +
+                s"${classOf[PutIfAbsentStore].getName} " +
+                s"(got ${other.getClass.getName})")
+          }
+          store match {
+            case c: org.apache.hadoop.conf.Configurable =>
+              c.setConf(fs.getConf)
+            case _ => ()
+          }
+          new ConditionalPutPublisher(store)
+        })
       }
 
   /** Resolve the publisher by storage class — and FAIL FAST on stores

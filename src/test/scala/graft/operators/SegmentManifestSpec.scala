@@ -436,16 +436,20 @@ class SegmentManifestSpec extends SparkSpec {
       override def getScheme: String = "s3a"
     }
     s3.setConf(conf)
+    // Configurable adapters get the fs conf at creation (how a real
+    // adapter finds its table name / endpoint)
+    SegmentManifest.condPutReset()
+    MemCondPutStore.lastConf = null
     val resolved = SegmentManifest.publisherFor(s3)
     assert(resolved.isInstanceOf[SegmentManifest.ConditionalPutPublisher],
       s"expected the conditional-put adapter to win precedence, " +
         s"got $resolved")
-    // Configurable adapters get the fs conf (how a real adapter finds
-    // its table name / endpoint)
-    MemCondPutStore.lastConf = null
-    assert(SegmentManifest.condPutPublisher(s3).isDefined)
     assert(MemCondPutStore.lastConf eq s3.getConf,
       "Configurable adapter did not receive the FileSystem's conf")
+    // ONE instance per class per JVM — a streaming loop resolving the
+    // publisher every seal must not rebuild the adapter's store client
+    assert(SegmentManifest.condPutPublisher(s3).get eq resolved,
+      "adapter instance was rebuilt on re-resolution")
     // the non-HNS abfs account reaches it too
     val abfsNonHns = new org.apache.hadoop.fs.RawLocalFileSystem() {
       override def getScheme: String = "abfs"
