@@ -678,6 +678,22 @@ object ProductQuantize {
                       cents: DataFrame, queries: DataFrame,
                       idCol: String, k: Int, nProbe: Int): DataFrame = {
     val (codesRaw, cb) = pinnedCodesAndBooks(spark, path)
+    ivfPqProbeResolvedMulti(codesRaw, cb, cents, queries, idCol, k,
+      nProbe)
+  }
+
+  /** [[ivfPqProbeResolved]]'s panel sibling over already-resolved
+    * (codes, codebooks): the ONE cast + m-derivation + batch-ADC
+    * composition, shared by the pinned path above and the streaming
+    * loop's pin-once panel probe ([[graft.streaming
+    * .StreamingVectorIndex.probeLiveIvfPqMulti]]) so the two can
+    * never desynchronize on it. */
+  private[graft] def ivfPqProbeResolvedMulti(codesRaw: DataFrame,
+                                             cb: DataFrame,
+                                             cents: DataFrame,
+                                             queries: DataFrame,
+                                             idCol: String, k: Int,
+                                             nProbe: Int): DataFrame = {
     val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
     val codes = codesRaw
       .withColumn("centroid_id", col("centroid_id").cast("long"))

@@ -346,15 +346,40 @@ object SegmentManifest {
 
   /** Test hook: drop cached adapter instances (specs exercise the
     * creation path repeatedly in one JVM). */
-  private[graft] def condPutReset(): Unit = condPutInstances.clear()
+  private[graft] def condPutReset(): Unit = {
+    condPutInstances.clear()
+    condPutConfSeen.clear()
+  }
+
+  // the conf identity each cached adapter was configured from — a
+  // later FileSystem presenting a DIFFERENT conf (e.g. per-bucket
+  // fs.s3a.bucket.* overrides) would silently arbitrate through the
+  // first bucket's settings; the assumption is checked with one
+  // warning instead of assumed
+  private val condPutConfSeen = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.hadoop.conf.Configuration]()
 
   private[graft] def condPutPublisher(fs: FileSystem)
       : Option[SealPublisher] =
     Option(fs.getConf).flatMap(c => Option(c.getTrimmed(CondPutConfKey)))
       .filter(_.nonEmpty).map { cls =>
+        val seen = condPutConfSeen.putIfAbsent(cls, fs.getConf)
+        if (seen != null && (seen ne fs.getConf))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "conditional-put adapter {} was configured from an " +
+              "earlier FileSystem's conf; this resolution presents a " +
+              "different Configuration object (per-bucket overrides " +
+              "will not reach the cached adapter)", cls)
         condPutInstances.computeIfAbsent(cls, _ => {
-          val inst = Class.forName(cls).getDeclaredConstructor()
-            .newInstance()
+          // context classloader first (Spark ships plugin jars via
+          // --jars into the context loader, not this class's), then
+          // our own — Spark's Utils.classForName rule, for the same
+          // reason
+          val loader = Option(
+              Thread.currentThread().getContextClassLoader)
+            .getOrElse(getClass.getClassLoader)
+          val inst = Class.forName(cls, true, loader)
+            .getDeclaredConstructor().newInstance()
           val store = inst match {
             case s: PutIfAbsentStore => s
             case other => throw new IllegalArgumentException(
@@ -421,13 +446,20 @@ object SegmentManifest {
                 s"(multi-driver), or set $SingleDriverConfKey=true if " +
                 "every sealer runs in this one driver JVM")
             case Some(true) => ()
-            case None => org.slf4j.LoggerFactory
-              .getLogger(getClass)
-              .warn("segmented-index seal on {}: presuming a " +
-                "hierarchical-namespace (atomic-rename) account — the " +
-                "connector exposes no namespace probe; on a non-HNS " +
-                "blob account set {}=true instead", fs.getUri,
-                SingleDriverConfKey)
+            case None =>
+              // once per fs URI, not per seal: publisherFor resolves
+              // on every seal (one+ per micro-batch on the streaming
+              // loops) and an identical WARN per batch buries real
+              // warnings
+              if (abfsWarned.putIfAbsent(String.valueOf(fs.getUri),
+                  java.lang.Boolean.TRUE) == null)
+                org.slf4j.LoggerFactory
+                  .getLogger(getClass)
+                  .warn("segmented-index seal on {}: presuming a " +
+                    "hierarchical-namespace (atomic-rename) account — " +
+                    "the connector exposes no namespace probe; on a " +
+                    "non-HNS blob account set {}=true instead",
+                    fs.getUri, SingleDriverConfKey)
           }
           HdfsRenamePublisher
           }
@@ -453,6 +485,9 @@ object SegmentManifest {
         }
     }
   }
+
+  private val abfsWarned = new java.util.concurrent
+    .ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Reflective namespace probe for the abfs connector: Some(flag)
     * when the FileSystem exposes a zero-arg `getIsNamespaceEnabled`

@@ -4572,6 +4572,10 @@ object PipelineQueries {
           .select(col("vec_id").as("qid"),
             VectorFns.toDouble(col("embedding")).as("qvec")))
       val nPanel = panel.count()
+      require(nPanel > 0,
+        "q190: empty %29 recall panel at this SF — the floor would " +
+          "be vacuously green (the single-query alarm it replaced " +
+          "could never pass with zero measurements)")
       val panelHits = StreamingVectorIndex.probeLiveIvfPqMulti(s, vp,
           panel, "vec_id", k = 10, nProbe = 8)
         .select(col("qid"), col("vec_id"))
@@ -4741,7 +4745,11 @@ object PipelineQueries {
       // the probedCellIds pattern): embedding it as a crossJoin'd
       // aggregate inside the replay's cached union measured +15 s at
       // sf0.1 on this row; the scalar reads +1-2 s
-      val w1maxTs = w1.agg(max(col("tsms"))).head().getLong(0)
+      val w1maxRow = w1.agg(max(col("tsms"))).head()
+      require(!w1maxRow.isNullAt(0),
+        "hairline pin: wave 1 is empty at this SF — no watermark to " +
+          "sit on")
+      val w1maxTs = w1maxRow.getLong(0)
       val hairline = e.filter(col("vec_id") === 0)
         .select(lit(999999998L).as("vec_id"), col("embedding"),
           lit(1L).as("v"), lit(w1maxTs - 60000L).as("tsms"),
@@ -4826,7 +4834,11 @@ object PipelineQueries {
       // whichever side regresses to `>=`) — the scenarios stay
       // IDENTICAL and the boundary is gate-pinned per family.
       // Driver-side scalar fetch for the wave-1 max, as in q192
-      val w1maxTs = w1.agg(max(col("tsms"))).head().getLong(0)
+      val w1maxRow = w1.agg(max(col("tsms"))).head()
+      require(!w1maxRow.isNullAt(0),
+        "hairline pin: wave 1 is empty at this SF — no watermark to " +
+          "sit on")
+      val w1maxTs = w1maxRow.getLong(0)
       val hairline = e.filter(col("vec_id") === 0)
         .select(lit(999999998L).as("vec_id"), col("embedding"),
           lit(1L).as("v"), lit(w1maxTs - 60000L).as("tsms"),
@@ -5258,6 +5270,9 @@ object PipelineQueries {
           .select(col("vec_id").as("qid"),
             VectorFns.toDouble(col("embedding")).as("qvec")))
       val nPanel = panel.count()
+      require(nPanel > 0,
+        "q143: empty %29 recall panel at this SF — the floor would " +
+          "be vacuously green")
       val panelHits = ProductQuantize.ivfPqProbeMulti(s, path, c2,
           panel, "vec_id", k = 10, nProbe = kCells)
         .select(col("qid"), col("vec_id"))

@@ -984,12 +984,9 @@ object StreamingVectorIndex {
   def probeLiveIvfPqMulti(spark: SparkSession, root: String,
                           queries: DataFrame, idCol: String, k: Int,
                           nProbe: Int): DataFrame = {
-    val (codesRaw, books, cents) = resolveLiveIvfPq(spark, root)
-    val codes = codesRaw
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
-    val m = books.agg(max(col("subspace"))).head().getLong(0).toInt + 1
-    ProductQuantize.ivfPqScoreCodesMulti(codes, books, cents, queries,
-      idCol, k, nProbe, m)
+    val (codes, books, cents) = resolveLiveIvfPq(spark, root)
+    ProductQuantize.ivfPqProbeResolvedMulti(codes, books, cents,
+      queries, idCol, k, nProbe)
   }
 
   /** One BATCH maintenance wave of the IVF-PQ loop — the foreachBatch
