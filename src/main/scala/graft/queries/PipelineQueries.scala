@@ -4654,11 +4654,30 @@ object PipelineQueries {
         lit("wm-advance").as("text"), lit(1L).as("v"),
         (base + lit(1000000000L)).as("tsms"), lit(3).as("wave"),
         lit("upsert").as("op"))
+      // the family's HAIRLINE pin (q192/q194/q195's rule): event time
+      // EXACTLY equal to wave 2's watermark, text carrying EVERY
+      // panel term — dropped by strict `>` on both sides; a `>=`
+      // regression indexes a short doc matching both panel queries
+      // and the top-12s move, hash-red (verified by mutated-oracle
+      // run)
+      val w1maxRow = w1.agg(max(col("tsms"))).head()
+      require(!w1maxRow.isNullAt(0),
+        "hairline pin: wave 1 is empty at this SF — no watermark to " +
+          "sit on")
+      val hairline = s.range(1).select(lit(999998L).as("doc_id"),
+        lit("sort merge join w1 query filter scan").as("text"),
+        lit(1L).as("v"),
+        lit(w1maxRow.getLong(0) - 60000L).as("tsms"),
+        lit(2).as("wave"), lit("upsert").as("op"))
       val winners = graft.engine.Caching.cached(
         Upsert.latestByKeyWavedReplay(
-            w1.unionByName(w2).unionByName(w2del).unionByName(adv),
+            w1.unionByName(w2).unionByName(w2del).unionByName(adv)
+              .unionByName(hairline),
             "doc_id", "v", "text", "tsms", delayMs = 60000L, "wave")
           .filter(col("evicted")))
+      require(winners.filter(col("doc_id") === 999998L).count() == 0,
+        "q191: the hairline row (ts == wave-2 watermark) was " +
+          "admitted — the strict-> admission boundary regressed")
       require(winners.filter(col("op") === "delete").count() > 0,
         "q191: no admitted delete settled — the late slice must " +
           "reach past wave 2's watermark")
@@ -4917,12 +4936,29 @@ object PipelineQueries {
       val adv = s.range(1).select(lit(999999L).as("doc_id"),
         lit("wm-advance").as("text"), lit(1L).as("v"),
         (base + lit(1000000000L)).as("tsms"), lit(3).as("wave"))
+      // the family's HAIRLINE pin (q192/q194's rule): one row with
+      // event time EXACTLY equal to wave 2's watermark, carrying the
+      // text "w2" — dropped by strict `>` on both sides; a `>=`
+      // regression admits it and witness rule 3 fires a deterministic
+      // extra alert, hash-red
+      val w1maxRow = w1.agg(max(col("tsms"))).head()
+      require(!w1maxRow.isNullAt(0),
+        "hairline pin: wave 1 is empty at this SF — no watermark to " +
+          "sit on")
+      val hairline = s.range(1).select(lit(999998L).as("doc_id"),
+        lit("w2").as("text"), lit(1L).as("v"),
+        lit(w1maxRow.getLong(0) - 60000L).as("tsms"),
+        lit(2).as("wave"))
       val winners = graft.engine.Caching.cached(
         Upsert.latestByKeyWavedReplay(
-            w1.unionByName(w2).unionByName(w2del).unionByName(adv),
+            w1.unionByName(w2).unionByName(w2del).unionByName(adv)
+              .unionByName(hairline),
             "doc_id", "v", "text", "tsms", delayMs = 60000L, "wave")
           .filter(col("evicted"))
           .select(col("doc_id"), col("text")))
+      require(winners.filter(col("doc_id") === 999998L).count() == 0,
+        "q195: the hairline row (ts == wave-2 watermark) was " +
+          "admitted — the strict-> admission boundary regressed")
       require(winners.filter(col("text") === "").count() > 0,
         "q195: no emptied version settled — the late slice must " +
           "reach past wave 2's watermark")
@@ -7671,8 +7707,14 @@ object PipelineQueries {
         |          'wm-advance' AS text, CAST(1 AS BIGINT) AS v,
         |          CAST(1700000000000 + 1000000000 AS BIGINT) AS tsms,
         |          3 AS wave, 'upsert' AS op),
+        |hl AS (SELECT CAST(999998 AS BIGINT) AS doc_id,
+        |         'sort merge join w1 query filter scan' AS text,
+        |         CAST(1 AS BIGINT) AS v,
+        |         (SELECT max(tsms) FROM w1) - 60000 AS tsms,
+        |         2 AS wave, 'upsert' AS op),
         |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
-        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv),
+        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv
+        |      UNION ALL SELECT * FROM hl),
         |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
         |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -7695,7 +7737,11 @@ object PipelineQueries {
         |         FROM documents),
         |fin AS (SELECT b.doc_id, coalesce(we.text, b.text) AS text
         |        FROM boot b LEFT JOIN winev we USING (doc_id)
-        |        WHERE we.op IS NULL OR we.op = 'upsert'),
+        |        WHERE we.op IS NULL OR we.op = 'upsert'
+        |        UNION ALL
+        |        SELECT w.doc_id, w.text FROM winev w
+        |        WHERE w.op = 'upsert'
+        |          AND w.doc_id NOT IN (SELECT doc_id FROM boot)),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
         |tc AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
         |tf AS (SELECT doc_id, dl, term, count(*) AS tf
@@ -7742,8 +7788,12 @@ object PipelineQueries {
         |          'wm-advance' AS text, CAST(1 AS BIGINT) AS v,
         |          CAST(1700000000000 + 1000000000 AS BIGINT) AS tsms,
         |          3 AS wave),
+        |hl AS (SELECT CAST(999998 AS BIGINT) AS doc_id,
+        |         'w2' AS text, CAST(1 AS BIGINT) AS v,
+        |         (SELECT max(tsms) FROM w1) - 60000 AS tsms, 2 AS wave),
         |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
-        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv),
+        |      UNION ALL SELECT * FROM w2d UNION ALL SELECT * FROM adv
+        |      UNION ALL SELECT * FROM hl),
         |wavemax AS (SELECT wave, max(tsms) AS wmax FROM u GROUP BY 1),
         |wmk AS (SELECT wave, max(wmax) OVER (ORDER BY wave
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
