@@ -100,7 +100,10 @@ object TextAnalysis {
     docs.select(col(idCol), clean.as("text"),
       length(col(htmlCol)).cast("long").as("raw_len"),
       length(clean).cast("long").as("clean_len"),
-      regexp_count(col(htmlCol), lit("(?i)<a[ >]")).cast("long")
+      // [\s/>] not [ >]: attribute-per-line anchors ('<a\nhref=')
+      // and self-closed '<a/>' are exactly the machine-generated
+      // shapes the link-density filter exists for
+      regexp_count(col(htmlCol), lit("(?i)<a[\\s/>]")).cast("long")
         .as("n_links"))
       .withColumn("text_ratio",
         round(col("clean_len").cast("double") /
@@ -285,7 +288,11 @@ object TextAnalysis {
     * per document). */
   def repetitionStats(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // coalesce per the tfFrame contract: explode(NULL) + the inner
+    // join silently DROPPED a NULL-text doc from the stats, where a
+    // SQL oracle (and every sibling here) counts the row
+    val toks = docs.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("toks"))
     val gramStats = toks.select(col(idCol),
       size(col("toks")).as("n_toks"),
       greatest(size(col("toks")) - 1, lit(0)).as("n_2grams"),
@@ -317,7 +324,10 @@ object TextAnalysis {
   def chunkSpans(docs: DataFrame, idCol: String, textCol: String,
                  chunkSize: Int, stride: Int): DataFrame = {
     require(stride > 0 && stride <= chunkSize, "need 0 < stride <= chunkSize")
-    val n = size(tokens(col(textCol)))
+    // coalesce per the tfFrame contract: size(split(NULL)) is -1
+    // (legacy sizeOfNull), which emitted one nonsense chunk row
+    // (n_toks = -1, chunk_len = -1) per NULL-text doc
+    val n = size(tokens(coalesce(col(textCol), lit(""))))
     val nChunks = when(n <= chunkSize, lit(1L))
       .otherwise(ceil((n - chunkSize).cast("double") / stride) + 1)
     docs.select(col(idCol), n.as("n_toks"), nChunks.as("n_chunks"))
@@ -349,7 +359,13 @@ object TextAnalysis {
     * bigrams and drop out (score undefined). */
   def bigramLmScores(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // cached: BOTH the bigram explode and the vocabulary aggregate
+    // derive from this frame — uncached, the vocab count re-ran the
+    // whole corpus tokenize a second time for one scalar (vocab must
+    // come from toks, not bg: a single-token doc's token is in no
+    // bigram)
+    val toks = cached(
+      docs.select(col(idCol), tokens(col(textCol)).as("toks")))
     val bg = cached(toks.select(col(idCol),
         explode(bigramPairs(col("toks"))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2")))
@@ -443,7 +459,8 @@ object TextAnalysis {
     * bounded lifetime (or materialize to tables in a long-lived app). */
   def bigramModel(docs: DataFrame,
                   textCol: String): (DataFrame, DataFrame, Long) = {
-    val toks = docs.select(tokens(col(textCol)).as("toks"))
+    // cached for the same two-consumer reason as [[bigramLmScores]]
+    val toks = cached(docs.select(tokens(col(textCol)).as("toks")))
     val bg = cached(toks.select(explode(bigramPairs(col("toks"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2")))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -455,7 +472,12 @@ object TextAnalysis {
 
   /** PII redaction patterns — shared between the Spark plan and the
     * DuckDB oracle (both RE2/Java-compatible, no lookaround). */
-  val emailRegex = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+  // local part admits the ubiquitous -, +, % (plus-tagged gmail,
+  // hyphenated names), domain admits - (hyphenated hosts): the
+  // narrower class left 'jane-' and '-site.com' fragments of a
+  // partially-matched address UNREDACTED — a systematic partial leak
+  // on common shapes
+  val emailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
   val numberRegex = "[0-9]+"
 
   /** PII scrub: replace email addresses then digit runs with typed
@@ -1145,6 +1167,29 @@ object TextAnalysis {
                     boosts: Map[String, Double] = Map.empty,
                     factor: Option[(DataFrame, String)] = None,
                     collapseTop: Int = 1)
+      : DataFrame =
+    booleanSearchPinned(spark, pinSeg(spark, path), must, should,
+      mustNot, k, idCol, k1, b, excludeIds, minShouldMatch, after,
+      allowed, collapse, boosts, factor, collapseTop)
+
+  /** [[booleanSearch]] over an ALREADY-pinned snapshot — the entry
+    * for probes that compose several index reads and must resolve
+    * the generation exactly once ([[rescoreWithPhrase]]): two pins
+    * in one probe could straddle a seal and mix generations. */
+  private def booleanSearchPinned(
+      spark: org.apache.spark.sql.SparkSession,
+      snap: SegSnapshot, must: Seq[String],
+      should: Seq[String], mustNot: Seq[String],
+      k: Int, idCol: String, k1: Double = 1.2,
+      b: Double = 0.75,
+      excludeIds: Seq[Any] = Nil,
+      minShouldMatch: Int = 0,
+      after: Option[(Double, Long)] = None,
+      allowed: Option[DataFrame] = None,
+      collapse: Option[(DataFrame, String)] = None,
+      boosts: Map[String, Double] = Map.empty,
+      factor: Option[(DataFrame, String)] = None,
+      collapseTop: Int = 1)
       : DataFrame = {
     require(collapseTop >= 1,
       s"booleanSearch: collapseTop $collapseTop < 1")
@@ -1163,7 +1208,7 @@ object TextAnalysis {
     require(minShouldMatch >= 0 && minShouldMatch <= shouldD.size,
       s"booleanSearch: minShouldMatch $minShouldMatch outside " +
         s"[0, ${shouldD.size}] (distinct should terms not already must)")
-    val (live, stats) = liveScoring(spark, pinSeg(spark, path), idCol,
+    val (live, stats) = liveScoring(spark, snap, idCol,
       (mustD ++ shouldD ++ notD).toArray)
     booleanCore(live, stats, mustD, shouldD, notD, k, idCol, k1, b,
       excludeIds, minShouldMatch, after, allowed, collapse, boosts,
@@ -1376,9 +1421,14 @@ object TextAnalysis {
                         rescoreWeight: Double = 1.0): DataFrame = {
     require(windowN >= k,
       s"rescoreWithPhrase: windowN ($windowN) < k ($k)")
-    val window = booleanSearch(spark, path, Nil, should, Nil,
+    // ONE pin for both reads (pinSeg's own contract): a seal landing
+    // between a window pin and a phrase pin would score the BM25
+    // window against one generation and the phrase hit-set against
+    // another — a combined ranking neither generation would return
+    val snap = pinSeg(spark, path)
+    val window = booleanSearchPinned(spark, snap, Nil, should, Nil,
       windowN, idCol)
-    val ph = phraseSearch(spark, path, phrase, idCol)
+    val ph = phraseSearchPinned(spark, snap, phrase, idCol)
       .select(col(idCol)).withColumn("_ph", lit(1))
     window.join(broadcast(ph), Seq(idCol), "left")
       .withColumn("score",
@@ -1936,12 +1986,22 @@ object TextAnalysis {
   def phraseSearch(spark: org.apache.spark.sql.SparkSession,
                    path: String, phrase: Seq[String],
                    idCol: String,
-                   asOfSegment: Option[Int] = None): DataFrame = {
+                   asOfSegment: Option[Int] = None): DataFrame =
+    phraseSearchPinned(spark, pinSeg(spark, path), phrase, idCol,
+      asOfSegment)
+
+  /** [[phraseSearch]] over an ALREADY-pinned snapshot (see
+    * [[booleanSearchPinned]]). */
+  private def phraseSearchPinned(
+      spark: org.apache.spark.sql.SparkSession,
+      snap: SegSnapshot, phrase: Seq[String],
+      idCol: String,
+      asOfSegment: Option[Int] = None): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
     // cached: the tombstone-filtered live set is re-filtered once per
     // phrase term below — left lazy, the kill-rule join re-runs per
     // term
-    val posts = cached(livePositional(spark, pinSeg(spark, path), idCol,
+    val posts = cached(livePositional(spark, snap, idCol,
       col("term").isin(scala.collection.immutable.ArraySeq
         .unsafeWrapArray(phrase.distinct.toArray): _*), asOfSegment))
     val frames = phrase.zipWithIndex.map { case (t, i) =>
@@ -2250,6 +2310,22 @@ object TextAnalysis {
                        newSnap: DataFrame, changes: DataFrame,
                        idCol: String, textCol: String, segment: Int,
                        maxSegments: Int): (Long, Long) = {
+    // the generation rule, enforced exactly as in [[bm25ApplyUpserts]]
+    // (it was silently absent here): without it a stale/reused
+    // segment number makes bm25AppendSegment REPLACE the existing
+    // seg entry — every document previously appended at that segment
+    // and absent from this wave vanishes with no tombstone and no
+    // error. A retry of this wave's own segment (its tombstone write
+    // already committed) stays allowed — the overwrite re-derivation
+    // is the documented retry model.
+    val sealedBase0 = SegmentManifest.latest(spark, path)
+    val base0 = sealedBase0.getOrElse(SegmentManifest.bootstrap(spark, path))
+    val maxSeg0 = base0.segs("postings").foldLeft(Int.MinValue)(math.max)
+    require(waveCommitted(spark, path, base0, sealedBase0, segment) ||
+        segment > maxSeg0,
+      s"bm25ApplyRecrawl: segment $segment must exceed every live " +
+        s"segment (max $maxSeg0) — the generation rule (a reused " +
+        "number would silently replace previously appended documents)")
     val changed = changes.filter(col("status") =!= "unchanged")
     val gone = changed
       .filter(col("status").isin("removed", "modified"))
@@ -2296,6 +2372,25 @@ object TextAnalysis {
     * segs < s — reusing a live generation would let the upserts'
     * old rows survive). Returns the tiered merge's
     * (folds, segments remaining). */
+  /** The wave-replay "committed" signal [[bm25ApplyUpserts]] and
+    * [[bm25ApplyRecrawl]] share: the wave's tombstone entry is in the
+    * manifest base, and — on the legacy-upgrade path, where the entry
+    * came from bootstrap's directory fold with no completion evidence
+    * — the live dir also holds its _SUCCESS marker (a half-written
+    * pre-manifest tombstone dir must not masquerade as committed). */
+  private def waveCommitted(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            base: SegmentManifest.Manifest,
+                            sealedBase: Option[SegmentManifest.Manifest],
+                            segment: Int): Boolean =
+    base.segs("tombstones").contains(segment) &&
+      (sealedBase.nonEmpty || {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/tombstones/seg=$segment/_SUCCESS"))
+      })
+
   def bm25ApplyUpserts(spark: org.apache.spark.sql.SparkSession,
                        path: String, upserts: DataFrame,
                        deletes: DataFrame, idCol: String,
@@ -2316,13 +2411,8 @@ object TextAnalysis {
     // _SUCCESS marker, or a half-written tombstone dir from a
     // pre-manifest crash would masquerade as committed and silently
     // truncate the wave's kill set / stats correction
-    val committed = base.segs("tombstones").contains(segment) &&
-      (sealedBase.nonEmpty || {
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(new org.apache.hadoop.fs.Path(
-          s"$path/tombstones/seg=$segment/_SUCCESS"))
-      })
+    val committed = waveCommitted(spark, path, base, sealedBase,
+      segment)
     val maxSeg = base.segs("postings")
       .foldLeft(Int.MinValue)(math.max)
     require(committed || segment > maxSeg,
@@ -2431,9 +2521,16 @@ object TextAnalysis {
     val stats = readLayout(spark, snap, "segstats")
       .select(col("seg").cast("int").as("seg"), col("n_docs"),
         col("sum_dl"))
-    val dict = readLayout(spark, snap, "termdict")
-      .groupBy(col("seg").cast("int").as("seg"))
-      .agg(count(lit(1)).as("n_terms"))
+    // manifest-read-or-empty, NOT readLayout: a legacy (pre-termdict)
+    // layout or one whose only seals came from bm25Tombstone has no
+    // termdict members, and the bookkeeping surface must REPORT that
+    // state (n_terms = 0) rather than crash on it
+    val dict = SegmentManifest
+      .read(spark, snap.path, snap.manifest, "termdict")
+      .map(_.groupBy(col("seg").cast("int").as("seg"))
+        .agg(count(lit(1)).as("n_terms")))
+      .getOrElse(stats.select(col("seg")).limit(0)
+        .withColumn("n_terms", lit(0L)))
     val tombs = readTombstones(spark, snap, idCol)
       .groupBy(col("seg").cast("int").as("seg"))
       .agg(count(lit(1)).as("n_tombstones"))
@@ -2619,8 +2716,14 @@ object TextAnalysis {
     * fans a doc term out only to the queries that name it, and the
     * (doc, query) aggregate is candidate-sized — never the
     * |docs| × |queries| cross product. Output (query_id, idCol). */
-  def percolate(docs: DataFrame, idCol: String, textCol: String,
-                queries: DataFrame): DataFrame = {
+  /** The ONE stored-query normalization + validation both percolate
+    * paths share (the broadcast form and the indexed form are
+    * REQUIRED to be bit-identical — a guard or term-normalization fix
+    * landing in one copy and not the other would silently fork them):
+    * distinct must/must_not with NULL→empty, every rule needs ≥1 must
+    * term and no must∩must_not overlap. Returned frame is cached. */
+  private def normalizedQueries(queries: DataFrame,
+                                what: String): DataFrame = {
     val norm = cached(queries.select(col("query_id"),
       array_distinct(coalesce(col("must"),
         array().cast("array<string>"))).as("must"),
@@ -2630,8 +2733,14 @@ object TextAnalysis {
         arrays_overlap(col("must"), col("must_not")))
       .select(col("query_id")).limit(1).collect()
     require(bad.isEmpty,
-      s"percolate: query ${bad.head.get(0)} has no must terms or a " +
-        "term both must and must_not")
+      s"$what: query ${bad.headOption.map(_.get(0)).getOrElse("?")} " +
+        "has no must terms or a term both must and must_not")
+    norm
+  }
+
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame): DataFrame = {
+    val norm = normalizedQueries(queries, "percolate")
     val qterms = norm
       .select(col("query_id"), explode(col("must")).as("term"),
         lit(1).as("is_must"))
@@ -2679,18 +2788,7 @@ object TextAnalysis {
     * both clauses. */
   def percolateWriteQueryIndex(queries: DataFrame, path: String,
                                termDf: Option[DataFrame] = None): Unit = {
-    val norm = cached(queries.select(col("query_id"),
-      array_distinct(coalesce(col("must"),
-        array().cast("array<string>"))).as("must"),
-      array_distinct(coalesce(col("must_not"),
-        array().cast("array<string>"))).as("must_not")))
-    val bad = norm.filter(size(col("must")) === 0 ||
-        arrays_overlap(col("must"), col("must_not")))
-      .select(col("query_id")).limit(1).collect()
-    require(bad.isEmpty,
-      s"percolateWriteQueryIndex: query ${bad.headOption.map(_.get(0))
-        .getOrElse("?")} has no must terms or a term both must and " +
-        "must_not")
+    val norm = normalizedQueries(queries, "percolateWriteQueryIndex")
     val qindex = norm
       .select(col("query_id"), explode(col("must")).as("term"),
         lit(1).as("is_must"))
@@ -2792,7 +2890,18 @@ object TextAnalysis {
     * so a dead term costs an unpruned IN entry and nothing else. */
   private def termDict(spark: org.apache.spark.sql.SparkSession,
                        snap: SegSnapshot): DataFrame = {
-    val hasDict = snap.manifest.entries("termdict").nonEmpty
+    // the dict serves expansion only when its per-SEGMENT coverage is
+    // a superset of the live postings segments: a legacy
+    // (pre-termdict) layout that has since received one append would
+    // otherwise expand against the new segment's dict alone, silently
+    // missing the legacy segments' entire vocabulary — fuzzy/wildcard/
+    // spell/completion would return zero rows for terms booleanSearch
+    // finds (the SUPERSET invariant bm25AppendSegment documents).
+    // Partial coverage falls back to the postings scan wholesale; the
+    // next full merge rewrites the dict and restores the fast path.
+    val dictSegs = snap.manifest.segs("termdict").toSet
+    val hasDict = dictSegs.nonEmpty &&
+      snap.manifest.segs("postings").forall(dictSegs.contains)
     readLayout(spark, snap, if (hasDict) "termdict" else "postings")
       .select(col("term")).distinct()
   }

@@ -6179,13 +6179,13 @@ object PipelineQueries {
         |SELECT doc_id,
         |  regexp_replace(
         |    regexp_replace(contact,
-        |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(contact,
-        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS BIGINT) AS n_emails,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(
         |    regexp_replace(contact,
-        |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]+')) AS BIGINT) AS n_nums
         |FROM c ORDER BY doc_id""".stripMargin,
 
@@ -10415,7 +10415,7 @@ object PipelineQueries {
         |SELECT doc_id, md5(clean) AS clean_md5,
         |  CAST(length(html) AS BIGINT) AS raw_len,
         |  CAST(length(clean) AS BIGINT) AS clean_len,
-        |  CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT)
+        |  CAST(len(regexp_extract_all(html, '(?i)<a[\s/>]')) AS BIGINT)
         |    AS n_links,
         |  round(CAST(length(clean) AS DOUBLE)
         |        / greatest(length(html), 1), 4) AS text_ratio

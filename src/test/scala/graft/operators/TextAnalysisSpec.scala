@@ -2465,4 +2465,88 @@ class TextAnalysisSpec extends SparkSpec {
         "doc_id")
     }
   }
+
+  test("r18 review fixes: termDict superset on a legacy+append hybrid " +
+      "layout; segmentInfos reports a termdict-less layout instead of " +
+      "throwing; bm25ApplyRecrawl enforces the generation rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25_r18fix").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25AppendSegment(legacy, "doc_id", "text", dir, 0)
+    // forge the PRE-TERMDICT legacy layout: drop the dict artifact
+    // and the manifest history, leaving the bare hive tree
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/termdict"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_gen"), true)
+    // segmentInfos on the termdict-less layout: n_terms = 0, no throw
+    val infos = TextAnalysis.segmentInfos(spark, dir, "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(3))).toSet
+    assert(infos == Set((0, 0L)), s"got $infos")
+    // one post-upgrade append: the manifest's termdict now covers
+    // ONLY seg=1 — partial coverage must fall back to the postings
+    // scan, or the legacy segment's entire vocabulary vanishes from
+    // dictionary expansion (the SUPERSET invariant)
+    TextAnalysis.bm25AppendSegment(
+      Seq((3L, "delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1)
+    val hits = TextAnalysis.fuzzyTermSearch(spark, dir, "alpha", 0,
+        "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L),
+      s"legacy segment's vocabulary lost to dictionary expansion: $hits")
+    // the generation rule on recrawl: a reused live segment number
+    // must fail loudly, not silently replace previously appended docs
+    val snapOld = legacy.unionByName(
+      Seq((3L, "delta epsilon")).toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25ApplyRecrawl(spark, dir,
+        snapOld,
+        Seq((9L, "zeta")).toDF("doc_id", "text"),
+        Seq((9L, "added")).toDF("doc_id", "status"),
+        "doc_id", "text", segment = 1, maxSegments = 4)
+    }
+    assert(e.getMessage.contains("generation rule"), s"wrong: $e")
+    // a FRESH segment number passes and the wave lands
+    TextAnalysis.bm25ApplyRecrawl(spark, dir,
+      snapOld,
+      snapOld.unionByName(Seq((9L, "zeta")).toDF("doc_id", "text")),
+      Seq((9L, "added")).toDF("doc_id", "status"),
+      "doc_id", "text", segment = 2, maxSegments = 4)
+    val after = TextAnalysis.fuzzyTermSearch(spark, dir, "zeta", 0,
+        "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(after == Set(9L), s"recrawl wave lost: $after")
+  }
+
+  test("r18 review fixes: redactPII covers hyphen/plus/percent email " +
+      "shapes; markupStats counts newline and self-closed anchors; " +
+      "chunkSpans and repetitionStats keep NULL-text docs with sane " +
+      "values") {
+    import spark.implicits._
+    val red = Seq((1L, "contact: jane-doe@my-site.com or " +
+        "user+tag@gmail.com thanks"))
+      .toDF("id", "t")
+      .select(TextAnalysis.redactPII(col("t"))).head().getString(0)
+    assert(red == "contact: <EMAIL> or <EMAIL> thanks", s"got <$red>")
+    val links = Seq((1L, "<a\nhref=\"x\">l</a><a/><A >u</A><a href=y>"))
+      .toDF("doc_id", "html")
+    val n = TextAnalysis.markupStats(links, "doc_id", "html")
+      .select(col("n_links")).head().getLong(0)
+    assert(n == 4L, s"anchor count $n != 4")
+    val nullDoc = Seq((1L, Option("alpha beta")), (2L, None))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkSpans(nullDoc, "doc_id", "text",
+        chunkSize = 50, stride = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(chunks.forall { case (_, _, len) => len >= 0 },
+      s"negative chunk_len survived: $chunks")
+    val reps = TextAnalysis.repetitionStats(nullDoc, "doc_id", "text")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(reps == Set(1L, 2L),
+      s"NULL-text doc dropped from repetition stats: $reps")
+  }
 }
