@@ -637,6 +637,93 @@ object SegmentManifest {
     }
   }
 
+  /** CLONE one pinned generation to a fresh path — the snapshot
+    * PUBLISH/EXPORT step of the MVCC story (Delta's `CLONE`, Lucene's
+    * snapshot-and-copy backup): ship a maintained index's exact
+    * sealed composition to a serving tier, a DR site, or a dev copy,
+    * without stopping maintenance at the source. The clone is FULLY
+    * INDEPENDENT: only directories the pinned manifest references are
+    * copied (same root-relative locations, so the manifest text
+    * transfers verbatim), and the manifest is re-sealed at `dstPath`
+    * under the same generation number — source waves, recenters, and
+    * vacuums after the copy can never reach it, and every pinned
+    * reader API ([[latest]]/[[load]]/[[read]], the probe and search
+    * entries above them) resolves the clone exactly as it resolved
+    * the source generation. Cloning an OLDER retained generation is
+    * time-travel export: the dst materializes a historical snapshot
+    * as a live index.
+    *
+    * Scale shape: one copy task per referenced member directory (the
+    * distcp shape — segments/cells are the natural copy unit and each
+    * holds one compact file by the writers' `repartition` discipline),
+    * shipped as a Spark job so a 10⁴-cell index copies with cluster
+    * parallelism, not a driver loop. The final seal is the atomic
+    * publish: a crash mid-copy leaves an unreferenced dst tree that
+    * no reader ever sees (dst has no sealed generation), and a retry
+    * re-copies idempotently (per-dir delete-then-copy).
+    *
+    * Contract edges, loud or documented:
+    *   - `srcPath` must have a sealed generation (legacy pre-manifest
+    *     layouts have no pinned composition — run one maintenance
+    *     wave, or `seal(bootstrap(...))`, first);
+    *   - `dstPath` must hold NO sealed generation (cloning into a
+    *     live index would silently fork its history; debris from a
+    *     crashed clone attempt is fine — there is no manifest, so the
+    *     retry overwrites it);
+    *   - marker layouts ([[ModelMarker]]) carry over in the manifest
+    *     but reference no directory — model ARTIFACTS stored outside
+    *     the index root (the streaming loops' `cents/gen=N` stores)
+    *     are the caller's to ship alongside, exactly as they are the
+    *     caller's to retain under vacuum. */
+  def cloneGeneration(spark: SparkSession, srcPath: String,
+                      dstPath: String, gen: Option[Int] = None,
+                      publisher: Option[SealPublisher] = None)
+      : Manifest = {
+    val m = gen match {
+      case Some(g) => load(spark, srcPath, g)
+      case None => latest(spark, srcPath).getOrElse(
+        throw new IllegalArgumentException(
+          s"cloneGeneration: no sealed generations at $srcPath — a " +
+            "legacy (pre-manifest) layout has no pinned composition " +
+            "to clone; run one maintenance wave (or seal a bootstrap " +
+            "manifest) first"))
+    }
+    require(generations(spark, dstPath).isEmpty,
+      s"cloneGeneration: $dstPath already holds sealed generations — " +
+        "clone targets a fresh path (cloning into a live index would " +
+        "silently fork its history)")
+    val srcFs = fsOf(spark, srcPath)
+    // marker entries (loc is documentation, no directory) drop out
+    // here; everything a reader will resolve physically is copied
+    val locs = m.layouts.values.flatten.map(_.loc).toSeq.distinct
+      .filter(loc => srcFs.exists(new Path(s"$srcPath/$loc")))
+    if (locs.nonEmpty) {
+      val confW = new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+      val (src, dst) = (srcPath, dstPath)
+      spark.sparkContext
+        .makeRDD(locs, math.max(1, math.min(locs.size, 64)))
+        .foreach { loc =>
+          val c = confW.value
+          val sp = new Path(s"$src/$loc")
+          val dp = new Path(s"$dst/$loc")
+          val sfs = sp.getFileSystem(c)
+          val dfs = dp.getFileSystem(c)
+          // delete-then-copy: FileUtil.copy onto an EXISTING dst dir
+          // (a crashed prior attempt) nests src under it instead of
+          // replacing it — the retry must find a clean slot
+          if (dfs.exists(dp)) dfs.delete(dp, true)
+          else dfs.mkdirs(dp.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+              false, true, c))
+            throw new java.io.IOException(
+              s"cloneGeneration: copy of $loc refused")
+        }
+    }
+    seal(spark, dstPath, m, publisher)
+    m
+  }
+
   /** VACUUM: reclaim physical directories referenced by none of the
     * newest `keepGenerations` manifests, and drop the older manifest
     * files — the Delta-vacuum analog that bounds the write-once

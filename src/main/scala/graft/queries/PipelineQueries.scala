@@ -5053,6 +5053,65 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // X2 — SNAPSHOT CLONE under the hash gate
+    // ([[SegmentManifest.cloneGeneration]]): a maintained quantized
+    // index takes one recrawl wave (sealing the pinned composition),
+    // the sealed generation is CLONED to a fresh path (the
+    // publish-to-serving / DR export), and the SOURCE then moves on —
+    // a second wave plus a vacuum that reclaims the cloned
+    // generation's history at the source. The returned frame probes
+    // the CLONE: its hash proves the clone resolves exactly the
+    // wave-1 composition (the oracle replays that snapshot from raw —
+    // assignment by cosine argmin, the engine's own floor-rule
+    // quantization, int8 cosine top-k) and that source maintenance
+    // and vacuum after the copy cannot reach it. At 100 TB the copy
+    // is one task per cell directory (the distcp shape) and the
+    // final manifest seal is the atomic publish.
+    "q196_index_clone_probe" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val base = e.filter(col("vec_id") =!= 0)
+      Similarity.learnedCentroids(base, "embedding", k = 16)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(scratchPath("clq_cents", dir))
+      val cents = s.read.parquet(scratchPath("clq_cents", dir))
+      val src = scratchPath("clq_src", dir)
+      val dst = scratchPath("clq_dst", dir)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      Similarity.ivfWriteIndexQuantized(base, cents, "vec_id",
+        "embedding", src)
+      def sig(f: DataFrame) =
+        f.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+      // wave 1 — the composition under test: remove %13==5, negate
+      // %7==2 (float negation is exact in both engines)
+      val snap1 = base.filter(col("vec_id") % 13 =!= 5)
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 2,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")).as("embedding"))
+      Similarity.ivfRefreshQuantizedIncremental(s, src, cents, snap1,
+        Upsert.diffByKey(sig(base), sig(snap1), "vec_id", "sig"),
+        "vec_id", "embedding")
+      SegmentManifest.cloneGeneration(s, src, dst)
+      // the source moves on: wave 2 + vacuum to ONE generation — the
+      // wave-1 manifest and its unshared history are reclaimed at the
+      // source, so a clone that shared anything would now break
+      val snap2 = snap1.select(col("vec_id"),
+        when(col("vec_id") % 9 === 4,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.ivfRefreshQuantizedIncremental(s, src, cents, snap2,
+        Upsert.diffByKey(sig(snap1), sig(snap2), "vec_id", "sig"),
+        "vec_id", "embedding")
+      Similarity.ivfVacuumQuantized(s, src, keepGenerations = 1)
+      Similarity.ivfProbePrunedQuantized(s, dst, cents, qv, "vec_id",
+        k = 10, nProbe = 3)
+    }),
+
     "q162_spell_suggest" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = fxDocsBm25(s, dir)
@@ -7829,6 +7888,50 @@ object PipelineQueries {
         |  WHERE list_contains(t, 'w1'))
         |SELECT query_id, doc_id FROM m
         |ORDER BY query_id, doc_id""".stripMargin,
+
+    // replays the CLONED generation from raw: the wave-1 snapshot
+    // (remove %13==5, negate %7==2) quantized by the engine's own
+    // floor rule, assigned by cosine argmin under the written
+    // centroid artifact, pruned to the query's top-3 cells, int8
+    // cosine top-10 — the source's post-clone wave 2 (%9==4) and its
+    // vacuum must be invisible here, which is exactly what the clone
+    // guarantees
+    "q196_index_clone_probe" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv
+        |          FROM read_parquet('{SCRATCH}/clq_cents_{SFHASH}/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qv, x -> 0.0)
+        |              ELSE list_transform(qv, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
+        |          AS s FROM q)),
+        |s1 AS (SELECT vec_id,
+        |         CASE WHEN vec_id % 7 = 2
+        |              THEN list_transform(embedding::DOUBLE[], x -> -x)
+        |              ELSE embedding::DOUBLE[] END AS v
+        |       FROM embeddings
+        |       WHERE vec_id <> 0 AND vec_id % 13 <> 5),
+        |a1 AS (SELECT s1.vec_id AS vid,
+        |         arg_min(cents.cid,
+        |           1 - list_cosine_similarity(s1.v, cents.cv)) AS cid
+        |       FROM s1, cents GROUP BY s1.vec_id),
+        |codes AS (SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS c
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+        |        FROM s1)),
+        |mem AS (SELECT codes.vec_id, codes.c
+        |        FROM codes JOIN a1 ON codes.vec_id = a1.vid
+        |        WHERE a1.cid IN (SELECT cid FROM probed))
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(c, (SELECT qc FROM qq)), 4) AS qsim
+        |FROM mem ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
 
     // the q92 watermark algebra over VECTOR versions (admission by
     // per-wave watermark, winner by max version + min-op tiebreak,

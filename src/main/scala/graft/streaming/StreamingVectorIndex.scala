@@ -1073,4 +1073,84 @@ object StreamingVectorIndex {
             historyRetention = historyRetention)
       }
       .start()
+
+  /** SERVING CLONE of a maintained streaming root — the composite
+    * form of [[graft.operators.SegmentManifest.cloneGeneration]]:
+    * ships the latest sealed index generation PLUS exactly the model
+    * artifacts the pinned manifest names, so the live probe entries
+    * ([[probeLiveQuantized]] / [[probeLiveIvfPq]] and their panel
+    * siblings) resolve at `dstRoot` precisely what they resolve at
+    * the source right now — and nothing the source's later waves,
+    * recenters or vacuums can reach the copy. The family is detected
+    * from the layout itself (int8: manifests at `index/_gen`;
+    * IVF-PQ: at `index/codes/_gen`, whose clone also carries the
+    * live `codebooks` cache — the governing books for refresh-only
+    * histories, [[graft.operators.ProductQuantize.governingBooks]]).
+    *
+    * Deliberately NOT cloned: the snapshot delta chain, historical
+    * models below the pinned generation, drift-stat artifacts, and
+    * the per-generation as-of stores — a serving copy answers LIVE
+    * probes; it does not resume maintenance or time travel. To fork
+    * the wave loop itself, bootstrap a fresh root from the source's
+    * settled corpus instead (the snapshot store is the loop's state,
+    * not the index's). */
+  def cloneServing(spark: SparkSession, srcRoot: String,
+                   dstRoot: String): Unit = {
+    val isInt8 =
+      SegmentManifest.latestGen(spark, s"$srcRoot/index").nonEmpty
+    val isPq =
+      SegmentManifest.latestGen(spark, s"$srcRoot/index/codes").nonEmpty
+    require(isInt8 || isPq,
+      s"cloneServing: no sealed index generations under " +
+        s"$srcRoot/index — bootstrap the loop (and run one wave) first")
+    val m =
+      if (isInt8)
+        SegmentManifest.cloneGeneration(spark, s"$srcRoot/index",
+          s"$dstRoot/index")
+      else {
+        val mm = SegmentManifest.cloneGeneration(spark,
+          s"$srcRoot/index/codes", s"$dstRoot/index/codes")
+        // the live codebooks cache governs decoding whenever the
+        // manifest carries no books entry (a refresh-only history) —
+        // without it the clone's probe would fail on exactly those
+        // layouts
+        copyDir(spark, s"$srcRoot/index/codebooks",
+          s"$dstRoot/index/codebooks")
+        mm
+      }
+    // the model generation THIS manifest pins (marker), or the
+    // largest on disk for pre-marker histories — the same resolution
+    // rule as the live probes, so the clone can never pair the cells
+    // with a different model than the source would
+    val modelGen = m.entries(SegmentManifest.ModelMarker).lastOption
+      .map(_.seg)
+      .getOrElse(gens(spark, srcRoot, "cents").max)
+    copyDir(spark, s"$srcRoot/cents/gen=$modelGen",
+      s"$dstRoot/cents/gen=$modelGen")
+    // fit-time gauges ride along when present: operational metadata a
+    // serving copy may still report (not needed by any probe)
+    val bl = new org.apache.hadoop.fs.Path(
+      s"$srcRoot/baseline/gen=$modelGen")
+    if (fsOf(spark, srcRoot).exists(bl))
+      copyDir(spark, bl.toString, s"$dstRoot/baseline/gen=$modelGen")
+  }
+
+  /** Driver-side recursive copy of one SMALL artifact directory (the
+    * model/baseline stores — k-row parquet files; the corpus-sized
+    * cells go through [[graft.operators.SegmentManifest
+    * .cloneGeneration]]'s distributed copy instead). Delete-then-copy:
+    * FileUtil.copy onto an existing dst dir nests src under it. */
+  private def copyDir(spark: SparkSession, src: String,
+                      dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val sfs = sp.getFileSystem(conf)
+    val dfs = dp.getFileSystem(conf)
+    require(sfs.exists(sp), s"cloneServing: missing artifact $src")
+    if (dfs.exists(dp)) dfs.delete(dp, true)
+    else dfs.mkdirs(dp.getParent)
+    require(org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+      false, true, conf), s"cloneServing: copy of $src refused")
+  }
 }

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+import graft.functions.VectorFns
+
+/** [[SegmentManifest.cloneGeneration]] — the snapshot publish/export
+  * step of the MVCC story: a clone must resolve EXACTLY the pinned
+  * composition, stay bit-independent of every later source mutation
+  * (waves, rebuilds, vacuum), carry marker layouts, survive a crashed
+  * prior attempt's debris, and fail loudly on the contract edges. */
+class CloneGenerationSpec extends SparkSpec {
+
+  private def tmp(pfx: String) =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  // ---------------------------------------------------------------
+  // quantized vector index: clone latest AND an older retained
+  // generation (time-travel export), then mutate + vacuum the source
+  // ---------------------------------------------------------------
+  test("quantized-IVF clone: pinned parity, independence from source " +
+      "waves/rebuild/vacuum, model marker carried, older-generation " +
+      "export, vacuumed-generation clone fails loudly") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+    val base = e.filter(col("vec_id") =!= 0)
+    val snap0 = base.filter(col("vec_id") % 7 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(snap0, "embedding", k = 8)
+      .localCheckpoint()
+    val src = tmp("clone_src")
+    Similarity.ivfWriteIndexQuantized(snap0, cents, "vec_id",
+      "embedding", src)
+    def sig(s: org.apache.spark.sql.DataFrame) =
+      s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+    def probeAt(path: String) =
+      Similarity.ivfProbePrunedQuantized(spark, path, cents, qv,
+          "vec_id", k = 10, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // wave 1: remove %13==5, negate %11==0 — seals generation 1
+    val snap1 = snap0.filter(col("vec_id") % 13 =!= 5)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    Similarity.ivfRefreshQuantizedIncremental(spark, src, cents,
+      snap1, Upsert.diffByKey(sig(snap0), sig(snap1), "vec_id", "sig"),
+      "vec_id", "embedding")
+    val gen1 = SegmentManifest.latestGen(spark, src).get
+    val expect1 = probeAt(src)
+
+    // wave 2 (negate %9==2 of the survivors), then an MVCC REBUILD
+    // sealing a model marker — the latest generation carries it
+    val snap2 = snap1
+      .select(col("vec_id"),
+        when(col("vec_id") % 9 === 2,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    Similarity.ivfRefreshQuantizedIncremental(spark, src, cents,
+      snap2, Upsert.diffByKey(sig(snap1), sig(snap2), "vec_id", "sig"),
+      "vec_id", "embedding")
+    Similarity.ivfRebuildQuantizedMvcc(spark, src, snap2, cents,
+      "vec_id", "embedding", modelGen = 7)
+    val expect3 = probeAt(src)
+
+    // clone BOTH the older retained generation (time-travel export)
+    // and the latest — before the source vacuums its history away
+    val dstOld = tmp("clone_old")
+    val dstNew = tmp("clone_new")
+    val mOld = SegmentManifest.cloneGeneration(spark, src, dstOld,
+      gen = Some(gen1))
+    val mNew = SegmentManifest.cloneGeneration(spark, src, dstNew)
+    assert(mOld.gen == gen1)
+    assert(SegmentManifest.generations(spark, dstOld) == Seq(gen1),
+      "the clone must hold exactly the cloned generation")
+    assert(mNew.entries(SegmentManifest.ModelMarker).map(_.seg)
+        == Seq(7), "model marker not carried through the clone")
+
+    // mutate + vacuum the SOURCE: the clones must not notice
+    Similarity.ivfVacuumQuantized(spark, src, keepGenerations = 1)
+    assert(probeAt(dstOld) == expect1,
+      "older-generation clone diverged after source vacuum")
+    assert(probeAt(dstNew) == expect3,
+      "latest-generation clone diverged after source vacuum")
+    assert(probeAt(src) == expect3, "source itself moved")
+
+    // the vacuumed generation is now un-clonable — loudly
+    val eGone = intercept[IllegalArgumentException] {
+      SegmentManifest.cloneGeneration(spark, src, tmp("clone_gone"),
+        gen = Some(gen1))
+    }
+    assert(eGone.getMessage.contains("vacuum"),
+      s"wrong floor message: $eGone")
+
+    // cloning INTO a live index is refused
+    val eLive = intercept[IllegalArgumentException] {
+      SegmentManifest.cloneGeneration(spark, src, dstNew)
+    }
+    assert(eLive.getMessage.contains("already holds"),
+      s"wrong live-dst message: $eLive")
+  }
+
+  // ---------------------------------------------------------------
+  // lexical index: clone, then wave + vacuum the source
+  // ---------------------------------------------------------------
+  test("lexical clone: probe parity pinned at the cloned generation " +
+      "while the source takes an upsert wave and vacuums; a crashed " +
+      "prior attempt's dst debris is overwritten on retry") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .filter(col("doc_id") % 5 =!= 4)
+    val panel = Seq((0L, "scan table row"), (1L, "query filter"))
+      .toDF("qid", "qtext")
+    val src = tmp("clone_lex_src")
+    TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", src, 0)
+    TextAnalysis.bm25AppendSegment(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", src, 1)
+    def probe(path: String) = TextAnalysis
+      .bm25ProbeSegmented(spark, path, panel, k = 12, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val expect = probe(src)
+
+    // debris at dst from a "crashed" prior attempt: a referenced loc
+    // exists as a directory holding junk — the retry must replace it,
+    // not nest under it or read it
+    val dst = tmp("clone_lex_dst")
+    val m = SegmentManifest.latest(spark, src).get
+    val debrisLoc = m.entries("postings").head.loc
+    val debris = java.nio.file.Paths.get(dst, debrisLoc)
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.write(debris.resolve("junk.txt"),
+      "not parquet".getBytes("UTF-8"))
+    SegmentManifest.cloneGeneration(spark, src, dst)
+    assert(!java.nio.file.Files.exists(debris.resolve("junk.txt")),
+      "debris survived the delete-then-copy")
+
+    // source takes a wave + vacuum; the clone stays pinned
+    val intruder = Seq((999999L,
+      "scan table row scan table row query filter"))
+      .toDF("doc_id", "text")
+    TextAnalysis.bm25ApplyUpserts(spark, src, intruder,
+      intruder.limit(0), "doc_id", "text", segment = 2,
+      maxSegments = 2)
+    TextAnalysis.bm25Vacuum(spark, src, 1)
+    assert(probe(dst) == expect,
+      "clone diverged after source wave + vacuum")
+    val fresh = probe(src)
+    assert(fresh != expect && fresh.exists(_._2 == 999999L),
+      "source wave did not land (test setup broken)")
+  }
+
+  // ---------------------------------------------------------------
+  // streaming roots: the composite serving clone (index generation +
+  // the pinned model artifacts) for both live families
+  // ---------------------------------------------------------------
+  test("cloneServing (int8 loop): live-probe parity at the clone, " +
+      "pinned across a source RECENTER + its model change; a clone " +
+      "of the recentered source resolves the marker's model") {
+    import graft.streaming.StreamingVectorIndex
+    import spark.implicits._
+    def vec(i: Long, shift: Double = 0.0): Seq[Float] =
+      Seq.tabulate(8)(j =>
+        (((i * 31 + j * 17) % 97) / 97.0 + shift + 0.01).toFloat)
+    val root = tmp("clsrv_src")
+    val initial = (0L until 40L).map(i => i -> vec(i))
+      .toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapQuantized(initial, root,
+      "vec_id", "embedding", k = 4)
+    // one benign wave seals the manifest the clone pins
+    StreamingVectorIndex.applyWaveQuantized(spark, root,
+      Seq((40L, vec(40L), "upsert"), (3L, vec(3L), "delete"))
+        .toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", k = 4)
+    val qv = Seq(Tuple1(vec(7L).map(_.toDouble))).toDF("qvec")
+    def probe(r: String) = StreamingVectorIndex
+      .probeLiveQuantized(spark, r, qv, "vec_id", k = 5, nProbe = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val expect = probe(root)
+    val dst = tmp("clsrv_dst")
+    StreamingVectorIndex.cloneServing(spark, root, dst)
+    assert(probe(dst) == expect, "serving clone diverged at birth")
+    // source mutation: every vector wanders far from its fitted cell
+    // (the StreamingVectorIndexSpec hard-drift recipe) — recenter
+    // fires, the model advances to gen 1, the index rebuilds wholesale
+    val drifted = (0L until 40L)
+      .map(i => (i, vec(i, shift = 3.0 * (i % 5)), "upsert"))
+      .toDF("vec_id", "embedding", "op")
+    StreamingVectorIndex.applyWaveQuantized(spark, root,
+      drifted, 1L, "vec_id", "embedding", k = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // model generations key on batchId + 1 — the drift wave ran as
+    // batch 1, so its recenter writes cents/gen=2
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/cents/gen=2")),
+      "test setup: the drift wave did not recenter")
+    assert(probe(dst) == expect,
+      "serving clone diverged after source recenter")
+    assert(probe(root) != expect, "source probe should have moved")
+    // a clone of the RECENTERED source resolves the marker's model
+    val dst2 = tmp("clsrv_dst2")
+    StreamingVectorIndex.cloneServing(spark, root, dst2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dst2/cents/gen=2")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dst2/cents/gen=0")),
+      "the recentered clone must carry exactly the marker's model gen")
+    assert(probe(dst2) == probe(root),
+      "recentered serving clone diverged from the live source")
+  }
+
+  test("cloneServing (IVF-PQ loop): refresh-only history — books " +
+      "resolve through the cloned live-codebooks cache; parity " +
+      "pinned across a source wave") {
+    import graft.streaming.StreamingVectorIndex
+    import spark.implicits._
+    def vec(i: Long, shift: Double = 0.0): Seq[Float] =
+      Seq.tabulate(8)(j =>
+        (((i * 29 + j * 13) % 89) / 89.0 + shift + 0.01).toFloat)
+    val root = tmp("clsrv_pq_src")
+    val initial = (0L until 40L).map(i => i -> vec(i))
+      .toDF("vec_id", "embedding")
+    StreamingVectorIndex.bootstrapIvfPq(initial, root,
+      "vec_id", "embedding", kCells = 4, m = 4, k = 4)
+    StreamingVectorIndex.applyWaveIvfPq(spark, root,
+      Seq((40L, vec(40L), "upsert"), (5L, vec(5L), "delete"))
+        .toDF("vec_id", "embedding", "op"),
+      0L, "vec_id", "embedding", kCells = 4, m = 4, k = 4)
+    val qv = Seq(Tuple1(vec(11L).map(_.toDouble))).toDF("qvec")
+    def probe(r: String) = StreamingVectorIndex
+      .probeLiveIvfPq(spark, r, qv, "vec_id", k = 5, nProbe = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val expect = probe(root)
+    val dst = tmp("clsrv_pq_dst")
+    StreamingVectorIndex.cloneServing(spark, root, dst)
+    assert(probe(dst) == expect, "PQ serving clone diverged at birth")
+    // mutate the source: negate a batch of vectors (index content
+    // moves, books/centroids stay — the refresh-only history)
+    StreamingVectorIndex.applyWaveIvfPq(spark, root,
+      initial.limit(20).select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+        .withColumn("op", lit("upsert")),
+      1L, "vec_id", "embedding", kCells = 4, m = 4, k = 4)
+    assert(probe(dst) == expect,
+      "PQ serving clone diverged after a source wave")
+  }
+
+  test("cloning a legacy (pre-manifest) layout fails loudly") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") =!= 0)
+    val cents = Similarity.centroids(e, "vec_id", "embedding", step = 10)
+    val src = tmp("clone_legacy")
+    Similarity.ivfWriteIndexQuantized(base, cents, "vec_id",
+      "embedding", src)
+    val err = intercept[IllegalArgumentException] {
+      SegmentManifest.cloneGeneration(spark, src, tmp("clone_legacy_dst"))
+    }
+    assert(err.getMessage.contains("no sealed generations"),
+      s"wrong legacy message: $err")
+  }
+}
