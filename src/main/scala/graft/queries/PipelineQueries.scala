@@ -5071,8 +5071,11 @@ object PipelineQueries {
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
         .select(VectorFns.toDouble(col("embedding")).as("qvec"))
-      val base = e.filter(col("vec_id") =!= 0)
-      Similarity.learnedCentroids(base, "embedding", k = 16)
+      // the q193 third-corpus discipline: the thing under test is the
+      // CLONE protocol, not fit/probe scale (q90/q186 price those) —
+      // a third at k=8 keeps the row in q193's cost class
+      val base = e.filter(col("vec_id") =!= 0 && col("vec_id") % 3 === 0)
+      Similarity.learnedCentroids(base, "embedding", k = 8)
         .coalesce(1).write.mode("overwrite")
         .parquet(scratchPath("clq_cents", dir))
       val cents = s.read.parquet(scratchPath("clq_cents", dir))
@@ -7915,7 +7918,8 @@ object PipelineQueries {
         |              THEN list_transform(embedding::DOUBLE[], x -> -x)
         |              ELSE embedding::DOUBLE[] END AS v
         |       FROM embeddings
-        |       WHERE vec_id <> 0 AND vec_id % 13 <> 5),
+        |       WHERE vec_id <> 0 AND vec_id % 3 = 0
+        |         AND vec_id % 13 <> 5),
         |a1 AS (SELECT s1.vec_id AS vid,
         |         arg_min(cents.cid,
         |           1 - list_cosine_similarity(s1.v, cents.cv)) AS cid
