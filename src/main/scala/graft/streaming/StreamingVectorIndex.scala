@@ -1124,7 +1124,15 @@ object StreamingVectorIndex {
     // with a different model than the source would
     val modelGen = m.entries(SegmentManifest.ModelMarker).lastOption
       .map(_.seg)
-      .getOrElse(gens(spark, srcRoot, "cents").max)
+      .getOrElse {
+        val cg = gens(spark, srcRoot, "cents")
+        require(cg.nonEmpty,
+          s"cloneServing: $srcRoot has no model marker and no " +
+            "cents/gen=* store — this is not a streaming loop root " +
+            "(for a bare manifested index use " +
+            "SegmentManifest.cloneGeneration directly)")
+        cg.max
+      }
     copyDir(spark, s"$srcRoot/cents/gen=$modelGen",
       s"$dstRoot/cents/gen=$modelGen")
     // fit-time gauges ride along when present: operational metadata a

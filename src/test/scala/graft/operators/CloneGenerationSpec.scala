@@ -251,6 +251,55 @@ class CloneGenerationSpec extends SparkSpec {
       "PQ serving clone diverged after a source wave")
   }
 
+  test("a clone is a FORK point: maintenance continues at the clone " +
+      "(waves seal clone-local generations) without touching the " +
+      "source, and vice versa") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+    val base = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+      .localCheckpoint()
+    val src = tmp("fork_src")
+    Similarity.ivfWriteIndexQuantized(base, cents, "vec_id",
+      "embedding", src)
+    def sig(s: org.apache.spark.sql.DataFrame) =
+      s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+    def probeAt(path: String) =
+      Similarity.ivfProbePrunedQuantized(spark, path, cents, qv,
+          "vec_id", k = 10, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // seal generation 1, then fork
+    val snap1 = base.filter(col("vec_id") % 17 =!= 4)
+    Similarity.ivfRefreshQuantizedIncremental(spark, src, cents,
+      snap1, Upsert.diffByKey(sig(base), sig(snap1), "vec_id", "sig"),
+      "vec_id", "embedding")
+    val atFork = probeAt(src)
+    val dst = tmp("fork_dst")
+    SegmentManifest.cloneGeneration(spark, src, dst)
+    // maintenance CONTINUES at the clone: its refresh builds against
+    // the cloned manifest and seals the clone's own next generation
+    val snap2 = snap1.select(col("vec_id"),
+      when(col("vec_id") % 6 === 1,
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"))
+    Similarity.ivfRefreshQuantizedIncremental(spark, dst, cents,
+      snap2, Upsert.diffByKey(sig(snap1), sig(snap2), "vec_id", "sig"),
+      "vec_id", "embedding")
+    assert(SegmentManifest.latestGen(spark, dst).get
+        > SegmentManifest.latestGen(spark, src).get,
+      "the clone's wave must seal a clone-local generation")
+    assert(probeAt(src) == atFork,
+      "a wave at the clone leaked into the source")
+    assert(probeAt(dst) != atFork,
+      "the clone's wave did not land (test setup broken)")
+    // and the clone's fork can vacuum its own history freely
+    Similarity.ivfVacuumQuantized(spark, dst, keepGenerations = 1)
+    assert(probeAt(src) == atFork,
+      "the clone's vacuum reclaimed source directories")
+  }
+
   test("cloning a legacy (pre-manifest) layout fails loudly") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val base = e.filter(col("vec_id") =!= 0)
