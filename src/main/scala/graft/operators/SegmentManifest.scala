@@ -691,12 +691,97 @@ object SegmentManifest {
     require(generations(spark, dstPath).isEmpty,
       s"cloneGeneration: $dstPath already holds sealed generations — " +
         "clone targets a fresh path (cloning into a live index would " +
-        "silently fork its history)")
+        "silently fork its history); to advance an EXISTING clone to " +
+        "a newer source generation use syncClone")
     val srcFs = fsOf(spark, srcPath)
     // marker entries (loc is documentation, no directory) drop out
     // here; everything a reader will resolve physically is copied
     val locs = m.layouts.values.flatten.map(_.loc).toSeq.distinct
       .filter(loc => srcFs.exists(new Path(s"$srcPath/$loc")))
+    copyLocs(spark, srcPath, dstPath, locs)
+    seal(spark, dstPath, m, publisher)
+    m
+  }
+
+  /** INCREMENTAL publish to an existing clone — the rsync of
+    * [[cloneGeneration]], and the shape a serving tier actually runs
+    * (re-publishing after every source wave): advance `dstPath` to a
+    * newer source generation copying ONLY the member directories the
+    * clone does not already reference. The skip rule is sound by the
+    * engine's write-once discipline: a member location is created
+    * exactly once and never mutated in place (maintenance REWRITES
+    * land under fresh token-suffixed `_rev` dirs), so within one
+    * index lineage loc-identity IS content-identity — a recrawl wave
+    * that touched 3 of 10⁴ cells publishes 3 directory copies plus
+    * one manifest seal, not a full re-clone.
+    *
+    * Lineage is CHECKED, not assumed, whenever the shared history is
+    * still retained at the source: if the source still holds the
+    * clone's current generation, its manifest must render
+    * bit-identically to the clone's — a dst that was never cloned
+    * from this source (or has independently forked) fails loudly
+    * instead of silently skipping same-named dirs with foreign
+    * content. Once the source has vacuumed below the clone's
+    * generation the check is impossible and the write-once contract
+    * carries the guarantee alone (documented, same trust class as
+    * vacuum's own retention contract).
+    *
+    * The clone RETAINS its previous generations (its own pinned
+    * readers keep their snapshots — the dst is a real MVCC index);
+    * reclaim them with [[vacuum]] at the clone on its own dial.
+    * Crash safety is [[cloneGeneration]]'s: copies are invisible
+    * until the seal, the re-run re-copies idempotently. Returns the
+    * copied locations (the delta — ≤ the wave's dirty members, the
+    * audit the refresh ops also return). */
+  def syncClone(spark: SparkSession, srcPath: String, dstPath: String,
+                gen: Option[Int] = None,
+                publisher: Option[SealPublisher] = None)
+      : Seq[String] = {
+    val m = gen match {
+      case Some(g) => load(spark, srcPath, g)
+      case None => latest(spark, srcPath).getOrElse(
+        throw new IllegalArgumentException(
+          s"syncClone: no sealed generations at $srcPath"))
+    }
+    val dstGens = generations(spark, dstPath)
+    require(dstGens.nonEmpty,
+      s"syncClone: $dstPath holds no sealed generation — use " +
+        "cloneGeneration for the first publish")
+    require(dstGens.last < m.gen,
+      s"syncClone: clone at $dstPath is already at generation " +
+        s"${dstGens.last} >= source generation ${m.gen} — nothing " +
+        "newer to publish")
+    // lineage check while the shared history is retained: the
+    // source's copy of the clone's current generation must render
+    // bit-identically — else dst is not a clone of THIS source and
+    // the skip rule below would pair foreign content
+    if (generations(spark, srcPath).contains(dstGens.last)) {
+      val srcAt = render(load(spark, srcPath, dstGens.last))
+      val dstAt = render(load(spark, dstPath, dstGens.last))
+      require(srcAt == dstAt,
+        s"syncClone: $dstPath generation ${dstGens.last} differs " +
+          s"from $srcPath's — the dst is not a clone of this source " +
+          "(or has forked); re-clone to a fresh path instead")
+    }
+    val dstRefd: Set[String] = dstGens
+      .map(load(spark, dstPath, _))
+      .flatMap(_.layouts.values.flatten.map(_.loc)).toSet
+    val srcFs = fsOf(spark, srcPath)
+    val delta = m.layouts.values.flatten.map(_.loc).toSeq.distinct
+      .filterNot(dstRefd.contains)
+      .filter(loc => srcFs.exists(new Path(s"$srcPath/$loc")))
+    copyLocs(spark, srcPath, dstPath, delta)
+    seal(spark, dstPath, m, publisher)
+    delta
+  }
+
+  /** The distributed member-directory copy behind [[cloneGeneration]]
+    * and [[syncClone]]: one task per location (the distcp shape —
+    * member dirs hold one compact file by the writers' `repartition`
+    * discipline), delete-then-copy per dir so a crashed attempt's
+    * debris is replaced, never nested under. */
+  private def copyLocs(spark: SparkSession, srcPath: String,
+                       dstPath: String, locs: Seq[String]): Unit =
     if (locs.nonEmpty) {
       val confW = new org.apache.spark.SerializableWritable(
         spark.sparkContext.hadoopConfiguration)
@@ -717,12 +802,9 @@ object SegmentManifest {
           if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
               false, true, c))
             throw new java.io.IOException(
-              s"cloneGeneration: copy of $loc refused")
+              s"clone copy of $loc refused")
         }
     }
-    seal(spark, dstPath, m, publisher)
-    m
-  }
 
   /** VACUUM: reclaim physical directories referenced by none of the
     * newest `keepGenerations` manifests, and drop the older manifest

@@ -300,6 +300,119 @@ class CloneGenerationSpec extends SparkSpec {
       "the clone's vacuum reclaimed source directories")
   }
 
+  test("syncClone: advancing an existing clone copies ONLY the delta " +
+      "members, probes track the source, the clone keeps its own " +
+      "history, and a source that vacuumed the shared generation " +
+      "still syncs") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+    val base = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+      .localCheckpoint()
+    val src = tmp("sync_src")
+    Similarity.ivfWriteIndexQuantized(base, cents, "vec_id",
+      "embedding", src)
+    def sig(s: org.apache.spark.sql.DataFrame) =
+      s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+    def probeAt(path: String) =
+      Similarity.ivfProbePrunedQuantized(spark, path, cents, qv,
+          "vec_id", k = 10, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def wave(prev: org.apache.spark.sql.DataFrame,
+             next: org.apache.spark.sql.DataFrame): Unit = {
+      Similarity.ivfRefreshQuantizedIncremental(spark, src, cents,
+        next, Upsert.diffByKey(sig(prev), sig(next), "vec_id", "sig"),
+        "vec_id", "embedding")
+      ()
+    }
+    // gen 1 → first publish
+    val snap1 = base.filter(col("vec_id") % 19 =!= 2)
+    wave(base, snap1)
+    val dst = tmp("sync_dst")
+    SegmentManifest.cloneGeneration(spark, src, dst)
+    val gen1 = SegmentManifest.latestGen(spark, dst).get
+
+    // nothing newer yet — loud
+    val eFlat = intercept[IllegalArgumentException] {
+      SegmentManifest.syncClone(spark, src, dst)
+    }
+    assert(eFlat.getMessage.contains("nothing"), s"got: $eFlat")
+
+    // gen 2: a SMALL delta (one key's cell dirties) — the sync must
+    // copy only the wave's staged members, not re-clone the index
+    val snap2 = snap1.filter(col("vec_id") =!= 7L)
+    wave(snap1, snap2)
+    val m2 = SegmentManifest.latest(spark, src).get
+    val delta = SegmentManifest.syncClone(spark, src, dst)
+    assert(delta.nonEmpty &&
+        delta.size < m2.entries("cells").size,
+      s"sync copied ${delta.size} of ${m2.entries("cells").size} " +
+        "members — not incremental")
+    assert(delta.forall(_.startsWith("_rev/")),
+      s"sync copied non-staged locations: $delta")
+    assert(probeAt(dst) == probeAt(src),
+      "synced clone diverged from the source")
+    // the clone is a real MVCC index: it KEEPS its earlier generation
+    assert(SegmentManifest.generations(spark, dst)
+        == Seq(gen1, m2.gen),
+      "sync dropped the clone's own history")
+
+    // gen 3 at the source, then the source vacuums AWAY the shared
+    // generations — the lineage check is impossible, the write-once
+    // contract carries it, and the sync still lands
+    val snap3 = snap2.filter(col("vec_id") =!= 11L)
+    wave(snap2, snap3)
+    Similarity.ivfVacuumQuantized(spark, src, keepGenerations = 1)
+    SegmentManifest.syncClone(spark, src, dst)
+    assert(probeAt(dst) == probeAt(src),
+      "sync after source vacuum diverged")
+    // and the clone reclaims its own history on its own dial
+    SegmentManifest.vacuum(spark, dst, 1,
+      Seq(SegmentManifest.CellLayout))
+    assert(probeAt(dst) == probeAt(src),
+      "the clone's vacuum broke its live generation")
+  }
+
+  test("syncClone refuses a dst that is not a clone of this source " +
+      "while the shared generation is still retained") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.learnedCentroids(base, "embedding", k = 8)
+      .localCheckpoint()
+    def sig(s: org.apache.spark.sql.DataFrame) =
+      s.select(col("vec_id"), xxhash64(col("embedding")).as("sig"))
+    def build(): String = {
+      val p = tmp("sync_lineage")
+      Similarity.ivfWriteIndexQuantized(base, cents, "vec_id",
+        "embedding", p)
+      val snap1 = base.filter(col("vec_id") % 23 =!= 1)
+      Similarity.ivfRefreshQuantizedIncremental(spark, p, cents,
+        snap1, Upsert.diffByKey(sig(base), sig(snap1), "vec_id", "sig"),
+        "vec_id", "embedding")
+      p
+    }
+    val a = build()
+    val b = build() // same generation NUMBERS, independent lineage
+    val dstA = tmp("sync_lineage_dst")
+    SegmentManifest.cloneGeneration(spark, a, dstA)
+    // advance B past dstA's generation so a sync would fire
+    val snap2 = base.filter(col("vec_id") % 23 =!= 1 &&
+      col("vec_id") =!= 5L)
+    Similarity.ivfRefreshQuantizedIncremental(spark, b, cents,
+      snap2,
+      Upsert.diffByKey(sig(base.filter(col("vec_id") % 23 =!= 1)),
+        sig(snap2), "vec_id", "sig"),
+      "vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      SegmentManifest.syncClone(spark, b, dstA)
+    }
+    assert(err.getMessage.contains("not a clone of this source"),
+      s"wrong lineage message: $err")
+  }
+
   test("cloning a legacy (pre-manifest) layout fails loudly") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val base = e.filter(col("vec_id") =!= 0)
