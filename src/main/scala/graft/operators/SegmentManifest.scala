@@ -806,6 +806,108 @@ object SegmentManifest {
         }
     }
 
+  /** One [[audit]] finding: a referenced member that is physically
+    * missing or holds no data file. */
+  final case class AuditFinding(gen: Int, layout: String, loc: String,
+                                problem: String)
+
+  /** [[audit]]'s report: per-generation integrity of every retained
+    * manifest plus the layout's vacuum debt. `healthy` means every
+    * referenced member is present and non-empty — the invariant every
+    * maintenance op preserves, so a finding is always external damage
+    * (manual deletion, botched retention tooling, a foreign process
+    * in the index root) caught BEFORE a probe fails opaquely or — the
+    * quiet failure mode — an explicit-schema read serves a silently
+    * emptied member as zero rows. */
+  final case class AuditReport(generations: Seq[Int],
+                               findings: Seq[AuditFinding],
+                               unreferencedDirs: Long) {
+    def healthy: Boolean = findings.isEmpty
+  }
+
+  /** INTEGRITY AUDIT (fsck) of a manifested index — the operational
+    * check a serving tier runs after a [[cloneGeneration]]/[[syncClone]]
+    * publish and a storage team runs on retention alarms: for every
+    * RETAINED generation, every referenced member directory must
+    * exist and hold at least one data file (one level of nesting
+    * tolerated, matching [[read]]'s schema-inference rule); marker
+    * layouts ([[ModelMarker]]) reference no directory and are skipped.
+    * Unreferenced directories (crash debris + superseded history —
+    * vacuum debt, reclaimable, NEVER a finding) are counted with the
+    * same sweep [[vacuum]] deletes by.
+    *
+    * Pure read: nothing is mutated, so it is safe against a live
+    * index (a wave sealing mid-audit can at worst add a generation
+    * the audit didn't see — re-run for a fresh pin). Driver-side
+    * directory listings only (the manifest's own boundedness:
+    * generations × members). */
+  def audit(spark: SparkSession, path: String,
+            specs: Seq[LayoutSpec] = LexicalLayouts): AuditReport = {
+    val fs = fsOf(spark, path)
+    val gens = generations(spark, path)
+    // same contract as vacuum: a legacy (pre-manifest) layout has no
+    // referenced set to check against — every live dir would read as
+    // debt, a misleading report rather than a useful one
+    require(gens.nonEmpty,
+      s"audit: no sealed generations at $path — a legacy " +
+        "(pre-manifest) layout has no referenced composition to " +
+        "check; seal one (bootstrap or a maintenance wave) first")
+    def isData(st: org.apache.hadoop.fs.FileStatus) =
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
+    def holdsData(d: Path): Boolean = {
+      val ls = fs.listStatus(d)
+      ls.exists(isData) || ls.exists(st =>
+        st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") &&
+          fs.listStatus(st.getPath).exists(isData))
+    }
+    val markerLayouts = Set(ModelMarker)
+    val findings = for {
+      g <- gens
+      m = load(spark, path, g)
+      (layout, es) <- m.layouts.toSeq.sortBy(_._1)
+      if !markerLayouts.contains(layout)
+      e <- es.sortBy(_.seg)
+      d = new Path(s"$path/${e.loc}")
+      problem <- {
+        if (!fs.exists(d)) Some("missing")
+        else if (!holdsData(d)) Some("empty")
+        else None
+      }
+    } yield AuditFinding(g, layout, e.loc, problem)
+    // vacuum debt: the same sweep vacuum reclaims by, counted not
+    // deleted — dirs under the layout roots and _rev that no retained
+    // manifest references
+    val referenced: Set[String] = gens
+      .map(load(spark, path, _))
+      .flatMap(m => specs.flatMap(sp => m.entries(sp.name).map(_.loc)))
+      .toSet
+    var unref = 0L
+    def sweep(parent: Path, locPrefix: String, prefix: String): Unit =
+      if (fs.exists(parent))
+        for (st <- fs.listStatus(parent)
+             if st.isDirectory && st.getPath.getName.startsWith(prefix)) {
+          val loc =
+            if (locPrefix.isEmpty) st.getPath.getName
+            else s"$locPrefix/${st.getPath.getName}"
+          if (!referenced.contains(loc)) unref += 1
+        }
+    for (sp <- specs)
+      sweep(new Path(if (sp.sub.isEmpty) path else s"$path/${sp.sub}"),
+        sp.sub, sp.prefix)
+    val revRoot = new Path(s"$path/_rev")
+    if (fs.exists(revRoot))
+      for (g <- fs.listStatus(revRoot) if g.isDirectory; sp <- specs) {
+        val base = if (sp.sub.isEmpty) g.getPath
+          else new Path(g.getPath, sp.sub)
+        val pfx = if (sp.sub.isEmpty) s"_rev/${g.getPath.getName}"
+          else s"_rev/${g.getPath.getName}/${sp.sub}"
+        sweep(base, pfx, sp.prefix)
+      }
+    AuditReport(gens, findings, unref)
+  }
+
   /** VACUUM: reclaim physical directories referenced by none of the
     * newest `keepGenerations` manifests, and drop the older manifest
     * files — the Delta-vacuum analog that bounds the write-once

@@ -516,4 +516,52 @@ class SegmentManifestSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
       .toSeq == Seq((1L, "a", 2), (2L, "b", 2)), out.mkString(","))
   }
+
+  test("audit (fsck): healthy on an intact layout, names missing and " +
+      "emptied referenced members, tolerates one-level nesting, skips " +
+      "marker layouts, and counts unreferenced dirs as vacuum debt") {
+    val dir = scratch("smf_audit").toString
+    val f = fs(dir)
+    val specs = Seq(SegmentManifest.CellLayout)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    def touch(s: String): Unit = {
+      f.mkdirs(path(s).getParent)
+      val out = f.create(path(s), true)
+      try out.write("x".getBytes("UTF-8")) finally out.close()
+    }
+    f.delete(path(""), true)
+    touch("centroid_id=0/part-0")
+    touch("centroid_id=1/part-0")
+    SegmentManifest.seal(spark, dir, SegmentManifest.Manifest(1, Map(
+      "cells" -> Seq(SegmentManifest.Entry(0, "centroid_id=0"),
+        SegmentManifest.Entry(1, "centroid_id=1")),
+      // marker: references no directory, must never be a finding
+      SegmentManifest.ModelMarker ->
+        Seq(SegmentManifest.Entry(3, "model=g3")))))
+    val r0 = SegmentManifest.audit(spark, dir, specs)
+    assert(r0.healthy && r0.generations == Seq(1) &&
+      r0.unreferencedDirs == 0, s"got $r0")
+
+    // vacuum debt: debris cell + a staged _rev dir, both unreferenced
+    f.mkdirs(path("centroid_id=9"))
+    f.mkdirs(path("_rev/g2-deadbeef/centroid_id=3"))
+    val r1 = SegmentManifest.audit(spark, dir, specs)
+    assert(r1.healthy && r1.unreferencedDirs == 2, s"got $r1")
+
+    // external damage: one member deleted, one emptied
+    f.delete(path("centroid_id=0"), true)
+    f.delete(path("centroid_id=1/part-0"), false)
+    val r2 = SegmentManifest.audit(spark, dir, specs)
+    assert(!r2.healthy, s"got $r2")
+    assert(r2.findings.toSet == Set(
+      SegmentManifest.AuditFinding(1, "cells", "centroid_id=0",
+        "missing"),
+      SegmentManifest.AuditFinding(1, "cells", "centroid_id=1",
+        "empty")), s"got ${r2.findings}")
+
+    // one-level nesting counts as data (the read()'s own rule)
+    touch("centroid_id=0/sub/part-0")
+    touch("centroid_id=1/part-0")
+    assert(SegmentManifest.audit(spark, dir, specs).healthy)
+  }
 }
