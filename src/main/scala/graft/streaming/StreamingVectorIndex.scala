@@ -1143,6 +1143,67 @@ object StreamingVectorIndex {
       copyDir(spark, bl.toString, s"$dstRoot/baseline/gen=$modelGen")
   }
 
+  /** Incremental re-publish to an existing serving clone — the
+    * [[graft.operators.SegmentManifest.syncClone]] composite for
+    * streaming roots, and the loop a serving tier actually runs after
+    * every source wave: advance `dstRoot`'s index to the source's
+    * latest sealed generation copying only the delta members, then
+    * bring the model artifacts up to the NEW pinned generation —
+    * cents (and baseline when present) for a marker that moved (a
+    * recenter landed since the last publish; models are
+    * generation-keyed and write-once, so an already-present
+    * generation is skipped), and the live codebooks cache on IVF-PQ
+    * roots (re-copied unconditionally: broadcast-sized, and a rebuild
+    * refreshes it in place at the source). Same lineage/monotonicity
+    * contract as syncClone — a foreign or stale dst fails loudly
+    * there. Returns the copied index locations (the delta audit). */
+  def syncServing(spark: SparkSession, srcRoot: String,
+                  dstRoot: String): Seq[String] = {
+    val isInt8 =
+      SegmentManifest.latestGen(spark, s"$srcRoot/index").nonEmpty
+    val isPq =
+      SegmentManifest.latestGen(spark, s"$srcRoot/index/codes").nonEmpty
+    require(isInt8 || isPq,
+      s"syncServing: no sealed index generations under " +
+        s"$srcRoot/index — nothing to publish")
+    val (delta, m) =
+      if (isInt8) {
+        val d = SegmentManifest.syncClone(spark, s"$srcRoot/index",
+          s"$dstRoot/index")
+        (d, SegmentManifest.latest(spark, s"$dstRoot/index").get)
+      } else {
+        val d = SegmentManifest.syncClone(spark,
+          s"$srcRoot/index/codes", s"$dstRoot/index/codes")
+        copyDir(spark, s"$srcRoot/index/codebooks",
+          s"$dstRoot/index/codebooks")
+        (d, SegmentManifest.latest(spark, s"$dstRoot/index/codes").get)
+      }
+    val modelGen = m.entries(SegmentManifest.ModelMarker).lastOption
+      .map(_.seg)
+      .getOrElse {
+        val cg = gens(spark, srcRoot, "cents")
+        require(cg.nonEmpty,
+          s"syncServing: $srcRoot has no model marker and no " +
+            "cents/gen=* store — not a streaming loop root")
+        cg.max
+      }
+    // generation-keyed, write-once: present at dst ⇒ already the
+    // right bytes; absent ⇒ a recenter advanced the marker since the
+    // last publish
+    val dfs = fsOf(spark, dstRoot)
+    if (!dfs.exists(new org.apache.hadoop.fs.Path(
+        s"$dstRoot/cents/gen=$modelGen")))
+      copyDir(spark, s"$srcRoot/cents/gen=$modelGen",
+        s"$dstRoot/cents/gen=$modelGen")
+    val bl = new org.apache.hadoop.fs.Path(
+      s"$srcRoot/baseline/gen=$modelGen")
+    if (fsOf(spark, srcRoot).exists(bl) &&
+        !dfs.exists(new org.apache.hadoop.fs.Path(
+          s"$dstRoot/baseline/gen=$modelGen")))
+      copyDir(spark, bl.toString, s"$dstRoot/baseline/gen=$modelGen")
+    delta
+  }
+
   /** Driver-side recursive copy of one SMALL artifact directory (the
     * model/baseline stores — k-row parquet files; the corpus-sized
     * cells go through [[graft.operators.SegmentManifest

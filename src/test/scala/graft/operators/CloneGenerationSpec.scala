@@ -213,6 +213,15 @@ class CloneGenerationSpec extends SparkSpec {
       "the recentered clone must carry exactly the marker's model gen")
     assert(probe(dst2) == probe(root),
       "recentered serving clone diverged from the live source")
+
+    // syncServing: the STALE clone (published before the recenter)
+    // advances incrementally — index delta + the marker's NEW model
+    StreamingVectorIndex.syncServing(spark, root, dst)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dst/cents/gen=2")),
+      "sync did not ship the recenter's model generation")
+    assert(probe(dst) == probe(root),
+      "synced serving clone diverged from the live source")
   }
 
   test("cloneServing (IVF-PQ loop): refresh-only history — books " +
@@ -249,6 +258,11 @@ class CloneGenerationSpec extends SparkSpec {
       1L, "vec_id", "embedding", kCells = 4, m = 4, k = 4)
     assert(probe(dst) == expect,
       "PQ serving clone diverged after a source wave")
+    // incremental re-publish: the clone catches up to the wave
+    val delta = StreamingVectorIndex.syncServing(spark, root, dst)
+    assert(delta.nonEmpty, "PQ sync copied nothing for a real wave")
+    assert(probe(dst) == probe(root),
+      "PQ synced serving clone diverged from the live source")
   }
 
   test("a clone is a FORK point: maintenance continues at the clone " +
