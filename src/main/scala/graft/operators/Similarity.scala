@@ -1157,6 +1157,115 @@ object Similarity {
     prev
   }
 
+  // ========== late interaction (ColBERT-style MaxSim) ==========
+
+  /** Deterministic md5-derived pseudo-embedding for a TOKEN column —
+    * the fixture vectorizer under the late-interaction family's hash
+    * gate and specs: dim j decodes two hex chars of md5(token) via
+    * `ascii()` into an exact dyadic rational ((hi·256 + lo)/2¹⁴ − 1) —
+    * pure integer arithmetic plus one exact power-of-two division,
+    * spelled identically in Spark and DuckDB, so the oracle reproduces
+    * every vector (and every dot product — sums of exact dyadics)
+    * bit-for-bit. Real deployments plug a model-produced token-vector
+    * column into [[maxSimTopK]] directly; this derivation exists so
+    * the OPERATOR semantics can sit under the gate without a model
+    * dependency. */
+  def tokenPseudoVec(tok: Column, dims: Int = 8): Column = {
+    require(dims >= 1 && dims <= 16,
+      s"md5 has 32 hex chars — dims must be 1..16, got $dims")
+    val h = md5(tok)
+    array((0 until dims).map { j =>
+      (ascii(substring(h, j * 2 + 1, 1)) * 256 +
+        ascii(substring(h, j * 2 + 2, 1))).cast("double") / 16384.0 - 1.0
+    }: _*)
+  }
+
+  /** LATE-INTERACTION retrieval (Khattab & Zaharia 2020, ColBERT —
+    * the multi-vector rung of the similarity family): each document
+    * carries ONE VECTOR PER TOKEN, and relevance is MaxSim —
+    * Σ over query tokens of the MAX dot product over the document's
+    * token vectors — which preserves token-level matching that a
+    * single pooled vector blurs away. This is the EXACT brute form:
+    * every (doc token × query token) inner product, fixed-point
+    * quantized (floor(ip·1e7 + 0.5) — the suite's engine-portable
+    * rounding, so the max/sum algebra is integer-exact), max per
+    * (doc, query token), sum per doc, ties to the smallest id.
+    *
+    * `docVecs` is (idCol, tokvec: array<double>) — multiple rows per
+    * document; `queryVecs` is a broadcast-sized (qtok_id, qvec) panel.
+    * Scale shape: one corpus-token scan against the broadcast panel,
+    * then two map-side-combined aggregates — |doc tokens|·|q| dots,
+    * the honest exact baseline; [[maxSimTopKPruned]] is the
+    * candidate-generation rung that bounds the scan. */
+  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame,
+                 idCol: String, k: Int): DataFrame =
+    docVecs.crossJoin(broadcast(queryVecs))
+      .select(col(idCol), col("qtok_id"),
+        floor(VectorFns.dot(col("tokvec"), col("qvec")) * 1e7 + 0.5)
+          .cast("long").as("_ip_fp"))
+      .groupBy(col(idCol), col("qtok_id"))
+      .agg(max(col("_ip_fp")).as("_max_fp"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_max_fp")) / 1e7, 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+
+  /** [[maxSimTopK]] with IVF CANDIDATE GENERATION — the two-stage
+    * shape ColBERT actually serves (ANN per query token to collect
+    * candidate documents, exact MaxSim on the candidates only):
+    * spherical k-means cells over the token vectors (the
+    * [[learnedCentroids]] fit — token direction is what MaxSim's dot
+    * rewards), each TOKEN ROW assigned to its nearest cell by cosine
+    * via the collected-codebook argmin (the [[ProductQuantize
+    * .pqEncodeRaw]] pattern — no per-row id needed, no corpus
+    * shuffle), every query token probes its nProbe nearest cells, and
+    * a document is a CANDIDATE iff any of its tokens lands in any
+    * probed cell. Candidates keep their FULL token set for the exact
+    * stage, so returned scores are bit-identical to [[maxSimTopK]]'s
+    * for the same documents — the recall trade lives entirely in
+    * candidate generation (a relevant doc whose every token sits
+    * outside the probed cells is missed; nProbe is the dial, the spec
+    * pins planted-match recall and the score-parity inequality).
+    *
+    * Scale: the fit is the usual bounded treeAggregate; assignment is
+    * a stateless map (kCells·dims literal); the exact stage scans
+    * only candidate documents' tokens. */
+  def maxSimTopKPruned(docVecs: DataFrame, queryVecs: DataFrame,
+                       idCol: String, k: Int, kCells: Int, nProbe: Int,
+                       seed: Long = 42L): DataFrame = {
+    val spark = docVecs.sparkSession
+    val cents = learnedCentroids(docVecs, "tokvec", kCells, seed)
+    val centRows = cents.collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toVector: Seq[Double]))
+      .sortBy(_._1).toSeq
+    val centsLit = typedlit(centRows)
+    // per-ROW cosine argmin over the collected cells (ties to the
+    // smallest cell id via the lexicographic struct min — the family's
+    // one tiebreak)
+    def cellOf(vec: Column): Column =
+      array_min(transform(centsLit, c =>
+        struct((lit(1.0) - VectorFns.cosine(vec, c("_2"))).as("d"),
+          c("_1").as("cid"))))("cid")
+    // per-query-token probed cells, driver-side (|q|·kCells is tiny);
+    // the UNION of all query tokens' cells restricts the candidate
+    // scan — a doc qualifies through any token in any probed cell
+    val probed: Array[Long] = queryVecs
+      .select(explode(slice(transform(
+          // rank cells per qtok by cosine distance, keep nProbe
+          array_sort(transform(centsLit, c =>
+            struct((lit(1.0) - VectorFns.cosine(col("qvec"), c("_2")))
+              .as("d"), c("_1").as("cid")))),
+          s => s("cid")), 1, nProbe)).as("cid"))
+      .distinct().collect().map(_.getLong(0))
+    val cands = docVecs
+      .filter(cellOf(col("tokvec")).isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
+      .select(col(idCol)).distinct()
+    maxSimTopK(docVecs.join(cands, Seq(idCol), "left_semi"),
+      queryVecs, idCol, k)
+  }
+
   /** IVF probe: query's nProbe nearest centroids → candidate vectors
     * from those lists only → exact cosine top-k on the candidates. */
   def ivfTopK(vectors: DataFrame, cents: DataFrame, queryVec: DataFrame,

@@ -5115,6 +5115,38 @@ object PipelineQueries {
         k = 10, nProbe = 3)
     }),
 
+    // X2 — LATE-INTERACTION retrieval (ColBERT MaxSim) under the hash
+    // gate: every document carries one vector PER TOKEN (the
+    // md5-derived pseudo-embedding — exact dyadic rationals both
+    // engines reproduce bit-for-bit), score = Σ over query tokens of
+    // the max fixed-point inner product over the doc's token vectors.
+    // The multi-vector rung of the similarity family: token-level
+    // matching a single pooled vector blurs away, exact brute form
+    // (the [[Similarity.maxSimTopKPruned]] candidate-generation rung
+    // is spec-pinned — full-probe ≡ brute, partial-probe exact
+    // rescoring). One corpus-token scan against the broadcast query
+    // panel + two map-side-combined aggregates.
+    "q197_late_interaction" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val docVecs = d.select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(
+            coalesce(col("text"), lit(""))))).as("tok"))
+        .select(col("doc_id"),
+          Similarity.tokenPseudoVec(col("tok")).as("tokvec"))
+      // mixed-rarity panel: two common tokens (self-match in most
+      // docs), one RARE token ("dup", df≈25 — present docs jump), and
+      // one OUT-OF-VOCABULARY token whose max dot is a genuine
+      // varying best-pseudo-match per doc — so the top-k exercises
+      // score ORDERING, not just the tie-break
+      val queryVecs = Seq((0L, "scan"), (1L, "filter"), (2L, "dup"),
+          (3L, "zetadrive"))
+        .toDF("qtok_id", "tok")
+        .select(col("qtok_id"),
+          Similarity.tokenPseudoVec(col("tok")).as("qvec"))
+      Similarity.maxSimTopK(docVecs, queryVecs, "doc_id", k = 20)
+    }),
+
     "q162_spell_suggest" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = fxDocsBm25(s, dir)
@@ -7936,6 +7968,37 @@ object PipelineQueries {
         |SELECT vec_id,
         |  round(list_cosine_similarity(c, (SELECT qc FROM qq)), 4) AS qsim
         |FROM mem ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // replays MaxSim from raw: the same md5→ascii dyadic
+    // pseudo-embedding per distinct token (exact in both engines),
+    // every (doc token × query token) inner product fixed-point
+    // quantized, max per (doc, qtok), sum per doc
+    "q197_late_interaction" ->
+      """WITH qt AS (SELECT * FROM (VALUES (0, 'scan'), (1, 'filter'),
+        |             (2, 'dup'), (3, 'zetadrive')) t(qtok_id, tok)),
+        |qv AS (SELECT qtok_id,
+        |         list_transform(range(8), j ->
+        |           (ascii(substr(md5(tok), CAST(j*2+1 AS INTEGER), 1)) * 256
+        |            + ascii(substr(md5(tok), CAST(j*2+2 AS INTEGER), 1)))
+        |           / 16384.0 - 1.0) AS qvec
+        |       FROM qt),
+        |dt AS (SELECT doc_id,
+        |         unnest(list_distinct(
+        |           string_split(coalesce(text, ''), ' '))) AS tok
+        |       FROM documents),
+        |dv AS (SELECT doc_id,
+        |         list_transform(range(8), j ->
+        |           (ascii(substr(md5(tok), CAST(j*2+1 AS INTEGER), 1)) * 256
+        |            + ascii(substr(md5(tok), CAST(j*2+2 AS INTEGER), 1)))
+        |           / 16384.0 - 1.0) AS tv
+        |       FROM dt),
+        |mx AS (SELECT doc_id, qtok_id,
+        |         max(CAST(floor(list_inner_product(tv, qvec) * 1e7 + 0.5)
+        |           AS BIGINT)) AS m
+        |       FROM dv, qv GROUP BY 1, 2)
+        |SELECT doc_id, round(CAST(sum(m) AS BIGINT) / 1e7, 4) AS maxsim
+        |FROM mx GROUP BY 1
+        |ORDER BY maxsim DESC, doc_id LIMIT 20""".stripMargin,
 
     // the q92 watermark algebra over VECTOR versions (admission by
     // per-wave watermark, winner by max version + min-op tiebreak,

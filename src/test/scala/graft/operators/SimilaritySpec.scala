@@ -583,6 +583,65 @@ class SimilaritySpec extends SparkSpec {
     assert(!r, "benign carry under the same model must not recenter")
   }
 
+  test("late interaction (MaxSim): a doc containing every query token " +
+      "verbatim outranks bag-blurred docs; pruned candidates rescore " +
+      "EXACTLY (score parity per returned id); full-probe pruning " +
+      "equals brute; deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "scan table royalty filter"),        // exact multi-token hit
+      (2L, "scan scan scan scan"),               // one token, repeated
+      (3L, "table filter noise words here"),
+      (4L, "completely unrelated text rows"),
+      (5L, "royalty filter scan other padding"))
+      .toDF("doc_id", "text")
+    val docVecs = docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("tok"))
+      .select(col("doc_id"),
+        Similarity.tokenPseudoVec(col("tok")).as("tokvec"))
+    val qToks = Seq("scan", "table", "royalty", "filter")
+    val queryVecs = qToks.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("qtok_id", "tok")
+      .select(col("qtok_id"),
+        Similarity.tokenPseudoVec(col("tok")).as("qvec"))
+      .localCheckpoint()
+    val brute = Similarity.maxSimTopK(docVecs, queryVecs, "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // every query token self-matches in doc 1, so no doc can beat it
+    // (per query token the max dot is bounded by the self-dot only
+    // for these pseudo-vecs if doc 1's tokens ARE the query's — true)
+    assert(brute.head._1 == 1L, s"got $brute")
+    // docs 1 and 5 share {scan, royalty, filter}; 1 adds table
+    assert(brute.map(_._1).indexOf(1L) < brute.map(_._1).indexOf(2L))
+    // determinism
+    val again = Similarity.maxSimTopK(docVecs, queryVecs, "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == brute)
+    // pruned: full probe (nProbe = kCells) covers every cell → equals
+    // brute bit-for-bit
+    val full = Similarity.maxSimTopKPruned(docVecs, queryVecs,
+        "doc_id", 5, kCells = 3, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, s"full-probe pruned diverged: $full vs $brute")
+    // partial probe: candidates rescore EXACTLY — every returned
+    // (id, score) appears verbatim in the brute scoring of all docs
+    val bruteAll = Similarity.maxSimTopK(docVecs, queryVecs, "doc_id",
+        100).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val pruned = Similarity.maxSimTopKPruned(docVecs, queryVecs,
+        "doc_id", 5, kCells = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (id, s) =>
+      assert(bruteAll(id) == s,
+        s"pruned rescored doc $id to $s, brute says ${bruteAll(id)}")
+    }
+    // the planted exact match survives even a 1-cell probe: its tokens
+    // ARE the query tokens, so each query token's nearest cell holds
+    // the matching doc token by construction
+    assert(pruned.head._1 == 1L, s"got $pruned")
+  }
+
   test("cosine of a vector with itself is 1") {
     val (e, _, _) = setup()
     val self = e.limit(5)
