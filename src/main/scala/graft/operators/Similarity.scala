@@ -1157,6 +1157,84 @@ object Similarity {
     prev
   }
 
+  /** MMR — Maximal Marginal Relevance re-ranking (Carbonell &
+    * Goldstein 1998), the diversity post-processor every retrieval
+    * stack bolts onto its top-N: greedily select k items maximizing
+    * λ·relevance − (1−λ)·max cosine similarity to anything already
+    * selected, so near-duplicate hits stop crowding the result list
+    * (the field-collapse idea generalized from an exact grouping key
+    * to vector similarity). `candidates` is an upstream top-N —
+    * k-bounded BY CONTRACT, the same intentional driver-size class as
+    * [[ivfPqProbeRefined]]'s candidate list — so the greedy loop runs
+    * driver-side over ≤N items; nothing corpus-sized collects.
+    *
+    * Deterministic and engine-portable by construction: relevance and
+    * pairwise cosine quantize to 1e-7 fixed point, the argmax
+    * compares integers (λ expressed as `lambdaX100`, the engine's
+    * integer-dial convention) with ties to the smallest id, and
+    * zero-norm vectors contribute similarity 0 (no direction — they
+    * never crowd anything). λ=100 reduces exactly to relevance order.
+    * `scoreCol` must be on a scale COMPARABLE to cosine (the classic
+    * formulation's assumption): a raw BM25 score dwarfs the [−1,1]
+    * similarity term and turns λ into a no-op — min-max or rank
+    * normalize upstream rankers first ([[rankByScore]] + 1/rank, or
+    * the RRF fixed-point, both already sim-scaled).
+    * Output: (rank 1..k, idCol, scoreCol, mmr) with mmr the rounded
+    * fixed-point objective at selection time. */
+  def mmrRerank(candidates: DataFrame, idCol: String, scoreCol: String,
+                vecCol: String, k: Int,
+                lambdaX100: Long = 70L): DataFrame = {
+    require(k > 0, s"mmrRerank: k must be positive, got $k")
+    require(lambdaX100 >= 0 && lambdaX100 <= 100,
+      s"mmrRerank: lambdaX100 must be 0..100, got $lambdaX100")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates.select(col(idCol).cast("long"),
+        col(scoreCol).cast("double"),
+        VectorFns.toDouble(col(vecCol)))
+      .collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Double]](2).toArray
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), r.getDouble(1),
+          if (norm > 0) v.map(_ / norm) else v)
+      }
+    require(rows.nonEmpty, "mmrRerank: empty candidate list")
+    def fp(x: Double): Long = math.floor(x * 1e7 + 0.5).toLong
+    val relFp = rows.map(r => fp(r._2))
+    // max cosine to the selected set, maintained incrementally: one
+    // dot per (remaining × newly-selected) pair — O(N·k·dim) total
+    val maxSimFp = Array.fill(rows.length)(Long.MinValue)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val remaining = scala.collection.mutable.LinkedHashSet(
+      rows.indices: _*)
+    while (selected.length < math.min(k, rows.length)) {
+      var best = -1
+      var bestObj = Long.MinValue
+      for (i <- remaining) {
+        val simTerm = if (selected.isEmpty) 0L else maxSimFp(i)
+        val obj = lambdaX100 * relFp(i) - (100L - lambdaX100) * simTerm
+        if (best < 0 || obj > bestObj ||
+            (obj == bestObj && rows(i)._1 < rows(best)._1)) {
+          best = i; bestObj = obj
+        }
+      }
+      selected += ((best, bestObj))
+      remaining -= best
+      val bv = rows(best)._3
+      for (i <- remaining) {
+        var d = 0.0
+        var j = 0
+        while (j < bv.length) { d += rows(i)._3(j) * bv(j); j += 1 }
+        maxSimFp(i) = math.max(maxSimFp(i), fp(d))
+      }
+    }
+    selected.zipWithIndex.map { case ((i, obj), rank) =>
+      (rank + 1L, rows(i)._1, rows(i)._2,
+        math.floor(obj.toDouble / 100.0 / 1000.0 + 0.5) / 1e4)
+    }.toSeq.toDF("rank", idCol, scoreCol, "mmr")
+  }
+
   // ========== late interaction (ColBERT-style MaxSim) ==========
 
   /** Deterministic md5-derived pseudo-embedding for a TOKEN column —

@@ -583,6 +583,46 @@ class SimilaritySpec extends SparkSpec {
     assert(!r, "benign carry under the same model must not recenter")
   }
 
+  test("mmrRerank: a near-duplicate of the top hit is demoted below a " +
+      "diverse lower-relevance item; lambda=100 is pure relevance " +
+      "order; deterministic with id ties; zero-norm never crowds") {
+    import spark.implicits._
+    // candidates: 1 and 2 nearly identical directions (dup pair),
+    // 3 orthogonal-ish, 4 a zero vector, relevance 1 > 2 > 3 > 4
+    // relevance on the cosine scale (the operator's documented
+    // contract — normalize upstream rankers whose scores dwarf [-1,1])
+    val cands = Seq(
+      (1L, 1.0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0.9, Seq(0.999f, 0.04f, 0.0f)),
+      (3L, 0.5, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, 0.4, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("id", "rel", "vec")
+    val picks = Similarity.mmrRerank(cands, "id", "rel", "vec",
+        k = 3, lambdaX100 = 50L)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // rank 1 = top relevance; rank 2 must be the DIVERSE doc 3, not
+    // the near-duplicate 2 (0.5·0.9 − 0.5·~1.0 < 0.5·0.5 − 0.5·0)
+    assert(picks.map(_._2).take(2) == Seq(1L, 3L), s"got $picks")
+    // pure relevance at lambda=100
+    val rel = Similarity.mmrRerank(cands, "id", "rel", "vec",
+        k = 4, lambdaX100 = 100L)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(1L, 2L, 3L, 4L), s"got $rel")
+    // determinism
+    val again = Similarity.mmrRerank(cands, "id", "rel", "vec",
+        k = 3, lambdaX100 = 50L)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == picks)
+    // equal relevance + equal similarity ties break to the smaller id
+    val tied = Seq(
+      (7L, 1.0, Seq(1.0f, 0.0f)), (5L, 1.0, Seq(1.0f, 0.0f)))
+      .toDF("id", "rel", "vec")
+    assert(Similarity.mmrRerank(tied, "id", "rel", "vec", k = 1)
+      .collect().head.getLong(1) == 5L)
+  }
+
   test("late interaction (MaxSim): a doc containing every query token " +
       "verbatim outranks bag-blurred docs; pruned candidates rescore " +
       "EXACTLY (score parity per returned id); full-probe pruning " +
