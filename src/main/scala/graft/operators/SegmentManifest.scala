@@ -331,6 +331,66 @@ object SegmentManifest {
     }
   }
 
+  /** REFERENCE [[PutIfAbsentStore]] adapter for stores whose
+    * `create(overwrite = false)` is an exclusive create that refuses
+    * an existing destination (the LocalFS/HDFS shape): the
+    * conditional put IS the exclusive create — claim the slot, write
+    * the bytes, close. Named via [[CondPutConfKey]] it exercises the
+    * full conf-key resolution path (Class.forName, the Configurable
+    * conf hand-off, instance caching) against a real FileSystem,
+    * and doubles as the template a production S3/DynamoDB adapter
+    * copies: replace the create call with the store's own
+    * conditional primitive (`If-None-Match: *` PUT / a DynamoDB
+    * conditional write) and the rest carries over.
+    *
+    * Contract coverage, honestly: EXCLUSIVE holds exactly as far as
+    * the store's create(overwrite=false) is atomic (true on HDFS;
+    * local filesystems approximate it). ALL-OR-NOTHING is
+    * approximated the same way [[SingleDriverPublisher]] does it —
+    * a failed write deletes the torn destination loudly — which is
+    * the trust class of the rename publisher, not of a true
+    * object-store conditional PUT. That is the right fidelity for a
+    * REFERENCE adapter: the stores that need this interface in
+    * production supply the atomicity themselves. */
+  final class AtomicCreateStore extends PutIfAbsentStore
+      with org.apache.hadoop.conf.Configurable {
+    private var conf = new org.apache.hadoop.conf.Configuration()
+    override def setConf(c: org.apache.hadoop.conf.Configuration): Unit =
+      if (c != null) conf = c
+    override def getConf: org.apache.hadoop.conf.Configuration = conf
+    def putIfAbsent(dst: Path, bytes: Array[Byte]): Boolean = {
+      val fs = dst.getFileSystem(conf)
+      val created =
+        try Some(fs.create(dst, false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            None
+          case _: java.nio.file.FileAlreadyExistsException => None
+        }
+      created match {
+        case None => false
+        case Some(out) =>
+          try {
+            try out.write(bytes) finally out.close()
+            true
+          } catch {
+            case t: Throwable =>
+              // a torn dst must not occupy the slot (it would pass
+              // every retry's conditional put as "already sealed") —
+              // and a FAILED cleanup must be loud, not swallowed
+              val cleaned =
+                try fs.delete(dst, false) || !fs.exists(dst)
+                catch { case c: Throwable => t.addSuppressed(c); false }
+              if (!cleaned) t.addSuppressed(new IllegalStateException(
+                s"cleanup of torn $dst FAILED — the slot is " +
+                  "poisoned; remove the file manually before " +
+                  "retrying the seal"))
+              throw t
+          }
+      }
+    }
+  }
+
   /** Resolve the [[CondPutConfKey]]-named adapter, if configured.
     * Loud on a class that exists but is not a [[PutIfAbsentStore]] —
     * silently falling through would strand the operator on the very
@@ -693,12 +753,15 @@ object SegmentManifest {
         "clone targets a fresh path (cloning into a live index would " +
         "silently fork its history); to advance an EXISTING clone to " +
         "a newer source generation use syncClone")
-    val srcFs = fsOf(spark, srcPath)
-    // marker entries (loc is documentation, no directory) drop out
-    // here; everything a reader will resolve physically is copied
-    val locs = m.layouts.values.flatten.map(_.loc).toSeq.distinct
-      .filter(loc => srcFs.exists(new Path(s"$srcPath/$loc")))
-    copyLocs(spark, srcPath, dstPath, locs)
+    // marker entries drop out by LAYOUT IDENTITY (their loc is
+    // documentation, no directory) — NOT by physical existence: an
+    // existence filter would also silently skip a genuinely missing
+    // non-marker member (external damage [[audit]] exists to catch)
+    // and then seal a manifest referencing a member it never copied,
+    // publishing a corrupt clone whose explicit-schema reads serve
+    // the member as silent zero rows. A missing referenced member
+    // now fails LOUDLY inside the copy job instead.
+    copyLocs(spark, srcPath, dstPath, physicalLocs(m))
     seal(spark, dstPath, m, publisher)
     m
   }
@@ -715,16 +778,19 @@ object SegmentManifest {
     * that touched 3 of 10⁴ cells publishes 3 directory copies plus
     * one manifest seal, not a full re-clone.
     *
-    * Lineage is CHECKED, not assumed, whenever the shared history is
-    * still retained at the source: if the source still holds the
-    * clone's current generation, its manifest must render
-    * bit-identically to the clone's — a dst that was never cloned
-    * from this source (or has independently forked) fails loudly
-    * instead of silently skipping same-named dirs with foreign
-    * content. Once the source has vacuumed below the clone's
-    * generation the check is impossible and the write-once contract
-    * carries the guarantee alone (documented, same trust class as
-    * vacuum's own retention contract).
+    * Lineage is CHECKED, not assumed, whenever ANY generation is
+    * still retained on both sides: the newest shared generation must
+    * render bit-identically (a dst never cloned from this source
+    * fails loudly instead of silently skipping same-named dirs with
+    * foreign content), and because vacuum drops oldest-first, a
+    * retained shared history also makes forks decisive — a clone
+    * that sealed a generation the source never had, while the source
+    * still retains an older shared one, is refused as a fork rather
+    * than trusted. Only once the source has vacuumed past the
+    * clone's ENTIRE history is the check impossible; that sync is
+    * logged as trust-only and the write-once contract carries the
+    * guarantee alone (documented, same trust class as vacuum's own
+    * retention contract).
     *
     * The clone RETAINS its previous generations (its own pinned
     * readers keep their snapshots — the dst is a real MVCC index);
@@ -751,49 +817,93 @@ object SegmentManifest {
       s"syncClone: clone at $dstPath is already at generation " +
         s"${dstGens.last} >= source generation ${m.gen} — nothing " +
         "newer to publish")
-    // lineage check while the shared history is retained: the
-    // source's copy of the clone's current generation must render
-    // bit-identically — else dst is not a clone of THIS source and
-    // the skip rule below would pair foreign content
-    if (generations(spark, srcPath).contains(dstGens.last)) {
-      val srcAt = render(load(spark, srcPath, dstGens.last))
-      val dstAt = render(load(spark, dstPath, dstGens.last))
-      require(srcAt == dstAt,
-        s"syncClone: $dstPath generation ${dstGens.last} differs " +
-          s"from $srcPath's — the dst is not a clone of this source " +
-          "(or has forked); re-clone to a fresh path instead")
-    }
+    // lineage check over the NEWEST generation both sides still
+    // retain (not only dstGens.last): the shared generation must
+    // render bit-identically — else dst is not a clone of THIS
+    // source and the skip rule below would pair foreign content.
+    // Vacuum drops the oldest manifests first, so the source's
+    // retained set is a suffix of everything it ever sealed — which
+    // makes a retained-but-shared history DECISIVE about forks: if
+    // the source retains some shared generation g yet does not
+    // retain dstGens.last > g, it never SEALED dstGens.last, i.e.
+    // the clone sealed a generation of its own (forked) and is no
+    // longer a publish target. Only when NO generation is shared
+    // (source vacuumed past the clone's entire history) is the check
+    // impossible — that sync is logged as trust-only, carried by the
+    // write-once contract alone.
+    val srcGens = generations(spark, srcPath)
+    val shared = dstGens.filter(srcGens.contains)
+    if (shared.nonEmpty) {
+      val g = shared.last
+      require(render(load(spark, srcPath, g)) ==
+              render(load(spark, dstPath, g)),
+        s"syncClone: $dstPath generation $g differs from $srcPath's " +
+          "— the dst is not a clone of this source; re-clone to a " +
+          "fresh path instead")
+      require(srcGens.contains(dstGens.last),
+        s"syncClone: $dstPath sealed generation ${dstGens.last} " +
+          s"which $srcPath never sealed (the source still retains " +
+          s"shared generation $g) — the clone has FORKED locally and " +
+          "is no longer a publish target; re-clone to a fresh path")
+    } else
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "syncClone {} -> {}: lineage check SKIPPED — the source " +
+          "retains none of the clone's generations (vacuumed past " +
+          "them), so this sync proceeds on the write-once trust " +
+          "contract alone", srcPath, dstPath)
     val dstRefd: Set[String] = dstGens
       .map(load(spark, dstPath, _))
       .flatMap(_.layouts.values.flatten.map(_.loc)).toSet
-    val srcFs = fsOf(spark, srcPath)
-    val delta = m.layouts.values.flatten.map(_.loc).toSeq.distinct
-      .filterNot(dstRefd.contains)
-      .filter(loc => srcFs.exists(new Path(s"$srcPath/$loc")))
+    // marker layouts excluded by identity; a missing referenced
+    // member fails loudly in the copy job (see cloneGeneration)
+    val delta = physicalLocs(m).filterNot(dstRefd.contains)
     copyLocs(spark, srcPath, dstPath, delta)
     seal(spark, dstPath, m, publisher)
     delta
   }
 
+  /** The locations a manifest physically references — every layout's
+    * members EXCEPT marker layouts ([[ModelMarker]]), whose loc is
+    * documentation and never resolves to a directory. This is the
+    * copy set of the clone ops: selection is by layout IDENTITY, so
+    * a referenced member that is physically missing stays in the set
+    * and fails the copy loudly instead of being silently skipped. */
+  private def physicalLocs(m: Manifest): Seq[String] =
+    m.layouts.collect { case (l, es) if l != ModelMarker => es }
+      .flatten.map(_.loc).toSeq.distinct
+
   /** The distributed member-directory copy behind [[cloneGeneration]]
     * and [[syncClone]]: one task per location (the distcp shape —
     * member dirs hold one compact file by the writers' `repartition`
     * discipline), delete-then-copy per dir so a crashed attempt's
-    * debris is replaced, never nested under. */
+    * debris is replaced, never nested under. Slices scale with the
+    * cluster (`defaultParallelism * 4`, capped by the member count)
+    * and the source existence check runs INSIDE each task — the
+    * driver pays zero per-member RPCs before the job starts, and a
+    * missing referenced member (external damage at the source) fails
+    * the job loudly instead of publishing a corrupt clone. */
   private def copyLocs(spark: SparkSession, srcPath: String,
                        dstPath: String, locs: Seq[String]): Unit =
     if (locs.nonEmpty) {
       val confW = new org.apache.spark.SerializableWritable(
         spark.sparkContext.hadoopConfiguration)
       val (src, dst) = (srcPath, dstPath)
+      val slices = math.max(1, math.min(locs.size,
+        spark.sparkContext.defaultParallelism * 4))
       spark.sparkContext
-        .makeRDD(locs, math.max(1, math.min(locs.size, 64)))
+        .makeRDD(locs, slices)
         .foreach { loc =>
           val c = confW.value
           val sp = new Path(s"$src/$loc")
           val dp = new Path(s"$dst/$loc")
           val sfs = sp.getFileSystem(c)
           val dfs = dp.getFileSystem(c)
+          if (!sfs.exists(sp))
+            throw new java.io.FileNotFoundException(
+              s"clone copy: referenced member $loc is MISSING at " +
+                s"$src — the source index is damaged (external " +
+                "deletion or botched retention tooling); run audit() " +
+                "at the source instead of publishing a corrupt clone")
           // delete-then-copy: FileUtil.copy onto an EXISTING dst dir
           // (a crashed prior attempt) nests src under it instead of
           // replacing it — the retry must find a clean slot
@@ -840,9 +950,20 @@ object SegmentManifest {
     * index (a wave sealing mid-audit can at worst add a generation
     * the audit didn't see — re-run for a fresh pin). Driver-side
     * directory listings only (the manifest's own boundedness:
-    * generations × members). */
+    * generations × members).
+    *
+    * The debt SWEEP's layout specs are DERIVED from the layouts the
+    * retained manifests actually reference (any lexical layout pulls
+    * in the whole lexical family — an index whose tombstones emptied
+    * out still gets its tombstone debris counted), so auditing a
+    * vector or IVF-PQ index without passing specs sweeps the cell /
+    * books roots instead of scanning nonexistent postings dirs and
+    * misreporting `unreferencedDirs = 0`. Pass `specs` explicitly
+    * only for layouts this module does not know by name (loud
+    * otherwise — a silent partial sweep is the bug this derivation
+    * replaces). */
   def audit(spark: SparkSession, path: String,
-            specs: Seq[LayoutSpec] = LexicalLayouts): AuditReport = {
+            specs: Seq[LayoutSpec] = Nil): AuditReport = {
     val fs = fsOf(spark, path)
     val gens = generations(spark, path)
     // same contract as vacuum: a legacy (pre-manifest) layout has no
@@ -852,6 +973,25 @@ object SegmentManifest {
       s"audit: no sealed generations at $path — a legacy " +
         "(pre-manifest) layout has no referenced composition to " +
         "check; seal one (bootstrap or a maintenance wave) first")
+    val manifests = gens.map(g => g -> load(spark, path, g))
+    val sweepSpecs =
+      if (specs.nonEmpty) specs
+      else {
+        val present = manifests.flatMap(_._2.layouts.keys).toSet -
+          ModelMarker
+        val known = (LexicalLayouts :+ CellLayout :+ BooksLayout)
+          .map(sp => sp.name -> sp).toMap
+        val unknown = present.filterNot(known.contains)
+        require(unknown.isEmpty,
+          s"audit: index at $path references layouts " +
+            s"${unknown.toSeq.sorted.mkString(", ")} this module does " +
+            "not know the physical shape of — pass `specs` explicitly " +
+            "so the debt sweep covers them (a silent partial sweep " +
+            "would misreport unreferencedDirs)")
+        (if (present.exists(Layouts.contains)) LexicalLayouts else Nil) ++
+          Seq(CellLayout, BooksLayout).filter(sp =>
+            present.contains(sp.name))
+      }
     def isData(st: org.apache.hadoop.fs.FileStatus) =
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".")
@@ -864,8 +1004,7 @@ object SegmentManifest {
     }
     val markerLayouts = Set(ModelMarker)
     val findings = for {
-      g <- gens
-      m = load(spark, path, g)
+      (g, m) <- manifests
       (layout, es) <- m.layouts.toSeq.sortBy(_._1)
       if !markerLayouts.contains(layout)
       e <- es.sortBy(_.seg)
@@ -879,9 +1018,9 @@ object SegmentManifest {
     // vacuum debt: the same sweep vacuum reclaims by, counted not
     // deleted — dirs under the layout roots and _rev that no retained
     // manifest references
-    val referenced: Set[String] = gens
-      .map(load(spark, path, _))
-      .flatMap(m => specs.flatMap(sp => m.entries(sp.name).map(_.loc)))
+    val referenced: Set[String] = manifests
+      .flatMap { case (_, m) =>
+        sweepSpecs.flatMap(sp => m.entries(sp.name).map(_.loc)) }
       .toSet
     var unref = 0L
     def sweep(parent: Path, locPrefix: String, prefix: String): Unit =
@@ -893,12 +1032,13 @@ object SegmentManifest {
             else s"$locPrefix/${st.getPath.getName}"
           if (!referenced.contains(loc)) unref += 1
         }
-    for (sp <- specs)
+    for (sp <- sweepSpecs)
       sweep(new Path(if (sp.sub.isEmpty) path else s"$path/${sp.sub}"),
         sp.sub, sp.prefix)
     val revRoot = new Path(s"$path/_rev")
     if (fs.exists(revRoot))
-      for (g <- fs.listStatus(revRoot) if g.isDirectory; sp <- specs) {
+      for (g <- fs.listStatus(revRoot) if g.isDirectory;
+           sp <- sweepSpecs) {
         val base = if (sp.sub.isEmpty) g.getPath
           else new Path(g.getPath, sp.sub)
         val pfx = if (sp.sub.isEmpty) s"_rev/${g.getPath.getName}"

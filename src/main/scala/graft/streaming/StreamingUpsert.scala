@@ -27,7 +27,23 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Keys are grouped by their STRING form (`Option[String]`, so a NULL
   * key is one logical key, exactly like the batch operator's null-safe
   * grouping); `ordCol` must be long-castable and `rowTieBreak`
-  * string-castable — the same column classes q84 merges on. */
+  * string-castable — the same column classes q84 merges on.
+  *
+  * SIZING THE `delay` DIAL (measured, `tools/SettleCadenceProbe` —
+  * the settle stage composed with the real index wave loop): a winner
+  * only evicts when the watermark passes its event time + delay, and
+  * the watermark itself lags max event time by delay plus one batch,
+  * so end-to-end visibility costs `≈ 2·delay` of event time —
+  * `ceil(2·delay / cadence) + 2` waves, exact at every measured
+  * delay/cadence combo (1m:1m → 4 waves, 5m:1m → 12, 5m:5m → 4).
+  * Budget out-of-order tolerance at HALF the staleness you can
+  * afford, and match the wave cadence to the delay unless waves are
+  * cheap: fast cadence under a long delay burns waves polling the
+  * watermark forward (wall time scales with wave count — the ~1 s
+  * per-wave protocol floor — not with data), while `cadence = delay`
+  * pins visibility at the 4-wave floor. State stays open-keys-bounded
+  * throughout: `delay/cadence + 1` in-flight slices of rows, the
+  * solo-stage measurement carried unchanged under composition. */
 object StreamingUpsert {
 
   def latestByKeyWithinWatermark(updates: DataFrame, key: String,

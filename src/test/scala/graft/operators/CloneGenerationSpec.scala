@@ -427,6 +427,70 @@ class CloneGenerationSpec extends SparkSpec {
       s"wrong lineage message: $err")
   }
 
+  test("cloneGeneration fails LOUDLY on a damaged source — a " +
+      "referenced non-marker member physically missing — instead of " +
+      "sealing a corrupt clone that serves it as zero rows") {
+    val src = tmp("clone_damaged_src")
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def touch(s: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$src/$s")
+      f.mkdirs(p.getParent)
+      val out = f.create(p, true)
+      try out.write("x".getBytes("UTF-8")) finally out.close()
+    }
+    touch("centroid_id=0/part-0")
+    // centroid_id=2 is REFERENCED but never created — external damage
+    SegmentManifest.seal(spark, src, SegmentManifest.Manifest(1, Map(
+      "cells" -> Seq(SegmentManifest.Entry(0, "centroid_id=0"),
+        SegmentManifest.Entry(2, "centroid_id=2")),
+      // the marker is skipped by LAYOUT identity, not existence —
+      // it must not trip the loud missing-member check
+      SegmentManifest.ModelMarker ->
+        Seq(SegmentManifest.Entry(3, "model=g3")))))
+    val dst = tmp("clone_damaged_dst")
+    val err = intercept[org.apache.spark.SparkException] {
+      SegmentManifest.cloneGeneration(spark, src, dst)
+    }
+    assert(err.getMessage.contains("MISSING") ||
+        Option(err.getCause).exists(_.getMessage.contains("MISSING")),
+      s"wrong damage message: $err")
+    // the failed clone sealed nothing: no reader can resolve the dst
+    assert(SegmentManifest.generations(spark, dst).isEmpty,
+      "a failed clone must not leave a sealed (corrupt) manifest")
+  }
+
+  test("syncClone refuses a clone that FORKED locally (sealed a " +
+      "generation the source never had) while the source still " +
+      "retains a shared generation") {
+    def touch(root: String, s: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$s")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(p.getParent)
+      val out = f.create(p, true)
+      try out.write("x".getBytes("UTF-8")) finally out.close()
+    }
+    val src = tmp("sync_fork_src")
+    touch(src, "centroid_id=0/part-0")
+    val m1 = SegmentManifest.Manifest(1, Map(
+      "cells" -> Seq(SegmentManifest.Entry(0, "centroid_id=0"))))
+    SegmentManifest.seal(spark, src, m1)
+    val dst = tmp("sync_fork_dst")
+    SegmentManifest.cloneGeneration(spark, src, dst)
+    // the clone FORKS: seals generation 2 locally, which the source
+    // never seals — the source moves straight to 3
+    SegmentManifest.seal(spark, dst, m1.copy(gen = 2))
+    touch(src, "centroid_id=1/part-0")
+    SegmentManifest.seal(spark, src, SegmentManifest.Manifest(3, Map(
+      "cells" -> Seq(SegmentManifest.Entry(0, "centroid_id=0"),
+        SegmentManifest.Entry(1, "centroid_id=1")))))
+    val err = intercept[IllegalArgumentException] {
+      SegmentManifest.syncClone(spark, src, dst)
+    }
+    assert(err.getMessage.contains("FORKED"),
+      s"wrong fork message: $err")
+  }
+
   test("cloning a legacy (pre-manifest) layout fails loudly") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val base = e.filter(col("vec_id") =!= 0)

@@ -473,6 +473,49 @@ class SegmentManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("does not implement"), s"wrong: $e")
   }
 
+  test("AtomicCreateStore (the reference conf-key adapter): resolves " +
+      "from graft.seal.condput.store by class name for a raw " +
+      "object-store scheme, seals a real manifest through the real " +
+      "FileSystem, reads back intact, and a second sealer of the " +
+      "same generation collides loudly on the store's refusal") {
+    val dir = scratch("smf_atomiccreate").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    SegmentManifest.condPutReset()
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set(SegmentManifest.CondPutConfKey,
+      classOf[SegmentManifest.AtomicCreateStore].getName)
+    val s3 = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "s3a"
+    }
+    s3.setConf(conf)
+    val resolved = SegmentManifest.publisherFor(s3)
+    assert(resolved
+      .isInstanceOf[SegmentManifest.ConditionalPutPublisher],
+      s"conf-key resolution failed for the reference adapter: " +
+        s"$resolved")
+    val m = SegmentManifest.Manifest(1,
+      Map("cells" -> Seq(SegmentManifest.Entry(4, "centroid_id=4"))))
+    SegmentManifest.seal(spark, dir, m, Some(resolved))
+    assert(SegmentManifest.latest(spark, dir).get
+        .entries("cells").map(_.seg) == Seq(4),
+      "manifest sealed through the adapter did not read back")
+    // a second sealer of the same generation loses on the store's own
+    // conditional refusal — no JVM lock involved
+    val e = intercept[IllegalStateException] {
+      SegmentManifest.seal(spark, dir,
+        m.copy(layouts = Map("cells" ->
+          Seq(SegmentManifest.Entry(9, "centroid_id=9")))),
+        Some(resolved))
+    }
+    assert(e.getMessage.contains("conditional put refused"),
+      s"wrong collision message: $e")
+    // and the WINNER's composition survived the collision
+    assert(SegmentManifest.latest(spark, dir).get
+      .entries("cells").map(_.seg) == Seq(4))
+  }
+
   test("read() schema inference recurses one level: a member whose " +
       "parquet sits in a partitioned subdirectory is NOT classified " +
       "as empty, so an empty head member no longer fails inference " +
@@ -563,5 +606,75 @@ class SegmentManifestSpec extends SparkSpec {
     touch("centroid_id=0/sub/part-0")
     touch("centroid_id=1/part-0")
     assert(SegmentManifest.audit(spark, dir, specs).healthy)
+  }
+
+  test("audit derives its debt-sweep specs from the layouts the " +
+      "retained manifests actually reference — a cell/books index " +
+      "audited without specs counts its debris instead of sweeping " +
+      "nonexistent lexical roots and misreporting 0; any lexical " +
+      "layout pulls in the whole family; unknown layouts are loud") {
+    val dir = scratch("smf_audit_derive").toString
+    val f = fs(dir)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    def touch(s: String): Unit = {
+      f.mkdirs(path(s).getParent)
+      val out = f.create(path(s), true)
+      try out.write("x".getBytes("UTF-8")) finally out.close()
+    }
+    f.delete(path(""), true)
+    touch("centroid_id=0/part-0")
+    touch("books_1-aaaa/part-0")
+    SegmentManifest.seal(spark, dir, SegmentManifest.Manifest(1, Map(
+      "cells" -> Seq(SegmentManifest.Entry(0, "centroid_id=0")),
+      "books" -> Seq(SegmentManifest.Entry(1, "books_1-aaaa")),
+      SegmentManifest.ModelMarker ->
+        Seq(SegmentManifest.Entry(3, "model=g3")))))
+    // debris in BOTH vector layouts — the old LexicalLayouts default
+    // swept neither and read unreferencedDirs = 0
+    f.mkdirs(path("centroid_id=9"))
+    touch("books_2-bbbb/part-0")
+    val r = SegmentManifest.audit(spark, dir)
+    assert(r.healthy && r.unreferencedDirs == 2, s"got $r")
+
+    // lexical family: a manifest referencing only postings (tombstones
+    // emptied out) still sweeps the whole family's roots for debt
+    val lex = scratch("smf_audit_derive_lex").toString
+    val lf = fs(lex)
+    lf.delete(new org.apache.hadoop.fs.Path(lex), true)
+    def ltouch(s: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$lex/$s")
+      lf.mkdirs(p.getParent)
+      val out = lf.create(p, true)
+      try out.write("x".getBytes("UTF-8")) finally out.close()
+    }
+    ltouch("postings/seg=0/part-0")
+    SegmentManifest.seal(spark, lex, SegmentManifest.Manifest(1, Map(
+      "postings" -> Seq(SegmentManifest.Entry(0, "postings/seg=0")))))
+    lf.mkdirs(new org.apache.hadoop.fs.Path(s"$lex/tombstones/seg=9"))
+    val rl = SegmentManifest.audit(spark, lex)
+    assert(rl.healthy && rl.unreferencedDirs == 1, s"got $rl")
+
+    // an unknown layout name cannot be swept silently-partially
+    val odd = scratch("smf_audit_derive_odd").toString
+    val of = fs(odd)
+    of.delete(new org.apache.hadoop.fs.Path(odd), true)
+    def otouch(s: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$odd/$s")
+      of.mkdirs(p.getParent)
+      val out = of.create(p, true)
+      try out.write("x".getBytes("UTF-8")) finally out.close()
+    }
+    otouch("weird/w=0/part-0")
+    SegmentManifest.seal(spark, odd, SegmentManifest.Manifest(1, Map(
+      "weird" -> Seq(SegmentManifest.Entry(0, "weird/w=0")))))
+    val e = intercept[IllegalArgumentException] {
+      SegmentManifest.audit(spark, odd)
+    }
+    assert(e.getMessage.contains("weird") &&
+      e.getMessage.contains("pass `specs`"), s"wrong: $e")
+    // and passing the spec explicitly still works
+    val rOdd = SegmentManifest.audit(spark, odd,
+      Seq(SegmentManifest.LayoutSpec("weird", "weird", "w=", "w")))
+    assert(rOdd.healthy && rOdd.unreferencedDirs == 0, s"got $rOdd")
   }
 }
