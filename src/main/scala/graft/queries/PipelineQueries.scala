@@ -5147,6 +5147,84 @@ object PipelineQueries {
       Similarity.maxSimTopK(docVecs, queryVecs, "doc_id", k = 20)
     }),
 
+    // X2 — the clone CATCH-UP path under the hash gate (q196's
+    // sibling, [[StreamingVectorIndex.syncServing]]): a streaming
+    // int8 loop bootstraps and takes wave 1, the serving COMPOSITE is
+    // cloned (index generation + the pinned model artifacts), the
+    // source takes wave 2, and the clone CATCHES UP incrementally
+    // (syncServing: delta index members + generation-keyed model
+    // shipping). The source then moves past it — wave 3 deletes a
+    // slice, and an explicit vacuum reclaims every generation the
+    // clone ever shared. The returned frame probes the CLONE through
+    // the serving entry (probeLiveQuantized — cells AND model
+    // resolved through the clone's own pinned manifest): its hash
+    // proves the synced clone is exactly the wave-2 composition
+    // (oracle replays waves 1∘2 from raw under the clone's own
+    // shipped gen-0 model — reading cents from the DST root, so a
+    // sync that failed to ship the model artifact goes red) and that
+    // nothing wave 3 or the source vacuum did can reach it. At
+    // 100 TB the catch-up is the rsync shape: a wave touching 3 of
+    // 10⁴ cells ships 3 directory copies + 1 manifest seal.
+    "q198_serving_sync_probe" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val base = e.filter(col("vec_id") =!= 0 && col("vec_id") % 3 === 2)
+        .select(col("vec_id"), col("embedding"))
+      val src = scratchPath("svs_src", dir)
+      val dst = scratchPath("svs_dst", dir)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(src, dst).foreach(r =>
+        fs.delete(new org.apache.hadoop.fs.Path(r), true))
+      StreamingVectorIndex.bootstrapQuantized(base, src, "vec_id",
+        "embedding", k = 8)
+      def wave(df: DataFrame, op: String) =
+        df.select(col("vec_id"), col("embedding"), lit(op).as("op"))
+      def shifted(df: DataFrame, d: Float) =
+        df.select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(d)).as("embedding"))
+      // wave 1: shift %11==3 by +0.25 (dyadic — exact in both
+      // engines), delete %13==7; the shifted slice excludes the
+      // deleted one so no key carries two ops in one wave
+      StreamingVectorIndex.applyWaveQuantized(s, src,
+        wave(shifted(base.filter(col("vec_id") % 11 === 3 &&
+          col("vec_id") % 13 =!= 7), 0.25f), "upsert")
+          .unionByName(
+            wave(base.filter(col("vec_id") % 13 === 7), "delete")),
+        0L, "vec_id", "embedding", k = 8)
+      StreamingVectorIndex.cloneServing(s, src, dst)
+      // wave 2 at the SOURCE: shift %17==2 by +0.5 from the raw base
+      // (revives a wave-1 delete if %13==7 too — the oracle composes
+      // the same rule)
+      StreamingVectorIndex.applyWaveQuantized(s, src,
+        wave(shifted(base.filter(col("vec_id") % 17 === 2), 0.5f),
+          "upsert"),
+        1L, "vec_id", "embedding", k = 8)
+      // the benign waves must not have recentered — the oracle
+      // replays under the gen-0 model the clone shipped
+      for (g <- 1 to 3)
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+            s"$src/cents/gen=$g")),
+          s"q198: a benign wave recentered (cents/gen=$g) — the " +
+            "oracle's gen-0 replay would be wrong")
+      // CATCH-UP: delta members + generation-keyed model shipping
+      val delta = StreamingVectorIndex.syncServing(s, src, dst)
+      require(delta.nonEmpty,
+        "q198: syncServing copied nothing for a real wave")
+      // the source moves past the clone: wave 3 deletes a slice, and
+      // the vacuum reclaims every generation the clone ever shared
+      StreamingVectorIndex.applyWaveQuantized(s, src,
+        wave(base.filter(col("vec_id") % 7 === 1 &&
+          col("vec_id") % 13 =!= 7 && col("vec_id") % 17 =!= 2),
+          "delete"),
+        2L, "vec_id", "embedding", k = 8)
+      Similarity.ivfVacuumQuantized(s, s"$src/index",
+        keepGenerations = 1)
+      StreamingVectorIndex.probeLiveQuantized(s, dst, qv, "vec_id",
+        k = 10, nProbe = 3)
+    }),
+
     "q162_spell_suggest" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val path = fxDocsBm25(s, dir)
@@ -7999,6 +8077,56 @@ object PipelineQueries {
         |SELECT doc_id, round(CAST(sum(m) AS BIGINT) / 1e7, 4) AS maxsim
         |FROM mx GROUP BY 1
         |ORDER BY maxsim DESC, doc_id LIMIT 20""".stripMargin,
+
+    // replays the SYNCED clone's generation from raw: waves 1∘2
+    // composed over the bootstrap third (shift %11==3 by +0.25 unless
+    // deleted, delete %13==7 unless wave 2 revived it, shift %17==2
+    // by +0.5 — wave 2 wins), quantized by the engine's floor rule,
+    // assigned by cosine argmin under the gen-0 model READ FROM THE
+    // CLONE (a syncServing that failed to ship the model artifact
+    // goes red here), pruned to the query's top-3 cells, int8 cosine
+    // top-10 — the source's wave 3 and its vacuum must be invisible
+    "q198_serving_sync_probe" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT CASE WHEN s = 0 THEN list_transform(qv, x -> 0.0)
+        |              ELSE list_transform(qv, x -> floor(x / s + 0.5))
+        |         END AS qc
+        |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0
+        |          AS s FROM q)),
+        |cents AS (SELECT centroid_id AS cid, cvec AS cv FROM
+        |  read_parquet('{SCRATCH}/svs_dst_{SFHASH}/cents/gen=0/*.parquet')),
+        |probed AS (SELECT cid FROM cents, q
+        |           ORDER BY 1 - list_cosine_similarity(cv, qv), cid
+        |           LIMIT 3),
+        |live AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 17 = 2
+        |         THEN list_transform(embedding, x -> CAST(x + 0.5 AS FLOAT))
+        |         WHEN vec_id % 11 = 3 AND vec_id % 13 <> 7
+        |         THEN list_transform(embedding, x -> CAST(x + 0.25 AS FLOAT))
+        |         ELSE embedding END AS v
+        |  FROM embeddings
+        |  WHERE vec_id <> 0 AND vec_id % 3 = 2
+        |    AND (vec_id % 13 <> 7 OR vec_id % 17 = 2)),
+        |a AS (SELECT live.vec_id AS vid,
+        |        arg_min(cents.cid,
+        |          1 - list_cosine_similarity(live.v::DOUBLE[], cents.cv))
+        |          AS cid
+        |      FROM live, cents GROUP BY live.vec_id),
+        |z AS (SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(vd, x -> 0.0)
+        |         ELSE list_transform(vd, x -> floor(x / s + 0.5)) END AS codes
+        |  FROM (SELECT vec_id, v::DOUBLE[] AS vd,
+        |          list_max(list_transform(v::DOUBLE[], x -> abs(x)))
+        |            / 127.0 AS s
+        |        FROM live))
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(codes, (SELECT qc FROM qq)), 4)
+        |    AS qsim
+        |FROM z JOIN a ON z.vec_id = a.vid
+        |WHERE a.cid IN (SELECT cid FROM probed)
+        |ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
 
     // the q92 watermark algebra over VECTOR versions (admission by
     // per-wave watermark, winner by max version + min-op tiebreak,
