@@ -5147,6 +5147,35 @@ object PipelineQueries {
       Similarity.maxSimTopK(docVecs, queryVecs, "doc_id", k = 20)
     }),
 
+    // X2 — the PRUNED late-interaction rung under the hash gate
+    // ([[Similarity.maxSimTopKPruned]], the two-stage shape ColBERT
+    // serves: spherical k-means cells over token vectors, per-qtok
+    // nProbe candidate docs via the cell semi-join, exact MaxSim
+    // rescoring on the candidates): at FULL probe (nProbe = kCells)
+    // the candidate set is the whole corpus, so returned scores are
+    // bit-identical to q197's brute scan BY CONSTRUCTION — the same
+    // oracle serves unchanged — while the fit, the per-row cell
+    // argmin, the probed-cell union and the left-semi candidate
+    // restriction all execute under the hash. The recall trade of a
+    // partial probe is spec-pinned (MaxSimSpec) and measured
+    // (MaxSimRecallProbe); this row pins the pruned MACHINERY.
+    "q199_late_interaction_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val docVecs = d.select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(
+            coalesce(col("text"), lit(""))))).as("tok"))
+        .select(col("doc_id"),
+          Similarity.tokenPseudoVec(col("tok")).as("tokvec"))
+      val queryVecs = Seq((0L, "scan"), (1L, "filter"), (2L, "dup"),
+          (3L, "zetadrive"))
+        .toDF("qtok_id", "tok")
+        .select(col("qtok_id"),
+          Similarity.tokenPseudoVec(col("tok")).as("qvec"))
+      Similarity.maxSimTopKPruned(docVecs, queryVecs, "doc_id",
+        k = 20, kCells = 8, nProbe = 8)
+    }),
+
     // X2 — the clone CATCH-UP path under the hash gate (q196's
     // sibling, [[StreamingVectorIndex.syncServing]]): a streaming
     // int8 loop bootstraps and takes wave 1, the serving COMPOSITE is
@@ -8052,6 +8081,37 @@ object PipelineQueries {
     // every (doc token × query token) inner product fixed-point
     // quantized, max per (doc, qtok), sum per doc
     "q197_late_interaction" ->
+      """WITH qt AS (SELECT * FROM (VALUES (0, 'scan'), (1, 'filter'),
+        |             (2, 'dup'), (3, 'zetadrive')) t(qtok_id, tok)),
+        |qv AS (SELECT qtok_id,
+        |         list_transform(range(8), j ->
+        |           (ascii(substr(md5(tok), CAST(j*2+1 AS INTEGER), 1)) * 256
+        |            + ascii(substr(md5(tok), CAST(j*2+2 AS INTEGER), 1)))
+        |           / 16384.0 - 1.0) AS qvec
+        |       FROM qt),
+        |dt AS (SELECT doc_id,
+        |         unnest(list_distinct(
+        |           string_split(coalesce(text, ''), ' '))) AS tok
+        |       FROM documents),
+        |dv AS (SELECT doc_id,
+        |         list_transform(range(8), j ->
+        |           (ascii(substr(md5(tok), CAST(j*2+1 AS INTEGER), 1)) * 256
+        |            + ascii(substr(md5(tok), CAST(j*2+2 AS INTEGER), 1)))
+        |           / 16384.0 - 1.0) AS tv
+        |       FROM dt),
+        |mx AS (SELECT doc_id, qtok_id,
+        |         max(CAST(floor(list_inner_product(tv, qvec) * 1e7 + 0.5)
+        |           AS BIGINT)) AS m
+        |       FROM dv, qv GROUP BY 1, 2)
+        |SELECT doc_id, round(CAST(sum(m) AS BIGINT) / 1e7, 4) AS maxsim
+        |FROM mx GROUP BY 1
+        |ORDER BY maxsim DESC, doc_id LIMIT 20""".stripMargin,
+    // FULL-probe pruned MaxSim is bit-identical to the brute scan by
+    // construction (candidates = whole corpus) — q197's replay serves
+    // unchanged; what this row adds is the pruned machinery (cell
+    // fit, argmin assignment, probed-cell union, semi-join
+    // restriction) executing under the same hash
+    "q199_late_interaction_pruned" ->
       """WITH qt AS (SELECT * FROM (VALUES (0, 'scan'), (1, 'filter'),
         |             (2, 'dup'), (3, 'zetadrive')) t(qtok_id, tok)),
         |qv AS (SELECT qtok_id,
