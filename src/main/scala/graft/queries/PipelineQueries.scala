@@ -5147,6 +5147,30 @@ object PipelineQueries {
       Similarity.maxSimTopK(docVecs, queryVecs, "doc_id", k = 20)
     }),
 
+    // X2 — MMR DIVERSITY RE-RANKING under the hash gate
+    // ([[Similarity.mmrRerank]], Carbonell & Goldstein 1998): an
+    // exact top-40 candidate list re-ranked greedily by
+    // λ·relevance − (1−λ)·max-cosine-to-selected at λ=0.70. The
+    // fixed-point integer argmax (1e-7 quantization, ties to the
+    // smallest id) makes the greedy TRACE deterministic and
+    // engine-portable, so the oracle replays the full selection
+    // sequence with a recursive CTE (one LATERAL argmax per rank) —
+    // rank order, selected ids, and the mmr objective all under the
+    // hash. The candidate list is k-bounded BY CONTRACT (the
+    // ivfPqProbeRefined driver-size class): at 100 TB the corpus
+    // never reaches the greedy loop, only the upstream top-N does.
+    "q200_mmr_rerank" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val cand = Similarity.topK(corpus, qv, "vec_id", "embedding", 40)
+        .join(corpus.select(col("vec_id"), col("embedding")),
+          Seq("vec_id"))
+      Similarity.mmrRerank(cand, "vec_id", "sim", "embedding",
+        k = 15, lambdaX100 = 70)
+    }),
+
     // X2 — the PRUNED late-interaction rung under the hash gate
     // ([[Similarity.maxSimTopKPruned]], the two-stage shape ColBERT
     // serves: spherical k-means cells over token vectors, per-qtok
@@ -8137,6 +8161,55 @@ object PipelineQueries {
         |SELECT doc_id, round(CAST(sum(m) AS BIGINT) / 1e7, 4) AS maxsim
         |FROM mx GROUP BY 1
         |ORDER BY maxsim DESC, doc_id LIMIT 20""".stripMargin,
+
+    // replays the greedy MMR trace from raw: exact cosine top-40
+    // candidates, relevance and pairwise cosine (engine op order:
+    // normalize per element, then inner product) quantized to 1e-7
+    // fixed point, then a recursive CTE running the argmax per rank
+    // (obj = 70*rel_fp - 30*maxSimToSelected_fp, ties to smallest id)
+    "q200_mmr_rerank" ->
+      """WITH RECURSIVE
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |      WHERE vec_id = 0),
+        |cand AS (SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[],
+        |      (SELECT qv FROM q)), 4) AS sim,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY sim DESC, vec_id LIMIT 40),
+        |norm AS (SELECT vec_id, sim,
+        |    CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
+        |         ELSE v END AS u
+        |  FROM (SELECT vec_id, sim, v,
+        |          sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+        |        FROM cand)),
+        |relfp AS (SELECT vec_id, sim,
+        |    CAST(floor(sim * 1e7 + 0.5) AS BIGINT) AS rfp
+        |  FROM norm),
+        |pair AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |    CAST(floor(list_inner_product(a.u, b.u) * 1e7 + 0.5)
+        |      AS BIGINT) AS sfp
+        |  FROM norm a, norm b WHERE a.vec_id <> b.vec_id),
+        |sel(rank, vec_id, obj, chosen) AS (
+        |  (SELECT CAST(1 AS BIGINT), vec_id, 70 * rfp, [vec_id]
+        |   FROM relfp ORDER BY 70 * rfp DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT s.rank + 1, pick.vid, pick.obj,
+        |         list_append(s.chosen, pick.vid)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id AS vid,
+        |           70 * c.rfp - 30 * (SELECT max(p.sfp) FROM pair p
+        |                              WHERE p.i = c.vec_id
+        |                                AND list_contains(s.chosen, p.j))
+        |             AS obj
+        |    FROM relfp c
+        |    WHERE NOT list_contains(s.chosen, c.vec_id)
+        |    ORDER BY obj DESC, c.vec_id LIMIT 1) pick
+        |  WHERE s.rank < 15)
+        |SELECT rank, sel.vec_id, relfp.sim,
+        |  floor(obj / 100.0 / 1000.0 + 0.5) / 1e4 AS mmr
+        |FROM sel JOIN relfp ON sel.vec_id = relfp.vec_id
+        |ORDER BY rank""".stripMargin,
 
     // replays the SYNCED clone's generation from raw: waves 1∘2
     // composed over the bootstrap third (shift %11==3 by +0.25 unless
