@@ -48,6 +48,14 @@ import org.apache.spark.sql.functions._
   * and small: one line per live segment per layout. */
 object SegmentManifest {
 
+  /** Schema-inference memo for [[read]], keyed by the absolute member
+    * location whose footer was read. Sound because member dirs are
+    * write-once under the protocol (see [[read]]'s scaladoc); caches
+    * METADATA only — never rows — and is bounded by a clear-on-growth
+    * guard. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** The four layouts of a segmented index, in serialization order. */
   val Layouts: Seq[String] =
     Seq("postings", "segstats", "termdict", "tombstones")
@@ -654,7 +662,16 @@ object SegmentManifest {
     * ONCE from the first entry and supplied explicitly to the rest —
     * a layout's members share one schema by construction, and
     * per-entry inference was a hidden footer-read job per member
-    * (measured 16 of a maintenance wave's 48 jobs, WaveJobProbe). */
+    * (measured 16 of a maintenance wave's 48 jobs, WaveJobProbe).
+    * The inference is additionally MEMOIZED by the member's absolute
+    * location: member directories are write-once under the manifest
+    * protocol (new segments are new dirs, rewrites go under `_rev/`;
+    * the one sanctioned in-place rewrite — a replayed append — runs
+    * the same writer shape, so a location's schema cannot change
+    * while referenced), making the footer read a pure function of
+    * the location. Without the memo every probe's layout read paid
+    * one inference job per call (r19 WaveJobProbe: 2 of a refresh
+    * wave's 33 jobs plus their planning gaps). */
   def read(spark: SparkSession, path: String, m: Manifest,
            layout: String, keyCol: String = "seg",
            schema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -688,7 +705,15 @@ object SegmentManifest {
           }
         val withData = es.find(e => holdsData(new Path(s"$path/${e.loc}")))
           .getOrElse(es.head)
-        spark.read.parquet(s"$path/${withData.loc}").schema
+        val key = s"$path/${withData.loc}"
+        val hit = schemaMemo.get(key)
+        if (hit != null) hit
+        else {
+          val inferred = spark.read.parquet(key).schema
+          if (schemaMemo.size >= 8192) schemaMemo.clear()
+          schemaMemo.put(key, inferred)
+          inferred
+        }
       }
       Some(es.map { e =>
         spark.read.schema(sch).parquet(s"$path/${e.loc}")

@@ -31,12 +31,15 @@ object WaveJobProbe {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // search EVERY stage of the job for a graft call-site line:
+        // actions submitted through the SQL execution pool carry the
+        // user frame on an earlier stage, not the last one
+        val graftLine = js.stageInfos.iterator
+          .flatMap(_.details.linesIterator)
+          .find(l => l.contains("graft.") && !l.contains("WaveJobProbe"))
+          .getOrElse("").trim.take(90)
         val site = js.stageInfos.lastOption.map(si =>
-          si.name.take(60) + " | " +
-            si.details.linesIterator
-              .find(l => l.contains("graft.") && !l.contains("WaveJobProbe"))
-              .getOrElse("").trim.take(80))
-          .getOrElse("?")
+          si.name.take(50) + " | " + graftLine).getOrElse("?")
         jobs.put(js.jobId, (site, js.time))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
