@@ -4675,13 +4675,20 @@ object PipelineQueries {
               .unionByName(hairline),
             "doc_id", "v", "text", "tsms", delayMs = 60000L, "wave")
           .filter(col("evicted")))
-      require(winners.filter(col("doc_id") === 999998L).count() == 0,
+      // the three pin counts fused into ONE action over the cached
+      // frame (three separate count() jobs measured only planning/job
+      // floor — same checks, one pass)
+      val pins191 = winners.agg(
+        count(when(col("doc_id") === 999998L, 1L)),
+        count(when(col("op") === "delete", 1L)),
+        count(when(col("op") === "upsert", 1L))).head()
+      require(pins191.getLong(0) == 0,
         "q191: the hairline row (ts == wave-2 watermark) was " +
           "admitted — the strict-> admission boundary regressed")
-      require(winners.filter(col("op") === "delete").count() > 0,
+      require(pins191.getLong(1) > 0,
         "q191: no admitted delete settled — the late slice must " +
           "reach past wave 2's watermark")
-      require(winners.filter(col("op") === "upsert").count() > 0,
+      require(pins191.getLong(2) > 0,
         "q191: no settled upsert winners")
       TextAnalysis.bm25ApplyUpserts(s, path,
         winners.filter(col("op") === "upsert")
@@ -4779,14 +4786,18 @@ object PipelineQueries {
               .unionByName(hairline),
             "vec_id", "v", "op", "tsms", delayMs = 60000L, "wave")
           .filter(col("evicted")))
-      require(winners.filter(col("vec_id") === 999999998L)
-          .count() == 0,
+      // three pin counts, one action (the q191 fusion)
+      val pins192 = winners.agg(
+        count(when(col("vec_id") === 999999998L, 1L)),
+        count(when(col("op") === "delete", 1L)),
+        count(when(col("op") === "upsert", 1L))).head()
+      require(pins192.getLong(0) == 0,
         "q192: the hairline row (ts == wave-2 watermark) was " +
           "admitted — the strict-> admission boundary regressed")
-      require(winners.filter(col("op") === "delete").count() > 0,
+      require(pins192.getLong(1) > 0,
         "q192: no admitted delete settled — the late slice must " +
           "reach past wave 2's watermark")
-      require(winners.filter(col("op") === "upsert").count() > 0,
+      require(pins192.getLong(2) > 0,
         "q192: no settled upsert winners")
       StreamingVectorIndex.applyWaveQuantized(s, root,
         winners.select(col("vec_id"), col("embedding"), col("op")),
@@ -4868,13 +4879,17 @@ object PipelineQueries {
               .unionByName(hairline),
             "vec_id", "v", "op", "tsms", delayMs = 60000L, "wave")
           .filter(col("evicted")))
-      require(winners.filter(col("vec_id") === 999999998L)
-          .count() == 0,
+      // three pin counts, one action (the q191 fusion)
+      val pins194 = winners.agg(
+        count(when(col("vec_id") === 999999998L, 1L)),
+        count(when(col("op") === "delete", 1L)),
+        count(when(col("op") === "upsert", 1L))).head()
+      require(pins194.getLong(0) == 0,
         "q194: the hairline row (ts == wave-2 watermark) was " +
           "admitted — the strict-> admission boundary regressed")
-      require(winners.filter(col("op") === "delete").count() > 0,
+      require(pins194.getLong(1) > 0,
         "q194: no admitted delete settled")
-      require(winners.filter(col("op") === "upsert").count() > 0,
+      require(pins194.getLong(2) > 0,
         "q194: no settled upsert winners")
       StreamingVectorIndex.applyWaveIvfPq(s, root,
         winners.select(col("vec_id"), col("embedding"), col("op")),
@@ -4956,10 +4971,14 @@ object PipelineQueries {
             "doc_id", "v", "text", "tsms", delayMs = 60000L, "wave")
           .filter(col("evicted"))
           .select(col("doc_id"), col("text")))
-      require(winners.filter(col("doc_id") === 999998L).count() == 0,
+      // two pin counts, one action (the q191 fusion)
+      val pins195 = winners.agg(
+        count(when(col("doc_id") === 999998L, 1L)),
+        count(when(col("text") === "", 1L))).head()
+      require(pins195.getLong(0) == 0,
         "q195: the hairline row (ts == wave-2 watermark) was " +
           "admitted — the strict-> admission boundary regressed")
-      require(winners.filter(col("text") === "").count() > 0,
+      require(pins195.getLong(1) > 0,
         "q195: no emptied version settled — the late slice must " +
           "reach past wave 2's watermark")
       val path = scratchPath("perc_et_qindex", dir)
