@@ -194,7 +194,10 @@ object Similarity {
     * Scale shape: the fit is ml-native treeAggregate rounds over a
     * cached one-column vector frame; the result is k rows materialized
     * driver-side (tiny by construction — this is the one frame that is
-    * SUPPOSED to be driver-sized). */
+    * SUPPOSED to be driver-sized). CONTRACT: the fit runs EAGERLY at
+    * call time and the returned frame is a driver-local relation —
+    * consumers may re-plan it freely, no checkpoint/cache needed (the
+    * r19 round removed two such redundant pins). */
   def learnedCentroids(vectors: DataFrame, vecCol: String, k: Int,
                        seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
@@ -1119,8 +1122,11 @@ object Similarity {
     val out =
       if (!drifted) (cents, baseline, false, stats)
       else {
+        // no checkpoint: [[learnedCentroids]] runs the ML fit EAGERLY
+        // and returns a driver-local relation (collected cluster
+        // centers), so re-planning never re-fits — the old pin was one
+        // wasted job per recenter
         val cents2 = learnedCentroids(newSnap, vecCol, k, seed)
-          .localCheckpoint() // pin the fit: consumers re-plan it otherwise
         ivfRebuildQuantizedMvcc(spark, indexPath, newSnap, cents2,
           idCol, vecCol, modelGen = 0)
         // the rebuild re-encoded everything: stats reset with the full

@@ -575,8 +575,12 @@ object StreamingVectorIndex {
     compactSnapshot(spark, root, gen, idCol, vecCol, retain)
     val snap = spark.read.parquet(s"$root/snapfull/gen=$gen")
       .select(col(idCol), col(vecCol))
+    // no checkpoint: both IndexOps fitCentroids run the ML fit EAGERLY
+    // inside learnedCentroids and return a driver-local relation, so
+    // re-planning never re-fits — the old pin was one wasted job per
+    // recenter/bootstrap (it is also consumed exactly once, by
+    // writeCents below; everything downstream reads the WRITTEN file)
     val fitted = ops.fitCentroids(snap, vecCol)
-      .localCheckpoint() // pin the fit: consumers re-plan it otherwise
     // publish `cents/gen=<gen>` BEFORE the rebuild seals a manifest
     // whose ModelMarker names generation `gen`: probeLive* resolves
     // the model gen from the sealed manifest and reads this path —
