@@ -25,13 +25,21 @@ object Similarity {
 
   /** Cosine of every row against a single query vector (1-row DataFrame
     * with column `qvec`, broadcast — the scalar-broadcast idiom, not a
-    * driver collect). */
+    * driver collect).
+    *
+    * `toDouble` (an ArrayTransform — CodegenFallback) is materialized
+    * in its OWN projection below the join: inlined into `sim` it would
+    * re-evaluate once per (row × query) pair AND drag the whole cosine
+    * tree out of whole-stage codegen; projected first it runs once per
+    * corpus row and the native vec_dot kernels stay fused (r19, same
+    * class as the q199 argmin unroll). Values are bit-identical. */
   def scoreAgainst(vectors: DataFrame, queryVec: DataFrame,
                    vecCol: String): DataFrame =
-    vectors.crossJoin(broadcast(queryVec))
+    vectors.withColumn("_vd", VectorFns.toDouble(col(vecCol)))
+      .crossJoin(broadcast(queryVec))
       .withColumn("sim",
-        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
-          col("qvec")), 4))
+        round(VectorFns.cosine(col("_vd"), col("qvec")), 4))
+      .drop("_vd")
 
   def topK(vectors: DataFrame, queryVec: DataFrame, idCol: String,
            vecCol: String, k: Int): DataFrame =
@@ -66,13 +74,15 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col(idCol))
     vectors
+      // toDouble projected below the joins — once per corpus row, and
+      // the sim expression stays codegen (see [[scoreAgainst]])
+      .withColumn("_vd", VectorFns.toDouble(col(vecCol)))
       .join(broadcast(candidates.select(col("qid"), col(idCol))),
         Seq(idCol))
       .join(broadcast(queries.select(col("qid"), col("qvec"))),
         Seq("qid"))
       .withColumn("sim",
-        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
-          col("qvec")), 4))
+        round(VectorFns.cosine(col("_vd"), col("qvec")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("sim"))
@@ -234,10 +244,14 @@ object Similarity {
     * normalization pass. */
   def ivfAssignCosine(vectors: DataFrame, cents: DataFrame, idCol: String,
                       vecCol: String): DataFrame =
-    vectors.crossJoin(broadcast(cents))
+    // toDouble projected below the crossJoin — once per vector instead
+    // of once per (vector × centroid), and cd stays codegen (see
+    // [[scoreAgainst]])
+    vectors.select(col(idCol),
+        VectorFns.toDouble(col(vecCol)).as("_vd"))
+      .crossJoin(broadcast(cents))
       .withColumn("cd",
-        lit(1.0) - VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
-          col("cvec")))
+        lit(1.0) - VectorFns.cosine(col("_vd"), col("cvec")))
       .groupBy(col(idCol))
       .agg(min_by(col("centroid_id"), col("cd")).as("centroid_id"))
 
@@ -283,9 +297,11 @@ object Similarity {
     * without a window. */
   def ivfAssign(vectors: DataFrame, cents: DataFrame, idCol: String,
                 vecCol: String): DataFrame =
-    vectors.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        VectorFns.sqDist(VectorFns.toDouble(col(vecCol)), col("cvec")))
+    // same projection discipline as [[ivfAssignCosine]]
+    vectors.select(col(idCol),
+        VectorFns.toDouble(col(vecCol)).as("_vd"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", VectorFns.sqDist(col("_vd"), col("cvec")))
       .groupBy(col(idCol))
       .agg(min_by(col("centroid_id"), col("d2")).as("centroid_id"))
 
@@ -312,11 +328,12 @@ object Similarity {
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col(idCol))
     vectors
+      // toDouble below the joins (see [[scoreAgainst]])
+      .withColumn("_vd", VectorFns.toDouble(col(vecCol)))
       .join(assignment, Seq(idCol))
       .join(broadcast(probed), Seq("centroid_id"))
       .withColumn("sim",
-        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
-          col("qvec")), 4))
+        round(VectorFns.cosine(col("_vd"), col("qvec")), 4))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("sim"))
@@ -525,10 +542,11 @@ object Similarity {
     spark.read.parquet(indexPath)
       .filter(col("centroid_id").isin(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(cells): _*))
+      // toDouble below the join (see [[scoreAgainst]])
+      .withColumn("_vd", VectorFns.toDouble(col(vecCol)))
       .join(broadcast(probed), Seq("centroid_id"))
       .withColumn("sim",
-        round(VectorFns.cosine(VectorFns.toDouble(col(vecCol)),
-          col("qvec")), 4))
+        round(VectorFns.cosine(col("_vd"), col("qvec")), 4))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("sim"))
@@ -636,9 +654,13 @@ object Similarity {
     codes
       .filter(col("centroid_id")
         .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
-      .crossJoin(broadcast(qCodes))
+      // both toDouble sides materialized below/inside the broadcast so
+      // the qsim expression stays codegen (see [[scoreAgainst]])
+      .withColumn("_vd", VectorFns.toDouble(col("codes")))
+      .crossJoin(broadcast(qCodes
+        .select(VectorFns.toDouble(col("query_codes")).as("_qvd"))))
       .select(col(idCol),
-        round(Quantize.cosineCodes(col("codes"), col("query_codes")), 4)
+        round(VectorFns.cosine(col("_vd"), col("_qvd")), 4)
           .as("qsim"))
       .orderBy(col("qsim").desc, col(idCol))
       .limit(k)
@@ -674,10 +696,15 @@ object Similarity {
         .as("query_codes"))
     val wk = Window.partitionBy(col("qid"))
       .orderBy(col("qsim").desc, col(idCol))
-    codes.join(broadcast(probed), Seq("centroid_id"))
-      .join(broadcast(qCodes), Seq("qid"))
+    codes
+      // toDouble on both sides materialized below the joins (see
+      // [[scoreAgainst]])
+      .withColumn("_vd", VectorFns.toDouble(col("codes")))
+      .join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(qCodes.select(col("qid"),
+        VectorFns.toDouble(col("query_codes")).as("_qvd"))), Seq("qid"))
       .select(col("qid"), col(idCol),
-        round(Quantize.cosineCodes(col("codes"), col("query_codes")), 4)
+        round(VectorFns.cosine(col("_vd"), col("_qvd")), 4)
           .as("qsim"))
       .withColumn("_rn", row_number().over(wk))
       .filter(col("_rn") <= k)
@@ -709,9 +736,12 @@ object Similarity {
       .join(ivfAssignCosine(snapshot, cents, idCol, vecCol), Seq(idCol))
       .filter(col("centroid_id").isin(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*))
-      .crossJoin(broadcast(qCodes))
+      // both toDouble sides materialized (see [[scoreAgainst]])
+      .withColumn("_vd", VectorFns.toDouble(col("codes")))
+      .crossJoin(broadcast(qCodes
+        .select(VectorFns.toDouble(col("query_codes")).as("_qvd"))))
       .select(col(idCol),
-        round(Quantize.cosineCodes(col("codes"), col("query_codes")), 4)
+        round(VectorFns.cosine(col("_vd"), col("_qvd")), 4)
           .as("qsim"))
       .orderBy(col("qsim").desc, col(idCol))
       .limit(k)
@@ -1003,9 +1033,14 @@ object Similarity {
           cs.toArray): _*))
       case None => all
     }
-    idx.join(broadcast(cents), Seq("centroid_id"))
+    idx
+      // toDouble below the join so the fixed-point cd expression stays
+      // codegen (see [[scoreAgainst]]); the join is 1:1 per row, so
+      // this is purely the codegen-boundary win
+      .withColumn("_vd", VectorFns.toDouble(col("codes")))
+      .join(broadcast(cents), Seq("centroid_id"))
       .withColumn("cd_fp", floor(
-        (lit(1.0) - VectorFns.cosine(VectorFns.toDouble(col("codes")),
+        (lit(1.0) - VectorFns.cosine(col("_vd"),
           col("cvec"))) * lit(1e7) + lit(0.5)).cast("long"))
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n"), sum(col("cd_fp")).as("cd_fp_sum"))
