@@ -61,14 +61,17 @@ object ProductQuantize {
 
   /** `idCol` + unit-normalized `_uv` (zero-norm rows dropped). */
   private def unitVectors(vectors: DataFrame, vecCol: String,
-                          keep: Seq[String]): DataFrame = {
-    val vd = VectorFns.toDouble(col(vecCol))
+                          keep: Seq[String]): DataFrame =
+    // toDouble materialized once per row (the r19 projection
+    // discipline — inline it was evaluated twice in the norm and once
+    // more in the normalize transform, all CodegenFallback)
     vectors
-      .withColumn("_n", VectorFns.norm(vd))
+      .select(keep.map(col) :+
+        VectorFns.toDouble(col(vecCol)).as("_vd"): _*)
+      .withColumn("_n", VectorFns.norm(col("_vd")))
       .filter(col("_n") > 0)
       .select(keep.map(col) :+
-        VectorFns.unitNormalizeWith(vd, col("_n")).as("_uv"): _*)
-  }
+        VectorFns.unitNormalizeWith(col("_vd"), col("_n")).as("_uv"): _*)
 
   /** [[pqTrain]] on an ALREADY-prepared double-array column — no
     * normalization (residual vectors must not be re-normalized).

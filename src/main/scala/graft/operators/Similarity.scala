@@ -213,13 +213,17 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = vectors.sparkSession
     import spark.implicits._
-    val vd = VectorFns.toDouble(col(vecCol))
+    // toDouble materialized once per row (the r19 projection
+    // discipline — inline it was evaluated twice in the norm and once
+    // more in the normalize transform, all CodegenFallback)
     val feat = graft.engine.Caching.cached(
       vectors
-        .withColumn("_n", VectorFns.norm(vd))
+        .select(VectorFns.toDouble(col(vecCol)).as("_vd"))
+        .withColumn("_n", VectorFns.norm(col("_vd")))
         .filter(col("_n") > 0)
         .select(array_to_vector(
-          VectorFns.unitNormalizeWith(vd, col("_n"))).as("features")))
+          VectorFns.unitNormalizeWith(col("_vd"), col("_n")))
+          .as("features")))
     val n = feat.count()
     require(n > 0, "learnedCentroids: no non-zero-norm vectors to cluster")
     val model = new org.apache.spark.ml.clustering.KMeans()
