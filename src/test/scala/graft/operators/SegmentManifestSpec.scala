@@ -560,6 +560,40 @@ class SegmentManifestSpec extends SparkSpec {
       .toSeq == Seq((1L, "a", 2), (2L, "b", 2)), out.mkString(","))
   }
 
+  test("read() schema memo invalidates on an in-place member rewrite " +
+      "(mtime-keyed): a replayed append that changes the member's " +
+      "schema resolves the FRESH schema, and a _rev rewrite (new " +
+      "location) infers fresh by construction") {
+    import spark.implicits._
+    val dir = scratch("smf_memo").toString
+    val f = fs(dir)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/cells/seg=1")
+    val m = SegmentManifest.Manifest(0, Map("cells" -> Seq(
+      SegmentManifest.Entry(1, "cells/seg=1"))))
+    // first read memoizes the inferred (id, v) schema by (loc, mtime)
+    assert(SegmentManifest.read(spark, dir, m, "cells").get
+      .columns.toSeq == Seq("id", "v", "seg"))
+    // in-place rewrite with a DIFFERENT schema — the replayed-append /
+    // unsanctioned-edit shape a location-only memo is blind to
+    Seq((1L, 9L)).toDF("id", "w").write.mode("overwrite")
+      .parquet(s"$dir/cells/seg=1")
+    // pin a strictly newer mtime so the check never depends on the
+    // filesystem's timestamp granularity
+    val p = new org.apache.hadoop.fs.Path(s"$dir/cells/seg=1")
+    f.setTimes(p, f.getFileStatus(p).getModificationTime + 1000L, -1)
+    assert(SegmentManifest.read(spark, dir, m, "cells").get
+      .columns.toSeq == Seq("id", "w", "seg"))
+    // a maintenance rewrite under _rev/ is a NEW location — never
+    // keyed to the old member's memo entry
+    Seq((1L, 3.5)).toDF("id", "x").write
+      .parquet(s"$dir/_rev/g1-feedcafe/cells/seg=1")
+    val m2 = SegmentManifest.Manifest(1, Map("cells" -> Seq(
+      SegmentManifest.Entry(1, "_rev/g1-feedcafe/cells/seg=1"))))
+    assert(SegmentManifest.read(spark, dir, m2, "cells").get
+      .columns.toSeq == Seq("id", "x", "seg"))
+  }
+
   test("audit (fsck): healthy on an intact layout, names missing and " +
       "emptied referenced members, tolerates one-level nesting, skips " +
       "marker layouts, and counts unreferenced dirs as vacuum debt") {
