@@ -397,9 +397,8 @@ object ProductQuantize {
                  queryVec: DataFrame, idCol: String,
                  k: Int): DataFrame = {
     val cb = readBooks(spark, s"$path/codebooks")
-    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
     adcScore(spark.read.parquet(s"$path/codes"),
-      adcLut(cb, queryVec, m), idCol, k)
+      adcLut(cb, queryVec, mOf(spark, s"$path/codebooks")), idCol, k)
   }
 
   /** Materialize the IVF-PQ layout — the FAISS production shape, both
@@ -488,19 +487,22 @@ object ProductQuantize {
     * recenter sealing mid-probe changes neither — the codes/books
     * pairing is atomic); legacy layouts read the live hive tree and
     * the live `codebooks` copy. */
-  private def pinnedCodesAndBooks(spark: SparkSession,
-                                  path: String): (DataFrame, DataFrame) =
+  private def pinnedCodesAndBooks(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, String) =
     resolveCodesAndBooks(spark, path,
       SegmentManifest.latest(spark, s"$path/codes"))
 
   /** [[pinnedCodesAndBooks]] against a manifest the CALLER already
     * pinned — the one-resolution entry for readers that also derive
     * the centroid model from the same manifest
-    * ([[graft.streaming.StreamingVectorIndex.probeLiveIvfPq]]). */
+    * ([[graft.streaming.StreamingVectorIndex.probeLiveIvfPq]]).
+    * Returns (codes, books, books location) — the location feeds the
+    * (loc, mtime)-keyed [[mOf]] memo so probes stop paying one
+    * m-aggregate job per call. */
   private[graft] def resolveCodesAndBooks(
       spark: SparkSession, path: String,
       mfOpt: Option[SegmentManifest.Manifest])
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, String) = {
     val indexPath = s"$path/codes"
     mfOpt match {
       case Some(mf) =>
@@ -521,7 +523,8 @@ object ProductQuantize {
           .getOrElse(throw new IllegalStateException(
             s"IVF-PQ index at $indexPath: generation ${mf.gen} has " +
               "no cells"))
-        (codes, booksFor(spark, path, Some(mf)))
+        val bl = booksLocFor(path, Some(mf))
+        (codes, readBooks(spark, bl), bl)
       case None =>
         // true legacy/manifest-less: plain reads — NOT
         // readQuantizedIndex, whose centroid normalization would
@@ -529,7 +532,7 @@ object ProductQuantize {
         // serves; hive layouts keep their centroid_id partition
         // column as discovered
         (spark.read.parquet(indexPath),
-          readBooks(spark, s"$path/codebooks"))
+          readBooks(spark, s"$path/codebooks"), s"$path/codebooks")
     }
   }
 
@@ -556,13 +559,85 @@ object ProductQuantize {
     * encoding can never desynchronize on it: the manifest's books
     * entry when a rebuild sealed one, else the live `codebooks` copy
     * (exact for books-less histories — refreshes never retrain). */
-  private def booksFor(spark: SparkSession, path: String,
-                       mf: Option[SegmentManifest.Manifest]): DataFrame =
+  private def booksLocFor(path: String,
+                          mf: Option[SegmentManifest.Manifest]): String =
     mf match {
       case Some(m) if m.entries("books").nonEmpty =>
-        readBooks(spark, s"$path/codes/${m.entries("books").last.loc}")
-      case _ => readBooks(spark, s"$path/codebooks")
+        s"$path/codes/${m.entries("books").last.loc}"
+      case _ => s"$path/codebooks"
     }
+
+  private def booksFor(spark: SparkSession, path: String,
+                       mf: Option[SegmentManifest.Manifest]): DataFrame =
+    readBooks(spark, booksLocFor(path, mf))
+
+  /** [[governingBooks]]' location — for the (loc, mtime)-keyed model
+    * memos below. */
+  private[graft] def governingBooksLoc(spark: SparkSession,
+                                       path: String): String =
+    booksLocFor(path, SegmentManifest.latest(spark, s"$path/codes"))
+
+  /** Model-geometry and model-identity memos for WRITTEN codebook
+    * files, keyed by (location, dir mtime) — both are pure functions
+    * of the file, but were recomputed as one Spark JOB per call: the
+    * `m` aggregate ran once per IVF-PQ probe (40× in the probe-hammer
+    * rows) and once per refresh wave; the books-half fingerprint ran
+    * once per wave's drift stats (r20 WaveJobProbe). Metadata-scale,
+    * LRU-bounded; the mtime key re-reads a rewritten file. */
+  private val mMemo: java.util.Map[(String, Long), java.lang.Integer] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), java.lang.Integer](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), java.lang.Integer])
+            : Boolean = size() > 4096
+      })
+
+  private val bookFpMemo: java.util.Map[(String, Long), java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), java.lang.Long](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), java.lang.Long])
+            : Boolean = size() > 4096
+      })
+
+  private def booksMtime(spark: SparkSession, loc: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+  }
+
+  /** m (= max subspace + 1) of a written codebooks file, memoized. */
+  private[graft] def mOf(spark: SparkSession, loc: String): Int = {
+    val key = (loc, booksMtime(spark, loc))
+    val hit = mMemo.get(key)
+    if (hit != null) hit.intValue()
+    else {
+      val m = readBooks(spark, loc)
+        .agg(max(col("subspace"))).head().getLong(0).toInt + 1
+      mMemo.put(key, java.lang.Integer.valueOf(m))
+      m
+    }
+  }
+
+  /** The books half of the IVF-PQ model fingerprint
+    * ([[Similarity.modelFingerprint]] over (subspace, code, bvec)),
+    * memoized per written codebooks file. */
+  private[graft] def booksFingerprintAt(spark: SparkSession,
+                                        loc: String): Long = {
+    val key = (loc, booksMtime(spark, loc))
+    val hit = bookFpMemo.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val fp = Similarity.modelFingerprint(
+        readBooks(spark, loc).select(col("subspace"), col("code"),
+          col("cvec").as("bvec")),
+        Seq("subspace", "code"), "bvec")
+      bookFpMemo.put(key, java.lang.Long.valueOf(fp))
+      fp
+    }
+  }
 
   /** ADC probe over an already-resolved (codes, codebooks) pair — the
     * second half of [[ivfPqProbe]], exposed so pin-once callers reuse
@@ -571,9 +646,12 @@ object ProductQuantize {
                                         cb: DataFrame, cents: DataFrame,
                                         queryVec: DataFrame,
                                         idCol: String, k: Int,
-                                        nProbe: Int): DataFrame = {
+                                        nProbe: Int,
+                                        mO: Option[Int] = None)
+      : DataFrame = {
     val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
-    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val m = mO.getOrElse(
+      cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1)
     adcScore(codes.filter(col("centroid_id")
         .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*)),
       adcLut(cb, queryVec, m), idCol, k)
@@ -588,8 +666,9 @@ object ProductQuantize {
   def ivfPqProbe(spark: SparkSession, path: String, cents: DataFrame,
                  queryVec: DataFrame, idCol: String, k: Int,
                  nProbe: Int): DataFrame = {
-    val (allCodes, cb) = pinnedCodesAndBooks(spark, path)
-    ivfPqProbeResolved(allCodes, cb, cents, queryVec, idCol, k, nProbe)
+    val (allCodes, cb, bl) = pinnedCodesAndBooks(spark, path)
+    ivfPqProbeResolved(allCodes, cb, cents, queryVec, idCol, k, nProbe,
+      mO = Some(mOf(spark, bl)))
   }
 
   /** The IVF-PQ probe SEMANTICS replayed against a corpus snapshot
@@ -607,9 +686,10 @@ object ProductQuantize {
   def ivfPqProbeSnapshot(snapshot: DataFrame, cents: DataFrame,
                          codebooks: DataFrame, queryVec: DataFrame,
                          idCol: String, vecCol: String, k: Int,
-                         nProbe: Int): DataFrame = {
-    val m = codebooks.agg(max(col("subspace"))).head()
-      .getLong(0).toInt + 1
+                         nProbe: Int,
+                         mO: Option[Int] = None): DataFrame = {
+    val m = mO.getOrElse(codebooks.agg(max(col("subspace"))).head()
+      .getLong(0).toInt + 1)
     val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
     val members = snapshot.join(
         Similarity.ivfAssignCosine(snapshot, cents, idCol, vecCol),
@@ -667,9 +747,9 @@ object ProductQuantize {
   def pqProbeADCMulti(spark: SparkSession, path: String,
                       queries: DataFrame, idCol: String,
                       k: Int): DataFrame = {
-    val (codes, cb) = pinnedCodesAndBooks(spark, path)
-    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
-    adcScoreMulti(codes, adcLutMulti(cb, queries, m), idCol, k)
+    val (codes, cb, bl) = pinnedCodesAndBooks(spark, path)
+    adcScoreMulti(codes, adcLutMulti(cb, queries, mOf(spark, bl)),
+      idCol, k)
   }
 
   /** Batch IVF-PQ probe, relational cell restriction: per-query top
@@ -680,9 +760,9 @@ object ProductQuantize {
   def ivfPqProbeMulti(spark: SparkSession, path: String,
                       cents: DataFrame, queries: DataFrame,
                       idCol: String, k: Int, nProbe: Int): DataFrame = {
-    val (codesRaw, cb) = pinnedCodesAndBooks(spark, path)
+    val (codesRaw, cb, bl) = pinnedCodesAndBooks(spark, path)
     ivfPqProbeResolvedMulti(codesRaw, cb, cents, queries, idCol, k,
-      nProbe)
+      nProbe, mO = Some(mOf(spark, bl)))
   }
 
   /** [[ivfPqProbeResolved]]'s panel sibling over already-resolved
@@ -696,8 +776,11 @@ object ProductQuantize {
                                              cents: DataFrame,
                                              queries: DataFrame,
                                              idCol: String, k: Int,
-                                             nProbe: Int): DataFrame = {
-    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+                                             nProbe: Int,
+                                             mO: Option[Int] = None)
+      : DataFrame = {
+    val m = mO.getOrElse(
+      cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1)
     val codes = codesRaw
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     ivfPqScoreCodesMulti(codes, cb, cents, queries, idCol, k, nProbe, m)
@@ -779,9 +862,12 @@ object ProductQuantize {
       newSnap: DataFrame, changes: DataFrame, idCol: String,
       vecCol: String, residual: Boolean): Seq[Long] = {
     val indexPath = s"$path/codes"
-    // the GOVERNING books, manifest-resolved — never the live cache
-    val cb = governingBooks(spark, path)
-    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    // the GOVERNING books, manifest-resolved — never the live cache;
+    // m through the (loc, mtime) memo — the aggregate was one job per
+    // wave for a constant of the written file
+    val booksLoc = governingBooksLoc(spark, path)
+    val cb = readBooks(spark, booksLoc)
+    val m = mOf(spark, booksLoc)
     val changed = cached(
       changes.filter(col("status") =!= "unchanged"))
     val gone = changed.filter(col("status").isin("removed", "modified"))
@@ -842,17 +928,23 @@ object ProductQuantize {
     * unchanged. */
   def ivfPqDriftStats(spark: SparkSession, path: String,
                       cents: DataFrame, idCol: String,
-                      cells: Option[Seq[Long]] = None): DataFrame = {
+                      cells: Option[Seq[Long]] = None,
+                      modelFpO: Option[Long] = None): DataFrame = {
     // manifest-resolved governing books: the stats LUT and the sealed
     // model_fp must describe the books the sealed cells were encoded
     // with, not a possibly-stale live cache
-    val cb = governingBooks(spark, path)
+    val booksLoc = governingBooksLoc(spark, path)
+    val cb = readBooks(spark, booksLoc)
       .select(col("subspace"), col("code"), col("cvec").as("bvec"))
     // the PQ rows are valid under BOTH model artifacts — seal the
     // pair (a recenter retrains the books too, so the carried-stats
-    // check must see that as a model change)
-    val modelFp = Similarity.centroidFingerprint(cents) ^
-      Similarity.modelFingerprint(cb, Seq("subspace", "code"), "bvec")
+    // check must see that as a model change). The books half rides
+    // the (loc, mtime) memo; callers whose cents come from a written
+    // gen-keyed store pass the whole pair memoized (modelFpO) — the
+    // two inline collects were jobs per streaming wave
+    val modelFp = modelFpO.getOrElse(
+      Similarity.centroidFingerprint(cents) ^
+        booksFingerprintAt(spark, booksLoc))
     val lut = cb.crossJoin(broadcast(
         cents.select(col("centroid_id"), col("cvec"))))
       .withColumn("_sublen", size(col("bvec")))
@@ -924,10 +1016,7 @@ object ProductQuantize {
     val dirty = ivfPqRefreshIncremental(spark, path, cents, newSnap,
       changes, idCol, vecCol)
     val fpNow = Similarity.centroidFingerprint(cents) ^
-      Similarity.modelFingerprint(
-        governingBooks(spark, path)
-          .select(col("subspace"), col("code"), col("cvec").as("bvec")),
-        Seq("subspace", "code"), "bvec")
+      booksFingerprintAt(spark, governingBooksLoc(spark, path))
     // delta-bounded gauges under a carried stats frame — the
     // [[Similarity.ivfRefreshOrRecenter]] discipline, PQ flavor
     // (stats from the codes alone, so the dirty-cell rescan is the
@@ -1038,7 +1127,7 @@ object ProductQuantize {
     val probedSeq =
       scala.collection.immutable.ArraySeq.unsafeWrapArray(probed)
     val cb = readBooks(spark, s"$path/codebooks")
-    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val m = mOf(spark, s"$path/codebooks")
     val cellConst = cents.filter(col("centroid_id").isin(probedSeq: _*))
       .crossJoin(broadcast(queryVec))
       .select(col("centroid_id"),
@@ -1070,7 +1159,7 @@ object ProductQuantize {
                               nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb = readBooks(spark, s"$path/codebooks")
-    val m = cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1
+    val m = mOf(spark, s"$path/codebooks")
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("_cd"), col("centroid_id"))
     val probed = cents.crossJoin(broadcast(queries))

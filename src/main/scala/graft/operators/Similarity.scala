@@ -1005,6 +1005,38 @@ object Similarity {
   def centroidFingerprint(cents: DataFrame): Long =
     modelFingerprint(cents, Seq("centroid_id"), "cvec")
 
+  /** [[centroidFingerprint]] of a WRITTEN centroid store directory,
+    * memoized by (dir, mtime): the fingerprint is a pure function of
+    * the gen-keyed file, but computing it from a parquet-read frame
+    * was one collect JOB per maintenance wave (r20 WaveJobProbe —
+    * `collect at Similarity.scala` in every wave's driftStats).
+    * Metadata-scale (one long per live model generation), LRU-bounded;
+    * the mtime key re-reads a rewritten store (replays, tests) —
+    * [[graft.streaming.StreamingVectorIndex]]'s baselineCache rule. */
+  private val fpMemo: java.util.Map[(String, Long), java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), java.lang.Long](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), java.lang.Long])
+            : Boolean = size() > 4096
+      })
+
+  private[graft] def centroidFingerprintAt(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = (dir, fs.getFileStatus(p).getModificationTime)
+    val hit = fpMemo.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val fp = centroidFingerprint(spark.read
+        .schema("centroid_id BIGINT, cvec ARRAY<DOUBLE>").parquet(dir))
+      fpMemo.put(key, java.lang.Long.valueOf(fp))
+      fp
+    }
+  }
+
   /** Per-cell DRIFT statistics of a quantized cosine inverted file —
     * the monitoring read that closes the loop
     * [[ivfRefreshQuantizedIncremental]] opens (r10 verdict item 4):
@@ -1023,7 +1055,8 @@ object Similarity {
     * external engine reproduces it from the same parquet). */
   def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, cents: DataFrame,
-                    cells: Option[Seq[Long]] = None): DataFrame = {
+                    cells: Option[Seq[Long]] = None,
+                    modelFpO: Option[Long] = None): DataFrame = {
     // `cells` restricts the scan to the named cells (partition /
     // union-branch pruned) — the incremental-gauge read: a cell's
     // (n, cd_fp_sum) is a pure function of its codes under FIXED
@@ -1053,8 +1086,12 @@ object Similarity {
         col("cd_fp_sum"),
         // the model identity these rows are valid under — carried
         // with the artifact so a delta-bounded reuse can verify the
-        // centroids never moved ([[modelFingerprint]])
-        lit(centroidFingerprint(cents)).as("model_fp"))
+        // centroids never moved ([[modelFingerprint]]). Callers whose
+        // cents come from a written gen-keyed store pass the memoized
+        // fingerprint (`modelFpO`, [[centroidFingerprintAt]]) — the
+        // inline collect was one job per streaming wave
+        lit(modelFpO.getOrElse(centroidFingerprint(cents)))
+          .as("model_fp"))
   }
 
   /** THE drift-trigger comparison — ONE definition shared by the two

@@ -172,10 +172,17 @@ object StreamingVectorIndex {
       }
     def driftStats(spark: SparkSession, root: String, cents: DataFrame,
                    idCol: String, cells: Option[Seq[Long]]): DataFrame =
-      Similarity.ivfDriftStats(spark, s"$root/index", cents, cells)
+      Similarity.ivfDriftStats(spark, s"$root/index", cents, cells,
+        modelFpO = Some(modelFp(spark, root, cents)))
+    // `cents` is always the CURRENT generation's written store in the
+    // wave protocol (readCents at the max gen — recoverPending runs
+    // first, and finishRecenter writes its cents before its stats), so
+    // the fingerprint rides the (dir, mtime) memo instead of one
+    // collect job per wave
     def modelFp(spark: SparkSession, root: String,
                 cents: DataFrame): Long =
-      Similarity.centroidFingerprint(cents)
+      Similarity.centroidFingerprintAt(spark,
+        s"$root/cents/gen=${gens(spark, root, "cents").max}")
     def rebuild(snapshot: DataFrame, cents: DataFrame, idCol: String,
                 vecCol: String, root: String, gen: Int): Unit =
       Similarity.ivfRebuildQuantizedMvcc(snapshot.sparkSession,
@@ -204,15 +211,16 @@ object StreamingVectorIndex {
     def driftStats(spark: SparkSession, root: String, cents: DataFrame,
                    idCol: String, cells: Option[Seq[Long]]): DataFrame =
       ProductQuantize.ivfPqDriftStats(spark, s"$root/index", cents,
-        idCol, cells)
+        idCol, cells, modelFpO = Some(modelFp(spark, root, cents)))
+    // both halves memoized by (location, mtime) — the QuantizedOps
+    // rule for cents (readCents at the max gen by the wave protocol),
+    // the governing-books location for the books half
     def modelFp(spark: SparkSession, root: String,
                 cents: DataFrame): Long =
-      Similarity.centroidFingerprint(cents) ^
-        Similarity.modelFingerprint(
-          ProductQuantize.governingBooks(spark, s"$root/index")
-            .select(col("subspace"), col("code"),
-              col("cvec").as("bvec")),
-          Seq("subspace", "code"), "bvec")
+      Similarity.centroidFingerprintAt(spark,
+        s"$root/cents/gen=${gens(spark, root, "cents").max}") ^
+        ProductQuantize.booksFingerprintAt(spark,
+          ProductQuantize.governingBooksLoc(spark, s"$root/index"))
     // a recenter retrains BOTH artifacts (centroids and codebooks) —
     // the ivfPqRefreshOrRecenter contract; the retrained books seal
     // in the SAME manifest as the re-encoded cells
@@ -956,16 +964,17 @@ object StreamingVectorIndex {
   def probeLiveIvfPq(spark: SparkSession, root: String,
                      queryVec: DataFrame, idCol: String, k: Int,
                      nProbe: Int): DataFrame = {
-    val (codes, books, cents) = resolveLiveIvfPq(spark, root)
+    val (codes, books, booksLoc, cents) = resolveLiveIvfPq(spark, root)
     ProductQuantize.ivfPqProbeResolved(codes, books, cents, queryVec,
-      idCol, k, nProbe)
+      idCol, k, nProbe,
+      mO = Some(ProductQuantize.mOf(spark, booksLoc)))
   }
 
   /** The one pinned (codes, books, centroids) resolution both live
     * IVF-PQ probes share — single-query and panel paths can never
     * desynchronize on which generation answers. */
   private def resolveLiveIvfPq(spark: SparkSession, root: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, String, DataFrame) = {
     val path = s"$root/index"
     val mfOpt = SegmentManifest.latest(spark, s"$path/codes")
     require(mfOpt.nonEmpty,
@@ -975,9 +984,9 @@ object StreamingVectorIndex {
       .lastOption.map(_.seg)
       .getOrElse(gens(spark, root, "cents").max) // pre-marker layout
     val cents = spark.read.parquet(s"$root/cents/gen=$modelGen")
-    val (codes, books) = ProductQuantize.resolveCodesAndBooks(spark,
-      path, mfOpt)
-    (codes, books, cents)
+    val (codes, books, booksLoc) = ProductQuantize
+      .resolveCodesAndBooks(spark, path, mfOpt)
+    (codes, books, booksLoc, cents)
   }
 
   /** [[probeLiveIvfPq]] for a query PANEL (`queries` carries
@@ -988,9 +997,10 @@ object StreamingVectorIndex {
   def probeLiveIvfPqMulti(spark: SparkSession, root: String,
                           queries: DataFrame, idCol: String, k: Int,
                           nProbe: Int): DataFrame = {
-    val (codes, books, cents) = resolveLiveIvfPq(spark, root)
+    val (codes, books, booksLoc, cents) = resolveLiveIvfPq(spark, root)
     ProductQuantize.ivfPqProbeResolvedMulti(codes, books, cents,
-      queries, idCol, k, nProbe)
+      queries, idCol, k, nProbe,
+      mO = Some(ProductQuantize.mOf(spark, booksLoc)))
   }
 
   /** One BATCH maintenance wave of the IVF-PQ loop — the foreachBatch
@@ -1041,7 +1051,8 @@ object StreamingVectorIndex {
     val books = spark.read.parquet(booksPath)
     val snap = readSnapshot(spark, root, gen, idCol, vecCol)
     ProductQuantize.ivfPqProbeSnapshot(snap, cents, books, queryVec,
-      idCol, vecCol, k, nProbe)
+      idCol, vecCol, k, nProbe,
+      mO = Some(ProductQuantize.mOf(spark, booksPath)))
   }
 
   /** Bootstrap the IVF-PQ loop state (codebooks + centroids fit at
