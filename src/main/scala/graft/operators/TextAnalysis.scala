@@ -834,7 +834,11 @@ object TextAnalysis {
     */
   def bm25WriteIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String): Unit = {
-    val tf = tfFrame(docs, idCol, textCol)
+    // three consumers (the dfreq aggregate, the join probe side, the
+    // stats pass) — without materialization each re-tokenizes the
+    // corpus from source (scope-owned: the Bench/Verify/gate scopes
+    // release it; bare callers keep the historical cache() contract)
+    val tf = graft.engine.Caching.cached(tfFrame(docs, idCol, textCol))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, "term")
       .repartitionByRange(col("term"))
@@ -899,6 +903,15 @@ object TextAnalysis {
     tf.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite").parquet(s"$path/${locs("postings")}")
+    // the two derived artifacts read the JUST-WRITTEN postings back
+    // (explicit schema — no inference job) instead of re-deriving tf
+    // from source: both are pure projections of tf, and the postings
+    // file IS tf, so re-tokenizing the batch two more times bought
+    // nothing — at batch scale the re-read is two column-pruned
+    // delta-sized scans (term only; id+dl only — parquet never touches
+    // the positional pages) vs two full tokenize+explode passes
+    val posted = spark.read.schema(tf.schema)
+      .parquet(s"$path/${locs("postings")}")
     // per-segment TERM DICTIONARY (Lucene's terms file): the
     // dictionary-expansion queries (fuzzy/wildcard) read this
     // vocabulary-sized artifact instead of distinct-ing the
@@ -909,15 +922,27 @@ object TextAnalysis {
     // list and matches nothing — correct, just unpruned, exactly
     // Lucene's deleted-docs-keep-terms behavior); only the full merge
     // rewrites the dict from the live rows (the purge).
-    tf.select(col("term")).distinct()
-      .sort(col("term"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/${locs("termdict")}")
-    tf.select(col(idCol), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).cast("long").as("sum_dl"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/${locs("segstats")}")
+    // The two small writes are independent of each other — overlap
+    // them (guide §2.6: actions are only sequential because the
+    // driver calls them sequentially); both must land before the seal
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dictW = Future {
+      posted.select(col("term")).distinct()
+        .sort(col("term"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/${locs("termdict")}")
+    }
+    val statsW = Future {
+      posted.select(col(idCol), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).cast("long").as("sum_dl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/${locs("segstats")}")
+    }
+    Await.result(dictW, Duration.Inf)
+    Await.result(statsW, Duration.Inf)
     // seal the append as the next generation — replacing any
     // same-segment entry (a replayed segment supersedes its earlier
     // attempt; the old attempt's directory stays pinned-readable)
