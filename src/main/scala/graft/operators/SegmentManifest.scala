@@ -68,6 +68,47 @@ object SegmentManifest {
           size() > 8192
       })
 
+  /** Writer-side warm-up of the schema memo: a maintenance writer
+    * that just staged member directories under `locs` declares their
+    * shared schema, so the NEXT read of the layout skips footer
+    * inference even when EVERY member is fresh — the all-dirty wave /
+    * tiered-fold shape, where no carried-over sibling survives to
+    * serve a memo hit and each wave re-inferred its predecessor's rev
+    * dirs forever (r20 WaveJobProbe: one inference job per wave after
+    * the sibling-hit fix alone). The declared schema is widened
+    * `asNullable`, which can only ADD null handling relative to footer
+    * inference — never claim non-null on nullable data — so a read
+    * under it is value-identical. Keyed (loc, mtime) like every other
+    * entry; a later rewrite invalidates normally. */
+  private def widenNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = widenNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = widenNullable(a.elementType),
+        containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = widenNullable(m.keyType),
+        valueType = widenNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  private[operators] def declareSchema(
+      spark: SparkSession, path: String, locs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sch = widenNullable(schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fs = fsOf(spark, path)
+    locs.take(64).foreach { loc =>
+      val p = new Path(s"$path/$loc")
+      try schemaMemo.put(
+        (s"$path/$loc", fs.getFileStatus(p).getModificationTime), sch)
+      catch { case _: java.io.FileNotFoundException => () }
+    }
+  }
+
   /** The four layouts of a segmented index, in serialization order. */
   val Layouts: Seq[String] =
     Seq("postings", "segstats", "termdict", "tombstones")
@@ -728,22 +769,30 @@ object SegmentManifest {
         // Probe bounded at 8 members so an all-fresh composition (a
         // recenter's full rewrite) pays bounded driver-side stats, not
         // |layout| of them, before falling through to one inference.
-        val hit = es.iterator.take(8).flatMap { e =>
-          mtimeOf(new Path(s"$path/${e.loc}"))
-            .flatMap(mt => Option(schemaMemo.get((s"$path/${e.loc}", mt))))
-        }.nextOption()
-        hit.getOrElse {
+        // mtimes captured BEFORE any footer read: a rewrite landing
+        // between the two would otherwise memoize the old schema
+        // under the new mtime.
+        val probes = es.take(8).flatMap { e =>
+          val key = s"$path/${e.loc}"
+          mtimeOf(new Path(key)).map(mt => (key, mt))
+        }
+        val hit = probes.iterator
+          .flatMap { case (k, mt) => Option(schemaMemo.get((k, mt))) }
+          .nextOption()
+        val sch0 = hit.getOrElse {
           val withData = es.find(e => holdsData(new Path(s"$path/${e.loc}")))
             .getOrElse(es.head)
-          val key = s"$path/${withData.loc}"
-          // mtime captured BEFORE the footer read: a rewrite landing
-          // between the two would otherwise memoize the old schema
-          // under the new mtime
-          val mt = mtimeOf(new Path(key))
-          val inferred = spark.read.parquet(key).schema
-          mt.foreach(t => schemaMemo.put((key, t), inferred))
-          inferred
+          spark.read.parquet(s"$path/${withData.loc}").schema
         }
+        // propagate to the probed sibling members: the read below
+        // applies sch0 to EVERY member anyway (explicit schema), so
+        // memoizing it per sibling commits to nothing this read does
+        // not already commit to — and it is what keeps an all-dirty
+        // maintenance loop hitting wave over wave (each wave's fresh
+        // rev members are the next wave's carried locations; without
+        // propagation the chain re-infers forever)
+        probes.foreach { case (k, mt) => schemaMemo.put((k, mt), sch0) }
+        sch0
       }
       Some(es.map { e =>
         spark.read.schema(sch).parquet(s"$path/${e.loc}")

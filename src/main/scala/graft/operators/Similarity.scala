@@ -933,8 +933,16 @@ object Similarity {
       .sorted
     stagedCells.foreach(c => require(c >= 0 && c <= Int.MaxValue,
       s"stageCellRev: cell id $c outside the manifest range"))
-    (gen, stagedCells.map(c =>
-      SegmentManifest.Entry(c.toInt, s"$rev/centroid_id=$c")).toSeq)
+    val entries = stagedCells.map(c =>
+      SegmentManifest.Entry(c.toInt, s"$rev/centroid_id=$c")).toSeq
+    // declare the staged members' schema (the written rows minus the
+    // partition column — exactly what a footer read of a leaf cell
+    // dir infers), so the next wave's read skips inference even when
+    // every cell was dirty
+    SegmentManifest.declareSchema(spark, indexPath, entries.map(_.loc),
+      org.apache.spark.sql.types.StructType(
+        rows.schema.filterNot(_.name == "centroid_id")))
+    (gen, entries)
   }
 
   /** The MVCC REBUILD — the recenter's commit protocol, closing the
@@ -1229,8 +1237,11 @@ object Similarity {
     require(prev.columns.contains("model_fp"),
       s"$who: carried drift stats have no model_fp seal — recompute " +
         "them with the current ivfDriftStats/ivfPqDriftStats")
-    val fps = prev.select(col("model_fp")).distinct()
-      .collect().map(_.getLong(0))
+    // distinct DRIVER-SIDE: the frame is ≤|cells| rows by contract,
+    // and the relational distinct cost an exchange + AQE re-plan
+    // stages per drift-loop wave for the same one-row answer
+    val fps = prev.select(col("model_fp"))
+      .collect().map(_.getLong(0)).distinct
     require(fps.length == 1 && fps.head == fp,
       s"$who: carried drift stats were computed under a different " +
         s"model (sealed fp ${fps.mkString(",")}, current $fp) — " +

@@ -943,6 +943,19 @@ object TextAnalysis {
     }
     Await.result(dictW, Duration.Inf)
     Await.result(statsW, Duration.Inf)
+    // declare the written schemas so the next maintenance read skips
+    // footer inference even when every member of a layout is fresh
+    SegmentManifest.declareSchema(spark, path,
+      Seq(locs("postings")), tf.schema)
+    SegmentManifest.declareSchema(spark, path, Seq(locs("termdict")),
+      org.apache.spark.sql.types.StructType(
+        tf.schema.filter(_.name == "term")))
+    SegmentManifest.declareSchema(spark, path, Seq(locs("segstats")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_dl",
+          org.apache.spark.sql.types.LongType))))
     // seal the append as the next generation — replacing any
     // same-segment entry (a replayed segment supersedes its earlier
     // attempt; the old attempt's directory stays pinned-readable)
@@ -972,17 +985,19 @@ object TextAnalysis {
         s"${SegmentManifest.revDir(
           SegmentManifest.latestGen(spark, path).getOrElse(0) + 1)}/$live"
       else live
-    keys.select(col(idCol).cast("long").as(idCol),
-        // null dl fails AT WRITE: the stats correction (probe and
-        // tombstone GC) subtracts this value — a null would silently
-        // shift n_docs/avgdl (probe sum skips nulls, count does not)
-        // and NPE the GC's driver-side fold
-        coalesce(col(dlCol).cast("long"),
-          raise_error(lit("bm25Tombstone: null dl — the stats " +
-            "correction requires the old document length"))
-            .cast("long")).as("dl"))
-      .coalesce(1).write.mode("overwrite")
+    val tombRows = keys.select(col(idCol).cast("long").as(idCol),
+      // null dl fails AT WRITE: the stats correction (probe and
+      // tombstone GC) subtracts this value — a null would silently
+      // shift n_docs/avgdl (probe sum skips nulls, count does not)
+      // and NPE the GC's driver-side fold
+      coalesce(col(dlCol).cast("long"),
+        raise_error(lit("bm25Tombstone: null dl — the stats " +
+          "correction requires the old document length"))
+          .cast("long")).as("dl"))
+    tombRows.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/$loc")
+    SegmentManifest.declareSchema(spark, path, Seq(loc),
+      tombRows.schema)
     sealNext(spark, path)(_.replace("tombstones", Set.empty,
       Seq(SegmentManifest.Entry(segment, loc))))
     ()
@@ -1847,9 +1862,13 @@ object TextAnalysis {
         .parquet(s"$path/$rev/postings/seg=$b")
       // summed OLD partials, not live counts — retained tombstones
       // still subtract the dropped rows at probe time
-      Seq((na + nb, sa + sb)).toDF("n_docs", "sum_dl")
-        .coalesce(1).write.mode("overwrite")
+      val folded = Seq((na + nb, sa + sb)).toDF("n_docs", "sum_dl")
+      folded.coalesce(1).write.mode("overwrite")
         .parquet(s"$path/$rev/segstats/seg=$b")
+      SegmentManifest.declareSchema(spark, path,
+        Seq(s"$rev/postings/seg=$b"), live.schema)
+      SegmentManifest.declareSchema(spark, path,
+        Seq(s"$rev/segstats/seg=$b"), folded.schema)
       // atomic commit of this fold: drop the pair, point b at the
       // folded rev dir — all-or-nothing, no swap window
       val next = base

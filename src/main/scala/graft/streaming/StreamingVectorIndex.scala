@@ -327,6 +327,27 @@ object StreamingVectorIndex {
                                           cd_fp_sum: Long,
                                           model_fp: Long)
 
+  /** The carried-stats memo: [[commitDriftStats]] writes generation
+    * g's artifact from driver-side rows, and the very next wave's
+    * [[waveDriftStats]] re-read those same rows back (one parquet-read
+    * job + one collect job per wave). Keyed by (root, gen, file mtime)
+    * — the baselineCache rule: the FILE stays the source of truth, a
+    * rewritten artifact (replay, out-of-band tooling) misses on mtime
+    * and re-reads. ≤|cells| rows per entry, LRU-bounded. */
+  private val statsCache: java.util.Map[(String, Int, Long), Seq[StatRow]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Int, Long), Seq[StatRow]](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int, Long), Seq[StatRow]])
+            : Boolean = size() > 64
+      })
+
+  private def statsMtime(spark: SparkSession, root: String,
+                         gen: Int): Long =
+    fsOf(spark, root).getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$root/driftstats/gen=$gen")).getModificationTime
+
   private def collectStats(df: DataFrame): Seq[StatRow] =
     scala.collection.immutable.ArraySeq.unsafeWrapArray(
       df.select(col("centroid_id").cast("long"), col("n"),
@@ -351,6 +372,9 @@ object StreamingVectorIndex {
     import spark.implicits._
     rows.toDF().coalesce(1).write.mode("overwrite")
       .parquet(s"$root/driftstats/gen=$gen")
+    // memoize the rows just written (mtime read AFTER the write so
+    // the key names this attempt's file, not a prior replay's)
+    statsCache.put((root, gen, statsMtime(spark, root, gen)), rows)
     val fs = fsOf(spark, root)
     for (g <- gens(spark, root, "driftstats")
         if g < gen - math.max(keepBelow, 1)) {
@@ -381,7 +405,12 @@ object StreamingVectorIndex {
       None))
     prevGens.maxOption match {
       case Some(pg) =>
-        val prevDf = spark.read.parquet(s"$root/driftstats/gen=$pg")
+        // the previous generation's rows usually sit in the memo
+        // (commitDriftStats wrote them last wave in this process);
+        // a miss — fresh process, rewritten file — re-reads the file
+        val memoHit = Option(
+          statsCache.get((root, pg, statsMtime(spark, root, pg))))
+        lazy val prevDf = spark.read.parquet(s"$root/driftstats/gen=$pg")
         // the carried artifact is MODEL-SEALED: its per-cell rows are
         // valid only under the model that produced them. A legacy
         // artifact (no seal) or one written under another model
@@ -390,9 +419,9 @@ object StreamingVectorIndex {
         // jobs on the common path: the freshly rescanned dirty rows
         // already carry the CURRENT model's fingerprint, and the
         // previous rows were collected anyway for the carry.
-        if (!prevDf.columns.contains("model_fp")) full
+        if (memoHit.isEmpty && !prevDf.columns.contains("model_fp")) full
         else {
-          val prev = collectStats(prevDf)
+          val prev = memoHit.getOrElse(collectStats(prevDf))
           // EVERY carried row must be sealed under the current model
           // — Similarity.requireSameModel's rule: a partially-written
           // or mixed-fp artifact (two models' rows interleaved) is as
