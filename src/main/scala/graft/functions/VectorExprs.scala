@@ -93,6 +93,195 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** PQ codebook argmin — the encode kernel ([[graft.operators
+  * .ProductQuantize.pqEncodeRaw]]'s per-row body as ONE native
+  * expression): for each subspace j, the code of the squared-L2
+  * nearest codebook entry to the j-th subvector, ties to the smallest
+  * code. Replaces the interpreted nested-HOF form
+  * (`transform(sequence, j => array_min(transform(element_at(typedlit
+  * …), e => struct(vec_sqdist, code))))`) — m·k lambda dispatches per
+  * row, every one interpreted (the q199 disease in the encode path) —
+  * with a fused primitive loop over driver-collected codebook arrays;
+  * no literal unroll, so m·k cannot blow the generated method size.
+  *
+  * Bit-parity with the HOF form, spelled out:
+  *   - distance = left-to-right Σ(x−y)² per subvector (the
+  *     [[SqDistExpr]] fold order);
+  *   - argmin = lexicographic (d, code) struct-min: strict-less
+  *     replacement while iterating entries in ascending code order,
+  *     doubles compared by SQLOrderingUtil.compareDoubles (Catalyst's
+  *     struct ordering: NaN == NaN, NaN greater than everything,
+  *     −0.0 == 0.0), ties keep the smaller code;
+  *   - a NULL vector element poisons the entry's distance to NULL,
+  *     which sorts FIRST (Catalyst's nulls-first field ordering);
+  *   - the per-row guards raise with the messages the spec pins:
+  *     dimension not divisible by m, subvector length != entry length.
+  * `perSub(j)` lists subspace j's (code, entry) pairs in ascending
+  * code order; `entryLen` is the shared entry length. */
+case class PqEncodeCodesExpr(child: Expression,
+                             perSub: Seq[Seq[(Long, Seq[Double])]],
+                             entryLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private val m = perSub.length
+
+  @transient private lazy val bookVals: Array[Array[Array[Double]]] =
+    perSub.map(_.map(_._2.toArray).toArray).toArray
+  @transient private lazy val bookCodes: Array[Array[Long]] =
+    perSub.map(_.map(_._1).toArray).toArray
+
+  // containsNull mirrors the HOF form's transform output; the column
+  // itself was non-nullable there (transform over a literal sequence)
+  // and stays so here — a NULL input vector THROWS (below), exactly
+  // like the old raise_error guard, never a silent null code row
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<double> input, got $other")
+    }
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) throw new RuntimeException(
+      s"pqEncode: null vector — dim not divisible by m=$m")
+    nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    if (n % m != 0) throw new RuntimeException(
+      s"pqEncode: vector dim $n not divisible by m=$m")
+    if (n / m != entryLen) throw new RuntimeException(
+      s"pqEncode: codebook entry length $entryLen != subvector " +
+        s"length ${n / m}")
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val ents = bookVals(j)
+      val cs = bookCodes(j)
+      val off = j * entryLen
+      var bestC = 0L
+      var bestD = 0.0
+      var bestNull = false
+      var first = true
+      var e = 0
+      while (e < ents.length) {
+        val ev = ents(e)
+        var d = 0.0
+        var dNull = false
+        var i = 0
+        while (i < entryLen && !dNull) {
+          if (vec.isNullAt(off + i)) dNull = true
+          else {
+            val t = vec.getDouble(off + i) - ev(i)
+            d += t * t
+          }
+          i += 1
+        }
+        val less =
+          if (first) true
+          else if (dNull && bestNull) false
+          else if (dNull) true
+          else if (bestNull) false
+          else org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(d, bestD) < 0
+        if (less) { bestC = cs(e); bestD = d; bestNull = dNull; first = false }
+        e += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val body = { v: String =>
+      val books = ctx.addReferenceObj("pqBooks", bookVals, "double[][][]")
+      val codes = ctx.addReferenceObj("pqCodes", bookCodes, "long[][]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val ents = ctx.freshName("ents")
+      val cs = ctx.freshName("cs")
+      val bestC = ctx.freshName("bestC")
+      val bestD = ctx.freshName("bestD")
+      val bestNull = ctx.freshName("bestNull")
+      val first = ctx.freshName("first")
+      val d = ctx.freshName("d")
+      val dNull = ctx.freshName("dNull")
+      val t = ctx.freshName("t")
+      val less = ctx.freshName("less")
+      val entV = ctx.freshName("entV")
+      s"""
+         |final int $n = $v.numElements();
+         |if ($n % $m != 0) throw new RuntimeException(
+         |  "pqEncode: vector dim " + $n + " not divisible by m=$m");
+         |if ($n / $m != $entryLen) throw new RuntimeException(
+         |  "pqEncode: codebook entry length $entryLen != subvector length "
+         |    + ($n / $m));
+         |final long[] $out = new long[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final double[][] $ents = $books[$j];
+         |  final long[] $cs = $codes[$j];
+         |  final int $off = $j * $entryLen;
+         |  long $bestC = 0L; double $bestD = 0.0;
+         |  boolean $bestNull = false; boolean $first = true;
+         |  for (int $e = 0; $e < $ents.length; $e++) {
+         |    final double[] $entV = $ents[$e];
+         |    double $d = 0.0; boolean $dNull = false;
+         |    for (int $i = 0; $i < $entryLen; $i++) {
+         |      if ($v.isNullAt($off + $i)) { $dNull = true; break; }
+         |      final double $t = $v.getDouble($off + $i) - $entV[$i];
+         |      $d += $t * $t;
+         |    }
+         |    final boolean $less = $first ? true
+         |      : ($dNull && $bestNull) ? false
+         |      : $dNull ? true
+         |      : $bestNull ? false
+         |      : org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+         |          .compareDoubles($d, $bestD) < 0;
+         |    if ($less) {
+         |      $bestC = $cs[$e]; $bestD = $d;
+         |      $bestNull = $dNull; $first = false;
+         |    }
+         |  }
+         |  $out[$j] = $bestC;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    }
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val resultCode = body(childGen.value.toString)
+    ev.copy(code = code"""
+      ${childGen.code}
+      if (${childGen.isNull}) throw new RuntimeException(
+        "pqEncode: null vector — dim not divisible by m=$m");
+      ${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .javaType(dataType)} ${ev.value} =
+        ${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+          .defaultValue(dataType)};
+      $resultCode
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeCodesExpr = copy(child = newChild)
+  override def prettyName: String = "pq_encode_codes"
+}
+
 /** Σ (xᵢ−yᵢ)² — the IVF centroid-assignment metric (q31). */
 case class SqDistExpr(left: Expression, right: Expression)
     extends VectorFoldExpr {

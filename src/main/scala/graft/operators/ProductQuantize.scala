@@ -326,24 +326,21 @@ object ProductQuantize {
     val perSub: Seq[Seq[(Long, Seq[Double])]] =
       (0L until m.toLong).map(j =>
         entries.filter(_._1 == j).map(t => (t._2, t._3)))
-    val cbLit = typedlit(perSub)
-    // per-row guards: m must divide the dimension (subLen raises
-    // otherwise) AND the subvector length must equal the codebook
-    // entries' — never silently truncate into plausible wrong codes
-    val sublen = when(
-        subLen(col(vecCol), m, "pqEncode") === entryLen, lit(entryLen))
-      .otherwise(raise_error(concat(
-        lit(s"pqEncode: codebook entry length $entryLen" +
-          " != subvector length "),
-        subLen(col(vecCol), m, "pqEncode").cast("string"))).cast("int"))
+    // ONE native expression per row ([[graft.functions
+    // .PqEncodeCodesExpr]]): the former nested-HOF form (transform ∘
+    // array_min ∘ transform over the typedlit codebook) paid m·k
+    // interpreted lambda dispatches per row — the q199 disease in the
+    // encode path. Bit-parity (fold order, (d, code) struct-min incl.
+    // NaN/null ordering, tiebreak, per-row guard messages) is spelled
+    // in the expression's scaladoc and pinned by the parity spec; the
+    // codebook ships as reference arrays, so m·k can never blow the
+    // generated method size the way a literal unroll would.
     vectors.select(col(idCol),
-      transform(sequence(lit(0L), lit(m.toLong - 1)), j => {
-        val sv = slice(col(vecCol), (j * sublen + 1).cast("int"), sublen)
-        val scored = transform(element_at(cbLit, (j + 1).cast("int")),
-          e => struct(VectorFns.sqDist(sv, e("_2")).as("d"),
-            e("_1").as("c")))
-        array_min(scored)("c")
-      }).as("codes"))
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.PqEncodeCodesExpr(
+          org.apache.spark.sql.graftbridge.Bridge
+            .expression(col(vecCol)),
+          perSub, entryLen)).as("codes"))
   }
 
   /** Trains and encodes, writing `codebooks/` (one file — m·k rows)

@@ -303,6 +303,52 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(msgHas(e2, "codebook entry length"), s"wrong error: $e2")
   }
 
+  test("pqEncodeRaw native kernel: bit-parity with the HOF argmin " +
+      "form (fold order, struct-min, ties to the smallest code) on " +
+      "random vectors and a crafted equidistant tie") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = 2
+    val entryLen = 2
+    // sub 0 carries a deliberate tie for the zero vector: codes 0 and
+    // 1 are equidistant (d = 1) — the struct-min must keep code 0
+    val cbRows = Seq(
+      (0L, 0L, Seq(1.0, 0.0)), (0L, 1L, Seq(-1.0, 0.0)),
+      (1L, 0L, Seq(0.0, 2.0)), (1L, 1L, Seq(0.0, 1.0)))
+    val cb = cbRows.toDF("subspace", "code", "cvec")
+    val rnd = new scala.util.Random(7)
+    val vecs = ((0L, Seq(0.0, 0.0, 0.0, 1.4)) +:
+      (1L to 40L).map(i =>
+        (i, Seq.fill(m * entryLen)(rnd.nextDouble() * 4 - 2))))
+      .toDF("vec_id", "v")
+    val got = ProductQuantize
+      .pqEncodeRaw(vecs, "vec_id", "v", cb, m)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1).toList)).toMap
+    // the PRE-NATIVE reference, reconstructed expression for
+    // expression: nested HOFs over the typedlit codebook
+    val perSub: Seq[Seq[(Long, Seq[Double])]] =
+      (0L until m.toLong).map(j => cbRows.filter(_._1 == j)
+        .map(t => (t._2, t._3)).sortBy(_._1))
+    val cbLit = typedlit(perSub)
+    val ref = vecs.select(col("vec_id"),
+      transform(sequence(lit(0L), lit(m.toLong - 1)), j => {
+        val sv = slice(col("v"),
+          (j * lit(entryLen) + 1).cast("int"), lit(entryLen))
+        val scored = transform(element_at(cbLit, (j + 1).cast("int")),
+          e => struct(graft.functions.VectorFns.sqDist(sv, e("_2"))
+            .as("d"), e("_1").as("c")))
+        array_min(scored)("c")
+      }).as("codes"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1).toList)).toMap
+    assert(got == ref, s"native != HOF: " +
+      s"${got.toSeq.sortBy(_._1).take(5)} vs " +
+      s"${ref.toSeq.sortBy(_._1).take(5)}")
+    // the tie: zero subvector in subspace 0 keeps the SMALLER code
+    assert(got(0L).head == 0L, s"tie broke upward: ${got(0L)}")
+  }
+
   test("ivfPqRefreshIncremental: only dirty cells rewritten, content " +
       "equals a from-scratch re-encode through the same codebooks") {
     import spark.implicits._
