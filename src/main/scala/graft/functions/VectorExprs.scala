@@ -282,6 +282,161 @@ case class PqEncodeCodesExpr(child: Expression,
   override def prettyName: String = "pq_encode_codes"
 }
 
+/** Cosine-distance argmin over a driver-collected centroid table —
+  * the MaxSim candidate filter's cell assignment ([[graft.operators
+  * .Similarity.maxSimTopKPruned]]) as ONE native expression. Replaces
+  * the r19 `least((d, cid) struct…)` unroll, which embedded
+  * kCells×dims literals in the expression tree — fine at q199's
+  * kCells=8, but a codegen-size fallback trap at larger dials (the
+  * r19 verdict's item 7). The kernel loops over reference arrays, so
+  * kCells can never blow the generated method size, and it hoists
+  * ‖vec‖ out of the per-centroid loop (the unroll re-evaluated it per
+  * cell; same IEEE value, bit-identical d).
+  *
+  * Bit-parity with the unroll, spelled out: per centroid
+  * d = 1.0 − dot(vec, c)/(√dot(vec, vec)·√dot(c, c)) with the
+  * [[DotProductExpr]] left-to-right fold; the min is the lexicographic
+  * (d, cid) struct-min — strict-less replacement iterating centroids
+  * in ascending cid order, doubles by SQLOrderingUtil.compareDoubles,
+  * a NULL vector element (a null token's pseudo-vec) poisons every d
+  * to NULL, so the row lands in the smallest cid exactly as the
+  * unroll's nulls-first struct ordering placed it; ties keep the
+  * smaller cid. (A whole-NULL array cannot arise from the operator's
+  * `array(…)` derivations; this expression maps it to NULL.) `cents`
+  * lists (cid, centroid) in ascending cid order. */
+case class CosineArgminCellExpr(child: Expression,
+                                cents: Seq[(Long, Seq[Double])])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val centVals: Array[Array[Double]] =
+    cents.map(_._2.toArray).toArray
+  @transient private lazy val centIds: Array[Long] =
+    cents.map(_._1).toArray
+  @transient private lazy val centNorms: Array[Double] =
+    centVals.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<double> input, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    // ‖vec‖ once (the unroll computed it per centroid — same value):
+    // a null element poisons every distance, handled per centroid
+    var vNorm = 0.0
+    var vNull = false
+    var i = 0
+    while (i < n && !vNull) {
+      if (vec.isNullAt(i)) vNull = true
+      else { val x = vec.getDouble(i); vNorm += x * x }
+      i += 1
+    }
+    val nv = math.sqrt(vNorm)
+    var bestC = 0L
+    var bestD = 0.0
+    var bestNull = false
+    var first = true
+    var e = 0
+    while (e < centVals.length) {
+      val c = centVals(e)
+      var dNull = vNull || c.length != n
+      var d = 0.0
+      if (!dNull) {
+        var dotv = 0.0
+        var j = 0
+        while (j < n) { dotv += vec.getDouble(j) * c(j); j += 1 }
+        d = 1.0 - dotv / (nv * centNorms(e))
+      }
+      val less =
+        if (first) true
+        else if (dNull && bestNull) false
+        else if (dNull) true
+        else if (bestNull) false
+        else org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(d, bestD) < 0
+      if (less) { bestC = centIds(e); bestD = d; bestNull = dNull; first = false }
+      e += 1
+    }
+    if (first) null else bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cvs = ctx.addReferenceObj("argminCents", centVals, "double[][]")
+      val cids = ctx.addReferenceObj("argminIds", centIds, "long[]")
+      val cns = ctx.addReferenceObj("argminNorms", centNorms, "double[]")
+      val n = ctx.freshName("n")
+      val vNorm = ctx.freshName("vNorm")
+      val vNull = ctx.freshName("vNull")
+      val nv = ctx.freshName("nv")
+      val bestC = ctx.freshName("bestC")
+      val bestD = ctx.freshName("bestD")
+      val bestNull = ctx.freshName("bestNull")
+      val first = ctx.freshName("first")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val dNull = ctx.freshName("dNull")
+      val dotv = ctx.freshName("dotv")
+      val x = ctx.freshName("x")
+      val less = ctx.freshName("less")
+      s"""
+         |final int $n = $v.numElements();
+         |double $vNorm = 0.0; boolean $vNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { $vNull = true; break; }
+         |  final double $x = $v.getDouble($i);
+         |  $vNorm += $x * $x;
+         |}
+         |final double $nv = java.lang.Math.sqrt($vNorm);
+         |long $bestC = 0L; double $bestD = 0.0;
+         |boolean $bestNull = false; boolean $first = true;
+         |for (int $e = 0; $e < $cvs.length; $e++) {
+         |  final double[] $c = $cvs[$e];
+         |  boolean $dNull = $vNull || $c.length != $n;
+         |  double $d = 0.0;
+         |  if (!$dNull) {
+         |    double $dotv = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $dotv += $v.getDouble($j) * $c[$j];
+         |    }
+         |    $d = 1.0 - $dotv / ($nv * $cns[$e]);
+         |  }
+         |  final boolean $less = $first ? true
+         |    : ($dNull && $bestNull) ? false
+         |    : $dNull ? true
+         |    : $bestNull ? false
+         |    : org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+         |        .compareDoubles($d, $bestD) < 0;
+         |  if ($less) {
+         |    $bestC = $cids[$e]; $bestD = $d;
+         |    $bestNull = $dNull; $first = false;
+         |  }
+         |}
+         |if ($first) { ${ev.isNull} = true; } else { ${ev.value} = $bestC; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CosineArgminCellExpr = copy(child = newChild)
+  override def prettyName: String = "cosine_argmin_cell"
+}
+
 /** Σ (xᵢ−yᵢ)² — the IVF centroid-assignment metric (q31). */
 case class SqDistExpr(left: Expression, right: Expression)
     extends VectorFoldExpr {

@@ -1416,24 +1416,22 @@ object Similarity {
       .sortBy(_._1).toSeq
     val centsLit = typedlit(centRows)
     // per-ROW cosine argmin over the collected cells (ties to the
-    // smallest cell id via the lexicographic struct min — the family's
-    // one tiebreak). UNROLLED per cell with the centroid as an array
-    // literal: kCells is bounded (the collected-codebook contract), so
-    // `least` over kCells (d, cid) structs keeps the native dot kernel
-    // inside the fused whole-stage-codegen span — the HOF form
-    // (array_min ∘ transform over the typedlit) evaluated the whole
-    // lambda interpreted, one closure dispatch per cell per row
-    // (measured 28 s of q199's 46 s at sf0.1; the unrolled form reads
-    // the same arithmetic bit-for-bit: same fold order, same struct
-    // ordering incl. its NaN and tie semantics).
-    def cellOf(vec: Column): Column = {
-      val scored = centRows.map { case (cid, cv) =>
-        struct((lit(1.0) - VectorFns.cosine(vec,
-          array(cv.map(lit): _*))).as("d"), lit(cid).as("cid"))
-      }
-      (if (scored.length == 1) scored.head
-       else least(scored: _*))("cid")
-    }
+    // smallest cell id — the family's one tiebreak), as ONE native
+    // kernel ([[graft.functions.CosineArgminCellExpr]]). History: the
+    // HOF form (array_min ∘ transform over the typedlit) evaluated the
+    // whole lambda interpreted — 28 s of q199's 46 s at sf0.1; the r19
+    // `least((d, cid) struct…)` unroll cured that but embedded
+    // kCells×dims literals in the expression tree, a codegen-size
+    // fallback trap above small kCells (r19 verdict item 7). The
+    // kernel loops over reference arrays — no size limit at any
+    // kCells — and reads the same arithmetic bit-for-bit (fold order,
+    // struct-min double semantics, nulls-first, tiebreak; parity spec
+    // at kCells=256 against the unroll).
+    def cellOf(vec: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.CosineArgminCellExpr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+          centRows))
     // per-query-token probed cells, driver-side (|q|·kCells is tiny);
     // the UNION of all query tokens' cells restricts the candidate
     // scan — a doc qualifies through any token in any probed cell

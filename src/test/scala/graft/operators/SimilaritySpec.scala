@@ -682,6 +682,53 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.head._1 == 1L, s"got $pruned")
   }
 
+  test("maxSim cell-assignment kernel: bit-parity with the least() " +
+      "unroll at kCells=256 — random vectors, a parallel-centroid " +
+      "exact tie (smaller cid wins), and a null-element row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dims = 8
+    // 256 centroids; centroid 200 is EXACTLY 2×centroid 100 (parallel
+    // — scaling by a power of two is FP-exact), so every vector's
+    // cosine distance to the pair is bit-equal: a true tie that must
+    // break to the smaller cid in both forms
+    val cents: Seq[(Long, Seq[Double])] = (0L until 256L).map { c =>
+      (c, Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+    } match {
+      case cs => cs.updated(200, (200L, cs(100)._2.map(_ * 2.0)))
+    }
+    val vecs: Seq[(Long, Seq[Option[Double]])] =
+      // row 0: a null-element pseudo-vec (a null token's derivation) —
+      // every d poisons to null, lands in the smallest cid either way
+      (0L, Seq.fill(dims)(Option.empty[Double])) +:
+        (1L to 60L).map(i =>
+          (i, Seq.fill(dims)(Some(rnd.nextDouble() * 2 - 1))))
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.CosineArgminCellExpr(
+            org.apache.spark.sql.graftbridge.Bridge
+              .expression(col("v")), cents)).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the r19 least() unroll, reconstructed as the reference
+    val scored = cents.map { case (cid, cv) =>
+      struct((lit(1.0) - VectorFns.cosine(col("v"),
+        array(cv.map(lit): _*))).as("d"), lit(cid).as("cid"))
+    }
+    val ref = df.select(col("id"), least(scored: _*)("cid").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref, s"kernel != unroll: " +
+      s"${got.toSeq.sortBy(_._1).take(6)} vs " +
+      s"${ref.toSeq.sortBy(_._1).take(6)}")
+    assert(got(0L) == 0L, s"null-element row: ${got(0L)}")
+    // the parallel pair: find a row whose argmin is 100 under the
+    // kernel and confirm the unroll agrees (the map equality already
+    // does), and that NO row ever lands on 200 (d identical, cid
+    // larger — the tiebreak must always prefer 100)
+    assert(!got.values.exists(_ == 200L),
+      "a tie broke to the larger cid")
+  }
+
   test("cosine of a vector with itself is 1") {
     val (e, _, _) = setup()
     val self = e.limit(5)
