@@ -62,12 +62,21 @@ object Sampling {
     * group is filled in md5-rank order until the budget is exhausted.
     *
     * Scale design: the budget cumulative runs over the per-score
-    * AGGREGATE (|distinct scores| rows — the only global-order window,
-    * and it is tiny by construction), never the corpus; the fill
-    * window partitions by score. `scoreCol` must be integer-valued
-    * (quantize a float score upstream) — it is both the ordering and
-    * the partition key, so its cardinality controls boundary-group
-    * size and skew.
+    * AGGREGATE (|distinct scores| rows), never the corpus — and as a
+    * TWO-LEVEL cumulative sum, so no single-partition window ever
+    * sees the per-score frame: scores group into coarse buckets
+    * (floor(score/4096) — monotone, so bucket-desc ordering agrees
+    * with score-desc), the within-bucket cumulative runs under an
+    * exchange-partitioned window, and only the |buckets|-row bucket
+    * totals pay a global-order window (|S|/4096 rows — at a billion
+    * distinct quantized scores, a quarter-million-row tail). The r19
+    * location of this comment ran ONE unpartitioned window over the
+    * whole per-score aggregate, which is |corpus|-sized in one
+    * partition when an upstream forgets the quantize-first contract.
+    * The fill window partitions by score. `scoreCol` must be
+    * integer-valued (quantize a float score upstream) — it is both
+    * the ordering and the partition key, so its cardinality controls
+    * boundary-group size and skew.
     *
     * Selection rule (greedy prefix): a doc is kept iff the token mass
     * strictly before it — higher score groups wholly, same-group
@@ -80,11 +89,32 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val perScore = docs.groupBy(col(scoreCol))
       .agg(sum(col(tokensCol)).as("grp_tokens"))
-    val wS = Window.orderBy(col(scoreCol).desc)
+      // floor division (not `div`, which truncates toward zero and
+      // would fold negative scores into bucket 0): monotone in score,
+      // exact for |score| < 2^52 — far past any quantized-score range
+      .withColumn("_bkt",
+        floor(col(scoreCol).cast("double") / lit(4096.0)).cast("long"))
+    val perBucket = perScore.groupBy(col("_bkt"))
+      .agg(sum(col("grp_tokens")).as("_bkt_tokens"))
+    val wB = Window.orderBy(col("_bkt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val bktCum = perBucket
+      .withColumn("_bkt_before",
+        coalesce(sum(col("_bkt_tokens")).over(wB), lit(0L)))
+      .select(col("_bkt"), col("_bkt_before"))
+    val wIn = Window.partitionBy(col("_bkt"))
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // cum_before(score) = Σ tokens of strictly-greater scores
+    //   = Σ over strictly-greater buckets (the tiny global tail)
+    //   + Σ over strictly-greater scores in the SAME bucket
+    // — exact long sums regrouped associatively, identical to the
+    // one-window form value for value
     val cum = perScore
-      .withColumn("cum_before",
-        coalesce(sum(col("grp_tokens")).over(wS), lit(0L)))
+      .withColumn("_in_before",
+        coalesce(sum(col("grp_tokens")).over(wIn), lit(0L)))
+      .join(bktCum, Seq("_bkt"))
+      .withColumn("cum_before", col("_bkt_before") + col("_in_before"))
       .filter(col("cum_before") < budget)
       .select(col(scoreCol), col("cum_before"))
     val wG = Window.partitionBy(col(scoreCol))
