@@ -931,8 +931,6 @@ object ProductQuantize {
     // model_fp must describe the books the sealed cells were encoded
     // with, not a possibly-stale live cache
     val booksLoc = governingBooksLoc(spark, path)
-    val cb = readBooks(spark, booksLoc)
-      .select(col("subspace"), col("code"), col("cvec").as("bvec"))
     // the PQ rows are valid under BOTH model artifacts — seal the
     // pair (a recenter retrains the books too, so the carried-stats
     // check must see that as a model change). The books half rides
@@ -942,6 +940,116 @@ object ProductQuantize {
     val modelFp = modelFpO.getOrElse(
       Similarity.centroidFingerprint(cents) ^
         booksFingerprintAt(spark, booksLoc))
+    // `cells` restricts to the named cells (pruned scan) — the
+    // incremental-gauge read, same rule as Similarity.ivfDriftStats:
+    // per-cell stats are pure functions of the cell's codes under
+    // fixed centroids + codebooks
+    val allCodes = Similarity.readQuantizedIndex(spark, s"$path/codes")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val codes = cells match {
+      case Some(cs) => allCodes.filter(col("centroid_id").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          cs.toArray): _*))
+      case None => allCodes
+    }
+    // FUSED per-row displacement ([[graft.functions.PqCdFpExpr]]):
+    // the relational pipeline exploded every code row m× and shuffled
+    // the corpus back by (cell, id) just to sum m integer lookups —
+    // at scale an m× row blow-up plus an exchange for a scan-shaped
+    // map (guide §2: remove shuffles outright). Both model artifacts
+    // are broadcast-sized BY CONTRACT, so they collect once and ride
+    // the kernel as reference arrays; the LUT values replicate the
+    // relational build's expressions bit for bit (same slice, the
+    // dot kernel's fold order, floor(·1e7 + 0.5)), the kernel
+    // replicates the inner join's skip/drop semantics, and the
+    // surviving arithmetic keeps the identical Column form — the
+    // parity spec pins kernel ≡ relational on a real index. Falls
+    // back to the relational pipeline on degenerate geometry (sparse
+    // giant code ids would blow the dense arrays).
+    val cbRows = readBooks(spark, booksLoc)
+      .select(col("subspace"), col("code"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Double]](2).toArray))
+    val centRows = cents.select(col("centroid_id"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+    val maxSub = if (cbRows.isEmpty) -1L else cbRows.map(_._1).max
+    val minSub = if (cbRows.isEmpty) 0L else cbRows.map(_._1).min
+    val maxCode = if (cbRows.isEmpty) -1L else cbRows.map(_._2).max
+    val minCode = if (cbRows.isEmpty) 0L else cbRows.map(_._2).min
+    if (cbRows.isEmpty || minSub < 0 || maxSub >= 1024 ||
+        minCode < 0 || maxCode >= 65536 ||
+        centRows.length.toLong * (maxSub + 1) * (maxCode + 1) >
+          50000000L)
+      return ivfPqDriftStatsRelational(spark, booksLoc, cents, codes,
+        idCol, modelFp)
+    val mSub = maxSub.toInt + 1
+    val kCode = maxCode.toInt + 1
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val present = Array.fill(mSub)(new Array[Boolean](kCode))
+    val nnFp = Array.fill(mSub)(new Array[Long](kCode))
+    cbRows.foreach { case (s, c, bvec) =>
+      present(s.toInt)(c.toInt) = true
+      nnFp(s.toInt)(c.toInt) =
+        math.floor(dotD(bvec, bvec) * 1e7 + 0.5).toLong
+    }
+    val cellIds = centRows.map(_._1)
+    val ipFp = centRows.map { case (_, cvec) =>
+      val perSub = Array.fill(mSub)(new Array[Long](kCode))
+      cbRows.foreach { case (s, c, bvec) =>
+        val sublen = bvec.length
+        val start = (s * sublen).toInt
+        // scala slice clamps past the end exactly like Spark's —
+        // a short centroid then fails the guard below, same as the
+        // relational form's guardedIp raise
+        val cs = cvec.slice(start, start + sublen)
+        if (cs.length != bvec.length) throw new RuntimeException(
+          s"ivfPqDriftStats: codebook entry length ${bvec.length} " +
+            s"!= subvector length ${cs.length}")
+        perSub(s.toInt)(c.toInt) =
+          math.floor(dotD(bvec, cs) * 1e7 + 0.5).toLong
+      }
+      perSub
+    }
+    val cnorms = centRows.map { case (_, cvec) =>
+      math.sqrt(dotD(cvec, cvec)) }
+    import scala.collection.immutable.ArraySeq.{unsafeWrapArray => wrap}
+    val expr = graft.functions.PqCdFpExpr(
+      org.apache.spark.sql.graftbridge.Bridge
+        .expression(col("centroid_id")),
+      org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")),
+      wrap(cellIds),
+      wrap(ipFp.map(p => wrap(p.map(a => wrap(a)
+        : IndexedSeq[Long])): IndexedSeq[IndexedSeq[Long]])),
+      wrap(nnFp.map(a => wrap(a): IndexedSeq[Long])),
+      wrap(present.map(a => wrap(a): IndexedSeq[Boolean])),
+      wrap(cnorms))
+    codes
+      .withColumn("cd_fp",
+        org.apache.spark.sql.graftbridge.Bridge.column(expr))
+      .filter(col("cd_fp").isNotNull)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cd_fp")).as("cd_fp_sum"))
+      .select(col("centroid_id"), col("n"),
+        round(col("cd_fp_sum") / col("n") / 1e7, 4).as("mean_cd"),
+        col("cd_fp_sum"), lit(modelFp).as("model_fp"))
+  }
+
+  /** The pre-kernel relational drift-stats pipeline — the fallback
+    * for degenerate codebook geometry and the parity spec's
+    * reference: posexplode × broadcast-LUT join × (cell, id)
+    * re-aggregation, value-identical to the fused kernel by the
+    * equivalence spelled there. */
+  private[operators] def ivfPqDriftStatsRelational(
+      spark: SparkSession, booksLoc: String, cents: DataFrame,
+      codes: DataFrame, idCol: String, modelFp: Long): DataFrame = {
+    val cb = readBooks(spark, booksLoc)
+      .select(col("subspace"), col("code"), col("cvec").as("bvec"))
     val lut = cb.crossJoin(broadcast(
         cents.select(col("centroid_id"), col("cvec"))))
       .withColumn("_sublen", size(col("bvec")))
@@ -955,18 +1063,6 @@ object ProductQuantize {
           .cast("long").as("nn_fp"))
     val cnorm = cents.select(col("centroid_id"),
       VectorFns.norm(col("cvec")).as("_cnorm"))
-    // `cells` restricts to the named cells (pruned scan) — the
-    // incremental-gauge read, same rule as Similarity.ivfDriftStats:
-    // per-cell stats are pure functions of the cell's codes under
-    // fixed centroids + codebooks
-    val allCodes = Similarity.readQuantizedIndex(spark, s"$path/codes")
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
-    val codes = cells match {
-      case Some(cs) => allCodes.filter(col("centroid_id").isin(
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          cs.toArray): _*))
-      case None => allCodes
-    }
     codes
       .select(col(idCol), col("centroid_id"),
         posexplode(col("codes")).as(Seq("_pos", "code")))

@@ -349,6 +349,52 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(got(0L).head == 0L, s"tie broke upward: ${got(0L)}")
   }
 
+  test("ivfPqDriftStats fused kernel: bit-parity with the relational " +
+      "explode/join/re-aggregate pipeline on a real index, full and " +
+      "cell-pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = scratch("pq_driftpar").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val cents = Similarity
+      .learnedCentroids(base, "embedding", k = 8)
+      .localCheckpoint()
+    ProductQuantize.ivfPqWriteIndex(base, cents, "vec_id", "embedding",
+      m = 8, k = 16, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val booksLoc = ProductQuantize.governingBooksLoc(spark, path)
+    def relational(cells: Option[Seq[Long]]) = {
+      val all = Similarity.readQuantizedIndex(spark, s"$path/codes")
+        .withColumn("centroid_id", col("centroid_id").cast("long"))
+      val codes = cells match {
+        case Some(cs) => all.filter(col("centroid_id").isin(cs: _*))
+        case None => all
+      }
+      ProductQuantize.ivfPqDriftStatsRelational(spark, booksLoc, cents,
+        codes, "vec_id", modelFp = 0L)
+    }
+    // model_fp is stamped identically by both entries (a lit) — pin
+    // the KERNEL against the relational reference on the derived
+    // columns, zeroing the fp on both sides
+    def zeroFp(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("model_fp", lit(0L))
+    val fullK = rows(zeroFp(
+      ProductQuantize.ivfPqDriftStats(spark, path, cents, "vec_id")))
+    val fullR = rows(relational(None))
+    assert(fullK == fullR, s"full: ${fullK.take(3)} vs ${fullR.take(3)}")
+    assert(fullK.nonEmpty)
+    val some = fullK.map(_._1).take(3)
+    val prunedK = rows(zeroFp(ProductQuantize.ivfPqDriftStats(spark,
+      path, cents, "vec_id", Some(some))))
+    val prunedR = rows(relational(Some(some)))
+    assert(prunedK == prunedR)
+    assert(prunedK.map(_._1) == some.sorted)
+  }
+
   test("ivfPqRefreshIncremental: only dirty cells rewritten, content " +
       "equals a from-scratch re-encode through the same codebooks") {
     import spark.implicits._
