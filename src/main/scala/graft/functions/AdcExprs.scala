@@ -102,6 +102,104 @@ case class CodeLutSumExpr(child: Expression, lut: AdcExprs.Lut)
   override def prettyName: String = "adc_lut_sum"
 }
 
+/** [[CodeLutSumExpr]] keyed by query id — the PANEL ADC numerator:
+  * `luts` holds one table per qid (the join key the relational form
+  * matched on), a qid outside the panel yields NULL (the join emitted
+  * nothing for it), presence gating as in the single-query kernel.
+  * Duplicate panel rows fold into their qid's table at build time
+  * exactly as the relational LUT's duplicate rows summed in the
+  * aggregate. */
+case class QidCodeLutSumExpr(left: Expression, right: Expression,
+                             qids: IndexedSeq[Long],
+                             vals: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+                             present: IndexedSeq[IndexedSeq[Boolean]])
+    extends BinaryExpression {
+
+  @transient private lazy val qidIdx: java.util.HashMap[Long, Integer] = {
+    val m = new java.util.HashMap[Long, Integer]()
+    qids.zipWithIndex.foreach { case (q, i) => m.put(q, i) }
+    m
+  }
+  @transient private lazy val valArr: Array[Array[Array[Long]]] =
+    vals.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val presArr: Array[Array[Boolean]] =
+    present.map(_.toArray).toArray
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, array<bigint>), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(qidV: Any, codesV: Any): Any = {
+    val qi = qidIdx.get(qidV.asInstanceOf[Long])
+    if (qi == null) return null
+    val lut = valArr(qi.intValue())
+    val codes = codesV.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    var s = 0L
+    var matched = false
+    var pos = 0
+    while (pos < n) {
+      if (pos < lut.length && !codes.isNullAt(pos)) {
+        val c = codes.getLong(pos)
+        if (c >= 0 && c < lut(pos).length && presArr(pos)(c.toInt)) {
+          s += lut(pos)(c.toInt)
+          matched = true
+        }
+      }
+      pos += 1
+    }
+    if (matched) s else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, v) => {
+      val idx = ctx.addReferenceObj("qidLutIdx", qidIdx,
+        "java.util.HashMap<Long, Integer>")
+      val vl = ctx.addReferenceObj("qidLutVals", valArr, "long[][][]")
+      val pr = ctx.addReferenceObj("qidLutPres", presArr, "boolean[][]")
+      val qi = ctx.freshName("qi")
+      val lut = ctx.freshName("lut")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val matched = ctx.freshName("matched")
+      val pos = ctx.freshName("pos")
+      val c = ctx.freshName("c")
+      s"""
+         |final Integer $qi = $idx.get($q);
+         |if ($qi == null) { ${ev.isNull} = true; } else {
+         |  final long[][] $lut = $vl[$qi.intValue()];
+         |  final int $n = $v.numElements();
+         |  long $s = 0L; boolean $matched = false;
+         |  for (int $pos = 0; $pos < $n; $pos++) {
+         |    if ($pos < $lut.length && !$v.isNullAt($pos)) {
+         |      final long $c = $v.getLong($pos);
+         |      if ($c >= 0 && $c < $lut[$pos].length
+         |          && $pr[$pos][(int) $c]) {
+         |        $s += $lut[$pos][(int) $c];
+         |        $matched = true;
+         |      }
+         |    }
+         |  }
+         |  if ($matched) { ${ev.value} = $s; } else { ${ev.isNull} = true; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QidCodeLutSumExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "adc_qid_lut_sum"
+}
+
 /** Per-row PQ drift displacement, fully fused ([[graft.operators
   * .ProductQuantize.ivfPqDriftStats]]'s per-(cell, id) derivation):
   * cd_fp = floor((1 − (Σip/1e7)/(√(Σnn/1e7)·‖centroid‖))·1e7 + 0.5)

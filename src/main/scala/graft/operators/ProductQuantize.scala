@@ -374,7 +374,8 @@ object ProductQuantize {
 
   /** Integer ADC scoring of a codes relation against a broadcast
     * lookup table: m lookups summed per vector, fixed-point → the
-    * suite's 4-decimal surface. */
+    * suite's 4-decimal surface. The fallback shape — the single-query
+    * probes score through [[adcScoreFused]]. */
   private def adcScore(codes: DataFrame, lut: DataFrame, idCol: String,
                        k: Int): DataFrame =
     codes
@@ -387,6 +388,86 @@ object ProductQuantize {
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k)
 
+  /** Driver-side replica of [[adcLut]] for the fused scorer:
+    * lut(s)(c) = Σ over query rows of floor(dot(bvec, qs)·1e7 + 0.5)
+    * — bit-identical values (same slice, the dot kernel's fold order,
+    * same rounding, the same per-row guards raised with [[adcLut]]'s
+    * messages), presence gated per (s, c) so zero query rows or a
+    * sparse book keep the join's drop semantics. None on degenerate
+    * geometry (sparse giant code ids would blow the dense arrays) —
+    * callers fall back to the relational [[adcScore]]. */
+  private def adcLutDriver(cb: DataFrame, queryVec: DataFrame,
+                           m: Int): Option[graft.functions.AdcExprs.Lut] = {
+    val cbRows = cb.select(col("subspace"), col("code"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Double]](2).toArray))
+    val maxSub = if (cbRows.isEmpty) -1L else cbRows.map(_._1).max
+    val minSub = if (cbRows.isEmpty) 0L else cbRows.map(_._1).min
+    val maxCode = if (cbRows.isEmpty) -1L else cbRows.map(_._2).max
+    val minCode = if (cbRows.isEmpty) 0L else cbRows.map(_._2).min
+    if (minSub < 0 || maxSub >= 1024 || minCode < 0 ||
+        maxCode >= 65536) return None
+    val mSub = math.max(maxSub.toInt + 1, 0)
+    val kCode = math.max(maxCode.toInt + 1, 0)
+    val vals = Array.fill(mSub)(new Array[Long](kCode))
+    val pres = Array.fill(mSub)(new Array[Boolean](kCode))
+    val qRows = queryVec.select(col("qvec")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    qRows.foreach { qvec =>
+      if (qvec.length % m != 0) throw new RuntimeException(
+        s"adcLut: vector dim ${qvec.length} not divisible by m=$m")
+      val sublen = qvec.length / m
+      cbRows.foreach { case (s, c, bvec) =>
+        val start = (s * sublen).toInt
+        val qs = qvec.slice(start, start + sublen)
+        if (bvec.length != qs.length) throw new RuntimeException(
+          s"adcLut: codebook entry length ${bvec.length} " +
+            s"!= subvector length ${qs.length}")
+        vals(s.toInt)(c.toInt) +=
+          math.floor(dotD(bvec, qs) * 1e7 + 0.5).toLong
+        pres(s.toInt)(c.toInt) = true
+      }
+    }
+    import scala.collection.immutable.ArraySeq.{unsafeWrapArray => wrap}
+    Some(graft.functions.AdcExprs.Lut(
+      wrap(vals.map(a => wrap(a): IndexedSeq[Long])),
+      wrap(pres.map(a => wrap(a): IndexedSeq[Boolean]))))
+  }
+
+  /** [[adcScore]] with the per-row fused kernel ([[graft.functions
+    * .CodeLutSumExpr]]): the relational form exploded every candidate
+    * row m× and broadcast-joined the LUT just to sum m integer
+    * lookups — an m× row blow-up ahead of the aggregate (guide §2.3:
+    * shuffle fewer bytes). The per-id groupBy is kept (exact parity
+    * even under duplicate-id inputs); unmatched rows (zero join
+    * matches) yield NULL and are filtered — the rows the join never
+    * emitted. Falls back to the relational shape on degenerate book
+    * geometry. */
+  private def adcScoreFused(codes: DataFrame, cb: DataFrame,
+                            queryVec: DataFrame, m: Int, idCol: String,
+                            k: Int): DataFrame =
+    adcLutDriver(cb, queryVec, m) match {
+      case Some(lut) =>
+        codes
+          .withColumn("_ips",
+            org.apache.spark.sql.graftbridge.Bridge.column(
+              graft.functions.CodeLutSumExpr(
+                org.apache.spark.sql.graftbridge.Bridge
+                  .expression(col("codes")), lut)))
+          .filter(col("_ips").isNotNull)
+          .groupBy(col(idCol))
+          .agg(round(sum(col("_ips")) / 1e7, 4).as("adc_score"))
+          .orderBy(col("adc_score").desc, col(idCol))
+          .limit(k)
+      case None => adcScore(codes, adcLut(cb, queryVec, m), idCol, k)
+    }
+
   /** ADC top-k over a flat [[pqWriteIndex]] layout. `queryVec` is one
     * row with an `array<double>` column `qvec` (used raw — a positive
     * per-query scale never reorders ranks). */
@@ -394,8 +475,8 @@ object ProductQuantize {
                  queryVec: DataFrame, idCol: String,
                  k: Int): DataFrame = {
     val cb = readBooks(spark, s"$path/codebooks")
-    adcScore(spark.read.parquet(s"$path/codes"),
-      adcLut(cb, queryVec, mOf(spark, s"$path/codebooks")), idCol, k)
+    adcScoreFused(spark.read.parquet(s"$path/codes"), cb, queryVec,
+      mOf(spark, s"$path/codebooks"), idCol, k)
   }
 
   /** Materialize the IVF-PQ layout — the FAISS production shape, both
@@ -649,9 +730,9 @@ object ProductQuantize {
     val probed = Similarity.probedCellIds(cents, queryVec, nProbe)
     val m = mO.getOrElse(
       cb.agg(max(col("subspace"))).head().getLong(0).toInt + 1)
-    adcScore(codes.filter(col("centroid_id")
+    adcScoreFused(codes.filter(col("centroid_id")
         .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probed): _*)),
-      adcLut(cb, queryVec, m), idCol, k)
+      cb, queryVec, m, idCol, k)
   }
 
   /** Probe an IVF-PQ index: cell ranking + literal-`isin` partition
@@ -703,7 +784,7 @@ object ProductQuantize {
     // checkpoint is tiny and pins the derivation exactly once.
     val encoded = pqEncode(members, idCol, vecCol, codebooks, m)
       .localCheckpoint()
-    adcScore(encoded, adcLut(codebooks, queryVec, m), idCol, k)
+    adcScoreFused(encoded, codebooks, queryVec, m, idCol, k)
   }
 
   /** EXACT-REFINE rung (FAISS's IndexRefineFlat): the ADC probe keeps
@@ -745,8 +826,7 @@ object ProductQuantize {
                       queries: DataFrame, idCol: String,
                       k: Int): DataFrame = {
     val (codes, cb, bl) = pinnedCodesAndBooks(spark, path)
-    adcScoreMulti(codes, adcLutMulti(cb, queries, mOf(spark, bl)),
-      idCol, k)
+    adcScoreMultiFused(codes, cb, queries, mOf(spark, bl), idCol, k)
   }
 
   /** Batch IVF-PQ probe, relational cell restriction: per-query top
@@ -790,7 +870,7 @@ object ProductQuantize {
   def pqScoreCodesMulti(codes: DataFrame, cb: DataFrame,
                         queries: DataFrame, idCol: String, k: Int,
                         m: Int): DataFrame =
-    adcScoreMulti(codes, adcLutMulti(cb, queries, m), idCol, k)
+    adcScoreMultiFused(codes, cb, queries, m, idCol, k)
 
   /** [[ivfPqProbeMulti]] over in-memory frames (`codes` carries
     * `centroid_id`): per-query top-nProbe cells restrict candidates,
@@ -808,8 +888,8 @@ object ProductQuantize {
       .withColumn("_rn", row_number().over(wc))
       .filter(col("_rn") <= nProbe)
       .select(col("qid"), col("centroid_id"))
-    adcScoreMulti(codes.join(broadcast(probed), Seq("centroid_id")),
-      adcLutMulti(cb, queries, m), idCol, k)
+    adcScoreMultiFused(codes.join(broadcast(probed), Seq("centroid_id")),
+      cb, queries, m, idCol, k)
   }
 
   /** CELL-INCREMENTAL refresh of an [[ivfPqWriteIndex]] layout — the
@@ -1229,19 +1309,42 @@ object ProductQuantize {
     val codes = Similarity.readQuantizedIndex(spark, s"$path/codes")
       .filter(col("centroid_id").isin(probedSeq: _*))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
-    codes
-      .select(col(idCol), col("centroid_id"),
-        posexplode(col("codes")).as(Seq("_pos", "code")))
-      .withColumn("subspace", col("_pos").cast("long"))
-      .join(broadcast(adcLut(cb, queryVec, m)), Seq("subspace", "code"))
-      .groupBy(col(idCol), col("centroid_id"))
-      .agg(sum(col("ip_fp")).as("_res_fp"))
-      .join(broadcast(cellConst), Seq("centroid_id"))
-      .select(col(idCol),
-        round((col("_res_fp") + col("cell_fp")) / 1e7, 4)
-          .as("adc_score"))
-      .orderBy(col("adc_score").desc, col(idCol))
-      .limit(k)
+    // same fused treatment as [[adcScoreFused]] — the residual sum is
+    // the per-row LUT fold; the per-(id, cell) groupBy is kept for
+    // exact parity, the cell constant joins as before
+    adcLutDriver(cb, queryVec, m) match {
+      case Some(lut) =>
+        codes
+          .withColumn("_row_fp",
+            org.apache.spark.sql.graftbridge.Bridge.column(
+              graft.functions.CodeLutSumExpr(
+                org.apache.spark.sql.graftbridge.Bridge
+                  .expression(col("codes")), lut)))
+          .filter(col("_row_fp").isNotNull)
+          .groupBy(col(idCol), col("centroid_id"))
+          .agg(sum(col("_row_fp")).as("_res_fp"))
+          .join(broadcast(cellConst), Seq("centroid_id"))
+          .select(col(idCol),
+            round((col("_res_fp") + col("cell_fp")) / 1e7, 4)
+              .as("adc_score"))
+          .orderBy(col("adc_score").desc, col(idCol))
+          .limit(k)
+      case None =>
+        codes
+          .select(col(idCol), col("centroid_id"),
+            posexplode(col("codes")).as(Seq("_pos", "code")))
+          .withColumn("subspace", col("_pos").cast("long"))
+          .join(broadcast(adcLut(cb, queryVec, m)),
+            Seq("subspace", "code"))
+          .groupBy(col(idCol), col("centroid_id"))
+          .agg(sum(col("ip_fp")).as("_res_fp"))
+          .join(broadcast(cellConst), Seq("centroid_id"))
+          .select(col(idCol),
+            round((col("_res_fp") + col("cell_fp")) / 1e7, 4)
+              .as("adc_score"))
+          .orderBy(col("adc_score").desc, col(idCol))
+          .limit(k)
+    }
   }
 
   /** Batch residual probe (the recall-panel scorer): per-query probed
@@ -1268,21 +1371,148 @@ object ProductQuantize {
       .join(broadcast(probed), Seq("centroid_id"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_score").desc, col(idCol))
-    codes
-      .select(col(idCol), col("qid"), col("cell_fp"),
-        posexplode(col("codes")).as(Seq("_pos", "code")))
-      .withColumn("subspace", col("_pos").cast("long"))
-      .join(broadcast(adcLutMulti(cb, queries, m)),
-        Seq("qid", "subspace", "code"))
-      .groupBy(col("qid"), col(idCol), col("cell_fp"))
-      .agg(sum(col("ip_fp")).as("_res_fp"))
-      .select(col("qid"), col(idCol),
-        round((col("_res_fp") + col("cell_fp")) / 1e7, 4)
-          .as("adc_score"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("qid"), col(idCol), col("adc_score"))
+    // fused residual sum (same treatment as [[adcScoreMultiFused]];
+    // the per-(qid, id, cell_fp) groupBy and the cell constant stay)
+    adcLutMultiDriver(cb, queries, m) match {
+      case Some((qids, vals, pres)) =>
+        codes
+          .withColumn("_row_fp",
+            org.apache.spark.sql.graftbridge.Bridge.column(
+              graft.functions.QidCodeLutSumExpr(
+                org.apache.spark.sql.graftbridge.Bridge
+                  .expression(col("qid")),
+                org.apache.spark.sql.graftbridge.Bridge
+                  .expression(col("codes")),
+                qids, vals, pres)))
+          .filter(col("_row_fp").isNotNull)
+          .groupBy(col("qid"), col(idCol), col("cell_fp"))
+          .agg(sum(col("_row_fp")).as("_res_fp"))
+          .select(col("qid"), col(idCol),
+            round((col("_res_fp") + col("cell_fp")) / 1e7, 4)
+              .as("adc_score"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .select(col("qid"), col(idCol), col("adc_score"))
+      case None =>
+        codes
+          .select(col(idCol), col("qid"), col("cell_fp"),
+            posexplode(col("codes")).as(Seq("_pos", "code")))
+          .withColumn("subspace", col("_pos").cast("long"))
+          .join(broadcast(adcLutMulti(cb, queries, m)),
+            Seq("qid", "subspace", "code"))
+          .groupBy(col("qid"), col(idCol), col("cell_fp"))
+          .agg(sum(col("ip_fp")).as("_res_fp"))
+          .select(col("qid"), col(idCol),
+            round((col("_res_fp") + col("cell_fp")) / 1e7, 4)
+              .as("adc_score"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .select(col("qid"), col(idCol), col("adc_score"))
+    }
   }
+
+  /** Driver-side [[adcLutMulti]] for the fused panel scorer: one
+    * table per qid ([[adcLutDriver]]'s derivation per panel row —
+    * bit-identical values, same guards/messages; duplicate panel rows
+    * fold into their qid's table exactly as the relational LUT's
+    * duplicate rows summed in the aggregate). None when qid is not
+    * LongType or the book geometry is degenerate — callers fall back
+    * to the relational shape. */
+  private def adcLutMultiDriver(cb: DataFrame, queries: DataFrame,
+                                m: Int)
+      : Option[(IndexedSeq[Long],
+        IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+        IndexedSeq[IndexedSeq[Boolean]])] = {
+    if (queries.schema.fields.find(_.name == "qid")
+        .map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.NullType)
+          != org.apache.spark.sql.types.LongType) return None
+    val cbRows = cb.select(col("subspace"), col("code"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Double]](2).toArray))
+    val maxSub = if (cbRows.isEmpty) -1L else cbRows.map(_._1).max
+    val minSub = if (cbRows.isEmpty) 0L else cbRows.map(_._1).min
+    val maxCode = if (cbRows.isEmpty) -1L else cbRows.map(_._2).max
+    val minCode = if (cbRows.isEmpty) 0L else cbRows.map(_._2).min
+    if (minSub < 0 || maxSub >= 1024 || minCode < 0 ||
+        maxCode >= 65536) return None
+    val mSub = math.max(maxSub.toInt + 1, 0)
+    val kCode = math.max(maxCode.toInt + 1, 0)
+    val pres = Array.fill(mSub)(new Array[Boolean](kCode))
+    cbRows.foreach { case (s, c, _) => pres(s.toInt)(c.toInt) = true }
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val perQid =
+      new java.util.LinkedHashMap[Long, Array[Array[Long]]]()
+    queries.select(col("qid"), col("qvec")).collect().foreach { r =>
+      val qid = r.getLong(0)
+      val qvec = r.getAs[scala.collection.Seq[Double]](1).toArray
+      if (qvec.length % m != 0) throw new RuntimeException(
+        s"adcLut: vector dim ${qvec.length} not divisible by m=$m")
+      val sublen = qvec.length / m
+      val lut = perQid.computeIfAbsent(qid,
+        _ => Array.fill(mSub)(new Array[Long](kCode)))
+      cbRows.foreach { case (s, c, bvec) =>
+        val start = (s * sublen).toInt
+        val qs = qvec.slice(start, start + sublen)
+        if (bvec.length != qs.length) throw new RuntimeException(
+          s"adcLut: codebook entry length ${bvec.length} " +
+            s"!= subvector length ${qs.length}")
+        lut(s.toInt)(c.toInt) +=
+          math.floor(dotD(bvec, qs) * 1e7 + 0.5).toLong
+      }
+    }
+    import scala.collection.immutable.ArraySeq.{unsafeWrapArray => wrap}
+    val qids = scala.jdk.CollectionConverters
+      .SetHasAsScala(perQid.keySet()).asScala.toIndexedSeq
+    val vals = qids.map(q => wrap(perQid.get(q).map(a =>
+      wrap(a): IndexedSeq[Long])): IndexedSeq[IndexedSeq[Long]])
+    Some((qids, vals,
+      wrap(pres.map(a => wrap(a): IndexedSeq[Boolean]))))
+  }
+
+  /** [[adcScoreMulti]] with the per-row fused kernel
+    * ([[graft.functions.QidCodeLutSumExpr]]) — the panel analog of
+    * [[adcScoreFused]]: a qid-less codes relation fans out by a
+    * crossJoin with the DISTINCT panel qids (the explode+join fanned
+    * it m× wider), a qid-carrying one scores in place; per-(qid, id)
+    * groupBy kept, NULL (unmatched) rows filtered. Falls back to the
+    * relational shape on degenerate geometry or a non-long qid. */
+  private def adcScoreMultiFused(codes: DataFrame, cb: DataFrame,
+                                 queries: DataFrame, m: Int,
+                                 idCol: String, k: Int): DataFrame =
+    adcLutMultiDriver(cb, queries, m) match {
+      case Some((qids, vals, pres)) =>
+        import org.apache.spark.sql.expressions.Window
+        val spark = codes.sparkSession
+        import spark.implicits._
+        val withQid =
+          if (codes.columns.contains("qid")) codes
+          else codes.crossJoin(broadcast(qids.toDF("qid")))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("adc_score").desc, col(idCol))
+        withQid
+          .withColumn("_ips",
+            org.apache.spark.sql.graftbridge.Bridge.column(
+              graft.functions.QidCodeLutSumExpr(
+                org.apache.spark.sql.graftbridge.Bridge
+                  .expression(col("qid")),
+                org.apache.spark.sql.graftbridge.Bridge
+                  .expression(col("codes")),
+                qids, vals, pres)))
+          .filter(col("_ips").isNotNull)
+          .groupBy(col("qid"), col(idCol))
+          .agg(round(sum(col("_ips")) / 1e7, 4).as("adc_score"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .select(col("qid"), col(idCol), col("adc_score"))
+      case None =>
+        adcScoreMulti(codes, adcLutMulti(cb, queries, m), idCol, k)
+    }
 
   /** [[adcLut]] for a query panel: |panel|·m·k rows keyed by qid. */
   private def adcLutMulti(cb: DataFrame, queries: DataFrame,

@@ -349,6 +349,72 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(got(0L).head == 0L, s"tie broke upward: ${got(0L)}")
   }
 
+  test("ADC probes: fused LUT kernel equals the relational " +
+      "explode/join reference, single query and panel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = 8
+    val path = scratch("pq_adcpar").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ProductQuantize.pqWriteIndex(base, "vec_id", "embedding", m, 16,
+      path)
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val codes = spark.read.parquet(s"$path/codes")
+    val qv = base.filter(col("vec_id") === 7)
+      .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+    def lutOf(queries: org.apache.spark.sql.DataFrame,
+              keep: Seq[String]) =
+      cb.crossJoin(queries)
+        .withColumn("_sublen", (size(col("qvec")) / m).cast("int"))
+        .withColumn("_qs", slice(col("qvec"),
+          (col("subspace") * col("_sublen") + 1).cast("int"),
+          col("_sublen")))
+        .select((keep.map(col) ++ Seq(col("subspace"), col("code"),
+          floor(VectorFns.dot(col("cvec"), col("_qs")) * 1e7 + 0.5)
+            .cast("long").as("ip_fp"))): _*)
+    // single query
+    val got1 = ProductQuantize
+      .pqProbeADC(spark, path, qv, "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ref1 = codes
+      .select(col("vec_id"), posexplode(col("codes"))
+        .as(Seq("_pos", "code")))
+      .withColumn("subspace", col("_pos").cast("long"))
+      .join(lutOf(qv, Nil), Seq("subspace", "code"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("ip_fp")) / 1e7, 4).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got1 == ref1, s"single: $got1 vs $ref1")
+    // panel
+    val panel = base.filter(col("vec_id") % 37 === 1)
+      .select(col("vec_id").as("qid"),
+        VectorFns.toDouble(col("embedding")).as("qvec"))
+    val got2 = ProductQuantize
+      .pqProbeADCMulti(spark, path, panel, "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq.sorted
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val ref2 = codes
+      .select(col("vec_id"), posexplode(col("codes"))
+        .as(Seq("_pos", "code")))
+      .withColumn("subspace", col("_pos").cast("long"))
+      .join(lutOf(panel, Seq("qid")), Seq("subspace", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("ip_fp")) / 1e7, 4).as("adc_score"))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("adc_score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq.sorted
+    assert(got2 == ref2, s"panel: ${got2.take(4)} vs ${ref2.take(4)}")
+    assert(got2.nonEmpty)
+  }
+
   test("ivfPqDriftStats fused kernel: bit-parity with the relational " +
       "explode/join/re-aggregate pipeline on a real index, full and " +
       "cell-pruned") {
