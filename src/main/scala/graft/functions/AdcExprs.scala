@@ -162,8 +162,13 @@ case class QidCodeLutSumExpr(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (q, v) => {
+      // RAW map type + explicit boxing: janino compiles no generics
+      // and no autoboxing — a parameterized reference type fails the
+      // whole generated class and silently drops the stage to
+      // interpreted eval (caught as CodeGenerator ERRORs in the r20
+      // mid-round bench)
       val idx = ctx.addReferenceObj("qidLutIdx", qidIdx,
-        "java.util.HashMap<Long, Integer>")
+        "java.util.HashMap")
       val vl = ctx.addReferenceObj("qidLutVals", valArr, "long[][][]")
       val pr = ctx.addReferenceObj("qidLutPres", presArr, "boolean[][]")
       val qi = ctx.freshName("qi")
@@ -174,7 +179,8 @@ case class QidCodeLutSumExpr(left: Expression, right: Expression,
       val pos = ctx.freshName("pos")
       val c = ctx.freshName("c")
       s"""
-         |final Integer $qi = $idx.get($q);
+         |final Integer $qi =
+         |  (Integer) $idx.get(java.lang.Long.valueOf($q));
          |if ($qi == null) { ${ev.isNull} = true; } else {
          |  final long[][] $lut = $vl[$qi.intValue()];
          |  final int $n = $v.numElements();
@@ -271,8 +277,10 @@ case class PqCdFpExpr(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (cell, v) => {
+      // raw type + explicit boxing — janino generics limit (see
+      // QidCodeLutSumExpr)
       val idx = ctx.addReferenceObj("pqCellIdx", cellIdx,
-        "java.util.HashMap<Long, Integer>")
+        "java.util.HashMap")
       val ipsR = ctx.addReferenceObj("pqIps", ips, "long[][][]")
       val nnsR = ctx.addReferenceObj("pqNns", nns, "long[][]")
       val prR = ctx.addReferenceObj("pqPres", pres, "boolean[][]")
@@ -286,7 +294,8 @@ case class PqCdFpExpr(left: Expression, right: Expression,
       val pos = ctx.freshName("pos")
       val c = ctx.freshName("c")
       s"""
-         |final Integer $ci = $idx.get($cell);
+         |final Integer $ci =
+         |  (Integer) $idx.get(java.lang.Long.valueOf($cell));
          |if ($ci == null) { ${ev.isNull} = true; } else {
          |  final int $n = $v.numElements();
          |  final long[][] $cellIp = $ipsR[$ci.intValue()];

@@ -349,6 +349,51 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(got(0L).head == 0L, s"tie broke upward: ${got(0L)}")
   }
 
+  test("native kernels COMPILE under codegen — no silent interpreted " +
+      "fallback (janino takes no generics/autoboxing; the r20 " +
+      "mid-round bench caught HashMap<Long, Integer> reference types " +
+      "failing every stage they appeared in)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = scratch("pq_codegen").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cents = Similarity
+        .learnedCentroids(base, "embedding", k = 4).localCheckpoint()
+      ProductQuantize.ivfPqWriteIndex(base, cents, "vec_id",
+        "embedding", m = 8, k = 16, path)
+      val qv = base.filter(col("vec_id") === 7)
+        .select(VectorFns.toDouble(col("embedding")).as("qvec"))
+      val panel = base.filter(col("vec_id") % 41 === 1)
+        .select(col("vec_id").as("qid"),
+          VectorFns.toDouble(col("embedding")).as("qvec"))
+      // PqCdFpExpr (drift kernel), CodeLutSumExpr (single ADC),
+      // QidCodeLutSumExpr (panel ADC), PqEncodeCodesExpr (the write
+      // path above already encoded through it with fallback off)
+      assert(ProductQuantize
+        .ivfPqDriftStats(spark, path, cents, "vec_id")
+        .collect().nonEmpty)
+      assert(ProductQuantize
+        .ivfPqProbe(spark, path, cents, qv, "vec_id", k = 5,
+          nProbe = 2).collect().nonEmpty)
+      assert(ProductQuantize
+        .ivfPqProbeMulti(spark, path, cents, panel, "vec_id", k = 3,
+          nProbe = 2).collect().nonEmpty)
+      // CosineArgminCellExpr
+      val cl = (0L until 4L).map(c =>
+        (c, Seq.fill(8)(c * 0.25 + 0.1)))
+      assert(base.limit(50).select(
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.CosineArgminCellExpr(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              VectorFns.toDouble(col("embedding"))), cl)).as("cid"))
+        .collect().length == 50)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("ADC probes: fused LUT kernel equals the relational " +
       "explode/join reference, single query and panel") {
     import spark.implicits._
